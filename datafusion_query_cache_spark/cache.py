@@ -1,0 +1,205 @@
+"""Pluggable query-state caches.
+
+Re-creates the reference's ``QueryCache`` trait + ``CacheEntry``
+(Occupied/Vacant) (``src/cache.rs:10-50``) and ``MemoryQueryCache``
+(``src/cache.rs:52-174``), plus the Parquet-backed cache the reference only
+promises (``ObjectStoreQueryCache`` TODO — ``README.md:25``,
+``src/cache.rs:176``).
+
+Semantics preserved from the reference:
+* keyed by query fingerprint string;
+* entry value = (watermark_ns, partial-aggregate state);
+* ``put`` overwrites, last-write-wins (``src/cache.rs:109-114``);
+* state is stored compacted (we store the *merged* state — a strict
+  improvement over the reference's append-of-batches, SURVEY §3.3).
+
+At scale the Parquet cache is the real one: the partial state is tiny
+relative to the scanned data (one row per group), a single Parquet file per
+fingerprint, written atomically (tmp + rename) so concurrent refreshes keep
+the reference's benign last-write-wins race (SURVEY §4.4.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+import uuid
+from abc import ABC, abstractmethod
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CacheEntry(ABC):
+    """One fingerprint's slot. ``occupied`` ⇔ reference's Occupied variant."""
+
+    @property
+    @abstractmethod
+    def occupied(self) -> bool: ...
+
+    @property
+    @abstractmethod
+    def watermark_ns(self) -> Optional[int]: ...
+
+    @abstractmethod
+    def get(self, spark: SparkSession) -> DataFrame:
+        """Cached partial-state DataFrame (reference ``execute_get``,
+        ``src/aggregate.rs:680-688``)."""
+
+    @abstractmethod
+    def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
+        """Store state; return a DataFrame backed by the *stored* copy so the
+        caller can finalize without recomputing the upstream scan (the
+        reference's ``CacheUpdateAggregateExec`` similarly re-emits the
+        collected batches, ``src/aggregate.rs:588-601``)."""
+
+
+class QueryCache(ABC):
+    @abstractmethod
+    def entry(self, fingerprint: str) -> CacheEntry: ...
+
+
+# ---------------------------------------------------------------------------
+
+
+class _MemoryEntry(CacheEntry):
+    def __init__(self, cache: "MemoryQueryCache", fingerprint: str):
+        self._cache = cache
+        self._fp = fingerprint
+
+    @property
+    def occupied(self) -> bool:
+        return self._fp in self._cache._store
+
+    @property
+    def watermark_ns(self) -> Optional[int]:
+        v = self._cache._store.get(self._fp)
+        return v[0] if v else None
+
+    def get(self, spark: SparkSession) -> DataFrame:
+        wm, pdf, schema = self._cache._store[self._fp]
+        return spark.createDataFrame(pdf, schema=schema)
+
+    def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
+        schema = state.schema
+        pdf = state.toPandas()
+        with self._cache._lock:
+            self._cache._store[self._fp] = (watermark_ns, pdf, schema)
+        return spark.createDataFrame(pdf, schema=schema)
+
+
+class MemoryQueryCache(QueryCache):
+    """In-process cache: fingerprint → (watermark_ns, pandas state, schema).
+
+    The test/dev cache (reference ``MemoryQueryCache``, ``src/cache.rs:52``).
+    State crosses the JVM↔Python boundary via Arrow on both put and get —
+    fine for the one-row-per-group state frames this holds; use
+    :class:`ParquetQueryCache` when state is large.
+    """
+
+    def __init__(self) -> None:
+        self._store: Dict[str, Tuple[int, object, object]] = {}
+        self._lock = threading.Lock()
+
+    def entry(self, fingerprint: str) -> CacheEntry:
+        return _MemoryEntry(self, fingerprint)
+
+    def display(self) -> str:
+        out = []
+        for fp, (wm, pdf, _schema) in self._store.items():
+            out.append(f"{fp[:80]}... wm={wm} rows={len(pdf)}")
+        return "\n".join(out)
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+
+# ---------------------------------------------------------------------------
+
+
+class _ParquetEntry(CacheEntry):
+    def __init__(self, root: str, fingerprint: str):
+        import hashlib
+
+        self._fp = fingerprint
+        self._dir = os.path.join(root, hashlib.sha256(fingerprint.encode()).hexdigest()[:24])
+        self._meta: Optional[dict] = None
+        meta_path = os.path.join(self._dir, "meta.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    self._meta = json.load(f)
+                if self._meta.get("fingerprint") != fingerprint:
+                    # hash-prefix collision: treat as vacant, do not clobber
+                    self._meta = None
+                    self._dir = self._dir + "-x"
+            except (json.JSONDecodeError, OSError):
+                self._meta = None
+        if self._meta is not None and not os.path.isdir(
+            os.path.join(self._dir, self._meta.get("state", ""))
+        ):
+            # meta points at a missing/corrupted state dir (partial cleanup,
+            # manual deletion): self-heal by treating the entry as vacant.
+            self._meta = None
+
+    @property
+    def occupied(self) -> bool:
+        return self._meta is not None
+
+    @property
+    def watermark_ns(self) -> Optional[int]:
+        return self._meta["watermark_ns"] if self._meta else None
+
+    def _state_path(self) -> str:
+        return os.path.join(self._dir, self._meta["state"])
+
+    def get(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._state_path())
+
+    def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
+        os.makedirs(self._dir, exist_ok=True)
+        txid = f"state-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._dir, txid)
+        # Single partition for the state file — the reference coalesces to one
+        # partition before the cache store (``src/aggregate.rs:510-527``).
+        # State is one row per group; at 100 TB input it is still only as big
+        # as the group cardinality, so coalesce(1) is safe by construction.
+        state.coalesce(1).write.mode("overwrite").parquet(path)
+        meta = {
+            "fingerprint": self._fp,
+            "watermark_ns": watermark_ns,
+            "state": txid,
+            "schema": state.schema.json(),
+            "written_at": time.time(),
+        }
+        tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        old = self._meta
+        os.replace(tmp, os.path.join(self._dir, "meta.json"))  # atomic swap
+        self._meta = meta
+        if old and old.get("state") and old["state"] != txid:
+            shutil.rmtree(os.path.join(self._dir, old["state"]), ignore_errors=True)
+        return spark.read.parquet(path)
+
+
+class ParquetQueryCache(QueryCache):
+    """Durable cache: one directory per fingerprint hash under ``root``.
+
+    Layout: ``root/<sha256[:24]>/{meta.json, state-<txid>/part-*.parquet}``.
+    ``meta.json`` is swapped atomically (``os.replace``) after the new state
+    dir is fully written → readers never see a partial state; concurrent
+    writers race last-write-wins like the reference (``src/cache.rs:110-113``).
+    On a real cluster ``root`` lives on a shared filesystem / object store via
+    the same path-based API.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def entry(self, fingerprint: str) -> CacheEntry:
+        return _ParquetEntry(self.root, fingerprint)

@@ -1,0 +1,34 @@
+"""Engine configuration.
+
+Analogue of the reference's ``QueryCacheConfig`` (``src/lib.rs:22-72``):
+default temporal column + extras, the allowed temporal group-by function set
+(demo adds ``date_trunc``, ``examples/demo.rs:78``), the deterministic-replay
+``override_now`` (``src/lib.rs:47-50``), and the cache handle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import FrozenSet, Optional
+
+from .cache import MemoryQueryCache, QueryCache
+from .log import AbstractLog, LogNoOp
+
+
+@dataclass
+class QueryCacheConfig:
+    cache: QueryCache = field(default_factory=MemoryQueryCache)
+    #: Primary temporal column (reference ctor arg, ``src/lib.rs:31-40``).
+    default_temporal_column: str = "ts"
+    #: Additional temporal columns (``with_temporal_column``, ``src/lib.rs:42-45``).
+    extra_temporal_columns: FrozenSet[str] = frozenset()
+    #: Functions that may wrap the temporal column in GROUP BY
+    #: (``with_group_by_function``, ``src/lib.rs:52-55``).
+    group_by_functions: FrozenSet[str] = frozenset({"date_trunc"})
+    #: Pin "now" for deterministic replay (``src/lib.rs:47-50``); ns epoch.
+    override_now_ns: Optional[int] = None
+    log: AbstractLog = field(default_factory=LogNoOp)
+
+    @property
+    def temporal_columns(self) -> FrozenSet[str]:
+        return frozenset({self.default_temporal_column}) | self.extra_temporal_columns

@@ -1,0 +1,213 @@
+"""Mini-IR → PySpark ``Column`` compiler.
+
+The reference hands its (lightly rewritten) logical plan back to DataFusion's
+physical planner (``src/lib.rs:89-117``).  Our equivalent of "physical
+planning" is building a DataFrame program: every IR expression becomes a
+``pyspark.sql.functions`` Column so the whole query stays JVM-side inside
+whole-stage codegen — no Python UDFs anywhere in the cache path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans.ir import (
+    AggCall,
+    BinOp,
+    Case,
+    Cast,
+    Col,
+    Expr,
+    Func,
+    InList,
+    IsNull,
+    Lit,
+    Neg,
+    Not,
+    Star,
+    Unsupported,
+)
+
+# duckdb logical type id → spark sql type name
+_TYPE_MAP = {
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "DATE": "date",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "DECIMAL": "decimal(38,9)",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "bigint",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "INTERVAL": "interval",
+}
+
+
+def spark_type_for(duck_type: str) -> str:
+    t = _TYPE_MAP.get(duck_type.upper())
+    if t is None:
+        raise Unsupported(f"cast to {duck_type}")
+    return t
+
+
+def _fn_direct(name: str) -> Callable[..., Column]:
+    fn = getattr(F, name)
+    return lambda *args: fn(*args)
+
+
+# duckdb function name → builder(args...) -> Column.  Only deterministic
+# scalars — the classifier guarantees volatile fns never reach compilation
+# on the cached path; passthrough queries never reach this compiler at all.
+_FUNCS: Dict[str, Callable[..., Column]] = {
+    "date_trunc": lambda g, ts: F.date_trunc(g, ts),
+    "round": lambda *a: F.round(*a),
+    "floor": lambda c: F.floor(c),
+    "ceil": lambda c: F.ceil(c),
+    "ceiling": lambda c: F.ceil(c),
+    "abs": lambda c: F.abs(c),
+    "upper": _fn_direct("upper"),
+    "lower": _fn_direct("lower"),
+    "length": _fn_direct("length"),
+    "trim": _fn_direct("trim"),
+    "ltrim": _fn_direct("ltrim"),
+    "rtrim": _fn_direct("rtrim"),
+    "coalesce": _fn_direct("coalesce"),
+    "concat": _fn_direct("concat"),
+    "substr": lambda c, s, ln=None: F.substring(c, s, ln) if ln is not None else F.substring(c, s, 2147483647),
+    "substring": lambda c, s, ln=None: F.substring(c, s, ln) if ln is not None else F.substring(c, s, 2147483647),
+    "year": _fn_direct("year"),
+    "month": _fn_direct("month"),
+    "day": _fn_direct("day"),
+    "hour": _fn_direct("hour"),
+    "minute": _fn_direct("minute"),
+    "second": _fn_direct("second"),
+    "sqrt": _fn_direct("sqrt"),
+    "exp": _fn_direct("exp"),
+    "ln": lambda c: F.log(c),
+    "power": lambda a, b: F.pow(a, b),
+    "pow": lambda a, b: F.pow(a, b),
+    "greatest": _fn_direct("greatest"),
+    "least": _fn_direct("least"),
+    "nullif": _fn_direct("nullif"),
+    "ifnull": lambda a, b: F.coalesce(a, b),
+    "md5": _fn_direct("md5"),
+    "replace": lambda c, a, b: F.regexp_replace(c, F.lit(a), F.lit(b)),
+    "regexp_replace": lambda c, p, r: F.regexp_replace(c, p, r),
+    "contains": lambda c, s: c.contains(s),
+    "starts_with": lambda c, s: c.startswith(s),
+    "prefix": lambda c, s: c.startswith(s),
+    "ends_with": lambda c, s: c.endswith(s),
+    "suffix": lambda c, s: c.endswith(s),
+    "lpad": _fn_direct("lpad"),
+    "rpad": _fn_direct("rpad"),
+    "now": lambda: F.current_timestamp(),
+    "current_timestamp": lambda: F.current_timestamp(),
+    "current_date": lambda: F.current_date(),
+    "to_timestamp": lambda c, *fmt: F.to_timestamp(c, *fmt),
+}
+
+
+def _lit(e: Lit) -> Column:
+    if e.value is None:
+        return F.lit(None)
+    if e.dtype in ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"):
+        return F.lit(str(e.value)).cast("timestamp")
+    if e.dtype == "DATE":
+        return F.lit(str(e.value)).cast("date")
+    if e.dtype == "DECIMAL":
+        return F.lit(float(e.value))
+    return F.lit(e.value)
+
+
+def to_column(e: Expr) -> Column:
+    """Compile an IR expression (no AggCall nodes) to a Spark Column."""
+    if isinstance(e, Col):
+        return F.col(e.name)
+    if isinstance(e, Lit):
+        return _lit(e)
+    if isinstance(e, Star):
+        raise Unsupported("bare * outside count(*)")
+    if isinstance(e, Cast):
+        return to_column(e.child).cast(spark_type_for(e.to_type))
+    if isinstance(e, Neg):
+        return -to_column(e.child)
+    if isinstance(e, Not):
+        return ~to_column(e.child)
+    if isinstance(e, IsNull):
+        c = to_column(e.child)
+        return c.isNotNull() if e.negated else c.isNull()
+    if isinstance(e, InList):
+        c = to_column(e.child).isin(*[to_column(v) for v in e.values])
+        return ~c if e.negated else c
+    if isinstance(e, Case):
+        out = None
+        for cond, val in e.whens:
+            if out is None:
+                out = F.when(to_column(cond), to_column(val))
+            else:
+                out = out.when(to_column(cond), to_column(val))
+        if e.otherwise is not None:
+            out = out.otherwise(to_column(e.otherwise))
+        return out
+    if isinstance(e, BinOp):
+        l, r = to_column(e.left), to_column(e.right)
+        op = e.op
+        if op == "and":
+            return l & r
+        if op == "or":
+            return l | r
+        if op == "=":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "//":
+            return F.floor(l / r)
+        if op == "%":
+            return l % r
+        if op == "like":
+            if isinstance(e.right, Lit):
+                return l.like(str(e.right.value))
+            raise Unsupported("non-literal LIKE pattern")
+        if op == "not_like":
+            if isinstance(e.right, Lit):
+                return ~l.like(str(e.right.value))
+            raise Unsupported("non-literal LIKE pattern")
+        raise Unsupported(f"binop {op}")
+    if isinstance(e, Func):
+        builder = _FUNCS.get(e.name.lower())
+        if builder is None:
+            raise Unsupported(f"scalar function {e.name}")
+        args = []
+        for a in e.args:
+            # scalar-literal args that must stay python (date_trunc fmt, round n)
+            if isinstance(a, Lit) and e.name.lower() in ("date_trunc", "round", "substr", "substring", "power", "pow", "lpad", "rpad", "to_timestamp") and not isinstance(a.value, (dict, list)):
+                args.append(a.value)
+            else:
+                args.append(to_column(a))
+        return builder(*args)
+    if isinstance(e, AggCall):
+        raise Unsupported("aggregate call reached scalar compiler")
+    raise Unsupported(f"cannot compile {type(e).__name__}")

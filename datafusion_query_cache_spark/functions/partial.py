@@ -1,0 +1,299 @@
+"""Algebraic partial-aggregate state: decompose / merge / finalize.
+
+This replaces the seam the reference gets from DataFusion for free:
+``AggregateExec{mode: Partial}`` produces mergeable state columns and
+``AggregateExec{mode: Final}`` merges them (reference ``README.md:49-76``,
+``src/aggregate.rs:384,402-409``).  Spark has the identical machinery
+internally (partial/final hash aggregation) but does not expose it to
+PySpark, so every supported aggregate is decomposed into explicitly-named
+state columns with a merge and a finalize rule — standard algebraic
+aggregation, same trick as Spark streaming state and TimescaleDB continuous
+aggregates.
+
+State column names are deterministic (``__qc{i}_{kind}``) and are part of the
+fingerprint → cached-schema contract checked on cache read (SURVEY §4.3).
+
+Aggregates with no mergeable decomposition (exact distinct, median, exact
+percentiles, UDAFs) make the query non-cacheable — it still runs, uncached —
+mirroring the reference's Abandon verdict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans.ir import (
+    AggCall,
+    BinOp,
+    Case,
+    Cast,
+    Expr,
+    Func,
+    InList,
+    IsNull,
+    Lit,
+    Neg,
+    Not,
+    SelectItem,
+    Star,
+    Unsupported,
+)
+from .compile import to_column
+
+
+@dataclass
+class Decomposition:
+    """State/merge/finalize for ONE aggregate call.
+
+    ``partial``: state-name → aggregate Column over raw input rows.
+    ``merge``:   state-name → aggregate Column over state columns (same names
+                 in and out, so merge is idempotent across refreshes).
+    ``finalize``: Column over state columns producing the user-visible value.
+    """
+
+    partial: Dict[str, Column]
+    merge: Dict[str, Column]
+    finalize: Column
+
+
+class NotDecomposable(Exception):
+    """Aggregate has no mergeable state → query runs uncached."""
+
+
+def _sum_compat(col: Column) -> Column:
+    # merge-side sums must ignore nulls (they do) and keep integer sums exact
+    return F.sum(col)
+
+
+def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
+    """Decompose one aggregate call. ``tag`` makes state names unique."""
+    fn = agg.fn.lower()
+    if agg.distinct and fn not in ("approx_count_distinct",):
+        raise NotDecomposable(f"{fn}(DISTINCT) has no mergeable state")
+
+    def arg0() -> Column:
+        if not agg.args or isinstance(agg.args[0], Star):
+            raise NotDecomposable(f"{fn} requires a column argument")
+        return to_column(agg.args[0])
+
+    s = lambda kind: f"__qc{tag}_{kind}"
+
+    if fn == "count":
+        n = s("cnt")
+        if not agg.args or isinstance(agg.args[0], Star):
+            return Decomposition(
+                partial={n: F.count(F.lit(1))},
+                merge={n: _sum_compat(F.col(n))},
+                finalize=F.col(n),
+            )
+        return Decomposition(
+            partial={n: F.count(arg0())},
+            merge={n: _sum_compat(F.col(n))},
+            finalize=F.col(n),
+        )
+
+    if fn == "sum":
+        nm = s("sum")
+        return Decomposition(
+            partial={nm: F.sum(arg0())},
+            merge={nm: F.sum(F.col(nm))},
+            finalize=F.col(nm),
+        )
+
+    if fn in ("min", "max"):
+        nm = s(fn)
+        f_ = F.min if fn == "min" else F.max
+        return Decomposition(
+            partial={nm: f_(arg0())},
+            merge={nm: f_(F.col(nm))},
+            finalize=F.col(nm),
+        )
+
+    if fn == "avg":
+        sm, ct = s("sum"), s("cnt")
+        a = arg0()
+        return Decomposition(
+            partial={sm: F.sum(a.cast("double")), ct: F.count(a)},
+            merge={sm: F.sum(F.col(sm)), ct: F.sum(F.col(ct))},
+            finalize=F.col(sm) / F.col(ct),
+        )
+
+    if fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
+        # state: count, sum, sum of squares (double).  finalize via the
+        # textbook formula; matches Spark/DuckDB up to fp rounding.
+        ct, sm, s2 = s("cnt"), s("sum"), s("sum2")
+        a = arg0().cast("double")
+        m2 = F.col(s2) - (F.col(sm) * F.col(sm)) / F.col(ct)
+        if fn == "var_pop":
+            fin = m2 / F.col(ct)
+        elif fn == "var_samp":
+            fin = F.when(F.col(ct) > 1, m2 / (F.col(ct) - 1))
+        elif fn == "stddev_pop":
+            fin = F.sqrt(m2 / F.col(ct))
+        else:
+            fin = F.when(F.col(ct) > 1, F.sqrt(m2 / (F.col(ct) - 1)))
+        return Decomposition(
+            partial={ct: F.count(a), sm: F.sum(a), s2: F.sum(a * a)},
+            merge={ct: F.sum(F.col(ct)), sm: F.sum(F.col(sm)), s2: F.sum(F.col(s2))},
+            finalize=fin,
+        )
+
+    if fn == "approx_count_distinct":
+        # The sketch trick that makes approx-distinct mergeable (SURVEY §4.3):
+        # HLL sketch state unions exactly.
+        nm = s("hll")
+        return Decomposition(
+            partial={nm: F.hll_sketch_agg(arg0())},
+            merge={nm: F.hll_union_agg(F.col(nm))},
+            finalize=F.hll_sketch_estimate(F.col(nm)),
+        )
+
+    if fn in ("array_agg",):
+        nm = s("list")
+        return Decomposition(
+            partial={nm: F.collect_list(arg0())},
+            merge={nm: F.flatten(F.collect_list(F.col(nm)))},
+            finalize=F.col(nm),
+        )
+
+    if fn in ("bool_and", "bool_or"):
+        nm = s(fn)
+        f_ = F.bool_and if fn == "bool_and" else F.bool_or
+        return Decomposition(
+            partial={nm: f_(arg0())},
+            merge={nm: f_(F.col(nm))},
+            finalize=F.col(nm),
+        )
+
+    if fn in ("bit_and", "bit_or", "bit_xor"):
+        nm = s(fn)
+        f_ = {"bit_and": F.bit_and, "bit_or": F.bit_or, "bit_xor": F.bit_xor}[fn]
+        return Decomposition(
+            partial={nm: f_(arg0())},
+            merge={nm: f_(F.col(nm))},
+            finalize=F.col(nm),
+        )
+
+    if fn == "product":
+        nm = s("prod")
+        return Decomposition(
+            partial={nm: F.product(arg0())},
+            merge={nm: F.product(F.col(nm))},
+            finalize=F.col(nm),
+        )
+
+    raise NotDecomposable(f"aggregate {fn} has no mergeable decomposition")
+
+
+@dataclass
+class ItemPlan:
+    """Compiled plan for one SELECT item containing aggregates.
+
+    The item's scalar wrapper (e.g. ``round(avg(v), 2)``) is applied at
+    finalize time, *outside* the cached state — reference demo's
+    ``round(avg(value), 2)`` (``examples/demo.rs:26``, ``README.md:111-113``).
+    """
+
+    name: str
+    partial: Dict[str, Column] = field(default_factory=dict)
+    merge: Dict[str, Column] = field(default_factory=dict)
+    finalize: Optional[Column] = None
+
+
+def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
+    """Compile an expr tree, substituting each AggCall's finalize Column."""
+    if isinstance(e, AggCall):
+        return fin_map[e]
+
+    if isinstance(e, Func):
+        # scalar over aggregates: compile args recursively, reuse the scalar
+        # builders from compile.py by building a temporary Func over columns
+        from .compile import _FUNCS  # noqa: deliberate internal reuse
+
+        builder = _FUNCS.get(e.name.lower())
+        if builder is None:
+            raise Unsupported(f"scalar function {e.name} in aggregate select")
+        args = []
+        for a in e.args:
+            if isinstance(a, Lit) and e.name.lower() in (
+                "date_trunc",
+                "round",
+                "substr",
+                "substring",
+                "power",
+                "pow",
+            ):
+                args.append(a.value)
+            elif _has_agg(a):
+                args.append(_rewrite_with_finalize(a, fin_map))
+            else:
+                args.append(to_column(a))
+        return builder(*args)
+
+    if isinstance(e, BinOp):
+        l = _rewrite_with_finalize(e.left, fin_map) if _has_agg(e.left) else to_column(e.left)
+        r = _rewrite_with_finalize(e.right, fin_map) if _has_agg(e.right) else to_column(e.right)
+        op = e.op
+        ops = {
+            "+": lambda: l + r,
+            "-": lambda: l - r,
+            "*": lambda: l * r,
+            "/": lambda: l / r,
+            "%": lambda: l % r,
+            "=": lambda: l == r,
+            "!=": lambda: l != r,
+            ">": lambda: l > r,
+            ">=": lambda: l >= r,
+            "<": lambda: l < r,
+            "<=": lambda: l <= r,
+            "and": lambda: l & r,
+            "or": lambda: l | r,
+        }
+        if op not in ops:
+            raise Unsupported(f"binop {op} over aggregate")
+        return ops[op]()
+
+    if isinstance(e, Cast):
+        from .compile import spark_type_for
+
+        return _rewrite_with_finalize(e.child, fin_map).cast(spark_type_for(e.to_type))
+
+    if isinstance(e, Neg):
+        return -_rewrite_with_finalize(e.child, fin_map)
+
+    return to_column(e)
+
+
+def _has_agg(e: Expr) -> bool:
+    return any(isinstance(n, AggCall) for n in e.walk())
+
+
+def plan_items(items: Tuple[SelectItem, ...]) -> List[ItemPlan]:
+    """Build per-item plans; identical AggCalls share state columns."""
+    plans: List[ItemPlan] = []
+    seen: Dict[str, Tuple[AggCall, Decomposition]] = {}
+    counter = 0
+    for item in items:
+        aggs = [n for n in item.expr.walk() if isinstance(n, AggCall)]
+        if not aggs:
+            raise Unsupported(f"select item {item.name} has no aggregate")
+        plan = ItemPlan(name=item.name)
+        fin_map: Dict[AggCall, Column] = {}
+        for a in aggs:
+            key = a.canon()
+            if key in seen:
+                dec = seen[key][1]
+            else:
+                dec = decompose_agg(a, str(counter))
+                counter += 1
+                seen[key] = (a, dec)
+                plan.partial.update(dec.partial)
+                plan.merge.update(dec.merge)
+            fin_map[a] = dec.finalize
+        plan.finalize = _rewrite_with_finalize(item.expr, fin_map).alias(item.name)
+        plans.append(plan)
+    return plans

@@ -1,0 +1,243 @@
+"""Mini-IR for cacheable aggregate queries.
+
+The reference wraps a matched ``LogicalPlan::Aggregate`` in a custom extension
+node (``QCAggregatePlanNode``, reference ``src/aggregate.rs:215-315``).  We
+never get to touch Catalyst from PySpark, so the equivalent object here is a
+plain Python dataclass tree produced *before* anything is handed to Spark:
+``AggSpec`` is the analogue of the reference's extension node, and ``Expr``
+subclasses are the analogue of DataFusion's ``Expr`` enum as far as the
+cache-eligibility analyzer needs to see them (reference ``src/aggregate.rs:692-809``).
+
+Everything that does not parse into this IR is passed through to
+``spark.sql`` untouched — exactly the reference's ``Transformed::no`` path
+(``src/aggregate.rs:85-88``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Optional, Tuple
+
+
+class Expr:
+    """Base expression node. Frozen dataclasses → hashable, repr-stable."""
+
+    def children(self) -> Tuple["Expr", ...]:
+        return ()
+
+    def walk(self) -> Iterator["Expr"]:
+        yield self
+        for c in self.children():
+            yield from c.walk()
+
+
+@dataclass(frozen=True)
+class Col(Expr):
+    name: str
+
+    def canon(self) -> str:
+        return f"col({self.name})"
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: Any
+    dtype: Optional[str] = None  # duckdb logical type id, e.g. VARCHAR, INTEGER
+
+    def canon(self) -> str:
+        return f"lit({self.value!r}:{self.dtype})"
+
+
+@dataclass(frozen=True)
+class Star(Expr):
+    """count(*) argument."""
+
+    def canon(self) -> str:
+        return "*"
+
+
+@dataclass(frozen=True)
+class BinOp(Expr):
+    """op in {and, or, =, !=, >, >=, <, <=, +, -, *, /, %, like, not_like}."""
+
+    op: str
+    left: Expr
+    right: Expr
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.left, self.right)
+
+    def canon(self) -> str:
+        return f"({self.left.canon()} {self.op} {self.right.canon()})"
+
+
+@dataclass(frozen=True)
+class Not(Expr):
+    child: Expr
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.child,)
+
+    def canon(self) -> str:
+        return f"not({self.child.canon()})"
+
+
+@dataclass(frozen=True)
+class Neg(Expr):
+    child: Expr
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.child,)
+
+    def canon(self) -> str:
+        return f"neg({self.child.canon()})"
+
+
+@dataclass(frozen=True)
+class IsNull(Expr):
+    child: Expr
+    negated: bool = False
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.child,)
+
+    def canon(self) -> str:
+        return f"isnull({self.child.canon()},neg={self.negated})"
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    child: Expr
+    to_type: str  # duckdb type id string (TIMESTAMP, DOUBLE, ...)
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.child,)
+
+    def canon(self) -> str:
+        return f"cast({self.child.canon()} as {self.to_type})"
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    """Scalar function call (non-aggregate): round, date_trunc, now, ..."""
+
+    name: str
+    args: Tuple[Expr, ...] = ()
+
+    def children(self) -> Tuple[Expr, ...]:
+        return self.args
+
+    def canon(self) -> str:
+        return f"{self.name}({','.join(a.canon() for a in self.args)})"
+
+
+@dataclass(frozen=True)
+class AggCall(Expr):
+    """Aggregate function call: count/sum/min/max/avg/...
+
+    ``distinct`` mirrors DataFusion's AggregateFunction.distinct; a distinct
+    aggregate has no mergeable decomposition (SURVEY §4.3) so the classifier
+    abandons it unless it is an opt-in sketch aggregate.
+    """
+
+    fn: str
+    args: Tuple[Expr, ...] = ()
+    distinct: bool = False
+
+    def children(self) -> Tuple[Expr, ...]:
+        return self.args
+
+    def canon(self) -> str:
+        d = "distinct " if self.distinct else ""
+        return f"{self.fn}({d}{','.join(a.canon() for a in self.args)})"
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    """CASE WHEN ... simple passthrough-capable expression."""
+
+    whens: Tuple[Tuple[Expr, Expr], ...]
+    otherwise: Optional[Expr] = None
+
+    def children(self) -> Tuple[Expr, ...]:
+        out = []
+        for c, v in self.whens:
+            out.append(c)
+            out.append(v)
+        if self.otherwise is not None:
+            out.append(self.otherwise)
+        return tuple(out)
+
+    def canon(self) -> str:
+        parts = ",".join(f"when {c.canon()} then {v.canon()}" for c, v in self.whens)
+        o = f" else {self.otherwise.canon()}" if self.otherwise is not None else ""
+        return f"case({parts}{o})"
+
+
+@dataclass(frozen=True)
+class InList(Expr):
+    child: Expr
+    values: Tuple[Expr, ...]
+    negated: bool = False
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.child,) + self.values
+
+    def canon(self) -> str:
+        n = "not in" if self.negated else "in"
+        return f"({self.child.canon()} {n} ({','.join(v.canon() for v in self.values)}))"
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SelectItem:
+    """One output column: ``expr AS name``."""
+
+    name: str
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    desc: bool = False
+    nulls_first: Optional[bool] = None
+
+
+@dataclass
+class AggSpec:
+    """The analyzed shape of a single-table aggregate query.
+
+    Analogue of the reference's ``QCAggregatePlanNode`` payload
+    (``src/aggregate.rs:222-233``: input, fingerprint, temporal column,
+    dynamic lower bound), plus everything needed to *rebuild* the query as a
+    DataFrame program since we cannot hand a rewritten plan back to Catalyst.
+    """
+
+    table: str
+    predicate: Optional[Expr]
+    group_by: Tuple[SelectItem, ...]  # group exprs with their output names
+    aggregates: Tuple[SelectItem, ...]  # agg outputs (scalars-over-aggs allowed)
+    select_order: Tuple[str, ...] = ()  # output column order by name
+    order_by: Tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+    having: Optional[Expr] = None
+
+    def canon(self) -> str:
+        """Canonical plan string — the fingerprint body.
+
+        The reference fingerprints ``plan.display_indent_schema()``
+        (``src/aggregate.rs:89``); ours is the canonical IR serialization,
+        deliberately *not* a Spark plan string so it is stable across Spark
+        versions (SURVEY §7 hard-part 2). Schema is appended by the caller.
+        """
+        gb = ";".join(f"{s.name}={s.expr.canon()}" for s in self.group_by)
+        ag = ";".join(f"{s.name}={s.expr.canon()}" for s in self.aggregates)
+        pred = self.predicate.canon() if self.predicate is not None else "true"
+        return f"Aggregate[table={self.table}|where={pred}|group=[{gb}]|agg=[{ag}]]"
+
+
+class Unsupported(Exception):
+    """Query shape outside the mini-IR → run as plain spark.sql passthrough."""

@@ -1,0 +1,344 @@
+"""SQL → mini-IR front-end, via DuckDB's ``json_serialize_sql``.
+
+The reference gets its logical plan for free from DataFusion's parser
+(``src/lib.rs``, ``examples/demo.rs:28`` — ``ctx.sql``).  From PySpark we
+cannot see Catalyst's analyzed plan as a structured object, so we parse the
+SQL ourselves with DuckDB's parser (already a hard dependency of the test
+oracle) and lower its JSON AST into the mini-IR in :mod:`.ir`.
+
+Anything outside the supported single-table aggregate shape raises
+:class:`~.ir.Unsupported`, and the session falls back to plain
+``spark.sql(sql)`` — the reference's pass-through behavior for non-Aggregate
+plans (``src/aggregate.rs:85-88``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+import duckdb
+
+from .ir import (
+    AggCall,
+    AggSpec,
+    BinOp,
+    Case,
+    Cast,
+    Col,
+    Expr,
+    Func,
+    InList,
+    IsNull,
+    Lit,
+    Neg,
+    Not,
+    OrderItem,
+    SelectItem,
+    Star,
+    Unsupported,
+)
+
+# Aggregate function vocabulary we recognize (decomposability is decided
+# later, in functions/partial.py — parsing recognizes a superset).
+AGG_FUNCTIONS = {
+    "count",
+    "count_star",
+    "sum",
+    "min",
+    "max",
+    "avg",
+    "mean",
+    "var_samp",
+    "var_pop",
+    "variance",
+    "stddev",
+    "stddev_samp",
+    "stddev_pop",
+    "approx_count_distinct",
+    "first",
+    "last",
+    "arbitrary",
+    "list",
+    "array_agg",
+    "string_agg",
+    "median",
+    "mode",
+    "quantile",
+    "percentile_cont",
+    "bool_and",
+    "bool_or",
+    "bit_and",
+    "bit_or",
+    "bit_xor",
+    "product",
+}
+
+_COMPARE_OPS = {
+    "COMPARE_EQUAL": "=",
+    "COMPARE_NOTEQUAL": "!=",
+    "COMPARE_GREATERTHAN": ">",
+    "COMPARE_GREATERTHANOREQUALTO": ">=",
+    "COMPARE_LESSTHAN": "<",
+    "COMPARE_LESSTHANOREQUALTO": "<=",
+}
+
+_OPERATOR_FUNCS = {
+    "+": "+",
+    "-": "-",
+    "*": "*",
+    "/": "/",
+    "//": "//",
+    "%": "%",
+    "~~": "like",
+    "!~~": "not_like",
+    "||": "concat",
+}
+
+
+def _parse_json_ast(sql: str) -> Dict[str, Any]:
+    esc = sql.replace("'", "''")
+    raw = duckdb.execute(f"select json_serialize_sql('{esc}')").fetchone()[0]
+    doc = json.loads(raw)
+    if doc.get("error"):
+        raise Unsupported(f"parse error: {doc.get('error_message')}")
+    stmts = doc.get("statements", [])
+    if len(stmts) != 1:
+        raise Unsupported("multi-statement")
+    return stmts[0]["node"]
+
+
+def _const_value(node: Dict[str, Any]) -> Lit:
+    v = node["value"]
+    if v.get("is_null"):
+        return Lit(None, v["type"]["id"])
+    return Lit(v.get("value"), v["type"]["id"])
+
+
+def _expr(node: Dict[str, Any]) -> Expr:
+    cls = node.get("class")
+    typ = node.get("type")
+
+    if cls == "CONSTANT":
+        return _const_value(node)
+
+    if cls == "COLUMN_REF":
+        names = node.get("column_names", [])
+        if not names:
+            raise Unsupported("empty column ref")
+        # SQL-standard niladic time keywords parse as bare column refs;
+        # normalize them to the volatile functions the classifier knows
+        # (reference matches these by name, ``src/aggregate.rs:790-796``).
+        if len(names) == 1 and names[0].lower() in (
+            "current_timestamp",
+            "current_date",
+            "localtimestamp",
+            "today",
+        ):
+            return Func(names[0].lower(), ())
+        return Col(names[-1])  # drop qualifier — single-table shape only
+
+    if cls == "COMPARISON":
+        op = _COMPARE_OPS.get(typ)
+        if op is None:
+            raise Unsupported(f"comparison {typ}")
+        return BinOp(op, _expr(node["left"]), _expr(node["right"]))
+
+    if cls == "CONJUNCTION":
+        op = "and" if typ == "CONJUNCTION_AND" else "or"
+        kids = [_expr(c) for c in node["children"]]
+        out = kids[0]
+        for k in kids[1:]:
+            out = BinOp(op, out, k)
+        return out
+
+    if cls == "BETWEEN":
+        # Desugar immediately: (e >= low) AND (e <= high).  The reference
+        # panics on BETWEEN (`src/aggregate.rs:786-788` todo!()); we fix that
+        # per SURVEY §4.4.6 by desugaring before classification.
+        e = _expr(node["input"])
+        return BinOp(
+            "and",
+            BinOp(">=", e, _expr(node["lower"])),
+            BinOp("<=", e, _expr(node["upper"])),
+        )
+
+    if cls == "OPERATOR":
+        kids = [_expr(c) for c in node.get("children", [])]
+        if typ == "OPERATOR_NOT":
+            return Not(kids[0])
+        if typ == "OPERATOR_IS_NULL":
+            return IsNull(kids[0], negated=False)
+        if typ == "OPERATOR_IS_NOT_NULL":
+            return IsNull(kids[0], negated=True)
+        if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+            return InList(kids[0], tuple(kids[1:]), negated=typ == "COMPARE_NOT_IN")
+        raise Unsupported(f"operator {typ}")
+
+    if cls == "CAST":
+        return Cast(_expr(node["child"]), node["cast_type"]["id"])
+
+    if cls == "CASE":
+        checks = node.get("case_checks", [])
+        whens = tuple(
+            (_expr(c["when_expr"]), _expr(c["then_expr"])) for c in checks
+        )
+        els = node.get("else_expr")
+        return Case(whens, _expr(els) if els is not None else None)
+
+    if cls == "FUNCTION":
+        name = node["function_name"].lower()
+        args = tuple(_expr(c) for c in node.get("children", []))
+        if node.get("filter"):
+            raise Unsupported("FILTER clause on aggregate")
+        if node.get("is_operator"):
+            if name == "-" and len(args) == 1:
+                return Neg(args[0])
+            mapped = _OPERATOR_FUNCS.get(name)
+            if mapped is None:
+                raise Unsupported(f"operator fn {name}")
+            if mapped in ("like", "not_like", "+", "-", "*", "/", "//", "%"):
+                return BinOp(mapped, args[0], args[1])
+            return Func(mapped, args)
+        if name == "count_star":
+            return AggCall("count", (Star(),), distinct=False)
+        if name in AGG_FUNCTIONS:
+            fn = {"mean": "avg", "variance": "var_samp", "stddev": "stddev_samp",
+                  "list": "array_agg"}.get(name, name)
+            return AggCall(fn, args, distinct=bool(node.get("distinct")))
+        return Func(name, args)
+
+    raise Unsupported(f"expr class {cls}/{typ}")
+
+
+def _contains_agg(e: Expr) -> bool:
+    return any(isinstance(n, AggCall) for n in e.walk())
+
+
+def parse_agg_query(sql: str) -> AggSpec:
+    """Parse ``sql`` into an :class:`AggSpec`, or raise :class:`Unsupported`.
+
+    Supported shape (the reference's cacheable surface, README.md:126-129):
+    ``SELECT <agg-or-group exprs> FROM <one table> [WHERE pred]
+    [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]``.
+    """
+    node = _parse_json_ast(sql)
+    if node.get("type") != "SELECT_NODE":
+        raise Unsupported(f"statement {node.get('type')}")
+    if node.get("cte_map", {}).get("map"):
+        raise Unsupported("CTE")
+
+    ft = node.get("from_table") or {}
+    if ft.get("type") != "BASE_TABLE":
+        raise Unsupported(f"from {ft.get('type')}")
+    table = ft["table_name"]
+    if ft.get("schema_name"):
+        raise Unsupported("qualified table")
+
+    # modifiers: order / limit; distinct → unsupported
+    order_by: List[OrderItem] = []
+    limit: Optional[int] = None
+    for mod in node.get("modifiers", []):
+        mt = mod.get("type")
+        if mt == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                desc = o.get("type") == "DESCENDING"
+                nf = None
+                no = o.get("null_order")
+                if no == "NULLS_FIRST":
+                    nf = True
+                elif no == "NULLS_LAST":
+                    nf = False
+                order_by.append(OrderItem(_expr(o["expression"]), desc, nf))
+        elif mt == "LIMIT_MODIFIER":
+            lim = mod.get("limit")
+            if lim is not None:
+                lv = _expr(lim)
+                if not isinstance(lv, Lit) or not isinstance(lv.value, int):
+                    raise Unsupported("non-literal limit")
+                limit = lv.value
+            if mod.get("offset") is not None:
+                raise Unsupported("offset")
+        elif mt == "DISTINCT_MODIFIER":
+            raise Unsupported("SELECT DISTINCT")
+        else:
+            raise Unsupported(f"modifier {mt}")
+
+    where = node.get("where_clause")
+    predicate = _expr(where) if where is not None else None
+
+    # select list with synthesized names
+    raw_items: List[Tuple[str, Expr]] = []
+    for i, sel in enumerate(node.get("select_list", [])):
+        e = _expr(sel)
+        alias = sel.get("alias") or ""
+        if not alias:
+            if isinstance(e, Col):
+                alias = e.name
+            else:
+                alias = f"col{i}"
+        raw_items.append((alias, e))
+    if not raw_items:
+        raise Unsupported("empty select list")
+
+    # group expressions; resolve positional (GROUP BY 1) and alias refs
+    group_items: List[SelectItem] = []
+    grouped_exprs: List[Expr] = []
+    for ge in node.get("group_expressions", []):
+        g = _expr(ge)
+        if isinstance(g, Lit) and isinstance(g.value, int):
+            idx = g.value - 1
+            if not 0 <= idx < len(raw_items):
+                raise Unsupported("group-by position out of range")
+            name, e = raw_items[idx]
+            group_items.append(SelectItem(name, e))
+            grouped_exprs.append(e)
+            continue
+        if isinstance(g, Col):
+            # may reference a select alias
+            for name, e in raw_items:
+                if name == g.name and not isinstance(e, Col):
+                    group_items.append(SelectItem(name, e))
+                    grouped_exprs.append(e)
+                    break
+            else:
+                group_items.append(SelectItem(g.name, g))
+                grouped_exprs.append(g)
+            continue
+        # expression group-by: find matching select item for the name
+        for name, e in raw_items:
+            if e == g:
+                group_items.append(SelectItem(name, e))
+                break
+        else:
+            group_items.append(SelectItem(f"g{len(group_items)}", g))
+        grouped_exprs.append(g)
+
+    # split select items into group outputs vs aggregate outputs
+    agg_items: List[SelectItem] = []
+    select_order: List[str] = []
+    group_names = {s.name for s in group_items}
+    for name, e in raw_items:
+        select_order.append(name)
+        if _contains_agg(e):
+            agg_items.append(SelectItem(name, e))
+        else:
+            if e in grouped_exprs or name in group_names:
+                continue  # already a group output
+            raise Unsupported(f"non-aggregate select item {name} not in GROUP BY")
+    if not agg_items:
+        raise Unsupported("no aggregate in select list")
+
+    having = node.get("having")
+    having_expr = _expr(having) if having is not None else None
+
+    return AggSpec(
+        table=table,
+        predicate=predicate,
+        group_by=tuple(group_items),
+        aggregates=tuple(agg_items),
+        select_order=tuple(select_order),
+        order_by=tuple(order_by),
+        limit=limit,
+        having=having_expr,
+    )

@@ -1,0 +1,87 @@
+"""Table registration helpers (the reference's MemTable/register analogue,
+``examples/demo.rs:21-22,36-37``).
+
+Views are registered over Parquet; at cluster scale these would be catalog
+tables with partition columns on the temporal axis so the cache's
+``ts >= watermark`` refresh filter prunes whole partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
+    natively (PARQUET_TYPE_ILLEGAL); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as epoch-ns
+    longs. The reference handles all four Arrow time units at the cache
+    boundary (``src/aggregate.rs:431-439``); we normalize at the source."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def register_parquet_view(spark: SparkSession, name: str, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        # expose both: `c` as a µs TimestampType (user-facing semantics) and
+        # `c_ns` as the raw epoch-ns long. Filters on `c_ns` are plain
+        # attribute comparisons → Catalyst pushes them into the parquet scan
+        # (row-group pruning); the engine uses it as the watermark shadow.
+        df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
+            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+        )
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: Optional[Iterable[str]] = None
+) -> None:
+    """Register the driver's parquet tables as temp views."""
+    for t in tables or TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            register_parquet_view(spark, t, p)
+
+
+def get_session(app: str = "datafusion_query_cache_spark", cpus: Optional[int] = None) -> SparkSession:
+    """Local test/bench session. Cluster deployments bring their own session;
+    nothing in the engine assumes local mode."""
+    n = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("QC_DRIVER_MEMORY", "8g"))
+    )
+    return b.getOrCreate()

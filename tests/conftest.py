@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("QC_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from datafusion_query_cache_spark.sources.tables import get_session, register_testdata
+
+    s = get_session(app="qc-tests", cpus=os.environ.get("QC_TEST_CPUS", "8"))
+    s.sparkContext.setLogLevel("ERROR")
+    register_testdata(s, SF_DIR)
+    yield s
+
+
+@pytest.fixture()
+def qc(spark, tmp_path):
+    """Fresh cached session with an isolated parquet cache per test."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        HistoryLog,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    log = HistoryLog()
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-cache")),
+        default_temporal_column="ts",
+        log=log,
+    )
+    return CachedSparkSession(spark, cfg)
+
+
+@pytest.fixture()
+def qc_mem(spark):
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        HistoryLog,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+
+    log = HistoryLog()
+    cfg = QueryCacheConfig(cache=MemoryQueryCache(), log=log)
+    return CachedSparkSession(spark, cfg)
+
+
+def rows_set(df):
+    """Order-insensitive comparable representation of a DataFrame result."""
+    out = []
+    for r in df.collect():
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)

@@ -1,0 +1,155 @@
+"""Cache behavior integration tests (SURVEY §5.1/§5.4).
+
+Primary oracle — metamorphic equivalence mirroring the reference demo
+(``examples/demo.rs:26-50``): run cached over D1 then over D1∪D2; the run-2
+result must equal plain ``spark.sql`` over D1∪D2.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+FLAGSHIP = (
+    "SELECT date_trunc('hour', ts) AS h, round(avg(value), 2) AS avg_value, "
+    "count(*) AS n FROM events_split WHERE value > 1 GROUP BY 1 ORDER BY 1"
+)
+
+QUERIES = [
+    FLAGSHIP,
+    # no-group-by aggregation with static lower bound (README.md:129)
+    "SELECT round(avg(value), 2) AS a, count(*) AS n, min(value) AS mn, "
+    "max(value) AS mx FROM events_split WHERE ts > '2024-01-03'",
+    # group by plain column + temporal bucket
+    "SELECT event_type, date_trunc('day', ts) AS d, sum(value) AS s, "
+    "count(value) AS c FROM events_split GROUP BY 1, 2",
+    # global aggregate, no filter
+    "SELECT count(*) AS n, sum(value) AS s FROM events_split",
+    # variance family
+    "SELECT event_type, round(var_samp(value), 6) AS v, "
+    "round(stddev_pop(value), 6) AS sp FROM events_split GROUP BY 1",
+]
+
+
+@pytest.fixture()
+def split_views(spark):
+    """events_split view: first registered as the early half (run 1), then
+    swapped to the full table (run 2) — the reference demo's two-table trick
+    (``examples/demo.rs:17-37``)."""
+    ev = spark.table("events")
+    cut_ns = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    cut = dt.datetime.fromtimestamp(cut_ns / 1e9, dt.timezone.utc).replace(tzinfo=None)
+
+    def run1():
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_split")
+
+    def run2():
+        ev.createOrReplaceTempView("events_split")
+
+    yield run1, run2, cut_ns
+    spark.catalog.dropTempView("events_split")
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_metamorphic_equivalence(spark, qc, split_views, sql):
+    run1, run2, cut_ns = split_views
+
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()  # run 1: populates the cache over D1
+    assert qc.last_decision.cached and not qc.last_decision.cache_hit
+
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**12
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    expect = spark.sql(sql)
+    assert rows_set(got) == rows_set(expect)
+
+
+def test_refresh_scans_only_new_rows(spark, qc, split_views):
+    """Perf smoke (BASELINE cache-efficacy target): warm run-2 input rows ≈
+    rows since watermark ≪ full table."""
+    run1, run2, cut_ns = split_views
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FLAGSHIP).collect()
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**12
+    qc.sql(FLAGSHIP).collect()
+    fresh = qc.last_decision.fresh_rows()
+    total = spark.table("events_split").count()
+    if fresh is not None:
+        assert fresh < total * 0.75
+
+
+def test_cache_miss_then_hit_logged(qc, spark, split_views):
+    run1, run2, cut_ns = split_views
+    run2()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FLAGSHIP).collect()
+    qc.sql(FLAGSHIP).collect()
+    msgs = qc.config.log.messages()
+    assert any("cache miss" in m for m in msgs)
+    assert any("cache hit" in m for m in msgs)
+
+
+def test_fingerprint_distinguishes_literals(qc, spark, split_views):
+    run1, run2, cut_ns = split_views
+    run2()
+    qc.config.override_now_ns = cut_ns
+    qc.sql("SELECT count(*) AS n FROM events_split WHERE value > 1").collect()
+    qc.sql("SELECT count(*) AS n FROM events_split WHERE value > 2").collect()
+    # second query must be a MISS (different literal ⇒ different fingerprint,
+    # SURVEY §4.4.3)
+    assert not qc.last_decision.cache_hit
+
+
+def test_fingerprint_stable_across_spellings(qc, spark, split_views):
+    run1, run2, cut_ns = split_views
+    run2()
+    qc.config.override_now_ns = cut_ns
+    qc.sql("SELECT count(*) AS n FROM events_split WHERE value > 1").collect()
+    qc.sql("select COUNT(*) as n from events_split where value > 1").collect()
+    assert qc.last_decision.cache_hit
+
+
+def test_passthrough_keeps_full_sql_surface(qc, spark):
+    # non-cacheable queries still run — the full Spark SQL surface
+    df = qc.sql(
+        "SELECT e.event_type, count(*) AS n FROM events e "
+        "JOIN events e2 ON e.event_id = e2.event_id GROUP BY 1"
+    )
+    assert not qc.last_decision.cached
+    assert df.count() > 0
+
+
+def test_dynamic_lower_bound_degrades_to_passthrough(qc, spark):
+    df = qc.sql("SELECT count(*) AS n FROM events WHERE ts > now() - INTERVAL 100 DAY")
+    assert not qc.last_decision.cached
+    assert "dynamic lower bound" in qc.last_decision.reason
+    assert df.collect()[0]["n"] >= 0
+
+
+def test_exact_distinct_not_cached(qc, spark):
+    df = qc.sql("SELECT count(DISTINCT user_id) AS u FROM events")
+    assert not qc.last_decision.cached
+    assert df.collect()[0]["u"] > 0
+
+
+def test_memory_cache_roundtrip(qc_mem, spark, split_views):
+    run1, run2, cut_ns = split_views
+    run1()
+    qc_mem.config.override_now_ns = cut_ns
+    sql = FLAGSHIP
+    qc_mem.sql(sql).collect()
+    run2()
+    qc_mem.config.override_now_ns = cut_ns + 10**12
+    got = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(sql))

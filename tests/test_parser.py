@@ -1,0 +1,98 @@
+"""Parser unit tests: SQL → mini-IR (tests/ model per SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_query_cache_spark.plans.ir import (
+    AggCall,
+    BinOp,
+    Col,
+    Func,
+    Lit,
+    Star,
+    Unsupported,
+)
+from datafusion_query_cache_spark.plans.parser import parse_agg_query
+
+
+def test_flagship_shape():
+    spec = parse_agg_query(
+        "SELECT date_trunc('hour', ts) AS h, round(avg(value), 2) AS a, count(*) AS n "
+        "FROM events WHERE value > 1 GROUP BY 1 ORDER BY 1 DESC LIMIT 5"
+    )
+    assert spec.table == "events"
+    assert [g.name for g in spec.group_by] == ["h"]
+    g = spec.group_by[0].expr
+    assert isinstance(g, Func) and g.name == "date_trunc"
+    assert g.args[1] == Col("ts")
+    assert [a.name for a in spec.aggregates] == ["a", "n"]
+    assert spec.select_order == ("h", "a", "n")
+    assert spec.order_by[0].desc
+    assert spec.limit == 5
+    assert isinstance(spec.predicate, BinOp)
+
+
+def test_count_star_and_named_count():
+    spec = parse_agg_query("SELECT count(*) AS n, count(value) AS nv FROM events")
+    aggs = [a.expr for a in spec.aggregates]
+    assert aggs[0] == AggCall("count", (Star(),))
+    assert aggs[1] == AggCall("count", (Col("value"),))
+    assert spec.group_by == ()
+
+
+def test_between_desugars():
+    spec = parse_agg_query(
+        "SELECT count(*) AS n FROM events WHERE ts BETWEEN '2024-01-01' AND '2024-01-02'"
+    )
+    p = spec.predicate
+    assert isinstance(p, BinOp) and p.op == "and"
+    assert p.left.op == ">=" and p.right.op == "<="
+
+
+def test_group_by_alias_and_expr():
+    spec = parse_agg_query(
+        "SELECT event_type, sum(value) AS s FROM events GROUP BY event_type"
+    )
+    assert spec.group_by[0].name == "event_type"
+    spec2 = parse_agg_query(
+        "SELECT date_trunc('day', ts) AS d, sum(value) AS s FROM events GROUP BY d"
+    )
+    assert spec2.group_by[0].name == "d"
+    assert isinstance(spec2.group_by[0].expr, Func)
+
+
+def test_distinct_flag():
+    spec = parse_agg_query("SELECT count(DISTINCT user_id) AS u FROM events")
+    assert spec.aggregates[0].expr.distinct
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT * FROM events",  # no aggregate
+        "SELECT value FROM events",  # non-agg select
+        "SELECT count(*) FROM events e JOIN orders o ON true",  # join
+        "SELECT count(*) FROM (SELECT 1)",  # subquery
+        "WITH x AS (SELECT 1) SELECT count(*) FROM x",  # CTE
+        "SELECT DISTINCT event_type, count(*) FROM events GROUP BY 1",  # distinct
+        "SELECT sum(value) OVER () FROM events",  # window
+    ],
+)
+def test_unsupported_shapes(sql):
+    with pytest.raises(Unsupported):
+        parse_agg_query(sql)
+
+
+def test_canon_stable_across_spellings():
+    a = parse_agg_query("SELECT count(*) AS n FROM events WHERE value > 1")
+    b = parse_agg_query("select COUNT(*) as n from events where value > 1")
+    assert a.canon() == b.canon()
+
+
+def test_canon_distinguishes_literals():
+    # fingerprint granularity trap (SURVEY §4.4.3): different literal ⇒
+    # different entry
+    a = parse_agg_query("SELECT count(*) AS n FROM events WHERE value > 1")
+    b = parse_agg_query("SELECT count(*) AS n FROM events WHERE value > 2")
+    assert a.canon() != b.canon()

@@ -1,0 +1,150 @@
+"""Partial-state algebra laws (SURVEY §5.3).
+
+Split-invariance: for every supported aggregate,
+``finalize(merge(partial(D1), partial(D2))) == agg(D1 ∪ D2)`` — including
+null and empty-split edge cases (Spark's ``avg`` ignores nulls, ``count(*)``
+doesn't; SURVEY §7 hard-part 1).
+
+Property-based over generated frames via hypothesis (driven through pandas →
+Spark).  These tests exercise the algebra in isolation from the SQL
+front-end and the cache.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from datafusion_query_cache_spark.functions.partial import (
+    NotDecomposable,
+    decompose_agg,
+)
+from datafusion_query_cache_spark.plans.ir import AggCall, Col, Star
+
+AGGS = [
+    AggCall("count", (Star(),)),
+    AggCall("count", (Col("v"),)),
+    AggCall("sum", (Col("v"),)),
+    AggCall("min", (Col("v"),)),
+    AggCall("max", (Col("v"),)),
+    AggCall("avg", (Col("v"),)),
+    AggCall("var_samp", (Col("v"),)),
+    AggCall("var_pop", (Col("v"),)),
+    AggCall("stddev_samp", (Col("v"),)),
+    AggCall("stddev_pop", (Col("v"),)),
+]
+
+SPARK_EQUIV = {
+    "count": lambda: F.count(F.lit(1)),
+    "sum": lambda: F.sum("v"),
+    "min": lambda: F.min("v"),
+    "max": lambda: F.max("v"),
+    "avg": lambda: F.avg("v"),
+    "var_samp": lambda: F.var_samp("v"),
+    "var_pop": lambda: F.var_pop("v"),
+    "stddev_samp": lambda: F.stddev_samp("v"),
+    "stddev_pop": lambda: F.stddev_pop("v"),
+}
+
+
+def spark_truth_expr(agg: AggCall):
+    if agg.fn == "count" and isinstance(agg.args[0], Star):
+        return F.count(F.lit(1))
+    if agg.fn == "count":
+        return F.count("v")
+    return SPARK_EQUIV[agg.fn]()
+
+
+def run_split(spark, agg: AggCall, d1, d2, keys):
+    """Compute agg via partial(D1) ∪ partial(D2) → merge → finalize, and
+    directly on D1∪D2 with Spark's own aggregate; return both results."""
+    dec = decompose_agg(agg, "0")
+    schema = "g int, v double"
+    df1 = spark.createDataFrame(pd.DataFrame(d1, columns=["g", "v"]), schema=schema)
+    df2 = spark.createDataFrame(pd.DataFrame(d2, columns=["g", "v"]), schema=schema)
+    gb = ["g"] if keys else []
+
+    def partial(df):
+        return df.groupBy(*gb).agg(*[c.alias(n) for n, c in dec.partial.items()])
+
+    unioned = partial(df1).unionByName(partial(df2))
+    merged = unioned.groupBy(*gb).agg(*[c.alias(n) for n, c in dec.merge.items()])
+    ours = merged.select(*gb, dec.finalize.alias("r"))
+
+    truth = (
+        df1.unionByName(df2).groupBy(*gb).agg(spark_truth_expr(agg).alias("r"))
+    )
+    key = (lambda r: (r["g"] is None, r["g"])) if keys else (lambda r: 0)
+    return (
+        sorted(ours.collect(), key=key),
+        sorted(truth.collect(), key=key),
+    )
+
+
+def assert_rows_close(a, b):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert len(ra) == len(rb)
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) or math.isnan(vb):
+                    assert math.isnan(va) == math.isnan(vb)
+                else:
+                    assert va == pytest.approx(vb, rel=1e-9, abs=1e-9)
+            else:
+                assert va == vb
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@pytest.mark.parametrize("agg", AGGS, ids=lambda a: a.canon())
+@given(d1=rows, d2=rows)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_invariance(spark, agg, d1, d2):
+    if not d1 and not d2:
+        return
+    ours, truth = run_split(spark, agg, d1, d2, keys=True)
+    assert_rows_close(ours, truth)
+
+
+@pytest.mark.parametrize("agg", AGGS, ids=lambda a: a.canon())
+def test_split_invariance_global_and_empty_split(spark, agg):
+    # global (no group-by) aggregate with one empty side — the empty-input
+    # edge the reference never exercises but Spark semantics force us to get
+    # right (count=0 row vs no row).
+    d1 = [(0, 1.0), (1, None), (1, 3.5)]
+    d2 = []
+    ours, truth = run_split(spark, agg, d1, d2, keys=False)
+    assert_rows_close(ours, truth)
+
+
+def test_distinct_not_decomposable():
+    with pytest.raises(NotDecomposable):
+        decompose_agg(AggCall("sum", (Col("v"),), distinct=True), "0")
+    with pytest.raises(NotDecomposable):
+        decompose_agg(AggCall("median", (Col("v"),)), "0")
+
+
+def test_merge_idempotent_names():
+    # merge output column names == state column names → refresh N times works
+    dec = decompose_agg(AggCall("avg", (Col("v"),)), "7")
+    assert set(dec.partial.keys()) == set(dec.merge.keys())
+    assert all(n.startswith("__qc7_") for n in dec.partial)
