@@ -1,38 +1,444 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship incremental-cache query (two-run) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 + the
+training-pipeline operators (dedup / similarity / text analysis).
+``oracle_sql()`` — DuckDB-equivalent SQL for every value-checkable query.
+
+Query name prefixes:
+* ``qc_`` — the incremental aggregate cache itself, exercised METAMORPHICALLY:
+  the callable runs the query over the first half of ``events`` (cache miss,
+  state stored), then over the full table (cache hit, incremental merge) and
+  returns the run-2 result. The oracle is the plain aggregate over the full
+  table — so a hash match proves cached ≡ uncached (the reference demo's
+  correctness oracle, ``examples/demo.rs:26-50``).
+* ``pt_`` — passthrough: the full inherited Spark SQL surface (SURVEY §2e).
+* ``op_`` — training-data pipeline operators (SURVEY §7.8 north star).
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _load(spark: SparkSession, sf_dir: str) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    from datafusion_query_cache_spark.sources.tables import register_testdata
+
+    register_testdata(spark, sf_dir)
+
+
+def _qc_two_run(spark: SparkSession, sf_dir: str, sql: str, view: str) -> DataFrame:
+    """Run ``sql`` (referencing ``view``) cached over D1 then D1∪D2."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    _load(spark, sf_dir)
+    ev = spark.table("events")
+    # integer µs math throughout: approxQuantile returns a float (53-bit
+    # mantissa ≪ ns epoch range), so floor to µs and make the run-1 cut and
+    # the watermark agree EXACTLY — otherwise the boundary row double-counts.
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+
+    cache_dir = tempfile.mkdtemp(prefix="qc-entry-")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cache_dir),
+            default_temporal_column="ts",
+            override_now_ns=cut_ns,
+        ),
+    )
+    # run 1: first half only → miss, state stored with watermark = cut
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView(view)
+    qc.sql(sql)
+    # run 2: full table → hit, fresh scan is ts >= cut only
+    ev.createOrReplaceTempView(view)
+    qc.config.override_now_ns = cut_ns + 10**15
+    out = qc.sql(sql)
+    assert qc.last_decision.cached, f"expected cacheable: {qc.last_decision.reason}"
+    return out
+
+
+# --------------------------------------------------------------------------
+# qc_*: the incremental aggregate cache (SURVEY §2a rows 1-16)
+
+_QC_SQLS = {
+    # flagship (README.md:110-117 / demo.rs:24-26 shape)
+    "qc_hourly_avg": (
+        "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) AS avg_value, "
+        "count(*) AS n FROM {v} WHERE value > 1 GROUP BY 1 ORDER BY 1"
+    ),
+    # no-group-by + static lower bound (README.md:129)
+    "qc_global_bounds": (
+        "SELECT count(*) AS n, min(value) AS mn, max(value) AS mx, "
+        "round(avg(value) + 1e-9, 2) AS av, round(sum(value), 2) AS sm "
+        "FROM {v} WHERE ts > '2024-01-05'"
+    ),
+    # plain-column + temporal bucket group-by
+    # CAST(... AS DATE): DuckDB's date_trunc('day') yields DATE while
+    # Spark's yields TIMESTAMP — the cast makes both engines emit DATE.
+    "qc_type_daily": (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(sum(value), 2) AS s, "
+        "count(value) AS c FROM {v} GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    # variance family via sum-of-squares state (SURVEY §4.3)
+    "qc_variance": (
+        "SELECT event_type, round(var_samp(value), 2) AS vs, "
+        "round(stddev_pop(value), 2) AS sp, count(*) AS n FROM {v} GROUP BY 1"
+    ),
+    # BETWEEN desugar (reference panics on this — we support it)
+    "qc_between": (
+        "SELECT event_type, count(*) AS n, round(avg(value) + 1e-9, 2) AS av FROM {v} "
+        "WHERE ts BETWEEN '2024-01-03' AND '2024-01-27' AND value > 0 GROUP BY 1"
+    ),
+}
+
+
+def _mk_qc(key: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        view = f"events_{key}"
+        return _qc_two_run(spark, sf_dir, _QC_SQLS[key].format(v=view), view)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# pt_*: inherited relational surface via passthrough (SURVEY §2e)
+
+_PT_SQLS = {
+    "pt_tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity) + 1e-9, 2) AS avg_qty, round(avg(l_discount) + 1e-9, 4) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "pt_join_revenue": (
+        "SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue, "
+        "count(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY revenue DESC"
+    ),
+    "pt_window_top_orders": (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, o_orderkey"
+    ),
+    "pt_exists_semi": (
+        "SELECT c.c_mktsegment, count(*) AS n_customers "
+        "FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400) "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    ),
+    "pt_rollup": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+    ),
+    "pt_topk": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "pt_conditional_agg": (
+        "SELECT o_orderpriority, "
+        "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
+        "sum(CASE WHEN o_totalprice > 300 THEN 1 ELSE 0 END) AS n_big, "
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+}
+
+
+def _mk_pt(key: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datafusion_query_cache_spark import CachedSparkSession
+
+        _load(spark, sf_dir)
+        qc = CachedSparkSession(spark)
+        return qc.sql(_PT_SQLS[key])
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# op_*: training-data pipeline operators
+
+def _op_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.dedup import exact_dedup
+
+    _load(spark, sf_dir)
+    return exact_dedup(spark.table("documents")).orderBy("text_hash")
+
+
+def _op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.textstats import (
+        token_count,
+        word_count_regex,
+    )
+
+    _load(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        word_count_regex(F.col("text")).cast("long").alias("n_words_bpeish"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+def _op_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.textstats import quality_features
+
+    _load(spark, sf_dir)
+    out = quality_features(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        "punct_ratio",
+        "upper_ratio",
+        "digit_ratio",
+        F.round("en_stopword_density", 6).alias("en_stopword_density"),
+    )
+
+
+def _op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.textstats import lang_id
+
+    _load(spark, sf_dir)
+    out = lang_id(spark.table("documents"))
+    return out.select(
+        "doc_id", "pred_lang", F.col("score").cast("long").alias("score")
+    )
+
+
+def _op_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.dedup import ngram_jaccard_pairs
+
+    _load(spark, sf_dir)
+    out = ngram_jaccard_pairs(spark.table("documents"), threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.similarity import cosine_topk
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    out = cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-based min/max shingle fingerprint (oracle-checkable variant of
+    the xxhash64 fingerprint in operators/textstats.py)."""
+    _load(spark, sf_dir)
+    t = F.col("text")
+    k = 8
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(t, i, F.lit(k))),
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        F.md5(t).alias("full_hash"),
+        F.array_min(sh).alias("min_shingle_hash"),
+        F.array_max(sh).alias("max_shingle_hash"),
+    )
+
+
+def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.dedup import minhash_lsh_pairs
+
+    _load(spark, sf_dir)
+    out = minhash_lsh_pairs(
+        spark.table("documents"), num_hashes=64, bands=16, threshold=0.6
+    )
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.dedup import simhash_pairs
+
+    _load(spark, sf_dir)
+    return simhash_pairs(spark.table("documents"), max_hamming=3)
+
+
+def _op_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.similarity import cosine_topk_lsh
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    out = cosine_topk_lsh(emb, qvec, k=10, n_planes=4)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _op_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    _load(spark, sf_dir)
+    media = synthesize_media(spark, spark.table("documents"))
+    return extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# contract functions
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the incremental aggregate cache, two-run, on sf0.001."""
+    return _mk_qc("qc_hourly_avg")(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for key in _QC_SQLS:
+        q[key] = _mk_qc(key)
+    for key in _PT_SQLS:
+        q[key] = _mk_pt(key)
+    q.update(
+        {
+            "op_exact_dedup": _op_exact_dedup,
+            "op_token_count": _op_token_count,
+            "op_quality": _op_quality,
+            "op_lang_id": _op_lang_id,
+            "op_ngram_jaccard": _op_ngram_jaccard,
+            "op_cosine_topk": _op_cosine_topk,
+            "op_fingerprint": _op_fingerprint,
+            "op_minhash_pairs": _op_minhash_pairs,
+            "op_simhash_pairs": _op_simhash_pairs,
+            "op_lsh_cosine_topk": _op_lsh_cosine_topk,
+            "op_media_features": _op_media_features,
+        }
+    )
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB oracles. qc_* oracles are the plain aggregate over the FULL events
+# table — matching them proves the incremental merge is exact.
+_STOP = {
+    "en": "(the|and|of|to|is|in|that|it|for|was)",
+    "fr": "(le|la|les|de|des|et|est|une|que|pour)",
+    "es": "(el|los|las|de|y|es|en|que|por|una)",
+    "de": "(der|die|das|und|ist|von|mit|den|ein|nicht)",
+    "zh": "(de|shi|zai|le|wo|you|he|ren|zhe|men)",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for key, sql in _QC_SQLS.items():
+        o[key] = sql.format(v="events")
+    for key, sql in _PT_SQLS.items():
+        o[key] = sql
+    o["op_exact_dedup"] = (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+        "count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 1"
+    )
+    o["op_token_count"] = (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+        " AS n_words_bpeish, "
+        "CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents"
+    )
+    o["op_quality"] = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+        "round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN "
+        "length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / "
+        "len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END, 6) AS mean_token_len, "
+        "round(CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g'))::DOUBLE / length(text) "
+        "ELSE 0.0 END, 6) AS punct_ratio, "
+        "round(CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text) "
+        "ELSE 0.0 END, 6) AS upper_ratio, "
+        "round(CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) "
+        "ELSE 0.0 END, 6) AS digit_ratio, "
+        "round(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN "
+        f"len(regexp_extract_all(lower(text), '\\b{_STOP['en']}\\b'))::DOUBLE / "
+        "len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END, 6) AS en_stopword_density "
+        "FROM documents"
+    )
+    # lang scores with the SAME tie-break priority (en,fr,es,de,zh)
+    score = {
+        l: f"len(regexp_extract_all(lower(text), '\\b{pat}\\b'))"
+        for l, pat in _STOP.items()
+    }
+    o["op_lang_id"] = (
+        "SELECT doc_id, CASE "
+        f"WHEN {score['en']} >= {score['fr']} AND {score['en']} >= {score['es']} "
+        f"AND {score['en']} >= {score['de']} AND {score['en']} >= {score['zh']} THEN 'en' "
+        f"WHEN {score['fr']} >= {score['es']} AND {score['fr']} >= {score['de']} "
+        f"AND {score['fr']} >= {score['zh']} THEN 'fr' "
+        f"WHEN {score['es']} >= {score['de']} AND {score['es']} >= {score['zh']} THEN 'es' "
+        f"WHEN {score['de']} >= {score['zh']} THEN 'de' ELSE 'zh' END AS pred_lang, "
+        f"CAST(greatest({score['en']}, {score['fr']}, {score['es']}, {score['de']}, "
+        f"{score['zh']}) AS BIGINT) AS score FROM documents"
+    )
+    o["op_ngram_jaccard"] = (
+        "WITH sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS s "
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text)-3, 2))) AS i "
+        "FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8 ORDER BY id_a, id_b"
+    )
+    o["op_cosine_topk"] = (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) / "
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(qv, qv))), 6) AS cosine "
+        "FROM embeddings, q "
+        "ORDER BY list_dot_product(embedding::DOUBLE[], qv) / "
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
+    )
+    o["op_fingerprint"] = (
+        "SELECT doc_id, md5(text) AS full_hash, "
+        "min(md5(substr(text, i::INT, 8))) AS min_shingle_hash, "
+        "max(md5(substr(text, i::INT, 8))) AS max_shingle_hash "
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text)-6, 2))) AS i "
+        "FROM documents) GROUP BY doc_id, text"
+    )
+    # op_minhash_pairs / op_simhash_pairs / op_lsh_cosine_topk /
+    # op_media_features: hash-function- or UDF-dependent → no SQL oracle
+    # (driver records the weaker rows-only check).
+    return o

@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY §7.8): exact dedup, MinHash+LSH, SimHash,
+and exact n-gram Jaccard — each expressed with built-in Spark SQL functions
+(higher-order array functions + ``xxhash64``) so the whole pipeline stays
+JVM-side inside whole-stage codegen. No Python UDFs anywhere.
+
+Scale notes (the design target is ~100 TB of documents on a real cluster):
+
+* Exact dedup is one hash-shuffle on a 16-byte digest, not the full text.
+* MinHash: signatures are computed scan-side (no shuffle); LSH banding turns
+  the O(n²) pair problem into ``bands`` shuffles keyed by (band, band-hash),
+  and candidate pairs are generated only *within* buckets via a self-join on
+  the bucket key. Skewed buckets (e.g. boilerplate) are the classic hazard —
+  ``max_bucket`` caps them, the same guard production LSH pipelines use.
+* Exact n-gram Jaccard explodes shingles (row blow-up ≈ chars/doc); it is
+  the *oracle* path for small data and the verifier for MinHash — at scale
+  you run it only on LSH candidate pairs (``verify_pairs``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Distinct character k-shingles of ``text`` as an array column.
+
+    Built-ins only: sequence → transform → array_distinct; evaluated
+    vectorized in the JVM, no Python round-trip.
+    """
+    n = F.length(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.substring(text, i, F.lit(k)),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by full-text digest.
+
+    Returns one row per distinct text: ``keep_id`` (min id), ``dup_count``.
+    The shuffle key is ``md5(text)`` (16 bytes) rather than the document
+    body — at 100 TB this is the difference between shuffling 100 TB and
+    shuffling ~32 GB of digests.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures: ``sig[i] = min over shingles of xxhash64(sh, i)``.
+
+    One pass over the data, no shuffle: shingling, hashing and the per-seed
+    min all run inside a single projection (whole-stage codegen).
+    """
+    # Shape: explode shingles → one xxhash64 per (doc, shingle) → groupBy doc
+    # with `num_hashes` min-aggregates over cheap per-seed linear mixes
+    # h_i(x) = (a_i·x + b_i) mod p (classic universal family). Exploding is
+    # deliberate: the mins become map-side partial aggregates (combine before
+    # shuffle), and nothing is recomputed per seed — one hash per shingle.
+    # Operands stay < 2^61 (30-bit base × 31-bit coefficients): never
+    # overflows a long even under ANSI mode.
+    p = (1 << 31) - 1  # Mersenne prime
+    coeffs = []
+    state = 0x9E3779B9
+    for _ in range(num_hashes):
+        state = (state * 0x5DEECE66D + 0xB) % (1 << 48)  # LCG, deterministic
+        a = (state % (p - 1)) + 1
+        state = (state * 0x5DEECE66D + 0xB) % (1 << 48)
+        b = state % p
+        coeffs.append((a, b))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).select(
+        id_col,
+        F.xxhash64("__sh").bitwiseAND(F.lit((1 << 30) - 1)).alias("__h"),
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over MinHash signatures.
+
+    Pipeline: signature → explode ``bands`` band-hashes → self-join within
+    (band, hash) buckets → estimated Jaccard = fraction of matching
+    signature positions → filter ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    # skew guard: drop degenerate buckets (boilerplate/empty docs) that would
+    # otherwise produce a quadratic pair explosion on one executor
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"),
+        ["band", "band_hash"],
+    )
+
+    a = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs (the small-scale oracle).
+
+    Explodes distinct shingles, self-joins on shingle, and computes
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Quadratic in the worst case — at scale run
+    it only on candidate pairs from :func:`minhash_lsh_pairs`.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """64-bit SimHash fingerprints from character shingles.
+
+    For each bit b: sign of Σ over shingles of ±1 depending on bit b of
+    ``xxhash64(shingle)``. Built-ins only: aggregate over the shingle array.
+    Near-dup detection = small Hamming distance between fingerprints.
+    """
+    # Shape mirrors minhash_signatures: explode shingles, hash each ONCE,
+    # then 64 cheap conditional-sum aggregates (one per bit) with map-side
+    # combine. bit_vector[b] = Σ ±1 by bit b of the shingle hash.
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).select(id_col, F.xxhash64("__sh").alias("__h"))
+    bitsums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"__b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return bitsums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming+1`` bands — by
+    pigeonhole, any pair within distance ``max_hamming`` agrees exactly on at
+    least one band, so candidates are found with equi-joins (shuffle on the
+    band value), never a cross join.
+    """
+    nbands = max_hamming + 1
+    width = bits // nbands
+    fps = simhash(df, text_col, id_col, bits, shingle_k)
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nbands - 1)),
+                lambda b: F.call_function(
+                    "shiftright", F.col("simhash"), b * F.lit(width)
+                ).bitwiseAND(F.lit((1 << width) - 1)),
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        "band", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    b = banded.select(
+        "band", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the LSH
+(random-hyperplane) and IVF (coarse-quantizer) variants are the scale paths:
+both turn the all-pairs problem into equi-joins on bucket keys so candidate
+generation shuffles only within buckets.
+
+Everything is built-in higher-order functions (``zip_with``/``aggregate``)
+— JVM-evaluated, no Python in the hot path. On a 1000-executor cluster the
+probe side is tiny (one query vector or a small probe set) and is broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (vectorized JVM evaluation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The query vector is a literal array (broadcast by construction); the scan
+    is embarrassingly parallel; ``orderBy(...).limit(k)`` compiles to Spark's
+    ``TakeOrderedAndProject`` — per-partition top-k then a k-row merge on the
+    driver, NOT a global sort. This is the plan you want at any scale.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_join(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k neighbors for EACH query row: broadcast the (small) query set,
+    cross-join, window-rank per query. At scale the query side is the probe
+    batch (≪ corpus), so broadcast + per-partition ranking avoids any big
+    shuffle of the corpus."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("__qvec")
+    )
+    sim = cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec"))
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, tiny)."""
+    import random as _r
+
+    rng = _r.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bucket id: bit b = 1 iff vec·plane_b > 0 (random hyperplane LSH)."""
+    bucket = F.lit(0).cast("long")
+    for b, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, pl) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors whose hyperplane sign-bucket
+    matches the query's. ~2^-n_planes of the corpus is scanned per probe
+    (bucket pruning happens before the distance computation). The scale path
+    when the corpus no longer fits a full scan per query."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for b, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+            qb |= 1 << b
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("__bucket", lsh_bucket(v, planes))
+        .filter(F.col("__bucket") == qb)
+        .select(F.col(id_col), cosine(v, q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are a literal array-of-arrays (broadcast). At write time you'd
+    partition the corpus by ``ivf_cell`` so probes read only ``nprobe``
+    partitions — classic IVF layout mapped onto Spark partitioning.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    # argmin over centroids of squared L2 distance
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn("ivf_cell", cell.cast("int"))

@@ -1,0 +1,155 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure built-in column expressions (regexp + arithmetic) — the oracle SQL
+for each is the literally-equivalent DuckDB expression, so these operators
+are value-checked against the driver's DuckDB gate, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens = count of maximal ``\\S+`` runs."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+
+
+def word_count_regex(text: Column) -> Column:
+    """BPE-ish word segmentation: letter-runs, digit-runs, or single
+    non-space symbols — a deterministic approximation of byte-pair
+    pre-tokenization (GPT-2 style splitting without the merges)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, stopwords: Sequence[str]) -> Column:
+    """Occurrences of any stopword as a standalone lowercase token."""
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+#: Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
+#: Deliberately ASCII-only so Spark (Java regex) and DuckDB (RE2) agree.
+LANG_STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "une", "que", "pour"),
+    "es": ("el", "los", "las", "de", "y", "es", "en", "que", "por", "una"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"),
+    "zh": ("de", "shi", "zai", "le", "wo", "you", "he", "ren", "zhe", "men"),
+}
+
+
+def lang_scores(text: Column) -> Dict[str, Column]:
+    return {lang: stopword_count(text, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features: length, tokens, mean token length,
+    punctuation ratio, uppercase ratio, digit ratio, en-stopword density."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(
+            F.when(
+                F.length(t) > 0,
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / F.length(t),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("upper_ratio"),
+        F.round(
+            F.when(
+                F.length(t) > 0,
+                F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / F.length(t),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("digit_ratio"),
+        F.when(n_tok > 0, stopword_count(t, LANG_STOPWORDS["en"]).cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("en_stopword_density"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scalar quality score in [0,1] from the features (heuristic weights —
+    length sweet-spot, low punctuation noise, some stopword signal)."""
+    feats = quality_features(df, text_col, id_col)
+    length_score = F.least(F.col("n_tokens").cast("double") / 64.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    digit_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 5.0)
+    return feats.select(
+        id_col,
+        F.round(
+            (length_score * 0.5 + punct_penalty * 0.25 + digit_penalty * 0.25), 6
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-voting language ID → (id, pred_lang, score).
+
+    Ties break by language-key order (deterministic). ASCII stopword lists
+    keep the Spark and DuckDB regex engines in agreement for the oracle.
+    """
+    scores = lang_scores(F.col(text_col))
+    langs = list(scores.keys())
+    # struct comparison is field-order lexicographic: (score, prio) makes the
+    # argmax deterministic with ties broken by our language preference order.
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[l].alias("score"),
+                F.lit(len(langs) - i).alias("prio"),
+                F.lit(l).alias("lang"),
+            )
+            for i, l in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("score"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): the min and max
+    of ``xxhash64`` over the k-shingle set plus the full-text hash — a
+    compact signature for fast pre-filtering before exact comparison."""
+    t = F.col(text_col)
+    n = F.length(t)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.substring(t, i, F.lit(k))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(t).alias("full_hash"),
+        F.array_min(sh).alias("min_shingle_hash"),
+        F.array_max(sh).alias("max_shingle_hash"),
+    )

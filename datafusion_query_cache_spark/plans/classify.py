@@ -286,6 +286,8 @@ def find_temporal_group_by(
     found: Optional[TemporalGroupBy] = None
     for item in group_by:
         e = item.expr
+        while isinstance(e, Cast):  # CAST(date_trunc(...) AS DATE) still buckets
+            e = e.child
         if (
             isinstance(e, Func)
             and e.name.lower() in group_by_functions

@@ -42,8 +42,11 @@ def split_views(spark):
     swapped to the full table (run 2) — the reference demo's two-table trick
     (``examples/demo.rs:17-37``)."""
     ev = spark.table("events")
-    cut_ns = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
-    cut = dt.datetime.fromtimestamp(cut_ns / 1e9, dt.timezone.utc).replace(tzinfo=None)
+    # integer µs math: the run-1 cut literal and the watermark must agree
+    # exactly or the boundary row double-counts (see __spark_entry__._qc_two_run)
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
 
     def run1():
         ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_split")
