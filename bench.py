@@ -1,0 +1,197 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": 0.1}``
+
+Query keys:
+* ``qc_cold``  — flagship cached aggregate, run 1 (scan + store state)
+* ``qc_warm``  — same query, run 2 (incremental refresh: the product)
+* ``qc_plain`` — plain ``spark.sql`` of the same query (the baseline the
+  reference compares against: warm ≪ plain is the whole point)
+* ``pt_*``     — inherited SQL surface at scale
+* ``op_*``     — training-pipeline operators
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.sources.tables import (
+        get_session,
+        register_testdata,
+    )
+
+    spark = get_session(app="qc-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    register_testdata(spark, SF_DIR)
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+
+    def timed(key: str, fn, runs: int = 2) -> None:
+        """Steady-state timing: best of ``runs`` — the first execution of a
+        plan shape pays whole-stage-codegen compilation (~1-3s for the
+        64-aggregate sketch operators), which a standing pipeline pays once,
+        not per query."""
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        timings[key] = round(best, 3)
+
+    # --- flagship cache flow: cold -> warm -> plain --------------------------
+    import datetime as dt
+    import tempfile
+
+    # cut at p95: the realistic refresh shape — run 1 saw 95% of the data,
+    # run 2 incrementally folds in the newest 5% (a dashboard re-running a
+    # standing query). The reference's demo is the same shape
+    # (examples/demo.rs:17-37: 17h of data, then +7h).
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.95], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+    FLAGSHIP = (
+        "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) AS avg_value, "
+        "count(*) AS n FROM events_bench WHERE value > 1 GROUP BY 1 ORDER BY 1"
+    )
+    def qc_flow(timed_run: bool) -> None:
+        qc = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-")),
+                override_now_ns=cut_ns,
+            ),
+        )
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_bench")
+        if timed_run:
+            timed("qc_cold", lambda: qc.sql(FLAGSHIP).collect(), runs=1)
+        else:
+            qc.sql(FLAGSHIP).collect()
+        ev.createOrReplaceTempView("events_bench")
+        qc.config.override_now_ns = cut_ns + 10**15
+        if timed_run:
+            timed("qc_warm", lambda: qc.sql(FLAGSHIP).collect(), runs=1)
+        else:
+            qc.sql(FLAGSHIP).collect()
+
+    qc_flow(timed_run=False)  # warm codegen/planner for the flow's plan shapes
+    qc_flow(timed_run=True)
+    timed("qc_plain", lambda: spark.sql(FLAGSHIP).collect())
+
+    # --- bigger cached aggregate: lineitem (6x events rows) ------------------
+    li = spark.table("lineitem")
+    # l_shipdate is ms-precision TimestampType (quantile unsupported on
+    # timestamps): use a fixed p95-ish literal (range 1995-01..2001-11)
+    li_cut_dt = dt.datetime(2001, 6, 1)
+    li_cut_ns = int(li_cut_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    LI_SQL = (
+        "SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS m, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n "
+        "FROM lineitem_bench GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    def li_flow(timed_run: bool) -> None:
+        qc2 = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-li-")),
+                default_temporal_column="l_shipdate",
+                override_now_ns=li_cut_ns,
+            ),
+        )
+        li.filter(F.col("l_shipdate") < F.lit(li_cut_dt)).createOrReplaceTempView(
+            "lineitem_bench"
+        )
+        if timed_run:
+            timed("qc_li_cold", lambda: qc2.sql(LI_SQL).collect(), runs=1)
+        else:
+            qc2.sql(LI_SQL).collect()
+        li.createOrReplaceTempView("lineitem_bench")
+        qc2.config.override_now_ns = li_cut_ns + 10**15
+        if timed_run:
+            timed("qc_li_warm", lambda: qc2.sql(LI_SQL).collect(), runs=1)
+        else:
+            qc2.sql(LI_SQL).collect()
+
+    li_flow(timed_run=False)
+    li_flow(timed_run=True)
+    timed("qc_li_plain", lambda: spark.sql(LI_SQL).collect())
+
+    # --- inherited SQL surface ----------------------------------------------
+    pt = E._PT_SQLS
+    timed("pt_tpch_q1", lambda: spark.sql(pt["pt_tpch_q1"]).collect())
+    timed("pt_join_revenue", lambda: spark.sql(pt["pt_join_revenue"]).collect())
+    timed(
+        "pt_window_top_orders",
+        lambda: spark.sql(pt["pt_window_top_orders"]).count(),
+    )
+    timed("pt_rollup", lambda: spark.sql(pt["pt_rollup"]).collect())
+
+    # --- pipeline operators -------------------------------------------------
+    from datafusion_query_cache_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from datafusion_query_cache_spark.operators.similarity import cosine_topk
+    from datafusion_query_cache_spark.operators.textstats import (
+        lang_id,
+        quality_features,
+    )
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    timed("op_exact_dedup", lambda: exact_dedup(docs).count())
+    timed(
+        "op_minhash_pairs",
+        lambda: minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.6).count(),
+    )
+    timed("op_simhash_pairs", lambda: simhash_pairs(docs, max_hamming=3).count())
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    timed("op_cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
+    timed("op_lang_id", lambda: lang_id(docs).count())
+    timed("op_quality", lambda: quality_features(docs).count())
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,11 +53,21 @@ class Decomposition:
     ``merge``:   state-name → aggregate Column over state columns (same names
                  in and out, so merge is idempotent across refreshes).
     ``finalize``: Column over state columns producing the user-visible value.
+    ``singleton``: state-name → NON-aggregate Column mapping ONE raw row to a
+                 one-row state (``sum(x)`` state of a single row is just
+                 ``x``). When every aggregate in a query has a singleton
+                 form, the refresh plan needs only ONE aggregation:
+                 ``merge(cached_state ∪ singleton(fresh_rows))`` — Spark's
+                 map-side partial aggregation of the merge then *is* the
+                 partial aggregation of the fresh data, which reproduces the
+                 reference's ``Final(Union(Cached, Partial(fresh)))`` plan
+                 (``src/aggregate.rs:386-409``) with a single shuffle.
     """
 
     partial: Dict[str, Column]
     merge: Dict[str, Column]
     finalize: Column
+    singleton: Optional[Dict[str, Column]] = None
 
 
 class NotDecomposable(Exception):
@@ -89,28 +99,35 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
                 partial={n: F.count(F.lit(1))},
                 merge={n: _sum_compat(F.col(n))},
                 finalize=F.col(n),
+                singleton={n: F.lit(1).cast("long")},
             )
+        a = arg0()
         return Decomposition(
-            partial={n: F.count(arg0())},
+            partial={n: F.count(a)},
             merge={n: _sum_compat(F.col(n))},
             finalize=F.col(n),
+            singleton={n: F.when(a.isNotNull(), 1).otherwise(0).cast("long")},
         )
 
     if fn == "sum":
         nm = s("sum")
+        a = arg0()
         return Decomposition(
-            partial={nm: F.sum(arg0())},
+            partial={nm: F.sum(a)},
             merge={nm: F.sum(F.col(nm))},
             finalize=F.col(nm),
+            singleton={nm: a},  # session casts to the stored state dtype
         )
 
     if fn in ("min", "max"):
         nm = s(fn)
         f_ = F.min if fn == "min" else F.max
+        a = arg0()
         return Decomposition(
-            partial={nm: f_(arg0())},
+            partial={nm: f_(a)},
             merge={nm: f_(F.col(nm))},
             finalize=F.col(nm),
+            singleton={nm: a},
         )
 
     if fn == "avg":
@@ -120,6 +137,10 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
             partial={sm: F.sum(a.cast("double")), ct: F.count(a)},
             merge={sm: F.sum(F.col(sm)), ct: F.sum(F.col(ct))},
             finalize=F.col(sm) / F.col(ct),
+            singleton={
+                sm: a.cast("double"),
+                ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
+            },
         )
 
     if fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
@@ -140,6 +161,11 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
             partial={ct: F.count(a), sm: F.sum(a), s2: F.sum(a * a)},
             merge={ct: F.sum(F.col(ct)), sm: F.sum(F.col(sm)), s2: F.sum(F.col(s2))},
             finalize=fin,
+            singleton={
+                ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
+                sm: a,
+                s2: a * a,
+            },
         )
 
     if fn == "approx_count_distinct":
@@ -154,36 +180,45 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
 
     if fn in ("array_agg",):
         nm = s("list")
+        a = arg0()
         return Decomposition(
-            partial={nm: F.collect_list(arg0())},
+            partial={nm: F.collect_list(a)},
             merge={nm: F.flatten(F.collect_list(F.col(nm)))},
             finalize=F.col(nm),
+            # collect_list skips nulls; singleton mirrors that with []
+            singleton={nm: F.when(a.isNotNull(), F.array(a)).otherwise(F.array())},
         )
 
     if fn in ("bool_and", "bool_or"):
         nm = s(fn)
         f_ = F.bool_and if fn == "bool_and" else F.bool_or
+        a = arg0()
         return Decomposition(
-            partial={nm: f_(arg0())},
+            partial={nm: f_(a)},
             merge={nm: f_(F.col(nm))},
             finalize=F.col(nm),
+            singleton={nm: a},
         )
 
     if fn in ("bit_and", "bit_or", "bit_xor"):
         nm = s(fn)
         f_ = {"bit_and": F.bit_and, "bit_or": F.bit_or, "bit_xor": F.bit_xor}[fn]
+        a = arg0()
         return Decomposition(
-            partial={nm: f_(arg0())},
+            partial={nm: f_(a)},
             merge={nm: f_(F.col(nm))},
             finalize=F.col(nm),
+            singleton={nm: a},
         )
 
     if fn == "product":
         nm = s("prod")
+        a = arg0()
         return Decomposition(
-            partial={nm: F.product(arg0())},
+            partial={nm: F.product(a)},
             merge={nm: F.product(F.col(nm))},
             finalize=F.col(nm),
+            singleton={nm: a},
         )
 
     raise NotDecomposable(f"aggregate {fn} has no mergeable decomposition")
@@ -202,6 +237,7 @@ class ItemPlan:
     partial: Dict[str, Column] = field(default_factory=dict)
     merge: Dict[str, Column] = field(default_factory=dict)
     finalize: Optional[Column] = None
+    singleton: Optional[Dict[str, Column]] = field(default_factory=dict)
 
 
 def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
@@ -293,6 +329,10 @@ def plan_items(items: Tuple[SelectItem, ...]) -> List[ItemPlan]:
                 seen[key] = (a, dec)
                 plan.partial.update(dec.partial)
                 plan.merge.update(dec.merge)
+                if dec.singleton is None:
+                    plan.singleton = None
+                elif plan.singleton is not None:
+                    plan.singleton.update(dec.singleton)
             fin_map[a] = dec.finalize
         plan.finalize = _rewrite_with_finalize(item.expr, fin_map).alias(item.name)
         plans.append(plan)

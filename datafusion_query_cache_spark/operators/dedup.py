@@ -88,12 +88,22 @@ def minhash_signatures(
         state = (state * 0x5DEECE66D + 0xB) % (1 << 48)
         b = state % p
         coeffs.append((a, b))
+    # explode positions then substr — no per-doc array materialization, and
+    # duplicate shingles are harmless (min over a multiset == min over set)
     exploded = df.select(
         F.col(id_col),
-        F.explode(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+        F.col(text_col),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(F.col(text_col)) - F.lit(shingle_k - 1), F.lit(1)),
+            )
+        ).alias("__i"),
     ).select(
         id_col,
-        F.xxhash64("__sh").bitwiseAND(F.lit((1 << 30) - 1)).alias("__h"),
+        F.xxhash64(F.col(text_col).substr(F.col("__i"), F.lit(shingle_k)))
+        .bitwiseAND(F.lit((1 << 30) - 1))
+        .alias("__h"),
     )
     mins = exploded.groupBy(id_col).agg(
         *[
@@ -126,17 +136,19 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # persist: the signature table is referenced three times below (banding +
+    # both sides of the signature re-join); without it the whole
+    # shingle→hash→min pipeline recomputes per reference. At cluster scale
+    # this is ~0.5 KB/doc — MEMORY_AND_DISK, or swap for a parquet
+    # checkpoint when the corpus is huge.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
 
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")
-                ),
+                lambda b: F.xxhash64(F.slice(F.col("minhash"), b * rows + 1, rows)),
             )
         ).alias("band", "band_hash"),
     )
@@ -151,20 +163,20 @@ def minhash_lsh_pairs(
         ["band", "band_hash"],
     )
 
-    a = banded.select(
-        F.col("band"), F.col("band_hash"),
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("band_hash"),
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
-    )
-    pairs = (
+    # candidate ids first, signatures re-attached after: the distinct() runs
+    # on (id, id) pairs — 16 bytes — instead of dragging two 64-long
+    # signature arrays through the dedup shuffle.
+    a = banded.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "band_hash", F.col(id_col).alias("id_b"))
+    cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    pairs = cand.join(sig_a, "id_a").join(sig_b, "id_b")
 
     est = (
         F.size(
@@ -236,13 +248,24 @@ def simhash(
     ``xxhash64(shingle)``. Built-ins only: aggregate over the shingle array.
     Near-dup detection = small Hamming distance between fingerprints.
     """
-    # Shape mirrors minhash_signatures: explode shingles, hash each ONCE,
-    # then 64 cheap conditional-sum aggregates (one per bit) with map-side
-    # combine. bit_vector[b] = Σ ±1 by bit b of the shingle hash.
+    # Shape mirrors minhash_signatures: explode shingle positions, hash each
+    # ONCE, then 64 cheap conditional-sum aggregates (one per bit) with
+    # map-side combine. bit_vector[b] = Σ ±1 by bit b of the shingle hash.
+    # (SimHash classically weights by shingle frequency, so the multiset —
+    # no distinct — is the right semantics here.)
     exploded = df.select(
         F.col(id_col),
-        F.explode(_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).select(id_col, F.xxhash64("__sh").alias("__h"))
+        F.col(text_col),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(F.col(text_col)) - F.lit(shingle_k - 1), F.lit(1)),
+            )
+        ).alias("__i"),
+    ).select(
+        id_col,
+        F.xxhash64(F.col(text_col).substr(F.col("__i"), F.lit(shingle_k))).alias("__h"),
+    )
     bitsums = exploded.groupBy(id_col).agg(
         *[
             F.sum(
@@ -279,7 +302,8 @@ def simhash_pairs(
     """
     nbands = max_hamming + 1
     width = bits // nbands
-    fps = simhash(df, text_col, id_col, bits, shingle_k)
+    # persist: referenced by both sides of the band self-join below
+    fps = simhash(df, text_col, id_col, bits, shingle_k).persist()
     banded = fps.select(
         F.col(id_col),
         F.col("simhash"),

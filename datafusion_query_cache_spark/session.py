@@ -196,7 +196,33 @@ class CachedSparkSession:
             self._obs_counter += 1
             obs = Observation(f"qc_fresh_{self._obs_counter}")
             fresh = fresh.observe(obs, F.count(F.lit(1)).alias("rows"))
-            fresh_state = partial_agg(fresh)
+            # Singleton-state path (one shuffle): project each fresh row to a
+            # one-row partial state and let the merge aggregate's map-side
+            # combine do the partial aggregation — the Spark-native form of
+            # the reference's Final(Union(Cached, Partial(fresh))) plan.
+            # Falls back to an explicit partial aggregate (two shuffles) for
+            # aggregates with no singleton form (e.g. HLL sketches).
+            singletons: Dict[str, Column] = {}
+            use_singleton = True
+            for p in plans:
+                if p.singleton is None:
+                    use_singleton = False
+                    break
+                singletons.update(p.singleton)
+            if use_singleton:
+                dtypes = {f.name: f.dataType for f in cached_state.schema.fields}
+                fresh_state = fresh.select(
+                    *[
+                        to_column(g.expr).cast(dtypes[g.name]).alias(g.name)
+                        for g in spec.group_by
+                    ],
+                    *[
+                        c.cast(dtypes[n]).alias(n)
+                        for n, c in singletons.items()
+                    ],
+                )
+            else:
+                fresh_state = partial_agg(fresh)
             unioned = cached_state.unionByName(fresh_state)
             merged = unioned.groupBy(*[F.col(n) for n in group_names]).agg(
                 *[c.alias(n) for n, c in merge_aggs.items()]
