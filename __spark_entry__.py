@@ -73,7 +73,7 @@ def _qc_two_run(spark: SparkSession, sf_dir: str, sql: str, view: str) -> DataFr
     qc.sql(sql)
     # run 2: full table → hit, fresh scan is ts >= cut only
     ev.createOrReplaceTempView(view)
-    qc.config.override_now_ns = cut_ns + 10**15
+    qc.config.override_now_ns = cut_ns + 10**17
     out = qc.sql(sql)
     assert qc.last_decision.cached, f"expected cacheable: {qc.last_decision.reason}"
     return out
@@ -112,6 +112,17 @@ _QC_SQLS = {
         "SELECT event_type, count(*) AS n, round(avg(value) + 1e-9, 2) AS av FROM {v} "
         "WHERE ts BETWEEN '2024-01-03' AND '2024-01-27' AND value > 0 GROUP BY 1"
     ),
+    # HAVING planned as a hidden select item, filtered at finalize
+    "qc_having": (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s FROM {v} "
+        "GROUP BY 1 HAVING count(*) > 100 ORDER BY 1"
+    ),
+    # argmin/argmax state (first/last-event-by-timestamp machinery)
+    "qc_minmax_by": (
+        "SELECT event_type, min_by(event_id, ts) AS first_event, "
+        "max_by(event_id, ts) AS last_event, count(*) AS n FROM {v} "
+        "GROUP BY 1 ORDER BY 1"
+    ),
 }
 
 
@@ -119,6 +130,61 @@ def _mk_qc(key: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = f"events_{key}"
         return _qc_two_run(spark, sf_dir, _QC_SQLS[key].format(v=view), view)
+
+    return run
+
+
+# Dynamic lower bounds (beyond-reference: the reference hard-errors on these,
+# src/aggregate.rs:191-193). Two runs with a MOVING pinned now: run 1 builds
+# state as-of Jan 26, run 2 slides the window to now = Jan 31 (past max ts,
+# so the oracle needs no upper bound). State is bound-independent.
+_NOW1_NS = int(dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+_NOW2_NS = int(dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+_QC_DYN_SQLS = {
+    # temporal group-by + sliding 10-day window → lower = 2024-01-21
+    "qc_dyn_daily": (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events "
+        "WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1 ORDER BY 1",
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events "
+        "WHERE ts > TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1 ORDER BY 1",
+    ),
+    # global aggregate + 7-day window → lower = 2024-01-24
+    "qc_dyn_global": (
+        "SELECT count(*) AS n, min(value) AS mn, max(value) AS mx, "
+        "round(avg(value) + 1e-9, 2) AS av FROM events "
+        "WHERE ts >= now() - INTERVAL 7 DAY",
+        "SELECT count(*) AS n, min(value) AS mn, max(value) AS mx, "
+        "round(avg(value) + 1e-9, 2) AS av FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'",
+    ),
+}
+
+
+def _mk_qc_dyn(key: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datafusion_query_cache_spark import (
+            CachedSparkSession,
+            ParquetQueryCache,
+            QueryCacheConfig,
+        )
+
+        _load(spark, sf_dir)
+        sql = _QC_DYN_SQLS[key][0]
+        qc = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-dyn-")),
+                override_now_ns=_NOW1_NS,
+            ),
+        )
+        qc.sql(sql)  # run 1: state as-of Jan 26 (miss)
+        qc.config.override_now_ns = _NOW2_NS
+        out = qc.sql(sql)  # run 2: hit; window slides to Jan 31
+        assert qc.last_decision.cached, qc.last_decision.reason
+        return out
 
     return run
 
@@ -326,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for key in _QC_SQLS:
         q[key] = _mk_qc(key)
+    for key in _QC_DYN_SQLS:
+        q[key] = _mk_qc_dyn(key)
     for key in _PT_SQLS:
         q[key] = _mk_pt(key)
     q.update(
@@ -361,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
+    for key, (_spark_sql, duck_sql) in _QC_DYN_SQLS.items():
+        o[key] = duck_sql
     for key, sql in _PT_SQLS.items():
         o[key] = sql
     o["op_exact_dedup"] = (

@@ -90,7 +90,7 @@ def main() -> None:
         else:
             qc.sql(FLAGSHIP).collect()
         ev.createOrReplaceTempView("events_bench")
-        qc.config.override_now_ns = cut_ns + 10**15
+        qc.config.override_now_ns = cut_ns + 10**17
         if timed_run:
             timed("qc_warm", lambda: qc.sql(FLAGSHIP).collect(), runs=1)
         else:
@@ -129,7 +129,7 @@ def main() -> None:
         else:
             qc2.sql(LI_SQL).collect()
         li.createOrReplaceTempView("lineitem_bench")
-        qc2.config.override_now_ns = li_cut_ns + 10**15
+        qc2.config.override_now_ns = li_cut_ns + 10**17
         if timed_run:
             timed("qc_li_warm", lambda: qc2.sql(LI_SQL).collect(), runs=1)
         else:

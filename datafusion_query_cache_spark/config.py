@@ -27,6 +27,11 @@ class QueryCacheConfig:
     group_by_functions: FrozenSet[str] = frozenset({"date_trunc"})
     #: Pin "now" for deterministic replay (``src/lib.rs:47-50``); ns epoch.
     override_now_ns: Optional[int] = None
+    #: Bucket granularity for the bound-independent state kept for dynamic
+    #: lower-bound queries with no temporal group-by (beyond-reference,
+    #: README.md:131-132): full buckets above the boundary are answered from
+    #: state; the boundary bucket is recomputed from raw rows.
+    dynamic_granularity: str = "hour"
     log: AbstractLog = field(default_factory=LogNoOp)
 
     @property

@@ -111,6 +111,19 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "current_timestamp": lambda: F.current_timestamp(),
     "current_date": lambda: F.current_date(),
     "to_timestamp": lambda c, *fmt: F.to_timestamp(c, *fmt),
+    # duckdb interval constructors (INTERVAL 1 DAY lowers to to_days(1)):
+    # needed to evaluate dynamic lower bounds `now() - INTERVAL ...`
+    "to_years": lambda n: F.make_interval(n),
+    "to_months": lambda n: F.make_interval(F.lit(0), n),
+    "to_weeks": lambda n: F.make_interval(F.lit(0), F.lit(0), n),
+    "to_days": lambda n: F.make_interval(F.lit(0), F.lit(0), F.lit(0), n),
+    "to_hours": lambda n: F.make_dt_interval(F.lit(0), n),
+    "to_minutes": lambda n: F.make_dt_interval(F.lit(0), F.lit(0), n),
+    "to_seconds": lambda n: F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), n),
+    "to_milliseconds": lambda n: F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), n.cast("double") / 1000.0
+    ),
+    "trunc": lambda c: c.cast("long"),
 }
 
 

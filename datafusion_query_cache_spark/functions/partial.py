@@ -94,18 +94,21 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
 
     if fn == "count":
         n = s("cnt")
+        # finalize coalesces to 0: a global count over an EMPTY window (all
+        # state rows filtered out, e.g. a dynamic bound in the future) merges
+        # sum-over-nothing = NULL, but SQL count() of no rows is 0.
         if not agg.args or isinstance(agg.args[0], Star):
             return Decomposition(
                 partial={n: F.count(F.lit(1))},
                 merge={n: _sum_compat(F.col(n))},
-                finalize=F.col(n),
+                finalize=F.coalesce(F.col(n), F.lit(0).cast("long")),
                 singleton={n: F.lit(1).cast("long")},
             )
         a = arg0()
         return Decomposition(
             partial={n: F.count(a)},
             merge={n: _sum_compat(F.col(n))},
-            finalize=F.col(n),
+            finalize=F.coalesce(F.col(n), F.lit(0).cast("long")),
             singleton={n: F.when(a.isNotNull(), 1).otherwise(0).cast("long")},
         )
 
@@ -209,6 +212,25 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
             merge={nm: f_(F.col(nm))},
             finalize=F.col(nm),
             singleton={nm: a},
+        )
+
+    if fn in ("min_by", "max_by", "arg_min", "arg_max"):
+        # first/last-by-timestamp machinery (SURVEY §4.3 row 8): state is the
+        # argmin/argmax pair (value at extreme key, extreme key); merges by
+        # re-taking the extreme over state rows.
+        is_min = fn in ("min_by", "arg_min")
+        if len(agg.args) != 2:
+            raise NotDecomposable(f"{fn} requires (value, ordering) arguments")
+        v = to_column(agg.args[0])
+        k = to_column(agg.args[1])
+        vn, kn = s("val"), s("key")
+        f_by = F.min_by if is_min else F.max_by
+        f_k = F.min if is_min else F.max
+        return Decomposition(
+            partial={vn: f_by(v, k), kn: f_k(k)},
+            merge={vn: f_by(F.col(vn), F.col(kn)), kn: f_k(F.col(kn))},
+            finalize=F.col(vn),
+            singleton={vn: v, kn: k},
         )
 
     if fn == "product":

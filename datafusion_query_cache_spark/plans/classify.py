@@ -263,6 +263,44 @@ def classify(expr: Optional[Expr], temporal_columns: FrozenSet[str]) -> Classifi
     return Classification(Verdict.ABANDON, reason=f"expr {type(expr).__name__}")
 
 
+def _flatten_and(e: Expr) -> list:
+    if isinstance(e, BinOp) and e.op == "and":
+        return _flatten_and(e.left) + _flatten_and(e.right)
+    return [e]
+
+
+def split_dynamic_bound(
+    pred: Expr, temporal_columns: FrozenSet[str]
+) -> Optional[Tuple[Optional[Expr], DynamicBound]]:
+    """Split ``pred`` into (stable remainder, the one dynamic lower bound).
+
+    The reference only *detects* dynamic bounds and then refuses to plan them
+    (``src/aggregate.rs:191-193``); we split the conjunction so the stable
+    part parameterizes the cached state and the bound is applied at read
+    time. Returns None unless the predicate is an AND of stable conjuncts
+    plus exactly one ``ts >/>= f(now())`` bound.
+    """
+    conjuncts = _flatten_and(pred)
+    bound: Optional[DynamicBound] = None
+    rest: list = []
+    for c in conjuncts:
+        cl = classify(c, temporal_columns)
+        if cl.verdict is Verdict.FOUND and cl.bound is not None:
+            if bound is not None:
+                return None  # two dynamic bounds
+            bound = cl.bound
+        elif cl.verdict is Verdict.STABLE:
+            rest.append(c)
+        else:
+            return None
+    if bound is None:
+        return None
+    remainder: Optional[Expr] = None
+    for c in rest:
+        remainder = c if remainder is None else BinOp("and", remainder, c)
+    return remainder, bound
+
+
 @dataclass(frozen=True)
 class TemporalGroupBy:
     output_name: str

@@ -59,6 +59,10 @@ AGG_FUNCTIONS = {
     "first",
     "last",
     "arbitrary",
+    "min_by",
+    "max_by",
+    "arg_min",
+    "arg_max",
     "list",
     "array_agg",
     "string_agg",

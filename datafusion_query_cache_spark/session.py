@@ -40,7 +40,12 @@ from .cache import CacheEntry
 from .config import QueryCacheConfig
 from .functions.compile import to_column
 from .functions.partial import ItemPlan, NotDecomposable, plan_items
-from .plans.classify import Verdict, classify, find_temporal_group_by
+from .plans.classify import (
+    Verdict,
+    classify,
+    find_temporal_group_by,
+    split_dynamic_bound,
+)
 from .plans.ir import AggSpec, Col, Lit, Unsupported
 from .plans.parser import parse_agg_query
 
@@ -57,6 +62,7 @@ class Decision:
     cache_hit: bool = False
     watermark_ns: Optional[int] = None
     now_ns: Optional[int] = None
+    dynamic_lower: Optional[object] = None  # evaluated f(now()) bound
     observation: Optional[Observation] = None  # fresh-scan row count (hit only)
 
     def fresh_rows(self) -> Optional[int]:
@@ -102,20 +108,90 @@ class CachedSparkSession:
             return self.config.override_now_ns
         return time.time_ns()
 
+    def _eval_bound_value(self, rhs_expr, now_ns: int):
+        """Evaluate ``f(now())`` once at plan time with now pinned (mirrors
+        the reference's query_execution_start_time capture,
+        ``src/aggregate.rs:375-382``). Returns a python datetime/date."""
+        import datetime as dt
+
+        from .plans.ir import BinOp as _BinOp, Cast as _Cast, Func as _Func
+        from .plans.ir import Lit as _Lit, Neg as _Neg
+
+        now_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now_ns // 1000)
+
+        def rec(x):
+            if isinstance(x, _Func):
+                nl = x.name.lower()
+                if nl in (
+                    "now",
+                    "current_timestamp",
+                    "localtimestamp",
+                    "get_current_timestamp",
+                    "transaction_timestamp",
+                ):
+                    return _Lit(now_dt.strftime("%Y-%m-%d %H:%M:%S.%f"), "TIMESTAMP")
+                if nl in ("current_date", "today"):
+                    return _Lit(now_dt.strftime("%Y-%m-%d"), "DATE")
+                return _Func(x.name, tuple(rec(a) for a in x.args))
+            if isinstance(x, _BinOp):
+                return _BinOp(x.op, rec(x.left), rec(x.right))
+            if isinstance(x, _Cast):
+                return _Cast(rec(x.child), x.to_type)
+            if isinstance(x, _Neg):
+                return _Neg(rec(x.child))
+            return x
+
+        col = to_column(rec(rhs_expr))
+        v = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
+        if v is None:
+            raise Unsupported("dynamic bound evaluated to NULL")
+        return v
+
+    def _eval_bucket(self, granularity: str, lower):
+        """date_trunc the evaluated bound — via Spark so week/month/calendar
+        semantics match the engine exactly."""
+        return (
+            self.spark.range(1)
+            .select(F.date_trunc(granularity, F.lit(lower)).alias("b"))
+            .collect()[0]["b"]
+        )
+
     def _plan_cached(self, query: str):
         cfg = self.config
         spec = parse_agg_query(query)
 
         if spec.having is not None:
-            raise Unsupported("HAVING not cacheable yet")
+            # HAVING sits above the aggregate, so it never affects cached
+            # state: plan it as a hidden select item and filter at finalize.
+            # Only volatile scalars make it uncacheable.
+            from .plans.classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+            from .plans.ir import Func as _Func
+
+            for n in spec.having.walk():
+                if isinstance(n, _Func) and n.name.lower() in (
+                    VOLATILE_FNS | VOLATILE_TIME_FNS
+                ):
+                    raise Unsupported("volatile function in HAVING")
 
         cls = classify(spec.predicate, cfg.temporal_columns)
         if cls.verdict is Verdict.ABANDON:
             raise Unsupported(f"predicate not stable: {cls.reason}")
-        if cls.verdict in (Verdict.FOUND, Verdict.FOUND_NOW):
-            # The reference hard-errors on dynamic lower bounds
-            # (``src/aggregate.rs:191-193``); we degrade to passthrough.
-            raise Unsupported("dynamic lower bound not yet supported")
+        dyn_bound = None
+        state_pred_expr = spec.predicate
+        if cls.verdict is Verdict.FOUND:
+            # Dynamic lower bound (`ts > now() - Δ`): beyond-reference — the
+            # reference detects these and hard-errors
+            # (``src/aggregate.rs:191-193``, README.md:131-132 unchecked).
+            # Strategy: cache BOUND-INDEPENDENT state at bucket granularity
+            # (so every Δ shares one entry); at read time take full buckets
+            # above the boundary from state and recompute only the boundary
+            # bucket exactly from raw rows (a pushed-down, one-bucket scan).
+            split = split_dynamic_bound(spec.predicate, cfg.temporal_columns)
+            if split is None:
+                raise Unsupported("dynamic bound not in a plain AND conjunction")
+            state_pred_expr, dyn_bound = split
+        elif cls.verdict is Verdict.FOUND_NOW:
+            raise Unsupported("now() outside a lower-bound comparison")
 
         tgb, ok = find_temporal_group_by(
             spec.group_by, cfg.temporal_columns, cfg.group_by_functions
@@ -124,22 +200,58 @@ class CachedSparkSession:
             raise Unsupported("more than one temporal group-by bucket")
 
         ts_col = tgb.column if tgb else cfg.default_temporal_column
+        if dyn_bound is not None and tgb is not None and tgb.column != dyn_bound.column:
+            raise Unsupported("dynamic bound on a different column than the bucket")
+        if dyn_bound is not None:
+            ts_col = dyn_bound.column
         base = self.spark.table(spec.table)
         if ts_col not in base.columns:
             raise Unsupported(f"temporal column {ts_col} not in table {spec.table}")
 
-        plans = plan_items(spec.aggregates)
+        # state group-by: the query's groups, plus a synthetic time bucket
+        # when a dynamic bound needs one and the query itself has none
+        bucket_gran = tgb.granularity if tgb else cfg.dynamic_granularity
+        bucket_name = tgb.output_name if tgb else "__qc_bucket"
+        state_group = list(spec.group_by)
+        if dyn_bound is not None and tgb is None:
+            from .plans.ir import Func as _Func, SelectItem as _SelectItem
+
+            state_group.append(
+                _SelectItem(
+                    bucket_name,
+                    _Func("date_trunc", (Lit(bucket_gran, "VARCHAR"), Col(ts_col))),
+                )
+            )
+
+        plan_inputs = list(spec.aggregates)
+        if spec.having is not None:
+            from .plans.ir import SelectItem as _SelectItem
+
+            plan_inputs.append(_SelectItem("__qc_having", spec.having))
+        plans = plan_items(tuple(plan_inputs))
 
         # fingerprint = canonical IR + resolved source schema — the analogue
         # of plan.display_indent_schema() (``src/aggregate.rs:89``): schema
-        # participates so a schema change invalidates the entry.
-        fingerprint = f"{spec.canon()}|ts={ts_col}|schema={base.schema.simpleString()}"
+        # participates so a schema change invalidates the entry. For dynamic
+        # bounds the fingerprint deliberately EXCLUDES the bound expression:
+        # state is bound-independent, so `> now()-1h` and `> now()-7d` share
+        # one entry.
+        gb = ";".join(f"{s.name}={s.expr.canon()}" for s in state_group)
+        ag = ";".join(f"{s.name}={s.expr.canon()}" for s in spec.aggregates)
+        pred_c = state_pred_expr.canon() if state_pred_expr is not None else "true"
+        hav = f"|having={spec.having.canon()}" if spec.having is not None else ""
+        fingerprint = (
+            f"Aggregate[table={spec.table}|where={pred_c}|group=[{gb}]|agg=[{ag}]]"
+            f"{hav}|ts={ts_col}"
+            f"{'|dynamic_state=' + bucket_gran if dyn_bound is not None else ''}"
+            f"|schema={base.schema.simpleString()}"
+        )
 
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
 
-        group_partial = [to_column(g.expr).alias(g.name) for g in spec.group_by]
-        group_names = [g.name for g in spec.group_by]
+        group_partial = [to_column(g.expr).alias(g.name) for g in state_group]
+        group_names = [g.name for g in state_group]
         partial_aggs: Dict[str, Column] = {}
         merge_aggs: Dict[str, Column] = {}
         for p in plans:
@@ -147,7 +259,7 @@ class CachedSparkSession:
             merge_aggs.update(p.merge)
         state_cols = group_names + list(partial_aggs.keys())
 
-        pred = to_column(spec.predicate) if spec.predicate is not None else None
+        pred = to_column(state_pred_expr) if state_pred_expr is not None else None
 
         decision = Decision(
             sql=query, cached=True, fingerprint=fingerprint, now_ns=now_ns
@@ -157,6 +269,42 @@ class CachedSparkSession:
             return df.groupBy(*group_partial).agg(
                 *[c.alias(n) for n, c in partial_aggs.items()]
             )
+
+        shadow = f"{ts_col}_ns"
+
+        def time_bounds(
+            df: DataFrame, lo_ns: Optional[int] = None, hi_ns: Optional[int] = None
+        ) -> DataFrame:
+            """[lo, hi) scan bounds on the temporal column.
+
+            Every state scan is upper-bounded by `ts < now` — an improvement
+            over the reference (SURVEY §4.4.2: its state has no upper bound,
+            so rows time-stamped beyond "now" at run 1 would double-count on
+            refresh). With the bound, state_N covers exactly ts < now_N and
+            fresh_{N+1} covers [now_N, now_{N+1}) — an exact partition, so
+            results are "as of now" and the µs boundary can never dupe.
+
+            Prefers the raw epoch-ns shadow column (sources/tables.py): an
+            exact bound AND a plain attribute comparison that pushes into the
+            parquet scan for row-group pruning (reference converts Arrow time
+            units at the same spot, ``src/aggregate.rs:431-439``).
+            """
+            if shadow in base.columns:
+                if lo_ns is not None:
+                    df = df.filter(F.col(shadow) >= F.lit(lo_ns))
+                if hi_ns is not None:
+                    df = df.filter(F.col(shadow) < F.lit(hi_ns))
+            else:
+                # ceil to µs on BOTH bounds so consecutive runs tile exactly
+                if lo_ns is not None:
+                    df = df.filter(
+                        F.col(ts_col) >= F.timestamp_micros(F.lit(-(-lo_ns // 1000)))
+                    )
+                if hi_ns is not None:
+                    df = df.filter(
+                        F.col(ts_col) < F.timestamp_micros(F.lit(-(-hi_ns // 1000)))
+                    )
+            return df
 
         hit = entry.occupied
         if hit:
@@ -178,21 +326,7 @@ class CachedSparkSession:
             fresh = base
             if pred is not None:
                 fresh = fresh.filter(pred)
-            shadow = f"{ts_col}_ns"
-            if shadow in base.columns:
-                # raw epoch-ns shadow column (sources/tables.py): an exact
-                # ns-precision bound AND a plain attribute comparison, so it
-                # pushes down into the parquet scan for row-group pruning.
-                fresh = fresh.filter(F.col(shadow) >= F.lit(wm_ns))
-            else:
-                # ns → µs for Spark TimestampType; ceil so the fresh window
-                # never widens past the watermark (reference converts between
-                # Arrow time units the same way, ``src/aggregate.rs:431-439``;
-                # strictness per SURVEY §4.4.1).
-                wm_us = -(-wm_ns // 1000)
-                fresh = fresh.filter(
-                    F.col(ts_col) >= F.timestamp_micros(F.lit(wm_us))
-                )
+            fresh = time_bounds(fresh, lo_ns=wm_ns, hi_ns=now_ns)
             self._obs_counter += 1
             obs = Observation(f"qc_fresh_{self._obs_counter}")
             fresh = fresh.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -214,7 +348,7 @@ class CachedSparkSession:
                 fresh_state = fresh.select(
                     *[
                         to_column(g.expr).cast(dtypes[g.name]).alias(g.name)
-                        for g in spec.group_by
+                        for g in state_group
                     ],
                     *[
                         c.cast(dtypes[n]).alias(n)
@@ -235,6 +369,7 @@ class CachedSparkSession:
             )
         else:
             df = base if pred is None else base.filter(pred)
+            df = time_bounds(df, hi_ns=now_ns)
             merged = partial_agg(df)
             cfg.log.info(fingerprint, "cache miss: computing and storing state")
 
@@ -244,6 +379,71 @@ class CachedSparkSession:
         # finalize from the stored copy so the source is scanned exactly once.
         stored = entry.put(now_ns, merged, self.spark)
 
+        if dyn_bound is not None:
+            # evaluate the bound once at plan time (reference captures "now"
+            # the same way, ``src/aggregate.rs:375-382``)
+            lower = self._eval_bound_value(dyn_bound.rhs, now_ns)
+            boundary = self._eval_bucket(bucket_gran, lower)
+            decision.dynamic_lower = lower
+            bucket_dtype = dict(stored.dtypes)[bucket_name]
+            boundary_lit = F.lit(boundary).cast(bucket_dtype)
+            # full buckets strictly above the boundary come from state; the
+            # boundary bucket is recomputed exactly from raw rows with a
+            # PUSHABLE range predicate on the temporal column.
+            full = stored.filter(F.col(bucket_name) > boundary_lit)
+            braw = base if pred is None else base.filter(pred)
+            cmp_op = (
+                (F.col(ts_col) > F.lit(lower))
+                if dyn_bound.op == ">"
+                else (F.col(ts_col) >= F.lit(lower))
+            )
+            import datetime as _dt
+
+            if not isinstance(lower, _dt.datetime):
+                lower_dt = _dt.datetime(lower.year, lower.month, lower.day)
+            else:
+                lower_dt = lower
+            lower_ns_v = (
+                int((lower_dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6) * 1000
+            )
+            # state is as-of now, so the boundary recompute must be too
+            braw = time_bounds(braw, lo_ns=lower_ns_v, hi_ns=now_ns)
+            braw = braw.filter(
+                cmp_op
+                & (
+                    F.date_trunc(bucket_gran, F.col(ts_col)).cast(bucket_dtype)
+                    == boundary_lit
+                )
+            )
+            dtypes2 = {f.name: f.dataType for f in stored.schema.fields}
+            singletons2: Dict[str, Column] = {}
+            use_singleton2 = all(p.singleton is not None for p in plans)
+            if use_singleton2:
+                for p in plans:
+                    singletons2.update(p.singleton)
+                boundary_state = braw.select(
+                    *[
+                        to_column(g.expr).cast(dtypes2[g.name]).alias(g.name)
+                        for g in state_group
+                    ],
+                    *[c.cast(dtypes2[n]).alias(n) for n, c in singletons2.items()],
+                )
+            else:
+                boundary_state = braw.groupBy(*group_partial).agg(
+                    *[c.alias(n) for n, c in partial_aggs.items()]
+                )
+            unioned2 = full.unionByName(boundary_state)
+            # collapse the synthetic bucket for queries that didn't group on it
+            result_groups = [g.name for g in spec.group_by]
+            stored = unioned2.groupBy(*[F.col(n) for n in result_groups]).agg(
+                *[c.alias(n) for n, c in merge_aggs.items()]
+            )
+            cfg.log.info(
+                fingerprint,
+                f"dynamic bound: full buckets > {boundary}, boundary bucket "
+                f"recomputed from raw rows >= {lower}",
+            )
+
         final_select: List[Column] = []
         fin_by_name = {p.name: p.finalize for p in plans}
         for name in spec.select_order:
@@ -251,7 +451,14 @@ class CachedSparkSession:
                 final_select.append(fin_by_name[name])
             else:
                 final_select.append(F.col(name))
-        out = stored.select(*final_select)
+        if spec.having is not None:
+            out = (
+                stored.select(*final_select, fin_by_name["__qc_having"])
+                .filter(F.col("__qc_having"))
+                .drop("__qc_having")
+            )
+        else:
+            out = stored.select(*final_select)
 
         out = self._apply_order_limit(out, spec)
         return out, decision

@@ -68,7 +68,7 @@ def test_metamorphic_equivalence(spark, qc, split_views, sql):
     assert qc.last_decision.cached and not qc.last_decision.cache_hit
 
     run2()
-    qc.config.override_now_ns = cut_ns + 10**12
+    qc.config.override_now_ns = cut_ns + 10**17
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit
     expect = spark.sql(sql)
@@ -83,7 +83,7 @@ def test_refresh_scans_only_new_rows(spark, qc, split_views):
     qc.config.override_now_ns = cut_ns
     qc.sql(FLAGSHIP).collect()
     run2()
-    qc.config.override_now_ns = cut_ns + 10**12
+    qc.config.override_now_ns = cut_ns + 10**17
     qc.sql(FLAGSHIP).collect()
     fresh = qc.last_decision.fresh_rows()
     total = spark.table("events_split").count()
@@ -132,11 +132,18 @@ def test_passthrough_keeps_full_sql_surface(qc, spark):
     assert df.count() > 0
 
 
-def test_dynamic_lower_bound_degrades_to_passthrough(qc, spark):
+def test_dynamic_lower_bound_now_cached(qc, spark):
+    # beyond-reference: dynamic bounds are planned (see test_dynamic_bounds);
+    # with the real clock (2026+) the 100-day window contains no 2024 events
     df = qc.sql("SELECT count(*) AS n FROM events WHERE ts > now() - INTERVAL 100 DAY")
+    assert qc.last_decision.cached
+    assert df.collect()[0]["n"] == 0
+
+
+def test_now_in_non_bound_position_passthrough(qc, spark):
+    df = qc.sql("SELECT count(*) AS n FROM events WHERE value > 1 OR ts > now()")
     assert not qc.last_decision.cached
-    assert "dynamic lower bound" in qc.last_decision.reason
-    assert df.collect()[0]["n"] >= 0
+    assert df.collect()[0]["n"] > 0
 
 
 def test_exact_distinct_not_cached(qc, spark):
@@ -152,7 +159,7 @@ def test_memory_cache_roundtrip(qc_mem, spark, split_views):
     sql = FLAGSHIP
     qc_mem.sql(sql).collect()
     run2()
-    qc_mem.config.override_now_ns = cut_ns + 10**12
+    qc_mem.config.override_now_ns = cut_ns + 10**17
     got = qc_mem.sql(sql)
     assert qc_mem.last_decision.cache_hit
     assert rows_set(got) == rows_set(spark.sql(sql))
