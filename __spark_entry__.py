@@ -123,6 +123,21 @@ _QC_SQLS = {
         "max_by(event_id, ts) AS last_event, count(*) AS n FROM {v} "
         "GROUP BY 1 ORDER BY 1"
     ),
+    # correlation: six-component co-moment state
+    "qc_corr": (
+        "SELECT event_type, round(corr(value, user_id) + 1e-9, 4) AS c, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    ),
+    # simple filter query caching (reference README.md:130 — unimplemented
+    # there): state = the filtered row set, appended incrementally
+    "qc_filter_rows": (
+        "SELECT event_id, event_type, value FROM {v} WHERE value > 100"
+    ),
+    # incrementally-maintained top-k (ORDER BY + LIMIT filter query)
+    "qc_filter_topk": (
+        "SELECT event_id, value FROM {v} WHERE event_type = 'click' "
+        "ORDER BY value DESC, event_id LIMIT 15"
+    ),
 }
 
 

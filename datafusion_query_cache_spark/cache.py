@@ -56,6 +56,15 @@ class CacheEntry(ABC):
         reference's ``CacheUpdateAggregateExec`` similarly re-emits the
         collected batches, ``src/aggregate.rs:588-601``)."""
 
+    def append(
+        self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
+    ) -> DataFrame:
+        """Append ``fresh`` rows to the stored row-set state (filter-query
+        caching) and return the full updated state. Default: read + union +
+        rewrite; backends override with a real append."""
+        full = self.get(spark).unionByName(fresh) if self.occupied else fresh
+        return self.put(watermark_ns, full, spark)
+
 
 class QueryCache(ABC):
     @abstractmethod
@@ -89,6 +98,22 @@ class _MemoryEntry(CacheEntry):
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, schema)
         return spark.createDataFrame(pdf, schema=schema)
+
+    def append(
+        self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
+    ) -> DataFrame:
+        import pandas as pd
+
+        fresh_pdf = fresh.toPandas()
+        if self.occupied:
+            _wm, pdf, schema = self._cache._store[self._fp]
+            new = pd.concat([pdf, fresh_pdf], ignore_index=True)
+        else:
+            schema = fresh.schema
+            new = fresh_pdf
+        with self._cache._lock:
+            self._cache._store[self._fp] = (watermark_ns, new, schema)
+        return spark.createDataFrame(new, schema=schema)
 
 
 class MemoryQueryCache(QueryCache):
@@ -138,12 +163,12 @@ class _ParquetEntry(CacheEntry):
                     self._dir = self._dir + "-x"
             except (json.JSONDecodeError, OSError):
                 self._meta = None
-        if self._meta is not None and not os.path.isdir(
-            os.path.join(self._dir, self._meta.get("state", ""))
-        ):
-            # meta points at a missing/corrupted state dir (partial cleanup,
-            # manual deletion): self-heal by treating the entry as vacant.
-            self._meta = None
+        if self._meta is not None:
+            parts = self._meta.get("parts") or [self._meta.get("state", "")]
+            if not all(os.path.isdir(os.path.join(self._dir, p)) for p in parts):
+                # meta points at a missing/corrupted state dir (partial
+                # cleanup, manual deletion): self-heal as vacant.
+                self._meta = None
 
     @property
     def occupied(self) -> bool:
@@ -153,11 +178,12 @@ class _ParquetEntry(CacheEntry):
     def watermark_ns(self) -> Optional[int]:
         return self._meta["watermark_ns"] if self._meta else None
 
-    def _state_path(self) -> str:
-        return os.path.join(self._dir, self._meta["state"])
+    def _state_paths(self) -> List[str]:
+        parts = self._meta.get("parts") or [self._meta["state"]]
+        return [os.path.join(self._dir, p) for p in parts]
 
     def get(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._state_path())
+        return spark.read.parquet(*self._state_paths())
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         os.makedirs(self._dir, exist_ok=True)
@@ -181,9 +207,54 @@ class _ParquetEntry(CacheEntry):
         old = self._meta
         os.replace(tmp, os.path.join(self._dir, "meta.json"))  # atomic swap
         self._meta = meta
-        if old and old.get("state") and old["state"] != txid:
-            shutil.rmtree(os.path.join(self._dir, old["state"]), ignore_errors=True)
+        if old:
+            for p in old.get("parts") or [old.get("state", "")]:
+                if p and p != txid:
+                    shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
         return spark.read.parquet(path)
+
+    def append(
+        self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
+    ) -> DataFrame:
+        """Row-set append: write ``fresh`` as a NEW part and swap meta —
+        refresh cost is O(new rows), not O(state). Compacts into one part
+        when the part list grows past a threshold, so read fan-in stays
+        bounded (the reference's uncompacted batch growth, SURVEY §3.3,
+        with a bound)."""
+        COMPACT_AT = 16
+        os.makedirs(self._dir, exist_ok=True)
+        txid = f"part-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._dir, txid)
+        old_parts = (
+            (self._meta.get("parts") or [self._meta["state"]]) if self._meta else []
+        )
+        if len(old_parts) + 1 > COMPACT_AT:
+            merged = spark.read.parquet(
+                *[os.path.join(self._dir, p) for p in old_parts]
+            ).unionByName(fresh)
+            merged.write.mode("overwrite").parquet(path)
+            parts = [txid]
+        else:
+            fresh.coalesce(1).write.mode("overwrite").parquet(path)
+            parts = old_parts + [txid]
+        meta = {
+            "fingerprint": self._fp,
+            "watermark_ns": watermark_ns,
+            "parts": parts,
+            "schema": fresh.schema.json(),
+            "written_at": time.time(),
+        }
+        tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        old = self._meta
+        os.replace(tmp, os.path.join(self._dir, "meta.json"))
+        self._meta = meta
+        if old:
+            for p in old.get("parts") or [old.get("state", "")]:
+                if p and p not in parts:
+                    shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
+        return spark.read.parquet(*[os.path.join(self._dir, p) for p in parts])
 
 
 class ParquetQueryCache(QueryCache):

@@ -214,6 +214,59 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
             singleton={nm: a},
         )
 
+    if fn in ("corr", "covar_samp", "covar_pop"):
+        # two-column co-moment state: n (both non-null), Σx, Σy, Σxy, Σx²,
+        # Σy². SQL semantics: a pair with EITHER side NULL is excluded from
+        # every sum, so all state inputs are gated on pair-validity.
+        if len(agg.args) != 2:
+            raise NotDecomposable(f"{fn} requires two arguments")
+        x = to_column(agg.args[0]).cast("double")
+        y = to_column(agg.args[1]).cast("double")
+        valid = x.isNotNull() & y.isNotNull()
+        vx = F.when(valid, x)
+        vy = F.when(valid, y)
+        n, sx, sy, sxy, sx2, sy2 = (
+            s("cnt"), s("sx"), s("sy"), s("sxy"), s("sx2"), s("sy2")
+        )
+        cN, cSX, cSY, cSXY, cSX2, cSY2 = (
+            F.col(n), F.col(sx), F.col(sy), F.col(sxy), F.col(sx2), F.col(sy2)
+        )
+        if fn == "corr":
+            num = cN * cSXY - cSX * cSY
+            den = F.sqrt(cN * cSX2 - cSX * cSX) * F.sqrt(cN * cSY2 - cSY * cSY)
+            fin = F.when(cN > 1, num / den)
+        elif fn == "covar_samp":
+            fin = F.when(cN > 1, (cSXY - cSX * cSY / cN) / (cN - 1))
+        else:  # covar_pop
+            fin = F.when(cN > 0, (cSXY - cSX * cSY / cN) / cN)
+        return Decomposition(
+            partial={
+                n: F.count(F.when(valid, 1)),
+                sx: F.sum(vx),
+                sy: F.sum(vy),
+                sxy: F.sum(vx * vy),
+                sx2: F.sum(vx * vx),
+                sy2: F.sum(vy * vy),
+            },
+            merge={
+                n: F.sum(F.col(n)),
+                sx: F.sum(F.col(sx)),
+                sy: F.sum(F.col(sy)),
+                sxy: F.sum(F.col(sxy)),
+                sx2: F.sum(F.col(sx2)),
+                sy2: F.sum(F.col(sy2)),
+            },
+            finalize=fin,
+            singleton={
+                n: F.when(valid, 1).otherwise(0).cast("long"),
+                sx: vx,
+                sy: vy,
+                sxy: vx * vy,
+                sx2: vx * vx,
+                sy2: vy * vy,
+            },
+        )
+
     if fn in ("min_by", "max_by", "arg_min", "arg_max"):
         # first/last-by-timestamp machinery (SURVEY §4.3 row 8): state is the
         # argmin/argmax pair (value at extreme key, extreme key); merges by

@@ -239,5 +239,35 @@ class AggSpec:
         return f"Aggregate[table={self.table}|where={pred}|group=[{gb}]|agg=[{ag}]]"
 
 
+@dataclass
+class FilterSpec:
+    """A single-table non-aggregate query: ``SELECT cols FROM t WHERE pred``.
+
+    The reference lists simple filter queries as unimplemented
+    (``README.md:130``); we cache them as incrementally-appended row sets
+    (or an incrementally-maintained top-k when ORDER BY + LIMIT present).
+    ``items=None`` means ``SELECT *``.
+    """
+
+    table: str
+    predicate: Optional[Expr]
+    items: Optional[Tuple[SelectItem, ...]]
+    order_by: Tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+
+    def canon(self) -> str:
+        sel = (
+            "*"
+            if self.items is None
+            else ";".join(f"{s.name}={s.expr.canon()}" for s in self.items)
+        )
+        pred = self.predicate.canon() if self.predicate is not None else "true"
+        ob = ";".join(
+            f"{o.expr.canon()}:{'d' if o.desc else 'a'}" for o in self.order_by
+        )
+        lim = str(self.limit) if self.limit is not None else "-"
+        return f"Filter[table={self.table}|where={pred}|select=[{sel}]|order=[{ob}]|limit={lim}]"
+
+
 class Unsupported(Exception):
     """Query shape outside the mini-IR → run as plain spark.sql passthrough."""

@@ -63,6 +63,9 @@ AGG_FUNCTIONS = {
     "max_by",
     "arg_min",
     "arg_max",
+    "corr",
+    "covar_samp",
+    "covar_pop",
     "list",
     "array_agg",
     "string_agg",
@@ -220,12 +223,23 @@ def _contains_agg(e: Expr) -> bool:
 
 
 def parse_agg_query(sql: str) -> AggSpec:
-    """Parse ``sql`` into an :class:`AggSpec`, or raise :class:`Unsupported`.
+    """Parse ``sql`` into an :class:`AggSpec`, or raise :class:`Unsupported`."""
+    spec = parse_query(sql)
+    if not isinstance(spec, AggSpec):
+        raise Unsupported("not an aggregate query")
+    return spec
 
-    Supported shape (the reference's cacheable surface, README.md:126-129):
-    ``SELECT <agg-or-group exprs> FROM <one table> [WHERE pred]
-    [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]``.
+
+def parse_query(sql: str):
+    """Parse ``sql`` into an :class:`AggSpec` or :class:`FilterSpec`.
+
+    Supported shapes (the reference's cacheable surface, README.md:126-130):
+    aggregates — ``SELECT <agg-or-group exprs> FROM <one table> [WHERE pred]
+    [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]``; simple filters —
+    ``SELECT <cols|*> FROM <one table> [WHERE pred] [ORDER BY] [LIMIT]``.
     """
+    from .ir import FilterSpec
+
     node = _parse_json_ast(sql)
     if node.get("type") != "SELECT_NODE":
         raise Unsupported(f"statement {node.get('type')}")
@@ -271,19 +285,38 @@ def parse_agg_query(sql: str) -> AggSpec:
     where = node.get("where_clause")
     predicate = _expr(where) if where is not None else None
 
-    # select list with synthesized names
+    # select list with synthesized names; bare `SELECT *` → star=True
+    star = False
     raw_items: List[Tuple[str, Expr]] = []
-    for i, sel in enumerate(node.get("select_list", [])):
-        e = _expr(sel)
-        alias = sel.get("alias") or ""
-        if not alias:
-            if isinstance(e, Col):
-                alias = e.name
-            else:
-                alias = f"col{i}"
-        raw_items.append((alias, e))
-    if not raw_items:
+    sel_list = node.get("select_list", [])
+    if len(sel_list) == 1 and sel_list[0].get("class") == "STAR" and not sel_list[0].get("expr"):
+        if sel_list[0].get("exclude_list") or sel_list[0].get("replace_list"):
+            raise Unsupported("star with exclude/replace")
+        star = True
+    else:
+        for i, sel in enumerate(sel_list):
+            e = _expr(sel)
+            alias = sel.get("alias") or ""
+            if not alias:
+                if isinstance(e, Col):
+                    alias = e.name
+                else:
+                    alias = f"col{i}"
+            raw_items.append((alias, e))
+    if not raw_items and not star:
         raise Unsupported("empty select list")
+
+    if star or not any(_contains_agg(e) for _, e in raw_items):
+        # non-aggregate shape → FilterSpec (group-by/having make no sense)
+        if node.get("group_expressions") or node.get("having"):
+            raise Unsupported("group by / having without aggregates")
+        return FilterSpec(
+            table=table,
+            predicate=predicate,
+            items=None if star else tuple(SelectItem(n, e) for n, e in raw_items),
+            order_by=tuple(order_by),
+            limit=limit,
+        )
 
     # group expressions; resolve positional (GROUP BY 1) and alias refs
     group_items: List[SelectItem] = []

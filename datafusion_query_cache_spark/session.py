@@ -91,7 +91,14 @@ class CachedSparkSession:
     def sql(self, query: str) -> DataFrame:
         """Run ``query``; transparently incremental when cache-eligible."""
         try:
-            df, decision = self._plan_cached(query)
+            from .plans.ir import FilterSpec
+            from .plans.parser import parse_query
+
+            spec = parse_query(query)
+            if isinstance(spec, FilterSpec):
+                df, decision = self._plan_filter(spec, query)
+            else:
+                df, decision = self._plan_cached(query, spec)
         except (Unsupported, NotDecomposable) as e:
             decision = Decision(sql=query, cached=False, reason=str(e))
             self.config.log.info("-", f"not cacheable: {e}")
@@ -156,9 +163,144 @@ class CachedSparkSession:
             .collect()[0]["b"]
         )
 
-    def _plan_cached(self, query: str):
+    def _plan_filter(self, spec, query: str):
+        """Simple filter (non-aggregate) query caching — the reference's
+        second unchecked roadmap box (``README.md:130``).
+
+        State is the filtered/projected ROW SET itself (bag-union monoid):
+        refresh appends only rows in ``[watermark, now)`` — O(new data), the
+        same exact window tiling as the aggregate path. With ORDER BY +
+        LIMIT the state is instead the maintained top-k (top-k of
+        ``topk(old) ∪ fresh`` ≡ top-k of the whole history), so the stored
+        state stays k rows no matter how much data flows through.
+        """
         cfg = self.config
-        spec = parse_agg_query(query)
+
+        cls = classify(spec.predicate, cfg.temporal_columns)
+        if cls.verdict is not Verdict.STABLE:
+            raise Unsupported(
+                f"filter predicate not stable: {cls.reason or cls.verdict.value}"
+            )
+        for item in spec.items or ():
+            if classify(item.expr, cfg.temporal_columns).verdict is not Verdict.STABLE:
+                raise Unsupported(f"non-deterministic select item {item.name}")
+        if spec.limit is not None and not spec.order_by:
+            raise Unsupported("LIMIT without ORDER BY selects arbitrary rows")
+
+        ts_col = cfg.default_temporal_column
+        base = self.spark.table(spec.table)
+        if ts_col not in base.columns:
+            raise Unsupported(f"temporal column {ts_col} not in table {spec.table}")
+
+        out_names = (
+            list(base.columns)
+            if spec.items is None
+            else [i.name for i in spec.items]
+        )
+
+        def project(df: DataFrame) -> DataFrame:
+            if spec.items is None:
+                return df
+            return df.select(*[to_column(i.expr).alias(i.name) for i in spec.items])
+
+        def sort_cols():
+            cols = []
+            for o in spec.order_by:
+                if isinstance(o.expr, Col) and o.expr.name in out_names:
+                    name = o.expr.name
+                elif isinstance(o.expr, Lit) and isinstance(o.expr.value, int):
+                    idx = o.expr.value - 1
+                    if not 0 <= idx < len(out_names):
+                        raise Unsupported("order-by position out of range")
+                    name = out_names[idx]
+                else:
+                    for i in spec.items or ():
+                        if i.expr == o.expr:
+                            name = i.name
+                            break
+                    else:
+                        raise Unsupported("order by expression not in select list")
+                c = F.col(name).desc() if o.desc else F.col(name).asc()
+                cols.append(c)
+            return cols
+
+        topk = spec.limit is not None
+        fingerprint = (
+            f"{spec.canon()}|ts={ts_col}|schema={base.schema.simpleString()}"
+        )
+        now_ns = self._now_ns()
+        entry = cfg.cache.entry(fingerprint)
+        pred = to_column(spec.predicate) if spec.predicate is not None else None
+        shadow = f"{ts_col}_ns"
+
+        def bounds(df, lo_ns=None, hi_ns=None):
+            if shadow in base.columns:
+                if lo_ns is not None:
+                    df = df.filter(F.col(shadow) >= F.lit(lo_ns))
+                if hi_ns is not None:
+                    df = df.filter(F.col(shadow) < F.lit(hi_ns))
+            else:
+                if lo_ns is not None:
+                    df = df.filter(
+                        F.col(ts_col) >= F.timestamp_micros(F.lit(-(-lo_ns // 1000)))
+                    )
+                if hi_ns is not None:
+                    df = df.filter(
+                        F.col(ts_col) < F.timestamp_micros(F.lit(-(-hi_ns // 1000)))
+                    )
+            return df
+
+        decision = Decision(
+            sql=query, cached=True, fingerprint=fingerprint, now_ns=now_ns
+        )
+
+        hit = entry.occupied
+        if hit:
+            try:
+                state = entry.get(self.spark)
+                if list(state.columns) != out_names and set(state.columns) != set(
+                    out_names
+                ):
+                    cfg.log.warn(fingerprint, "filter state schema mismatch; recompute")
+                    hit = False
+            except Exception as e:
+                cfg.log.warn(fingerprint, f"filter state unreadable ({e}); recompute")
+                hit = False
+
+        src = base if pred is None else base.filter(pred)
+        if hit:
+            wm_ns = entry.watermark_ns
+            fresh = project(bounds(src, lo_ns=wm_ns, hi_ns=now_ns))
+            if topk:
+                merged = (
+                    state.unionByName(fresh).orderBy(*sort_cols()).limit(spec.limit)
+                )
+                stored = entry.put(now_ns, merged, self.spark)
+            else:
+                stored = entry.append(now_ns, fresh, self.spark)
+            decision.cache_hit = True
+            decision.watermark_ns = wm_ns
+            cfg.log.info(
+                fingerprint, f"filter cache hit: appended rows since {wm_ns}"
+            )
+        else:
+            rows = project(bounds(src, hi_ns=now_ns))
+            if topk:
+                rows = rows.orderBy(*sort_cols()).limit(spec.limit)
+            stored = entry.put(now_ns, rows, self.spark)
+            cfg.log.info(fingerprint, "filter cache miss: materializing rows")
+
+        out = stored
+        if spec.order_by:
+            out = out.orderBy(*sort_cols())
+        if spec.limit is not None:
+            out = out.limit(spec.limit)
+        return out, decision
+
+    def _plan_cached(self, query: str, spec: Optional[AggSpec] = None):
+        cfg = self.config
+        if spec is None:
+            spec = parse_agg_query(query)
 
         if spec.having is not None:
             # HAVING sits above the aggregate, so it never affects cached

@@ -1,0 +1,107 @@
+"""Simple filter (non-aggregate) query caching — reference README.md:130's
+unimplemented checkbox, implemented here as incrementally-appended row sets
+and incrementally-maintained top-k."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def split(spark):
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+
+    def run1():
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_f")
+
+    def run2():
+        ev.createOrReplaceTempView("events_f")
+
+    yield run1, run2, cut_ns
+    spark.catalog.dropTempView("events_f")
+
+
+FILTER_SQL = (
+    "SELECT event_id, event_type, value FROM events_f WHERE value > 100"
+)
+TOPK_SQL = (
+    "SELECT event_id, value FROM events_f WHERE event_type = 'click' "
+    "ORDER BY value DESC, event_id LIMIT 15"
+)
+
+
+def test_filter_rows_incremental(spark, qc, split):
+    run1, run2, cut_ns = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    r1 = qc.sql(FILTER_SQL)
+    assert qc.last_decision.cached and not qc.last_decision.cache_hit
+    assert rows_set(r1) == rows_set(spark.sql(FILTER_SQL))
+
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    r2 = qc.sql(FILTER_SQL)
+    assert qc.last_decision.cache_hit
+    assert rows_set(r2) == rows_set(spark.sql(FILTER_SQL))
+
+
+def test_filter_rows_multiple_refreshes_compact(spark, qc, split):
+    """Many refreshes: parts accumulate and compact; result stays exact."""
+    run1, run2, cut_ns = split
+    ev = spark.table("events")
+    qs = [0.2, 0.4, 0.6, 0.8, 1.0]
+    cuts = [int(ev.approxQuantile("ts_ns", [q], 0.0)[0]) // 1000 * 1000 for q in qs]
+    cuts[-1] = cuts[-1] + 10**12
+    for i, c_ns in enumerate(cuts):
+        c = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=c_ns // 1000)
+        ev.filter(F.col("ts") < F.lit(c)).createOrReplaceTempView("events_f")
+        qc.config.override_now_ns = c_ns
+        out = qc.sql(FILTER_SQL)
+        if i:
+            assert qc.last_decision.cache_hit
+        assert rows_set(out) == rows_set(spark.sql(FILTER_SQL))
+
+
+def test_topk_maintained_incrementally(spark, qc, split):
+    run1, run2, cut_ns = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(TOPK_SQL).collect()
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(TOPK_SQL)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(TOPK_SQL))
+    # state stays k rows, not the whole history
+    state = qc.config.cache.entry(qc.last_decision.fingerprint)
+    assert state.get(spark).count() == 15
+
+
+def test_select_star_cached(spark, qc, split):
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    sql = "SELECT * FROM events_f WHERE value > 400"
+    got = qc.sql(sql)
+    assert qc.last_decision.cached
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_limit_without_order_passthrough(qc, spark):
+    qc.sql("SELECT event_id FROM events LIMIT 5")
+    assert not qc.last_decision.cached
+    assert "LIMIT without ORDER BY" in qc.last_decision.reason
+
+
+def test_volatile_filter_passthrough(qc, spark):
+    qc.sql("SELECT event_id FROM events WHERE value > random()")
+    assert not qc.last_decision.cached
