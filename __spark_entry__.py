@@ -383,6 +383,22 @@ def _op_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the value of that user's most recent purchase at or
+    before the event time (point-in-time enrichment)."""
+    from datafusion_query_cache_spark.operators.asof import asof_join
+
+    _load(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "ts")
+    purchases = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    )
+    out = asof_join(ev, purchases, "ts", "user_id", ["last_purchase_value"])
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
 def _op_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_query_cache_spark.operators.multimodal import (
         extract_features,
@@ -423,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_minhash_pairs": _op_minhash_pairs,
             "op_simhash_pairs": _op_simhash_pairs,
             "op_lsh_cosine_topk": _op_lsh_cosine_topk,
+            "op_asof_join": _op_asof_join,
             "op_media_features": _op_media_features,
         }
     )
@@ -522,6 +539,12 @@ def oracle_sql() -> dict[str, str]:
         "max(md5(substr(text, i::INT, 8))) AS max_shingle_hash "
         "FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text)-6, 2))) AS i "
         "FROM documents) GROUP BY doc_id, text"
+    )
+    o["op_asof_join"] = (
+        "SELECT l.event_id, l.user_id, r.value AS last_purchase_value "
+        "FROM events l ASOF LEFT JOIN "
+        "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
     # op_minhash_pairs / op_simhash_pairs / op_lsh_cosine_topk /
     # op_media_features: hash-function- or UDF-dependent → no SQL oracle

@@ -139,6 +139,58 @@ def main() -> None:
     li_flow(timed_run=True)
     timed("qc_li_plain", lambda: spark.sql(LI_SQL).collect())
 
+    # --- dynamic sliding window (beyond-reference) ---------------------------
+    NOW1 = int(dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    NOW2 = int(dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    DYN_SQL = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
+    )
+
+    def dyn_flow(timed_run: bool) -> None:
+        qcd = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-dyn-")),
+                override_now_ns=NOW1,
+            ),
+        )
+        qcd.sql(DYN_SQL).collect()
+        qcd.config.override_now_ns = NOW2
+        if timed_run:
+            timed("qc_dyn_warm", lambda: qcd.sql(DYN_SQL).collect(), runs=1)
+        else:
+            qcd.sql(DYN_SQL).collect()
+
+    dyn_flow(timed_run=False)
+    dyn_flow(timed_run=True)
+
+    # --- incrementally-maintained top-k filter query -------------------------
+    TOPK_SQL = (
+        "SELECT event_id, value FROM events_bench WHERE event_type = 'click' "
+        "ORDER BY value DESC, event_id LIMIT 100"
+    )
+
+    def topk_flow(timed_run: bool) -> None:
+        qct = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-topk-")),
+                override_now_ns=cut_ns,
+            ),
+        )
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_bench")
+        qct.sql(TOPK_SQL).collect()
+        ev.createOrReplaceTempView("events_bench")
+        qct.config.override_now_ns = cut_ns + 10**17
+        if timed_run:
+            timed("qc_topk_warm", lambda: qct.sql(TOPK_SQL).collect(), runs=1)
+        else:
+            qct.sql(TOPK_SQL).collect()
+
+    topk_flow(timed_run=False)
+    topk_flow(timed_run=True)
+
     # --- inherited SQL surface ----------------------------------------------
     pt = E._PT_SQLS
     timed("pt_tpch_q1", lambda: spark.sql(pt["pt_tpch_q1"]).collect())
