@@ -383,6 +383,16 @@ def _op_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    _load(spark, sf_dir)
+    out = cosine_neardup_pairs(spark.table("embeddings"), threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event, the value of that user's most recent purchase at or
     before the event time (point-in-time enrichment)."""
@@ -439,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_minhash_pairs": _op_minhash_pairs,
             "op_simhash_pairs": _op_simhash_pairs,
             "op_lsh_cosine_topk": _op_lsh_cosine_topk,
+            "op_embed_neardup": _op_embed_neardup,
             "op_asof_join": _op_asof_join,
             "op_media_features": _op_media_features,
         }
@@ -539,6 +550,15 @@ def oracle_sql() -> dict[str, str]:
         "max(md5(substr(text, i::INT, 8))) AS max_shingle_hash "
         "FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text)-6, 2))) AS i "
         "FROM documents) GROUP BY doc_id, text"
+    )
+    o["op_embed_neardup"] = (
+        "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cosine "
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.4"
     )
     o["op_asof_join"] = (
         "SELECT l.event_id, l.user_id, r.value AS last_purchase_value "

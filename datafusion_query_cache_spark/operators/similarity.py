@@ -147,6 +147,66 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, cosine ≥ threshold).
+
+    ``n_planes=0`` → exact brute-force self-join (the oracle path; O(n²)
+    pairs considered, fine up to ~10⁵ vectors). ``n_planes>0`` → LSH
+    blocking: vectors are sign-bucketed by random hyperplanes and only
+    same-bucket pairs are compared — an equi-join on the bucket key, the
+    scale path (a pair at cosine ≥ 0.9 agrees on one hyperplane w.p. ~0.9+,
+    so recall stays high for few planes while pruning ~2^planes).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm_df = df.select(
+        F.col(id_col), v.alias("__v"), norm(v).alias("__n")
+    )
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, n_planes, seed)
+        norm_df = norm_df.withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+        join_keys = ["__bucket"]
+        a = norm_df.select(
+            "__bucket",
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = norm_df.select(
+            "__bucket",
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        pairs = a.join(b, join_keys)
+    else:
+        a = norm_df.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = norm_df.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        pairs = a.crossJoin(b)
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
