@@ -178,6 +178,19 @@ _QC_DYN_SQLS = {
 }
 
 
+def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state cache: approx_count_distinct via mergeable HLL sketches
+    (hll_sketch_agg / hll_union_agg). No DuckDB oracle — estimator outputs
+    differ across engines — so the driver records the rows-only check; exact
+    cross-run correctness is covered by tests/test_cache_behavior.py."""
+    view = "events_qc_approx"
+    sql = (
+        "SELECT event_type, approx_count_distinct(user_id) AS u, "
+        f"count(*) AS n FROM {view} GROUP BY 1 ORDER BY 1"
+    )
+    return _qc_two_run(spark, sf_dir, sql, view)
+
+
 def _mk_qc_dyn(key: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datafusion_query_cache_spark import (
@@ -435,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _mk_qc(key)
     for key in _QC_DYN_SQLS:
         q[key] = _mk_qc_dyn(key)
+    q["qc_approx_distinct"] = _qc_approx_distinct
     for key in _PT_SQLS:
         q[key] = _mk_pt(key)
     q.update(

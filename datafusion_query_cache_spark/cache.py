@@ -183,7 +183,14 @@ class _ParquetEntry(CacheEntry):
         return [os.path.join(self._dir, p) for p in parts]
 
     def get(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(*self._state_paths())
+        # schema from meta.json → no parquet-footer inference at plan time
+        try:
+            from pyspark.sql.types import StructType
+
+            sch = StructType.fromJson(json.loads(self._meta["schema"]))
+            return spark.read.schema(sch).parquet(*self._state_paths())
+        except Exception:
+            return spark.read.parquet(*self._state_paths())
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         os.makedirs(self._dir, exist_ok=True)

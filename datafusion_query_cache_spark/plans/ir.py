@@ -235,8 +235,25 @@ class AggSpec:
         """
         gb = ";".join(f"{s.name}={s.expr.canon()}" for s in self.group_by)
         ag = ";".join(f"{s.name}={s.expr.canon()}" for s in self.aggregates)
-        pred = self.predicate.canon() if self.predicate is not None else "true"
+        pred = canon_predicate(self.predicate)
         return f"Aggregate[table={self.table}|where={pred}|group=[{gb}]|agg=[{ag}]]"
+
+
+def canon_predicate(pred: Optional[Expr]) -> str:
+    """Canonical predicate string with AND-conjuncts sorted — `a>1 AND b=2`
+    and `b=2 AND a>1` fingerprint to the same cache entry. (The reference's
+    plan-string fingerprint does not normalize this; strict improvement —
+    AND is commutative, so semantics are unchanged.)"""
+    if pred is None:
+        return "true"
+
+    def flatten(e: Expr) -> list:
+        if isinstance(e, BinOp) and e.op == "and":
+            return flatten(e.left) + flatten(e.right)
+        return [e]
+
+    parts = sorted(c.canon() for c in flatten(pred))
+    return " and ".join(parts) if len(parts) > 1 else parts[0]
 
 
 @dataclass
@@ -261,7 +278,7 @@ class FilterSpec:
             if self.items is None
             else ";".join(f"{s.name}={s.expr.canon()}" for s in self.items)
         )
-        pred = self.predicate.canon() if self.predicate is not None else "true"
+        pred = canon_predicate(self.predicate)
         ob = ";".join(
             f"{o.expr.canon()}:{'d' if o.desc else 'a'}" for o in self.order_by
         )

@@ -378,9 +378,11 @@ class CachedSparkSession:
         # bounds the fingerprint deliberately EXCLUDES the bound expression:
         # state is bound-independent, so `> now()-1h` and `> now()-7d` share
         # one entry.
+        from .plans.ir import canon_predicate
+
         gb = ";".join(f"{s.name}={s.expr.canon()}" for s in state_group)
         ag = ";".join(f"{s.name}={s.expr.canon()}" for s in spec.aggregates)
-        pred_c = state_pred_expr.canon() if state_pred_expr is not None else "true"
+        pred_c = canon_predicate(state_pred_expr)
         hav = f"|having={spec.having.canon()}" if spec.having is not None else ""
         fingerprint = (
             f"Aggregate[table={spec.table}|where={pred_c}|group=[{gb}]|agg=[{ag}]]"

@@ -163,3 +163,19 @@ def test_memory_cache_roundtrip(qc_mem, spark, split_views):
     got = qc_mem.sql(sql)
     assert qc_mem.last_decision.cache_hit
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_fingerprint_stable_under_conjunct_reorder(qc, spark, split_views):
+    # canon_predicate sorts AND conjuncts: reordered WHERE hits the same entry
+    run1, run2, cut_ns = split_views
+    run2()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(
+        "SELECT count(*) AS n FROM events_split "
+        "WHERE value > 1 AND event_type = 'click'"
+    ).collect()
+    qc.sql(
+        "SELECT count(*) AS n FROM events_split "
+        "WHERE event_type = 'click' AND value > 1"
+    ).collect()
+    assert qc.last_decision.cache_hit
