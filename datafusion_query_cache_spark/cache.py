@@ -192,20 +192,50 @@ class _ParquetEntry(CacheEntry):
         except Exception:
             return spark.read.parquet(*self._state_paths())
 
+    #: Above this many state rows, stop collecting state through the driver
+    #: and use a distributed write instead (the 100 TB / huge-cardinality
+    #: path). Below it, the reference's own strategy — collect the state
+    #: batches into memory (``src/aggregate.rs:595``) — is strictly faster:
+    #: one Spark job, parquet written driver-side via Arrow, and the
+    #: returned DataFrame is a LocalRelation (finalize needs no extra scan).
+    DRIVER_COLLECT_MAX_ROWS = 500_000
+
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         os.makedirs(self._dir, exist_ok=True)
         txid = f"state-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
-        # Single partition for the state file — the reference coalesces to one
-        # partition before the cache store (``src/aggregate.rs:510-527``).
-        # State is one row per group; at 100 TB input it is still only as big
-        # as the group cardinality, so coalesce(1) is safe by construction.
-        state.coalesce(1).write.mode("overwrite").parquet(path)
+        prev_rows = (self._meta or {}).get("rows")
+        use_driver = (
+            prev_rows is None or prev_rows <= self.DRIVER_COLLECT_MAX_ROWS
+        )
+        result: Optional[DataFrame] = None
+        n_rows: Optional[int] = None
+        if use_driver:
+            try:
+                import pyarrow.parquet as pq
+
+                tbl = state.toArrow()
+                n_rows = tbl.num_rows
+                if n_rows <= self.DRIVER_COLLECT_MAX_ROWS:
+                    os.makedirs(path, exist_ok=True)
+                    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+                    result = spark.createDataFrame(tbl.to_pandas(), schema=state.schema)
+                else:  # guessed wrong: state grew past the cap — spill path
+                    shutil.rmtree(path, ignore_errors=True)
+                    result = None
+            except Exception:
+                result = None
+        if result is None:
+            # distributed write; single partition per the reference's
+            # CoalescePartitions-before-store (``src/aggregate.rs:510-527``)
+            state.coalesce(1).write.mode("overwrite").parquet(path)
+            result = spark.read.parquet(path)
         meta = {
             "fingerprint": self._fp,
             "watermark_ns": watermark_ns,
             "state": txid,
             "schema": state.schema.json(),
+            "rows": n_rows,
             "written_at": time.time(),
         }
         tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
@@ -218,7 +248,7 @@ class _ParquetEntry(CacheEntry):
             for p in old.get("parts") or [old.get("state", "")]:
                 if p and p != txid:
                     shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
-        return spark.read.parquet(path)
+        return result
 
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession

@@ -1,0 +1,105 @@
+"""Cache backend behavior: adaptive put paths, multi-temporal config,
+source format helpers."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+def test_put_falls_back_to_distributed_write(spark, tmp_path, monkeypatch):
+    """State above the driver-collect cap must take the distributed write
+    path and still round-trip correctly."""
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 10)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-big")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    stored = entry.put(123, df, spark)
+    assert stored.count() == 1000
+    # second put sees rows=None→... meta rows recorded as None on spill;
+    # re-open entry and read back
+    e2 = cache.entry("fp-big")
+    assert e2.occupied and e2.watermark_ns == 123
+    assert e2.get(spark).count() == 1000
+
+
+def test_put_driver_path_small_state(spark, tmp_path):
+    from datafusion_query_cache_spark.cache import ParquetQueryCache
+
+    cache = ParquetQueryCache(str(tmp_path / "c2"))
+    entry = cache.entry("fp-small")
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 1.5).alias("v"))
+    stored = entry.put(7, df, spark)
+    assert rows_set(stored) == rows_set(df)
+    # driver path records the row count in meta
+    e2 = cache.entry("fp-small")
+    assert e2._meta.get("rows") == 5
+    assert rows_set(e2.get(spark)) == rows_set(df)
+
+
+def test_extra_temporal_columns(spark, tmp_path):
+    """A second temporal column via config: lineitem cached on l_shipdate."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    cut = dt.datetime(2000, 1, 1)
+    cut_ns = int(cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    li = spark.table("lineitem")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "li")),
+            default_temporal_column="ts",
+            extra_temporal_columns=frozenset({"l_shipdate"}),
+            override_now_ns=cut_ns,
+        ),
+    )
+    sql = (
+        "SELECT l_returnflag, date_trunc('month', l_shipdate) AS m, "
+        "count(*) AS n FROM lineitem_t GROUP BY 1, 2"
+    )
+    li.filter(F.col("l_shipdate") < F.lit(cut)).createOrReplaceTempView("lineitem_t")
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    li.createOrReplaceTempView("lineitem_t")
+    qc.config.override_now_ns = cut_ns + 10**18
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    spark.catalog.dropTempView("lineitem_t")
+
+
+def test_format_helpers(spark, tmp_path):
+    from datafusion_query_cache_spark.sources.formats import (
+        register_csv,
+        register_json,
+        write_partitioned_parquet,
+    )
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,v\n1,2.5\n2,3.5\n")
+    register_csv(spark, "csv_fmt_t", str(p))
+    assert spark.sql("SELECT sum(v) AS s FROM csv_fmt_t").collect()[0]["s"] == 6.0
+
+    j = tmp_path / "t.jsonl"
+    j.write_text('{"id":1}\n{"id":2}\n{"id":3}\n')
+    register_json(spark, "json_fmt_t", str(j))
+    assert spark.sql("SELECT count(*) AS n FROM json_fmt_t").collect()[0]["n"] == 3
+
+    src = spark.range(100).withColumn("part", F.col("id") % 4)
+    write_partitioned_parquet(src, str(tmp_path / "pp"), ["part"])
+    back = spark.read.parquet(str(tmp_path / "pp"))
+    assert back.filter(F.col("part") == 2).count() == 25
