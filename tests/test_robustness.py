@@ -1,0 +1,116 @@
+"""Robustness: skew salting, concurrent writers, decimals, DDL passthrough."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+def test_salted_aggregate_matches_direct(spark):
+    from datafusion_query_cache_spark.operators.skew import salted_aggregate
+    from datafusion_query_cache_spark.plans.ir import AggCall, Col, Star
+
+    ev = spark.table("events")
+    got = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": AggCall("count", (Star(),)),
+            "s": AggCall("sum", (Col("value"),)),
+            "a": AggCall("avg", (Col("value"),)),
+            "mx": AggCall("max", (Col("value"),)),
+        },
+        buckets=8,
+    )
+    expect = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.avg("value").alias("a"),
+        F.max("value").alias("mx"),
+    )
+    assert rows_set(got) == rows_set(expect)
+
+
+def test_concurrent_sessions_share_cache(spark, tmp_path):
+    """Two sessions on one cache dir: last-write-wins, reads never break
+    (the reference's benign race, SURVEY §4.4.8)."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    root = str(tmp_path / "shared")
+    now = int(dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    qc1 = CachedSparkSession(
+        spark, QueryCacheConfig(cache=ParquetQueryCache(root), override_now_ns=now)
+    )
+    qc2 = CachedSparkSession(
+        spark, QueryCacheConfig(cache=ParquetQueryCache(root), override_now_ns=now)
+    )
+    sql = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+    a = rows_set(qc1.sql(sql))
+    b = rows_set(qc2.sql(sql))  # hits the entry qc1 just wrote
+    assert qc2.last_decision.cache_hit
+    assert a == b
+    # interleaved refreshes keep serving consistent results
+    qc1.config.override_now_ns = now + 10**12
+    qc2.config.override_now_ns = now + 2 * 10**12
+    assert rows_set(qc1.sql(sql)) == a
+    assert rows_set(qc2.sql(sql)) == a
+
+
+def test_decimal_inputs_cached_correctly(spark, tmp_path):
+    """Decimal sum/avg through the partial-state algebra must match plain
+    Spark (precision/scale promotion is the trap)."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, i % 24), f"{i}.{i%100:02d}")
+        for i in range(1, 200)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, amt string").withColumn(
+        "amt", F.col("amt").cast("decimal(12,2)")
+    )
+    df.createOrReplaceTempView("dec_t")
+    now = int(dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "dec")), override_now_ns=now
+        ),
+    )
+    sql = (
+        "SELECT date_trunc('hour', ts) AS h, sum(amt) AS s, avg(amt) AS a, "
+        "count(*) AS n FROM dec_t GROUP BY 1"
+    )
+    got = qc.sql(sql)
+    if not qc.last_decision.cached:
+        pytest.skip(f"decimals not cacheable: {qc.last_decision.reason}")
+    expect = spark.sql(sql)
+    g, e = rows_set(got), rows_set(expect)
+    if g != e:
+        # surface the divergence loudly — caching decimals must be exact
+        assert g == e, f"decimal divergence: {g[:2]} vs {e[:2]}"
+    # run 2 must also be exact
+    qc.config.override_now_ns = now + 10**12
+    assert rows_set(qc.sql(sql)) == e
+
+
+def test_ddl_and_commands_pass_through(qc, spark):
+    qc.sql("CREATE OR REPLACE TEMP VIEW ddl_probe AS SELECT 1 AS one")
+    assert not qc.last_decision.cached
+    assert spark.table("ddl_probe").collect()[0]["one"] == 1
+    qc.sql("DROP VIEW ddl_probe")
+    assert not qc.last_decision.cached
