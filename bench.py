@@ -226,6 +226,27 @@ def main() -> None:
     timed("op_lang_id", lambda: lang_id(docs).count())
     timed("op_quality", lambda: quality_features(docs).count())
 
+    from datafusion_query_cache_spark.operators.asof import asof_join
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        ivf_topk,
+        ivf_train,
+    )
+
+    ev_small = spark.table("events").select("event_id", "user_id", "ts")
+    purch = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("pv"))
+    )
+    timed("op_asof_join", lambda: asof_join(ev_small, purch, "ts", "user_id", ["pv"]).count())
+    timed(
+        "op_embed_neardup",
+        lambda: cosine_neardup_pairs(emb, threshold=0.4, n_planes=4).count(),
+    )
+    cents = ivf_train(emb, k=8, iters=2)
+    timed("op_ivf_topk", lambda: ivf_topk(emb, qvec, cents, k=10, nprobe=4).collect())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)

@@ -207,6 +207,81 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    sample_rows: int = 100_000,
+) -> List[List[float]]:
+    """Train IVF coarse-quantizer centroids with Lloyd's k-means, expressed
+    as DataFrame ops: assign (JVM-side argmin) → per-(cell, dim) mean via
+    posexplode + groupBy (map-side combine; shuffles k·dim tiny partials) →
+    rebuild centroids driver-side (k·dim floats — negligible).
+
+    On a 100 TB corpus you train on a bounded sample (``sample_rows``) —
+    standard practice; assignment of the full corpus stays distributed.
+    """
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v")).limit(
+        sample_rows
+    )
+    base = base.persist()
+    init = base.limit(k).collect()
+    cents = [list(r["__v"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(f"not enough vectors ({len(cents)}) for k={k}")
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(base, cents, "__v")
+        stats = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col("__v")).alias("pos", "val")
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep their centroid
+        acc: dict = {}
+        for r in stats:
+            acc.setdefault(r["ivf_cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        for cell, vec in acc.items():
+            new[cell] = vec
+        cents = new
+    base.unpersist()
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-probed approximate top-k: scan only the ``nprobe`` cells nearest
+    the query (chosen driver-side against the tiny centroid table), then
+    exact cosine within them. With a corpus physically partitioned by
+    ``ivf_cell`` the probe reads nprobe/k of the data."""
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: l2(query_vec, centroids[i]))
+    probe = order[:nprobe]
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("ivf_cell").isin(probe))
+        .select(F.col(id_col), cosine(v, q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

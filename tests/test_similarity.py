@@ -1,0 +1,79 @@
+"""Similarity-search operator tests: brute/LSH/IVF consistency + recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.table("embeddings")
+
+
+def topk_ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_brute_topk_self_is_first(spark, emb):
+    from datafusion_query_cache_spark.operators.similarity import cosine_topk
+
+    q = emb.filter("vec_id = 3").collect()[0]["embedding"]
+    ids = topk_ids(cosine_topk(emb, q, k=5))
+    assert ids[0] == 3  # cosine(self) == 1.0
+
+
+def test_topk_join_matches_single(spark, emb):
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_join,
+    )
+
+    queries = emb.filter("vec_id IN (0, 7)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    joined = cosine_topk_join(emb, queries, k=5)
+    for qid in (0, 7):
+        qv = emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]
+        single = topk_ids(cosine_topk(emb, qv, k=5))
+        multi = [
+            r["vec_id"]
+            for r in joined.filter(F.col("query_id") == qid)
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .collect()
+        ]
+        assert single == multi
+
+
+def test_ivf_train_and_probe_recall(spark, emb):
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    cents = ivf_train(emb, k=8, iters=3)
+    assert len(cents) == 8 and len(cents[0]) == 64
+
+    assigned = ivf_assign(emb, cents)
+    cells = assigned.groupBy("ivf_cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    assert all(0 <= r["ivf_cell"] < 8 for r in cells)
+
+    q = emb.filter("vec_id = 11").collect()[0]["embedding"]
+    exact = set(topk_ids(cosine_topk(emb, q, k=10)))
+    approx = set(topk_ids(ivf_topk(emb, q, cents, k=10, nprobe=4)))
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_lsh_topk_subset_of_corpus(spark, emb):
+    from datafusion_query_cache_spark.operators.similarity import cosine_topk_lsh
+
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    out = cosine_topk_lsh(emb, q, k=10, n_planes=4)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0]["vec_id"] == 0  # query's own bucket contains itself
