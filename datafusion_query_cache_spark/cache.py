@@ -28,6 +28,7 @@ import threading
 import time
 import uuid
 from abc import ABC, abstractmethod
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -294,6 +295,15 @@ class _ParquetEntry(CacheEntry):
         return spark.read.parquet(*[os.path.join(self._dir, p) for p in parts])
 
 
+@dataclass
+class EntryInfo:
+    fingerprint: str
+    watermark_ns: Optional[int]
+    rows: Optional[int]
+    written_at: Optional[float]
+    path: Optional[str] = None
+
+
 class ParquetQueryCache(QueryCache):
     """Durable cache: one directory per fingerprint hash under ``root``.
 
@@ -311,3 +321,38 @@ class ParquetQueryCache(QueryCache):
 
     def entry(self, fingerprint: str) -> CacheEntry:
         return _ParquetEntry(self.root, fingerprint)
+
+    def entries(self) -> List[EntryInfo]:
+        """Inventory of live entries (the reference's ``display()``,
+        ``src/cache.rs:138-170``, as structured data)."""
+        out: List[EntryInfo] = []
+        for d in sorted(os.listdir(self.root)):
+            meta_path = os.path.join(self.root, d, "meta.json")
+            try:
+                with open(meta_path) as f:
+                    m = json.load(f)
+                out.append(
+                    EntryInfo(
+                        fingerprint=m.get("fingerprint", "?"),
+                        watermark_ns=m.get("watermark_ns"),
+                        rows=m.get("rows"),
+                        written_at=m.get("written_at"),
+                        path=os.path.join(self.root, d),
+                    )
+                )
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def clear(self, older_than_seconds: Optional[float] = None) -> int:
+        """Drop entries (all, or only those not refreshed within the window).
+        Returns the number removed. Concurrent readers of a removed entry
+        self-heal as a miss (same guarantee as corruption recovery)."""
+        removed = 0
+        cutoff = time.time() - older_than_seconds if older_than_seconds else None
+        for info in self.entries():
+            if cutoff is not None and (info.written_at or 0) >= cutoff:
+                continue
+            shutil.rmtree(info.path, ignore_errors=True)
+            removed += 1
+        return removed

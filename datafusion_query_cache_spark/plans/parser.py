@@ -302,6 +302,10 @@ def parse_query(sql: str):
                     alias = e.name
                 else:
                     alias = f"col{i}"
+            if alias.startswith("__qc"):
+                # reserved prefix: state column names (__qc{i}_*) and the
+                # hidden HAVING item (__qc_having) would collide
+                raise Unsupported(f"alias {alias} uses reserved __qc prefix")
             raw_items.append((alias, e))
     if not raw_items and not star:
         raise Unsupported("empty select list")

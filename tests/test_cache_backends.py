@@ -103,3 +103,20 @@ def test_format_helpers(spark, tmp_path):
     write_partitioned_parquet(src, str(tmp_path / "pp"), ["part"])
     back = spark.read.parquet(str(tmp_path / "pp"))
     assert back.filter(F.col("part") == 2).count() == 25
+
+
+def test_cache_entries_and_clear(spark, tmp_path):
+    from datafusion_query_cache_spark.cache import ParquetQueryCache
+
+    cache = ParquetQueryCache(str(tmp_path / "inv"))
+    d1 = spark.range(3).select(F.col("id"))
+    cache.entry("fp-a").put(1, d1, spark)
+    cache.entry("fp-b").put(2, d1, spark)
+    infos = cache.entries()
+    assert {i.fingerprint for i in infos} == {"fp-a", "fp-b"}
+    assert all(i.watermark_ns in (1, 2) for i in infos)
+    # age-based clear with a future cutoff removes nothing
+    assert cache.clear(older_than_seconds=3600) == 0
+    # full clear removes both; entries self-heal as vacant
+    assert cache.clear() == 2
+    assert not cache.entry("fp-a").occupied

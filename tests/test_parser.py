@@ -96,3 +96,8 @@ def test_canon_distinguishes_literals():
     a = parse_agg_query("SELECT count(*) AS n FROM events WHERE value > 1")
     b = parse_agg_query("SELECT count(*) AS n FROM events WHERE value > 2")
     assert a.canon() != b.canon()
+
+
+def test_reserved_alias_rejected():
+    with pytest.raises(Unsupported):
+        parse_agg_query("SELECT count(*) AS __qc0_cnt FROM events")
