@@ -32,7 +32,13 @@ SF0001 = "/root/testdata/sf0.001"
 # helpers
 
 
+_LOADED: dict = {}
+
+
 def _load(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if _LOADED.get(key):
+        return
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -40,6 +46,7 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
     from datafusion_query_cache_spark.sources.tables import register_testdata
 
     register_testdata(spark, sf_dir)
+    _LOADED[key] = True
 
 
 def _qc_two_run(spark: SparkSession, sf_dir: str, sql: str, view: str) -> DataFrame:

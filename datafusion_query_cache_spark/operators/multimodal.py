@@ -113,6 +113,54 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("meta", IMAGE_META),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize via ``mapInPandas`` — production signature, stubbed codec.
+
+    The fake 'resize' deterministically re-samples the byte stream to
+    ``width*height`` bytes (stride sampling), standing in for
+    ``PIL.Image.resize``; metadata is updated for real. Partition sizing
+    note: resized batches shrink memory, but the INPUT batch must fit —
+    bound ``spark.sql.files.maxPartitionBytes`` by the largest source media.
+    """
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_data = []
+            for d in pdf["data"]:
+                if d is None:
+                    out_data.append(None)
+                elif len(d) == 0:
+                    out_data.append(b"")
+                else:
+                    # REAL decode+resize goes here (PIL/ffmpeg unavailable):
+                    # stride-sample bytes to the target size, deterministic
+                    step = max(len(d) // target, 1)
+                    out_data.append(bytes(d[::step][:target]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": out_data,
+                    "meta": [
+                        {"width": width, "height": height, "format": "fake/resized"}
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: pure-metadata expansion of frame indices
     (JVM-side sequence/explode); the per-frame decode would run in a
