@@ -265,6 +265,21 @@ _PT_SQLS = {
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "pt_setops": (
+        "SELECT o_custkey AS k FROM orders INTERSECT "
+        "SELECT c_custkey AS k FROM customer ORDER BY k"
+    ),
+    "pt_tpch_q3": (
+        "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+        "AS revenue, o.o_orderdate "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND l.l_shipdate > TIMESTAMP '1997-01-01' "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
     "pt_conditional_agg": (
         "SELECT o_orderpriority, "
         "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
@@ -403,6 +418,21 @@ def _op_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _pt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props column — dialects
+    differ (get_json_object vs json_extract_string) so the Spark and oracle
+    SQL strings are intentionally distinct but semantically identical."""
+    _load(spark, sf_dir)
+    from datafusion_query_cache_spark import CachedSparkSession
+
+    qc = CachedSparkSession(spark)
+    return qc.sql(
+        "SELECT event_type, "
+        "sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sk, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_query_cache_spark.operators.similarity import (
         cosine_neardup_pairs,
@@ -470,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_minhash_pairs": _op_minhash_pairs,
             "op_simhash_pairs": _op_simhash_pairs,
             "op_lsh_cosine_topk": _op_lsh_cosine_topk,
+            "pt_json_extract": _pt_json_extract,
             "op_embed_neardup": _op_embed_neardup,
             "op_asof_join": _op_asof_join,
             "op_media_features": _op_media_features,
@@ -571,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
         "max(md5(substr(text, i::INT, 8))) AS max_shingle_hash "
         "FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text)-6, 2))) AS i "
         "FROM documents) GROUP BY doc_id, text"
+    )
+    o["pt_json_extract"] = (
+        "SELECT event_type, "
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sk, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
     o["op_embed_neardup"] = (
         "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, "

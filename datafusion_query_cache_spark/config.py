@@ -9,7 +9,7 @@ default temporal column + extras, the allowed temporal group-by function set
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import FrozenSet, Optional
+from typing import FrozenSet, Mapping, Optional
 
 from .cache import MemoryQueryCache, QueryCache
 from .log import AbstractLog, LogNoOp
@@ -32,6 +32,12 @@ class QueryCacheConfig:
     #: README.md:131-132): full buckets above the boundary are answered from
     #: state; the boundary bucket is recomputed from raw rows.
     dynamic_granularity: str = "hour"
+    #: temporal column → physical partition column (e.g. ``{"ts": "d"}`` for
+    #: a table partitioned by the event date). When set, watermark bounds are
+    #: ALSO applied to the partition column so the refresh scan prunes whole
+    #: partitions (PartitionFilters), not just row groups — the difference
+    #: between listing 3 partitions and listing 3 years of them at 100 TB.
+    temporal_partition_columns: Mapping[str, str] = field(default_factory=dict)
     log: AbstractLog = field(default_factory=LogNoOp)
 
     @property

@@ -469,6 +469,21 @@ class CachedSparkSession:
                     df = df.filter(
                         F.col(ts_col) < F.timestamp_micros(F.lit(-(-hi_ns // 1000)))
                     )
+            # partition-level bounds: redundant with the row bounds above
+            # (a date-partition column is a coarsening of ts), but they are
+            # plain comparisons on the PARTITION column → whole partitions
+            # prune before any file is opened (config.temporal_partition_columns)
+            pc = cfg.temporal_partition_columns.get(ts_col)
+            if pc and pc in base.columns:
+                import datetime as _dt
+
+                epoch = _dt.datetime(1970, 1, 1)
+                if lo_ns is not None:
+                    lo_d = (epoch + _dt.timedelta(microseconds=lo_ns // 1000)).date()
+                    df = df.filter(F.col(pc) >= F.lit(lo_d))
+                if hi_ns is not None:
+                    hi_d = (epoch + _dt.timedelta(microseconds=hi_ns // 1000)).date()
+                    df = df.filter(F.col(pc) <= F.lit(hi_d))
             return df
 
         hit = entry.occupied

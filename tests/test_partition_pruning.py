@@ -1,0 +1,102 @@
+"""Partition-aware watermark bounds: the refresh scan must prune whole
+partitions on a date-partitioned table (config.temporal_partition_columns)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pe") / "events_part")
+    ev = spark.table("events")
+    ev.withColumn("d", F.to_date("ts")).write.partitionBy("d").parquet(path)
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView("events_part")
+    return path
+
+
+def test_partitioned_refresh_prunes_partitions(spark, tmp_path, partitioned_events):
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    cut = dt.datetime(2024, 1, 25)
+    cut_ns = int(cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "pc")),
+            override_now_ns=cut_ns,
+            temporal_partition_columns={"ts": "d"},
+        ),
+    )
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events_part GROUP BY 1"
+    )
+    qc.sql(sql).collect()
+
+    # capture the fresh-scan plan of the refresh via the store-back hook
+    import datafusion_query_cache_spark.cache as C
+
+    captured = {}
+    orig = C._ParquetEntry.put
+
+    def spy(self, wm, state, sp):
+        captured["plan"] = state._jdf.queryExecution().executedPlan().toString()
+        return orig(self, wm, state, sp)
+
+    C._ParquetEntry.put = spy
+    try:
+        qc.config.override_now_ns = cut_ns + 10**17
+        got = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+    finally:
+        C._ParquetEntry.put = orig
+
+    plan = captured["plan"]
+    # at least one scan (the fresh events_part side) must carry partition
+    # filters on d — the cached-state scan legitimately has none
+    segs = [p.split("]", 1)[0] for p in plan.split("PartitionFilters: [")[1:]]
+    assert any("d#" in s for s in segs), f"no partition filters in: {segs}"
+    # and results stay exact
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_partitioned_results_exact_over_refreshes(spark, tmp_path, partitioned_events):
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    sql = "SELECT count(*) AS n, round(sum(value), 2) AS s FROM events_part"
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "pc2")),
+            temporal_partition_columns={"ts": "d"},
+        ),
+    )
+    for cut_day in (10, 20, 31):
+        cut_ns = int(
+            dt.datetime(2024, 1, cut_day, tzinfo=dt.timezone.utc).timestamp() * 1e9
+        )
+        qc.config.override_now_ns = cut_ns
+        got = qc.sql(sql)
+        expect = spark.sql(
+            sql.replace(
+                "FROM events_part",
+                f"FROM events_part WHERE ts < TIMESTAMP '2024-01-{cut_day:02d}'",
+            )
+        )
+        assert rows_set(got) == rows_set(expect)
