@@ -120,3 +120,36 @@ def test_cache_entries_and_clear(spark, tmp_path):
     # full clear removes both; entries self-heal as vacant
     assert cache.clear() == 2
     assert not cache.entry("fp-a").occupied
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Co-located bucketed tables join with ZERO exchanges — the recurring
+    big-join answer at scale (sources/bucketing.py)."""
+    import os
+
+    from datafusion_query_cache_spark.sources.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+        od = spark.table("orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "bk_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+        write_bucketed(
+            od.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "bk_orders",
+            ["l_orderkey"],
+            8,
+            ["l_orderkey"],
+        )
+        j = colocated_join(spark, "bk_lineitem", "bk_orders", ["l_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan[:400]
+        assert j.count() == spark.table("lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
