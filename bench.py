@@ -100,6 +100,18 @@ def main() -> None:
     qc_flow(timed_run=True)
     timed("qc_plain", lambda: spark.sql(FLAGSHIP).collect())
 
+    # hot read: query re-runs with no new data (now unchanged) — state only
+    qh = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-hot-")),
+            override_now_ns=cut_ns,
+        ),
+    )
+    ev.createOrReplaceTempView("events_bench")
+    qh.sql(FLAGSHIP).collect()
+    timed("qc_hot", lambda: qh.sql(FLAGSHIP).collect())
+
     # --- bigger cached aggregate: lineitem (6x events rows) ------------------
     li = spark.table("lineitem")
     # l_shipdate is ms-precision TimestampType (quantile unsupported on

@@ -501,7 +501,18 @@ class CachedSparkSession:
                 cfg.log.warn(fingerprint, f"cached state unreadable ({e}); recomputing")
                 hit = False
 
-        if hit:
+        if hit and entry.watermark_ns is not None and now_ns <= entry.watermark_ns:
+            # hot read: the refresh window [wm, now) is provably empty, so
+            # the stored state already answers as-of now — no scan, no
+            # store-back, one tiny local job. (Queries re-run faster than
+            # data arrives — the reference's repeated-dashboard case — pay
+            # only the state read.)
+            decision.cache_hit = True
+            decision.watermark_ns = entry.watermark_ns
+            cfg.log.info(fingerprint, "cache hit: fresh window empty, serving state")
+            merged = None
+            hot_state = cached_state
+        elif hit:
             wm_ns = entry.watermark_ns
             fresh = base
             if pred is not None:
@@ -557,7 +568,8 @@ class CachedSparkSession:
         # run 1 populates and run N refreshes, ``src/aggregate.rs:399``); we
         # store *merged* (compacted) state — SURVEY §3.3 improvement — and
         # finalize from the stored copy so the source is scanned exactly once.
-        stored = entry.put(now_ns, merged, self.spark)
+        # (hot reads — empty refresh window — skip the store entirely.)
+        stored = hot_state if merged is None else entry.put(now_ns, merged, self.spark)
 
         if dyn_bound is not None:
             # evaluate the bound once at plan time (reference captures "now"

@@ -179,3 +179,26 @@ def test_fingerprint_stable_under_conjunct_reorder(qc, spark, split_views):
         "WHERE event_type = 'click' AND value > 1"
     ).collect()
     assert qc.last_decision.cache_hit
+
+
+def test_hot_read_skips_scan_and_store(spark, qc, split_views):
+    """now <= watermark → the refresh window is provably empty: serve from
+    state with no scan and no store-back."""
+    import glob
+    import os
+
+    run1, run2, cut_ns = split_views
+    run2()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FLAGSHIP).collect()
+    state_dirs = glob.glob(str(qc.config.cache.root) + "/*/state-*")
+    # same now (not advanced): hot read
+    got = qc.sql(FLAGSHIP)
+    assert qc.last_decision.cache_hit
+    assert qc.last_decision.observation is None  # no fresh scan happened
+    assert glob.glob(str(qc.config.cache.root) + "/*/state-*") == state_dirs
+    assert any("fresh window empty" in m for m in qc.config.log.messages())
+    # correctness: as-of now=cut ≡ plain query over the pre-cut slice
+    run1()
+    assert rows_set(got) == rows_set(spark.sql(FLAGSHIP))
+    run2()
