@@ -280,6 +280,16 @@ _PT_SQLS = {
         "GROUP BY o.o_orderkey, o.o_orderdate "
         "ORDER BY revenue DESC, o_orderkey LIMIT 10"
     ),
+    "pt_anti_join": (
+        "SELECT c.c_mktsegment, count(*) AS n FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "pt_except": (
+        "SELECT c_custkey AS k FROM customer EXCEPT "
+        "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000 ORDER BY k"
+    ),
     "pt_conditional_agg": (
         "SELECT o_orderpriority, "
         "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f, "

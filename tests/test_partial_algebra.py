@@ -148,3 +148,36 @@ def test_merge_idempotent_names():
     dec = decompose_agg(AggCall("avg", (Col("v"),)), "7")
     assert set(dec.partial.keys()) == set(dec.merge.keys())
     assert all(n.startswith("__qc7_") for n in dec.partial)
+
+
+@pytest.mark.parametrize("agg", AGGS, ids=lambda a: "sgl-" + a.canon())
+def test_singleton_equals_partial(spark, agg):
+    """The singleton-row path (used by the one-shuffle warm refresh) must
+    produce the same state as an explicit partial aggregate."""
+    dec = decompose_agg(agg, "0")
+    if dec.singleton is None:
+        pytest.skip("no singleton form")
+    d1 = [(0, 1.5), (0, None), (1, -2.0), (1, 7.25), (2, 0.0)]
+    d2 = [(0, 3.125), (2, None), (3, 9.0)]
+    schema = "g int, v double"
+    df1 = spark.createDataFrame(pd.DataFrame(d1, columns=["g", "v"]), schema)
+    df2 = spark.createDataFrame(pd.DataFrame(d2, columns=["g", "v"]), schema)
+
+    p1 = df1.groupBy("g").agg(*[c.alias(n) for n, c in dec.partial.items()])
+    dtypes = {f.name: f.dataType for f in p1.schema.fields}
+    s2 = df2.select(
+        "g", *[c.cast(dtypes[n]).alias(n) for n, c in dec.singleton.items()]
+    )
+    via_singleton = (
+        p1.unionByName(s2)
+        .groupBy("g")
+        .agg(*[c.alias(n) for n, c in dec.merge.items()])
+        .select("g", dec.finalize.alias("r"))
+    )
+    truth = (
+        df1.unionByName(df2).groupBy("g").agg(spark_truth_expr(agg).alias("r"))
+    )
+    key = lambda r: r["g"]
+    assert_rows_close(
+        sorted(via_singleton.collect(), key=key), sorted(truth.collect(), key=key)
+    )
