@@ -79,8 +79,50 @@ def _sum_compat(col: Column) -> Column:
     return F.sum(col)
 
 
-def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
-    """Decompose one aggregate call. ``tag`` makes state names unique."""
+def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
+    """(precision, scale) when ``expr`` is decimal-typed, else None.
+
+    Only simple shapes resolve (bare column, cast); any other expression
+    over a decimal column raises NotDecomposable — the caller passes the
+    query through rather than risk a wrong output type.
+    """
+    if schema is None:
+        return None
+    from pyspark.sql.types import DecimalType
+
+    from ..plans.ir import Cast as _Cast, Col as _Col
+
+    dec_cols = {
+        f.name: (f.dataType.precision, f.dataType.scale)
+        for f in schema.fields
+        if isinstance(f.dataType, DecimalType)
+    }
+    if not dec_cols:
+        return None
+    if isinstance(expr, _Col):
+        return dec_cols.get(expr.name)
+    if isinstance(expr, _Cast):
+        if expr.to_type.upper() == "DECIMAL":
+            return (38, 9)
+        return None  # cast away from decimal → target type governs
+    for leaf in expr.walk():
+        if isinstance(leaf, _Col) and leaf.name in dec_cols:
+            raise NotDecomposable(
+                f"decimal column {leaf.name} inside a composite aggregate argument"
+            )
+    return None
+
+
+def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
+    """Decompose one aggregate call. ``tag`` makes state names unique.
+
+    ``schema`` (optional source StructType) enables typed handling of
+    decimal inputs: the reference inherits decimal partial states from
+    DataFusion for free; here sum/avg pin their state at decimal(38, s) —
+    idempotent across refreshes, no precision creep — and finalize casts to
+    Spark's exact output type (sum → decimal(min(38, p+10), s), avg →
+    decimal(min(38, p+4), s+4), HALF_UP like Spark's own Average).
+    """
     fn = agg.fn.lower()
     if agg.distinct and fn not in ("approx_count_distinct",):
         raise NotDecomposable(f"{fn}(DISTINCT) has no mergeable state")
@@ -90,7 +132,55 @@ def decompose_agg(agg: AggCall, tag: str) -> Decomposition:
             raise NotDecomposable(f"{fn} requires a column argument")
         return to_column(agg.args[0])
 
+    def arg0_decimal() -> Optional[Tuple[int, int]]:
+        if not agg.args or isinstance(agg.args[0], Star):
+            return None
+        return _resolve_decimal(agg.args[0], schema)
+
     s = lambda kind: f"__qc{tag}_{kind}"
+
+    if fn in ("sum", "avg", "product") and (ps := arg0_decimal()) is not None:
+        p, sc = ps
+        if fn == "product":
+            raise NotDecomposable("product over decimal input")
+        a = arg0()
+        state_t = f"decimal(38,{sc})"
+        if fn == "sum":
+            nm = s("sum")
+            out_t = f"decimal({min(38, p + 10)},{sc})"
+            return Decomposition(
+                partial={nm: F.sum(a).cast(state_t)},
+                merge={nm: F.sum(F.col(nm)).cast(state_t)},
+                finalize=F.col(nm).cast(out_t),
+                singleton={nm: a},  # session casts to stored state dtype
+            )
+        sm, ct = s("sum"), s("cnt")
+        out_t = f"decimal({min(38, p + 4)},{min(38, sc + 4)})"
+        return Decomposition(
+            partial={sm: F.sum(a).cast(state_t), ct: F.count(a)},
+            merge={sm: F.sum(F.col(sm)).cast(state_t), ct: F.sum(F.col(ct))},
+            finalize=(F.col(sm) / F.col(ct)).cast(out_t),
+            singleton={
+                sm: a,
+                ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
+            },
+        )
+    if fn in (
+        "min",
+        "max",
+        "count",
+        "min_by",
+        "max_by",
+        "arg_min",
+        "arg_max",
+        "array_agg",
+    ):
+        pass  # type-preserving aggregates: decimals are safe untyped
+    elif schema is not None and agg.args and not isinstance(agg.args[0], Star):
+        # var/corr/etc cast to double internally — fine; but composite
+        # decimal expressions inside args still raise via _resolve_decimal
+        for a_expr in agg.args:
+            _resolve_decimal(a_expr, schema)
 
     if fn == "count":
         n = s("cnt")
@@ -383,7 +473,7 @@ def _has_agg(e: Expr) -> bool:
     return any(isinstance(n, AggCall) for n in e.walk())
 
 
-def plan_items(items: Tuple[SelectItem, ...]) -> List[ItemPlan]:
+def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
     """Build per-item plans; identical AggCalls share state columns."""
     plans: List[ItemPlan] = []
     seen: Dict[str, Tuple[AggCall, Decomposition]] = {}
@@ -399,7 +489,7 @@ def plan_items(items: Tuple[SelectItem, ...]) -> List[ItemPlan]:
             if key in seen:
                 dec = seen[key][1]
             else:
-                dec = decompose_agg(a, str(counter))
+                dec = decompose_agg(a, str(counter), schema)
                 counter += 1
                 seen[key] = (a, dec)
                 plan.partial.update(dec.partial)

@@ -365,33 +365,15 @@ class CachedSparkSession:
                 )
             )
 
-        # Decimal aggregate inputs are not cacheable (yet): Spark's decimal
-        # avg/sum output types depend on input precision/scale (avg(p,s) →
-        # decimal(p+4, s+4); sum widens per level), which the schema-less
-        # state algebra would silently change to double / precision-creep
-        # across merges. Passthrough keeps them exact.
-        from pyspark.sql.types import DecimalType
-
-        dec_cols = {f.name for f in base.schema.fields if isinstance(f.dataType, DecimalType)}
-        if dec_cols:
-            from .plans.ir import AggCall as _AggCall, Col as _Col
-
-            for item in spec.aggregates:
-                for n in item.expr.walk():
-                    if isinstance(n, _AggCall):
-                        for a in n.args:
-                            for leaf in a.walk():
-                                if isinstance(leaf, _Col) and leaf.name in dec_cols:
-                                    raise Unsupported(
-                                        f"decimal aggregate input {leaf.name} not cacheable"
-                                    )
-
         plan_inputs = list(spec.aggregates)
         if spec.having is not None:
             from .plans.ir import SelectItem as _SelectItem
 
             plan_inputs.append(_SelectItem("__qc_having", spec.having))
-        plans = plan_items(tuple(plan_inputs))
+        # schema-aware: decimal sum/avg get typed state (pinned at
+        # decimal(38,s), finalize cast to Spark's exact output type);
+        # composite expressions over decimal columns stay passthrough
+        plans = plan_items(tuple(plan_inputs), base.schema)
 
         # fingerprint = canonical IR + resolved source schema — the analogue
         # of plan.display_indent_schema() (``src/aggregate.rs:89``): schema

@@ -96,16 +96,35 @@ def test_decimal_inputs_cached_correctly(spark, tmp_path):
         "count(*) AS n FROM dec_t GROUP BY 1"
     )
     got = qc.sql(sql)
-    if not qc.last_decision.cached:
-        pytest.skip(f"decimals not cacheable: {qc.last_decision.reason}")
+    assert qc.last_decision.cached, qc.last_decision.reason
     expect = spark.sql(sql)
-    g, e = rows_set(got), rows_set(expect)
-    if g != e:
-        # surface the divergence loudly — caching decimals must be exact
-        assert g == e, f"decimal divergence: {g[:2]} vs {e[:2]}"
-    # run 2 must also be exact
+    e = rows_set(expect)
+    assert rows_set(got) == e, "decimal sum/avg must match Spark exactly"
+    # exact output TYPES too: sum → decimal(p+10,s), avg → decimal(p+4,s+4)
+    types = dict(got.dtypes)
+    assert types["s"] == "decimal(22,2)", types
+    assert types["a"] == "decimal(16,6)", types
+    # run 2 (hit) must also be exact
     qc.config.override_now_ns = now + 10**12
-    assert rows_set(qc.sql(sql)) == e
+    got2 = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got2) == e
+
+
+def test_decimal_composite_arg_passthrough(spark, tmp_path):
+    """sum(amt * 2) over a decimal column: composite arg → passthrough."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark import CachedSparkSession, QueryCacheConfig
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "5.25")], "id int, ts timestamp, amt string"
+    ).withColumn("amt", F.col("amt").cast("decimal(10,2)"))
+    df.createOrReplaceTempView("dec_t2")
+    qc = CachedSparkSession(spark, QueryCacheConfig())
+    out = qc.sql("SELECT sum(amt * 2) AS s FROM dec_t2")
+    assert not qc.last_decision.cached
+    assert str(out.collect()[0]["s"]) == "10.50"
 
 
 def test_ddl_and_commands_pass_through(qc, spark):
