@@ -185,6 +185,47 @@ _QC_DYN_SQLS = {
 }
 
 
+def _qc_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached aggregate over a star join: append-only fact (orders, temporal
+    col o_orderdate) joined to static dims (customer, nation). The join is
+    rebuilt as crossJoin + predicate; Catalyst recovers the hash joins."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    _load(spark, sf_dir)
+    od = spark.table("orders")
+    cut = dt.datetime(1998, 1, 1)
+    cut_ns = int(cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    sql = (
+        "SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m, "
+        "count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders_qcjoin o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-join-")),
+            default_temporal_column="o_orderdate",
+            override_now_ns=cut_ns,
+        ),
+    )
+    od.filter(F.col("o_orderdate") < F.lit(cut)).createOrReplaceTempView(
+        "orders_qcjoin"
+    )
+    qc.sql(sql)
+    od.createOrReplaceTempView("orders_qcjoin")
+    qc.config.override_now_ns = cut_ns + 10**18
+    out = qc.sql(sql)
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.cache_hit
+    return out
+
+
 def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-state cache: approx_count_distinct via mergeable HLL sketches
     (hll_sketch_agg / hll_union_agg). No DuckDB oracle — estimator outputs
@@ -496,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in _QC_DYN_SQLS:
         q[key] = _mk_qc_dyn(key)
     q["qc_approx_distinct"] = _qc_approx_distinct
+    q["qc_join_star"] = _qc_join_star
     for key in _PT_SQLS:
         q[key] = _mk_pt(key)
     q.update(
@@ -536,6 +578,13 @@ def oracle_sql() -> dict[str, str]:
         o[key] = sql.format(v="events")
     for key, (_spark_sql, duck_sql) in _QC_DYN_SQLS.items():
         o[key] = duck_sql
+    o["qc_join_star"] = (
+        "SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m, "
+        "count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
     for key, sql in _PT_SQLS.items():
         o[key] = sql
     o["op_exact_dedup"] = (

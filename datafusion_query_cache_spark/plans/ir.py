@@ -224,6 +224,8 @@ class AggSpec:
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
     having: Optional[Expr] = None
+    #: all source tables (fact + static dims); joins fold into the predicate
+    tables: Tuple[str, ...] = ()
 
     def canon(self) -> str:
         """Canonical plan string — the fingerprint body.
@@ -236,7 +238,8 @@ class AggSpec:
         gb = ";".join(f"{s.name}={s.expr.canon()}" for s in self.group_by)
         ag = ";".join(f"{s.name}={s.expr.canon()}" for s in self.aggregates)
         pred = canon_predicate(self.predicate)
-        return f"Aggregate[table={self.table}|where={pred}|group=[{gb}]|agg=[{ag}]]"
+        tbls = ",".join(self.tables or (self.table,))
+        return f"Aggregate[table={tbls}|where={pred}|group=[{gb}]|agg=[{ag}]]"
 
 
 def canon_predicate(pred: Optional[Expr]) -> str:

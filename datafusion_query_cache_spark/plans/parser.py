@@ -246,12 +246,40 @@ def parse_query(sql: str):
     if node.get("cte_map", {}).get("map"):
         raise Unsupported("CTE")
 
-    ft = node.get("from_table") or {}
-    if ft.get("type") != "BASE_TABLE":
-        raise Unsupported(f"from {ft.get('type')}")
-    table = ft["table_name"]
-    if ft.get("schema_name"):
-        raise Unsupported("qualified table")
+    # FROM: one base table, or a tree of INNER equi-joins over base tables.
+    # Join conditions fold into the predicate: the session rebuilds the join
+    # as crossJoin+filter and Catalyst's PushPredicateThroughJoin/ReorderJoin
+    # recovers proper hash joins — so join conditions classify and fingerprint
+    # exactly like WHERE conjuncts (they are, semantically, for inner joins).
+    tables: List[str] = []
+    join_conds: List[Expr] = []
+
+    def walk_from(ft: Dict[str, Any]) -> None:
+        t = ft.get("type")
+        if t == "BASE_TABLE":
+            if ft.get("schema_name"):
+                raise Unsupported("qualified table")
+            tables.append(ft["table_name"])
+            return
+        if t == "JOIN":
+            if ft.get("join_type") not in ("INNER", "CROSS"):
+                raise Unsupported(f"join type {ft.get('join_type')}")
+            walk_from(ft["left"])
+            walk_from(ft["right"])
+            cond = ft.get("condition")
+            if cond is not None:
+                join_conds.append(_expr(cond))
+            elif ft.get("join_type") == "INNER" and ft.get("using_columns"):
+                raise Unsupported("USING join")
+            return
+        raise Unsupported(f"from {t}")
+
+    walk_from(node.get("from_table") or {})
+    if not tables:
+        raise Unsupported("no base table")
+    if len(set(tables)) != len(tables):
+        raise Unsupported("self-join")  # column references would be ambiguous
+    table = tables[0]
 
     # modifiers: order / limit; distinct → unsupported
     order_by: List[OrderItem] = []
@@ -284,6 +312,8 @@ def parse_query(sql: str):
 
     where = node.get("where_clause")
     predicate = _expr(where) if where is not None else None
+    for jc in join_conds:
+        predicate = jc if predicate is None else BinOp("and", predicate, jc)
 
     # select list with synthesized names; bare `SELECT *` → star=True
     star = False
@@ -314,6 +344,8 @@ def parse_query(sql: str):
         # non-aggregate shape → FilterSpec (group-by/having make no sense)
         if node.get("group_expressions") or node.get("having"):
             raise Unsupported("group by / having without aggregates")
+        if len(tables) > 1:
+            raise Unsupported("filter-query caching is single-table")
         return FilterSpec(
             table=table,
             predicate=predicate,
@@ -375,6 +407,7 @@ def parse_query(sql: str):
 
     return AggSpec(
         table=table,
+        tables=tuple(tables),
         predicate=predicate,
         group_by=tuple(group_items),
         aggregates=tuple(agg_items),

@@ -346,9 +346,29 @@ class CachedSparkSession:
             raise Unsupported("dynamic bound on a different column than the bucket")
         if dyn_bound is not None:
             ts_col = dyn_bound.column
-        base = self.spark.table(spec.table)
+
+        # source: one table, or a star join rebuilt as crossJoin + the join
+        # predicates folded into the filter (Catalyst recovers hash joins via
+        # PushPredicateThroughJoin/ReorderJoin). Refresh correctness contract:
+        # the fact table (the one carrying the temporal column) is
+        # append-only; every other joined table is STATIC between runs — the
+        # same assumption TimescaleDB continuous aggregates make for joins.
+        tables = list(spec.tables or (spec.table,))
+        frames = [self.spark.table(t) for t in tables]
+        if len(frames) > 1:
+            seen_cols: Dict[str, str] = {}
+            for t, f in zip(tables, frames):
+                for c in f.columns:
+                    if c in seen_cols:
+                        raise Unsupported(
+                            f"ambiguous column {c} (in {seen_cols[c]} and {t})"
+                        )
+                    seen_cols[c] = t
+        base = frames[0]
+        for f in frames[1:]:
+            base = base.crossJoin(f)
         if ts_col not in base.columns:
-            raise Unsupported(f"temporal column {ts_col} not in table {spec.table}")
+            raise Unsupported(f"temporal column {ts_col} not in {tables}")
 
         # state group-by: the query's groups, plus a synthetic time bucket
         # when a dynamic bound needs one and the query itself has none
@@ -388,7 +408,7 @@ class CachedSparkSession:
         pred_c = canon_predicate(state_pred_expr)
         hav = f"|having={spec.having.canon()}" if spec.having is not None else ""
         fingerprint = (
-            f"Aggregate[table={spec.table}|where={pred_c}|group=[{gb}]|agg=[{ag}]]"
+            f"Aggregate[table={','.join(tables)}|where={pred_c}|group=[{gb}]|agg=[{ag}]]"
             f"{hav}|ts={ts_col}"
             f"{'|dynamic_state=' + bucket_gran if dyn_bound is not None else ''}"
             f"|schema={base.schema.simpleString()}"

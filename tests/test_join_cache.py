@@ -1,0 +1,114 @@
+"""Cached aggregates over star joins (append-only fact ⋈ static dims).
+
+The reference caches any plan shape under its aggregate node — including
+joins (README.md:124 'analyses queries (including subqueries)'); here the
+join is rebuilt as crossJoin + predicate and Catalyst recovers the hash
+joins, so join conditions classify and fingerprint like WHERE conjuncts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def split(spark):
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+
+    # a small static dim keyed by user_id bucket
+    spark.range(100).select(
+        F.col("id").alias("bucket_id"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias("segment"),
+    ).createOrReplaceTempView("user_seg")
+
+    def run1():
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_j")
+
+    def run2():
+        ev.createOrReplaceTempView("events_j")
+
+    yield run1, run2, cut_ns
+    spark.catalog.dropTempView("events_j")
+    spark.catalog.dropTempView("user_seg")
+
+
+JOIN_SQL = (
+    "SELECT s.segment, date_trunc('day', e.ts) AS d, count(*) AS n, "
+    "round(sum(e.value), 2) AS sv "
+    "FROM events_j e JOIN user_seg s ON e.user_id % 100 = s.bucket_id "
+    "WHERE e.value > 0 GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def test_join_aggregate_cached_incrementally(spark, qc, split):
+    run1, run2, cut_ns = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(JOIN_SQL).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert not qc.last_decision.cache_hit
+
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(JOIN_SQL)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(JOIN_SQL))
+
+
+def test_join_recovers_hash_join_plan(spark, qc, split):
+    """crossJoin + filter must plan as a real equi-join, not a cartesian."""
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns
+
+    import datafusion_query_cache_spark.cache as C
+
+    cap = {}
+    orig = C._ParquetEntry.put
+
+    def spy(self, wm, st, sp):
+        cap["plan"] = st._jdf.queryExecution().executedPlan().toString()
+        return orig(self, wm, st, sp)
+
+    C._ParquetEntry.put = spy
+    try:
+        qc.sql(JOIN_SQL).collect()
+    finally:
+        C._ParquetEntry.put = orig
+    plan = cap["plan"]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_ambiguous_join_columns_passthrough(spark, qc):
+    # events joined with itself-shaped table would repeat column names
+    df = qc.sql(
+        "SELECT count(*) AS n FROM events e JOIN lineitem l "
+        "ON e.event_id = l.l_orderkey JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    # no ambiguity here (disjoint names) → cacheable; self-join IS rejected
+    qc.sql(
+        "SELECT count(*) AS n FROM events e1 JOIN events e2 "
+        "ON e1.event_id = e2.event_id"
+    )
+    assert not qc.last_decision.cached
+    assert "self-join" in qc.last_decision.reason
+
+
+def test_outer_join_passthrough(qc, spark):
+    df = qc.sql(
+        "SELECT count(*) AS n FROM events e LEFT JOIN orders o "
+        "ON e.user_id = o.o_custkey"
+    )
+    assert not qc.last_decision.cached
+    assert df.collect()[0]["n"] > 0

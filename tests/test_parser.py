@@ -72,7 +72,8 @@ def test_distinct_flag():
     [
         "SELECT * FROM events",  # no aggregate
         "SELECT value FROM events",  # non-agg select
-        "SELECT count(*) FROM events e JOIN orders o ON true",  # join
+        "SELECT count(*) FROM events e LEFT JOIN orders o ON true",  # outer join
+        "SELECT count(*) FROM events e JOIN events e2 ON true",  # self-join
         "SELECT count(*) FROM (SELECT 1)",  # subquery
         "WITH x AS (SELECT 1) SELECT count(*) FROM x",  # CTE
         "SELECT DISTINCT event_type, count(*) FROM events GROUP BY 1",  # distinct
@@ -101,3 +102,13 @@ def test_canon_distinguishes_literals():
 def test_reserved_alias_rejected():
     with pytest.raises(Unsupported):
         parse_agg_query("SELECT count(*) AS __qc0_cnt FROM events")
+
+
+def test_inner_join_parses_into_tables_and_predicate():
+    spec = parse_agg_query(
+        "SELECT count(*) AS n FROM events e JOIN orders o ON e.user_id = o.o_custkey "
+        "WHERE e.value > 1"
+    )
+    assert spec.tables == ("events", "orders")
+    # the join condition folded into the predicate as an AND conjunct
+    assert "o_custkey" in spec.canon() and "value" in spec.canon()
