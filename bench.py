@@ -151,6 +151,41 @@ def main() -> None:
     li_flow(timed_run=True)
     timed("qc_li_plain", lambda: spark.sql(LI_SQL).collect())
 
+    # --- star-join cached aggregate ------------------------------------------
+    JOIN_SQL = (
+        "SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m, "
+        "count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+        "FROM orders_bench o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1, 2"
+    )
+    jo = spark.table("orders")
+    jo_cut = dt.datetime(1998, 1, 1)
+    jo_cut_ns = int(jo_cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+    def join_flow(timed_run: bool) -> None:
+        qcj = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-join-")),
+                default_temporal_column="o_orderdate",
+                override_now_ns=jo_cut_ns,
+            ),
+        )
+        jo.filter(F.col("o_orderdate") < F.lit(jo_cut)).createOrReplaceTempView(
+            "orders_bench"
+        )
+        qcj.sql(JOIN_SQL).collect()
+        jo.createOrReplaceTempView("orders_bench")
+        qcj.config.override_now_ns = jo_cut_ns + 10**18
+        if timed_run:
+            timed("qc_join_warm", lambda: qcj.sql(JOIN_SQL).collect(), runs=1)
+        else:
+            qcj.sql(JOIN_SQL).collect()
+
+    join_flow(timed_run=False)
+    join_flow(timed_run=True)
+    timed("qc_join_plain", lambda: spark.sql(JOIN_SQL).collect())
+
     # --- dynamic sliding window (beyond-reference) ---------------------------
     NOW1 = int(dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9)
     NOW2 = int(dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp() * 1e9)
