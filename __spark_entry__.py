@@ -294,7 +294,7 @@ _PT_SQLS = {
     "pt_exists_semi": (
         "SELECT c.c_mktsegment, count(*) AS n_customers "
         "FROM customer c WHERE EXISTS ("
-        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400) "
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000) "
         "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
     ),
     "pt_rollup": (
@@ -334,7 +334,7 @@ _PT_SQLS = {
     "pt_conditional_agg": (
         "SELECT o_orderpriority, "
         "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
-        "sum(CASE WHEN o_totalprice > 300 THEN 1 ELSE 0 END) AS n_big, "
+        "sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big, "
         "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
     ),
 }
