@@ -206,6 +206,19 @@ class OrderItem:
     nulls_first: Optional[bool] = None
 
 
+@dataclass(frozen=True)
+class JoinStep:
+    """One step of a left-deep join tree: ``... JOIN table ON cond``."""
+
+    table: str
+    on: Optional[Expr]  # None for CROSS
+    how: str  # "inner" | "left"
+
+    def canon(self) -> str:
+        c = self.on.canon() if self.on is not None else "true"
+        return f"{self.how}({self.table} on {c})"
+
+
 @dataclass
 class AggSpec:
     """The analyzed shape of a single-table aggregate query.
@@ -224,8 +237,10 @@ class AggSpec:
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
     having: Optional[Expr] = None
-    #: all source tables (fact + static dims); joins fold into the predicate
+    #: all source tables (fact first, then joined dims)
     tables: Tuple[str, ...] = ()
+    #: left-deep join steps applied to the fact table, in order
+    join_steps: Tuple["JoinStep", ...] = ()
 
     def canon(self) -> str:
         """Canonical plan string — the fingerprint body.
@@ -239,7 +254,11 @@ class AggSpec:
         ag = ";".join(f"{s.name}={s.expr.canon()}" for s in self.aggregates)
         pred = canon_predicate(self.predicate)
         tbls = ",".join(self.tables or (self.table,))
-        return f"Aggregate[table={tbls}|where={pred}|group=[{gb}]|agg=[{ag}]]"
+        js = ";".join(j.canon() for j in self.join_steps)
+        return (
+            f"Aggregate[table={tbls}|joins=[{js}]|where={pred}"
+            f"|group=[{gb}]|agg=[{ag}]]"
+        )
 
 
 def canon_predicate(pred: Optional[Expr]) -> str:

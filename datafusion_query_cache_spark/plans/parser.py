@@ -246,13 +246,14 @@ def parse_query(sql: str):
     if node.get("cte_map", {}).get("map"):
         raise Unsupported("CTE")
 
-    # FROM: one base table, or a tree of INNER equi-joins over base tables.
-    # Join conditions fold into the predicate: the session rebuilds the join
-    # as crossJoin+filter and Catalyst's PushPredicateThroughJoin/ReorderJoin
-    # recovers proper hash joins — so join conditions classify and fingerprint
-    # exactly like WHERE conjuncts (they are, semantically, for inner joins).
+    # FROM: one base table, or a LEFT-DEEP tree of INNER/LEFT equi-joins
+    # over base tables (the fact table first, carrying the temporal column).
+    # Joins are kept as explicit steps so LEFT joins (fact rows preserved
+    # with NULL dims) work; the session builds them as real df.join calls.
+    from .ir import JoinStep
+
     tables: List[str] = []
-    join_conds: List[Expr] = []
+    join_steps: List[JoinStep] = []
 
     def walk_from(ft: Dict[str, Any]) -> None:
         t = ft.get("type")
@@ -262,15 +263,26 @@ def parse_query(sql: str):
             tables.append(ft["table_name"])
             return
         if t == "JOIN":
-            if ft.get("join_type") not in ("INNER", "CROSS"):
-                raise Unsupported(f"join type {ft.get('join_type')}")
+            jt = ft.get("join_type")
+            if jt not in ("INNER", "LEFT", "CROSS"):
+                raise Unsupported(f"join type {jt}")
             walk_from(ft["left"])
-            walk_from(ft["right"])
+            right = ft.get("right") or {}
+            if right.get("type") != "BASE_TABLE":
+                raise Unsupported("non-left-deep join tree")
+            if right.get("schema_name"):
+                raise Unsupported("qualified table")
+            tables.append(right["table_name"])
             cond = ft.get("condition")
-            if cond is not None:
-                join_conds.append(_expr(cond))
-            elif ft.get("join_type") == "INNER" and ft.get("using_columns"):
-                raise Unsupported("USING join")
+            if cond is None and jt != "CROSS":
+                raise Unsupported("USING/NATURAL join")
+            join_steps.append(
+                JoinStep(
+                    right["table_name"],
+                    _expr(cond) if cond is not None else None,
+                    "left" if jt == "LEFT" else "inner",
+                )
+            )
             return
         raise Unsupported(f"from {t}")
 
@@ -312,8 +324,6 @@ def parse_query(sql: str):
 
     where = node.get("where_clause")
     predicate = _expr(where) if where is not None else None
-    for jc in join_conds:
-        predicate = jc if predicate is None else BinOp("and", predicate, jc)
 
     # select list with synthesized names; bare `SELECT *` → star=True
     star = False
@@ -408,6 +418,7 @@ def parse_query(sql: str):
     return AggSpec(
         table=table,
         tables=tuple(tables),
+        join_steps=tuple(join_steps),
         predicate=predicate,
         group_by=tuple(group_items),
         aggregates=tuple(agg_items),

@@ -347,28 +347,35 @@ class CachedSparkSession:
         if dyn_bound is not None:
             ts_col = dyn_bound.column
 
-        # source: one table, or a star join rebuilt as crossJoin + the join
-        # predicates folded into the filter (Catalyst recovers hash joins via
-        # PushPredicateThroughJoin/ReorderJoin). Refresh correctness contract:
-        # the fact table (the one carrying the temporal column) is
-        # append-only; every other joined table is STATIC between runs — the
-        # same assumption TimescaleDB continuous aggregates make for joins.
+        # source: one table, or a left-deep star join (fact first, then
+        # INNER/LEFT equi-joined dims). Refresh correctness contract: the
+        # fact table (the one carrying the temporal column) is append-only;
+        # every other joined table is STATIC between runs — the same
+        # assumption TimescaleDB continuous aggregates make for joins.
         tables = list(spec.tables or (spec.table,))
-        frames = [self.spark.table(t) for t in tables]
+        frames = {t: self.spark.table(t) for t in tables}
         if len(frames) > 1:
             seen_cols: Dict[str, str] = {}
-            for t, f in zip(tables, frames):
-                for c in f.columns:
+            for t in tables:
+                for c in frames[t].columns:
                     if c in seen_cols:
                         raise Unsupported(
                             f"ambiguous column {c} (in {seen_cols[c]} and {t})"
                         )
                     seen_cols[c] = t
-        base = frames[0]
-        for f in frames[1:]:
-            base = base.crossJoin(f)
-        if ts_col not in base.columns:
-            raise Unsupported(f"temporal column {ts_col} not in {tables}")
+        base = frames[tables[0]]
+        for step in spec.join_steps:
+            jc = classify(step.on, cfg.temporal_columns) if step.on else None
+            if jc is not None and jc.verdict is not Verdict.STABLE:
+                raise Unsupported(f"join condition not stable: {jc.reason}")
+            if step.on is not None:
+                base = base.join(frames[step.table], to_column(step.on), step.how)
+            else:
+                base = base.crossJoin(frames[step.table])
+        if ts_col not in frames[tables[0]].columns:
+            raise Unsupported(
+                f"temporal column {ts_col} must be on the fact table {tables[0]}"
+            )
 
         # state group-by: the query's groups, plus a synthetic time bucket
         # when a dynamic bound needs one and the query itself has none

@@ -105,10 +105,44 @@ def test_ambiguous_join_columns_passthrough(spark, qc):
     assert "self-join" in qc.last_decision.reason
 
 
-def test_outer_join_passthrough(qc, spark):
+def test_right_and_full_join_passthrough(qc, spark):
     df = qc.sql(
-        "SELECT count(*) AS n FROM events e LEFT JOIN orders o "
+        "SELECT count(*) AS n FROM events e RIGHT JOIN orders o "
         "ON e.user_id = o.o_custkey"
     )
     assert not qc.last_decision.cached
     assert df.collect()[0]["n"] > 0
+    qc.sql(
+        "SELECT count(*) AS n FROM events e FULL OUTER JOIN orders o "
+        "ON e.user_id = o.o_custkey"
+    )
+    assert not qc.last_decision.cached
+
+
+def test_left_join_aggregate_cached(spark, qc, split):
+    """fact LEFT JOIN dim: fact rows with no dim match survive with NULL
+    dims — cacheable with the same incremental machinery."""
+    run1, run2, cut_ns = split
+    # a tiny dim that misses most buckets → NULL segment groups exist
+    spark.range(3).select(
+        F.col("id").alias("bucket_id"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias("segment"),
+    ).createOrReplaceTempView("user_seg_holes")
+    sql = (
+        "SELECT s.segment, count(*) AS n, round(sum(e.value), 2) AS sv "
+        "FROM events_j e LEFT JOIN user_seg_holes s "
+        "ON e.user_id % 100 = s.bucket_id GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    expect = spark.sql(sql)
+    assert rows_set(got) == rows_set(expect)
+    # the NULL-segment group must be present (holes in the dim)
+    assert any(r["segment"] is None for r in got.collect())
+    spark.catalog.dropTempView("user_seg_holes")

@@ -72,7 +72,7 @@ def test_distinct_flag():
     [
         "SELECT * FROM events",  # no aggregate
         "SELECT value FROM events",  # non-agg select
-        "SELECT count(*) FROM events e LEFT JOIN orders o ON true",  # outer join
+        "SELECT count(*) FROM events e RIGHT JOIN orders o ON true",  # right join
         "SELECT count(*) FROM events e JOIN events e2 ON true",  # self-join
         "SELECT count(*) FROM (SELECT 1)",  # subquery
         "WITH x AS (SELECT 1) SELECT count(*) FROM x",  # CTE
