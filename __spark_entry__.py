@@ -140,6 +140,13 @@ _QC_SQLS = {
     "qc_filter_rows": (
         "SELECT event_id, event_type, value FROM {v} WHERE value > 100"
     ),
+    # ROLLUP re-aggregated from finest-granularity cached state
+    "qc_rollup": (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s FROM {v} "
+        "GROUP BY ROLLUP (event_type, d) "
+        "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
+    ),
     # incrementally-maintained top-k (ORDER BY + LIMIT filter query)
     "qc_filter_topk": (
         "SELECT event_id, value FROM {v} WHERE event_type = 'click' "

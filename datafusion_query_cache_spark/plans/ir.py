@@ -241,6 +241,8 @@ class AggSpec:
     tables: Tuple[str, ...] = ()
     #: left-deep join steps applied to the fact table, in order
     join_steps: Tuple["JoinStep", ...] = ()
+    #: ROLLUP/CUBE/GROUPING SETS: index tuples into group_by; empty ⇒ plain
+    grouping_sets: Tuple[Tuple[int, ...], ...] = ()
 
     def canon(self) -> str:
         """Canonical plan string — the fingerprint body.
@@ -255,9 +257,10 @@ class AggSpec:
         pred = canon_predicate(self.predicate)
         tbls = ",".join(self.tables or (self.table,))
         js = ";".join(j.canon() for j in self.join_steps)
+        gs = ";".join(",".join(map(str, t)) for t in self.grouping_sets)
         return (
             f"Aggregate[table={tbls}|joins=[{js}]|where={pred}"
-            f"|group=[{gb}]|agg=[{ag}]]"
+            f"|group=[{gb}]|sets=[{gs}]|agg=[{ag}]]"
         )
 
 

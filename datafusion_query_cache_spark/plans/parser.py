@@ -415,6 +415,22 @@ def parse_query(sql: str):
     having = node.get("having")
     having_expr = _expr(having) if having is not None else None
 
+    # ROLLUP / CUBE / GROUPING SETS: duckdb exposes group_sets as index
+    # lists into group_expressions. A single all-indices set == plain
+    # GROUP BY. grouping()/grouping_id() outputs are not reconstructible
+    # from state → passthrough.
+    raw_sets = node.get("group_sets") or []
+    n_groups = len(group_items)
+    grouping_sets: Tuple = ()
+    if raw_sets and not (
+        len(raw_sets) == 1 and sorted(raw_sets[0]) == list(range(n_groups))
+    ):
+        grouping_sets = tuple(tuple(sorted(t)) for t in raw_sets)
+    for _name, e in raw_items:
+        for nd in e.walk():
+            if isinstance(nd, Func) and nd.name.lower() in ("grouping", "grouping_id"):
+                raise Unsupported("grouping()/grouping_id() not cacheable")
+
     return AggSpec(
         table=table,
         tables=tuple(tables),
@@ -426,4 +442,5 @@ def parse_query(sql: str):
         order_by=tuple(order_by),
         limit=limit,
         having=having_expr,
+        grouping_sets=grouping_sets,
     )

@@ -580,6 +580,37 @@ class CachedSparkSession:
         # (hot reads — empty refresh window — skip the store entirely.)
         stored = hot_state if merged is None else entry.put(now_ns, merged, self.spark)
 
+        if spec.grouping_sets:
+            # ROLLUP/CUBE/GROUPING SETS: state is kept at the FINEST
+            # granularity (all group keys); each grouping set is a
+            # re-aggregation of that state (merge associativity — the same
+            # law the refresh relies on), with the absent keys as typed
+            # NULLs. The union reproduces Spark's rollup output exactly,
+            # including the natural-NULL-vs-subtotal row pair.
+            if dyn_bound is not None:
+                raise Unsupported("grouping sets with a dynamic bound")
+            dt_map = dict(stored.dtypes)
+            parts = []
+            for st_idx in spec.grouping_sets:
+                keys = [group_names[i] for i in st_idx]
+                gagg = stored.groupBy(*[F.col(k) for k in keys]).agg(
+                    *[c.alias(n) for n, c in merge_aggs.items()]
+                )
+                sel = (
+                    [F.col(k) for k in keys]
+                    + [
+                        F.lit(None).cast(dt_map[n]).alias(n)
+                        for n in group_names
+                        if n not in keys
+                    ]
+                    + [F.col(n) for n in merge_aggs]
+                )
+                parts.append(gagg.select(*sel))
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc.unionByName(p)
+            stored = acc
+
         if dyn_bound is not None:
             # evaluate the bound once at plan time (reference captures "now"
             # the same way, ``src/aggregate.rs:375-382``)

@@ -202,3 +202,42 @@ def test_hot_read_skips_scan_and_store(spark, qc, split_views):
     run1()
     assert rows_set(got) == rows_set(spark.sql(FLAGSHIP))
     run2()
+
+
+@pytest.mark.parametrize(
+    "gsql",
+    [
+        # ROLLUP over two keys
+        "SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events_split "
+        "GROUP BY ROLLUP (event_type, d)",
+        # CUBE
+        "SELECT event_type, count(*) AS n FROM events_split "
+        "GROUP BY CUBE (event_type)",
+        # explicit GROUPING SETS
+        "SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n "
+        "FROM events_split GROUP BY GROUPING SETS ((event_type), (d), ())",
+    ],
+)
+def test_grouping_sets_cached(spark, qc, split_views, gsql):
+    """ROLLUP/CUBE/GROUPING SETS: finest-granularity state re-aggregated per
+    set must equal Spark's native grouping-set output, incrementally."""
+    run1, run2, cut_ns = split_views
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(gsql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(gsql)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(gsql))
+
+
+def test_grouping_id_passthrough(qc, spark):
+    df = qc.sql(
+        "SELECT event_type, grouping(event_type) AS g, count(*) AS n "
+        "FROM events GROUP BY ROLLUP (event_type)"
+    )
+    assert not qc.last_decision.cached
+    assert df.count() > 0
