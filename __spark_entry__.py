@@ -41,6 +41,10 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
         return
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # date_trunc buckets in SESSION-LOCAL time; DuckDB's TIMESTAMP is
+        # naive — pin UTC so both engines bucket identically regardless of
+        # the host session's timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     from datafusion_query_cache_spark.sources.tables import register_testdata
