@@ -8,6 +8,7 @@ Runs every ``queries()`` entry at the given sf and compares against
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -49,9 +50,21 @@ def norm(v):
 
 def main():
     import __spark_entry__ as E
-    from datafusion_query_cache_spark.sources.tables import get_session
 
-    spark = get_session(app="oracle-check", cpus="8")
+    if os.environ.get("QC_CHECK_VANILLA"):
+        # worst-case driver simulation: default configs, non-UTC timezone
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.sql.session.timeZone", "America/Chicago")
+            .getOrCreate()
+        )
+    else:
+        from datafusion_query_cache_spark.sources.tables import get_session
+
+        spark = get_session(app="oracle-check", cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(SF_DIR)
 
