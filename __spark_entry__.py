@@ -144,6 +144,13 @@ _QC_SQLS = {
     "qc_filter_rows": (
         "SELECT event_id, event_type, value FROM {v} WHERE value > 100"
     ),
+    # scalar-expression group keys through the cached path
+    "qc_scalar_groupby": (
+        "SELECT upper(event_type) AS et, "
+        "CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS band, "
+        "count(*) AS n, round(sum(value), 2) AS s "
+        "FROM {v} WHERE value IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     # ROLLUP re-aggregated from finest-granularity cached state
     "qc_rollup": (
         "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
