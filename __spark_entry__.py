@@ -158,6 +158,12 @@ _QC_SQLS = {
         "GROUP BY ROLLUP (event_type, d) "
         "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
     ),
+    # grouping() flags reconstructed per grouping set
+    "qc_grouping_flags": (
+        "SELECT event_type, grouping(event_type) AS ge, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM {v} GROUP BY ROLLUP (event_type) "
+        "ORDER BY event_type NULLS FIRST"
+    ),
     # incrementally-maintained top-k (ORDER BY + LIMIT filter query)
     "qc_filter_topk": (
         "SELECT event_id, value FROM {v} WHERE event_type = 'click' "
@@ -594,6 +600,12 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
+    # duckdb grouping() returns BIGINT; Spark's is TINYINT
+    o["qc_grouping_flags"] = (
+        "SELECT event_type, CAST(grouping(event_type) AS TINYINT) AS ge, "
+        "count(*) AS n, round(sum(value), 2) AS s FROM events "
+        "GROUP BY ROLLUP (event_type) ORDER BY event_type NULLS FIRST"
+    )
     for key, (_spark_sql, duck_sql) in _QC_DYN_SQLS.items():
         o[key] = duck_sql
     o["qc_join_star"] = (

@@ -243,6 +243,8 @@ class AggSpec:
     join_steps: Tuple["JoinStep", ...] = ()
     #: ROLLUP/CUBE/GROUPING SETS: index tuples into group_by; empty ⇒ plain
     grouping_sets: Tuple[Tuple[int, ...], ...] = ()
+    #: bare grouping()/grouping_id() select items (reconstructed per set)
+    grouping_fn_items: Tuple[SelectItem, ...] = ()
 
     def canon(self) -> str:
         """Canonical plan string — the fingerprint body.

@@ -180,6 +180,11 @@ def _expr(node: Dict[str, Any]) -> Expr:
             return IsNull(kids[0], negated=True)
         if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
             return InList(kids[0], tuple(kids[1:]), negated=typ == "COMPARE_NOT_IN")
+        if typ == "GROUPING_FUNCTION":
+            # duckdb parses grouping()/grouping_id() both into this operator;
+            # one argument ⇒ Spark's grouping() (tinyint), more ⇒
+            # grouping_id() (bigint bit-vector)
+            return Func("grouping" if len(kids) == 1 else "grouping_id", tuple(kids))
         raise Unsupported(f"operator {typ}")
 
     if cls == "CAST":
@@ -397,12 +402,32 @@ def parse_query(sql: str):
             group_items.append(SelectItem(f"g{len(group_items)}", g))
         grouped_exprs.append(g)
 
+    # bare grouping()/grouping_id() items are reconstructible per grouping
+    # set (the session knows which set each output part came from); anything
+    # nesting them stays passthrough
+    grouping_fn_items: List[SelectItem] = []
+    gf_names: set = set()
+    for name, e in raw_items:
+        has_gf = any(
+            isinstance(nd, Func) and nd.name.lower() in ("grouping", "grouping_id")
+            for nd in e.walk()
+        )
+        if not has_gf:
+            continue
+        if isinstance(e, Func) and e.name.lower() in ("grouping", "grouping_id"):
+            grouping_fn_items.append(SelectItem(name, e))
+            gf_names.add(name)
+        else:
+            raise Unsupported("grouping() nested in an expression")
+
     # split select items into group outputs vs aggregate outputs
     agg_items: List[SelectItem] = []
     select_order: List[str] = []
     group_names = {s.name for s in group_items}
     for name, e in raw_items:
         select_order.append(name)
+        if name in gf_names:
+            continue  # grouping()/grouping_id(): reconstructed per set
         if _contains_agg(e):
             agg_items.append(SelectItem(name, e))
         else:
@@ -426,10 +451,6 @@ def parse_query(sql: str):
         len(raw_sets) == 1 and sorted(raw_sets[0]) == list(range(n_groups))
     ):
         grouping_sets = tuple(tuple(sorted(t)) for t in raw_sets)
-    for _name, e in raw_items:
-        for nd in e.walk():
-            if isinstance(nd, Func) and nd.name.lower() in ("grouping", "grouping_id"):
-                raise Unsupported("grouping()/grouping_id() not cacheable")
 
     return AggSpec(
         table=table,
@@ -443,4 +464,5 @@ def parse_query(sql: str):
         limit=limit,
         having=having_expr,
         grouping_sets=grouping_sets,
+        grouping_fn_items=tuple(grouping_fn_items),
     )

@@ -315,6 +315,9 @@ class CachedSparkSession:
                 ):
                     raise Unsupported("volatile function in HAVING")
 
+        if spec.grouping_fn_items and not spec.grouping_sets:
+            raise Unsupported("grouping() without grouping sets")
+
         cls = classify(spec.predicate, cfg.temporal_columns)
         if cls.verdict is Verdict.ABANDON:
             raise Unsupported(f"predicate not stable: {cls.reason}")
@@ -589,6 +592,35 @@ class CachedSparkSession:
             # including the natural-NULL-vs-subtotal row pair.
             if dyn_bound is not None:
                 raise Unsupported("grouping sets with a dynamic bound")
+            def grouping_flag_cols(st_idx):
+                """grouping()/grouping_id() are pure functions of WHICH set a
+                row came from — emit them as typed literals per part
+                (tinyint / bigint, matching Spark's native output types)."""
+                cols = []
+                for item in spec.grouping_fn_items:
+                    args = item.expr.args or tuple(
+                        g.expr for g in spec.group_by
+                    )  # grouping_id() with no args = all keys
+
+                    def flag(arg) -> int:
+                        for i, g in enumerate(spec.group_by):
+                            if g.expr == arg or (
+                                isinstance(arg, Col) and arg.name == g.name
+                            ):
+                                return 0 if i in st_idx else 1
+                        raise Unsupported("grouping() argument not a group key")
+
+                    if item.expr.name.lower() == "grouping":
+                        cols.append(
+                            F.lit(flag(args[0])).cast("tinyint").alias(item.name)
+                        )
+                    else:
+                        gid = 0
+                        for arg in args:
+                            gid = gid * 2 + flag(arg)
+                        cols.append(F.lit(gid).cast("bigint").alias(item.name))
+                return cols
+
             dt_map = dict(stored.dtypes)
             parts = []
             for st_idx in spec.grouping_sets:
@@ -604,6 +636,7 @@ class CachedSparkSession:
                         if n not in keys
                     ]
                     + [F.col(n) for n in merge_aggs]
+                    + grouping_flag_cols(st_idx)
                 )
                 parts.append(gagg.select(*sel))
             acc = parts[0]

@@ -234,10 +234,37 @@ def test_grouping_sets_cached(spark, qc, split_views, gsql):
     assert rows_set(got) == rows_set(spark.sql(gsql))
 
 
-def test_grouping_id_passthrough(qc, spark):
-    df = qc.sql(
-        "SELECT event_type, grouping(event_type) AS g, count(*) AS n "
-        "FROM events GROUP BY ROLLUP (event_type)"
+def test_grouping_flags_reconstructed(spark, qc, split_views):
+    """grouping()/grouping_id() emitted as per-set literals must match
+    Spark's native flags, incrementally."""
+    run1, run2, cut_ns = split_views
+    gsql = (
+        "SELECT event_type, date_trunc('day', ts) AS d, "
+        "grouping(event_type) AS ge, "
+        "grouping_id(event_type, date_trunc('day', ts)) AS gid, "
+        "count(*) AS n FROM events_split "
+        "GROUP BY ROLLUP (event_type, date_trunc('day', ts))"
     )
-    assert not qc.last_decision.cached
-    assert df.count() > 0
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(gsql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(gsql)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(gsql))
+    assert dict(got.dtypes)["ge"] == "tinyint"
+    assert dict(got.dtypes)["gid"] == "bigint"
+
+
+def test_grouping_without_sets_passthrough(qc, spark):
+    # invalid SQL in Spark too: the passthrough surfaces Spark's own error
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pt.raises(AnalysisException):
+        qc.sql(
+            "SELECT event_type, grouping(event_type) AS g, count(*) AS n "
+            "FROM events GROUP BY event_type"
+        ).collect()
