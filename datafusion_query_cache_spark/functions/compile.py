@@ -9,6 +9,7 @@ whole-stage codegen — no Python UDFs anywhere in the cache path.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Dict
 
 from pyspark.sql import Column
@@ -50,7 +51,13 @@ _TYPE_MAP = {
 }
 
 
+_DECIMAL_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+
+
 def spark_type_for(duck_type: str) -> str:
+    m = _DECIMAL_RE.match(duck_type.upper())
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
     t = _TYPE_MAP.get(duck_type.upper())
     if t is None:
         raise Unsupported(f"cast to {duck_type}")
@@ -98,7 +105,10 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "nullif": _fn_direct("nullif"),
     "ifnull": lambda a, b: F.coalesce(a, b),
     "md5": _fn_direct("md5"),
-    "replace": lambda c, a, b: F.regexp_replace(c, F.lit(a), F.lit(b)),
+    # SQL replace() is LITERAL substring replacement — F.replace (Spark 3.5+),
+    # not regexp_replace, else patterns with regex metacharacters diverge
+    # between the cached path and passthrough.
+    "replace": lambda c, a, b: F.replace(c, F.lit(a), F.lit(b)),
     "regexp_replace": lambda c, p, r: F.regexp_replace(c, p, r),
     "contains": lambda c, s: c.contains(s),
     "starts_with": lambda c, s: c.startswith(s),
@@ -107,6 +117,9 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "suffix": lambda c, s: c.endswith(s),
     "lpad": _fn_direct("lpad"),
     "rpad": _fn_direct("rpad"),
+    # single-µs-int form (duckdb's make_timestamp(us)); used by the planner
+    # to pin now() as an epoch literal, tz-independent
+    "make_timestamp": lambda us: F.timestamp_micros(us),
     "now": lambda: F.current_timestamp(),
     "current_timestamp": lambda: F.current_timestamp(),
     "current_date": lambda: F.current_date(),
@@ -134,8 +147,14 @@ def _lit(e: Lit) -> Column:
         return F.lit(str(e.value)).cast("timestamp")
     if e.dtype == "DATE":
         return F.lit(str(e.value)).cast("date")
-    if e.dtype == "DECIMAL":
-        return F.lit(float(e.value))
+    if e.dtype and e.dtype.startswith("DECIMAL"):
+        # keep decimals EXACT (cast from the string form, preserving the
+        # parsed precision/scale) — converting to float would run decimal
+        # comparisons as doubles on the cached path, diverging from
+        # passthrough at equality/boundary points.
+        m = _DECIMAL_RE.match(e.dtype)
+        target = f"decimal({m.group(1)},{m.group(2)})" if m else "decimal(38,9)"
+        return F.lit(str(e.value)).cast(target)
     return F.lit(e.value)
 
 

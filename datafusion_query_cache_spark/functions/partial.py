@@ -20,6 +20,7 @@ mirroring the reference's Abandon verdict.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -102,8 +103,12 @@ def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
     if isinstance(expr, _Col):
         return dec_cols.get(expr.name)
     if isinstance(expr, _Cast):
-        if expr.to_type.upper() == "DECIMAL":
+        up = expr.to_type.upper()
+        if up == "DECIMAL":
             return (38, 9)
+        m = re.match(r"^DECIMAL\((\d+),(\d+)\)$", up)
+        if m:
+            return (int(m.group(1)), int(m.group(2)))
         return None  # cast away from decimal → target type governs
     for leaf in expr.walk():
         if isinstance(leaf, _Col) and leaf.name in dec_cols:
@@ -241,13 +246,21 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         # textbook formula; matches Spark/DuckDB up to fp rounding.
         ct, sm, s2 = s("cnt"), s("sum"), s("sum2")
         a = arg0().cast("double")
-        m2 = F.col(s2) - (F.col(sm) * F.col(sm)) / F.col(ct)
+        # Clamp at 0: for near-constant inputs the s2 - s²/n subtraction can
+        # go slightly negative by catastrophic cancellation, and sqrt(<0) is
+        # NaN where plain Spark returns ~0 (hypothesis: [100.0, 99.99999999999999]).
+        m2 = F.greatest(
+            F.col(s2) - (F.col(sm) * F.col(sm)) / F.col(ct), F.lit(0.0)
+        )
+        # ct > 0 guard: with zero non-null inputs the answer is NULL, and the
+        # clamp above would otherwise turn the NULL state into 0.0/0 (ANSI
+        # divide-by-zero throw).
         if fn == "var_pop":
-            fin = m2 / F.col(ct)
+            fin = F.when(F.col(ct) > 0, m2 / F.col(ct))
         elif fn == "var_samp":
             fin = F.when(F.col(ct) > 1, m2 / (F.col(ct) - 1))
         elif fn == "stddev_pop":
-            fin = F.sqrt(m2 / F.col(ct))
+            fin = F.when(F.col(ct) > 0, F.sqrt(m2 / F.col(ct)))
         else:
             fin = F.when(F.col(ct) > 1, F.sqrt(m2 / (F.col(ct) - 1)))
         return Decomposition(

@@ -306,8 +306,13 @@ class FilterSpec:
             else ";".join(f"{s.name}={s.expr.canon()}" for s in self.items)
         )
         pred = canon_predicate(self.predicate)
+        # null order is part of the identity: for maintained top-k it decides
+        # WHICH rows are retained in state, so NULLS FIRST/LAST variants must
+        # not share a cache entry ('-' = engine default).
         ob = ";".join(
-            f"{o.expr.canon()}:{'d' if o.desc else 'a'}" for o in self.order_by
+            f"{o.expr.canon()}:{'d' if o.desc else 'a'}"
+            f":{'-' if o.nulls_first is None else ('nf' if o.nulls_first else 'nl')}"
+            for o in self.order_by
         )
         lim = str(self.limit) if self.limit is not None else "-"
         return f"Filter[table={self.table}|where={pred}|select=[{sel}]|order=[{ob}]|limit={lim}]"

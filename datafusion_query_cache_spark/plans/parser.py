@@ -14,6 +14,7 @@ plans (``src/aggregate.rs:85-88``).
 
 from __future__ import annotations
 
+import decimal
 import json
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -115,11 +116,28 @@ def _parse_json_ast(sql: str) -> Dict[str, Any]:
     return stmts[0]["node"]
 
 
+def _type_id(t: Dict[str, Any]) -> str:
+    """duckdb type node → dtype string; decimals keep (width,scale)."""
+    tid = t["id"]
+    ti = t.get("type_info") or {}
+    if tid == "DECIMAL" and "width" in ti:
+        return f"DECIMAL({ti['width']},{ti['scale']})"
+    return tid
+
+
 def _const_value(node: Dict[str, Any]) -> Lit:
     v = node["value"]
+    tid = _type_id(v["type"])
     if v.get("is_null"):
-        return Lit(None, v["type"]["id"])
-    return Lit(v.get("value"), v["type"]["id"])
+        return Lit(None, tid)
+    val = v.get("value")
+    ti = v["type"].get("type_info") or {}
+    if v["type"]["id"] == "DECIMAL" and "scale" in ti:
+        # duckdb serializes decimals as the UNSCALED integer (1.25 →
+        # value=125, scale=2); rebuild the exact decimal so comparisons
+        # against decimal columns stay exact on the cached path.
+        val = decimal.Decimal(val).scaleb(-ti["scale"])
+    return Lit(val, tid)
 
 
 def _expr(node: Dict[str, Any]) -> Expr:
@@ -188,7 +206,7 @@ def _expr(node: Dict[str, Any]) -> Expr:
         raise Unsupported(f"operator {typ}")
 
     if cls == "CAST":
-        return Cast(_expr(node["child"]), node["cast_type"]["id"])
+        return Cast(_expr(node["child"]), _type_id(node["cast_type"]))
 
     if cls == "CASE":
         checks = node.get("case_checks", [])

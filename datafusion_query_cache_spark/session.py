@@ -50,6 +50,20 @@ from .plans.ir import AggSpec, Col, Lit, Unsupported
 from .plans.parser import parse_agg_query
 
 
+def _order_col(name: str, o) -> Column:
+    """ORDER BY item → Column with explicit direction AND null order.
+
+    NULLS FIRST/LAST must be honored: for maintained top-k state the sort
+    decides which rows are RETAINED, so dropping the null order keeps wrong
+    rows, not just displays them in a different order."""
+    c = F.col(name)
+    if o.nulls_first is None:
+        return c.desc() if o.desc else c.asc()
+    if o.desc:
+        return c.desc_nulls_first() if o.nulls_first else c.desc_nulls_last()
+    return c.asc_nulls_first() if o.nulls_first else c.asc_nulls_last()
+
+
 @dataclass
 class Decision:
     """What the planner did for one ``sql()`` call — the observability story
@@ -119,12 +133,14 @@ class CachedSparkSession:
         """Evaluate ``f(now())`` once at plan time with now pinned (mirrors
         the reference's query_execution_start_time capture,
         ``src/aggregate.rs:375-382``). Returns a python datetime/date."""
-        import datetime as dt
-
         from .plans.ir import BinOp as _BinOp, Cast as _Cast, Func as _Func
         from .plans.ir import Lit as _Lit, Neg as _Neg
 
-        now_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now_ns // 1000)
+        # Epoch-based now literal (timestamp_micros), NOT a wall-clock
+        # string: a string literal is re-interpreted in the session timezone,
+        # shifting the bound by the UTC offset on non-UTC sessions relative
+        # to passthrough now().
+        now_node = _Func("make_timestamp", (_Lit(now_ns // 1000, "BIGINT"),))
 
         def rec(x):
             if isinstance(x, _Func):
@@ -136,9 +152,11 @@ class CachedSparkSession:
                     "get_current_timestamp",
                     "transaction_timestamp",
                 ):
-                    return _Lit(now_dt.strftime("%Y-%m-%d %H:%M:%S.%f"), "TIMESTAMP")
+                    return now_node
                 if nl in ("current_date", "today"):
-                    return _Lit(now_dt.strftime("%Y-%m-%d"), "DATE")
+                    # date-in-session-tz of the pinned now — matches what
+                    # passthrough current_date() evaluates to.
+                    return _Cast(now_node, "DATE")
                 return _Func(x.name, tuple(rec(a) for a in x.args))
             if isinstance(x, _BinOp):
                 return _BinOp(x.op, rec(x.left), rec(x.right))
@@ -220,8 +238,7 @@ class CachedSparkSession:
                             break
                     else:
                         raise Unsupported("order by expression not in select list")
-                c = F.col(name).desc() if o.desc else F.col(name).asc()
-                cols.append(c)
+                cols.append(_order_col(name, o))
             return cols
 
         topk = spec.limit is not None
@@ -417,8 +434,14 @@ class CachedSparkSession:
         ag = ";".join(f"{s.name}={s.expr.canon()}" for s in spec.aggregates)
         pred_c = canon_predicate(state_pred_expr)
         hav = f"|having={spec.having.canon()}" if spec.having is not None else ""
+        # join steps carry the ON condition and join type — two queries over
+        # the same tables differing only in the join shape must NOT collide
+        # on one cache entry.
+        js = ";".join(j.canon() for j in spec.join_steps)
+        joins = f"|joins=[{js}]" if spec.join_steps else ""
         fingerprint = (
-            f"Aggregate[table={','.join(tables)}|where={pred_c}|group=[{gb}]|agg=[{ag}]]"
+            f"Aggregate[table={','.join(tables)}{joins}|where={pred_c}"
+            f"|group=[{gb}]|agg=[{ag}]]"
             f"{hav}|ts={ts_col}"
             f"{'|dynamic_state=' + bucket_gran if dyn_bound is not None else ''}"
             f"|schema={base.schema.simpleString()}"
@@ -733,9 +756,7 @@ class CachedSparkSession:
             sort_cols = []
             for o in spec.order_by:
                 name = self._resolve_order_name(o.expr, spec)
-                c = F.col(name)
-                c = c.desc() if o.desc else c.asc()
-                sort_cols.append(c)
+                sort_cols.append(_order_col(name, o))
             out = out.orderBy(*sort_cols)
         if spec.limit is not None:
             out = out.limit(spec.limit)
