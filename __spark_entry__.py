@@ -542,7 +542,19 @@ def _op_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     media = synthesize_media(spark, spark.table("documents"))
-    return extract_features(media)
+    out = extract_features(media)
+    # The driver's canonicalizer sorts the pandas frame — an array<float>
+    # column is unhashable there. Serialize to a stable scalar string.
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.round(x, 6).cast("string")),
+        ).alias("features_json"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -617,6 +629,15 @@ def oracle_sql() -> dict[str, str]:
     )
     for key, sql in _PT_SQLS.items():
         o[key] = sql
+    # duckdb sum(INTEGER) yields HUGEINT (int128); Spark's is BIGINT — cast
+    # so the driver's dtype-sensitive value hash matches (same precedent as
+    # qc_grouping_flags above).
+    o["pt_conditional_agg"] = (
+        "SELECT o_orderpriority, "
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+        "CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big, "
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    )
     o["op_exact_dedup"] = (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 1"
@@ -694,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["pt_json_extract"] = (
         "SELECT event_type, "
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sk, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
     o["op_embed_neardup"] = (
