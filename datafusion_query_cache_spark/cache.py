@@ -57,6 +57,34 @@ class CacheEntry(ABC):
         reference's ``CacheUpdateAggregateExec`` similarly re-emits the
         collected batches, ``src/aggregate.rs:588-601``)."""
 
+    def put_split(
+        self,
+        watermark_ns: int,
+        augmented: DataFrame,
+        state_cols: List[str],
+        state_schema,
+        spark: SparkSession,
+        fresh_rows_cb=None,
+    ):
+        """Fused store + finalize: collect ``augmented`` (= state columns
+        followed by result columns) in ONE job, persist only the state
+        columns, and return the full pyarrow Table so the caller can build
+        the query result driver-side — the source is scanned exactly once
+        and no second Spark job touches the data.
+
+        Returns ``None`` when the driver-side path doesn't apply (state too
+        large); the caller must fall back to :meth:`put`. When
+        ``fresh_rows_cb`` reports a 0-row refresh window the state content
+        is provably unchanged, so only the watermark is advanced (no state
+        rewrite)."""
+        return None
+
+    def get_arrow(self):
+        """Driver-side copy of the stored state as a pyarrow Table, or
+        ``None`` when unavailable/too large. Lets small state enter the
+        merge plan as a local relation instead of a file scan."""
+        return None
+
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
     ) -> DataFrame:
@@ -99,6 +127,41 @@ class _MemoryEntry(CacheEntry):
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, schema)
         return spark.createDataFrame(pdf, schema=schema)
+
+    def put_split(
+        self,
+        watermark_ns: int,
+        augmented: DataFrame,
+        state_cols,
+        state_schema,
+        spark: SparkSession,
+        fresh_rows_cb=None,
+    ):
+        tbl = augmented.toArrow()  # the ONE job over the data
+        fresh_rows = fresh_rows_cb() if fresh_rows_cb is not None else None
+        if fresh_rows == 0 and self.occupied:
+            with self._cache._lock:
+                _wm, pdf, schema = self._cache._store[self._fp]
+                self._cache._store[self._fp] = (watermark_ns, pdf, schema)
+            return tbl
+        pdf = tbl.select(list(state_cols)).to_pandas()
+        with self._cache._lock:
+            self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
+        return tbl
+
+    def get_arrow(self):
+        if not self.occupied:
+            return None
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            _wm, pdf, schema = self._cache._store[self._fp]
+            return pa.Table.from_pandas(
+                pdf, schema=to_arrow_schema(schema), preserve_index=False
+            )
+        except Exception:
+            return None
 
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
@@ -193,6 +256,28 @@ class _ParquetEntry(CacheEntry):
         except Exception:
             return spark.read.parquet(*self._state_paths())
 
+    def get_arrow(self):
+        if self._meta is None:
+            return None
+        rows = self._meta.get("rows")
+        if rows is None or rows > self.DRIVER_COLLECT_MAX_ROWS:
+            return None
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            tabs = [pq.read_table(p) for p in self._state_paths()]
+            tbl = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+            # cast to the exact arrow twin of the Spark state schema:
+            # distributed-written parquet may round-trip timestamps at a
+            # different unit/annotation than the driver-side Arrow write.
+            sch = StructType.fromJson(json.loads(self._meta["schema"]))
+            return tbl.cast(to_arrow_schema(sch))
+        except Exception:
+            return None
+
     #: Above this many state rows, stop collecting state through the driver
     #: and use a distributed write instead (the 100 TB / huge-cardinality
     #: path). Below it, the reference's own strategy — collect the state
@@ -231,11 +316,17 @@ class _ParquetEntry(CacheEntry):
             # CoalescePartitions-before-store (``src/aggregate.rs:510-527``)
             state.coalesce(1).write.mode("overwrite").parquet(path)
             result = spark.read.parquet(path)
+        self._swap_meta(watermark_ns, txid, state.schema.json(), n_rows)
+        return result
+
+    def _swap_meta(
+        self, watermark_ns: int, txid: str, schema_json: str, n_rows: Optional[int]
+    ) -> None:
         meta = {
             "fingerprint": self._fp,
             "watermark_ns": watermark_ns,
             "state": txid,
-            "schema": state.schema.json(),
+            "schema": schema_json,
             "rows": n_rows,
             "written_at": time.time(),
         }
@@ -249,7 +340,43 @@ class _ParquetEntry(CacheEntry):
             for p in old.get("parts") or [old.get("state", "")]:
                 if p and p != txid:
                     shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
-        return result
+
+    def put_split(
+        self,
+        watermark_ns: int,
+        augmented: DataFrame,
+        state_cols: List[str],
+        state_schema,
+        spark: SparkSession,
+        fresh_rows_cb=None,
+    ):
+        prev_rows = (self._meta or {}).get("rows")
+        if prev_rows is not None and prev_rows > self.DRIVER_COLLECT_MAX_ROWS:
+            return None  # known-big state: stay on the distributed path
+        import pyarrow.parquet as pq
+
+        tbl = augmented.toArrow()  # the ONE job over the data
+        if tbl.num_rows > self.DRIVER_COLLECT_MAX_ROWS:
+            return None  # state outgrew the driver path; caller re-plans
+        fresh_rows = fresh_rows_cb() if fresh_rows_cb is not None else None
+        if fresh_rows == 0 and self._meta is not None and "state" in self._meta:
+            # empty refresh window ⇒ merged state ≡ stored state (merge of
+            # compacted state with nothing is the identity): advance the
+            # watermark only, skip the rewrite.
+            self._swap_meta(
+                watermark_ns,
+                self._meta["state"],
+                self._meta["schema"],
+                self._meta.get("rows"),
+            )
+            return tbl
+        os.makedirs(self._dir, exist_ok=True)
+        txid = f"state-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._dir, txid)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl.select(list(state_cols)), os.path.join(path, "part-0.parquet"))
+        self._swap_meta(watermark_ns, txid, state_schema.json(), tbl.num_rows)
+        return tbl
 
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
