@@ -85,6 +85,19 @@ class CacheEntry(ABC):
         merge plan as a local relation instead of a file scan."""
         return None
 
+    def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
+        """Store state from an ALREADY-COLLECTED pyarrow Table (the SQL-
+        template warm path collects state + result in one job and hands the
+        state part here). Returns False when unsupported; the caller must
+        re-store via :meth:`put`."""
+        return False
+
+    def advance_watermark(self, watermark_ns: int) -> bool:
+        """Move the watermark forward WITHOUT touching state — valid exactly
+        when the refresh window contained zero rows (merge with nothing is
+        the identity). Returns False when unsupported."""
+        return False
+
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
     ) -> DataFrame:
@@ -162,6 +175,20 @@ class _MemoryEntry(CacheEntry):
             )
         except Exception:
             return None
+
+    def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
+        pdf = state_tbl.to_pandas()
+        with self._cache._lock:
+            self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
+        return True
+
+    def advance_watermark(self, watermark_ns: int) -> bool:
+        if not self.occupied:
+            return False
+        with self._cache._lock:
+            _wm, pdf, schema = self._cache._store[self._fp]
+            self._cache._store[self._fp] = (watermark_ns, pdf, schema)
+        return True
 
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
@@ -377,6 +404,28 @@ class _ParquetEntry(CacheEntry):
         pq.write_table(tbl.select(list(state_cols)), os.path.join(path, "part-0.parquet"))
         self._swap_meta(watermark_ns, txid, state_schema.json(), tbl.num_rows)
         return tbl
+
+    def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._dir, exist_ok=True)
+        txid = f"state-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._dir, txid)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(state_tbl, os.path.join(path, "part-0.parquet"))
+        self._swap_meta(watermark_ns, txid, state_schema.json(), state_tbl.num_rows)
+        return True
+
+    def advance_watermark(self, watermark_ns: int) -> bool:
+        if self._meta is None or "state" not in self._meta:
+            return False
+        self._swap_meta(
+            watermark_ns,
+            self._meta["state"],
+            self._meta["schema"],
+            self._meta.get("rows"),
+        )
+        return True
 
     def append(
         self, watermark_ns: int, fresh: DataFrame, spark: SparkSession

@@ -415,6 +415,11 @@ class ItemPlan:
     partial: Dict[str, Column] = field(default_factory=dict)
     merge: Dict[str, Column] = field(default_factory=dict)
     finalize: Optional[Column] = None
+    #: same expression as ``finalize`` but WITHOUT the output alias — the
+    #: SQL-template warm path renders this to text and aliases textually
+    #: (rendering an aliased Column yields ``expr AS name``, which cannot be
+    #: re-aliased inside a SELECT item).
+    finalize_raw: Optional[Column] = None
     singleton: Optional[Dict[str, Column]] = field(default_factory=dict)
 
 
@@ -512,6 +517,7 @@ def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
                 elif plan.singleton is not None:
                     plan.singleton.update(dec.singleton)
             fin_map[a] = dec.finalize
-        plan.finalize = _rewrite_with_finalize(item.expr, fin_map).alias(item.name)
+        plan.finalize_raw = _rewrite_with_finalize(item.expr, fin_map)
+        plan.finalize = plan.finalize_raw.alias(item.name)
         plans.append(plan)
     return plans

@@ -78,11 +78,16 @@ class Decision:
     now_ns: Optional[int] = None
     dynamic_lower: Optional[object] = None  # evaluated f(now()) bound
     observation: Optional[Observation] = None  # fresh-scan row count (hit only)
+    #: exact fresh-row count when the SQL-template warm path ran (it counts
+    #: via a rider aggregate instead of an Observation)
+    fresh_rows_value: Optional[int] = None
 
     def fresh_rows(self) -> Optional[int]:
         """Rows scanned by the incremental refresh (the reference's
         ``EXPLAIN ANALYZE`` row-count oracle, ``examples/demo.rs:52-63``).
         None when unavailable."""
+        if self.fresh_rows_value is not None:
+            return self.fresh_rows_value
         if self.observation is None:
             return None
         try:
@@ -106,6 +111,16 @@ class CachedSparkSession:
         # a source change invalidates naturally.
         self._plan_cache: Dict[tuple, list] = {}
         self._spec_cache: Dict[str, object] = {}
+        # (query, source schema, state schema) → warm-path SQL template (or
+        # None = shape not template-able). The template collapses the whole
+        # refresh program — fresh scan, singleton projection, union with the
+        # state view, merge, finalize — into ONE SQL string with watermark
+        # placeholders, so a standing query pays a single JVM parse instead
+        # of ~600 py4j round-trips of DataFrame program rebuilding.
+        self._tpl_cache: Dict[tuple, Optional[dict]] = {}
+        #: debug/observability: the refresh program of the last cached run
+        #: (the augmented state+finalize DataFrame), for plan inspection
+        self.last_refresh_df: Optional[DataFrame] = None
 
     # -- public API ---------------------------------------------------------
 
@@ -573,6 +588,32 @@ class CachedSparkSession:
             hot_state = cached_state
         elif hit:
             wm_ns = entry.watermark_ns
+            if state_is_local and not spec.grouping_sets and dyn_bound is None:
+                # SQL-template fast path: the whole refresh program as ONE
+                # JVM-parsed SQL string (built once per query shape) — the
+                # resulting physical plan is identical to the DataFrame
+                # program below, minus ~600 py4j round-trips per call.
+                pc_col = cfg.temporal_partition_columns.get(ts_col)
+                tpl = self._warm_template(
+                    pkey, fingerprint, spec, plans, state_group, group_names,
+                    state_cols, partial_aggs, merge_aggs, pred, ts_col,
+                    shadow in base.columns,
+                    pc_col if (pc_col and pc_col in base.columns) else None,
+                    cached_state.schema, tables,
+                )
+                if tpl is not None:
+                    res = self._run_warm_template(
+                        tpl, entry, cached_state, wm_ns, now_ns,
+                        decision, spec, state_cols,
+                    )
+                    if res is not None:
+                        decision.cache_hit = True
+                        decision.watermark_ns = wm_ns
+                        cfg.log.info(
+                            fingerprint,
+                            f"cache hit: incremental refresh from watermark {wm_ns}",
+                        )
+                        return res, decision
             fresh = base
             if pred is not None:
                 fresh = fresh.filter(pred)
@@ -647,6 +688,8 @@ class CachedSparkSession:
         # store *merged* (compacted) state — SURVEY §3.3 improvement — and
         # finalize from the stored copy so the source is scanned exactly once.
         # (hot reads — empty refresh window — skip the store entirely.)
+        if merged is not None:
+            self.last_refresh_df = merged
         stored = hot_state if merged is None else entry.put(now_ns, merged, self.spark)
 
         if spec.grouping_sets:
@@ -813,35 +856,26 @@ class CachedSparkSession:
         driver-local result — avoiding both the post-store re-read and the
         global-sort exchange a LocalRelation ``orderBy`` would pay. Returns
         None when the fast path doesn't apply (caller falls back)."""
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import StructType
 
-        out_names = list(spec.select_order)
-        if len(set(out_names)) != len(out_names):
+        layout = self._fused_layout(spec)
+        if layout is None:
             return None  # duplicate output aliases: keep the classic path
+        out_names, order_names, extra_names = layout
         fin_by_name = {p.name: p.finalize for p in plans}
         aug_cols = [F.col(n) for n in state_cols]
         for i, name in enumerate(out_names):
             c = fin_by_name[name] if name in fin_by_name else F.col(name)
             aug_cols.append(c.alias(f"__fin{i}"))
-        # ORDER BY keys that aren't output columns (e.g. ORDER BY a group
-        # key that was not selected) ride along and are dropped after sort
-        order_names: List[str] = []
-        extra_names: List[str] = []
-        if spec.order_by:
-            for o in spec.order_by:
-                nm = self._resolve_order_name(o.expr, spec)
-                order_names.append(nm)
-                if nm not in out_names and nm not in extra_names:
-                    extra_names.append(nm)
-            for nm in extra_names:
-                aug_cols.append(F.col(nm).alias(f"__ord_{nm}"))
+        for nm in extra_names:
+            aug_cols.append(F.col(nm).alias(f"__ord_{nm}"))
         if spec.having is not None:
             aug_cols.append(fin_by_name["__qc_having"].alias("__fin_hv"))
 
         base_idx = len(state_cols)
-        n_fin = len(out_names)
         if merged is not None:
             augmented = merged.select(*aug_cols)
+            self.last_refresh_df = augmented
             aug_schema = augmented.schema
             state_schema = StructType(aug_schema.fields[:base_idx])
             fresh_cb = (
@@ -861,9 +895,48 @@ class CachedSparkSession:
             aug_schema = augmented.schema
             tbl = augmented.toArrow()
 
+        return self._arrow_result(
+            tbl, list(aug_schema.fields), base_idx, spec,
+            out_names, extra_names, order_names,
+        )
+
+    def _fused_layout(self, spec: AggSpec):
+        """Output-column layout shared by the fused and SQL-template paths:
+        (out_names, order_names, extra order-only ride-along names)."""
+        out_names = list(spec.select_order)
+        if len(set(out_names)) != len(out_names):
+            return None
+        # ORDER BY keys that aren't output columns (e.g. ORDER BY a group
+        # key that was not selected) ride along and are dropped after sort
+        order_names: List[str] = []
+        extra_names: List[str] = []
+        if spec.order_by:
+            for o in spec.order_by:
+                nm = self._resolve_order_name(o.expr, spec)
+                order_names.append(nm)
+                if nm not in out_names and nm not in extra_names:
+                    extra_names.append(nm)
+        return out_names, order_names, extra_names
+
+    def _arrow_result(
+        self,
+        tbl,
+        aug_fields,
+        base_idx: int,
+        spec: AggSpec,
+        out_names: List[str],
+        extra_names: List[str],
+        order_names: List[str],
+    ) -> DataFrame:
+        """Driver-side finalize of a collected augmented table: HAVING
+        filter, Spark-semantics sort (nulls placement, NaN-greatest guard),
+        LIMIT, and re-entry into Spark as a LocalRelation."""
+        from pyspark.sql.types import StructField, StructType
+
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        n_fin = len(out_names)
         if spec.having is not None:
             tbl = tbl.filter(pc.fill_null(tbl.column(tbl.num_columns - 1), False))
 
@@ -872,7 +945,7 @@ class CachedSparkSession:
         res = res.rename_columns(res_names)
         res_fields = [
             StructField(res_names[i], f.dataType, f.nullable)
-            for i, f in enumerate(aug_schema.fields[base_idx : base_idx + n_fin + len(extra_names)])
+            for i, f in enumerate(aug_fields[base_idx : base_idx + n_fin + len(extra_names)])
         ]
 
         sorted_locally = False
@@ -919,6 +992,273 @@ class CachedSparkSession:
         if spec.limit is not None:
             out = out.limit(spec.limit)
         return out.select(*out_names)
+
+    # -- SQL-template warm path ---------------------------------------------
+
+    def _sql_of(self, col: Column) -> str:
+        """Render a compiled Column back to parseable SQL text via the JVM
+        expression converter. Paid ONCE per template build; lets the whole
+        warm-path program run as a single ``spark.sql`` call instead of
+        hundreds of py4j DataFrame-building round-trips per refresh."""
+        return self.spark._jsparkSession.expression(col._jc).sql()
+
+    def _warm_template(
+        self,
+        pkey,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+    ) -> Optional[dict]:
+        """Memoized SQL template for the incremental-refresh program.
+
+        The template is the textual twin of the classic warm plan —
+        ``finalize(merge(union(state_view, singleton(fresh))))`` — with the
+        watermark bounds as placeholder tokens, plus a rider aggregate
+        ``sum(__qc_isfresh)`` that reproduces the Observation row count for
+        free. None ⇒ this query shape can't be templated (stay classic)."""
+        key = (pkey[0], pkey[1], state_schema.simpleString())
+        if key in self._tpl_cache:
+            return self._tpl_cache[key]
+        tpl = None
+        try:
+            tpl = self._build_warm_template(
+                fingerprint, spec, plans, state_group, group_names, state_cols,
+                partial_aggs, merge_aggs, pred, ts_col, shadow_ok, part_col,
+                state_schema, tables,
+            )
+        except Exception as e:
+            self.config.log.info(
+                fingerprint, f"sql-template not available ({e}); using classic plan"
+            )
+            tpl = None
+        if tpl is not None:
+            tpl["key"] = key
+        self._tpl_cache[key] = tpl
+        return tpl
+
+    def _build_warm_template(
+        self,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+    ) -> Optional[dict]:
+        import hashlib
+
+        layout = self._fused_layout(spec)
+        if layout is None:
+            return None
+        out_names, order_names, extra_names = layout
+        sql_of = self._sql_of
+
+        def q(n: str) -> str:
+            return "`" + n.replace("`", "``") + "`"
+
+        fin_raw = {p.name: p.finalize_raw for p in plans}
+        dtypes = {f.name: f.dataType for f in state_schema.fields}
+        g_sql = {g.name: sql_of(to_column(g.expr)) for g in state_group}
+
+        singletons: Dict[str, Column] = {}
+        use_singleton = True
+        for p in plans:
+            if p.singleton is None:
+                use_singleton = False
+                break
+            singletons.update(p.singleton)
+
+        # FROM: fact table, then the left-deep join steps (same static-dims
+        # refresh contract as the DataFrame path)
+        from_sql = q(tables[0])
+        for step in spec.join_steps:
+            if step.on is None:
+                from_sql += f" CROSS JOIN {q(step.table)}"
+            else:
+                kw = "LEFT JOIN" if step.how == "left" else "JOIN"
+                from_sql += f" {kw} {q(step.table)} ON {sql_of(to_column(step.on))}"
+
+        # WHERE: stable predicate + exact [wm, now) tiling (epoch-ns shadow
+        # column when available → pushes into the parquet scan) + optional
+        # partition-column coarsening for partition pruning
+        conds = []
+        if pred is not None:
+            conds.append(f"({sql_of(pred)})")
+        if shadow_ok:
+            shadow = q(f"{ts_col}_ns")
+            conds.append(f"{shadow} >= __QC_WM_NS__")
+            conds.append(f"{shadow} < __QC_NOW_NS__")
+        else:
+            conds.append(f"{q(ts_col)} >= timestamp_micros(__QC_WM_US__)")
+            conds.append(f"{q(ts_col)} < timestamp_micros(__QC_NOW_US__)")
+        if part_col:
+            conds.append(f"{q(part_col)} >= DATE'__QC_LO_D__'")
+            conds.append(f"{q(part_col)} <= DATE'__QC_HI_D__'")
+        where_sql = " AND ".join(conds)
+
+        view = f"__qc_state_{hashlib.md5(fingerprint.encode()).hexdigest()[:12]}"
+        isf = q("__qc_isfresh")
+
+        # fresh side: singleton row-states when every aggregate has one (the
+        # one-shuffle plan), else an explicit partial sub-aggregate
+        items = []
+        for n in state_cols:
+            if n in g_sql:
+                items.append(f"{g_sql[n]} AS {q(n)}")
+            elif use_singleton:
+                t = dtypes[n].simpleString()
+                items.append(f"CAST({sql_of(singletons[n])} AS {t}) AS {q(n)}")
+            else:
+                items.append(f"{sql_of(partial_aggs[n])} AS {q(n)}")
+        if use_singleton:
+            fresh_sql = (
+                f"SELECT {', '.join(items)}, 1 AS {isf} "
+                f"FROM {from_sql} WHERE {where_sql}"
+            )
+        else:
+            gb = ", ".join(g_sql[n] for n in group_names)
+            fresh_sql = (
+                f"SELECT {', '.join(items)}, count(1) AS {isf} "
+                f"FROM {from_sql} WHERE {where_sql}"
+                + (f" GROUP BY {gb}" if group_names else "")
+            )
+
+        state_sel = ", ".join(q(c) for c in state_cols)
+        union_sql = (
+            f"{fresh_sql} UNION ALL SELECT {state_sel}, 0 AS {isf} FROM {q(view)}"
+        )
+
+        # merge: one hash aggregate over the union — map-side combine of the
+        # singleton rows IS the partial aggregation (single shuffle)
+        merge_items = [
+            f"{sql_of(merge_aggs[n])} AS {q(n)}"
+            for n in state_cols
+            if n not in g_sql
+        ]
+        sel_groups = ", ".join(q(n) for n in group_names)
+        head = f"{sel_groups}, " if group_names else ""
+        m_sql = (
+            f"SELECT {head}{', '.join(merge_items)}, sum({isf}) AS {q('__qc_fresh')} "
+            f"FROM ({union_sql}) __qc_u"
+            + (f" GROUP BY {sel_groups}" if group_names else "")
+        )
+
+        # finalize: state columns ride through for the store-back, followed
+        # by the output expressions — same layout _arrow_result expects,
+        # with the fresh-row counter as the (dropped) last column
+        fin_items = [q(n) for n in state_cols]
+        for i, name in enumerate(out_names):
+            if name in fin_raw:
+                fin_items.append(f"{sql_of(fin_raw[name])} AS {q('__fin%d' % i)}")
+            else:
+                fin_items.append(f"{q(name)} AS {q('__fin%d' % i)}")
+        for nm in extra_names:
+            fin_items.append(f"{q(nm)} AS {q('__ord_' + nm)}")
+        if spec.having is not None:
+            fin_items.append(f"{sql_of(fin_raw['__qc_having'])} AS {q('__fin_hv')}")
+        fin_items.append(q("__qc_fresh"))
+        sql = f"SELECT {', '.join(fin_items)} FROM ({m_sql}) __qc_m"
+
+        return {
+            "sql": sql,
+            "view": view,
+            "out_names": out_names,
+            "order_names": order_names,
+            "extra_names": extra_names,
+        }
+
+    def _run_warm_template(
+        self,
+        tpl: dict,
+        entry,
+        cached_state: DataFrame,
+        wm_ns: int,
+        now_ns: int,
+        decision: Decision,
+        spec: AggSpec,
+        state_cols: List[str],
+    ) -> Optional[DataFrame]:
+        """Execute the templated refresh: ~4 py4j calls + one Spark job.
+
+        Store-back comes from the same collected Arrow table (no second
+        scan); a zero-row refresh window only advances the watermark."""
+        from pyspark.sql.types import StructType
+
+        try:
+            cached_state.createOrReplaceTempView(tpl["view"])
+            sql = (
+                tpl["sql"]
+                .replace("__QC_WM_NS__", str(wm_ns))
+                .replace("__QC_NOW_NS__", str(now_ns))
+            )
+            if "__QC_WM_US__" in sql:
+                sql = sql.replace("__QC_WM_US__", str(-(-wm_ns // 1000)))
+                sql = sql.replace("__QC_NOW_US__", str(-(-now_ns // 1000)))
+            if "__QC_LO_D__" in sql:
+                import datetime as _dt
+
+                epoch = _dt.datetime(1970, 1, 1)
+                lo_d = (epoch + _dt.timedelta(microseconds=wm_ns // 1000)).date()
+                hi_d = (epoch + _dt.timedelta(microseconds=now_ns // 1000)).date()
+                sql = sql.replace("__QC_LO_D__", lo_d.isoformat())
+                sql = sql.replace("__QC_HI_D__", hi_d.isoformat())
+            df = self.spark.sql(sql)
+            self.last_refresh_df = df
+            aug_fields = list(df.schema.fields)
+            tbl = df.toArrow()  # the ONE job over the data
+        except Exception as e:
+            # poison this template (wrong render, unregistered function,
+            # ...) and fall back to the classic DataFrame program
+            self._tpl_cache[tpl["key"]] = None
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"sql-template warm path failed ({e}); falling back",
+            )
+            return None
+
+        import pyarrow.compute as pc
+
+        last = tbl.num_columns - 1
+        fresh = pc.sum(tbl.column(last)).as_py()
+        decision.fresh_rows_value = int(fresh or 0)
+        tbl = tbl.remove_column(last)
+        aug_fields = aug_fields[:-1]
+        base_idx = len(state_cols)
+        if decision.fresh_rows_value == 0 and entry.advance_watermark(now_ns):
+            pass  # merged state ≡ stored state: watermark swap only
+        else:
+            state_schema = StructType(
+                [f for f in aug_fields[:base_idx]]
+            )
+            state_part = tbl.select(list(range(base_idx)))
+            if not entry.put_arrow(now_ns, state_part, state_schema):
+                st_df = self.spark.createDataFrame(
+                    state_part, schema=state_schema
+                )
+                entry.put(now_ns, st_df, self.spark)
+        return self._arrow_result(
+            tbl, aug_fields, base_idx, spec,
+            tpl["out_names"], tpl["extra_names"], tpl["order_names"],
+        )
 
     def _apply_order_limit(self, out: DataFrame, spec: AggSpec) -> DataFrame:
         if spec.order_by:

@@ -69,28 +69,8 @@ def test_join_recovers_hash_join_plan(spark, qc, split):
     run2()
     qc.config.override_now_ns = cut_ns
 
-    import datafusion_query_cache_spark.cache as C
-
-    cap = {}
-    orig = C._ParquetEntry.put
-    orig_split = C._ParquetEntry.put_split
-
-    def spy(self, wm, st, sp):
-        cap["plan"] = st._jdf.queryExecution().executedPlan().toString()
-        return orig(self, wm, st, sp)
-
-    def spy_split(self, wm, aug, cols, schema, sp, cb=None):
-        cap["plan"] = aug._jdf.queryExecution().executedPlan().toString()
-        return orig_split(self, wm, aug, cols, schema, sp, cb)
-
-    C._ParquetEntry.put = spy
-    C._ParquetEntry.put_split = spy_split
-    try:
-        qc.sql(JOIN_SQL).collect()
-    finally:
-        C._ParquetEntry.put = orig
-        C._ParquetEntry.put_split = orig_split
-    plan = cap["plan"]
+    qc.sql(JOIN_SQL).collect()
+    plan = qc.last_refresh_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan

@@ -45,32 +45,12 @@ def test_partitioned_refresh_prunes_partitions(spark, tmp_path, partitioned_even
     )
     qc.sql(sql).collect()
 
-    # capture the fresh-scan plan of the refresh via the store-back hook
-    import datafusion_query_cache_spark.cache as C
-
-    captured = {}
-    orig = C._ParquetEntry.put
-    orig_split = C._ParquetEntry.put_split
-
-    def spy(self, wm, state, sp):
-        captured["plan"] = state._jdf.queryExecution().executedPlan().toString()
-        return orig(self, wm, state, sp)
-
-    def spy_split(self, wm, aug, cols, schema, sp, cb=None):
-        captured["plan"] = aug._jdf.queryExecution().executedPlan().toString()
-        return orig_split(self, wm, aug, cols, schema, sp, cb)
-
-    C._ParquetEntry.put = spy
-    C._ParquetEntry.put_split = spy_split
-    try:
-        qc.config.override_now_ns = cut_ns + 10**17
-        got = qc.sql(sql)
-        assert qc.last_decision.cache_hit
-    finally:
-        C._ParquetEntry.put = orig
-        C._ParquetEntry.put_split = orig_split
-
-    plan = captured["plan"]
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    # the refresh program (whichever warm path ran) is exposed for plan
+    # inspection on last_refresh_df
+    plan = qc.last_refresh_df._jdf.queryExecution().executedPlan().toString()
     # at least one scan (the fresh events_part side) must carry partition
     # filters on d — the cached-state scan legitimately has none
     segs = [p.split("]", 1)[0] for p in plan.split("PartitionFilters: [")[1:]]
