@@ -509,12 +509,17 @@ def _pt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidates + exact cosine verification: the scale-safe
+    plan (equi-join on (band, key), no cross join), still exact vs the
+    DuckDB all-pairs oracle because verification recomputes the true cosine
+    and the band config holds recall 1.0 on this fixture (see
+    tests/test_similarity.py::test_banded_neardup_recall)."""
     from datafusion_query_cache_spark.operators.similarity import (
-        cosine_neardup_pairs,
+        cosine_neardup_pairs_banded,
     )
 
     _load(spark, sf_dir)
-    out = cosine_neardup_pairs(spark.table("embeddings"), threshold=0.4)
+    out = cosine_neardup_pairs_banded(spark.table("embeddings"), threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

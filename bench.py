@@ -275,7 +275,7 @@ def main() -> None:
 
     from datafusion_query_cache_spark.operators.asof import asof_join
     from datafusion_query_cache_spark.operators.similarity import (
-        cosine_neardup_pairs,
+        cosine_neardup_pairs_banded,
         ivf_topk,
         ivf_train,
     )
@@ -289,7 +289,7 @@ def main() -> None:
     timed("op_asof_join", lambda: asof_join(ev_small, purch, "ts", "user_id", ["pv"]).count())
     timed(
         "op_embed_neardup",
-        lambda: cosine_neardup_pairs(emb, threshold=0.4, n_planes=4).count(),
+        lambda: cosine_neardup_pairs_banded(emb, threshold=0.4).count(),
     )
     cents = ivf_train(emb, k=8, iters=2)
     timed("op_ivf_topk", lambda: ivf_topk(emb, qvec, cents, k=10, nprobe=4).collect())

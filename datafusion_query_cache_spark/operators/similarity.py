@@ -207,6 +207,109 @@ def cosine_neardup_pairs(
     )
 
 
+def banded_keys(
+    vec: Column, planes: Sequence[Sequence[float]], bands: int, rows_per_band: int
+) -> Column:
+    """All ``bands`` sign-bucket keys in ONE vectorized pass: an
+    Arrow-batched pandas_udf doing a single (batch × dim) @ (dim × B·r)
+    numpy matmul, then bit-packing per band. For ~100+ hyperplanes this
+    replaces B·r interpreted higher-order-function dot products per row
+    with one BLAS call per batch — the same scan-side cost model as the
+    MinHash signature computation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (B*r, dim)
+
+    def _keys(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (M @ P.T) > 0  # (n, B*r)
+        keys = np.zeros((len(M), bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(rows_per_band):
+                keys[:, b] |= bits[:, b * rows_per_band + j].astype(np.int64) << j
+        return pd.Series(list(keys))
+
+    # lambda-style registration: the module uses postponed annotation
+    # evaluation, which the hint-based pandas_udf signature parser rejects
+    return pandas_udf(_keys, "array<long>")(vec)
+
+
+def cosine_neardup_pairs_banded(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 48,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via BANDED hyperplane LSH + exact verification —
+    the scale path for ``cosine_neardup_pairs`` (reference-class operator;
+    the brute-force variant is the test oracle).
+
+    Candidate generation: ``bands`` independent sign-buckets of
+    ``rows_per_band`` hyperplanes each; a pair is a candidate iff it agrees
+    on ALL planes of ANY band (classic banding: P(candidate) =
+    1-(1-p^r)^B for per-plane agreement p = 1-θ/π). Candidates are then
+    verified with the exact cosine, so precision is 1.0 and recall is
+    1-(1-p^r)^B — at the default (r=4, B=48), 0.99974 per pair at
+    cosine exactly 0.4 (p=0.63) and indistinguishable from 1 for true
+    near-dups at cosine ≥ 0.9 (p=0.86). Verified recall=1.0 on the
+    sf0.001/sf0.01 fixtures in tests/test_similarity.py.
+
+    Plan shape: scan-side key computation (one Arrow-batched numpy matmul
+    per batch, see :func:`banded_keys`), posexplode to (band, key) rows,
+    slim self-equi-join on (band, key) — ids only, vectors re-attached
+    AFTER candidate dedup — then the exact filter. No cross join anywhere;
+    shuffles carry (band, key, id) triples and the deduped pair list,
+    never the vectors."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bands * rows_per_band, seed)
+    v = F.col(vec_col).cast("array<double>")
+    # persist: referenced by both sides of the band self-join — without it
+    # the scan + key matmul recomputes per side (same pattern and rationale
+    # as the MinHash signature table, dedup.py)
+    exploded = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            banded_keys(v, planes, bands, rows_per_band).alias("__keys"),
+        )
+        .select("__id", F.posexplode("__keys").alias("__band", "__key"))
+    ).persist()
+    a = exploded.select("__band", "__key", F.col("__id").alias("id_a"))
+    b_ = exploded.select("__band", "__key", F.col("__id").alias("id_b"))
+    cand = (
+        a.join(b_, ["__band", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norm_df = df.select(F.col(id_col), v.alias("__v"), norm(v).alias("__n"))
+    pairs = cand.join(
+        norm_df.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
+        "id_a",
+    ).join(
+        norm_df.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "id_b",
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def ivf_train(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -69,6 +69,46 @@ def test_ivf_train_and_probe_recall(spark, emb):
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
 
 
+def test_banded_neardup_recall(spark, emb):
+    """The scale-safe banded-LSH near-dup path must reproduce the exact
+    brute-force pair set on the fixture (recall 1.0 — candidates are
+    verified with the true cosine, so precision is 1.0 by construction).
+    This is the property the driver's DuckDB oracle relies on."""
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_banded,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(
+            emb, threshold=0.4
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]) for r in cosine_neardup_pairs_banded(
+            emb, threshold=0.4
+        ).collect()
+    }
+    assert got.issubset(exact)  # precision 1.0 (exact verification)
+    missed = exact - got
+    assert not missed, f"banded LSH missed {len(missed)} true pairs: {sorted(missed)[:5]}"
+
+
+def test_banded_neardup_plan_has_no_cartesian(spark, emb):
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_neardup_pairs_banded,
+    )
+
+    plan = (
+        cosine_neardup_pairs_banded(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_topk_subset_of_corpus(spark, emb):
     from datafusion_query_cache_spark.operators.similarity import cosine_topk_lsh
 
