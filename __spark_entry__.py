@@ -134,6 +134,20 @@ _QC_SQLS = {
         "max_by(event_id, ts) AS last_event, count(*) AS n FROM {v} "
         "GROUP BY 1 ORDER BY 1"
     ),
+    # bare first()/last() — time-series semantics (value at min/max ts),
+    # rewritten onto the argmin/argmax state (session.py first/last rewrite)
+    "qc_first_last": (
+        "SELECT event_type, first(value) AS first_v, last(value) AS last_v, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    ),
+    # collect_set state: merge = array_distinct(flatten(...)); output made
+    # order-stable with array_sort + array_join AT FINALIZE (set order is
+    # engine-arbitrary in both Spark and DuckDB)
+    "qc_collect_set": (
+        "SELECT event_type, "
+        "array_join(array_sort(collect_set(CAST(user_id AS VARCHAR))), ',') AS us, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    ),
     # correlation: six-component co-moment state
     "qc_corr": (
         "SELECT event_type, round(corr(value, user_id) + 1e-9, 4) AS c, "
@@ -617,6 +631,20 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
+    # first/last have no order-deterministic DuckDB twin under the same
+    # name — the oracle states the DEFINITION explicitly (value at min/max
+    # ts; ts in the raw parquet is the epoch-ns BIGINT, same ordering)
+    o["qc_first_last"] = (
+        "SELECT event_type, arg_min(value, ts) AS first_v, "
+        "arg_max(value, ts) AS last_v, count(*) AS n FROM events "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    # duckdb spells the sorted-set finisher differently
+    o["qc_collect_set"] = (
+        "SELECT event_type, "
+        "array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',') AS us, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
     # duckdb grouping() returns BIGINT; Spark's is TINYINT
     o["qc_grouping_flags"] = (
         "SELECT event_type, CAST(grouping(event_type) AS TINYINT) AS ge, "

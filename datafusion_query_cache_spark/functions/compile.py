@@ -117,6 +117,13 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "suffix": lambda c, s: c.endswith(s),
     "lpad": _fn_direct("lpad"),
     "rpad": _fn_direct("rpad"),
+    # array finishers (used over collect_set/array_agg at finalize):
+    # duckdb spellings aliased to the Spark builtins
+    "array_sort": lambda c: F.array_sort(c),
+    "list_sort": lambda c: F.array_sort(c),
+    "array_join": lambda c, d, *r: F.array_join(c, d, *r),
+    "array_to_string": lambda c, d, *r: F.array_join(c, d, *r),
+    "array_size": lambda c: F.size(c),
     # single-µs-int form (duckdb's make_timestamp(us)); used by the planner
     # to pin now() as an epoch literal, tz-independent
     "make_timestamp": lambda us: F.timestamp_micros(us),
@@ -235,7 +242,7 @@ def to_column(e: Expr) -> Column:
         args = []
         for a in e.args:
             # scalar-literal args that must stay python (date_trunc fmt, round n)
-            if isinstance(a, Lit) and e.name.lower() in ("date_trunc", "round", "substr", "substring", "power", "pow", "lpad", "rpad", "to_timestamp") and not isinstance(a.value, (dict, list)):
+            if isinstance(a, Lit) and e.name.lower() in ("date_trunc", "round", "substr", "substring", "power", "pow", "lpad", "rpad", "to_timestamp", "array_join", "array_to_string") and not isinstance(a.value, (dict, list)):
                 args.append(a.value)
             else:
                 args.append(to_column(a))

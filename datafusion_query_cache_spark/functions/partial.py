@@ -291,8 +291,26 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             partial={nm: F.collect_list(a)},
             merge={nm: F.flatten(F.collect_list(F.col(nm)))},
             finalize=F.col(nm),
-            # collect_list skips nulls; singleton mirrors that with []
-            singleton={nm: F.when(a.isNotNull(), F.array(a)).otherwise(F.array())},
+            # collect_list skips nulls; singleton mirrors that with [] —
+            # filter(array(a), ...) keeps the element type without an
+            # empty-array literal (whose array<null> type Spark refuses to
+            # cast inside a CASE branch)
+            singleton={nm: F.filter(F.array(a), lambda x: x.isNotNull())},
+        )
+
+    if fn == "collect_set":
+        # SURVEY §4.3: set state, merge = array_distinct ∘ flatten. The
+        # reference inherits this from DataFusion's array_agg(distinct)
+        # partial state. NOTE: set ORDER is engine-arbitrary (as in plain
+        # Spark); order-stable consumers wrap in array_sort — which runs at
+        # finalize, outside the state.
+        nm = s("set")
+        a = arg0()
+        return Decomposition(
+            partial={nm: F.collect_set(a)},
+            merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},
+            finalize=F.col(nm),
+            singleton={nm: F.filter(F.array(a), lambda x: x.isNotNull())},
         )
 
     if fn in ("bool_and", "bool_or"):
@@ -445,6 +463,8 @@ def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
                 "substring",
                 "power",
                 "pow",
+                "array_join",
+                "array_to_string",
             ):
                 args.append(a.value)
             elif _has_agg(a):

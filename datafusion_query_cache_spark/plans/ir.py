@@ -188,6 +188,24 @@ class InList(Expr):
         return f"({self.child.canon()} {n} ({','.join(v.canon() for v in self.values)}))"
 
 
+def transform(e: Expr, f) -> Expr:
+    """Bottom-up structural rewrite: rebuild ``e`` with every child passed
+    through :func:`transform`, then apply ``f`` to the rebuilt node. Frozen
+    dataclasses → rebuilds are pure; unchanged subtrees are still rebuilt
+    (cheap — these trees are tiny)."""
+    import dataclasses
+
+    def _tx(v):
+        if isinstance(v, Expr):
+            return transform(v, f)
+        if isinstance(v, tuple):
+            return tuple(_tx(x) for x in v)
+        return v
+
+    kw = {fld.name: _tx(getattr(e, fld.name)) for fld in dataclasses.fields(e)}
+    return f(type(e)(**kw))
+
+
 # ---------------------------------------------------------------------------
 
 

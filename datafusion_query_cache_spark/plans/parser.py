@@ -69,6 +69,7 @@ AGG_FUNCTIONS = {
     "covar_pop",
     "list",
     "array_agg",
+    "collect_set",
     "string_agg",
     "median",
     "mode",

@@ -392,6 +392,53 @@ class CachedSparkSession:
         if dyn_bound is not None:
             ts_col = dyn_bound.column
 
+        # first(x)/last(x) — time-series semantics (TimescaleDB first/last,
+        # DataFusion first_value ordered): value at the minimum/maximum
+        # temporal timestamp. Rewritten onto the existing argmin/argmax
+        # state (min_by/max_by) so they merge exactly across refreshes;
+        # the two-arg form first(x, k) takes an explicit ordering key.
+        # (Bare Spark first() is ORDER-ARBITRARY and would be both
+        # nondeterministic and non-mergeable — this definition is the one
+        # dashboards actually want.)
+        def _fl(e):
+            from .plans.ir import AggCall as _A, Col as _C
+
+            if (
+                isinstance(e, _A)
+                and e.fn.lower() in ("first", "last")
+                and not e.distinct
+                and 1 <= len(e.args) <= 2
+            ):
+                fn2 = "min_by" if e.fn.lower() == "first" else "max_by"
+                order = e.args[1] if len(e.args) == 2 else _C(ts_col)
+                return _A(fn2, (e.args[0], order))
+            return e
+
+        from .plans.ir import AggCall as _AggCall, transform as _transform
+
+        def _has_fl(ex) -> bool:
+            return any(
+                isinstance(n, _AggCall) and n.fn.lower() in ("first", "last")
+                for n in ex.walk()
+            )
+
+        if any(_has_fl(it.expr) for it in spec.aggregates) or (
+            spec.having is not None and _has_fl(spec.having)
+        ):
+            import dataclasses as _dc
+
+            from .plans.ir import SelectItem as _SI
+
+            spec = _dc.replace(
+                spec,
+                aggregates=tuple(
+                    _SI(it.name, _transform(it.expr, _fl)) for it in spec.aggregates
+                ),
+                having=(
+                    _transform(spec.having, _fl) if spec.having is not None else None
+                ),
+            )
+
         # source: one table, or a left-deep star join (fact first, then
         # INNER/LEFT equi-joined dims). Refresh correctness contract: the
         # fact table (the one carrying the temporal column) is append-only;
@@ -635,7 +682,20 @@ class CachedSparkSession:
                     break
                 singletons.update(p.singleton)
             if use_singleton:
-                dtypes = {f.name: f.dataType for f in cached_state.schema.fields}
+                from pyspark.sql.types import ArrayType
+
+                def _relax(dt):
+                    # stored collect_set/array_agg state is
+                    # array<T, containsNull=false>; a nullable→non-null
+                    # array cast is refused, and the nullability flag is
+                    # irrelevant to the merge — cast to the relaxed type
+                    return (
+                        ArrayType(dt.elementType, True)
+                        if isinstance(dt, ArrayType)
+                        else dt
+                    )
+
+                dtypes = {f.name: _relax(f.dataType) for f in cached_state.schema.fields}
                 fresh_state = fresh.select(
                     *[
                         to_column(g.expr).cast(dtypes[g.name]).alias(g.name)

@@ -181,3 +181,72 @@ def test_singleton_equals_partial(spark, agg):
     assert_rows_close(
         sorted(via_singleton.collect(), key=key), sorted(truth.collect(), key=key)
     )
+
+
+def test_collect_set_split_invariance(spark):
+    """collect_set merge = array_distinct ∘ flatten: the merged set equals
+    the set over the union, compared order-insensitively (set order is
+    engine-arbitrary by definition)."""
+    dec = decompose_agg(AggCall("collect_set", (Col("v"),)), "0")
+    d1 = [(0, 1.0), (0, 2.0), (0, None), (1, 5.0), (1, 5.0)]
+    d2 = [(0, 2.0), (0, 3.0), (1, None), (2, 7.0)]
+    schema = "g int, v double"
+    df1 = spark.createDataFrame(pd.DataFrame(d1, columns=["g", "v"]), schema)
+    df2 = spark.createDataFrame(pd.DataFrame(d2, columns=["g", "v"]), schema)
+
+    def partial(df):
+        return df.groupBy("g").agg(*[c.alias(n) for n, c in dec.partial.items()])
+
+    merged = (
+        partial(df1)
+        .unionByName(partial(df2))
+        .groupBy("g")
+        .agg(*[c.alias(n) for n, c in dec.merge.items()])
+        .select("g", F.array_sort(dec.finalize).alias("r"))
+    )
+    truth = (
+        df1.unionByName(df2)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("v")).alias("r"))
+    )
+    key = lambda r: r["g"]
+    assert sorted(merged.collect(), key=key) == sorted(truth.collect(), key=key)
+
+
+def test_collect_set_singleton_equals_partial(spark):
+    from pyspark.sql.types import ArrayType
+
+    dec = decompose_agg(AggCall("collect_set", (Col("v"),)), "0")
+    assert dec.singleton is not None
+    d1 = [(0, 1.0), (0, 2.0), (1, 5.0)]
+    d2 = [(0, 2.0), (0, None), (2, 7.0)]
+    schema = "g int, v double"
+    df1 = spark.createDataFrame(pd.DataFrame(d1, columns=["g", "v"]), schema)
+    df2 = spark.createDataFrame(pd.DataFrame(d2, columns=["g", "v"]), schema)
+    p1 = df1.groupBy("g").agg(*[c.alias(n) for n, c in dec.partial.items()])
+    # same nullability relaxation the session applies: array state stores
+    # containsNull=false, and a nullable→non-null array cast is refused
+    dtypes = {
+        f.name: (
+            ArrayType(f.dataType.elementType, True)
+            if isinstance(f.dataType, ArrayType)
+            else f.dataType
+        )
+        for f in p1.schema.fields
+    }
+    s2 = df2.select(
+        "g", *[c.cast(dtypes[n]).alias(n) for n, c in dec.singleton.items()]
+    )
+    got = (
+        p1.unionByName(s2)
+        .groupBy("g")
+        .agg(*[c.alias(n) for n, c in dec.merge.items()])
+        .select("g", F.array_sort(dec.finalize).alias("r"))
+    )
+    truth = (
+        df1.unionByName(df2)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("v")).alias("r"))
+    )
+    key = lambda r: r["g"]
+    assert sorted(got.collect(), key=key) == sorted(truth.collect(), key=key)
