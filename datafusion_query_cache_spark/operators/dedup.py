@@ -235,6 +235,106 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard verification of candidate pairs — the second
+    stage of every LSH dedup pipeline (candidates → verify → keep).
+
+    Each side's distinct-shingle array is attached by id and intersected
+    per pair (``array_intersect``, JVM-side): cost is
+    O(|candidates| · doc_len) with no shingle-keyed shuffle, unlike the
+    all-pairs :func:`ngram_jaccard_pairs` which is the small-data oracle.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    shs = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__shs")
+    )
+    a = shs.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"))
+    b = shs.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb"))
+    joined = (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).alias("__c"),
+            F.size(F.col("__sa")).alias("__na"),
+            F.size(F.col("__sb")).alias("__nb"),
+        )
+    )
+    jac = F.col("__c").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__c")
+    )
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    est_slack: float = 0.25,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Production MinHash dedup pipeline: LSH candidates → exact verify.
+
+    The estimate pre-filter keeps ``est ≥ threshold - est_slack`` (the
+    64-hash estimator's error is ≲0.12 on the fixtures; slack 0.25 is a 2×
+    margin), then :func:`verify_pairs` recomputes the true Jaccard — so the
+    OUTPUT is exact: precision 1.0 by construction, recall = the banding
+    recall (1-(1-J^r)^B ≈ 0.9998 at J=0.8 with 16 bands of 4; verified
+    1.0 on the sf fixtures in tests/test_dedup.py). This is what makes the
+    operator value-checkable against the exact all-pairs oracle."""
+    cand = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_k,
+        bands,
+        threshold=max(0.0, threshold - est_slack),
+        max_bucket=max_bucket,
+    )
+    return verify_pairs(
+        df, cand.select("id_a", "id_b"), text_col, id_col, shingle_k, threshold
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_hamming: int = 9,
+    shingle_k: int = 5,
+    sim_shingle_k: int = 4,
+) -> DataFrame:
+    """Production SimHash dedup pipeline: Hamming-banded candidates →
+    exact n-gram Jaccard verify (same contract as
+    :func:`minhash_dedup_pairs`). ``max_hamming=9`` holds candidate recall
+    1.0 for J ≥ 0.8 pairs on the fixtures (ham ≤ 7 suffices; 9 is margin)
+    while candidates stay ~10⁻³ of all pairs."""
+    cand = simhash_pairs(
+        df, text_col, id_col, max_hamming=max_hamming, shingle_k=sim_shingle_k
+    )
+    return verify_pairs(
+        df, cand.select("id_a", "id_b"), text_col, id_col, shingle_k, threshold
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
