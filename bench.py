@@ -294,6 +294,28 @@ def main() -> None:
     cents = ivf_train(emb, k=8, iters=2)
     timed("op_ivf_topk", lambda: ivf_topk(emb, qvec, cents, k=10, nprobe=4).collect())
 
+    # salted two-phase aggregation on a deliberately skewed key: ~90% of
+    # lineitem rows collapse onto one hot key (the bot-user/boilerplate
+    # shape that pins one reducer at 100 TB)
+    from datafusion_query_cache_spark.operators.skew import salted_aggregate
+    from datafusion_query_cache_spark.plans.ir import AggCall, Col
+
+    li_skew = spark.table("lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.col("l_quantity").alias("v"),
+    )
+    timed(
+        "op_salted_agg",
+        lambda: salted_aggregate(
+            li_skew,
+            ["k"],
+            {"n": AggCall("count", ()), "s": AggCall("sum", (Col("v"),))},
+            buckets=32,
+        ).count(),
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)

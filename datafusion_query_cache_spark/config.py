@@ -38,6 +38,13 @@ class QueryCacheConfig:
     #: partitions (PartitionFilters), not just row groups — the difference
     #: between listing 3 partitions and listing 3 years of them at 100 TB.
     temporal_partition_columns: Mapping[str, str] = field(default_factory=dict)
+    #: >0 enables a salted two-phase partial aggregation (shuffle on
+    #: (keys, salt) first, merge per-salt states second) on the cache's
+    #: state-building aggregations — the skewed-hot-key guard for
+    #: memory-heavy states (HLL sketches, collect_set arrays) where
+    #: map-side combine alone can spill one reducer. Results are identical
+    #: by the merge-associativity law (tests/test_robustness.py). 0 = off.
+    salt_buckets: int = 0
     log: AbstractLog = field(default_factory=LogNoOp)
 
     @property

@@ -243,7 +243,7 @@ def cosine_neardup_pairs_banded(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bands: int = 48,
+    bands: int = 32,
     rows_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -256,10 +256,12 @@ def cosine_neardup_pairs_banded(
     on ALL planes of ANY band (classic banding: P(candidate) =
     1-(1-p^r)^B for per-plane agreement p = 1-θ/π). Candidates are then
     verified with the exact cosine, so precision is 1.0 and recall is
-    1-(1-p^r)^B — at the default (r=4, B=48), 0.99974 per pair at
-    cosine exactly 0.4 (p=0.63) and indistinguishable from 1 for true
-    near-dups at cosine ≥ 0.9 (p=0.86). Verified recall=1.0 on the
-    sf0.001/sf0.01 fixtures in tests/test_similarity.py.
+    1-(1-p^r)^B — at the default (r=4, B=32), 0.996 per pair at cosine
+    exactly 0.4 (p=0.63) and indistinguishable from 1 for true near-dups
+    at cosine ≥ 0.9 (p=0.86). Verified recall=1.0 on the sf0.001/sf0.01
+    fixtures in tests/test_similarity.py. (Uniform-random fixtures are
+    LSH's worst case — candidates ≈ B/2^r of all pairs; on real clustered
+    corpora the same config prunes to ~the true-pair neighborhood.)
 
     Plan shape: scan-side key computation (one Arrow-batched numpy matmul
     per batch, see :func:`banded_keys`), posexplode to (band, key) rows,

@@ -543,6 +543,23 @@ class CachedSparkSession:
         )
 
         def partial_agg(df: DataFrame) -> DataFrame:
+            if cfg.salt_buckets > 0:
+                # skew guard (config.salt_buckets): phase 1 shuffles on
+                # (keys, salt) so a hot key fans out over salt_buckets
+                # tasks; phase 2 merges the per-salt states — the same
+                # merge the refresh itself uses, so state is identical by
+                # associativity. (The singleton warm path needs no salt:
+                # map-side combine already bounds reducer input to one row
+                # per key per map task.)
+                salt = (F.rand(seed=42) * cfg.salt_buckets).cast("int")
+                p1 = (
+                    df.withColumn("__qc_salt", salt)
+                    .groupBy(*group_partial, F.col("__qc_salt"))
+                    .agg(*[c.alias(n) for n, c in partial_aggs.items()])
+                )
+                return p1.groupBy(*[F.col(n) for n in group_names]).agg(
+                    *[c.alias(n) for n, c in merge_aggs.items()]
+                )
             return df.groupBy(*group_partial).agg(
                 *[c.alias(n) for n, c in partial_aggs.items()]
             )
@@ -635,7 +652,12 @@ class CachedSparkSession:
             hot_state = cached_state
         elif hit:
             wm_ns = entry.watermark_ns
-            if state_is_local and not spec.grouping_sets and dyn_bound is None:
+            if (
+                state_is_local
+                and not spec.grouping_sets
+                and dyn_bound is None
+                and not cfg.salt_buckets  # salted program is classic-only
+            ):
                 # SQL-template fast path: the whole refresh program as ONE
                 # JVM-parsed SQL string (built once per query shape) — the
                 # resulting physical plan is identical to the DataFrame

@@ -133,3 +133,50 @@ def test_ddl_and_commands_pass_through(qc, spark):
     assert spark.table("ddl_probe").collect()[0]["one"] == 1
     qc.sql("DROP VIEW ddl_probe")
     assert not qc.last_decision.cached
+
+
+def test_session_salted_state_matches_unsalted(spark, tmp_path):
+    """config.salt_buckets routes state-building aggregations through the
+    salted two-phase plan; results and stored state must be identical to
+    the direct plan (merge associativity), across the full two-run
+    incremental flow — including a non-singleton (HLL) aggregate, which is
+    the state shape the salt guard exists for."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from tests.conftest import rows_set
+
+    ev = spark.table("events")
+    cut_ns = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s, "
+        "approx_count_distinct(user_id) AS u FROM events_salt GROUP BY 1"
+    )
+    results = {}
+    for buckets in (0, 8):
+        qc = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(str(tmp_path / f"salt{buckets}")),
+                default_temporal_column="ts",
+                override_now_ns=cut_ns,
+                salt_buckets=buckets,
+            ),
+        )
+        ev.filter(F.col("ts_ns") < F.lit(cut_ns)).createOrReplaceTempView(
+            "events_salt"
+        )
+        qc.sql(sql).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        ev.createOrReplaceTempView("events_salt")
+        qc.config.override_now_ns = cut_ns + 10**18
+        got = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+        results[buckets] = rows_set(got)
+    assert results[0] == results[8]
