@@ -316,6 +316,57 @@ def main() -> None:
         ).count(),
     )
 
+    # --- scale crossover: 10x events, tiny refresh window ---------------------
+    # The warm path's fixed overhead (~0.2s) is constant while plain's scan
+    # grows with data: at 10x the sf with a 1-day fresh tail the warm
+    # refresh must come in well UNDER plain — the scale story made
+    # measurable (VERDICT r1 item 10). The 10x table is derived from the
+    # driver's events.parquet (10 id-shifted replicas, same ts distribution)
+    # and cached in /tmp across runs.
+    import datetime as dt2
+
+    big = f"/tmp/qc-bench-events-x100-{os.path.basename(SF_DIR.rstrip('/'))}"
+    if not os.path.exists(os.path.join(big, "_SUCCESS")):
+        raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        out = None
+        for i in range(100):
+            rep = raw.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+            )
+            out = rep if out is None else out.unionByName(rep)
+        out.write.mode("overwrite").parquet(big)
+    bx = spark.read.parquet(big)  # ts is the raw epoch-ns long here
+    bx = bx.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    bx.createOrReplaceTempView("events_x100")
+    X10_SQL = (
+        "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) AS av, "
+        "count(*) AS n FROM events_x100 GROUP BY 1 ORDER BY 1"
+    )
+    hi_ns = bx.agg(F.max("ts_ns")).collect()[0][0]
+    cut_ns = hi_ns - 24 * 3600 * 10**9  # watermark: all but the last day
+
+    def x10_flow(timed_run: bool) -> None:
+        qx = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-x10-")),
+                default_temporal_column="ts",
+                override_now_ns=cut_ns,
+            ),
+        )
+        qx.sql(X10_SQL).collect()  # run 1: state over all but the last day
+        qx.config.override_now_ns = hi_ns + 1
+        if timed_run:
+            timed("qc_x100_warm", lambda: qx.sql(X10_SQL).collect(), runs=1)
+        else:
+            qx.sql(X10_SQL).collect()
+
+    x10_flow(timed_run=False)
+    x10_flow(timed_run=True)
+    timed("qc_x100_plain", lambda: spark.sql(X10_SQL).collect())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)

@@ -50,8 +50,11 @@ def register_parquet_view(spark: SparkSession, name: str, path: str) -> DataFram
         # `c_ns` as the raw epoch-ns long. Filters on `c_ns` are plain
         # attribute comparisons → Catalyst pushes them into the parquet scan
         # (row-group pruning); the engine uses it as the watermark shadow.
+        # `div` = exact integral division: `/` on longs goes through DOUBLE,
+        # whose 53-bit mantissa rounds epoch-ns (61-bit) values by up to
+        # ~128 ns BEFORE truncation — an occasional off-by-1µs timestamp.
         df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
     df.createOrReplaceTempView(name)
     return df
