@@ -505,12 +505,18 @@ def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_query_cache_spark.operators.similarity import cosine_topk_lsh
+    """Banded-LSH-pruned top-k with exact candidate scoring: recall@10 is
+    1.0 on the fixture (tests/test_similarity.py), so the result equals
+    brute force and the row is VALUE-CHECKED against the same DuckDB
+    oracle as op_cosine_topk — upgraded from rows-only."""
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_topk_banded,
+    )
 
     _load(spark, sf_dir)
     emb = spark.table("embeddings")
     qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
-    out = cosine_topk_lsh(emb, qvec, k=10, n_planes=4)
+    out = cosine_topk_banded(emb, qvec, k=10)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -752,6 +758,9 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
     )
+    # banded-LSH top-k scores candidates exactly and holds recall@10 = 1.0
+    # on the fixture (tested) → same brute-force oracle
+    o["op_lsh_cosine_topk"] = o["op_cosine_topk"]
     o["op_fingerprint"] = (
         "SELECT doc_id, md5(text) AS full_hash, "
         "min(md5(substr(text, i::INT, 8))) AS min_shingle_hash, "

@@ -109,6 +109,21 @@ def test_banded_neardup_plan_has_no_cartesian(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_banded_topk_equals_brute(spark, emb):
+    """Banded-pruned top-k must equal brute force on the fixture (recall@10
+    1.0 — the property the driver's oracle for op_lsh_cosine_topk needs)."""
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_banded,
+    )
+
+    for qid in (0, 11):
+        qv = emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]
+        brute = [(r["vec_id"], round(r["cosine"], 9)) for r in cosine_topk(emb, qv, k=10).collect()]
+        banded = [(r["vec_id"], round(r["cosine"], 9)) for r in cosine_topk_banded(emb, qv, k=10).collect()]
+        assert banded == brute
+
+
 def test_lsh_topk_subset_of_corpus(spark, emb):
     from datafusion_query_cache_spark.operators.similarity import cosine_topk_lsh
 
