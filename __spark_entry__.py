@@ -550,6 +550,67 @@ def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _qc_filter_subsume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic subsumption: run `value > 50` (populating its row-set
+    entry), then serve the never-seen-before `value > 100` from that
+    entry + a scan of only rows past the donor's watermark. The returned
+    frame must equal the plain full-table answer — proving the subsumed
+    serve is exact."""
+    import datetime as dt
+    import tempfile
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    _load(spark, sf_dir)
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-subsume-")),
+            default_temporal_column="ts",
+            override_now_ns=cut_ns,
+        ),
+    )
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_sub")
+    qc.sql("SELECT event_id, event_type, value FROM events_sub WHERE value > 50")
+    ev.createOrReplaceTempView("events_sub")
+    qc.config.override_now_ns = cut_ns + 10**17
+    out = qc.sql(
+        "SELECT event_id, event_type, value FROM events_sub WHERE value > 100"
+    )
+    assert qc.last_decision.semantic_donor is not None, "subsumption did not fire"
+    return out
+
+
+def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming stateful
+    operator): gaps-and-islands windows over exact epoch-ns timestamps."""
+    from datafusion_query_cache_spark.streaming.sessionize import sessionize_batch
+
+    _load(spark, sf_dir)
+    # µs ticks on BOTH sides: DuckDB truncates TIMESTAMP(NANOS) parquet to
+    # µs on read, so the oracle can only be exact at µs resolution
+    ev = spark.table("events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    out = sessionize_batch(
+        ev, ts_ns_col="ts_us", gap_ticks=3_600_000_000
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("start_ns").alias("start_us"),
+        F.col("end_ns").alias("end_us"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_v"),
+    )
+
+
 def _op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event, the value of that user's most recent purchase at or
     before the event time (point-in-time enrichment)."""
@@ -606,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _mk_qc_dyn(key)
     q["qc_approx_distinct"] = _qc_approx_distinct
     q["qc_join_star"] = _qc_join_star
+    q["qc_filter_subsume"] = _qc_filter_subsume
     for key in _PT_SQLS:
         q[key] = _mk_pt(key)
     q.update(
@@ -622,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_lsh_cosine_topk": _op_lsh_cosine_topk,
             "pt_json_extract": _pt_json_extract,
             "op_embed_neardup": _op_embed_neardup,
+            "op_sessionize": _op_sessionize,
             "op_asof_join": _op_asof_join,
             "op_media_features": _op_media_features,
         }
@@ -644,6 +707,10 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
+    o["qc_filter_subsume"] = (
+        "SELECT event_id, event_type, value FROM events WHERE value > 100 "
+        "ORDER BY event_id"
+    )
     # first/last have no order-deterministic DuckDB twin under the same
     # name — the oracle states the DEFINITION explicitly (value at min/max
     # ts; ts in the raw parquet is the epoch-ns BIGINT, same ordering)
@@ -781,6 +848,21 @@ def oracle_sql() -> dict[str, str]:
         "round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cosine "
         "FROM n a JOIN n b ON a.vec_id < b.vec_id "
         "WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.4"
+    )
+    # gaps-and-islands twin of sessionize_batch; ts in the raw parquet is
+    # the epoch-ns BIGINT, so the gap arithmetic is exact in both engines
+    o["op_sessionize"] = (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS tsn, value FROM events), "
+        "s AS (SELECT user_id, tsn, value, "
+        "CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) IS NULL "
+        "OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) > 3600000000 "
+        "THEN 1 ELSE 0 END AS is_new FROM e), "
+        "x AS (SELECT user_id, tsn, value, "
+        "sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) "
+        "AS session_id FROM s) "
+        "SELECT user_id, session_id, min(tsn) AS start_us, max(tsn) AS end_us, "
+        "count(*) AS n_events, round(sum(value), 2) AS sum_v "
+        "FROM x GROUP BY 1, 2 ORDER BY 1, 2"
     )
     o["op_asof_join"] = (
         "SELECT l.event_id, l.user_id, r.value AS last_purchase_value "

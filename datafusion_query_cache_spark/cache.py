@@ -112,6 +112,15 @@ class QueryCache(ABC):
     @abstractmethod
     def entry(self, fingerprint: str) -> CacheEntry: ...
 
+    def put_tag(self, fingerprint: str, key: str, value: str) -> None:
+        """Attach a small string tag to a fingerprint (e.g. the serialized
+        filter spec that enables cross-session semantic subsumption).
+        Best-effort: backends without durable tags may drop it."""
+
+    def tags(self, key: str) -> Dict[str, str]:
+        """All stored tags under ``key``: fingerprint → value."""
+        return {}
+
 
 # ---------------------------------------------------------------------------
 
@@ -218,10 +227,19 @@ class MemoryQueryCache(QueryCache):
 
     def __init__(self) -> None:
         self._store: Dict[str, Tuple[int, object, object]] = {}
+        self._tags: Dict[str, Dict[str, str]] = {}
         self._lock = threading.Lock()
 
     def entry(self, fingerprint: str) -> CacheEntry:
         return _MemoryEntry(self, fingerprint)
+
+    def put_tag(self, fingerprint: str, key: str, value: str) -> None:
+        with self._lock:
+            self._tags.setdefault(key, {})[fingerprint] = value
+
+    def tags(self, key: str) -> Dict[str, str]:
+        with self._lock:
+            return dict(self._tags.get(key, {}))
 
     def display(self) -> str:
         out = []
@@ -497,6 +515,34 @@ class ParquetQueryCache(QueryCache):
 
     def entry(self, fingerprint: str) -> CacheEntry:
         return _ParquetEntry(self.root, fingerprint)
+
+    def _tags_path(self, key: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in key)
+        return os.path.join(self.root, f"_tags_{safe}.json")
+
+    def put_tag(self, fingerprint: str, key: str, value: str) -> None:
+        # read-modify-replace; atomic swap like meta.json. Tag writes race
+        # last-write-wins per key file — acceptable for the advisory
+        # metadata these carry (a lost tag only costs a semantic-hit
+        # opportunity, never correctness).
+        path = self._tags_path(key)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            data = {}
+        data[fingerprint] = value
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+
+    def tags(self, key: str) -> Dict[str, str]:
+        try:
+            with open(self._tags_path(key)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
 
     def entries(self) -> List[EntryInfo]:
         """Inventory of live entries (the reference's ``display()``,

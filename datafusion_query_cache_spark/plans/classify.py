@@ -269,6 +269,74 @@ def _flatten_and(e: Expr) -> list:
     return [e]
 
 
+def predicate_implies(stronger, weaker) -> bool:
+    """True when ``stronger ⇒ weaker`` — every row satisfying ``stronger``
+    satisfies ``weaker`` (sound, not complete: unknown shapes answer False).
+
+    The semantic-cache subsumption test (filter caching): a stored row set
+    with predicate W can serve a query with predicate S iff S ⇒ W, the
+    classic result from semantic caching / materialized-view matching.
+    Decidable fragment: conjunction lists where every ``weaker`` conjunct is
+    either canon-identical to some ``stronger`` conjunct or both are
+    single-column numeric range bounds on the same column (``c > 1`` ⇒
+    implied by ``c > 2``, ``c >= 3``, ``c = 5``, …)."""
+    import decimal as _dec
+
+    from .ir import BinOp as _B, Col as _C, Lit as _L
+
+    def _num(v):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float, _dec.Decimal)):
+            return v
+        return None
+
+    def _bound(e):
+        """(col, op, value) for  col <op> numeric-literal  (normalized so the
+        column is on the left), else None."""
+        if not isinstance(e, _B) or e.op not in (">", ">=", "<", "<=", "="):
+            return None
+        flip = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}
+        if isinstance(e.left, _C) and isinstance(e.right, _L):
+            v = _num(e.right.value)
+            return (e.left.name, e.op, v) if v is not None else None
+        if isinstance(e.left, _L) and isinstance(e.right, _C):
+            v = _num(e.left.value)
+            return (e.right.name, flip[e.op], v) if v is not None else None
+        return None
+
+    def _conj_implies(s_conjs, w) -> bool:
+        w_canon = w.canon()
+        wb = _bound(w)
+        for s in s_conjs:
+            if s.canon() == w_canon:
+                return True
+            if wb is None:
+                continue
+            sb = _bound(s)
+            if sb is None or sb[0] != wb[0]:
+                continue
+            _c, wop, wv = wb
+            _, sop, sv = sb
+            # {c sop sv} ⊆ {c wop wv} ?
+            ok = (
+                (wop == ">" and ((sop == ">" and sv >= wv) or (sop in (">=", "=") and sv > wv)))
+                or (wop == ">=" and sop in (">", ">=", "=") and sv >= wv)
+                or (wop == "<" and ((sop == "<" and sv <= wv) or (sop in ("<=", "=") and sv < wv)))
+                or (wop == "<=" and sop in ("<", "<=", "=") and sv <= wv)
+            )
+            if ok:
+                return True
+        return False
+
+    if weaker is None:
+        return True  # anything implies TRUE
+    if stronger is None:
+        return False  # TRUE implies only TRUE (handled above)
+    s_conjs = _flatten_and(stronger)
+    return all(_conj_implies(s_conjs, w) for w in _flatten_and(weaker))
+
+
 def split_dynamic_bound(
     pred: Expr, temporal_columns: FrozenSet[str]
 ) -> Optional[Tuple[Optional[Expr], DynamicBound]]:

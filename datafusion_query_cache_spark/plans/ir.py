@@ -338,3 +338,67 @@ class FilterSpec:
 
 class Unsupported(Exception):
     """Query shape outside the mini-IR → run as plain spark.sql passthrough."""
+
+
+# -- IR (de)serialization ----------------------------------------------------
+# A durable shared cache needs STRUCTURED spec metadata (e.g. the filter
+# predicate for semantic subsumption) readable by a different process, so
+# the IR round-trips through plain JSON. Type tags name the dataclass;
+# Decimal/date/datetime literal values get their own tags.
+
+_IR_CLASSES = {}
+
+
+def _ir_classes():
+    if not _IR_CLASSES:
+        for cls in (
+            Col, Lit, Star, BinOp, Not, Neg, IsNull, Cast, Func, AggCall,
+            Case, InList, SelectItem, OrderItem, JoinStep, FilterSpec,
+        ):
+            _IR_CLASSES[cls.__name__] = cls
+    return _IR_CLASSES
+
+
+def ir_to_json(node):
+    """IR node / tuple / scalar → JSON-safe structure."""
+    import dataclasses
+    import datetime as _dt
+    import decimal as _decimal
+
+    if node is None or isinstance(node, (bool, int, float, str)):
+        return node
+    if isinstance(node, _decimal.Decimal):
+        return {"__dec__": str(node)}
+    if isinstance(node, _dt.datetime):
+        return {"__dt__": node.isoformat()}
+    if isinstance(node, _dt.date):
+        return {"__d__": node.isoformat()}
+    if isinstance(node, tuple):
+        return {"__tuple__": [ir_to_json(x) for x in node]}
+    if dataclasses.is_dataclass(node):
+        out = {"__ir__": type(node).__name__}
+        for fld in dataclasses.fields(node):
+            out[fld.name] = ir_to_json(getattr(node, fld.name))
+        return out
+    raise TypeError(f"cannot serialize {type(node).__name__}")
+
+
+def ir_from_json(data):
+    import datetime as _dt
+    import decimal as _decimal
+
+    if data is None or isinstance(data, (bool, int, float, str)):
+        return data
+    if isinstance(data, list):  # only appears inside __tuple__
+        return tuple(ir_from_json(x) for x in data)
+    if "__dec__" in data:
+        return _decimal.Decimal(data["__dec__"])
+    if "__dt__" in data:
+        return _dt.datetime.fromisoformat(data["__dt__"])
+    if "__d__" in data:
+        return _dt.date.fromisoformat(data["__d__"])
+    if "__tuple__" in data:
+        return tuple(ir_from_json(x) for x in data["__tuple__"])
+    cls = _ir_classes()[data["__ir__"]]
+    kw = {k: ir_from_json(v) for k, v in data.items() if k != "__ir__"}
+    return cls(**kw)

@@ -81,6 +81,9 @@ class Decision:
     #: exact fresh-row count when the SQL-template warm path ran (it counts
     #: via a rider aggregate instead of an Observation)
     fresh_rows_value: Optional[int] = None
+    #: fingerprint of the WEAKER filter entry a miss was served from
+    #: (semantic-cache subsumption), when that happened
+    semantic_donor: Optional[str] = None
 
     def fresh_rows(self) -> Optional[int]:
         """Rows scanned by the incremental refresh (the reference's
@@ -121,6 +124,10 @@ class CachedSparkSession:
         #: debug/observability: the refresh program of the last cached run
         #: (the augmented state+finalize DataFrame), for plan inspection
         self.last_refresh_df: Optional[DataFrame] = None
+        #: fingerprint → (FilterSpec, out column names) for every filter
+        #: entry this session stored — the donor index for semantic
+        #: subsumption (serve `value > 2` from the `value > 1` row set)
+        self._filter_registry: Dict[str, tuple] = {}
 
     # -- public API ---------------------------------------------------------
 
@@ -326,18 +333,126 @@ class CachedSparkSession:
                 fingerprint, f"filter cache hit: appended rows since {wm_ns}"
             )
         else:
-            rows = project(bounds(src, hi_ns=now_ns))
-            if topk:
-                rows = rows.orderBy(*sort_cols()).limit(spec.limit)
-            stored = entry.put(now_ns, rows, self.spark)
-            cfg.log.info(fingerprint, "filter cache miss: materializing rows")
+            stored = None
+            donor = self._find_filter_donor(spec, now_ns, fingerprint)
+            if donor is not None:
+                # SEMANTIC HIT: a stored row set with a provably-WEAKER
+                # predicate contains every row this query needs (S ⇒ W,
+                # classic semantic caching). Filter the donor's rows with
+                # THIS query's predicate and scan only [donor_wm, now) —
+                # O(new data) instead of a full history scan, even though
+                # this exact query has never run before.
+                d_entry, d_wm, d_fp = donor
+                try:
+                    d_state = d_entry.get(self.spark).select(*out_names)
+                    start = d_state.filter(pred) if pred is not None else d_state
+                    fresh = project(bounds(src, lo_ns=d_wm, hi_ns=now_ns))
+                    rows = start.unionByName(fresh)
+                    if topk:
+                        rows = rows.orderBy(*sort_cols()).limit(spec.limit)
+                    stored = entry.put(now_ns, rows, self.spark)
+                    decision.cache_hit = True
+                    decision.semantic_donor = d_fp
+                    decision.watermark_ns = d_wm
+                    cfg.log.info(
+                        fingerprint,
+                        f"filter semantic hit: predicate subsumed by {d_fp}; "
+                        f"scanned only rows since {d_wm}",
+                    )
+                except Exception as e:
+                    cfg.log.warn(
+                        fingerprint, f"semantic donor unusable ({e}); full miss"
+                    )
+                    stored = None
+            if stored is None:
+                rows = project(bounds(src, hi_ns=now_ns))
+                if topk:
+                    rows = rows.orderBy(*sort_cols()).limit(spec.limit)
+                stored = entry.put(now_ns, rows, self.spark)
+                cfg.log.info(fingerprint, "filter cache miss: materializing rows")
 
+        if fingerprint not in self._filter_registry:
+            self._filter_registry[fingerprint] = (spec, tuple(out_names))
+            try:
+                # durable donor index: a DIFFERENT session sharing this
+                # cache can subsume from entries it never created
+                import json as _json
+
+                from .plans.ir import ir_to_json
+
+                cfg.cache.put_tag(
+                    fingerprint, "filter_spec", _json.dumps(ir_to_json(spec))
+                )
+            except Exception:
+                pass  # advisory only; never fail the query over a tag
         out = stored
         if spec.order_by:
             out = out.orderBy(*sort_cols())
         if spec.limit is not None:
             out = out.limit(spec.limit)
         return out, decision
+
+    def _find_filter_donor(self, spec, now_ns: int, own_fp: str):
+        """A previously-stored filter entry whose predicate is implied by
+        ``spec``'s (S ⇒ W), same table/projection, full row set (no top-k),
+        watermark ≤ now. Returns (entry, watermark_ns, fingerprint)."""
+        from .plans.classify import predicate_implies
+        from .plans.ir import Col as _ColRef
+
+        # merge durable donors (other sessions on a shared cache) into the
+        # session-local index
+        try:
+            import json as _json
+
+            from .plans.ir import ir_from_json
+
+            for fp, blob in self.config.cache.tags("filter_spec").items():
+                if fp not in self._filter_registry:
+                    dspec = ir_from_json(_json.loads(blob))
+                    self._filter_registry[fp] = (dspec, ())
+        except Exception:
+            pass
+        if not self._filter_registry:
+            return None
+        # this query's predicate must survive the projection: every column
+        # it references must be selected as a bare identity item
+        pred_cols = {
+            n.name
+            for n in (spec.predicate.walk() if spec.predicate is not None else ())
+            if isinstance(n, _ColRef)
+        }
+        if spec.items is not None:
+            identity = {
+                i.name
+                for i in spec.items
+                if isinstance(i.expr, _ColRef) and i.expr.name == i.name
+            }
+            if not pred_cols <= identity:
+                return None
+
+        def items_canon(s):
+            if s.items is None:
+                return "*"
+            return ";".join(f"{i.name}={i.expr.canon()}" for i in s.items)
+
+        want = items_canon(spec)
+        for fp, (dspec, _outs) in self._filter_registry.items():
+            if fp == own_fp or dspec.table != spec.table:
+                continue
+            if dspec.limit is not None:  # top-k state is not a row superset
+                continue
+            if items_canon(dspec) != want:
+                continue
+            if not predicate_implies(spec.predicate, dspec.predicate):
+                continue
+            d_entry = self.config.cache.entry(fp)
+            if not d_entry.occupied:
+                continue
+            d_wm = d_entry.watermark_ns
+            if d_wm is None or d_wm > now_ns:
+                continue
+            return d_entry, d_wm, fp
+        return None
 
     def _plan_cached(self, query: str, spec: Optional[AggSpec] = None):
         cfg = self.config

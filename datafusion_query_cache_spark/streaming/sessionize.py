@@ -13,11 +13,12 @@ Closed sessions are appended downstream; the open session stays in state.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -27,6 +28,60 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start_us long, last_us long, n long, sv double"
 
 _US = 1_000_000
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts_ns",
+    value_col: str = "value",
+    gap_minutes: int = 60,
+    gap_ticks: Optional[int] = None,
+) -> DataFrame:
+    """Batch twin of the streaming sessionizer — identical gap semantics,
+    expressed as the classic gaps-and-islands window program (fully
+    SQL-expressible, so it is oracle-checkable, unlike the stateful
+    streaming form):
+
+    1. ``lag(ts)`` per user → a new-session flag when the gap exceeds
+       ``gap_minutes`` (or at the first event),
+    2. a running sum of the flag = the session index,
+    3. group by (user, session) for start/end/count/sum.
+
+    Operates on a raw epoch-integer column for exact arithmetic
+    (``gap_ticks`` overrides ``gap_minutes`` when the column's unit is not
+    nanoseconds — e.g. µs ticks for parity with engines that truncate ns
+    timestamps). Plan: two
+    window passes over ONE shuffle partitioning (both windows share
+    PARTITION BY user ORDER BY ts, so Catalyst plans a single Exchange +
+    Sort), then the final aggregation re-shuffles only (user, session)
+    rows. Scales as a plain windowed aggregation."""
+    from pyspark.sql import Window
+
+    gap = gap_ticks if gap_ticks is not None else gap_minutes * 60 * 1_000_000_000
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_ns_col))
+    prev = F.lag(F.col(ts_ns_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_ns_col) - prev) > F.lit(gap)), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = df.select(
+        F.col(user_col),
+        F.col(ts_ns_col),
+        F.col(value_col),
+        is_new.alias("__new"),
+    ).select(
+        user_col,
+        ts_ns_col,
+        value_col,
+        F.sum("__new").over(wrun).alias("session_id"),
+    )
+    return flagged.groupBy(user_col, "session_id").agg(
+        F.min(ts_ns_col).alias("start_ns"),
+        F.max(ts_ns_col).alias("end_ns"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
 
 
 def sessionize(

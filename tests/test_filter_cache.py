@@ -105,3 +105,101 @@ def test_limit_without_order_passthrough(qc, spark):
 def test_volatile_filter_passthrough(qc, spark):
     qc.sql("SELECT event_id FROM events WHERE value > random()")
     assert not qc.last_decision.cached
+
+
+# --- semantic subsumption (serve `value > 2` from the `value > 1` row set) --
+
+
+def test_predicate_implies_table():
+    from datafusion_query_cache_spark.plans.classify import predicate_implies
+    from datafusion_query_cache_spark.plans.ir import BinOp, Col, Lit
+
+    def gt(c, v):
+        return BinOp(">", Col(c), Lit(v, "DOUBLE"))
+
+    def ge(c, v):
+        return BinOp(">=", Col(c), Lit(v, "DOUBLE"))
+
+    def lt(c, v):
+        return BinOp("<", Col(c), Lit(v, "DOUBLE"))
+
+    def eq(c, v):
+        return BinOp("=", Col(c), Lit(v, "DOUBLE"))
+
+    AND = lambda a, b: BinOp("and", a, b)
+
+    assert predicate_implies(gt("v", 2), gt("v", 1))
+    assert predicate_implies(gt("v", 1), gt("v", 1))
+    assert not predicate_implies(gt("v", 1), gt("v", 2))
+    assert predicate_implies(ge("v", 2), gt("v", 1))
+    assert not predicate_implies(ge("v", 1), gt("v", 1))  # v=1 breaks it
+    assert predicate_implies(eq("v", 5), gt("v", 1))
+    assert predicate_implies(lt("v", 1), lt("v", 2))
+    assert not predicate_implies(lt("v", 3), lt("v", 2))
+    # conjunctions: every weak conjunct needs an implying strong conjunct
+    assert predicate_implies(AND(gt("v", 2), eq("t", 1)), gt("v", 1))
+    assert predicate_implies(AND(gt("v", 2), eq("t", 1)), AND(gt("v", 1), eq("t", 1)))
+    assert not predicate_implies(gt("v", 2), AND(gt("v", 1), eq("t", 1)))
+    # different columns never imply
+    assert not predicate_implies(gt("u", 5), gt("v", 1))
+    # reversed literal side normalizes: 1 < v  ≡  v > 1
+    assert predicate_implies(gt("v", 2), BinOp("<", Lit(1, "DOUBLE"), Col("v")))
+    # weaker=None (no predicate) is implied by anything
+    assert predicate_implies(gt("v", 2), None)
+    assert not predicate_implies(None, gt("v", 1))
+
+
+def test_filter_semantic_subsumption_hit(spark, qc):
+    """A never-before-seen stronger filter is served from the weaker entry's
+    row set + a scan of only rows past the donor's watermark."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import rows_set
+
+    ev = spark.table("events")
+    cut_ns = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    weak_sql = "SELECT event_id, event_type, value FROM events_sub WHERE value > 50"
+    strong_sql = "SELECT event_id, event_type, value FROM events_sub WHERE value > 100"
+
+    qc.config.override_now_ns = cut_ns
+    ev.filter(F.col("ts_ns") < F.lit(cut_ns)).createOrReplaceTempView("events_sub")
+    qc.sql(weak_sql).collect()  # populate the donor
+    assert qc.last_decision.cached and not qc.last_decision.cache_hit
+
+    # full data arrives; the STRONGER query has no entry of its own yet
+    ev.createOrReplaceTempView("events_sub")
+    qc.config.override_now_ns = cut_ns + 10**18
+    got = qc.sql(strong_sql)
+    d = qc.last_decision
+    assert d.cached and d.cache_hit and d.semantic_donor is not None
+    assert d.watermark_ns == cut_ns  # scanned only [donor_wm, now)
+    assert rows_set(got) == rows_set(spark.sql(strong_sql))
+
+    # and the new entry now refreshes independently (a plain hit)
+    qc.config.override_now_ns = cut_ns + 2 * 10**18
+    got2 = qc.sql(strong_sql)
+    assert qc.last_decision.cache_hit and qc.last_decision.semantic_donor is None
+    assert rows_set(got2) == rows_set(spark.sql(strong_sql))
+
+
+def test_filter_subsumption_rejects_topk_donor(spark, qc):
+    """A maintained top-k donor is NOT a row superset — must not be used."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import rows_set
+
+    ev = spark.table("events")
+    cut_ns = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    topk_sql = (
+        "SELECT event_id, value FROM events_sub WHERE value > 50 "
+        "ORDER BY value DESC LIMIT 5"
+    )
+    strong_sql = "SELECT event_id, value FROM events_sub WHERE value > 100"
+    qc.config.override_now_ns = cut_ns
+    ev.filter(F.col("ts_ns") < F.lit(cut_ns)).createOrReplaceTempView("events_sub")
+    qc.sql(topk_sql).collect()
+    ev.createOrReplaceTempView("events_sub")
+    qc.config.override_now_ns = cut_ns + 10**18
+    got = qc.sql(strong_sql)
+    assert qc.last_decision.semantic_donor is None  # full miss, not subsumed
+    assert rows_set(got) == rows_set(spark.sql(strong_sql))

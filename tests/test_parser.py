@@ -112,3 +112,34 @@ def test_inner_join_parses_into_tables_and_predicate():
     assert spec.tables == ("events", "orders")
     # the join condition folded into the predicate as an AND conjunct
     assert "o_custkey" in spec.canon() and "value" in spec.canon()
+
+
+def test_ir_json_roundtrip():
+    """Filter specs round-trip through JSON (the durable donor-index format
+    for cross-session semantic subsumption)."""
+    import decimal
+    import json
+
+    from datafusion_query_cache_spark.plans.ir import (
+        BinOp, Case, Cast, Col, FilterSpec, Func, InList, IsNull, Lit,
+        OrderItem, SelectItem, ir_from_json, ir_to_json,
+    )
+
+    spec = FilterSpec(
+        table="events",
+        predicate=BinOp(
+            "and",
+            BinOp(">", Col("value"), Lit(decimal.Decimal("1.50"), "DECIMAL(3,2)")),
+            InList(Func("upper", (Col("event_type"),)), (Lit("A", "VARCHAR"),), negated=True),
+        ),
+        items=(
+            SelectItem("event_id", Col("event_id")),
+            SelectItem("b", Case(((IsNull(Col("value")), Lit(0, "INTEGER")),), Cast(Col("value"), "BIGINT"))),
+        ),
+        order_by=(OrderItem(Col("event_id"), desc=True, nulls_first=False),),
+        limit=7,
+    )
+    blob = json.dumps(ir_to_json(spec))
+    back = ir_from_json(json.loads(blob))
+    assert back == spec
+    assert back.canon() == spec.canon()

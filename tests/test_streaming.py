@@ -128,3 +128,54 @@ def test_sessionize_stateful_operator(spark, events_dir, tmp_path):
     for r in out:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_sessionize_batch_known_sessions(spark):
+    """Hand-built fixture with known session structure: gaps > 60 min split;
+    first event opens; exact ns arithmetic."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark.streaming.sessionize import sessionize_batch
+
+    m = 60 * 1_000_000_000  # one minute in ns
+    rows = [
+        # user 1: two sessions (gap 61min between 2nd and 3rd event)
+        (1, 0 * m, 1.0),
+        (1, 30 * m, 2.0),
+        (1, 91 * m, 4.0),
+        # user 2: one session, single event
+        (2, 10 * m, 8.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts_ns", "value"]),
+        "user_id long, ts_ns long, value double",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["start_ns"], r["end_ns"], r["n_events"], r["sum_value"]
+        )
+        for r in sessionize_batch(df, gap_minutes=60).collect()
+    }
+    assert got == {
+        (1, 1): (0, 30 * m, 2, 3.0),
+        (1, 2): (91 * m, 91 * m, 1, 4.0),
+        (2, 1): (10 * m, 10 * m, 1, 8.0),
+    }
+
+
+def test_sessionize_batch_single_exchange(spark):
+    """Both window passes and the flag-sum share one (user) partitioning —
+    the plan must contain exactly one Exchange below the final aggregation."""
+    from datafusion_query_cache_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.table("events")
+    plan = (
+        sessionize_batch(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:2000]  # windows share one; final agg adds one
