@@ -589,6 +589,49 @@ def _qc_filter_subsume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _qc_coarsen_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-coarsening subsumption: populate an HOURLY entry, then run a
+    never-before-seen DAILY query — served by re-truncating the hourly
+    state + scanning only rows past its watermark. Result must equal the
+    plain full-table daily aggregate (the oracle)."""
+    import datetime as dt
+    import tempfile
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    _load(spark, sf_dir)
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-coarsen-")),
+            default_temporal_column="ts",
+            override_now_ns=cut_ns,
+        ),
+    )
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_cr")
+    qc.sql(
+        "SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events_cr GROUP BY 1, 2"
+    )
+    ev.createOrReplaceTempView("events_cr")
+    qc.config.override_now_ns = cut_ns + 10**17
+    out = qc.sql(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events_cr GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    assert qc.last_decision.semantic_donor is not None, "coarsening did not fire"
+    return out
+
+
 def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming stateful
     operator): gaps-and-islands windows over exact epoch-ns timestamps."""
@@ -668,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_approx_distinct"] = _qc_approx_distinct
     q["qc_join_star"] = _qc_join_star
     q["qc_filter_subsume"] = _qc_filter_subsume
+    q["qc_coarsen_reuse"] = _qc_coarsen_reuse
     for key in _PT_SQLS:
         q[key] = _mk_pt(key)
     q.update(
@@ -710,6 +754,11 @@ def oracle_sql() -> dict[str, str]:
     o["qc_filter_subsume"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 100 "
         "ORDER BY event_id"
+    )
+    o["qc_coarsen_reuse"] = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     )
     # first/last have no order-deterministic DuckDB twin under the same
     # name — the oracle states the DEFINITION explicitly (value at min/max

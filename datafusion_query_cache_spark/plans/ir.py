@@ -353,7 +353,7 @@ def _ir_classes():
     if not _IR_CLASSES:
         for cls in (
             Col, Lit, Star, BinOp, Not, Neg, IsNull, Cast, Func, AggCall,
-            Case, InList, SelectItem, OrderItem, JoinStep, FilterSpec,
+            Case, InList, SelectItem, OrderItem, JoinStep, FilterSpec, AggSpec,
         ):
             _IR_CLASSES[cls.__name__] = cls
     return _IR_CLASSES

@@ -128,6 +128,9 @@ class CachedSparkSession:
         #: entry this session stored — the donor index for semantic
         #: subsumption (serve `value > 2` from the `value > 1` row set)
         self._filter_registry: Dict[str, tuple] = {}
+        #: aggregate fingerprints already tagged for the durable
+        #: bucket-coarsening donor index
+        self._agg_registry: set = set()
 
     # -- public API ---------------------------------------------------------
 
@@ -798,56 +801,9 @@ class CachedSparkSession:
                             f"cache hit: incremental refresh from watermark {wm_ns}",
                         )
                         return res, decision
-            fresh = base
-            if pred is not None:
-                fresh = fresh.filter(pred)
-            fresh = time_bounds(fresh, lo_ns=wm_ns, hi_ns=now_ns)
-            self._obs_counter += 1
-            obs = Observation(f"qc_fresh_{self._obs_counter}")
-            fresh = fresh.observe(obs, F.count(F.lit(1)).alias("rows"))
-            # Singleton-state path (one shuffle): project each fresh row to a
-            # one-row partial state and let the merge aggregate's map-side
-            # combine do the partial aggregation — the Spark-native form of
-            # the reference's Final(Union(Cached, Partial(fresh))) plan.
-            # Falls back to an explicit partial aggregate (two shuffles) for
-            # aggregates with no singleton form (e.g. HLL sketches).
-            singletons: Dict[str, Column] = {}
-            use_singleton = True
-            for p in plans:
-                if p.singleton is None:
-                    use_singleton = False
-                    break
-                singletons.update(p.singleton)
-            if use_singleton:
-                from pyspark.sql.types import ArrayType
-
-                def _relax(dt):
-                    # stored collect_set/array_agg state is
-                    # array<T, containsNull=false>; a nullable→non-null
-                    # array cast is refused, and the nullability flag is
-                    # irrelevant to the merge — cast to the relaxed type
-                    return (
-                        ArrayType(dt.elementType, True)
-                        if isinstance(dt, ArrayType)
-                        else dt
-                    )
-
-                dtypes = {f.name: _relax(f.dataType) for f in cached_state.schema.fields}
-                fresh_state = fresh.select(
-                    *[
-                        to_column(g.expr).cast(dtypes[g.name]).alias(g.name)
-                        for g in state_group
-                    ],
-                    *[
-                        c.cast(dtypes[n]).alias(n)
-                        for n, c in singletons.items()
-                    ],
-                )
-            else:
-                fresh_state = partial_agg(fresh)
-            unioned = cached_state.unionByName(fresh_state)
-            merged = unioned.groupBy(*[F.col(n) for n in group_names]).agg(
-                *[c.alias(n) for n, c in merge_aggs.items()]
+            merged, obs = self._warm_merge(
+                cached_state, wm_ns, now_ns, base, pred, time_bounds,
+                plans, state_group, group_names, merge_aggs, partial_agg,
             )
             decision.cache_hit = True
             decision.watermark_ns = wm_ns
@@ -856,10 +812,61 @@ class CachedSparkSession:
                 fingerprint, f"cache hit: incremental refresh from watermark {wm_ns}"
             )
         else:
-            df = base if pred is None else base.filter(pred)
-            df = time_bounds(df, hi_ns=now_ns)
-            merged = partial_agg(df)
-            cfg.log.info(fingerprint, "cache miss: computing and storing state")
+            donor = None
+            if tgb is not None and not spec.grouping_sets and dyn_bound is None:
+                donor = self._find_agg_donor(
+                    spec, tgb, ts_col, fingerprint, now_ns,
+                    state_cols, group_names, state_group,
+                )
+            if donor is not None:
+                # SEMANTIC HIT (bucket coarsening): a FINER-bucketed entry
+                # for the same query (e.g. hourly state for this daily
+                # query) is re-truncated to this granularity and merged —
+                # valid because date_trunc(coarse, date_trunc(fine, ts)) ==
+                # date_trunc(coarse, ts) when fine nests into coarse, and
+                # the merge is associative. Scans only [donor_wm, now):
+                # a first-time daily dashboard pays O(new data), the
+                # TimescaleDB continuous-aggregate rollup-reuse trick.
+                d_state, d_wm, d_fp = donor
+                merged, obs = self._warm_merge(
+                    d_state, d_wm, now_ns, base, pred, time_bounds,
+                    plans, state_group, group_names, merge_aggs, partial_agg,
+                )
+                decision.cache_hit = True
+                decision.semantic_donor = d_fp
+                decision.watermark_ns = d_wm
+                decision.observation = obs
+                cfg.log.info(
+                    fingerprint,
+                    f"semantic hit: coarsened finer-bucket state from {d_fp}; "
+                    f"scanned only rows since {d_wm}",
+                )
+            else:
+                df = base if pred is None else base.filter(pred)
+                df = time_bounds(df, hi_ns=now_ns)
+                merged = partial_agg(df)
+                cfg.log.info(fingerprint, "cache miss: computing and storing state")
+
+        if (
+            tgb is not None
+            and not spec.grouping_sets
+            and dyn_bound is None
+            and fingerprint not in self._agg_registry
+        ):
+            # durable donor index for bucket-coarsening subsumption
+            self._agg_registry.add(fingerprint)
+            try:
+                import json as _json
+
+                from .plans.ir import ir_to_json
+
+                cfg.cache.put_tag(
+                    fingerprint,
+                    "agg_spec",
+                    _json.dumps({"spec": ir_to_json(spec), "ts_col": ts_col}),
+                )
+            except Exception:
+                pass
 
         # Fused fast path (simple shapes): ONE job computes state AND final
         # columns together; the state is stored from the collected Arrow
@@ -1189,6 +1196,207 @@ class CachedSparkSession:
         if spec.limit is not None:
             out = out.limit(spec.limit)
         return out.select(*out_names)
+
+    def _warm_merge(
+        self,
+        cached_state: DataFrame,
+        wm_lo: int,
+        now_ns: int,
+        base: DataFrame,
+        pred: Optional[Column],
+        time_bounds,
+        plans,
+        state_group,
+        group_names: List[str],
+        merge_aggs: Dict[str, Column],
+        partial_agg,
+    ):
+        """The classic warm refresh program: fresh rows in ``[wm_lo, now)``
+        as singleton states (map-side combine = partial aggregation, ONE
+        shuffle; explicit partial agg for sketch states), unioned with
+        ``cached_state`` and merged. Shared by real hits and semantic
+        (coarsened-donor) hits. Returns (merged DataFrame, Observation)."""
+        fresh = base
+        if pred is not None:
+            fresh = fresh.filter(pred)
+        fresh = time_bounds(fresh, lo_ns=wm_lo, hi_ns=now_ns)
+        self._obs_counter += 1
+        obs = Observation(f"qc_fresh_{self._obs_counter}")
+        fresh = fresh.observe(obs, F.count(F.lit(1)).alias("rows"))
+        singletons: Dict[str, Column] = {}
+        use_singleton = True
+        for p in plans:
+            if p.singleton is None:
+                use_singleton = False
+                break
+            singletons.update(p.singleton)
+        if use_singleton:
+            from pyspark.sql.types import ArrayType
+
+            def _relax(dt):
+                # stored collect_set/array_agg state is
+                # array<T, containsNull=false>; a nullable→non-null array
+                # cast is refused, and the nullability flag is irrelevant
+                # to the merge — cast to the relaxed type
+                return (
+                    ArrayType(dt.elementType, True)
+                    if isinstance(dt, ArrayType)
+                    else dt
+                )
+
+            dtypes = {f.name: _relax(f.dataType) for f in cached_state.schema.fields}
+            fresh_state = fresh.select(
+                *[
+                    to_column(g.expr).cast(dtypes[g.name]).alias(g.name)
+                    for g in state_group
+                ],
+                *[c.cast(dtypes[n]).alias(n) for n, c in singletons.items()],
+            )
+        else:
+            fresh_state = partial_agg(fresh)
+        unioned = cached_state.unionByName(fresh_state)
+        merged = unioned.groupBy(*[F.col(n) for n in group_names]).agg(
+            *[c.alias(n) for n, c in merge_aggs.items()]
+        )
+        return merged, obs
+
+    #: fine granularity → the coarser granularities it nests into exactly
+    #: (date_trunc(coarse, date_trunc(fine, ts)) == date_trunc(coarse, ts)).
+    #: week is excluded as a FINE source: weeks cross month/quarter/year
+    #: boundaries, so re-truncating week starts is wrong.
+    _COARSEN_OK = {
+        "microsecond": {"millisecond", "second", "minute", "hour", "day", "week", "month", "quarter", "year"},
+        "millisecond": {"second", "minute", "hour", "day", "week", "month", "quarter", "year"},
+        "second": {"minute", "hour", "day", "week", "month", "quarter", "year"},
+        "minute": {"hour", "day", "week", "month", "quarter", "year"},
+        "hour": {"day", "week", "month", "quarter", "year"},
+        "day": {"week", "month", "quarter", "year"},
+        "month": {"quarter", "year"},
+        "quarter": {"year"},
+    }
+
+    def _find_agg_donor(
+        self,
+        spec: AggSpec,
+        tgb,
+        ts_col: str,
+        own_fp: str,
+        now_ns: int,
+        state_cols: List[str],
+        group_names: List[str],
+        state_group,
+    ):
+        """A stored aggregate entry for the SAME query at a FINER temporal
+        bucket, usable to answer this one by re-truncation + merge.
+        Returns (coarsened state DataFrame aligned to state_cols,
+        watermark_ns, donor fingerprint) or None."""
+        import json as _json
+
+        from .plans.classify import find_temporal_group_by
+        from .plans.ir import (
+            Col as _ColRef,
+            canon_predicate,
+            ir_from_json,
+            transform as _transform,
+        )
+
+        cfg = self.config
+        try:
+            tag_blobs = cfg.cache.tags("agg_spec")
+        except Exception:
+            return None
+        if not tag_blobs:
+            return None
+
+        def aggs_canon(s):
+            return ";".join(f"{i.name}={i.expr.canon()}" for i in s.aggregates)
+
+        def nonbucket_canon(s, bucket_name):
+            return ";".join(
+                f"{i.name}={i.expr.canon()}"
+                for i in s.group_by
+                if i.name != bucket_name
+            )
+
+        coarse = tgb.granularity.lower()
+        want_pred = canon_predicate(spec.predicate)
+        want_aggs = aggs_canon(spec)
+        want_hav = spec.having.canon() if spec.having is not None else ""
+        want_joins = ";".join(j.canon() for j in spec.join_steps)
+        want_rest = nonbucket_canon(spec, tgb.output_name)
+
+        for fp, blob in tag_blobs.items():
+            if fp == own_fp:
+                continue
+            try:
+                data = _json.loads(blob)
+                dspec = ir_from_json(data["spec"])
+                d_ts = data.get("ts_col")
+            except Exception:
+                continue
+            if d_ts != ts_col or dspec.table != spec.table:
+                continue
+            if dspec.grouping_sets:
+                continue
+            if ";".join(j.canon() for j in dspec.join_steps) != want_joins:
+                continue
+            if canon_predicate(dspec.predicate) != want_pred:
+                continue
+            if aggs_canon(dspec) != want_aggs:
+                continue
+            d_hav = dspec.having.canon() if dspec.having is not None else ""
+            if d_hav != want_hav:
+                continue
+            tgb_d, ok = find_temporal_group_by(
+                dspec.group_by, cfg.temporal_columns, cfg.group_by_functions
+            )
+            if not ok or tgb_d is None:
+                continue
+            fine = tgb_d.granularity.lower()
+            if coarse not in self._COARSEN_OK.get(fine, ()):
+                continue
+            if nonbucket_canon(dspec, tgb_d.output_name) != want_rest:
+                continue
+            d_entry = cfg.cache.entry(fp)
+            if not d_entry.occupied:
+                continue
+            d_wm = d_entry.watermark_ns
+            if d_wm is None or d_wm > now_ns:
+                continue
+            try:
+                tbl = d_entry.get_arrow()
+                d_state = (
+                    self.spark.createDataFrame(tbl)
+                    if tbl is not None
+                    else d_entry.get(self.spark)
+                )
+                # donor columns: its group names + the (identical) agg
+                # state names. Re-truncate the donor's bucket column with
+                # THIS query's bucket expression (ts substituted by the
+                # donor bucket), keep other keys and state columns as-is.
+                def _sub(e):
+                    if isinstance(e, _ColRef) and e.name == ts_col:
+                        return _ColRef(tgb_d.output_name)
+                    return e
+
+                sel = []
+                for g in state_group:
+                    if g.name == tgb.output_name:
+                        coarsen = _transform(g.expr, _sub)
+                        sel.append(to_column(coarsen).alias(g.name))
+                    else:
+                        sel.append(F.col(g.name))
+                for n in state_cols:
+                    if n not in group_names:
+                        sel.append(F.col(n))
+                coarsened = d_state.select(*sel)
+                if set(coarsened.columns) != set(state_cols):
+                    continue
+                return coarsened, d_wm, fp
+            except Exception as e:
+                cfg.log.warn(own_fp, f"coarsening donor {fp} unusable ({e})")
+                continue
+        return None
 
     # -- SQL-template warm path ---------------------------------------------
 
