@@ -316,34 +316,60 @@ def main() -> None:
         ).count(),
     )
 
-    # --- scale crossover: 10x events, tiny refresh window ---------------------
-    # The warm path's fixed overhead (~0.2s) is constant while plain's scan
-    # grows with data: at 10x the sf with a 1-day fresh tail the warm
-    # refresh must come in well UNDER plain — the scale story made
-    # measurable (VERDICT r1 item 10). The 10x table is derived from the
-    # driver's events.parquet (10 id-shifted replicas, same ts distribution)
-    # and cached in /tmp across runs.
-    import datetime as dt2
-
-    big = f"/tmp/qc-bench-events-x100-{os.path.basename(SF_DIR.rstrip('/'))}"
-    if not os.path.exists(os.path.join(big, "_SUCCESS")):
-        raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        out = None
-        for i in range(100):
-            rep = raw.withColumn(
-                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+    # --- scale crossover: 100x events, tiny refresh window --------------------
+    # The warm path's cost is O(new data) while plain's scan is O(all data):
+    # at 100x the sf with a 1-day fresh tail the warm refresh must come in
+    # well UNDER plain — the scale story made measurable (VERDICT r1 item
+    # 10). The 100x table uses the layout a 100 TB event table actually has:
+    # PARTITIONED BY event date, so the watermark bound prunes whole
+    # partitions (PartitionFilters) via config.temporal_partition_columns,
+    # not just row groups. Derived from the driver's events.parquet (100
+    # id-shifted replicas, same ts distribution); cached in /tmp across runs.
+    def make_big(mult: int) -> str:
+        """events × mult, PARTITIONED BY event date — built in one pass via
+        explode(sequence(...)) and cached in /tmp across bench runs."""
+        big = f"/tmp/qc-bench-events-x{mult}p-{os.path.basename(SF_DIR.rstrip('/'))}"
+        if not os.path.exists(os.path.join(big, "_SUCCESS")):
+            raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            out = (
+                raw.withColumn(
+                    "__r", F.explode(F.expr(f"sequence(0, {mult - 1})"))
+                )
+                .withColumn(
+                    "event_id",
+                    F.col("event_id")
+                    + F.col("__r").cast("long") * F.lit(100_000_000),
+                )
+                .drop("__r")
+                # ts here is the raw epoch-ns long; partition by its UTC date
+                .withColumn(
+                    "d", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+                )
             )
-            out = rep if out is None else out.unionByName(rep)
-        out.write.mode("overwrite").parquet(big)
-    bx = spark.read.parquet(big)  # ts is the raw epoch-ns long here
-    bx = bx.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    bx.createOrReplaceTempView("events_x100")
-    X10_SQL = (
-        "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) AS av, "
-        "count(*) AS n FROM events_x100 GROUP BY 1 ORDER BY 1"
-    )
+            # salt the layout to ~16 files per date partition: a single file
+            # per partition would cap the pruned tail scan at 2 tasks —
+            # real tables have many files per partition
+            out.repartition(
+                F.col("d"), F.pmod(F.col("event_id"), F.lit(16))
+            ).write.mode("overwrite").partitionBy("d").parquet(big)
+        return big
+
+    def register_big(path: str, view: str):
+        bx = spark.read.parquet(path)
+        bx = bx.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        bx.createOrReplaceTempView(view)
+        return bx
+
+    def big_sql(view: str) -> str:
+        return (
+            "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) "
+            f"AS av, count(*) AS n FROM {view} GROUP BY 1 ORDER BY 1"
+        )
+
+    bx = register_big(make_big(100), "events_x100")
+    X10_SQL = big_sql("events_x100")
     hi_ns = bx.agg(F.max("ts_ns")).collect()[0][0]
     cut_ns = hi_ns - 24 * 3600 * 10**9  # watermark: all but the last day
 
@@ -353,6 +379,7 @@ def main() -> None:
             QueryCacheConfig(
                 cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-x10-")),
                 default_temporal_column="ts",
+                temporal_partition_columns={"ts": "d"},
                 override_now_ns=cut_ns,
             ),
         )
@@ -366,6 +393,29 @@ def main() -> None:
     x10_flow(timed_run=False)
     x10_flow(timed_run=True)
     timed("qc_x100_plain", lambda: spark.sql(X10_SQL).collect())
+
+    # --- x1000: the crossover made decisive ----------------------------------
+    # 100M rows. Plain recompute scans all of it every run; the warm refresh
+    # scans the 2 date partitions overlapping the 1-day fresh tail + merges
+    # ~720 state rows. The gap here IS the 100 TB story: plain grows
+    # linearly, warm is O(new data) + a fixed ~0.3 s.
+    bz = register_big(make_big(1000), "events_x1000")
+    XK_SQL = big_sql("events_x1000")
+    hi_ns = bz.agg(F.max("ts_ns")).collect()[0][0]
+    cut_ns = hi_ns - 24 * 3600 * 10**9
+    qz = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-xk-")),
+            default_temporal_column="ts",
+            temporal_partition_columns={"ts": "d"},
+            override_now_ns=cut_ns,
+        ),
+    )
+    qz.sql(XK_SQL).collect()  # miss: state over all but the last day
+    qz.config.override_now_ns = hi_ns + 1
+    timed("qc_x1000_warm", lambda: qz.sql(XK_SQL).collect(), runs=1)
+    timed("qc_x1000_plain", lambda: spark.sql(XK_SQL).collect(), runs=1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
