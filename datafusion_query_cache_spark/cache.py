@@ -85,6 +85,24 @@ class CacheEntry(ABC):
         merge plan as a local relation instead of a file scan."""
         return None
 
+    def state_columns(self) -> Optional[List[str]]:
+        """Stored-state column names from metadata alone (no JVM work, no
+        state read), or ``None`` when the backend can't answer cheaply."""
+        return None
+
+    def state_rows(self) -> Optional[int]:
+        """Stored-state row count when known from metadata, else ``None``."""
+        return None
+
+    def state_df(self, spark: SparkSession) -> Optional[DataFrame]:
+        """State as a DataFrame WITHOUT moving rows through the driver
+        (e.g. a schema-pinned read of the backing parquet). The warm merge
+        prefers this over get_arrow()+createDataFrame: executors read the
+        tiny state file inside the refresh job instead of the driver
+        re-uploading it through py4j on every refresh. ``None`` when the
+        backend has no file-backed form (in-memory caches)."""
+        return None
+
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
         """Store state from an ALREADY-COLLECTED pyarrow Table (the SQL-
         template warm path collects state + result in one job and hands the
@@ -184,6 +202,16 @@ class _MemoryEntry(CacheEntry):
             )
         except Exception:
             return None
+
+    def state_columns(self) -> Optional[List[str]]:
+        if not self.occupied:
+            return None
+        return [f.name for f in self._cache._store[self._fp][2].fields]
+
+    def state_rows(self) -> Optional[int]:
+        if not self.occupied:
+            return None
+        return len(self._cache._store[self._fp][1])
 
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
         pdf = state_tbl.to_pandas()
@@ -300,6 +328,23 @@ class _ParquetEntry(CacheEntry):
             return spark.read.schema(sch).parquet(*self._state_paths())
         except Exception:
             return spark.read.parquet(*self._state_paths())
+
+    def state_columns(self) -> Optional[List[str]]:
+        if self._meta is None:
+            return None
+        try:
+            sch = json.loads(self._meta["schema"])
+            return [f["name"] for f in sch["fields"]]
+        except Exception:
+            return None
+
+    def state_rows(self) -> Optional[int]:
+        return (self._meta or {}).get("rows")
+
+    def state_df(self, spark: SparkSession) -> Optional[DataFrame]:
+        if self._meta is None:
+            return None
+        return self.get(spark)
 
     def get_arrow(self):
         if self._meta is None:

@@ -113,6 +113,8 @@ class CachedSparkSession:
         # Column building per call, all of it identical. Keyed on schema so
         # a source change invalidates naturally.
         self._plan_cache: Dict[tuple, list] = {}
+        #: (query, schema) → compiled group/predicate Column handles
+        self._col_cache: Dict[tuple, tuple] = {}
         self._spec_cache: Dict[str, object] = {}
         # (query, source schema, state schema) → warm-path SQL template (or
         # None = shape not template-able). The template collapses the whole
@@ -573,19 +575,42 @@ class CachedSparkSession:
                             f"ambiguous column {c} (in {seen_cols[c]} and {t})"
                         )
                     seen_cols[c] = t
-        base = frames[tables[0]]
         for step in spec.join_steps:
             jc = classify(step.on, cfg.temporal_columns) if step.on else None
             if jc is not None and jc.verdict is not Verdict.STABLE:
                 raise Unsupported(f"join condition not stable: {jc.reason}")
-            if step.on is not None:
-                base = base.join(frames[step.table], to_column(step.on), step.how)
-            else:
-                base = base.crossJoin(frames[step.table])
         if ts_col not in frames[tables[0]].columns:
             raise Unsupported(
                 f"temporal column {ts_col} must be on the fact table {tables[0]}"
             )
+
+        # The joined-source schema is the concatenation of the per-table
+        # schemas (unique names enforced above; joins don't retype fields),
+        # so it composes WITHOUT building the join. The joined DataFrame
+        # itself is built lazily: the SQL-template warm path names the
+        # tables in its own FROM clause and never needs the DataFrame form,
+        # so a standing templated refresh skips ~70 py4j calls of join
+        # rebuilding per run.
+        from pyspark.sql.types import StructType as _StructType
+
+        base_schema = _StructType(
+            [f for t in tables for f in frames[t].schema.fields]
+        )
+        base_cols = {f.name for f in base_schema.fields}
+        _base_built: List[DataFrame] = []
+
+        def get_base() -> DataFrame:
+            if not _base_built:
+                b = frames[tables[0]]
+                for step in spec.join_steps:
+                    if step.on is not None:
+                        b = b.join(
+                            frames[step.table], to_column(step.on), step.how
+                        )
+                    else:
+                        b = b.crossJoin(frames[step.table])
+                _base_built.append(b)
+            return _base_built[0]
 
         # state group-by: the query's groups, plus a synthetic time bucket
         # when a dynamic bound needs one and the query itself has none
@@ -610,7 +635,6 @@ class CachedSparkSession:
         # schema-aware: decimal sum/avg get typed state (pinned at
         # decimal(38,s), finalize cast to Spark's exact output type);
         # composite expressions over decimal columns stay passthrough
-        base_schema = base.schema
         pkey = (query, base_schema.simpleString())
         plans = self._plan_cache.get(pkey)
         if plans is None:
@@ -645,7 +669,20 @@ class CachedSparkSession:
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
 
-        group_partial = [to_column(g.expr).alias(g.name) for g in state_group]
+        # group/predicate Columns are pure functions of the query shape —
+        # memoize the py4j-built handles alongside the aggregate plans so a
+        # standing refresh doesn't recompile ~100 expressions per run
+        # (Columns are immutable and DataFrame-independent, so reuse is safe)
+        cols_memo = self._col_cache.get(pkey)
+        if cols_memo is None:
+            cols_memo = (
+                [to_column(g.expr).alias(g.name) for g in state_group],
+                to_column(state_pred_expr)
+                if state_pred_expr is not None
+                else None,
+            )
+            self._col_cache[pkey] = cols_memo
+        group_partial, pred = cols_memo
         group_names = [g.name for g in state_group]
         partial_aggs: Dict[str, Column] = {}
         merge_aggs: Dict[str, Column] = {}
@@ -653,8 +690,6 @@ class CachedSparkSession:
             partial_aggs.update(p.partial)
             merge_aggs.update(p.merge)
         state_cols = group_names + list(partial_aggs.keys())
-
-        pred = to_column(state_pred_expr) if state_pred_expr is not None else None
 
         decision = Decision(
             sql=query, cached=True, fingerprint=fingerprint, now_ns=now_ns
@@ -701,7 +736,7 @@ class CachedSparkSession:
             parquet scan for row-group pruning (reference converts Arrow time
             units at the same spot, ``src/aggregate.rs:431-439``).
             """
-            if shadow in base.columns:
+            if shadow in base_cols:
                 if lo_ns is not None:
                     df = df.filter(F.col(shadow) >= F.lit(lo_ns))
                 if hi_ns is not None:
@@ -721,7 +756,7 @@ class CachedSparkSession:
             # plain comparisons on the PARTITION column → whole partitions
             # prune before any file is opened (config.temporal_partition_columns)
             pc = cfg.temporal_partition_columns.get(ts_col)
-            if pc and pc in base.columns:
+            if pc and pc in base_cols:
                 import datetime as _dt
 
                 epoch = _dt.datetime(1970, 1, 1)
@@ -735,18 +770,26 @@ class CachedSparkSession:
 
         hit = entry.occupied
         state_is_local = False
+        cached_state = None
+
+        def _local_state():
+            # small state as a LOCAL relation: no file-scan stage, state
+            # ships to executors with the task closure (one row per group)
+            nonlocal cached_state, state_is_local
+            state_tbl = entry.get_arrow()
+            if state_tbl is not None:
+                cached_state = self.spark.createDataFrame(state_tbl)
+                state_is_local = True
+            else:
+                cached_state = entry.get(self.spark)
+
         if hit:
             try:
-                state_tbl = entry.get_arrow()
-                if state_tbl is not None:
-                    # small state enters the merge plan as a LOCAL relation:
-                    # no file-scan stage, state ships to executors with the
-                    # task closure (it's one row per group).
-                    cached_state = self.spark.createDataFrame(state_tbl)
-                    state_is_local = True
-                else:
-                    cached_state = entry.get(self.spark)
-                if set(cached_state.columns) != set(state_cols):
+                st_cols = entry.state_columns()
+                if st_cols is None:
+                    _local_state()
+                    st_cols = cached_state.columns
+                if set(st_cols) != set(state_cols):
                     # schema contract violated (engine upgrade / hash
                     # collision): recompute rather than corrupt results.
                     cfg.log.warn(
@@ -767,9 +810,25 @@ class CachedSparkSession:
             decision.watermark_ns = entry.watermark_ns
             cfg.log.info(fingerprint, "cache hit: fresh window empty, serving state")
             merged = None
+            if cached_state is None:
+                _local_state()
             hot_state = cached_state
         elif hit:
             wm_ns = entry.watermark_ns
+            if cached_state is None:
+                # warm refresh: prefer the FILE-BACKED state form — the
+                # refresh job's executors read the tiny state parquet
+                # directly instead of the driver re-uploading it through
+                # py4j on every refresh (~0.1 s/refresh saved)
+                sdf = entry.state_df(self.spark)
+                if sdf is not None:
+                    cached_state = sdf
+                    rows = entry.state_rows()
+                    cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
+                    # template gate: same small-state contract get_arrow had
+                    state_is_local = rows is not None and rows <= cap
+                else:
+                    _local_state()
             if (
                 state_is_local
                 and not spec.grouping_sets
@@ -784,8 +843,8 @@ class CachedSparkSession:
                 tpl = self._warm_template(
                     pkey, fingerprint, spec, plans, state_group, group_names,
                     state_cols, partial_aggs, merge_aggs, pred, ts_col,
-                    shadow in base.columns,
-                    pc_col if (pc_col and pc_col in base.columns) else None,
+                    shadow in base_cols,
+                    pc_col if (pc_col and pc_col in base_cols) else None,
                     cached_state.schema, tables,
                 )
                 if tpl is not None:
@@ -802,7 +861,7 @@ class CachedSparkSession:
                         )
                         return res, decision
             merged, obs = self._warm_merge(
-                cached_state, wm_ns, now_ns, base, pred, time_bounds,
+                cached_state, wm_ns, now_ns, get_base(), pred, time_bounds,
                 plans, state_group, group_names, merge_aggs, partial_agg,
             )
             decision.cache_hit = True
@@ -829,7 +888,7 @@ class CachedSparkSession:
                 # TimescaleDB continuous-aggregate rollup-reuse trick.
                 d_state, d_wm, d_fp = donor
                 merged, obs = self._warm_merge(
-                    d_state, d_wm, now_ns, base, pred, time_bounds,
+                    d_state, d_wm, now_ns, get_base(), pred, time_bounds,
                     plans, state_group, group_names, merge_aggs, partial_agg,
                 )
                 decision.cache_hit = True
@@ -842,7 +901,7 @@ class CachedSparkSession:
                     f"scanned only rows since {d_wm}",
                 )
             else:
-                df = base if pred is None else base.filter(pred)
+                df = get_base() if pred is None else get_base().filter(pred)
                 df = time_bounds(df, hi_ns=now_ns)
                 merged = partial_agg(df)
                 cfg.log.info(fingerprint, "cache miss: computing and storing state")
@@ -969,7 +1028,7 @@ class CachedSparkSession:
             # boundary bucket is recomputed exactly from raw rows with a
             # PUSHABLE range predicate on the temporal column.
             full = stored.filter(F.col(bucket_name) > boundary_lit)
-            braw = base if pred is None else base.filter(pred)
+            braw = get_base() if pred is None else get_base().filter(pred)
             cmp_op = (
                 (F.col(ts_col) > F.lit(lower))
                 if dyn_bound.op == ">"
