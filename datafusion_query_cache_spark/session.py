@@ -30,6 +30,7 @@ Scale notes (local[32] is the test rig; the design targets a cluster):
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -84,6 +85,9 @@ class Decision:
     #: fingerprint of the WEAKER filter entry a miss was served from
     #: (semantic-cache subsumption), when that happened
     semantic_donor: Optional[str] = None
+    #: True when a hot read was answered from the session's result memo
+    #: (zero Spark work — not even a local finalize job)
+    served_from_memo: bool = False
 
     def fresh_rows(self) -> Optional[int]:
         """Rows scanned by the incremental refresh (the reference's
@@ -133,6 +137,20 @@ class CachedSparkSession:
         #: aggregate fingerprints already tagged for the durable
         #: bucket-coarsening donor index
         self._agg_registry: set = set()
+        #: (fingerprint, watermark_ns) → finalized result DataFrame. See
+        #: QueryCacheConfig.result_memo; bounded LRU.
+        self._result_memo: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+    _RESULT_MEMO_MAX = 128
+
+    def _memo_result(self, fingerprint: str, wm_ns: Optional[int], df: DataFrame):
+        if not self.config.result_memo or wm_ns is None:
+            return
+        memo = self._result_memo
+        memo[(fingerprint, wm_ns)] = df
+        memo.move_to_end((fingerprint, wm_ns))
+        while len(memo) > self._RESULT_MEMO_MAX:
+            memo.popitem(last=False)
 
     # -- public API ---------------------------------------------------------
 
@@ -800,14 +818,33 @@ class CachedSparkSession:
                 cfg.log.warn(fingerprint, f"cached state unreadable ({e}); recomputing")
                 hit = False
 
-        if hit and entry.watermark_ns is not None and now_ns <= entry.watermark_ns:
-            # hot read: the refresh window [wm, now) is provably empty, so
-            # the stored state already answers as-of now — no scan, no
-            # store-back, one tiny local job. (Queries re-run faster than
-            # data arrives — the reference's repeated-dashboard case — pay
-            # only the state read.)
+        wm0 = entry.watermark_ns if hit else None
+        if hit and wm0 is not None and (
+            now_ns <= wm0
+            # bounded-staleness policy: within the refresh interval, serve
+            # as-of the stored watermark (config.min_refresh_interval_ns).
+            # Not applied to dynamic-bound queries: their finalize
+            # recomputes the boundary bucket from raw rows as-of now, which
+            # would mix freshness horizons.
+            or (dyn_bound is None and now_ns - wm0 < cfg.min_refresh_interval_ns)
+        ):
+            # hot read: the refresh window [wm, now) is provably empty (or
+            # waived by the staleness policy), so the stored state already
+            # answers — no scan, no store-back, one tiny local job.
+            # (Queries re-run faster than data arrives — the reference's
+            # repeated-dashboard case — pay only the state read.)
             decision.cache_hit = True
             decision.watermark_ns = entry.watermark_ns
+            if cfg.result_memo:
+                memo = self._result_memo.get((fingerprint, entry.watermark_ns))
+                if memo is not None:
+                    # this session already finalized a result at this exact
+                    # watermark: same state, same pure finalize → same rows.
+                    decision.served_from_memo = True
+                    cfg.log.info(
+                        fingerprint, "cache hit: result memo (no Spark work)"
+                    )
+                    return memo, decision
             cfg.log.info(fingerprint, "cache hit: fresh window empty, serving state")
             merged = None
             if cached_state is None:
@@ -859,6 +896,8 @@ class CachedSparkSession:
                             fingerprint,
                             f"cache hit: incremental refresh from watermark {wm_ns}",
                         )
+                        # entry watermark is now now_ns: memo for hot re-reads
+                        self._memo_result(fingerprint, now_ns, res)
                         return res, decision
             merged, obs = self._warm_merge(
                 cached_state, wm_ns, now_ns, get_base(), pred, time_bounds,
@@ -944,6 +983,13 @@ class CachedSparkSession:
                 decision,
             )
             if fused is not None:
+                # warm refresh advanced the watermark to now_ns; a hot read
+                # served state as-of the existing watermark
+                self._memo_result(
+                    fingerprint,
+                    now_ns if merged is not None else decision.watermark_ns,
+                    fused,
+                )
                 return fused, decision
 
         # store-back (reference always wraps in CacheUpdateAggregateExec so

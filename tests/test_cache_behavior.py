@@ -197,7 +197,10 @@ def test_hot_read_skips_scan_and_store(spark, qc, split_views):
     assert qc.last_decision.cache_hit
     assert qc.last_decision.observation is None  # no fresh scan happened
     assert glob.glob(str(qc.config.cache.root) + "/*/state-*") == state_dirs
-    assert any("fresh window empty" in m for m in qc.config.log.messages())
+    assert any(
+        "fresh window empty" in m or "result memo" in m
+        for m in qc.config.log.messages()
+    )
     # correctness: as-of now=cut ≡ plain query over the pre-cut slice
     run1()
     assert rows_set(got) == rows_set(spark.sql(FLAGSHIP))

@@ -1,0 +1,104 @@
+"""Result memo: a hot read (empty refresh window) at a watermark this
+session already finalized returns the memoized DataFrame with zero Spark
+work. Sound because state is immutable per watermark and finalize is pure;
+any watermark advance changes the key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+SQL = (
+    "SELECT date_trunc('hour', ts) AS h, count(*) AS n, "
+    "round(sum(value), 2) AS s FROM events_rm GROUP BY 1"
+)
+
+
+def _cut(spark):
+    return int(spark.table("events").approxQuantile("ts_ns", [0.5], 0.0)[0])
+
+
+def test_hot_reread_served_from_memo(spark, qc):
+    ev = spark.table("events")
+    cut = _cut(spark)
+    ev.createOrReplaceTempView("events_rm")
+    qc.config.override_now_ns = cut
+    first = qc.sql(SQL)
+    assert not qc.last_decision.served_from_memo
+    # re-read at the same (or earlier) now: refresh window provably empty
+    qc.config.override_now_ns = cut - 1
+    again = qc.sql(SQL)
+    d = qc.last_decision
+    assert d.cache_hit and d.served_from_memo
+    assert rows_set(again) == rows_set(first)
+    # results are as-of the watermark (ts < cut), like any hot read
+    want = (
+        ev.filter(F.col("ts_ns") < F.lit(cut))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    assert rows_set(again) == rows_set(want)
+
+
+def test_watermark_advance_invalidates_memo(spark, qc):
+    ev = spark.table("events")
+    cut = _cut(spark)
+    ev.filter(F.col("ts_ns") < F.lit(cut)).createOrReplaceTempView("events_rm")
+    qc.config.override_now_ns = cut
+    qc.sql(SQL).collect()
+    qc.sql(SQL).collect()
+    assert qc.last_decision.served_from_memo  # memo active at wm=cut
+    # new data + a later now: must NOT serve the old memo
+    ev.createOrReplaceTempView("events_rm")
+    qc.config.override_now_ns = cut + 10**18
+    got = qc.sql(SQL)
+    d = qc.last_decision
+    assert d.cache_hit and not d.served_from_memo
+    assert rows_set(got) == rows_set(spark.sql(SQL.replace("events_rm", "events")))
+    # and the refreshed result seeds a NEW memo entry at the new watermark
+    got2 = qc.sql(SQL)
+    assert qc.last_decision.served_from_memo
+    assert rows_set(got2) == rows_set(spark.sql(SQL.replace("events_rm", "events")))
+
+
+def test_refresh_interval_serves_within_window(spark, qc):
+    """min_refresh_interval_ns: a re-run within the interval serves as-of
+    the stored watermark (zero-work with the memo); past the interval it
+    does a real incremental refresh."""
+    ev = spark.table("events")
+    cut = _cut(spark)
+    ev.createOrReplaceTempView("events_rm")
+    qc.config.override_now_ns = cut
+    qc.config.min_refresh_interval_ns = 10**9  # 1s staleness budget
+    first = qc.sql(SQL)
+    # 0.5s later: inside the interval → hot (memo) serve as-of cut
+    qc.config.override_now_ns = cut + 5 * 10**8
+    again = qc.sql(SQL)
+    d = qc.last_decision
+    assert d.cache_hit and d.served_from_memo and d.watermark_ns == cut
+    assert rows_set(again) == rows_set(first)
+    # 2s later: past the interval → genuine refresh, watermark advances
+    qc.config.override_now_ns = cut + 2 * 10**9
+    ref = qc.sql(SQL)
+    d = qc.last_decision
+    assert d.cache_hit and not d.served_from_memo
+    want = (
+        ev.filter(F.col("ts_ns") < F.lit(cut + 2 * 10**9))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    assert rows_set(ref) == rows_set(want)
+
+
+def test_memo_disabled_by_config(spark, qc):
+    ev = spark.table("events")
+    cut = _cut(spark)
+    qc.config.result_memo = False
+    ev.createOrReplaceTempView("events_rm")
+    qc.config.override_now_ns = cut
+    first = qc.sql(SQL)
+    again = qc.sql(SQL)
+    d = qc.last_decision
+    assert d.cache_hit and not d.served_from_memo
+    assert rows_set(again) == rows_set(first)
