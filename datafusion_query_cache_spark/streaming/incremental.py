@@ -46,8 +46,10 @@ def parquet_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
     for c in ns_timestamp_columns:
+        # `div` = exact integral division (double division rounds 61-bit
+        # ns by up to ~128 ns) — same normalization as sources/tables.py
         df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
     return df
 

@@ -1,0 +1,111 @@
+"""Streaming cache maintenance: a foreachBatch maintainer keeps the durable
+cache entries fresh; interactive readers hot-read between runs and never
+scan the source. AvailableNow + checkpoint = incremental across restarts
+(run 2 processes ONLY the file that arrived since run 1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_query_cache_spark import (
+    CachedSparkSession,
+    ParquetQueryCache,
+    QueryCacheConfig,
+)
+from datafusion_query_cache_spark.streaming.incremental import parquet_stream
+from datafusion_query_cache_spark.streaming.maintain import (
+    maintain_aggregate_cache,
+)
+from tests.conftest import rows_set
+
+SQL = (
+    "SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n, "
+    "round(sum(value), 2) AS s FROM events_m GROUP BY 1, 2"
+)
+
+
+def test_maintainer_feeds_hot_readers(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cache_dir = str(tmp_path / "cache")
+    ev = spark.table("events")
+    cut = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+
+    # phase 1: only the first half of the data exists
+    ev.filter(F.col("ts_ns") < F.lit(cut)).select(
+        "event_id", "event_type", "value", F.col("ts_ns").alias("ts")
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_maintainer():
+        stream = parquet_stream(spark, src, ns_timestamp_columns=["ts"])
+        q = maintain_aggregate_cache(
+            stream,
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(cache_dir), default_temporal_column="ts"
+            ),
+            [SQL],
+            "events_m",
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_maintainer()
+
+    # reader: shares ONLY the cache directory; its view is the same source
+    reader_cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(cache_dir), default_temporal_column="ts"
+    )
+    reader = CachedSparkSession(spark, reader_cfg)
+
+    def register_reader_view():
+        # same ns→(µs ts, raw shadow) normalization the stream applies, so
+        # the reader's fingerprint matches the maintainer's
+        (
+            spark.read.parquet(src)
+            .withColumn("ts_ns", F.col("ts"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .createOrReplaceTempView("events_m")
+        )
+
+    register_reader_view()
+    wm = None
+    for e in reader_cfg.cache.entries():
+        wm = e.watermark_ns
+    assert wm is not None and wm > 0
+    reader_cfg.override_now_ns = wm  # read as-of the maintained frontier
+    got = reader.sql(SQL)
+    d = reader.last_decision
+    assert d.cache_hit and d.fresh_rows() in (None, 0)  # hot: no source scan
+    want = (
+        ev.filter(F.col("ts_ns") < F.lit(cut))
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    assert rows_set(got) == rows_set(want)
+
+    # phase 2: a new file arrives; the checkpointed maintainer folds ONLY it
+    ev.filter(F.col("ts_ns") >= F.lit(cut)).select(
+        "event_id", "event_type", "value", F.col("ts_ns").alias("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_maintainer()
+
+    wm2 = None
+    for e in reader_cfg.cache.entries():
+        wm2 = e.watermark_ns
+    assert wm2 is not None and wm2 > wm  # frontier advanced
+    reader_cfg.override_now_ns = wm2
+    register_reader_view()
+    got2 = reader.sql(SQL)
+    d = reader.last_decision
+    assert d.cache_hit and d.fresh_rows() in (None, 0)
+    want2 = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    assert rows_set(got2) == rows_set(want2)
