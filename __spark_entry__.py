@@ -654,6 +654,37 @@ def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact n-gram-Jaccard pairs (the already-oracled
+    edge generator) → connected components (min-label propagation with
+    pointer jumping, operators/components.py) → per-doc canonical cluster
+    id + cluster size. The graph stage of the dedup pipeline; the DuckDB
+    twin computes reachability with a recursive CTE."""
+    from datafusion_query_cache_spark.operators.components import (
+        connected_components,
+    )
+    from datafusion_query_cache_spark.operators.dedup import ngram_jaccard_pairs
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event, the value of that user's most recent purchase at or
     before the event time (point-in-time enrichment)."""
@@ -729,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pt_json_extract": _pt_json_extract,
             "op_embed_neardup": _op_embed_neardup,
             "op_sessionize": _op_sessionize,
+            "op_dedup_clusters": _op_dedup_clusters,
             "op_asof_join": _op_asof_join,
             "op_media_features": _op_media_features,
         }
@@ -888,6 +920,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, "
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    o["op_dedup_clusters"] = (
+        "WITH RECURSIVE "
+        "sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS s "
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text)-3, 2))) AS i "
+        "FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8), "
+        "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.v, reach.r FROM reach JOIN e ON reach.id = e.u), "
+        "comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1) "
+        "SELECT doc_id, cluster_id, "
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_size "
+        "FROM comp ORDER BY doc_id"
     )
     o["op_embed_neardup"] = (
         "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, "

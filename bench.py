@@ -319,6 +319,21 @@ def main() -> None:
     cents = ivf_train(emb, k=8, iters=2)
     timed("op_ivf_topk", lambda: ivf_topk(emb, qvec, cents, k=10, nprobe=4).collect())
 
+    # dedup graph stage: connected components over verified MinHash pairs
+    # → keep one canonical doc per cluster. Pairs are persisted first so
+    # this row isolates the graph stage (pair generation is the
+    # op_minhash_pairs row).
+    from datafusion_query_cache_spark.operators.components import near_dedup_keep
+    from datafusion_query_cache_spark.operators.dedup import minhash_dedup_pairs
+
+    dd_pairs = minhash_dedup_pairs(docs, threshold=0.6).persist()
+    dd_pairs.count()
+    timed(
+        "op_dedup_cluster_keep",
+        lambda: near_dedup_keep(docs, dd_pairs).count(),
+    )
+    dd_pairs.unpersist()
+
     # salted two-phase aggregation on a deliberately skewed key: ~90% of
     # lineitem rows collapse onto one hot key (the bot-user/boilerplate
     # shape that pins one reducer at 100 TB)
