@@ -113,6 +113,20 @@ _QC_SQLS = {
         "round(sum(value), 2) AS s, "
         "count(value) AS c FROM {v} GROUP BY 1, 2 ORDER BY 1, 2"
     ),
+    # EXACT median/percentile via mergeable RLE-histogram state
+    # (functions/partial.py) — beyond the reference, which abandons exact
+    # percentiles. round(+1e-9): interpolation can land on .xx5 halves.
+    "qc_median": (
+        "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    ),
+    # p90 over the same histogram state (oracle override: DuckDB spells
+    # Spark's percentile(x, p) as quantile_cont(x, p))
+    "qc_percentile": (
+        "SELECT event_type, round(percentile(value, 0.9) + 1e-9, 2) AS p90, "
+        "round(percentile(value, 0.1) + 1e-9, 2) AS p10, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    ),
     # variance family via sum-of-squares state (SURVEY §4.3)
     "qc_variance": (
         "SELECT event_type, round(var_samp(value), 2) AS vs, "
@@ -783,6 +797,11 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
+    o["qc_percentile"] = (
+        "SELECT event_type, round(quantile_cont(value, 0.9) + 1e-9, 2) AS p90, "
+        "round(quantile_cont(value, 0.1) + 1e-9, 2) AS p10, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
     o["qc_filter_subsume"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 100 "
         "ORDER BY event_id"

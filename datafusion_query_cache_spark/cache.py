@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -32,6 +33,48 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: percentile/median histogram state columns (functions/partial.py): an
+#: array<struct<v,c>> counted multiset kept UNcompacted through the
+#: partial/merge expressions (in-expression RLE would re-evaluate captured
+#: arrays per element — no CSE inside higher-order lambdas). The stored
+#: state is compressed here instead, once per refresh, driver-side: one
+#: entry per distinct value, sorted. The name pattern is part of the state
+#: naming contract (``__qc{i}_{kind}``).
+_HIST_COL_RE = re.compile(r"^__qc\d+_hist$")
+
+
+def _compact_hist_cell(cell):
+    if cell is None or len(cell) == 0:
+        return cell
+    agg: Dict[float, int] = {}
+    for e in cell:
+        v = e["v"]
+        if v != v:  # NaN can't be a sort/dict key; leave the cell as-is
+            return list(cell)
+        agg[v] = agg.get(v, 0) + e["c"]
+    return [{"v": v, "c": c} for v, c in sorted(agg.items())]
+
+
+def _compact_hist_arrow(tbl):
+    """Compact histogram state columns of an Arrow table (type-preserving)."""
+    import pyarrow as pa
+
+    for i, name in enumerate(tbl.schema.names):
+        if not _HIST_COL_RE.match(name):
+            continue
+        field = tbl.schema.field(i)
+        cells = [_compact_hist_cell(c) for c in tbl.column(i).to_pylist()]
+        tbl = tbl.set_column(i, field, pa.array(cells, type=field.type))
+    return tbl
+
+
+def _compact_hist_pdf(pdf):
+    """Compact histogram state columns of a pandas state frame, in place."""
+    for name in pdf.columns:
+        if _HIST_COL_RE.match(name):
+            pdf[name] = pdf[name].map(_compact_hist_cell)
+    return pdf
 
 
 class CacheEntry(ABC):
@@ -163,7 +206,7 @@ class _MemoryEntry(CacheEntry):
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         schema = state.schema
-        pdf = state.toPandas()
+        pdf = _compact_hist_pdf(state.toPandas())
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, schema)
         return spark.createDataFrame(pdf, schema=schema)
@@ -184,7 +227,7 @@ class _MemoryEntry(CacheEntry):
                 _wm, pdf, schema = self._cache._store[self._fp]
                 self._cache._store[self._fp] = (watermark_ns, pdf, schema)
             return tbl
-        pdf = tbl.select(list(state_cols)).to_pandas()
+        pdf = _compact_hist_pdf(tbl.select(list(state_cols)).to_pandas())
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
         return tbl
@@ -214,7 +257,7 @@ class _MemoryEntry(CacheEntry):
         return len(self._cache._store[self._fp][1])
 
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
-        pdf = state_tbl.to_pandas()
+        pdf = _compact_hist_pdf(state_tbl.to_pandas())
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
         return True
@@ -390,7 +433,7 @@ class _ParquetEntry(CacheEntry):
             try:
                 import pyarrow.parquet as pq
 
-                tbl = state.toArrow()
+                tbl = _compact_hist_arrow(state.toArrow())
                 n_rows = tbl.num_rows
                 if n_rows <= self.DRIVER_COLLECT_MAX_ROWS:
                     os.makedirs(path, exist_ok=True)
@@ -464,7 +507,10 @@ class _ParquetEntry(CacheEntry):
         txid = f"state-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
         os.makedirs(path, exist_ok=True)
-        pq.write_table(tbl.select(list(state_cols)), os.path.join(path, "part-0.parquet"))
+        pq.write_table(
+            _compact_hist_arrow(tbl.select(list(state_cols))),
+            os.path.join(path, "part-0.parquet"),
+        )
         self._swap_meta(watermark_ns, txid, state_schema.json(), tbl.num_rows)
         return tbl
 
@@ -475,6 +521,7 @@ class _ParquetEntry(CacheEntry):
         txid = f"state-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
         os.makedirs(path, exist_ok=True)
+        state_tbl = _compact_hist_arrow(state_tbl)
         pq.write_table(state_tbl, os.path.join(path, "part-0.parquet"))
         self._swap_meta(watermark_ns, txid, state_schema.json(), state_tbl.num_rows)
         return True

@@ -13,9 +13,13 @@ aggregates.
 State column names are deterministic (``__qc{i}_{kind}``) and are part of the
 fingerprint → cached-schema contract checked on cache read (SURVEY §4.3).
 
-Aggregates with no mergeable decomposition (exact distinct, median, exact
-percentiles, UDAFs) make the query non-cacheable — it still runs, uncached —
-mirroring the reference's Abandon verdict.
+Aggregates with no mergeable decomposition (exact distinct, UDAFs) make the
+query non-cacheable — it still runs, uncached — mirroring the reference's
+Abandon verdict.  Exact median/percentile ARE decomposable here via a
+run-length-encoded value histogram state (``array<struct<v,c>>``): state
+size is O(distinct values) per group, which is bounded for the quantized
+metric columns such states are used on (and documented as the caveat for
+continuous high-cardinality inputs).
 """
 
 from __future__ import annotations
@@ -69,10 +73,41 @@ class Decomposition:
     merge: Dict[str, Column]
     finalize: Column
     singleton: Optional[Dict[str, Column]] = None
+    #: state columns holding an array<struct<v,c>> counted multiset that
+    #: compact_histogram_state() should compress to O(distinct) at store
+    #: time (kept uncompacted through partial/merge, like Spark's own
+    #: exact-percentile buffer)
+    histogram_states: List[str] = field(default_factory=list)
 
 
 class NotDecomposable(Exception):
     """Aggregate has no mergeable state → query runs uncached."""
+
+
+def relax_nullability(dt):
+    """Deep-relax a stored state dtype for casting singleton rows into it.
+
+    Stored states carry non-null flags Spark infers from the partial
+    aggregate (collect_list elements, RLE histogram struct fields); a
+    nullable→non-null cast is refused, and the flags are irrelevant to the
+    merge — so relax containsNull / struct-field nullability recursively.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(relax_nullability(dt.elementType), True)
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, relax_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            relax_nullability(dt.keyType), relax_nullability(dt.valueType), True
+        )
+    return dt
 
 
 def _sum_compat(col: Column) -> Column:
@@ -407,6 +442,105 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             singleton={vn: v, kn: k},
         )
 
+    if fn in ("median", "percentile", "percentile_cont"):
+        # Exact percentile with MERGEABLE state — beyond the reference
+        # (DataFusion abandons exact percentiles). State is a value-sorted
+        # counted multiset ``array<struct<v:double, c:long>>``; partial and
+        # merge are sort/flatten only, and the stored state is COMPACTED to
+        # O(distinct values) per group by ``compact_histogram_state`` at
+        # store time (DataFrame-level, not in-expression). Finalize
+        # reproduces Spark's Percentile semantics: linear interpolation at
+        # rank p*(n-1) over the sorted multiset; duplicate-v entries are
+        # harmless (the walk only needs sorted order).
+        #
+        # CRITICAL perf constraint honored here: higher-order-function
+        # lambdas get NO common-subexpression elimination, and any outer
+        # expression captured in a lambda body is re-evaluated per element.
+        # Every lambda below references ONLY its bound variables; scalars
+        # needed inside the finalize walk travel in the fold's init struct.
+        if fn == "median":
+            if len(agg.args) != 1:
+                raise NotDecomposable("median takes one argument")
+            pv = 0.5
+        else:
+            if len(agg.args) != 2:
+                raise NotDecomposable(f"{fn} requires (value, fraction)")
+            import decimal
+
+            frac = agg.args[1]
+            if not isinstance(frac, Lit) or isinstance(frac.value, bool) or not isinstance(
+                frac.value, (int, float, decimal.Decimal)
+            ):
+                raise NotDecomposable(f"{fn} fraction must be a literal")
+            pv = float(frac.value)
+            if not (0.0 <= pv <= 1.0):
+                raise NotDecomposable(f"{fn} fraction out of [0,1]")
+        nm = s("hist")
+        a = arg0().cast("double")
+
+        one_entry = F.when(
+            a.isNotNull(),
+            F.struct(a.alias("v"), F.lit(1).cast("long").alias("c")),
+        )  # null value → null struct → collect_list skips it
+
+        ent = F.col(nm)
+        total = F.aggregate(
+            ent, F.lit(0).cast("long"), lambda acc, e: acc + e["c"]
+        )
+        idx = F.lit(pv) * (total - 1).cast("double")
+        lo = F.floor(idx).cast("long")
+        hi = F.ceil(idx).cast("long")
+        # lo/hi ride in the init struct so the lambda never captures them
+        init = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            lo.alias("tlo"),
+            hi.alias("thi"),
+            F.lit(None).cast("double").alias("vlo"),
+            F.lit(None).cast("double").alias("vhi"),
+        )
+        walk = F.aggregate(
+            ent,
+            init,
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["c"]).alias("cum"),
+                acc["tlo"].alias("tlo"),
+                acc["thi"].alias("thi"),
+                F.when(
+                    acc["vlo"].isNull() & ((acc["cum"] + e["c"]) > acc["tlo"]),
+                    e["v"],
+                )
+                .otherwise(acc["vlo"])
+                .alias("vlo"),
+                F.when(
+                    acc["vhi"].isNull() & ((acc["cum"] + e["c"]) > acc["thi"]),
+                    e["v"],
+                )
+                .otherwise(acc["vhi"])
+                .alias("vhi"),
+            ),
+        )
+        fin = F.when(
+            total > 0,
+            walk["vlo"] + (idx - lo.cast("double")) * (walk["vhi"] - walk["vlo"]),
+        )
+        return Decomposition(
+            partial={nm: F.sort_array(F.collect_list(one_entry))},
+            merge={nm: F.sort_array(F.flatten(F.collect_list(F.col(nm))))},
+            finalize=fin,
+            # one raw row → [{v,1}]; nulls mirror collect_list's skip
+            singleton={
+                nm: F.filter(
+                    F.array(
+                        F.struct(
+                            a.alias("v"), F.lit(1).cast("long").alias("c")
+                        )
+                    ),
+                    lambda e: e["v"].isNotNull(),
+                )
+            },
+            histogram_states=[nm],
+        )
+
     if fn == "product":
         nm = s("prod")
         a = arg0()
@@ -439,6 +573,8 @@ class ItemPlan:
     #: re-aliased inside a SELECT item).
     finalize_raw: Optional[Column] = None
     singleton: Optional[Dict[str, Column]] = field(default_factory=dict)
+    #: histogram-typed state columns needing store-time compaction
+    histogram_states: List[str] = field(default_factory=list)
 
 
 def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
@@ -532,6 +668,7 @@ def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
                 seen[key] = (a, dec)
                 plan.partial.update(dec.partial)
                 plan.merge.update(dec.merge)
+                plan.histogram_states.extend(dec.histogram_states)
                 if dec.singleton is None:
                     plan.singleton = None
                 elif plan.singleton is not None:

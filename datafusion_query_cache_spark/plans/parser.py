@@ -74,6 +74,7 @@ AGG_FUNCTIONS = {
     "median",
     "mode",
     "quantile",
+    "percentile",
     "percentile_cont",
     "bool_and",
     "bool_or",

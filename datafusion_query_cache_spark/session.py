@@ -1336,18 +1336,7 @@ class CachedSparkSession:
                 break
             singletons.update(p.singleton)
         if use_singleton:
-            from pyspark.sql.types import ArrayType
-
-            def _relax(dt):
-                # stored collect_set/array_agg state is
-                # array<T, containsNull=false>; a nullable→non-null array
-                # cast is refused, and the nullability flag is irrelevant
-                # to the merge — cast to the relaxed type
-                return (
-                    ArrayType(dt.elementType, True)
-                    if isinstance(dt, ArrayType)
-                    else dt
-                )
+            from .functions.partial import relax_nullability as _relax
 
             dtypes = {f.name: _relax(f.dataType) for f in cached_state.schema.fields}
             fresh_state = fresh.select(
@@ -1687,6 +1676,12 @@ class CachedSparkSession:
             fin_items.append(f"{sql_of(fin_raw['__qc_having'])} AS {q('__fin_hv')}")
         fin_items.append(q("__qc_fresh"))
         sql = f"SELECT {', '.join(fin_items)} FROM ({m_sql}) __qc_m"
+
+        if "lambdafunction(" in sql:
+            # higher-order-function lambdas (RLE-histogram percentile state)
+            # don't round-trip through Expression.sql() — the rendered
+            # lambdafunction(...) form is not parseable SQL. Stay classic.
+            return None
 
         return {
             "sql": sql,

@@ -33,6 +33,9 @@ QUERIES = [
     # variance family
     "SELECT event_type, round(var_samp(value), 6) AS v, "
     "round(stddev_pop(value), 6) AS sp FROM events_split GROUP BY 1",
+    # exact median/percentile via the RLE-histogram state
+    "SELECT event_type, round(median(value), 6) AS med, "
+    "round(percentile(value, 0.25), 6) AS p25 FROM events_split GROUP BY 1",
 ]
 
 
@@ -271,3 +274,40 @@ def test_grouping_without_sets_passthrough(qc, spark):
             "SELECT event_type, grouping(event_type) AS g, count(*) AS n "
             "FROM events GROUP BY event_type"
         ).collect()
+
+
+def test_median_state_compacted(spark, qc, split_views):
+    """Stored percentile state is compacted to O(distinct values) per group
+    at store time (cache.py _compact_hist_*), across miss + warm refresh."""
+    run1, run2, cut_ns = split_views
+    sql = "SELECT event_type, median(value) AS med FROM events_split GROUP BY 1"
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = {r["event_type"]: r["med"] for r in qc.sql(sql).collect()}
+    want = {
+        r["event_type"]: r["med"]
+        for r in spark.sql(sql).collect()
+    }
+    assert got == want
+    dmax = (
+        spark.table("events_split")
+        .groupBy("event_type")
+        .agg(F.countDistinct("value").alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    checked = 0
+    for info in qc.config.cache.entries():
+        st = qc.config.cache.entry(info.fingerprint).get(spark)
+        hist_cols = [c for c in st.columns if c.endswith("_hist")]
+        assert hist_cols, "median state column missing"
+        row = st.select(
+            *[F.max(F.size(c)).alias(c) for c in hist_cols]
+        ).collect()[0]
+        for c in hist_cols:
+            assert row[c] <= dmax
+        checked += 1
+    assert checked == 1

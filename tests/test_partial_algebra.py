@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 from datafusion_query_cache_spark.functions.partial import (
     NotDecomposable,
     decompose_agg,
+    relax_nullability,
 )
-from datafusion_query_cache_spark.plans.ir import AggCall, Col, Star
+from datafusion_query_cache_spark.plans.ir import AggCall, Col, Lit, Star
 
 AGGS = [
     AggCall("count", (Star(),)),
@@ -38,6 +39,8 @@ AGGS = [
     AggCall("var_pop", (Col("v"),)),
     AggCall("stddev_samp", (Col("v"),)),
     AggCall("stddev_pop", (Col("v"),)),
+    AggCall("median", (Col("v"),)),
+    AggCall("percentile", (Col("v"), Lit(0.9))),
 ]
 
 SPARK_EQUIV = {
@@ -50,6 +53,8 @@ SPARK_EQUIV = {
     "var_pop": lambda: F.var_pop("v"),
     "stddev_samp": lambda: F.stddev_samp("v"),
     "stddev_pop": lambda: F.stddev_pop("v"),
+    "median": lambda: F.median("v"),
+    "percentile": lambda: F.percentile("v", 0.9),
 }
 
 
@@ -140,7 +145,10 @@ def test_distinct_not_decomposable():
     with pytest.raises(NotDecomposable):
         decompose_agg(AggCall("sum", (Col("v"),), distinct=True), "0")
     with pytest.raises(NotDecomposable):
-        decompose_agg(AggCall("median", (Col("v"),)), "0")
+        decompose_agg(AggCall("mode", (Col("v"),)), "0")
+    with pytest.raises(NotDecomposable):
+        # non-literal fraction has no stable state shape
+        decompose_agg(AggCall("percentile", (Col("v"), Col("p"))), "0")
 
 
 def test_merge_idempotent_names():
@@ -164,7 +172,7 @@ def test_singleton_equals_partial(spark, agg):
     df2 = spark.createDataFrame(pd.DataFrame(d2, columns=["g", "v"]), schema)
 
     p1 = df1.groupBy("g").agg(*[c.alias(n) for n, c in dec.partial.items()])
-    dtypes = {f.name: f.dataType for f in p1.schema.fields}
+    dtypes = {f.name: relax_nullability(f.dataType) for f in p1.schema.fields}
     s2 = df2.select(
         "g", *[c.cast(dtypes[n]).alias(n) for n, c in dec.singleton.items()]
     )
