@@ -365,12 +365,17 @@ def main() -> None:
     # partitions (PartitionFilters) via config.temporal_partition_columns,
     # not just row groups. Derived from the driver's events.parquet (100
     # id-shifted replicas, same ts distribution); cached in /tmp across runs.
+    from datafusion_query_cache_spark.sources.tables import with_ns_shadow
+
     def make_big(mult: int) -> str:
         """events × mult, PARTITIONED BY event date — built in one pass via
-        explode(sequence(...)) and cached in /tmp across bench runs."""
-        big = f"/tmp/qc-bench-events-x{mult}p-{os.path.basename(SF_DIR.rstrip('/'))}"
+        explode(sequence(...)) and cached in /tmp across bench runs. v2:
+        unit-agnostic ts handling (source may be ns-long or µs/NTZ)."""
+        big = f"/tmp/qc-bench-events-x{mult}p2-{os.path.basename(SF_DIR.rstrip('/'))}"
         if not os.path.exists(os.path.join(big, "_SUCCESS")):
-            raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            raw = with_ns_shadow(
+                spark.read.parquet(os.path.join(SF_DIR, "events.parquet")), "ts"
+            ).drop("ts_ns")
             out = (
                 raw.withColumn(
                     "__r", F.explode(F.expr(f"sequence(0, {mult - 1})"))
@@ -381,10 +386,8 @@ def main() -> None:
                     + F.col("__r").cast("long") * F.lit(100_000_000),
                 )
                 .drop("__r")
-                # ts here is the raw epoch-ns long; partition by its UTC date
-                .withColumn(
-                    "d", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
-                )
+                # ts is normalized TimestampType (UTC session): partition by date
+                .withColumn("d", F.to_date(F.col("ts")))
             )
             # salt the layout to ~16 files per date partition: a single file
             # per partition would cap the pruned tail scan at 2 tasks —
@@ -395,10 +398,7 @@ def main() -> None:
         return big
 
     def register_big(path: str, view: str):
-        bx = spark.read.parquet(path)
-        bx = bx.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        bx = with_ns_shadow(spark.read.parquet(path), "ts")
         bx.createOrReplaceTempView(view)
         return bx
 

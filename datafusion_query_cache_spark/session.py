@@ -51,6 +51,58 @@ from .plans.ir import AggSpec, Col, Lit, Unsupported
 from .plans.parser import parse_agg_query
 
 
+def _push_time_bounds(
+    df: DataFrame,
+    ts_col: str,
+    shadow: str,
+    lo_ns: Optional[int] = None,
+    hi_ns: Optional[int] = None,
+) -> DataFrame:
+    """Exact ``[lo, hi)`` bounds on the temporal axis, shaped for pushdown.
+
+    Exactness comes from the epoch-ns shadow when present. Pushdown comes
+    from a REDUNDANT superset bound on the timestamp column itself: for
+    µs/NTZ sources the shadow is a derived column (``unix_micros(ts)*1000``,
+    ``sources/tables.py``), so ``shadow >= lit`` is an expression filter the
+    parquet scan can't use — while ``ts >= timestamp_micros(lit)`` survives
+    Spark's cast-unwrapping into ``PushedFilters`` (row-group pruning; the
+    100 TB warm refresh reads only the fresh tail). Floor the lower / ceil
+    the upper µs bound so it never excludes a row the ns bound admits; the
+    conjunction is therefore exactly the ns range. Without a shadow the µs
+    bound ceils BOTH ends so consecutive runs tile exactly.
+
+    Reference converts Arrow time units at the same boundary
+    (``src/aggregate.rs:431-439``).
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    has_shadow = shadow in types
+    ts_is_time = isinstance(
+        types.get(ts_col), (TimestampType, TimestampNTZType)
+    )
+    if lo_ns is not None:
+        if has_shadow:
+            df = df.filter(F.col(shadow) >= F.lit(lo_ns))
+            if ts_is_time:
+                df = df.filter(
+                    F.col(ts_col) >= F.timestamp_micros(F.lit(lo_ns // 1000))
+                )
+        else:
+            df = df.filter(
+                F.col(ts_col) >= F.timestamp_micros(F.lit(-(-lo_ns // 1000)))
+            )
+    if hi_ns is not None:
+        hi_us = -(-hi_ns // 1000)
+        if has_shadow:
+            df = df.filter(F.col(shadow) < F.lit(hi_ns))
+            if ts_is_time:
+                df = df.filter(F.col(ts_col) < F.timestamp_micros(F.lit(hi_us)))
+        else:
+            df = df.filter(F.col(ts_col) < F.timestamp_micros(F.lit(hi_us)))
+    return df
+
+
 def _order_col(name: str, o) -> Column:
     """ORDER BY item → Column with explicit direction AND null order.
 
@@ -306,21 +358,7 @@ class CachedSparkSession:
         shadow = f"{ts_col}_ns"
 
         def bounds(df, lo_ns=None, hi_ns=None):
-            if shadow in base.columns:
-                if lo_ns is not None:
-                    df = df.filter(F.col(shadow) >= F.lit(lo_ns))
-                if hi_ns is not None:
-                    df = df.filter(F.col(shadow) < F.lit(hi_ns))
-            else:
-                if lo_ns is not None:
-                    df = df.filter(
-                        F.col(ts_col) >= F.timestamp_micros(F.lit(-(-lo_ns // 1000)))
-                    )
-                if hi_ns is not None:
-                    df = df.filter(
-                        F.col(ts_col) < F.timestamp_micros(F.lit(-(-hi_ns // 1000)))
-                    )
-            return df
+            return _push_time_bounds(df, ts_col, shadow, lo_ns, hi_ns)
 
         decision = Decision(
             sql=query, cached=True, fingerprint=fingerprint, now_ns=now_ns
@@ -749,26 +787,12 @@ class CachedSparkSession:
             fresh_{N+1} covers [now_N, now_{N+1}) — an exact partition, so
             results are "as of now" and the µs boundary can never dupe.
 
-            Prefers the raw epoch-ns shadow column (sources/tables.py): an
-            exact bound AND a plain attribute comparison that pushes into the
-            parquet scan for row-group pruning (reference converts Arrow time
-            units at the same spot, ``src/aggregate.rs:431-439``).
+            Bounds via ``_push_time_bounds``: exact on the epoch-ns shadow,
+            plus a redundant µs bound on the timestamp column itself so the
+            filter reaches the parquet scan's ``PushedFilters`` even when
+            the shadow is a derived column (µs/NTZ sources).
             """
-            if shadow in base_cols:
-                if lo_ns is not None:
-                    df = df.filter(F.col(shadow) >= F.lit(lo_ns))
-                if hi_ns is not None:
-                    df = df.filter(F.col(shadow) < F.lit(hi_ns))
-            else:
-                # ceil to µs on BOTH bounds so consecutive runs tile exactly
-                if lo_ns is not None:
-                    df = df.filter(
-                        F.col(ts_col) >= F.timestamp_micros(F.lit(-(-lo_ns // 1000)))
-                    )
-                if hi_ns is not None:
-                    df = df.filter(
-                        F.col(ts_col) < F.timestamp_micros(F.lit(-(-hi_ns // 1000)))
-                    )
+            df = _push_time_bounds(df, ts_col, shadow, lo_ns, hi_ns)
             # partition-level bounds: redundant with the row bounds above
             # (a date-partition column is a coarsening of ts), but they are
             # plain comparisons on the PARTITION column → whole partitions

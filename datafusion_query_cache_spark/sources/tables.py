@@ -43,19 +43,59 @@ def _nanos_timestamp_columns(path: str) -> list:
         return []
 
 
+def with_ns_shadow(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize the named temporal columns to the engine's two-column shape,
+    whatever unit the source carried:
+
+    - ``c``    — µs-precision ``TimestampType`` (user-facing semantics)
+    - ``c_ns`` — epoch-nanosecond ``long`` shadow (the engine's watermark axis)
+
+    Handles epoch-ns longs (``nanosAsLong`` parquet reads), µs ``TIMESTAMP``,
+    and ``TIMESTAMP_NTZ``. The reference handles all four Arrow time units at
+    the cache boundary (``src/aggregate.rs:431-439``); we normalize once at
+    the source so the rest of the engine sees a single schema. For ns-long
+    sources the shadow IS the scanned attribute (filters on it push into the
+    parquet scan); for µs/NTZ sources the shadow is derived, so the engine's
+    watermark filter relies on the µs fallback bound on ``c`` itself for
+    pushdown (``session.py`` ``time_bounds``) — the shadow then exists for
+    API compatibility."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        t = types.get(c)
+        if isinstance(t, LongType):
+            # epoch-ns long branch. `div` = exact integral division: `/` on
+            # longs goes through DOUBLE, whose 53-bit mantissa rounds
+            # epoch-ns (61-bit) values by up to ~128 ns BEFORE truncation —
+            # an occasional off-by-1µs timestamp.
+            df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+        elif isinstance(t, (TimestampType, TimestampNTZType)):
+            # µs / NTZ branch: the session timezone is pinned to UTC, so
+            # NTZ → TimestampType is value-preserving; the shadow is exact
+            # (µs * 1000 never overflows long for representable timestamps).
+            df = df.withColumn(c, F.col(c).cast("timestamp")).withColumn(
+                f"{c}_ns", F.unix_micros(F.col(c)) * F.lit(1000)
+            )
+    return df
+
+
 def register_parquet_view(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Register ``path`` as view ``name``, normalizing EVERY timestamp column
+    (parquet ns-long, µs TIMESTAMP, or TIMESTAMP_NTZ) via ``with_ns_shadow``
+    so downstream code never depends on the writer's time unit."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
-        # expose both: `c` as a µs TimestampType (user-facing semantics) and
-        # `c_ns` as the raw epoch-ns long. Filters on `c_ns` are plain
-        # attribute comparisons → Catalyst pushes them into the parquet scan
-        # (row-group pruning); the engine uses it as the watermark shadow.
-        # `div` = exact integral division: `/` on longs goes through DOUBLE,
-        # whose 53-bit mantissa rounds epoch-ns (61-bit) values by up to
-        # ~128 ns BEFORE truncation — an occasional off-by-1µs timestamp.
-        df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-        )
+    ns_cols = set(_nanos_timestamp_columns(path))
+    ts_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in ns_cols or isinstance(f.dataType, (TimestampType, TimestampNTZType))
+    ]
+    df = with_ns_shadow(df, *ts_cols)
     df.createOrReplaceTempView(name)
     return df
 

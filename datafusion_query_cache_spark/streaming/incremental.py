@@ -36,22 +36,20 @@ def parquet_stream(
     """File-source stream over a parquet path (the streaming analogue of the
     reference demo's growing MemTable, ``examples/demo.rs:17-37``).
 
-    ``ns_timestamp_columns`` get the same nanos→(timestamp, raw-ns shadow)
-    normalization as the batch source layer (sources/tables.py).
+    ``ns_timestamp_columns`` get the same (timestamp, raw-ns shadow)
+    normalization as the batch source layer (``sources/tables.py``
+    ``with_ns_shadow``) — works whether the source column is an epoch-ns
+    long, µs TIMESTAMP, or TIMESTAMP_NTZ.
     """
+    from ..sources.tables import with_ns_shadow
+
     # file streams need an explicit schema; reuse the batch reader's
     sch = spark.read.parquet(path).schema
     reader = spark.readStream.schema(sch)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    for c in ns_timestamp_columns:
-        # `div` = exact integral division (double division rounds 61-bit
-        # ns by up to ~128 ns) — same normalization as sources/tables.py
-        df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-        )
-    return df
+    return with_ns_shadow(df, *ns_timestamp_columns)
 
 
 def windowed_aggregate(

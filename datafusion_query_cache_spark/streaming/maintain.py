@@ -83,7 +83,7 @@ class CacheMaintainer:
             hi_ns = None if hi is None else int(hi) + 1
         else:
             hi = batch_df.agg(
-                F.max(F.unix_micros(F.col(self.ts_col)))
+                F.max(F.unix_micros(F.col(self.ts_col).cast("timestamp")))
             ).collect()[0][0]
             hi_ns = None if hi is None else (int(hi) + 1) * 1000
         if hi_ns is None:

@@ -50,10 +50,11 @@ def test_windowed_aggregate_matches_batch(spark, events_dir, tmp_path):
     run_available_now(agg, "stream_hourly", str(tmp_path / "ckpt"), "complete")
 
     got = spark.sql("SELECT bucket, event_type, n, s FROM stream_hourly")
-    batch = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-    # batch comparison on the same nanos→µs conversion
-    batch = batch.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    from datafusion_query_cache_spark.sources.tables import with_ns_shadow
+
+    # batch comparison through the same unit normalization as the stream
+    batch = with_ns_shadow(
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet")), "ts"
     )
     expect = (
         batch.groupBy(
