@@ -160,11 +160,17 @@ class CacheEntry(ABC):
         return False
 
     def append(
-        self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
+        self,
+        watermark_ns: int,
+        fresh: DataFrame,
+        spark: SparkSession,
+        partition_cols: Optional[List[str]] = None,
     ) -> DataFrame:
         """Append ``fresh`` rows to the stored row-set state (filter-query
         caching) and return the full updated state. Default: read + union +
-        rewrite; backends override with a real append."""
+        rewrite; backends override with a real append. ``partition_cols``
+        (e.g. the temporal date) asks file-backed backends to lay the state
+        out partitioned so temporal reads of the state prune directories."""
         full = self.get(spark).unionByName(fresh) if self.occupied else fresh
         return self.put(watermark_ns, full, spark)
 
@@ -271,7 +277,11 @@ class _MemoryEntry(CacheEntry):
         return True
 
     def append(
-        self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
+        self,
+        watermark_ns: int,
+        fresh: DataFrame,
+        spark: SparkSession,
+        partition_cols: Optional[List[str]] = None,
     ) -> DataFrame:
         import pandas as pd
 
@@ -362,15 +372,29 @@ class _ParquetEntry(CacheEntry):
         parts = self._meta.get("parts") or [self._meta["state"]]
         return [os.path.join(self._dir, p) for p in parts]
 
+    def _read_paths(self, spark: SparkSession, paths: List[str], sch=None) -> DataFrame:
+        """Read state parts. Hive-partitioned parts (filter row-set state)
+        are each their own partitioned root, so multiple parts must be read
+        individually and unioned — Spark refuses sibling partitioned roots
+        as one table (CONFLICTING_DIRECTORY_STRUCTURES). Partition pruning
+        still applies inside every part's read."""
+        rd = spark.read.schema(sch) if sch is not None else spark.read
+        if len(paths) == 1:
+            return rd.parquet(paths[0])
+        out = rd.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(rd.parquet(p))
+        return out
+
     def get(self, spark: SparkSession) -> DataFrame:
         # schema from meta.json → no parquet-footer inference at plan time
         try:
             from pyspark.sql.types import StructType
 
             sch = StructType.fromJson(json.loads(self._meta["schema"]))
-            return spark.read.schema(sch).parquet(*self._state_paths())
+            return self._read_paths(spark, self._state_paths(), sch)
         except Exception:
-            return spark.read.parquet(*self._state_paths())
+            return self._read_paths(spark, self._state_paths())
 
     def state_columns(self) -> Optional[List[str]]:
         if self._meta is None:
@@ -538,13 +562,24 @@ class _ParquetEntry(CacheEntry):
         return True
 
     def append(
-        self, watermark_ns: int, fresh: DataFrame, spark: SparkSession
+        self,
+        watermark_ns: int,
+        fresh: DataFrame,
+        spark: SparkSession,
+        partition_cols: Optional[List[str]] = None,
     ) -> DataFrame:
         """Row-set append: write ``fresh`` as a NEW part and swap meta —
         refresh cost is O(new rows), not O(state). Compacts into one part
         when the part list grows past a threshold, so read fan-in stays
         bounded (the reference's uncompacted batch growth, SURVEY §3.3,
-        with a bound)."""
+        with a bound).
+
+        With ``partition_cols`` (the filter cache passes the temporal date)
+        every part — and the compacted rewrite — is written
+        ``partitionBy(date)``: the row-set state is big data at 100×, and a
+        date-partitioned layout means any temporally-bounded read of it
+        (semantic-donor replays, downstream incremental consumers) prunes
+        whole directories instead of scanning the full set."""
         COMPACT_AT = 16
         os.makedirs(self._dir, exist_ok=True)
         txid = f"part-{uuid.uuid4().hex[:12]}"
@@ -552,20 +587,58 @@ class _ParquetEntry(CacheEntry):
         old_parts = (
             (self._meta.get("parts") or [self._meta["state"]]) if self._meta else []
         )
+
+        def write(df: DataFrame, pth: str) -> None:
+            if partition_cols:
+                from pyspark.sql import functions as _F
+
+                # one task per live partition value writes its directory —
+                # no single-task bottleneck, no tiny-file explosion
+                w = df.repartition(*[_F.col(c) for c in partition_cols])
+                w.write.mode("overwrite").partitionBy(*partition_cols).parquet(pth)
+            else:
+                df.coalesce(1).write.mode("overwrite").parquet(pth)
+
         if len(old_parts) + 1 > COMPACT_AT:
-            merged = spark.read.parquet(
-                *[os.path.join(self._dir, p) for p in old_parts]
+            merged = self._read_paths(
+                spark, [os.path.join(self._dir, p) for p in old_parts]
             ).unionByName(fresh)
-            merged.write.mode("overwrite").parquet(path)
+            write(merged, path)
             parts = [txid]
         else:
-            fresh.coalesce(1).write.mode("overwrite").parquet(path)
+            write(fresh, path)
             parts = old_parts + [txid]
+        # cumulative row count from parquet footers (local metadata read, no
+        # Spark job) — lets the session enforce filter_state_max_rows. Also
+        # prunes an empty NEW part (a zero-row refresh window under
+        # partitionBy writes a file-less dir that breaks schema inference):
+        # the watermark still advances via meta.
+        n_rows: Optional[int] = None
+        try:
+            import pyarrow.dataset as _ds
+
+            def _count(p: str) -> int:
+                # ignore_prefixes: defaults hide EVERY '_'-prefixed path —
+                # including the `__qc_d=...` hive dirs themselves. Hide only
+                # Spark's commit markers.
+                return _ds.dataset(
+                    os.path.join(self._dir, p),
+                    format="parquet",
+                    ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+                ).count_rows()
+
+            if txid in parts and _count(txid) == 0 and len(parts) > 1:
+                parts = [p for p in parts if p != txid]
+                shutil.rmtree(path, ignore_errors=True)
+            n_rows = sum(_count(p) for p in parts)
+        except Exception:
+            pass
         meta = {
             "fingerprint": self._fp,
             "watermark_ns": watermark_ns,
             "parts": parts,
             "schema": fresh.schema.json(),
+            "rows": n_rows,
             "written_at": time.time(),
         }
         tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
@@ -578,7 +651,11 @@ class _ParquetEntry(CacheEntry):
             for p in old.get("parts") or [old.get("state", "")]:
                 if p and p not in parts:
                     shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
-        return spark.read.parquet(*[os.path.join(self._dir, p) for p in parts])
+        return self._read_paths(
+            spark,
+            [os.path.join(self._dir, p) for p in parts],
+            fresh.schema,
+        )
 
 
 @dataclass

@@ -63,6 +63,20 @@ class QueryCacheConfig:
     #: a TimescaleDB continuous-aggregate refresh policy or a materialized
     #: view with a refresh schedule. 0 (default) = always exact to "now".
     min_refresh_interval_ns: int = 0
+    #: Row cap for the non-top-k filter row-set cache (the state IS the
+    #: result set, so unlike aggregate state it grows with the data). Past
+    #: the cap the engine stops caching the query and passes it through —
+    #: a wrong-size state can degrade to a plain scan but never grow
+    #: unboundedly. ``None`` = unlimited (the pre-r3 behavior).
+    filter_state_max_rows: Optional[int] = 50_000_000
+    #: Distinct-value cap per group for the exact median/percentile
+    #: RLE-histogram state (``functions/partial.py``): the state is
+    #: O(distinct values per group), so an unquantized continuous column
+    #: would bloat it silently. When any group's histogram exceeds this
+    #: many distinct values at store time, the engine refuses to cache the
+    #: query (passthrough) rather than store a runaway state. ``None`` =
+    #: unlimited.
+    percentile_max_distinct: Optional[int] = 100_000
     log: AbstractLog = field(default_factory=LogNoOp)
 
     @property

@@ -357,6 +357,36 @@ class CachedSparkSession:
         pred = to_column(spec.predicate) if spec.predicate is not None else None
         shadow = f"{ts_col}_ns"
 
+        # Non-top-k row-set state IS the result set — it grows with the data
+        # (unlike aggregate state). Two guards (VERDICT r2 item 6):
+        # 1. size cap: past config.filter_state_max_rows the query stops
+        #    being cached (passthrough) instead of growing state silently;
+        # 2. layout: state is stored hive-partitioned by the temporal DATE
+        #    (hidden `__qc_d` column) so temporally-bounded reads of the
+        #    state — semantic-donor replays, downstream consumers — prune
+        #    whole directories.
+        part_col = "__qc_d"
+        if not topk and cfg.filter_state_max_rows is not None:
+            known_rows = entry.state_rows()
+            if known_rows is not None and known_rows > cfg.filter_state_max_rows:
+                raise Unsupported(
+                    f"filter row-set state ({known_rows} rows) exceeds "
+                    f"filter_state_max_rows={cfg.filter_state_max_rows}"
+                )
+
+        def project_store(df: DataFrame) -> DataFrame:
+            """Projection for the STORED row set: user columns + the hidden
+            date partition column (derived pre-projection, so it exists even
+            when the query doesn't select the temporal column)."""
+            if topk:
+                return project(df)
+            d = F.to_date(F.col(ts_col)).alias(part_col)
+            if spec.items is None:
+                return df.withColumn(part_col, F.to_date(F.col(ts_col)))
+            return df.select(
+                *[to_column(i.expr).alias(i.name) for i in spec.items], d
+            )
+
         def bounds(df, lo_ns=None, hi_ns=None):
             return _push_time_bounds(df, ts_col, shadow, lo_ns, hi_ns)
 
@@ -365,11 +395,12 @@ class CachedSparkSession:
         )
 
         hit = entry.occupied
+        expected = out_names if topk else out_names + [part_col]
         if hit:
             try:
                 state = entry.get(self.spark)
-                if list(state.columns) != out_names and set(state.columns) != set(
-                    out_names
+                if list(state.columns) != expected and set(state.columns) != set(
+                    expected
                 ):
                     cfg.log.warn(fingerprint, "filter state schema mismatch; recompute")
                     hit = False
@@ -380,14 +411,16 @@ class CachedSparkSession:
         src = base if pred is None else base.filter(pred)
         if hit:
             wm_ns = entry.watermark_ns
-            fresh = project(bounds(src, lo_ns=wm_ns, hi_ns=now_ns))
+            fresh = project_store(bounds(src, lo_ns=wm_ns, hi_ns=now_ns))
             if topk:
                 merged = (
                     state.unionByName(fresh).orderBy(*sort_cols()).limit(spec.limit)
                 )
                 stored = entry.put(now_ns, merged, self.spark)
             else:
-                stored = entry.append(now_ns, fresh, self.spark)
+                stored = entry.append(
+                    now_ns, fresh, self.spark, partition_cols=[part_col]
+                )
             decision.cache_hit = True
             decision.watermark_ns = wm_ns
             cfg.log.info(
@@ -405,13 +438,29 @@ class CachedSparkSession:
                 # this exact query has never run before.
                 d_entry, d_wm, d_fp = donor
                 try:
-                    d_state = d_entry.get(self.spark).select(*out_names)
-                    start = d_state.filter(pred) if pred is not None else d_state
-                    fresh = project(bounds(src, lo_ns=d_wm, hi_ns=now_ns))
+                    d_state = d_entry.get(self.spark)
+                    if topk:
+                        start0 = d_state.select(*out_names)
+                    elif part_col in d_state.columns:
+                        start0 = d_state.select(*out_names, part_col)
+                    elif ts_col in out_names:
+                        start0 = d_state.select(*out_names).withColumn(
+                            part_col, F.to_date(F.col(ts_col))
+                        )
+                    else:
+                        raise RuntimeError(
+                            "donor state lacks the date partition column"
+                        )
+                    start = start0.filter(pred) if pred is not None else start0
+                    fresh = project_store(bounds(src, lo_ns=d_wm, hi_ns=now_ns))
                     rows = start.unionByName(fresh)
                     if topk:
                         rows = rows.orderBy(*sort_cols()).limit(spec.limit)
-                    stored = entry.put(now_ns, rows, self.spark)
+                        stored = entry.put(now_ns, rows, self.spark)
+                    else:
+                        stored = entry.append(
+                            now_ns, rows, self.spark, partition_cols=[part_col]
+                        )
                     decision.cache_hit = True
                     decision.semantic_donor = d_fp
                     decision.watermark_ns = d_wm
@@ -426,10 +475,14 @@ class CachedSparkSession:
                     )
                     stored = None
             if stored is None:
-                rows = project(bounds(src, hi_ns=now_ns))
+                rows = project_store(bounds(src, hi_ns=now_ns))
                 if topk:
                     rows = rows.orderBy(*sort_cols()).limit(spec.limit)
-                stored = entry.put(now_ns, rows, self.spark)
+                    stored = entry.put(now_ns, rows, self.spark)
+                else:
+                    stored = entry.append(
+                        now_ns, rows, self.spark, partition_cols=[part_col]
+                    )
                 cfg.log.info(fingerprint, "filter cache miss: materializing rows")
 
         if fingerprint not in self._filter_registry:
@@ -446,7 +499,7 @@ class CachedSparkSession:
                 )
             except Exception:
                 pass  # advisory only; never fail the query over a tag
-        out = stored
+        out = stored if topk else stored.drop(part_col)
         if spec.order_by:
             out = out.orderBy(*sort_cols())
         if spec.limit is not None:

@@ -203,3 +203,74 @@ def test_filter_subsumption_rejects_topk_donor(spark, qc):
     got = qc.sql(strong_sql)
     assert qc.last_decision.semantic_donor is None  # full miss, not subsumed
     assert rows_set(got) == rows_set(spark.sql(strong_sql))
+
+
+# --- state layout & size bounds (VERDICT r2 item 6) ------------------------
+
+
+def test_rowset_state_partitioned_by_date(spark, qc, split):
+    """Non-top-k row-set state is stored hive-partitioned by the temporal
+    DATE (hidden __qc_d column): at 100x the state is big data, and a
+    date-partitioned layout makes temporally-bounded reads of it prune
+    whole directories."""
+    import os
+
+    run1, run2, cut_ns = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FILTER_SQL).collect()
+    entry = qc.config.cache.entry(qc.last_decision.fingerprint)
+    # layout: every part dir contains __qc_d=<date> hive subdirectories
+    part_dirs = [
+        os.path.join(entry._dir, p)
+        for p in (entry._meta.get("parts") or [entry._meta["state"]])
+    ]
+    assert part_dirs
+    for pd in part_dirs:
+        subs = [d for d in os.listdir(pd) if d.startswith("__qc_d=")]
+        assert subs, f"no hive partition dirs under {pd}"
+    # rows are tracked in meta so the size cap is enforceable
+    assert entry.state_rows() == spark.sql(FILTER_SQL).count()
+
+    # pruned read: a date-bounded read of the state lists only matching
+    # partition directories (PartitionFilters, not a full-state scan)
+    state = entry.get(spark)
+    one_day = sorted(
+        r["__qc_d"] for r in state.select("__qc_d").distinct().collect()
+    )[0]
+    bounded = state.filter(F.col("__qc_d") == F.lit(one_day))
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__qc_d" in m.group(1), plan[:1500]
+
+
+def test_rowset_state_cap_passthrough(spark, split):
+    """Past config.filter_state_max_rows the engine refuses to keep growing
+    row-set state: the query degrades to passthrough (correct, uncached)."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns = split
+    cfg = QueryCacheConfig(
+        cache=MemoryQueryCache(),
+        default_temporal_column="ts",
+        override_now_ns=cut_ns,
+        filter_state_max_rows=10,  # tiny cap: first run exceeds it
+    )
+    qc = CachedSparkSession(spark, cfg)
+    run1()
+    r1 = qc.sql(FILTER_SQL)
+    assert qc.last_decision.cached  # first materialization is under way
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    r2 = qc.sql(FILTER_SQL)
+    # state (71 rows) now exceeds the cap: passthrough, still correct
+    assert not qc.last_decision.cached
+    assert "filter_state_max_rows" in (qc.last_decision.reason or "")
+    assert rows_set(r2) == rows_set(spark.sql(FILTER_SQL))
