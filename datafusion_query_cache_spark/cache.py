@@ -44,19 +44,38 @@ from pyspark.sql import DataFrame, SparkSession
 _HIST_COL_RE = re.compile(r"^__qc\d+_hist$")
 
 
-def _compact_hist_cell(cell):
+class HistogramCardinalityExceeded(RuntimeError):
+    """A percentile/median RLE-histogram cell holds more distinct values than
+    ``config.percentile_max_distinct`` — storing it would bloat cache state
+    (it is O(distinct values) per group). The session catches this, marks the
+    fingerprint uncacheable, and passes the query through."""
+
+    def __init__(self, fingerprint: str, distinct: int):
+        super().__init__(
+            f"histogram state for {fingerprint[:80]}... has {distinct} distinct "
+            "values per group (> percentile_max_distinct)"
+        )
+        self.fingerprint = fingerprint
+        self.distinct = distinct
+
+
+def _compact_hist_cell(cell, cap: Optional[int] = None, fp: str = ""):
     if cell is None or len(cell) == 0:
         return cell
     agg: Dict[float, int] = {}
     for e in cell:
         v = e["v"]
         if v != v:  # NaN can't be a sort/dict key; leave the cell as-is
+            if cap is not None and len(cell) > cap:
+                raise HistogramCardinalityExceeded(fp, len(cell))
             return list(cell)
         agg[v] = agg.get(v, 0) + e["c"]
+    if cap is not None and len(agg) > cap:
+        raise HistogramCardinalityExceeded(fp, len(agg))
     return [{"v": v, "c": c} for v, c in sorted(agg.items())]
 
 
-def _compact_hist_arrow(tbl):
+def _compact_hist_arrow(tbl, cap: Optional[int] = None, fp: str = ""):
     """Compact histogram state columns of an Arrow table (type-preserving)."""
     import pyarrow as pa
 
@@ -64,21 +83,29 @@ def _compact_hist_arrow(tbl):
         if not _HIST_COL_RE.match(name):
             continue
         field = tbl.schema.field(i)
-        cells = [_compact_hist_cell(c) for c in tbl.column(i).to_pylist()]
+        cells = [_compact_hist_cell(c, cap, fp) for c in tbl.column(i).to_pylist()]
         tbl = tbl.set_column(i, field, pa.array(cells, type=field.type))
     return tbl
 
 
-def _compact_hist_pdf(pdf):
+def _compact_hist_pdf(pdf, cap: Optional[int] = None, fp: str = ""):
     """Compact histogram state columns of a pandas state frame, in place."""
     for name in pdf.columns:
         if _HIST_COL_RE.match(name):
-            pdf[name] = pdf[name].map(_compact_hist_cell)
+            pdf[name] = pdf[name].map(lambda c: _compact_hist_cell(c, cap, fp))
     return pdf
 
 
 class CacheEntry(ABC):
     """One fingerprint's slot. ``occupied`` ⇔ reference's Occupied variant."""
+
+    #: Set by the session when the query carries percentile histogram state:
+    #: max distinct values per group the store will accept before raising
+    #: :class:`HistogramCardinalityExceeded`. ``None`` = unlimited. Enforced
+    #: on the driver-collect store paths (where the state is in hand anyway);
+    #: the >500k-row distributed spill path skips the check — at that point
+    #: the row cap, not per-cell cardinality, is the operative bound.
+    hist_cap: Optional[int] = None
 
     @property
     @abstractmethod
@@ -212,7 +239,7 @@ class _MemoryEntry(CacheEntry):
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         schema = state.schema
-        pdf = _compact_hist_pdf(state.toPandas())
+        pdf = _compact_hist_pdf(state.toPandas(), self.hist_cap, self._fp)
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, schema)
         return spark.createDataFrame(pdf, schema=schema)
@@ -233,7 +260,9 @@ class _MemoryEntry(CacheEntry):
                 _wm, pdf, schema = self._cache._store[self._fp]
                 self._cache._store[self._fp] = (watermark_ns, pdf, schema)
             return tbl
-        pdf = _compact_hist_pdf(tbl.select(list(state_cols)).to_pandas())
+        pdf = _compact_hist_pdf(
+            tbl.select(list(state_cols)).to_pandas(), self.hist_cap, self._fp
+        )
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
         return tbl
@@ -263,7 +292,7 @@ class _MemoryEntry(CacheEntry):
         return len(self._cache._store[self._fp][1])
 
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
-        pdf = _compact_hist_pdf(state_tbl.to_pandas())
+        pdf = _compact_hist_pdf(state_tbl.to_pandas(), self.hist_cap, self._fp)
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
         return True
@@ -457,7 +486,7 @@ class _ParquetEntry(CacheEntry):
             try:
                 import pyarrow.parquet as pq
 
-                tbl = _compact_hist_arrow(state.toArrow())
+                tbl = _compact_hist_arrow(state.toArrow(), self.hist_cap, self._fp)
                 n_rows = tbl.num_rows
                 if n_rows <= self.DRIVER_COLLECT_MAX_ROWS:
                     os.makedirs(path, exist_ok=True)
@@ -466,6 +495,8 @@ class _ParquetEntry(CacheEntry):
                 else:  # guessed wrong: state grew past the cap — spill path
                     shutil.rmtree(path, ignore_errors=True)
                     result = None
+            except HistogramCardinalityExceeded:
+                raise  # must NOT fall through to an unchecked distributed store
             except Exception:
                 result = None
         if result is None:
@@ -532,7 +563,7 @@ class _ParquetEntry(CacheEntry):
         path = os.path.join(self._dir, txid)
         os.makedirs(path, exist_ok=True)
         pq.write_table(
-            _compact_hist_arrow(tbl.select(list(state_cols))),
+            _compact_hist_arrow(tbl.select(list(state_cols)), self.hist_cap, self._fp),
             os.path.join(path, "part-0.parquet"),
         )
         self._swap_meta(watermark_ns, txid, state_schema.json(), tbl.num_rows)
@@ -545,7 +576,7 @@ class _ParquetEntry(CacheEntry):
         txid = f"state-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
         os.makedirs(path, exist_ok=True)
-        state_tbl = _compact_hist_arrow(state_tbl)
+        state_tbl = _compact_hist_arrow(state_tbl, self.hist_cap, self._fp)
         pq.write_table(state_tbl, os.path.join(path, "part-0.parquet"))
         self._swap_meta(watermark_ns, txid, state_schema.json(), state_tbl.num_rows)
         return True

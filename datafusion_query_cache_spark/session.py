@@ -37,7 +37,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .cache import CacheEntry
+from .cache import CacheEntry, HistogramCardinalityExceeded
 from .config import QueryCacheConfig
 from .functions.compile import to_column
 from .functions.partial import ItemPlan, NotDecomposable, plan_items
@@ -192,6 +192,11 @@ class CachedSparkSession:
         #: (fingerprint, watermark_ns) → finalized result DataFrame. See
         #: QueryCacheConfig.result_memo; bounded LRU.
         self._result_memo: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        #: fingerprints whose percentile histogram state exceeded
+        #: config.percentile_max_distinct — permanently passthrough this
+        #: session (the store bailed once; re-trying would redo the work
+        #: just to bail again).
+        self._hist_denied: set = set()
 
     _RESULT_MEMO_MAX = 128
 
@@ -223,6 +228,14 @@ class CachedSparkSession:
         except (Unsupported, NotDecomposable) as e:
             decision = Decision(sql=query, cached=False, reason=str(e))
             self.config.log.info("-", f"not cacheable: {e}")
+            df = self.spark.sql(query)
+        except HistogramCardinalityExceeded as e:
+            # exact-percentile state would be O(distinct)/group past the
+            # configured bound: mark the fingerprint and degrade to
+            # passthrough — correct results, no runaway state.
+            self._hist_denied.add(e.fingerprint)
+            decision = Decision(sql=query, cached=False, reason=str(e))
+            self.config.log.warn(e.fingerprint, str(e))
             df = self.spark.sql(query)
         self.last_decision = decision
         return df
@@ -777,6 +790,17 @@ class CachedSparkSession:
 
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
+
+        # percentile/median histogram state guard (VERDICT r2 item 7): the
+        # state is O(distinct values) per group — arm the store-time cap, and
+        # short-circuit fingerprints that already tripped it this session.
+        if any(p.histogram_states for p in plans):
+            if fingerprint in self._hist_denied:
+                raise Unsupported(
+                    "exact percentile state previously exceeded "
+                    f"percentile_max_distinct={cfg.percentile_max_distinct}"
+                )
+            entry.hist_cap = cfg.percentile_max_distinct
 
         # group/predicate Columns are pure functions of the query shape —
         # memoize the py4j-built handles alongside the aggregate plans so a
@@ -1673,9 +1697,13 @@ class CachedSparkSession:
                 kw = "LEFT JOIN" if step.how == "left" else "JOIN"
                 from_sql += f" {kw} {q(step.table)} ON {sql_of(to_column(step.on))}"
 
-        # WHERE: stable predicate + exact [wm, now) tiling (epoch-ns shadow
-        # column when available → pushes into the parquet scan) + optional
-        # partition-column coarsening for partition pruning
+        # WHERE: stable predicate + exact [wm, now) tiling + optional
+        # partition-column coarsening for partition pruning. Same shape as
+        # ``_push_time_bounds``: the ns shadow gives exactness; a REDUNDANT
+        # µs bound on the timestamp column itself gives scan pushdown when
+        # the shadow is a derived column (µs/NTZ sources) — floor the lower
+        # / ceil the upper so the superset never drops a row the ns bound
+        # admits.
         conds = []
         if pred is not None:
             conds.append(f"({sql_of(pred)})")
@@ -1683,6 +1711,22 @@ class CachedSparkSession:
             shadow = q(f"{ts_col}_ns")
             conds.append(f"{shadow} >= __QC_WM_NS__")
             conds.append(f"{shadow} < __QC_NOW_NS__")
+            try:
+                from pyspark.sql.types import TimestampNTZType, TimestampType
+
+                ts_type = dict(
+                    (f.name, f.dataType)
+                    for f in self.spark.table(tables[0]).schema.fields
+                ).get(ts_col)
+                if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+                    conds.append(
+                        f"{q(ts_col)} >= timestamp_micros(__QC_WM_US_FLOOR__)"
+                    )
+                    conds.append(
+                        f"{q(ts_col)} < timestamp_micros(__QC_NOW_US__)"
+                    )
+            except Exception:
+                pass  # pushdown companion is an optimization, never required
         else:
             conds.append(f"{q(ts_col)} >= timestamp_micros(__QC_WM_US__)")
             conds.append(f"{q(ts_col)} < timestamp_micros(__QC_NOW_US__)")
@@ -1794,6 +1838,10 @@ class CachedSparkSession:
             )
             if "__QC_WM_US__" in sql:
                 sql = sql.replace("__QC_WM_US__", str(-(-wm_ns // 1000)))
+            if "__QC_WM_US_FLOOR__" in sql:
+                # superset companion of the exact ns bound: floor, not ceil
+                sql = sql.replace("__QC_WM_US_FLOOR__", str(wm_ns // 1000))
+            if "__QC_NOW_US__" in sql:
                 sql = sql.replace("__QC_NOW_US__", str(-(-now_ns // 1000)))
             if "__QC_LO_D__" in sql:
                 import datetime as _dt
