@@ -83,10 +83,11 @@ def main() -> None:
     # standing query). The reference's demo is the same shape
     # (examples/demo.rs:17-37: 17h of data, then +7h).
     ev = spark.table("events")
-    qs = ev.approxQuantile("ts_ns", [0.95, 0.98], 0.0)
+    qs = ev.approxQuantile("ts_ns", [0.95, 0.97, 0.99], 0.0)
     cut_us = int(qs[0]) // 1000
     cut_ns = cut_us * 1000
-    mid_ns = (int(qs[1]) // 1000) * 1000  # second refresh point (p98)
+    mid_ns = (int(qs[1]) // 1000) * 1000  # second refresh point (p97)
+    mid2_ns = (int(qs[2]) // 1000) * 1000  # third refresh point (p99)
     cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
     FLAGSHIP = (
         "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) AS avg_value, "
@@ -107,7 +108,7 @@ def main() -> None:
             qc.sql(FLAGSHIP).collect()
         ev.createOrReplaceTempView("events_bench")
         if timed_run:
-            timed_warm("qc_warm", qc, FLAGSHIP, [mid_ns, cut_ns + 10**17])
+            timed_warm("qc_warm", qc, FLAGSHIP, [mid_ns, mid2_ns, cut_ns + 10**17])
         else:
             qc.config.override_now_ns = cut_ns + 10**17
             qc.sql(FLAGSHIP).collect()
@@ -159,9 +160,14 @@ def main() -> None:
         li.createOrReplaceTempView("lineitem_bench")
         if timed_run:
             li_mid_ns = int(
-                dt.datetime(2001, 9, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9
+                dt.datetime(2001, 8, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9
             )
-            timed_warm("qc_li_warm", qc2, LI_SQL, [li_mid_ns, li_cut_ns + 10**17])
+            li_mid2_ns = int(
+                dt.datetime(2001, 10, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9
+            )
+            timed_warm(
+                "qc_li_warm", qc2, LI_SQL, [li_mid_ns, li_mid2_ns, li_cut_ns + 10**17]
+            )
         else:
             qc2.config.override_now_ns = li_cut_ns + 10**17
             qc2.sql(LI_SQL).collect()
@@ -197,9 +203,15 @@ def main() -> None:
         jo.createOrReplaceTempView("orders_bench")
         if timed_run:
             jo_mid_ns = int(
-                dt.datetime(1998, 4, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9
+                dt.datetime(1998, 3, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9
             )
-            timed_warm("qc_join_warm", qcj, JOIN_SQL, [jo_mid_ns, jo_cut_ns + 10**18])
+            jo_mid2_ns = int(
+                dt.datetime(1998, 5, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9
+            )
+            timed_warm(
+                "qc_join_warm", qcj, JOIN_SQL,
+                [jo_mid_ns, jo_mid2_ns, jo_cut_ns + 10**18],
+            )
         else:
             qcj.config.override_now_ns = jo_cut_ns + 10**18
             qcj.sql(JOIN_SQL).collect()

@@ -63,6 +63,17 @@ class QueryCacheConfig:
     #: a TimescaleDB continuous-aggregate refresh policy or a materialized
     #: view with a refresh schedule. 0 (default) = always exact to "now".
     min_refresh_interval_ns: int = 0
+    #: Watermark source (SURVEY §7 hard-part 3 — the append-only/late-data
+    #: contract). ``"now"`` (default, the reference's behavior): the stored
+    #: watermark is query-execution time — rows that land later with event
+    #: times before it are silently never folded in. ``"data"``: the stored
+    #: watermark is ``max(ts)+1`` over the rows actually scanned — rows
+    #: arriving late but with event times past everything already seen are
+    #: still picked up, at the cost of one extra (scan-pruned) max-ts job
+    #: per refresh and no hot-read short-circuit while ingest lags. Rows
+    #: arriving with event times BELOW max(ts) remain out of contract in
+    #: both modes (same as any watermarked streaming system).
+    watermark_mode: str = "now"
     #: Row cap for the non-top-k filter row-set cache (the state IS the
     #: result set, so unlike aggregate state it grows with the data). Past
     #: the cap the engine stops caching the query and passes it through —

@@ -422,17 +422,37 @@ class CachedSparkSession:
                 hit = False
 
         src = base if pred is None else base.filter(pred)
+
+        def store_wm(lo_ns: Optional[int]) -> int:
+            """Watermark to store (config.watermark_mode): query time, or
+            max(ts)+1 over this refresh's (pruned) window for late-data
+            safety — the filter-path twin of the aggregate path's rule."""
+            if cfg.watermark_mode != "data":
+                return now_ns
+            mdf = bounds(src, lo_ns=lo_ns, hi_ns=now_ns)
+            if shadow in base.columns:
+                mxc = F.max(F.col(shadow))
+            else:
+                mxc = F.max(
+                    F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)
+                )
+            mx = mdf.agg(mxc.alias("mx")).collect()[0]["mx"]
+            if mx is not None:
+                return int(mx) + 1
+            return lo_ns if lo_ns is not None else 0
+
         if hit:
             wm_ns = entry.watermark_ns
             fresh = project_store(bounds(src, lo_ns=wm_ns, hi_ns=now_ns))
+            swm = store_wm(wm_ns)
             if topk:
                 merged = (
                     state.unionByName(fresh).orderBy(*sort_cols()).limit(spec.limit)
                 )
-                stored = entry.put(now_ns, merged, self.spark)
+                stored = entry.put(swm, merged, self.spark)
             else:
                 stored = entry.append(
-                    now_ns, fresh, self.spark, partition_cols=[part_col]
+                    swm, fresh, self.spark, partition_cols=[part_col]
                 )
             decision.cache_hit = True
             decision.watermark_ns = wm_ns
@@ -467,12 +487,13 @@ class CachedSparkSession:
                     start = start0.filter(pred) if pred is not None else start0
                     fresh = project_store(bounds(src, lo_ns=d_wm, hi_ns=now_ns))
                     rows = start.unionByName(fresh)
+                    swm = store_wm(d_wm)
                     if topk:
                         rows = rows.orderBy(*sort_cols()).limit(spec.limit)
-                        stored = entry.put(now_ns, rows, self.spark)
+                        stored = entry.put(swm, rows, self.spark)
                     else:
                         stored = entry.append(
-                            now_ns, rows, self.spark, partition_cols=[part_col]
+                            swm, rows, self.spark, partition_cols=[part_col]
                         )
                     decision.cache_hit = True
                     decision.semantic_donor = d_fp
@@ -489,12 +510,13 @@ class CachedSparkSession:
                     stored = None
             if stored is None:
                 rows = project_store(bounds(src, hi_ns=now_ns))
+                swm = store_wm(None)
                 if topk:
                     rows = rows.orderBy(*sort_cols()).limit(spec.limit)
-                    stored = entry.put(now_ns, rows, self.spark)
+                    stored = entry.put(swm, rows, self.spark)
                 else:
                     stored = entry.append(
-                        now_ns, rows, self.spark, partition_cols=[part_col]
+                        swm, rows, self.spark, partition_cols=[part_col]
                     )
                 cfg.log.info(fingerprint, "filter cache miss: materializing rows")
 
@@ -972,6 +994,9 @@ class CachedSparkSession:
                 and not spec.grouping_sets
                 and dyn_bound is None
                 and not cfg.salt_buckets  # salted program is classic-only
+                # data-watermark mode needs the max-ts job the template
+                # doesn't carry: classic path only
+                and cfg.watermark_mode == "now"
             ):
                 # SQL-template fast path: the whole refresh program as ONE
                 # JVM-parsed SQL string (built once per query shape) — the
@@ -1067,6 +1092,29 @@ class CachedSparkSession:
             except Exception:
                 pass
 
+        # watermark to STORE: query time ("now" mode, reference behavior) or
+        # max-event-time-seen + 1 ("data" mode, late-data safety — SURVEY §7
+        # hard-part 3). The max is one extra job, but over the SAME pruned
+        # [wm, now) window the refresh scans — O(new data).
+        store_wm_ns = now_ns
+        if cfg.watermark_mode == "data" and merged is not None:
+            lo = decision.watermark_ns  # None on a full miss
+            mxdf = get_base() if pred is None else get_base().filter(pred)
+            mxdf = time_bounds(mxdf, lo_ns=lo, hi_ns=now_ns)
+            if shadow in base_cols:
+                mxc = F.max(F.col(shadow))
+            else:
+                mxc = F.max(
+                    F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)
+                )
+            mx = mxdf.agg(mxc.alias("mx")).collect()[0]["mx"]
+            if mx is not None:
+                store_wm_ns = int(mx) + 1
+            elif lo is not None:
+                store_wm_ns = lo  # empty window: watermark unchanged
+            else:
+                store_wm_ns = 0  # empty source: everything is still fresh
+
         # Fused fast path (simple shapes): ONE job computes state AND final
         # columns together; the state is stored from the collected Arrow
         # table (no second scan) and the result is finished driver-side —
@@ -1080,15 +1128,15 @@ class CachedSparkSession:
                 plans,
                 spec,
                 state_cols,
-                now_ns,
+                store_wm_ns,
                 decision,
             )
             if fused is not None:
-                # warm refresh advanced the watermark to now_ns; a hot read
-                # served state as-of the existing watermark
+                # warm refresh advanced the watermark to store_wm_ns; a hot
+                # read served state as-of the existing watermark
                 self._memo_result(
                     fingerprint,
-                    now_ns if merged is not None else decision.watermark_ns,
+                    store_wm_ns if merged is not None else decision.watermark_ns,
                     fused,
                 )
                 return fused, decision
@@ -1100,7 +1148,11 @@ class CachedSparkSession:
         # (hot reads — empty refresh window — skip the store entirely.)
         if merged is not None:
             self.last_refresh_df = merged
-        stored = hot_state if merged is None else entry.put(now_ns, merged, self.spark)
+        stored = (
+            hot_state
+            if merged is None
+            else entry.put(store_wm_ns, merged, self.spark)
+        )
 
         if spec.grouping_sets:
             # ROLLUP/CUBE/GROUPING SETS: state is kept at the FINEST

@@ -391,3 +391,70 @@ def test_hll_sketch_merges_across_refreshes(spark, qc, split_views):
     assert qc.last_decision.cache_hit
     want = sorted(map(tuple, spark.sql(sql).collect()))
     assert got == want
+
+
+def test_data_watermark_mode_survives_late_arrival(spark, tmp_path, split_views):
+    """SURVEY §7 hard-part 3: with watermark_mode='data' the stored
+    watermark is max(ts)+1 over rows actually seen, so data that ARRIVES
+    late (run 1 executed with a far-future now) is still folded in on the
+    next refresh. 'now' mode would silently drop it — that is the
+    documented contract difference this test pins down."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns = split_views
+    far_future = cut_ns + 10**18
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events_split GROUP BY 1 ORDER BY 1"
+    )
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-dwm")),
+        default_temporal_column="ts",
+        override_now_ns=far_future,  # clock far ahead of the data
+        watermark_mode="data",
+    )
+    qc = CachedSparkSession(spark, cfg)
+    run1()  # only the early half "has arrived"
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached and not qc.last_decision.cache_hit
+    ent = cfg.cache.entry(qc.last_decision.fingerprint)
+    assert ent.watermark_ns < cut_ns + 10**12  # data-derived, not far_future
+
+    run2()  # the second half arrives late — all of it before far_future
+    qc.config.override_now_ns = far_future + 10**12
+    got = sorted(map(tuple, qc.sql(sql).collect()))
+    assert qc.last_decision.cache_hit
+    want = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want  # late rows folded in; 'now' mode would have lost them
+
+
+def test_data_watermark_mode_filter_path(spark, tmp_path, split_views):
+    """Same contract on the filter row-set cache."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns = split_views
+    far_future = cut_ns + 10**18
+    sql = "SELECT event_id, event_type, value FROM events_split WHERE value > 100"
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-dwm-f")),
+        default_temporal_column="ts",
+        override_now_ns=far_future,
+        watermark_mode="data",
+    )
+    qc = CachedSparkSession(spark, cfg)
+    run1()
+    qc.sql(sql).collect()
+    run2()
+    qc.config.override_now_ns = far_future + 10**12
+    got = sorted(map(tuple, qc.sql(sql).collect()))
+    assert qc.last_decision.cache_hit
+    want = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want
