@@ -745,6 +745,87 @@ def _op_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*sel).orderBy("media_id")
 
 
+def _qc_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data safety (config.watermark_mode='data', SURVEY §7 hard-part
+    3): run 1 executes with a FAR-FUTURE clock over the early half; the
+    stored watermark is max(ts)+1 over rows actually seen — so run 2 still
+    folds in the late-arriving second half. 'now'-mode (the reference's
+    behavior) would silently drop it; the full-table oracle proves the
+    data-mode result exact."""
+    import tempfile
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    _load(spark, sf_dir)
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    far_future = cut_ns + 10**18
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-dwm-")),
+            default_temporal_column="ts",
+            override_now_ns=far_future,
+            watermark_mode="data",
+        ),
+    )
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+    sql = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events_dwm GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_dwm")
+    qc.sql(sql)
+    ev.createOrReplaceTempView("events_dwm")
+    qc.config.override_now_ns = far_future + 10**12
+    out = qc.sql(sql)
+    assert qc.last_decision.cached and qc.last_decision.cache_hit
+    return out
+
+
+def _op_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (metadata-only expansion): every 3rd frame
+    index of each fake media blob (1 frame per 100 bytes). Pure JVM
+    sequence/explode — the shape of a per-frame decode driver at scale."""
+    from datafusion_query_cache_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    _load(spark, sf_dir)
+    media = synthesize_media(spark, spark.table("documents"))
+    out = frame_sample_plan(media, every_n=3)
+    return out.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    ).orderBy("media_id", "frame_idx")
+
+
+def _op_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing (mapInPandas, Arrow batches): deterministic
+    stride-resample of each blob to 8x8=64 bytes. The hex of the output
+    bytes is compared against a DuckDB twin that reproduces the same
+    stride arithmetic — value-checking the batch plumbing end-to-end."""
+    from datafusion_query_cache_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    _load(spark, sf_dir)
+    media = synthesize_media(spark, spark.table("documents"))
+    out = resize_images(media, width=8, height=8)
+    return out.select(
+        "media_id",
+        F.length(F.col("data")).alias("n_out"),
+        F.hex(F.col("data")).alias("data_hex"),
+    ).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 
@@ -784,6 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_dedup_clusters": _op_dedup_clusters,
             "op_asof_join": _op_asof_join,
             "op_media_features": _op_media_features,
+            "qc_data_watermark": _qc_data_watermark,
+            "op_frame_sample": _op_frame_sample,
+            "op_resize": _op_resize,
         }
     )
     return q
@@ -1017,6 +1101,37 @@ def oracle_sql() -> dict[str, str]:
         "CAST(octet_length(b.blob) AS BIGINT) AS n_bytes, "
         + ", ".join(f"CAST(coalesce(h.c{k}, 0) AS BIGINT) AS c{k}" for k in range(8))
         + " FROM b LEFT JOIN h ON b.media_id = h.media_id ORDER BY b.media_id"
+    )
+    # data-watermark mode: the run-2 result must equal the plain full-table
+    # aggregate — exactly the qc_* metamorphic oracle shape
+    o["qc_data_watermark"] = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    # frame-sample plan: 1 fake frame per 100 payload bytes, every 3rd index
+    o["op_frame_sample"] = (
+        "WITH b AS (SELECT doc_id AS media_id, "
+        "CAST(floor(octet_length(encode(text)) / 100.0) AS INT) AS nf "
+        "FROM documents) "
+        "SELECT media_id, CAST(u AS INT) AS frame_idx FROM b, "
+        "unnest(generate_series(0, greatest(nf - 1, 0), 3)) AS t(u) "
+        "ORDER BY media_id, frame_idx"
+    )
+    # resize: stride-resample each blob to 64 bytes; reproduce the exact
+    # python slice d[::step][:64] via hex-pair extraction
+    o["op_resize"] = (
+        "WITH b AS (SELECT doc_id AS media_id, encode(text) AS blob, "
+        "octet_length(encode(text)) AS nb FROM documents), "
+        "s AS (SELECT media_id, blob, nb, "
+        "greatest(nb // 64, 1) AS step FROM b), "
+        "r AS (SELECT media_id, nb, "
+        "list_transform(range(least(64, "
+        "CAST(ceil(nb::DOUBLE / step) AS BIGINT))), "
+        "i -> substr(hex(blob), CAST(2 * i * step + 1 AS INT), 2)) AS px "
+        "FROM s) "
+        "SELECT media_id, CAST(len(px) AS INT) AS n_out, "
+        "array_to_string(px, '') AS data_hex FROM r ORDER BY media_id"
     )
     # op_minhash_pairs / op_simhash_pairs / op_lsh_cosine_topk: verified
     # against the exact-Jaccard / brute-force oracle above.
