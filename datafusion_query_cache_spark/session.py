@@ -249,10 +249,10 @@ class CachedSparkSession:
             return self.config.override_now_ns
         return time.time_ns()
 
-    def _eval_bound_value(self, rhs_expr, now_ns: int):
-        """Evaluate ``f(now())`` once at plan time with now pinned (mirrors
-        the reference's query_execution_start_time capture,
-        ``src/aggregate.rs:375-382``). Returns a python datetime/date."""
+    def _pin_now(self, rhs_expr, now_ns: int):
+        """Rewrite every now()/current_date() node in ``rhs_expr`` to the
+        pinned plan-time instant (mirrors the reference's
+        query_execution_start_time capture, ``src/aggregate.rs:375-382``)."""
         from .plans.ir import BinOp as _BinOp, Cast as _Cast, Func as _Func
         from .plans.ir import Lit as _Lit, Neg as _Neg
 
@@ -286,7 +286,12 @@ class CachedSparkSession:
                 return _Neg(rec(x.child))
             return x
 
-        col = to_column(rec(rhs_expr))
+        return rec(rhs_expr)
+
+    def _eval_bound_value(self, rhs_expr, now_ns: int):
+        """Evaluate ``f(now())`` once at plan time with now pinned.
+        Returns a python datetime/date."""
+        col = to_column(self._pin_now(rhs_expr, now_ns))
         v = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
         if v is None:
             raise Unsupported("dynamic bound evaluated to NULL")
@@ -300,6 +305,22 @@ class CachedSparkSession:
             .select(F.date_trunc(granularity, F.lit(lower)).alias("b"))
             .collect()[0]["b"]
         )
+
+    def _eval_bound_and_bucket(self, rhs_expr, now_ns: int, granularity: str):
+        """Bound value AND its bucket truncation in ONE driver-local job —
+        the dynamic warm path runs per refresh, so the two tiny range(1)
+        collects it used to pay are folded into one."""
+        col = to_column(self._pin_now(rhs_expr, now_ns))
+        row = (
+            self.spark.range(1)
+            .select(
+                col.alias("v"), F.date_trunc(granularity, col).alias("b")
+            )
+            .collect()[0]
+        )
+        if row["v"] is None:
+            raise Unsupported("dynamic bound evaluated to NULL")
+        return row["v"], row["b"]
 
     def _plan_filter(self, spec, query: str):
         """Simple filter (non-aggregate) query caching — the reference's
@@ -1218,8 +1239,9 @@ class CachedSparkSession:
         if dyn_bound is not None:
             # evaluate the bound once at plan time (reference captures "now"
             # the same way, ``src/aggregate.rs:375-382``)
-            lower = self._eval_bound_value(dyn_bound.rhs, now_ns)
-            boundary = self._eval_bucket(bucket_gran, lower)
+            lower, boundary = self._eval_bound_and_bucket(
+                dyn_bound.rhs, now_ns, bucket_gran
+            )
             decision.dynamic_lower = lower
             bucket_dtype = dict(stored.dtypes)[bucket_name]
             boundary_lit = F.lit(boundary).cast(bucket_dtype)
