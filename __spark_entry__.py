@@ -389,6 +389,26 @@ _PT_SQLS = {
         "sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big, "
         "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
     ),
+    # CUBE over two dims (all four grouping sets, typed-NULL subtotals)
+    "pt_cube": (
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n, "
+        "round(sum(l_quantity), 2) AS sq FROM lineitem "
+        "GROUP BY CUBE (l_returnflag, l_linestatus) "
+        "ORDER BY rf NULLS FIRST, ls NULLS FIRST"
+    ),
+    # ntile window (deterministic tiebreak on the key)
+    "pt_ntile": (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "ntile(4) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS nt FROM orders) t "
+        "WHERE nt = 1 ORDER BY o_orderpriority, o_orderkey"
+    ),
+    # exact COUNT(DISTINCT): non-mergeable -> correct passthrough
+    "pt_distinct_agg": (
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS u, "
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ),
 }
 
 
