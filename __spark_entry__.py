@@ -846,6 +846,28 @@ def _op_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _op_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: a durable MinHash band index is
+    built over the first half of the corpus, then the second half is
+    ingested INCREMENTALLY (new docs' band keys joined against the stored
+    index — O(new), never a corpus rescan). The maintained pair set must
+    equal the single-shot batch pipeline, i.e. the exact all-pairs J ≥ 0.8
+    oracle — incremental ingest is an optimization, not an approximation."""
+    import tempfile
+
+    from datafusion_query_cache_spark.operators.incremental_dedup import (
+        MinHashIndex,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-mh-index-"), threshold=0.8)
+    idx.update(docs.filter(F.col("doc_id") <= F.lit(int(cut))))
+    out = idx.update(docs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 
@@ -888,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qc_data_watermark": _qc_data_watermark,
             "op_frame_sample": _op_frame_sample,
             "op_resize": _op_resize,
+            "op_incr_dedup": _op_incr_dedup,
         }
     )
     return q
@@ -1026,6 +1049,8 @@ def oracle_sql() -> dict[str, str]:
     # tested property, tests/test_dedup.py)
     o["op_minhash_pairs"] = o["op_ngram_jaccard"]
     o["op_simhash_pairs"] = o["op_ngram_jaccard"]
+    # incremental index maintains EXACTLY the batch pair set → same oracle
+    o["op_incr_dedup"] = o["op_ngram_jaccard"]
     o["op_cosine_topk"] = (
         "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) / "

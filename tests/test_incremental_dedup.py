@@ -1,0 +1,83 @@
+"""Incremental MinHash index: ingest in batches ≡ single-shot batch dedup.
+
+The invariant is exact equality of the verified pair set — incremental
+maintenance is an optimization, never an approximation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.table("documents")
+
+
+def _batch_pairs(docs):
+    from datafusion_query_cache_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("j")
+    )
+
+
+def _index_pairs(df):
+    return df.select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+
+
+def test_incremental_equals_batch_three_ingests(spark, docs, tmp_path):
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    idx = MinHashIndex(str(tmp_path / "mh-index"), threshold=0.8)
+    idx.update(docs.filter(F.col("doc_id") <= c1))
+    assert idx.watermark_id == c1
+    idx.update(docs.filter(F.col("doc_id") <= c2))
+    got = _index_pairs(idx.update(docs))
+    assert idx.watermark_id == ids[-1]
+
+    assert rows_set(got) == rows_set(_batch_pairs(docs))
+
+
+def test_incremental_durable_across_instances(spark, docs, tmp_path):
+    """A new MinHashIndex over the same path resumes from the stored
+    watermark — the cross-process deployment shape."""
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    p = str(tmp_path / "mh-index2")
+
+    MinHashIndex(p, threshold=0.8).update(docs.filter(F.col("doc_id") <= cut))
+
+    idx2 = MinHashIndex(p, threshold=0.8)
+    assert idx2.watermark_id == cut
+    got = _index_pairs(idx2.update(docs))
+    assert rows_set(got) == rows_set(_batch_pairs(docs))
+
+
+def test_noop_update_returns_state(spark, docs, tmp_path):
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    p = str(tmp_path / "mh-index3")
+    idx = MinHashIndex(p, threshold=0.8)
+    first = _index_pairs(idx.update(docs))
+    wm = idx.watermark_id
+    again = _index_pairs(idx.update(docs))  # no new docs
+    assert idx.watermark_id == wm
+    assert rows_set(again) == rows_set(first)
+
+
+def test_param_mismatch_rejected(spark, docs, tmp_path):
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    p = str(tmp_path / "mh-index4")
+    MinHashIndex(p, threshold=0.8).update(docs)
+    with pytest.raises(ValueError):
+        MinHashIndex(p, threshold=0.5)
