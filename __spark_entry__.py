@@ -868,6 +868,31 @@ def _op_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _op_incr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance: an IVF index is trained over the first
+    half of the embedding corpus, the second half is appended incrementally
+    (assignment only — centroids frozen, state laid out PARTITIONED BY
+    ivf_cell so probes prune whole cell directories). Queried with an
+    exhaustive probe, the result must equal brute-force cosine top-k — the
+    oracle. Pruned-probe recall and PartitionFilters are gated in
+    tests/test_incremental_ann.py."""
+    import tempfile
+
+    from datafusion_query_cache_spark.operators.incremental_ann import IVFIndex
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    cut = int(emb.approxQuantile("vec_id", [0.5], 0.0)[0])
+    idx = IVFIndex(
+        tempfile.mkdtemp(prefix="qc-ivf-index-"), k_cells=8, train_iters=2
+    )
+    idx.update(emb.filter(F.col("vec_id") <= F.lit(cut)))
+    idx.update(emb)
+    out = idx.topk(spark, qvec, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 
@@ -911,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_frame_sample": _op_frame_sample,
             "op_resize": _op_resize,
             "op_incr_dedup": _op_incr_dedup,
+            "op_incr_ann": _op_incr_ann,
         }
     )
     return q
@@ -1064,6 +1090,8 @@ def oracle_sql() -> dict[str, str]:
     # banded-LSH top-k scores candidates exactly and holds recall@10 = 1.0
     # on the fixture (tested) → same brute-force oracle
     o["op_lsh_cosine_topk"] = o["op_cosine_topk"]
+    # exhaustive-probe IVF == brute-force top-k → same oracle
+    o["op_incr_ann"] = o["op_cosine_topk"]
     o["op_fingerprint"] = (
         "SELECT doc_id, md5(text) AS full_hash, "
         "min(md5(substr(text, i::INT, 8))) AS min_shingle_hash, "
