@@ -346,6 +346,25 @@ def main() -> None:
     )
     dd_pairs.unpersist()
 
+    # incremental-index story quantified: ingesting the newest 10% of the
+    # corpus into a standing MinHash/IVF index vs recomputing the batch
+    # pipeline over everything (the op_minhash_pairs row above). At 100 TB
+    # the batch recompute is the thing you can no longer afford.
+    from datafusion_query_cache_spark.operators.incremental_ann import IVFIndex
+    from datafusion_query_cache_spark.operators.incremental_dedup import (
+        MinHashIndex,
+    )
+
+    d_cut = int(docs.approxQuantile("doc_id", [0.9], 0.0)[0])
+    mh_idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-bench-mh-"), threshold=0.8)
+    mh_idx.update(docs.filter(F.col("doc_id") <= F.lit(d_cut)))  # standing index
+    timed("op_incr_dedup_update", lambda: mh_idx.update(docs).count(), runs=1)
+
+    e_cut = int(emb.approxQuantile("vec_id", [0.9], 0.0)[0])
+    ivf_idx = IVFIndex(tempfile.mkdtemp(prefix="qc-bench-ivf-"), k_cells=8, train_iters=2)
+    ivf_idx.update(emb.filter(F.col("vec_id") <= F.lit(e_cut)))
+    timed("op_incr_ann_update", lambda: ivf_idx.update(emb), runs=1)
+
     # salted two-phase aggregation on a deliberately skewed key: ~90% of
     # lineitem rows collapse onto one hot key (the bot-user/boilerplate
     # shape that pins one reducer at 100 TB)
