@@ -40,7 +40,11 @@ from .similarity import cosine, ivf_assign, ivf_train
 
 
 class IVFIndex:
-    """Durable incremental IVF index at ``path``."""
+    """Durable incremental IVF index at ``path``.
+
+    Concurrency contract: ONE writer at a time (read-modify-write part
+    list); readers always safe (atomic meta swap) — same as
+    :class:`..incremental_dedup.MinHashIndex`."""
 
     def __init__(
         self,

@@ -67,6 +67,12 @@ class MinHashIndex:
     Layout: ``meta.json`` (watermark id, part lists, params) + one parquet
     dir per ingested signature/pair batch; meta is swapped atomically after
     parts are fully written (same crash contract as ``ParquetQueryCache``).
+
+    Concurrency contract: ONE writer (the ingest job) at a time — meta is
+    read-modify-write over the part list, so concurrent updaters could drop
+    each other's parts. Readers are always safe (atomic meta swap). This is
+    the standard single-maintainer shape of an ingest pipeline; serialize
+    updates externally if multiple ingest jobs share one index.
     """
 
     def __init__(
