@@ -355,6 +355,13 @@ def main() -> None:
         MinHashIndex,
     )
 
+    # the fair baseline for the incremental row: the FULL batch pipeline
+    # (candidates + exact verify) the ingest replaces
+    timed(
+        "op_dedup_batch_full",
+        lambda: minhash_dedup_pairs(docs, threshold=0.8).count(),
+        runs=1,
+    )
     d_cut = int(docs.approxQuantile("doc_id", [0.9], 0.0)[0])
     mh_idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-bench-mh-"), threshold=0.8)
     mh_idx.update(docs.filter(F.col("doc_id") <= F.lit(d_cut)))  # standing index
