@@ -123,15 +123,25 @@ class IVFIndex:
             assigned.unpersist()
             return 0
         part = f"cells-{uuid.uuid4().hex[:12]}"
+        old_parts = (self._meta or {}).get("parts", [])
+        # fold all parts into one past the fan-in bound (same policy as the
+        # cache's row-set append) — probes then list one root's cell dirs
+        COMPACT_AT = 16
+        compact = len(old_parts) + 1 > COMPACT_AT
+        out = assigned
+        if compact:
+            prev = self.vectors(new.sparkSession)
+            if prev is not None:
+                out = out.unionByName(prev)
         # one task per live cell writes its directory (bounded files/cell)
-        assigned.repartition(F.col("ivf_cell")).write.mode(
+        out.repartition(F.col("ivf_cell")).write.mode(
             "overwrite"
         ).partitionBy("ivf_cell").parquet(os.path.join(self.path, part))
         assigned.unpersist()
         meta = {
             "watermark_id": int(agg["hi"]),
             "centroids": [list(map(float, c)) for c in cents],
-            "parts": (self._meta or {}).get("parts", []) + [part],
+            "parts": [part] if compact else old_parts + [part],
             "k_cells": self.k_cells,
         }
         tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
@@ -139,6 +149,9 @@ class IVFIndex:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.path, "meta.json"))
         self._meta = meta
+        if compact:
+            for p in old_parts:
+                shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
         return int(agg["n"])
 
     def topk(

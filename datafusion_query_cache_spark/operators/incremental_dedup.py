@@ -238,20 +238,41 @@ class MinHashIndex:
             self.threshold,
         )
 
-        # persist: new sig part + new pair part, then atomic meta swap
+        # persist: new sig part + new pair part, then atomic meta swap.
+        # Past COMPACT_AT parts, fold everything into one part instead —
+        # read fan-in stays bounded over any number of ingests (same policy
+        # as the cache's row-set append).
+        COMPACT_AT = 16
         sig_dir = f"sigs-{uuid.uuid4().hex[:12]}"
         pair_dir = f"pairs-{uuid.uuid4().hex[:12]}"
-        new_sigs.write.mode("overwrite").parquet(os.path.join(self.path, sig_dir))
-        fresh_pairs.select(
+        old_sig_parts = (self._meta or {}).get("sig_parts", [])
+        old_pair_parts = (self._meta or {}).get("pair_parts", [])
+        compact = len(old_sig_parts) + 1 > COMPACT_AT
+
+        sig_out = new_sigs if not compact or old_sigs is None else (
+            new_sigs.unionByName(old_sigs)
+        )
+        sig_out.write.mode("overwrite").parquet(os.path.join(self.path, sig_dir))
+        pair_out = fresh_pairs.select(
             "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
-        ).coalesce(1).write.mode("overwrite").parquet(
+        )
+        if compact:
+            pair_out = pair_out.unionByName(
+                self.pairs(spark).select("id_a", "id_b", "jaccard")
+            )
+        pair_out.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.path, pair_dir)
         )
         new_sigs.unpersist()
+        if compact:
+            sig_parts, pair_parts = [sig_dir], [pair_dir]
+        else:
+            sig_parts = old_sig_parts + [sig_dir]
+            pair_parts = old_pair_parts + [pair_dir]
         meta = {
             "watermark_id": int(hi),
-            "sig_parts": (self._meta or {}).get("sig_parts", []) + [sig_dir],
-            "pair_parts": (self._meta or {}).get("pair_parts", []) + [pair_dir],
+            "sig_parts": sig_parts,
+            "pair_parts": pair_parts,
             "params": self._params(),
         }
         tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
@@ -259,6 +280,9 @@ class MinHashIndex:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.path, "meta.json"))
         self._meta = meta
+        if compact:
+            for p in old_sig_parts + old_pair_parts:
+                shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
         return self.pairs(spark)
 
     def clear(self) -> None:

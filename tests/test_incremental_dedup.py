@@ -81,3 +81,21 @@ def test_param_mismatch_rejected(spark, docs, tmp_path):
     MinHashIndex(p, threshold=0.8).update(docs)
     with pytest.raises(ValueError):
         MinHashIndex(p, threshold=0.5)
+
+
+def test_many_ingests_compact_and_stay_exact(spark, docs, tmp_path):
+    """20 tiny ingests: parts compact past the fan-in bound and the pair
+    set still equals the single-shot batch."""
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    step = max(1, len(ids) // 20)
+    cuts = ids[step - 1 :: step]
+    if cuts[-1] != ids[-1]:
+        cuts.append(ids[-1])
+
+    idx = MinHashIndex(str(tmp_path / "mh-many"), threshold=0.8)
+    for c in cuts:
+        out = idx.update(docs.filter(F.col("doc_id") <= c))
+    assert len(idx._meta["sig_parts"]) <= 17
+    assert rows_set(_index_pairs(out)) == rows_set(_batch_pairs(docs))
