@@ -893,6 +893,65 @@ def _op_incr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _op_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming cache maintainer end-to-end: a file-source
+    stream (Trigger.AvailableNow) folds the events table through the
+    engine's own warm path via foreachBatch into a durable ParquetQueryCache;
+    a separate reader session then serves the query as a pure HOT READ
+    (state only — no source scan). The hot read must equal the plain
+    full-table aggregate — the oracle. This is the off-query-path refresh
+    deployment (streaming/maintain.py)."""
+    import shutil
+    import tempfile
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.streaming.incremental import parquet_stream
+    from datafusion_query_cache_spark.streaming.maintain import (
+        maintain_aggregate_cache,
+    )
+
+    _load(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="qc-stream-src-")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events-0.parquet"),
+    )
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-stream-cache-")),
+        default_temporal_column="ts",
+    )
+    SQL = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events_stream GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    stream = parquet_stream(spark, src, ns_timestamp_columns=["ts"])
+    q = maintain_aggregate_cache(
+        stream,
+        spark,
+        cfg,
+        [SQL],
+        "events_stream",
+        tempfile.mkdtemp(prefix="qc-stream-ckpt-"),
+        available_now=True,
+    )
+    q.awaitTermination(240)
+
+    # reader: hot read as-of the maintained watermark — state only
+    infos = cfg.cache.entries()
+    assert infos, "maintainer stored no cache entry"
+    cfg.override_now_ns = infos[0].watermark_ns
+    spark.table("events").createOrReplaceTempView("events_stream")
+    reader = CachedSparkSession(spark, cfg)
+    out = reader.sql(SQL)
+    assert reader.last_decision.cached and reader.last_decision.cache_hit
+    return out
+
+
 # --------------------------------------------------------------------------
 # contract functions
 
@@ -937,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_resize": _op_resize,
             "op_incr_dedup": _op_incr_dedup,
             "op_incr_ann": _op_incr_ann,
+            "op_stream_maintain": _op_stream_maintain,
         }
     )
     return q
@@ -1182,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n, round(sum(value), 2) AS s "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     )
+    # streaming maintainer hot read == plain full-table aggregate
+    o["op_stream_maintain"] = o["qc_data_watermark"]
     # frame-sample plan: 1 fake frame per 100 payload bytes, every 3rd index
     o["op_frame_sample"] = (
         "WITH b AS (SELECT doc_id AS media_id, "
