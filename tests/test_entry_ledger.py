@@ -1,0 +1,49 @@
+"""Ledger-window invariant for the driver entry point.
+
+The round driver records correctness rows for only the FIRST 50 entries of
+``queries()``. Round 3 lost evidence for nine graded operators because new
+passthrough entries pushed them past that window. This test makes the
+ordering contract durable: every graded (non-``pt_``) entry must appear in
+the first 50, and every entry needs an oracle unless it is on the explicit
+rows-only allowlist.
+"""
+
+import importlib.util
+import pathlib
+
+LEDGER_WINDOW = 50
+# Entries with a documented rows-only rationale (no cross-engine oracle).
+ROWS_ONLY_ALLOWED = {"qc_approx_distinct"}
+
+
+def _load_entry_module():
+    path = pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("spark_entry_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_graded_entries_inside_ledger_window():
+    mod = _load_entry_module()
+    keys = list(mod.queries().keys())
+    first = set(keys[:LEDGER_WINDOW])
+    graded = [k for k in keys if not k.startswith("pt_")]
+    missing = [k for k in graded if k not in first]
+    assert not missing, (
+        f"graded entries pushed past the driver's {LEDGER_WINDOW}-row "
+        f"ledger window: {missing}"
+    )
+
+
+def test_every_entry_has_oracle_or_is_allowlisted():
+    mod = _load_entry_module()
+    keys = set(mod.queries().keys())
+    oracles = set(mod.oracle_sql().keys())
+    no_oracle = keys - oracles
+    assert no_oracle <= ROWS_ONLY_ALLOWED, (
+        f"entries without oracle SQL and not allowlisted: "
+        f"{sorted(no_oracle - ROWS_ONLY_ALLOWED)}"
+    )
+    stale = oracles - keys
+    assert not stale, f"oracle_sql keys with no queries() entry: {sorted(stale)}"
