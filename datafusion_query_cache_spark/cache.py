@@ -192,13 +192,22 @@ class CacheEntry(ABC):
         fresh: DataFrame,
         spark: SparkSession,
         partition_cols: Optional[List[str]] = None,
+        replace: bool = False,
     ) -> DataFrame:
         """Append ``fresh`` rows to the stored row-set state (filter-query
         caching) and return the full updated state. Default: read + union +
         rewrite; backends override with a real append. ``partition_cols``
         (e.g. the temporal date) asks file-backed backends to lay the state
-        out partitioned so temporal reads of the state prune directories."""
-        full = self.get(spark).unionByName(fresh) if self.occupied else fresh
+        out partitioned so temporal reads of the state prune directories.
+        ``replace=True`` discards any retained state first — required when
+        ``fresh`` is a FULL recompute over an occupied-but-invalid entry
+        (schema mismatch / unreadable), where a plain append would return
+        stale-state ∪ recompute: silently duplicated rows."""
+        full = (
+            self.get(spark).unionByName(fresh)
+            if self.occupied and not replace
+            else fresh
+        )
         return self.put(watermark_ns, full, spark)
 
 
@@ -311,11 +320,12 @@ class _MemoryEntry(CacheEntry):
         fresh: DataFrame,
         spark: SparkSession,
         partition_cols: Optional[List[str]] = None,
+        replace: bool = False,
     ) -> DataFrame:
         import pandas as pd
 
         fresh_pdf = fresh.toPandas()
-        if self.occupied:
+        if self.occupied and not replace:
             _wm, pdf, schema = self._cache._store[self._fp]
             new = pd.concat([pdf, fresh_pdf], ignore_index=True)
         else:
@@ -598,6 +608,7 @@ class _ParquetEntry(CacheEntry):
         fresh: DataFrame,
         spark: SparkSession,
         partition_cols: Optional[List[str]] = None,
+        replace: bool = False,
     ) -> DataFrame:
         """Row-set append: write ``fresh`` as a NEW part and swap meta —
         refresh cost is O(new rows), not O(state). Compacts into one part
@@ -615,8 +626,12 @@ class _ParquetEntry(CacheEntry):
         os.makedirs(self._dir, exist_ok=True)
         txid = f"part-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
+        # replace=True: a full recompute over an occupied-but-invalid entry
+        # must NOT retain old parts (the meta swap below deletes them)
         old_parts = (
-            (self._meta.get("parts") or [self._meta["state"]]) if self._meta else []
+            (self._meta.get("parts") or [self._meta["state"]])
+            if self._meta and not replace
+            else []
         )
 
         def write(df: DataFrame, pth: str) -> None:

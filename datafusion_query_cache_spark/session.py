@@ -429,6 +429,10 @@ class CachedSparkSession:
         )
 
         hit = entry.occupied
+        # stale: the entry holds state that failed validation — every
+        # recompute store below must REPLACE it, or append would return
+        # stale-state ∪ recompute (duplicated rows)
+        stale = False
         expected = out_names if topk else out_names + [part_col]
         if hit:
             try:
@@ -438,9 +442,11 @@ class CachedSparkSession:
                 ):
                     cfg.log.warn(fingerprint, "filter state schema mismatch; recompute")
                     hit = False
+                    stale = True
             except Exception as e:
                 cfg.log.warn(fingerprint, f"filter state unreadable ({e}); recompute")
                 hit = False
+                stale = True
 
         src = base if pred is None else base.filter(pred)
 
@@ -514,7 +520,11 @@ class CachedSparkSession:
                         stored = entry.put(swm, rows, self.spark)
                     else:
                         stored = entry.append(
-                            swm, rows, self.spark, partition_cols=[part_col]
+                            swm,
+                            rows,
+                            self.spark,
+                            partition_cols=[part_col],
+                            replace=stale,
                         )
                     decision.cache_hit = True
                     decision.semantic_donor = d_fp
@@ -537,7 +547,11 @@ class CachedSparkSession:
                     stored = entry.put(swm, rows, self.spark)
                 else:
                     stored = entry.append(
-                        swm, rows, self.spark, partition_cols=[part_col]
+                        swm,
+                        rows,
+                        self.spark,
+                        partition_cols=[part_col],
+                        replace=stale,
                     )
                 cfg.log.info(fingerprint, "filter cache miss: materializing rows")
 

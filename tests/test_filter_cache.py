@@ -274,3 +274,56 @@ def test_rowset_state_cap_passthrough(spark, split):
     assert not qc.last_decision.cached
     assert "filter_state_max_rows" in (qc.last_decision.reason or "")
     assert rows_set(r2) == rows_set(spark.sql(FILTER_SQL))
+
+
+def test_stale_state_replaced_not_appended(spark, qc, split):
+    """ADVICE r3 (high): an occupied entry whose state fails schema
+    validation must be REPLACED by the recompute, not appended to — a plain
+    append returns stale-state ∪ full-recompute (duplicated rows)."""
+    run1, run2, cut_ns = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FILTER_SQL).collect()
+    fp = qc.last_decision.fingerprint
+
+    # Simulate a pre-existing-version entry: rewrite the stored state
+    # WITHOUT the hidden __qc_d partition column (guaranteed mismatch).
+    entry = qc.config.cache.entry(fp)
+    old = entry.get(spark)
+    assert "__qc_d" in old.columns
+    entry.put(entry.watermark_ns, old.drop("__qc_d"), spark)
+
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    r2 = qc.sql(FILTER_SQL)
+    assert not qc.last_decision.cache_hit  # recompute path
+    got = [r["event_id"] for r in r2.select("event_id").collect()]
+    assert len(got) == len(set(got)), "stale state appended: duplicated rows"
+    assert rows_set(r2) == rows_set(spark.sql(FILTER_SQL))
+
+    # and the REPLACED state must serve the next (valid) hit correctly
+    qc.config.override_now_ns = cut_ns + 2 * 10**17
+    r3 = qc.sql(FILTER_SQL)
+    assert qc.last_decision.cache_hit
+    assert rows_set(r3) == rows_set(spark.sql(FILTER_SQL))
+
+
+def test_stale_state_replaced_memory_backend(spark, qc_mem, split):
+    """Same invariant on the memory backend (its append concatenates
+    pandas frames, which would silently duplicate instead of throwing)."""
+    run1, run2, cut_ns = split
+    qc = qc_mem
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FILTER_SQL).collect()
+    fp = qc.last_decision.fingerprint
+    entry = qc.config.cache.entry(fp)
+    entry.put(entry.watermark_ns, entry.get(spark).drop("__qc_d"), spark)
+
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    r2 = qc.sql(FILTER_SQL)
+    assert not qc.last_decision.cache_hit
+    got = [r["event_id"] for r in r2.select("event_id").collect()]
+    assert len(got) == len(set(got)), "stale state appended: duplicated rows"
+    assert rows_set(r2) == rows_set(spark.sql(FILTER_SQL))
