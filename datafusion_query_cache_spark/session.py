@@ -453,7 +453,14 @@ class CachedSparkSession:
         def store_wm(lo_ns: Optional[int]) -> int:
             """Watermark to store (config.watermark_mode): query time, or
             max(ts)+1 over this refresh's (pruned) window for late-data
-            safety — the filter-path twin of the aggregate path's rule."""
+            safety — the filter-path twin of the aggregate path's rule.
+
+            MUST be computed BEFORE the store scan, which is then bounded
+            by ``hi_ns=swm``: the max job and the store job are separate
+            Spark jobs, so a row landing between them with event time above
+            the collected max would otherwise be folded into the stored
+            rows while the watermark stays below it — re-appended (duplicate)
+            on the next refresh (ADVICE r3, medium)."""
             if cfg.watermark_mode != "data":
                 return now_ns
             mdf = bounds(src, lo_ns=lo_ns, hi_ns=now_ns)
@@ -470,8 +477,8 @@ class CachedSparkSession:
 
         if hit:
             wm_ns = entry.watermark_ns
-            fresh = project_store(bounds(src, lo_ns=wm_ns, hi_ns=now_ns))
             swm = store_wm(wm_ns)
+            fresh = project_store(bounds(src, lo_ns=wm_ns, hi_ns=swm))
             if topk:
                 merged = (
                     state.unionByName(fresh).orderBy(*sort_cols()).limit(spec.limit)
@@ -512,9 +519,9 @@ class CachedSparkSession:
                             "donor state lacks the date partition column"
                         )
                     start = start0.filter(pred) if pred is not None else start0
-                    fresh = project_store(bounds(src, lo_ns=d_wm, hi_ns=now_ns))
-                    rows = start.unionByName(fresh)
                     swm = store_wm(d_wm)
+                    fresh = project_store(bounds(src, lo_ns=d_wm, hi_ns=swm))
+                    rows = start.unionByName(fresh)
                     if topk:
                         rows = rows.orderBy(*sort_cols()).limit(spec.limit)
                         stored = entry.put(swm, rows, self.spark)
@@ -540,8 +547,8 @@ class CachedSparkSession:
                     )
                     stored = None
             if stored is None:
-                rows = project_store(bounds(src, hi_ns=now_ns))
                 swm = store_wm(None)
+                rows = project_store(bounds(src, hi_ns=swm))
                 if topk:
                     rows = rows.orderBy(*sort_cols()).limit(spec.limit)
                     stored = entry.put(swm, rows, self.spark)
@@ -948,6 +955,36 @@ class CachedSparkSession:
         state_is_local = False
         cached_state = None
 
+        def data_scan_wm(lo_ns: Optional[int]):
+            """``watermark_mode='data'``: collect max event time over
+            ``[lo, now)`` FIRST, then bound the state scan by
+            ``hi = max+1`` — the exact watermark that will be stored. The
+            max job and the store job are separate Spark jobs; scanning to
+            ``now`` while storing ``max+1`` would let a row landing between
+            the jobs (event time above the collected max) be folded into
+            state AND re-merged by the next refresh — permanent double
+            counting (ADVICE r3, medium). Returns
+            ``(scan_hi_ns, store_wm_ns)``; in "now" mode both are query
+            time and no extra job runs."""
+            if cfg.watermark_mode != "data":
+                return now_ns, now_ns
+            mxdf = get_base() if pred is None else get_base().filter(pred)
+            mxdf = time_bounds(mxdf, lo_ns=lo_ns, hi_ns=now_ns)
+            if shadow in base_cols:
+                mxc = F.max(F.col(shadow))
+            else:
+                mxc = F.max(
+                    F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)
+                )
+            mx = mxdf.agg(mxc.alias("mx")).collect()[0]["mx"]
+            if mx is not None:
+                wm = int(mx) + 1
+            elif lo_ns is not None:
+                wm = lo_ns  # empty window: watermark unchanged
+            else:
+                wm = 0  # empty source: everything is still fresh
+            return wm, wm
+
         def _local_state():
             # small state as a LOCAL relation: no file-scan stage, state
             # ships to executors with the task closure (one row per group)
@@ -976,6 +1013,7 @@ class CachedSparkSession:
                 cfg.log.warn(fingerprint, f"cached state unreadable ({e}); recomputing")
                 hit = False
 
+        store_wm_ns = now_ns  # overridden per-branch by data_scan_wm
         wm0 = entry.watermark_ns if hit else None
         if hit and wm0 is not None and (
             now_ns <= wm0
@@ -1060,8 +1098,9 @@ class CachedSparkSession:
                         # entry watermark is now now_ns: memo for hot re-reads
                         self._memo_result(fingerprint, now_ns, res)
                         return res, decision
+            scan_hi, store_wm_ns = data_scan_wm(wm_ns)
             merged, obs = self._warm_merge(
-                cached_state, wm_ns, now_ns, get_base(), pred, time_bounds,
+                cached_state, wm_ns, scan_hi, get_base(), pred, time_bounds,
                 plans, state_group, group_names, merge_aggs, partial_agg,
             )
             decision.cache_hit = True
@@ -1087,8 +1126,9 @@ class CachedSparkSession:
                 # a first-time daily dashboard pays O(new data), the
                 # TimescaleDB continuous-aggregate rollup-reuse trick.
                 d_state, d_wm, d_fp = donor
+                scan_hi, store_wm_ns = data_scan_wm(d_wm)
                 merged, obs = self._warm_merge(
-                    d_state, d_wm, now_ns, get_base(), pred, time_bounds,
+                    d_state, d_wm, scan_hi, get_base(), pred, time_bounds,
                     plans, state_group, group_names, merge_aggs, partial_agg,
                 )
                 decision.cache_hit = True
@@ -1101,8 +1141,9 @@ class CachedSparkSession:
                     f"scanned only rows since {d_wm}",
                 )
             else:
+                scan_hi, store_wm_ns = data_scan_wm(None)
                 df = get_base() if pred is None else get_base().filter(pred)
-                df = time_bounds(df, hi_ns=now_ns)
+                df = time_bounds(df, hi_ns=scan_hi)
                 merged = partial_agg(df)
                 cfg.log.info(fingerprint, "cache miss: computing and storing state")
 
@@ -1129,26 +1170,8 @@ class CachedSparkSession:
 
         # watermark to STORE: query time ("now" mode, reference behavior) or
         # max-event-time-seen + 1 ("data" mode, late-data safety — SURVEY §7
-        # hard-part 3). The max is one extra job, but over the SAME pruned
-        # [wm, now) window the refresh scans — O(new data).
-        store_wm_ns = now_ns
-        if cfg.watermark_mode == "data" and merged is not None:
-            lo = decision.watermark_ns  # None on a full miss
-            mxdf = get_base() if pred is None else get_base().filter(pred)
-            mxdf = time_bounds(mxdf, lo_ns=lo, hi_ns=now_ns)
-            if shadow in base_cols:
-                mxc = F.max(F.col(shadow))
-            else:
-                mxc = F.max(
-                    F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)
-                )
-            mx = mxdf.agg(mxc.alias("mx")).collect()[0]["mx"]
-            if mx is not None:
-                store_wm_ns = int(mx) + 1
-            elif lo is not None:
-                store_wm_ns = lo  # empty window: watermark unchanged
-            else:
-                store_wm_ns = 0  # empty source: everything is still fresh
+        # hard-part 3), set by data_scan_wm ABOVE the state scan so the scan
+        # is bounded by the stored watermark (hot reads store nothing).
 
         # Fused fast path (simple shapes): ONE job computes state AND final
         # columns together; the state is stored from the collected Arrow

@@ -458,3 +458,51 @@ def test_data_watermark_mode_filter_path(spark, tmp_path, split_views):
     assert qc.last_decision.cache_hit
     want = sorted(map(tuple, spark.sql(sql).collect()))
     assert got == want
+
+
+def test_data_watermark_scan_bounded_by_stored_watermark(spark, tmp_path, split_views):
+    """ADVICE r3 (medium): in watermark_mode='data' the max-ts collect and
+    the store scan are separate Spark jobs. The store scan must be upper-
+    bounded by the STORED watermark (max+1), not by now — otherwise a row
+    landing between the two jobs with event time above the collected max is
+    folded into state while the watermark stays below it, and the next
+    refresh re-merges it forever (double count). This pins the consistency
+    invariant: scan hi == stored watermark, visible in the refresh plan."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns = split_views
+    far_future = cut_ns + 10**18
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events_split GROUP BY 1 ORDER BY 1"
+    )
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-dwm-b")),
+        default_temporal_column="ts",
+        override_now_ns=far_future,
+        watermark_mode="data",
+    )
+    qc = CachedSparkSession(spark, cfg)
+    run1()
+    qc.sql(sql).collect()
+    ent = cfg.cache.entry(qc.last_decision.fingerprint)
+    wm1 = ent.watermark_ns
+    # miss path: scan bounded by the data watermark, not far_future
+    plan1 = qc.last_refresh_df._jdf.queryExecution().optimizedPlan().toString()
+    assert str(wm1) in plan1, "store scan not bounded by the stored watermark"
+    assert str(far_future) not in plan1, "store scan still bounded by now"
+
+    run2()
+    qc.config.override_now_ns = far_future + 10**12
+    qc.sql(sql).collect()
+    assert qc.last_decision.cache_hit
+    ent2 = cfg.cache.entry(qc.last_decision.fingerprint)
+    wm2 = ent2.watermark_ns
+    plan2 = qc.last_refresh_df._jdf.queryExecution().optimizedPlan().toString()
+    assert wm2 > wm1
+    assert str(wm2) in plan2, "refresh scan not bounded by the stored watermark"
+    assert str(far_future + 10**12) not in plan2
