@@ -251,9 +251,21 @@ def verify_pairs(
     O(|candidates| · doc_len) with no shingle-keyed shuffle, unlike the
     all-pairs :func:`ngram_jaccard_pairs` which is the small-data oracle.
 
+    ``cand`` is referenced twice (member-id set + the pair join) — persist
+    it when it is an expensive derived frame, or pass a local relation.
+
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
-    shs = df.select(
+    # shingle ONLY docs that appear in a candidate pair: a semi-join first
+    # (AQE broadcasts the small id set) keeps the expensive shingle
+    # projection off the 99%+ of the corpus no candidate touches — at
+    # 100 TB, shingling the full corpus to verify a few pairs is the cost
+    member_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shs = df.join(member_ids, id_col, "left_semi").select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__shs")
     )
     a = shs.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"))
@@ -298,6 +310,8 @@ def minhash_dedup_pairs(
     recall (1-(1-J^r)^B ≈ 0.9998 at J=0.8 with 16 bands of 4; verified
     1.0 on the sf fixtures in tests/test_dedup.py). This is what makes the
     operator value-checkable against the exact all-pairs oracle."""
+    # persist: verify_pairs references the candidate set twice (member ids
+    # + pair join); uncached, the whole banding pipeline would run twice
     cand = minhash_lsh_pairs(
         df,
         text_col,
@@ -307,7 +321,7 @@ def minhash_dedup_pairs(
         bands,
         threshold=max(0.0, threshold - est_slack),
         max_bucket=max_bucket,
-    )
+    ).persist()
     return verify_pairs(
         df, cand.select("id_a", "id_b"), text_col, id_col, shingle_k, threshold
     )
@@ -329,7 +343,7 @@ def simhash_dedup_pairs(
     while candidates stay ~10⁻³ of all pairs."""
     cand = simhash_pairs(
         df, text_col, id_col, max_hamming=max_hamming, shingle_k=sim_shingle_k
-    )
+    ).persist()
     return verify_pairs(
         df, cand.select("id_a", "id_b"), text_col, id_col, shingle_k, threshold
     )

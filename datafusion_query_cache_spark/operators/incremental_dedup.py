@@ -19,11 +19,33 @@ calls covering corpus C, ``pairs()`` equals the single-shot batch
 ``minhash_dedup_pairs(C)`` with the same parameters — incremental ingest is
 a pure optimization, not an approximation.
 
-Scale notes: per-update cost is O(new docs) signatures + an equi-join of the
-new band keys against the index (shuffled on (band, band_hash) — the index
-side can be bucketed on that key to make the join co-located); stored state
-is ~0.5 KB/doc of signatures + the verified pair set. The same ``max_bucket``
-skew cap as the batch path bounds boilerplate buckets.
+Scale notes — per-update cost, made concrete (BENCH gate: an ingest must
+beat the batch recompute it replaces):
+
+- signatures + band keys are computed for NEW docs only; the stored docs'
+  band keys are PERSISTED as index parts (~16 tiny int rows/doc) and only
+  ever read — never recomputed from signatures (the r3 O(corpus) rescan).
+- the ``max_bucket`` skew cap uses a MAINTAINED bucket-count table
+  (band, band_hash, n): each ingest aggregates counts of the new keys
+  (O(new)), folds them into the stored counts (a shuffle of pre-aggregated
+  int triples, O(distinct buckets) — not the corpus key set), and filters
+  the NEW side with an anti-join against the over-cap buckets (a small,
+  typically broadcast-able frame). The index side needs no cap filter: an
+  equi-join against a cap-filtered probe side produces nothing for over-cap
+  buckets anyway.
+- the candidate probe is one equi-join of O(new) keys against the stored
+  band keys on (band, band_hash); on a real cluster, write the band parts
+  with ``sources.bucketing.write_bucketed`` on that key to make the probe
+  exchange-free on the index side.
+- stored state is ~0.5 KB/doc of signatures + ~130 B/doc of band keys +
+  the verified pair set and bucket counts.
+
+Cap caveat (documented superset): if a band bucket crosses ``max_bucket``
+ACROSS ingests, pairs persisted while it was under the cap are retained,
+while a single-shot batch run would drop the whole bucket — ``pairs()`` is
+then a superset of ``minhash_dedup_pairs(C)`` restricted to those buckets.
+Retention is deliberate: verified true near-dup pairs are never discarded
+because a bucket later became hot.
 
 Reference framing: the reference caches aggregate state keyed by a watermark
 (``src/aggregate.rs``); this applies the identical watermark/refresh
@@ -44,6 +66,7 @@ from pyspark.sql import functions as F
 from .dedup import minhash_signatures, verify_pairs
 
 _PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
+_COUNT_SCHEMA = "band int, band_hash long, n long"
 
 
 def _band_keys(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
@@ -144,12 +167,56 @@ class MinHashIndex:
     def signatures(self, spark: SparkSession) -> Optional[DataFrame]:
         return self._read(spark, "sig_parts")
 
+    def _band_schema(self) -> str:
+        return f"{self.id_col} long, band int, band_hash long"
+
+    def band_keys(self, spark: SparkSession) -> Optional[DataFrame]:
+        """Stored per-doc LSH band keys. Indexes written before band keys
+        were persisted migrate transparently: recomputed from signatures
+        here once, then stored as a part by the next ``update()``."""
+        got = self._read(spark, "band_parts", self._band_schema())
+        if got is None and self._meta is not None:
+            sigs = self.signatures(spark)
+            if sigs is not None:
+                got = _band_keys(sigs, self.id_col, self.bands, self.rows)
+        return got
+
+    def bucket_counts(self, spark: SparkSession) -> Optional[DataFrame]:
+        """Maintained (band, band_hash) → member count — the skew-cap input,
+        folded incrementally instead of re-aggregated over the corpus."""
+        got = self._read(spark, "count_parts", _COUNT_SCHEMA)
+        if got is None and self._meta is not None:
+            bk = self.band_keys(spark)
+            if bk is not None:
+                got = bk.groupBy("band", "band_hash").agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                )
+        return got
+
     def pairs(self, spark: SparkSession) -> DataFrame:
-        """The maintained exact near-dup pair set (id_a < id_b, jaccard)."""
+        """The maintained exact near-dup pair set (id_a < id_b, jaccard).
+
+        Equals the single-shot batch pair set over the ingested corpus,
+        EXCEPT for buckets that crossed ``max_bucket`` across ingests —
+        pairs verified while the bucket was under the cap are retained
+        (superset; see the module docstring's cap caveat)."""
         got = self._read(spark, "pair_parts", _PAIR_SCHEMA)
         if got is None:
             return spark.createDataFrame([], _PAIR_SCHEMA)
         return got
+
+    #: the driver (arrow) ingest tier handles batches/indexes up to these
+    #: sizes: signatures+band hashes still come from ONE Spark job (so the
+    #: hashes are bit-identical to the distributed path), but candidate
+    #: generation, the estimate pre-filter, exact verification, and part
+    #: writes run driver-side over the collected state — an ingest is ~3
+    #: small Spark jobs instead of 5 jobs + 4 write commits. Past either
+    #: cap the fully distributed path runs instead (identical semantics —
+    #: the invariant tests exercise both). Same tiering pattern as
+    #: _ParquetEntry.put's DRIVER_COLLECT_MAX_ROWS.
+    DRIVER_INGEST_MAX_DOCS = 100_000
+    DRIVER_INDEX_MAX_DOCS = 2_000_000
+    COMPACT_AT = 16
 
     def update(self, corpus: DataFrame) -> DataFrame:
         """Ingest every corpus row with ``id > watermark``; return the full
@@ -159,39 +226,47 @@ class MinHashIndex:
         spark = corpus.sparkSession
         wm = self.watermark_id
         new = corpus if wm is None else corpus.filter(F.col(self.id_col) > F.lit(wm))
-
-        new_sigs = minhash_signatures(
-            new, self.text_col, self.id_col, self.num_hashes, self.shingle_k
-        ).persist()
-        hi = new_sigs.agg(F.max(self.id_col)).collect()[0][0]
+        # ONE cheap stats job (id column only — no signature work): the
+        # watermark to store and the driver-tier gate
+        stats = new.agg(
+            F.max(self.id_col).alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        hi, n_new = stats["hi"], int(stats["n"] or 0)
         if hi is None:
-            new_sigs.unpersist()
             return self.pairs(spark)  # nothing new: state already answers
 
-        banded_new = _band_keys(new_sigs, self.id_col, self.bands, self.rows)
-        old_sigs = self.signatures(spark)
-        if old_sigs is not None:
-            banded_all = banded_new.unionByName(
-                _band_keys(old_sigs, self.id_col, self.bands, self.rows)
-            )
-        else:
-            banded_all = banded_new
-
-        # skew cap over the FULL bucket (old ∪ new) — same bound the batch
-        # path applies, so incremental == batch even on capped buckets
-        sizes = banded_all.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("n")
+        meta = self._meta or {}
+        compact = len(meta.get("sig_parts", [])) + 1 > self.COMPACT_AT
+        # the driver tier handles neither compaction nor the one-time
+        # migration of a pre-band-part index (both fold corpus-sized state)
+        migrate = self._meta is not None and not meta.get("band_parts")
+        n_idx = meta.get("n_docs")
+        small = self._meta is None or (
+            n_idx is not None and n_idx <= self.DRIVER_INDEX_MAX_DOCS
         )
-        ok = sizes.filter(F.col("n") <= self.max_bucket).drop("n")
-        banded_all = banded_all.join(ok, ["band", "band_hash"])
-        banded_new = banded_new.join(ok, ["band", "band_hash"])
+        if (
+            n_new <= self.DRIVER_INGEST_MAX_DOCS
+            and small
+            and not compact
+            and not migrate
+        ):
+            return self._ingest_driver(spark, corpus, new, int(hi), n_new)
+        return self._ingest_distributed(spark, corpus, new, int(hi), n_new)
 
-        # candidates with ≥1 NEW member: new keys × all keys; normalize to
-        # id_a < id_b; ids only through the distinct (16-byte shuffle)
-        a = banded_new.select(
+    def _gen_pairs(
+        self,
+        corpus: DataFrame,
+        probe: DataFrame,
+        b_side: DataFrame,
+        sigs_all: DataFrame,
+    ) -> DataFrame:
+        """Candidates with ≥1 NEW member (probe keys × index keys within a
+        band bucket) → signature-estimate pre-filter → exact verify. Shared
+        by the driver and distributed paths — identical semantics."""
+        a = probe.select(
             "band", "band_hash", F.col(self.id_col).alias("__n")
         )
-        b = banded_all.select(
+        b = b_side.select(
             "band", "band_hash", F.col(self.id_col).alias("__o")
         )
         cand = (
@@ -202,11 +277,6 @@ class MinHashIndex:
                 F.greatest("__n", "__o").alias("id_b"),
             )
             .distinct()
-        )
-
-        # estimate pre-filter on signatures (old ∪ new), then exact verify
-        sigs_all = (
-            new_sigs if old_sigs is None else new_sigs.unionByName(old_sigs)
         )
         sa = sigs_all.select(
             F.col(self.id_col).alias("id_a"), F.col("minhash").alias("sig_a")
@@ -223,13 +293,15 @@ class MinHashIndex:
             ).cast("double")
             / F.lit(float(self.num_hashes))
         )
+        # persist: verify_pairs references the candidate set twice; without
+        # the cache the band join + estimate would run twice
         cand = (
             cand.join(sa, "id_a")
             .join(sb, "id_b")
             .filter(est >= F.lit(max(0.0, self.threshold - self.est_slack)))
             .select("id_a", "id_b")
-        )
-        fresh_pairs = verify_pairs(
+        ).persist()
+        return verify_pairs(
             corpus,
             cand,
             self.text_col,
@@ -238,23 +310,354 @@ class MinHashIndex:
             self.threshold,
         )
 
-        # persist: new sig part + new pair part, then atomic meta swap.
-        # Past COMPACT_AT parts, fold everything into one part instead —
-        # read fan-in stays bounded over any number of ingests (same policy
-        # as the cache's row-set append).
-        COMPACT_AT = 16
+    def _read_pdf(self, kind: str):
+        """Driver-side pyarrow read of a part list (gated small state)."""
+        parts = self._parts(kind)
+        if not parts:
+            return None
+        import pandas as pd
+        import pyarrow.dataset as pads
+
+        pdfs = [
+            pads.dataset(
+                p,
+                format="parquet",
+                ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+            )
+            .to_table()
+            .to_pandas()
+            for p in parts
+        ]
+        return pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+
+    def _swap_meta(
+        self,
+        watermark_id: int,
+        sig_parts: List[str],
+        band_parts: List[str],
+        count_parts: List[str],
+        pair_parts: List[str],
+        dead: List[str],
+        n_docs: Optional[int],
+    ) -> None:
+        meta = {
+            "watermark_id": watermark_id,
+            "sig_parts": sig_parts,
+            "band_parts": band_parts,
+            "count_parts": count_parts,
+            "pair_parts": pair_parts,
+            "n_docs": n_docs,
+            "params": self._params(),
+        }
+        tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, "meta.json"))
+        self._meta = meta
+        for p in dead:
+            shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
+
+    def _ingest_driver(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        new: DataFrame,
+        hi: int,
+        n_new: int,
+    ) -> DataFrame:
+        """Driver-tier ingest (size-gated): signatures + band hashes from
+        ONE Spark job (bit-identical hashes to the distributed path);
+        banding explode, count folding, skew cap, candidate merge, the
+        signature-estimate pre-filter, exact character-shingle
+        verification, and all part writes run driver-side. The only other
+        Spark job fetches the candidate members' texts. Semantics equal
+        the distributed path — ``test_incremental_dedup.py`` pins
+        incremental ≡ batch across both tiers."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        rows = self.rows
+        sig_band = minhash_signatures(
+            new, self.text_col, self.id_col, self.num_hashes, self.shingle_k
+        ).select(
+            F.col(self.id_col),
+            F.col("minhash"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                lambda bx: F.xxhash64(
+                    F.slice(F.col("minhash"), bx * rows + 1, rows)
+                ),
+            ).alias("__bands"),
+        )
+        tbl = sig_band.toArrow()
+        pdf = tbl.to_pandas()
+        ids = pdf[self.id_col].to_numpy()
+        band_mat = (
+            np.vstack(pdf["__bands"].to_numpy())
+            if len(pdf)
+            else np.empty((0, self.bands), dtype=np.int64)
+        )
+        band_pdf = pd.DataFrame(
+            {
+                self.id_col: np.repeat(ids, self.bands),
+                "band": np.tile(np.arange(self.bands, dtype=np.int32), len(pdf)),
+                "band_hash": band_mat.reshape(-1).astype(np.int64),
+            }
+        )
+
+        # fold count deltas into the stored count table; cap-filter the
+        # probe side only (see _ingest_distributed for why that suffices)
+        new_counts = (
+            band_pdf.groupby(["band", "band_hash"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        old_counts = self._read_pdf("count_parts")
+        counts = (
+            new_counts
+            if old_counts is None
+            else pd.concat([old_counts, new_counts])
+            .groupby(["band", "band_hash"], as_index=False)["n"]
+            .sum()
+        )
+        over = counts[counts["n"] > self.max_bucket][["band", "band_hash"]]
+        if len(over):
+            probe_pdf = band_pdf.merge(
+                over, on=["band", "band_hash"], how="left", indicator=True
+            )
+            probe_pdf = probe_pdf[probe_pdf["_merge"] == "left_only"].drop(
+                columns="_merge"
+            )
+        else:
+            probe_pdf = band_pdf
+
+        # candidates with ≥1 NEW member: probe × (old ∪ new) band keys
+        old_band_pdf = self._read_pdf("band_parts")
+        all_band_pdf = (
+            band_pdf
+            if old_band_pdf is None
+            else pd.concat([band_pdf, old_band_pdf], ignore_index=True)
+        )
+        merged = probe_pdf.merge(
+            all_band_pdf, on=["band", "band_hash"], suffixes=("_n", "_o")
+        )
+        na, no = f"{self.id_col}_n", f"{self.id_col}_o"
+        merged = merged[merged[na] != merged[no]]
+        cand = pd.DataFrame(
+            {
+                "id_a": np.minimum(merged[na], merged[no]),
+                "id_b": np.maximum(merged[na], merged[no]),
+            }
+        ).drop_duplicates(ignore_index=True)
+
+        # signature-estimate pre-filter (same arithmetic as _gen_pairs)
+        old_sig_pdf = self._read_pdf("sig_parts")
+        if old_sig_pdf is None:
+            sig_ids, sig_rows = ids, pdf["minhash"].to_numpy()
+        else:
+            sig_ids = np.concatenate(
+                [ids, old_sig_pdf[self.id_col].to_numpy()]
+            )
+            sig_rows = np.concatenate(
+                [pdf["minhash"].to_numpy(), old_sig_pdf["minhash"].to_numpy()]
+            )
+        order = np.argsort(sig_ids)
+        sig_ids_s = sig_ids[order]
+        sig_mat = (
+            np.vstack(sig_rows[order])
+            if len(sig_rows)
+            else np.empty((0, self.num_hashes), dtype=np.int64)
+        )
+        if len(cand):
+            ia = np.searchsorted(sig_ids_s, cand["id_a"].to_numpy())
+            ib = np.searchsorted(sig_ids_s, cand["id_b"].to_numpy())
+            est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+            cand = cand[est >= max(0.0, self.threshold - self.est_slack)]
+
+        # exact verify: fetch the candidate members' texts (one small
+        # Spark job) and intersect distinct character k-shingles — the
+        # same definition verify_pairs evaluates JVM-side
+        fresh_rows: list = []
+        if len(cand):
+            member = np.unique(
+                np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()])
+            )
+            mdf = spark.createDataFrame(
+                pd.DataFrame({self.id_col: member}),
+                schema=f"{self.id_col} long",
+            )
+            texts = {
+                r[0]: r[1]
+                for r in corpus.join(mdf, self.id_col)
+                .select(self.id_col, self.text_col)
+                .collect()
+            }
+            k = self.shingle_k
+
+            def _shingle_set(t: str):
+                m = max(len(t) - k + 1, 1)
+                return {t[i : i + k] for i in range(m)}
+
+            sh = {i: _shingle_set(texts[i]) for i in texts}
+            for id_a, id_b in cand.itertuples(index=False):
+                a, b = sh.get(int(id_a)), sh.get(int(id_b))
+                if a is None or b is None:
+                    continue  # member text absent from corpus: unverifiable
+                c = len(a & b)
+                j = c / (len(a) + len(b) - c)
+                if j >= self.threshold:
+                    fresh_rows.append((int(id_a), int(id_b), float(j)))
+        fresh_pdf = pd.DataFrame(
+            fresh_rows, columns=["id_a", "id_b", "jaccard"]
+        )
+
+        # pyarrow part writes (each part dir = one Spark-readable file)
+        import pyarrow as pa
+
+        def _write(t, dirname: str) -> None:
+            p = os.path.join(self.path, dirname)
+            os.makedirs(p, exist_ok=True)
+            pq.write_table(t, os.path.join(p, "part-0.parquet"))
+
         sig_dir = f"sigs-{uuid.uuid4().hex[:12]}"
+        band_dir = f"bands-{uuid.uuid4().hex[:12]}"
+        cnt_dir = f"counts-{uuid.uuid4().hex[:12]}"
+        pair_dir = f"pairs-{uuid.uuid4().hex[:12]}"
+        _write(tbl.select([self.id_col, "minhash"]), sig_dir)
+        _write(
+            pa.table(
+                {
+                    self.id_col: band_pdf[self.id_col].to_numpy(),
+                    "band": band_pdf["band"].to_numpy().astype(np.int32),
+                    "band_hash": band_pdf["band_hash"].to_numpy(),
+                }
+            ),
+            band_dir,
+        )
+        _write(
+            pa.table(
+                {
+                    "band": counts["band"].to_numpy().astype(np.int32),
+                    "band_hash": counts["band_hash"].to_numpy().astype(np.int64),
+                    "n": counts["n"].to_numpy().astype(np.int64),
+                }
+            ),
+            cnt_dir,
+        )
+        _write(
+            pa.table(
+                {
+                    "id_a": fresh_pdf["id_a"].to_numpy().astype(np.int64),
+                    "id_b": fresh_pdf["id_b"].to_numpy().astype(np.int64),
+                    "jaccard": fresh_pdf["jaccard"].to_numpy().astype(np.float64),
+                }
+            ),
+            pair_dir,
+        )
+        old_meta = self._meta or {}
+        base = 0 if self._meta is None else old_meta.get("n_docs")
+        self._swap_meta(
+            hi,
+            sig_parts=old_meta.get("sig_parts", []) + [sig_dir],
+            band_parts=old_meta.get("band_parts", []) + [band_dir],
+            count_parts=[cnt_dir],
+            pair_parts=old_meta.get("pair_parts", []) + [pair_dir],
+            dead=old_meta.get("count_parts", []),
+            n_docs=None if base is None else base + n_new,
+        )
+        return self.pairs(spark)
+
+    def _ingest_distributed(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        new: DataFrame,
+        hi: int,
+        n_new: int,
+    ) -> DataFrame:
+        """Fully distributed ingest (large batches/indexes, compaction,
+        and pre-band-part migration)."""
+        new_sigs = minhash_signatures(
+            new, self.text_col, self.id_col, self.num_hashes, self.shingle_k
+        ).persist()
+
+        # O(new) banding: stored docs' keys come from the persisted band
+        # parts, never recomputed from signatures (the r3 O(corpus) rescan)
+        banded_new = _band_keys(
+            new_sigs, self.id_col, self.bands, self.rows
+        ).persist()
+        old_sigs = self.signatures(spark)
+        old_bands = self.band_keys(spark) if self._meta else None
+
+        # skew cap over the FULL bucket (old ∪ new), but from MAINTAINED
+        # counts: fold O(new) count deltas into the stored count table —
+        # a shuffle of pre-aggregated int triples, not the corpus key set
+        new_counts = banded_new.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        old_counts = self.bucket_counts(spark)
+        counts = (
+            new_counts
+            if old_counts is None
+            else old_counts.unionByName(new_counts)
+            .groupBy("band", "band_hash")
+            .agg(F.sum("n").alias("n"))
+        ).persist()
+        # cap-filter the NEW side only, via anti-join against the (few) hot
+        # buckets — AQE broadcasts it. The index side needs no filter: an
+        # equi-join against a cap-filtered probe side yields nothing for
+        # over-cap buckets anyway, and batch drops exactly those buckets.
+        over_cap = counts.filter(F.col("n") > self.max_bucket).select(
+            "band", "band_hash"
+        )
+        probe = banded_new.join(over_cap, ["band", "band_hash"], "left_anti")
+
+        b_side = (
+            banded_new
+            if old_bands is None
+            else banded_new.unionByName(old_bands)
+        )
+        sigs_all = (
+            new_sigs if old_sigs is None else new_sigs.unionByName(old_sigs)
+        )
+        fresh_pairs = self._gen_pairs(corpus, probe, b_side, sigs_all)
+
+        pair_out = fresh_pairs.select(
+            "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+        )
+
+        # persist: new sig/band/pair parts (O(new) writes) + the folded
+        # count table (always one compacted part — pre-aggregated triples),
+        # then atomic meta swap. Past COMPACT_AT parts, fold everything into
+        # one part instead — read fan-in stays bounded over any number of
+        # ingests (same policy as the cache's row-set append).
+        sig_dir = f"sigs-{uuid.uuid4().hex[:12]}"
+        band_dir = f"bands-{uuid.uuid4().hex[:12]}"
+        cnt_dir = f"counts-{uuid.uuid4().hex[:12]}"
         pair_dir = f"pairs-{uuid.uuid4().hex[:12]}"
         old_sig_parts = (self._meta or {}).get("sig_parts", [])
+        old_band_parts = (self._meta or {}).get("band_parts", [])
+        old_cnt_parts = (self._meta or {}).get("count_parts", [])
         old_pair_parts = (self._meta or {}).get("pair_parts", [])
-        compact = len(old_sig_parts) + 1 > COMPACT_AT
+        compact = len(old_sig_parts) + 1 > self.COMPACT_AT
+        # pre-band-part index (migration): fold the recomputed old keys in
+        fold_bands = compact or (self._meta is not None and not old_band_parts)
 
         sig_out = new_sigs if not compact or old_sigs is None else (
             new_sigs.unionByName(old_sigs)
         )
-        sig_out.write.mode("overwrite").parquet(os.path.join(self.path, sig_dir))
-        pair_out = fresh_pairs.select(
-            "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+        sig_out.write.mode("overwrite").parquet(
+            os.path.join(self.path, sig_dir)
+        )
+        band_out = banded_new if not fold_bands or old_bands is None else (
+            banded_new.unionByName(old_bands)
+        )
+        band_out.write.mode("overwrite").parquet(
+            os.path.join(self.path, band_dir)
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, cnt_dir)
         )
         if compact:
             pair_out = pair_out.unionByName(
@@ -263,26 +666,31 @@ class MinHashIndex:
         pair_out.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.path, pair_dir)
         )
-        new_sigs.unpersist()
         if compact:
             sig_parts, pair_parts = [sig_dir], [pair_dir]
         else:
             sig_parts = old_sig_parts + [sig_dir]
             pair_parts = old_pair_parts + [pair_dir]
-        meta = {
-            "watermark_id": int(hi),
-            "sig_parts": sig_parts,
-            "pair_parts": pair_parts,
-            "params": self._params(),
-        }
-        tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path, "meta.json"))
-        self._meta = meta
+        band_parts = [band_dir] if fold_bands else old_band_parts + [band_dir]
+        dead = list(old_cnt_parts)
         if compact:
-            for p in old_sig_parts + old_pair_parts:
-                shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
+            dead += old_sig_parts + old_pair_parts
+        if fold_bands:
+            dead += old_band_parts
+        new_sigs.unpersist()
+        banded_new.unpersist()
+        counts.unpersist()
+        old_meta = self._meta or {}
+        base = 0 if self._meta is None else old_meta.get("n_docs")
+        self._swap_meta(
+            int(hi),
+            sig_parts=sig_parts,
+            band_parts=band_parts,
+            count_parts=[cnt_dir],
+            pair_parts=pair_parts,
+            dead=dead,
+            n_docs=None if base is None else base + n_new,
+        )
         return self.pairs(spark)
 
     def clear(self) -> None:

@@ -99,3 +99,28 @@ def test_many_ingests_compact_and_stay_exact(spark, docs, tmp_path):
         out = idx.update(docs.filter(F.col("doc_id") <= c))
     assert len(idx._meta["sig_parts"]) <= 17
     assert rows_set(_index_pairs(out)) == rows_set(_batch_pairs(docs))
+
+
+def test_distributed_tier_equals_driver_tier(spark, docs, tmp_path):
+    """The two ingest tiers (driver-side arrow vs fully distributed) must
+    be semantically identical: same pair set, interoperable parts."""
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    # force every ingest through the distributed path
+    dist = MinHashIndex(str(tmp_path / "mh-dist"), threshold=0.8)
+    dist.DRIVER_INGEST_MAX_DOCS = 0
+    dist.update(docs.filter(F.col("doc_id") <= c1))
+    got_dist = _index_pairs(dist.update(docs))
+    assert rows_set(got_dist) == rows_set(_batch_pairs(docs))
+
+    # mixed tiers over one index: driver seed, distributed middle, driver end
+    mix = MinHashIndex(str(tmp_path / "mh-mix"), threshold=0.8)
+    mix.update(docs.filter(F.col("doc_id") <= c1))          # driver tier
+    mix.DRIVER_INGEST_MAX_DOCS = 0
+    mix.update(docs.filter(F.col("doc_id") <= c2))          # distributed
+    mix.DRIVER_INGEST_MAX_DOCS = MinHashIndex.DRIVER_INGEST_MAX_DOCS
+    got_mix = _index_pairs(mix.update(docs))                # driver tier
+    assert rows_set(got_mix) == rows_set(_batch_pairs(docs))
