@@ -278,11 +278,27 @@ def _qc_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _qc_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT count(DISTINCT) through the cache: set-valued partial state
+    (collect_set), union merge, cardinality finalize — the value-checked
+    twin of qc_approx_distinct (whose HLL estimates have no cross-engine
+    oracle). DuckDB count(DISTINCT …) is exact, so this entry hash-checks
+    the same incremental machinery the sketch entry exercises."""
+    view = "events_qc_dexact"
+    sql = (
+        "SELECT event_type, count(DISTINCT user_id) AS du, "
+        f"count(*) AS n FROM {view} GROUP BY 1 ORDER BY 1"
+    )
+    return _qc_two_run(spark, sf_dir, sql, view)
+
+
 def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-state cache: approx_count_distinct via mergeable HLL sketches
     (hll_sketch_agg / hll_union_agg). No DuckDB oracle — estimator outputs
     differ across engines — so the driver records the rows-only check; exact
-    cross-run correctness is covered by tests/test_cache_behavior.py."""
+    cross-run correctness is covered by tests/test_cache_behavior.py, and
+    the EXACT twin entry qc_distinct_exact value-checks the same
+    incremental plumbing with a real oracle."""
     view = "events_qc_approx"
     sql = (
         "SELECT event_type, approx_count_distinct(user_id) AS u, "
@@ -971,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in _QC_DYN_SQLS:
         q[key] = _mk_qc_dyn(key)
     q["qc_approx_distinct"] = _qc_approx_distinct
+    q["qc_distinct_exact"] = _qc_distinct_exact
     q["qc_join_star"] = _qc_join_star
     q["qc_filter_subsume"] = _qc_filter_subsume
     q["qc_coarsen_reuse"] = _qc_coarsen_reuse
@@ -1030,6 +1047,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, round(quantile_cont(value, 0.9) + 1e-9, 2) AS p90, "
         "round(quantile_cont(value, 0.1) + 1e-9, 2) AS p10, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    o["qc_distinct_exact"] = (
+        "SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
     )
     o["qc_filter_subsume"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 100 "

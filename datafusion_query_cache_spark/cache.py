@@ -66,8 +66,13 @@ def _compact_hist_cell(cell, cap: Optional[int] = None, fp: str = ""):
     for e in cell:
         v = e["v"]
         if v != v:  # NaN can't be a sort/dict key; leave the cell as-is
-            if cap is not None and len(cell) > cap:
-                raise HistogramCardinalityExceeded(fp, len(cell))
+            if cap is not None:
+                # the raw entry count may hold duplicate values — count
+                # DISTINCT values (+1 for NaN) so a NaN-bearing cell can't
+                # spuriously exceed the cap below its true cardinality
+                distinct = len({x["v"] for x in cell if x["v"] == x["v"]}) + 1
+                if distinct > cap:
+                    raise HistogramCardinalityExceeded(fp, distinct)
             return list(cell)
         agg[v] = agg.get(v, 0) + e["c"]
     if cap is not None and len(agg) > cap:

@@ -164,7 +164,7 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
     decimal(min(38, p+4), s+4), HALF_UP like Spark's own Average).
     """
     fn = agg.fn.lower()
-    if agg.distinct and fn not in ("approx_count_distinct",):
+    if agg.distinct and fn not in ("approx_count_distinct", "count"):
         raise NotDecomposable(f"{fn}(DISTINCT) has no mergeable state")
 
     def arg0() -> Column:
@@ -221,6 +221,26 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         # decimal expressions inside args still raise via _resolve_decimal
         for a_expr in agg.args:
             _resolve_decimal(a_expr, schema)
+
+    if fn == "count" and agg.distinct:
+        # EXACT distinct count, mergeable: set state (same machinery as
+        # collect_set — union merge), finalize = cardinality. State is
+        # O(distinct values) per group; for unbounded-cardinality columns
+        # prefer approx_count_distinct (HLL state is constant-size).
+        if len(agg.args) != 1 or isinstance(agg.args[0], Star):
+            # count(DISTINCT a, b) counts distinct TUPLES — the single-set
+            # state below would be wrong
+            raise NotDecomposable("count(DISTINCT) over multiple args")
+        nm = s("dset")
+        a = arg0()
+        return Decomposition(
+            partial={nm: F.collect_set(a)},
+            merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},
+            finalize=F.coalesce(
+                F.array_size(F.col(nm)), F.lit(0)
+            ).cast("long"),
+            singleton={nm: F.filter(F.array(a), lambda x: x.isNotNull())},
+        )
 
     if fn == "count":
         n = s("cnt")

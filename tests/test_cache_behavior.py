@@ -36,6 +36,9 @@ QUERIES = [
     # exact median/percentile via the RLE-histogram state
     "SELECT event_type, round(median(value), 6) AS med, "
     "round(percentile(value, 0.25), 6) AS p25 FROM events_split GROUP BY 1",
+    # exact distinct count via the set state (union merge, size finalize)
+    "SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n "
+    "FROM events_split GROUP BY 1",
 ]
 
 
@@ -149,10 +152,20 @@ def test_now_in_non_bound_position_passthrough(qc, spark):
     assert df.collect()[0]["n"] > 0
 
 
-def test_exact_distinct_not_cached(qc, spark):
+def test_exact_distinct_cached_single_arg_only(qc, spark):
+    # single-arg count(DISTINCT) caches via the set state…
     df = qc.sql("SELECT count(DISTINCT user_id) AS u FROM events")
-    assert not qc.last_decision.cached
+    assert qc.last_decision.cached
     assert df.collect()[0]["u"] > 0
+    # …but distinct TUPLE counting has no single-set state: passthrough
+    df2 = qc.sql(
+        "SELECT count(DISTINCT user_id, event_type) AS u FROM events"
+    )
+    assert not qc.last_decision.cached
+    assert df2.collect()[0]["u"] > 0
+    # and sum(DISTINCT) remains non-decomposable
+    qc.sql("SELECT sum(DISTINCT value) AS s FROM events").collect()
+    assert not qc.last_decision.cached
 
 
 def test_memory_cache_roundtrip(qc_mem, spark, split_views):
