@@ -291,6 +291,118 @@ def banded_keys(
     return pandas_udf(_keys, "array<long>")(vec)
 
 
+def banded_keys_and_sig(
+    vec: Column, planes: Sequence[Sequence[float]], bands: int, rows_per_band: int
+) -> Column:
+    """Band keys AND a packed sign bitmap from the SAME matmul pass:
+    struct<keys: array<long>, sig: array<long>>. Band keys use the FIRST
+    ``bands·rows_per_band`` hyperplanes; ``sig`` packs the signs of ALL
+    ``len(planes)`` into 64-bit words — a compact per-row signature whose
+    pairwise Hamming distance estimates the angle
+    (est cos = cos(π·ham/nbits)). More sig planes than band planes buy a
+    tighter estimator (σ ∝ 1/√nbits) at ~zero extra cost: the matmul is
+    one BLAS call either way."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (nbits, dim)
+    nbits = len(planes)
+    assert nbits >= bands * rows_per_band
+    nwords = (nbits + 63) // 64
+
+    def _ks(v):
+        if len(v) == 0:
+            return pd.DataFrame({"keys": [], "sig": []})
+        M = np.array(v.tolist(), dtype=np.float64)
+        bits = (M @ P.T) > 0  # (n, nbits)
+        keys = np.zeros((len(M), bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(rows_per_band):
+                keys[:, b] |= bits[:, b * rows_per_band + j].astype(np.int64) << j
+        sig = np.zeros((len(M), nwords), dtype=np.int64)
+        for i in range(nbits):
+            sig[:, i // 64] |= bits[:, i].astype(np.int64) << (i % 64)
+        return pd.DataFrame({"keys": list(keys), "sig": list(sig)})
+
+    return pandas_udf(_ks, "keys: array<long>, sig: array<long>")(vec)
+
+
+def _neardup_bucket_verify(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """Small-corpus tier of :func:`cosine_neardup_pairs_banded`: the
+    normalized matrix is broadcast and the work parallelizes over BANDS —
+    a ``mapInPandas`` over a ``bands``-row frame where each task signs its
+    band's hyperplanes, buckets rows by key, and emits exact ≥-threshold
+    pairs from per-bucket BLAS gram blocks. No key explode, no bucket
+    shuffle; the only shuffled rows are the final verified pairs (tiny),
+    deduped across bands with dropDuplicates."""
+    import numpy as np
+
+    planes = np.asarray(
+        random_hyperplanes(dim, bands * rows_per_band, seed), dtype=np.float64
+    )
+    v = F.col(vec_col).cast("array<double>")
+    rows = df.select(F.col(id_col), v.alias("__v")).collect()
+    ids_np = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64).reshape(len(rows), dim)
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0] = 1.0
+    Mn = M / nrm[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids_np, Mn, planes))
+
+    r_ = rows_per_band
+    shifts = np.arange(r_, dtype=np.int64)
+
+    def _bands(iterator):
+        import pandas as pd
+
+        g_ids, g_M, g_P = bc.value
+        for pdf in iterator:
+            for b in pdf["id"].tolist():
+                Pb = g_P[b * r_ : (b + 1) * r_]  # (r, dim)
+                bits = (g_M @ Pb.T) > 0  # (n, r)
+                keys = (bits.astype(np.int64) << shifts).sum(axis=1)
+                order = np.argsort(keys, kind="stable")
+                ks, idx = keys[order], order
+                bounds = np.flatnonzero(np.diff(ks)) + 1
+                out_a, out_b, out_c = [], [], []
+                for blk in np.split(idx, bounds):
+                    if len(blk) < 2:
+                        continue
+                    V = g_M[blk]
+                    G = V @ V.T
+                    iu, ju = np.triu_indices(len(blk), k=1)
+                    keep = G[iu, ju] >= threshold
+                    if not keep.any():
+                        continue
+                    ia, ib = g_ids[blk[iu[keep]]], g_ids[blk[ju[keep]]]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_c.append(G[iu[keep], ju[keep]])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "cosine": np.concatenate(out_c),
+                        }
+                    )
+
+    bands_df = df.sparkSession.range(bands).repartition(bands)
+    return bands_df.mapInPandas(
+        _bands, "id_a long, id_b long, cosine double"
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 def cosine_neardup_pairs_banded(
     df: DataFrame,
     threshold: float = 0.4,
@@ -299,6 +411,7 @@ def cosine_neardup_pairs_banded(
     bands: int = 32,
     rows_per_band: int = 4,
     seed: int = 42,
+    bucket_bcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs via BANDED hyperplane LSH + exact verification —
     the scale path for ``cosine_neardup_pairs`` (reference-class operator;
@@ -316,30 +429,71 @@ def cosine_neardup_pairs_banded(
     LSH's worst case — candidates ≈ B/2^r of all pairs; on real clustered
     corpora the same config prunes to ~the true-pair neighborhood.)
 
-    Plan shape: scan-side key computation (one Arrow-batched numpy matmul
-    per batch, see :func:`banded_keys`), posexplode to (band, key) rows,
-    slim self-equi-join on (band, key) — ids only, vectors re-attached
-    AFTER candidate dedup — then the exact filter. No cross join anywhere;
-    shuffles carry (band, key, id) triples and the deduped pair list,
-    never the vectors."""
+    Two verification tiers, selected by corpus size:
+
+    - ``n ≤ bucket_bcast_max_rows``: BUCKET-LOCAL verification — the
+      normalized vector matrix is broadcast, and one ``applyInPandas``
+      over (band, key) groups computes each bucket's gram block with a
+      single BLAS matmul, emitting exact ≥-threshold pairs directly. The
+      only shuffles carry (band, key, id) int triples and the final
+      (small) verified pair set; per-pair cost is a fused flop, not an
+      interpreted expression. This is the classic in-bucket LSH verify.
+    - larger corpora: slim self-equi-join on (band, key) with a packed
+      sign-bitmap HAMMING gate (est cos = cos(π·ham/512), codegen'd
+      bit_count/xor) evaluated before the distinct, then exact cosine via
+      a vector join. 512 sig bits put the estimator's σ at ≈0.06 near the
+      0.4 boundary, so the 0.3 slack is a ~5σ margin — no recall loss.
+
+    No cross join in either tier; both are exact-equal to the brute
+    oracle on the fixtures."""
+    est_bits = 512
+    est_slack = 0.3
     dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, bands * rows_per_band, seed)
-    v = F.col(vec_col).cast("array<double>")
-    # persist: referenced by both sides of the band self-join — without it
-    # the scan + key matmul recomputes per side (same pattern and rationale
-    # as the MinHash signature table, dedup.py)
-    exploded = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            banded_keys(v, planes, bands, rows_per_band).alias("__keys"),
+    if df.count() <= bucket_bcast_max_rows:
+        return _neardup_bucket_verify(
+            df, threshold, vec_col, id_col, bands, rows_per_band, seed, dim
         )
-        .select("__id", F.posexplode("__keys").alias("__band", "__key"))
+    nbits = max(bands * rows_per_band, est_bits)
+    planes = random_hyperplanes(dim, nbits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    # persist: the keys feed both sides of the band self-join — without it
+    # the scan + key matmul recomputes per reference (same pattern and
+    # rationale as the MinHash signature table, dedup.py)
+    ks = df.select(
+        F.col(id_col).alias("__id"),
+        banded_keys_and_sig(v, planes, bands, rows_per_band).alias("__ks"),
     ).persist()
-    a = exploded.select("__band", "__key", F.col("__id").alias("id_a"))
-    b_ = exploded.select("__band", "__key", F.col("__id").alias("id_b"))
+    # sig words as FLAT long columns: the per-candidate Hamming sum below
+    # is then a plain codegen'd expression (bit_count/xor), not an
+    # interpreted higher-order zip_with/aggregate — the gate runs on every
+    # band-join output row, so expression form decides the stage's speed
+    nwords = (nbits + 63) // 64
+    exploded = ks.select(
+        "__id",
+        *[F.col("__ks.sig")[i].alias(f"__s{i}") for i in range(nwords)],
+        F.posexplode(F.col("__ks.keys")).alias("__band", "__key"),
+    )
+    a = exploded.select(
+        "__band",
+        "__key",
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__s{i}").alias(f"__sa{i}") for i in range(nwords)],
+    )
+    b_ = exploded.select(
+        "__band",
+        "__key",
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__s{i}").alias(f"__sb{i}") for i in range(nwords)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"__sa{i}").bitwiseXOR(F.col(f"__sb{i}")))
+        for i in range(nwords)
+    )
+    est = F.cos(F.lit(math.pi) * ham.cast("double") / F.lit(float(nbits)))
     cand = (
         a.join(b_, ["__band", "__key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(est >= F.lit(max(-1.0, threshold - est_slack)))
         .select("id_a", "id_b")
         .distinct()
     )
