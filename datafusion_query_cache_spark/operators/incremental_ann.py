@@ -17,7 +17,12 @@ cache itself), applied to approximate-nearest-neighbor search:
 Centroids are FROZEN after build (appends never retrain) — the standard IVF
 deployment contract; call ``rebuild`` when drift warrants it. With
 ``nprobe >= len(centroids)`` the probe is exhaustive and the result provably
-equals brute-force top-k — the oracle the driver checks.
+equals brute-force top-k — the oracle the driver checks. Drift policy: the
+exhaustive probe stays exact under ANY drift (only narrow-probe recall
+decays), so a maintainer should periodically sample narrow-probe recall
+against an exhaustive probe and trigger ``rebuild`` below a floor (~0.9);
+``tests/test_incremental_ann.py::test_recall_probe_under_drift_and_rebuild``
+is the executable form of this policy.
 
 Scale notes: per-update cost is O(new vectors) assignment (JVM-side argmin,
 no UDF) + a partitioned write; probes read nprobe/k of the data before any

@@ -77,3 +77,59 @@ def test_durable_resume_and_frozen_centroids(spark, emb, tmp_path):
 
     with pytest.raises(ValueError):
         IVFIndex(p, k_cells=4)
+
+
+def test_recall_probe_under_drift_and_rebuild(spark, emb, tmp_path):
+    """Frozen-centroid contract (incremental_ann docstring): centroids are
+    trained once, appends never retrain. This probe quantifies that
+    contract under DISTRIBUTION DRIFT — later ingest batches are shifted
+    off the training distribution — and documents the repair path:
+
+    - the exhaustive probe (nprobe = k_cells) stays EXACT regardless of
+      drift (the safety property the oracle checks);
+    - a narrow probe's recall@10 is measured against brute force on the
+      drifted corpus; after rebuild() (retrained centroids) the narrow
+      probe must be near-exact again — the drift threshold at which a
+      maintainer should trigger rebuild()."""
+    from datafusion_query_cache_spark.operators.incremental_ann import IVFIndex
+    from datafusion_query_cache_spark.operators.similarity import cosine_topk
+
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    drift = (
+        F.when(F.col("vec_id") > c2, F.lit(2.0))
+        .when(F.col("vec_id") > c1, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + drift).alias(
+            "embedding"
+        ),
+    )
+
+    idx = IVFIndex(str(tmp_path / "ivf-drift"), k_cells=8, train_iters=3)
+    idx.update(corpus.filter(F.col("vec_id") <= c1))  # trains on un-drifted
+    idx.update(corpus.filter(F.col("vec_id") <= c2))  # drifted batch 1
+    idx.update(corpus)                                # drifted batch 2
+
+    qvec = corpus.filter(F.col("vec_id") == ids[-1]).collect()[0]["embedding"]
+    brute = [r["vec_id"] for r in cosine_topk(corpus, qvec, k=10).collect()]
+
+    # safety: exhaustive probe is exact no matter the drift
+    exhaustive = [
+        r["vec_id"] for r in idx.topk(spark, qvec, k=10, nprobe=8).collect()
+    ]
+    assert exhaustive == brute
+
+    narrow = {r["vec_id"] for r in idx.topk(spark, qvec, k=10, nprobe=2).collect()}
+    recall_frozen = len(narrow & set(brute)) / 10.0
+
+    idx.rebuild(corpus)
+    narrow2 = {r["vec_id"] for r in idx.topk(spark, qvec, k=10, nprobe=2).collect()}
+    recall_rebuilt = len(narrow2 & set(brute)) / 10.0
+
+    # the repair path restores near-exact narrow-probe recall; the frozen
+    # index is allowed to have decayed (that is the documented trade)
+    assert recall_rebuilt >= 0.9
+    assert recall_rebuilt >= recall_frozen
