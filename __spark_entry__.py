@@ -719,7 +719,10 @@ def _op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     comp = connected_components(
-        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+        pairs,
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+        nodes_cover_edges=True,
     )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")

@@ -46,6 +46,7 @@ def connected_components(
     nodes: Optional[DataFrame] = None,
     node_col: Optional[str] = None,
     max_iter: int = 50,
+    nodes_cover_edges: bool = False,
 ) -> DataFrame:
     """Label each node with the MINIMUM node id reachable from it (the
     canonical component id). Returns ``(id, component)``.
@@ -53,17 +54,32 @@ def connected_components(
     ``edges`` is an undirected pair list (each pair once, either order).
     ``nodes`` (optional) adds isolated nodes — docs with no near-dup pair —
     which come back as singleton components (``component = id``).
+    ``nodes_cover_edges=True`` asserts ``nodes`` is a DISTINCT superset of
+    every edge endpoint (true whenever edges come from pairing rows of the
+    node table itself, the dedup case) — the label seed is then a straight
+    projection of ``nodes``, skipping a union + two distinct shuffles.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.filter(F.col("u") != F.col("v")).distinct().persist()
+    # localCheckpoint, not persist: it TRUNCATES the logical plan. The edge
+    # list often arrives with a deep lineage (the whole LSH pipeline); a
+    # merely-cached frame still drags that full tree through Catalyst on
+    # every iteration reference — multi-second plan time per round —
+    # while a checkpointed frame re-plans from a flat LogicalRDD.
+    sym = sym.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=True
+    )
 
-    labels = sym.select(F.col("u").alias("id")).distinct()
-    if nodes is not None:
+    if nodes is not None and nodes_cover_edges:
         nc = node_col or nodes.columns[0]
-        labels = labels.unionByName(
-            nodes.select(F.col(nc).alias("id"))
-        ).distinct()
+        labels = nodes.select(F.col(nc).alias("id"))
+    else:
+        labels = sym.select(F.col("u").alias("id")).distinct()
+        if nodes is not None:
+            nc = node_col or nodes.columns[0]
+            labels = labels.unionByName(
+                nodes.select(F.col(nc).alias("id"))
+            ).distinct()
     labels = labels.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
@@ -105,7 +121,6 @@ def connected_components(
         labels = new.select("id", F.col("new_component").alias("component"))
         if not changed:
             break
-    sym.unpersist()
     return labels
 
 
@@ -128,7 +143,13 @@ def near_dedup_keep(
     back — never shuffles document text, only (id, cluster) pairs.
     """
     comp = connected_components(
-        pairs, src=src, dst=dst, nodes=docs.select(id_col), node_col=id_col
+        pairs,
+        src=src,
+        dst=dst,
+        nodes=docs.select(id_col),
+        node_col=id_col,
+        # pairs are rows of docs paired with each other; doc_id is the key
+        nodes_cover_edges=True,
     )
     if quality_col is not None:
         ranked = comp.join(
