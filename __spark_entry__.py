@@ -540,7 +540,9 @@ def _op_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     out = minhash_dedup_pairs(spark.table("documents"), threshold=0.8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +553,9 @@ def _op_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     out = simhash_dedup_pairs(spark.table("documents"), threshold=0.8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _op_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,7 +601,9 @@ def _op_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     out = cosine_neardup_pairs_banded(spark.table("embeddings"), threshold=0.4)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def _qc_filter_subsume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,7 +890,9 @@ def _op_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-mh-index-"), threshold=0.8)
     idx.update(docs.filter(F.col("doc_id") <= F.lit(int(cut))))
     out = idx.update(docs)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _op_incr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,6 +979,55 @@ def _op_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup index maintenance end-to-end: corpus files arrive
+    in two waves; each Trigger.AvailableNow run folds ONLY the new docs
+    into the durable MinHash index (file frontier = Structured Streaming
+    checkpoint, doc frontier = the index id watermark — double-delivery
+    safe). The maintained pair set must equal the single-shot batch
+    pipeline, i.e. the exact all-pairs J ≥ 0.8 oracle
+    (streaming/dedup_maintain.py)."""
+    import shutil
+    import tempfile
+
+    from datafusion_query_cache_spark.operators.incremental_dedup import (
+        MinHashIndex,
+    )
+    from datafusion_query_cache_spark.streaming.dedup_maintain import (
+        maintain_dedup_index,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    cut = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    corpus = tempfile.mkdtemp(prefix="qc-sdedup-corpus-")
+    ckpt = tempfile.mkdtemp(prefix="qc-sdedup-ckpt-")
+    idx = MinHashIndex(
+        tempfile.mkdtemp(prefix="qc-sdedup-index-"), threshold=0.8
+    )
+
+    def arrive(df, tag):
+        stage = tempfile.mkdtemp(prefix=f"qc-sdedup-{tag}-")
+        df.write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(stage, f),
+                    os.path.join(corpus, f"{tag}-{f}"),
+                )
+
+    arrive(docs.filter(F.col("doc_id") <= F.lit(cut)), "w1")
+    maintain_dedup_index(spark, idx, corpus, ckpt).awaitTermination(240)
+    arrive(docs.filter(F.col("doc_id") > F.lit(cut)), "w2")
+    maintain_dedup_index(spark, idx, corpus, ckpt).awaitTermination(240)
+    assert idx.watermark_id is not None
+    return (
+        idx.pairs(spark)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 
@@ -1017,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_incr_dedup": _op_incr_dedup,
             "op_incr_ann": _op_incr_ann,
             "op_stream_maintain": _op_stream_maintain,
+            "op_stream_dedup": _op_stream_dedup,
         }
     )
     # Passthrough rows exercise Spark itself more than this engine; the
@@ -1170,6 +1228,8 @@ def oracle_sql() -> dict[str, str]:
     o["op_simhash_pairs"] = o["op_ngram_jaccard"]
     # incremental index maintains EXACTLY the batch pair set → same oracle
     o["op_incr_dedup"] = o["op_ngram_jaccard"]
+    # …and so does its streaming maintainer (file-frontier triggered ingests)
+    o["op_stream_dedup"] = o["op_ngram_jaccard"]
     o["op_cosine_topk"] = (
         "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) / "
