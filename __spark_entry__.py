@@ -979,6 +979,38 @@ def _op_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _op_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term frequencies (lowercase whitespace
+    tokens) — the vocabulary-building primitive; one shuffle of (term,
+    partial count) after map-side combine (operators/textstats.py)."""
+    from datafusion_query_cache_spark.operators.textstats import term_frequencies
+
+    _load(spark, sf_dir)
+    return term_frequencies(spark.table("documents")).orderBy("term")
+
+
+def _op_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: bigrams formed array-side (zip with the
+    shifted token array) before the explode — no position self-join."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        bigram_frequencies,
+    )
+
+    _load(spark, sf_dir)
+    return bigram_frequencies(spark.table("documents")).orderBy("bigram")
+
+
+def _op_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf·idf (idf = ln(N/df); ties break by
+    term so the cut is total-ordered — bit-replicable in the oracle)."""
+    from datafusion_query_cache_spark.operators.textstats import tfidf_top_terms
+
+    _load(spark, sf_dir)
+    return tfidf_top_terms(spark.table("documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def _op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup index maintenance end-to-end: corpus files arrive
     in two waves; each Trigger.AvailableNow run folds ONLY the new docs
@@ -1075,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_incr_ann": _op_incr_ann,
             "op_stream_maintain": _op_stream_maintain,
             "op_stream_dedup": _op_stream_dedup,
+            "op_term_freq": _op_term_freq,
+            "op_bigram_freq": _op_bigram_freq,
+            "op_tfidf": _op_tfidf,
         }
     )
     # Passthrough rows exercise Spark itself more than this engine; the
@@ -1230,6 +1265,35 @@ def oracle_sql() -> dict[str, str]:
     o["op_incr_dedup"] = o["op_ngram_jaccard"]
     # …and so does its streaming maintainer (file-frontier triggered ingests)
     o["op_stream_dedup"] = o["op_ngram_jaccard"]
+    o["op_term_freq"] = (
+        "SELECT term, count(*) AS tf FROM (SELECT "
+        "unnest(string_split_regex(lower(text), '\\s+')) AS term "
+        "FROM documents) WHERE length(term) >= 1 GROUP BY 1 ORDER BY 1"
+    )
+    o["op_bigram_freq"] = (
+        "WITH toks AS (SELECT list_filter("
+        "string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS t "
+        "FROM documents), "
+        "b AS (SELECT t[i] || ' ' || t[i+1] AS bigram FROM toks, "
+        "UNNEST(range(1, len(t))) AS u(i)) "
+        "SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY 1"
+    )
+    o["op_tfidf"] = (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(string_split_regex(lower(text), '\\s+')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+        "WHERE length(term) > 0 GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        "nd AS (SELECT count(*) AS n FROM documents), "
+        "sc AS (SELECT doc_id, tf.term AS term, "
+        "tf.tf * ln(nd.n::DOUBLE / dfq.df) AS raw_score "
+        "FROM tf, nd JOIN dfq ON tf.term = dfq.term), "
+        "rk AS (SELECT doc_id, term, raw_score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY raw_score DESC, term) AS rank FROM sc) "
+        "SELECT doc_id, term, round(raw_score, 6) AS score, rank "
+        "FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"
+    )
     o["op_cosine_topk"] = (
         "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv) / "

@@ -153,3 +153,82 @@ def doc_fingerprint(
         F.array_min(sh).alias("min_shingle_hash"),
         F.array_max(sh).alias("max_shingle_hash"),
     )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", min_len: int = 1
+) -> DataFrame:
+    """Corpus-level term frequencies: lowercase whitespace tokens → (term,
+    tf). The vocabulary-building primitive of a training-data pipeline.
+
+    Plan: split is scan-side, explode emits one short string per token, and
+    the single shuffle is the groupBy on the term — at 100 TB the shuffle
+    carries (term, partial count) after map-side combine, not documents."""
+    tok = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    ).filter(F.length("term") >= min_len)
+    return tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bigram_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level bigram frequencies over lowercase whitespace tokens.
+
+    Bigrams are formed ARRAY-side (``arrays_zip`` of the token array with
+    itself shifted by one) before the explode, so no position self-join and
+    no per-token shuffle — only (bigram, partial count) rows move."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+    )
+    bg = df.select(F.explode(pairs).alias("p")).select(
+        F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram")
+    )
+    return bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), smooth-free —
+    chosen because it is bit-replicable in the SQL oracle). Ties break by
+    term ascending, so the top-k cut is total-ordered and deterministic.
+
+    Plan: one shuffle builds per-(doc, term) tf, a term-keyed aggregate
+    builds df, idf joins back broadcast-style (vocabulary ≪ corpus), and
+    the per-doc top-k is a window row_number — no sort of the full corpus,
+    only of each doc's term list."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        (F.col("tf").cast("double") * F.col("idf")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.round("score", 6).alias("score"), "rank")
+    )
