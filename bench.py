@@ -248,6 +248,14 @@ def main() -> None:
 
     dyn_flow(timed_run=False)
     dyn_flow(timed_run=True)
+    # plain baseline for the ratio table: the same sliding window with the
+    # boundary pinned to NOW2 - 10 days (now() in plain SQL would read the
+    # wall clock and select nothing)
+    DYN_PLAIN_SQL = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE ts > TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1"
+    )
+    timed("qc_dyn_plain", lambda: spark.sql(DYN_PLAIN_SQL).collect())
 
     # --- incrementally-maintained top-k filter query -------------------------
     TOPK_SQL = (
@@ -495,6 +503,35 @@ def main() -> None:
     qz.sql(XK_SQL).collect()  # miss: state over all but the last two days
     timed_warm("qc_x1000_warm", qz, XK_SQL, [hi_ns - DAY_NS, hi_ns + 1])
     timed("qc_x1000_plain", lambda: spark.sql(XK_SQL).collect())
+
+    # dynamic sliding window at x1000: the dyn path's crossover. Warm reads
+    # full buckets from state, recomputes only the boundary bucket (one
+    # pruned date partition) and scans the fresh tail; plain re-scans the
+    # whole window every run (its ts predicate cannot prune the d layout).
+    DYN_XK_SQL = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "
+        "FROM events_x1000 WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
+    )
+    qzd = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-xkd-")),
+            default_temporal_column="ts",
+            temporal_partition_columns={"ts": "d"},
+            override_now_ns=cut_ns,
+        ),
+    )
+    qzd.sql(DYN_XK_SQL).collect()
+    timed_warm("qc_dyn_x1000_warm", qzd, DYN_XK_SQL, [hi_ns - DAY_NS, hi_ns + 1])
+    lo_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=(hi_ns + 1 - 10 * DAY_NS) // 1000
+    )
+    DYN_XK_PLAIN = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "
+        f"FROM events_x1000 WHERE ts > TIMESTAMP '{lo_dt:%Y-%m-%d %H:%M:%S.%f}' "
+        "GROUP BY 1"
+    )
+    timed("qc_dyn_x1000_plain", lambda: spark.sql(DYN_XK_PLAIN).collect())
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

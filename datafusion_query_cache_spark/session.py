@@ -103,6 +103,32 @@ def _push_time_bounds(
     return df
 
 
+def _next_bucket_start(b, gran: str):
+    """Start of the bucket AFTER the one beginning at ``b`` for a
+    date_trunc granularity; None for unrecognized grans (no upper bound)."""
+    import datetime as dt
+
+    g = gran.lower()
+    if g == "minute":
+        return b + dt.timedelta(minutes=1)
+    if g == "hour":
+        return b + dt.timedelta(hours=1)
+    if g in ("day", "dd"):
+        return b + dt.timedelta(days=1)
+    if g == "week":
+        return b + dt.timedelta(days=7)
+    if g in ("month", "mon", "mm"):
+        y, m = (b.year + 1, 1) if b.month == 12 else (b.year, b.month + 1)
+        return b.replace(year=y, month=m, day=1)
+    if g == "quarter":
+        m0 = b.month + 3
+        y, m = (b.year + 1, m0 - 12) if m0 > 12 else (b.year, m0)
+        return b.replace(year=y, month=m, day=1)
+    if g in ("year", "yyyy", "yy"):
+        return b.replace(year=b.year + 1, month=1, day=1)
+    return None
+
+
 def _order_col(name: str, o) -> Column:
     """ORDER BY item → Column with explicit direction AND null order.
 
@@ -1301,8 +1327,33 @@ class CachedSparkSession:
             lower_ns_v = (
                 int((lower_dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6) * 1000
             )
-            # state is as-of now, so the boundary recompute must be too
-            braw = time_bounds(braw, lo_ns=lower_ns_v, hi_ns=now_ns)
+            # state is as-of now, so the boundary recompute must be too.
+            # hi bound: the boundary BUCKET's end, not now — every boundary
+            # row satisfies ts < next_bucket_start, so capping the scan
+            # there prunes the (window - 1 bucket) tail the non-pushable
+            # date_trunc equality below would otherwise read and discard.
+            # +1 h slack guards DST-shifted local-time bucket edges; the
+            # equality filter keeps the result exact regardless.
+            bnd_dt = (
+                boundary
+                if isinstance(boundary, _dt.datetime)
+                else _dt.datetime(boundary.year, boundary.month, boundary.day)
+            )
+            bucket_end = _next_bucket_start(bnd_dt, bucket_gran)
+            hi_eff = now_ns
+            if bucket_end is not None:
+                end_ns = (
+                    int(
+                        (
+                            bucket_end + _dt.timedelta(hours=1)
+                            - _dt.datetime(1970, 1, 1)
+                        ).total_seconds()
+                        * 1e6
+                    )
+                    * 1000
+                )
+                hi_eff = min(now_ns, end_ns)
+            braw = time_bounds(braw, lo_ns=lower_ns_v, hi_ns=hi_eff)
             braw = braw.filter(
                 cmp_op
                 & (
