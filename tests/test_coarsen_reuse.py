@@ -84,3 +84,40 @@ def test_different_predicate_no_donor(spark, qc):
     qc.config.override_now_ns = cut + 10**18 + 1
     qc.sql(DAILY).collect()  # no predicate → must not reuse the filtered state
     assert qc.last_decision.semantic_donor is None
+
+
+def test_coarsen_donor_with_data_watermark_mode(spark, tmp_path):
+    """Coarsening donor hit under watermark_mode='data': the donor-branch
+    scan must be bounded by the data-derived watermark (data_scan_wm), and
+    the coarse answer must stay exact with late-arriving data."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    ev = spark.table("events")
+    cut = _cut(spark)
+    far_future = cut + 10**18
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-cz-data")),
+        default_temporal_column="ts",
+        override_now_ns=far_future,  # clock far ahead: 'now' mode would
+        watermark_mode="data",       # freeze out the late second half
+    )
+    qc = CachedSparkSession(spark, cfg)
+    ev.filter(F.col("ts_ns") < F.lit(cut)).createOrReplaceTempView("events_cz")
+    qc.sql(HOURLY).collect()  # hourly donor over the early half
+
+    # the rest "arrives late" (before far_future); the DAILY query has
+    # never run — served by coarsening the hourly donor + data-bounded scan
+    ev.createOrReplaceTempView("events_cz")
+    qc.config.override_now_ns = far_future + 10**12
+    got = qc.sql(DAILY)
+    d = qc.last_decision
+    assert d.cache_hit and d.semantic_donor is not None
+    assert rows_set(got) == rows_set(spark.sql(DAILY))
+
+    # and the stored watermark is data-derived (max+1), not the far clock
+    ent = cfg.cache.entry(d.fingerprint)
+    assert cut < ent.watermark_ns < far_future
