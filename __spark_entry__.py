@@ -695,10 +695,19 @@ def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     # µs ticks on BOTH sides: DuckDB truncates TIMESTAMP(NANOS) parquet to
-    # µs on read, so the oracle can only be exact at µs resolution
-    ev = spark.table("events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    # µs on read, so the oracle can only be exact at µs resolution.
+    # The summed value is integer CENTS, not the raw double: integer sums
+    # are associative, so the result is bit-identical across engines,
+    # partition counts, and library versions — no float column reaches the
+    # driver's row hasher (r4 forensics: double sums were locally bit-exact
+    # yet still hash-mismatched against the driver's engine builds).
+    ev = (
+        spark.table("events")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("value_cents", F.round(F.col("value") * 100, 0).cast("long"))
+    )
     out = sessionize_batch(
-        ev, ts_ns_col="ts_us", gap_ticks=3_600_000_000
+        ev, ts_ns_col="ts_us", value_col="value_cents", gap_ticks=3_600_000_000
     )
     return out.select(
         "user_id",
@@ -706,7 +715,7 @@ def _op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_ns").alias("start_us"),
         F.col("end_ns").alias("end_us"),
         "n_events",
-        F.round("sum_value", 2).alias("sum_v"),
+        F.col("sum_value").alias("sum_cents"),
     ).orderBy("user_id", "session_id")
 
 
@@ -1351,18 +1360,22 @@ def oracle_sql() -> dict[str, str]:
         "WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.4"
     )
     # gaps-and-islands twin of sessionize_batch; ts in the raw parquet is
-    # the epoch-ns BIGINT, so the gap arithmetic is exact in both engines
+    # the epoch-ns BIGINT, so the gap arithmetic is exact in both engines.
+    # Values are summed as integer cents (round(value*100) cast BIGINT) so
+    # the hashed row carries no floats — integer addition is associative
+    # and engine-version-independent.
     o["op_sessionize"] = (
-        "WITH e AS (SELECT user_id, epoch_us(ts) AS tsn, value FROM events), "
-        "s AS (SELECT user_id, tsn, value, "
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS tsn, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "s AS (SELECT user_id, tsn, cents, "
         "CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) IS NULL "
         "OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) > 3600000000 "
         "THEN 1 ELSE 0 END AS is_new FROM e), "
-        "x AS (SELECT user_id, tsn, value, "
-        "sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) "
-        "AS session_id FROM s) "
+        "x AS (SELECT user_id, tsn, cents, "
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
         "SELECT user_id, session_id, min(tsn) AS start_us, max(tsn) AS end_us, "
-        "count(*) AS n_events, round(sum(value), 2) AS sum_v "
+        "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents "
         "FROM x GROUP BY 1, 2 ORDER BY 1, 2"
     )
     o["op_asof_join"] = (
