@@ -332,21 +332,50 @@ class CachedSparkSession:
             .collect()[0]["b"]
         )
 
+    _BUCKET_INTERVAL = {
+        "minute": "INTERVAL '1' MINUTE",
+        "hour": "INTERVAL '1' HOUR",
+        "day": "INTERVAL '1' DAY",
+        "dd": "INTERVAL '1' DAY",
+        "week": "INTERVAL '7' DAY",
+        "month": "INTERVAL '1' MONTH",
+        "mon": "INTERVAL '1' MONTH",
+        "mm": "INTERVAL '1' MONTH",
+        "quarter": "INTERVAL '3' MONTH",
+        "year": "INTERVAL '1' YEAR",
+        "yyyy": "INTERVAL '1' YEAR",
+        "yy": "INTERVAL '1' YEAR",
+    }
+
     def _eval_bound_and_bucket(self, rhs_expr, now_ns: int, granularity: str):
-        """Bound value AND its bucket truncation in ONE driver-local job —
-        the dynamic warm path runs per refresh, so the two tiny range(1)
-        collects it used to pay are folded into one."""
+        """Bound value, its bucket truncation, their epoch-µs forms, and the
+        epoch-µs end of the boundary bucket — ONE driver-local job (the
+        dynamic warm path runs per refresh, so the tiny range(1) collects
+        are folded together). The epochs are computed JVM-side via
+        ``unix_micros`` in the SESSION timezone, so the SQL-template path
+        can bind them as ``timestamp_micros(...)`` literals with no
+        Python-side timezone assumption; the bucket end comes from
+        ``date_trunc + INTERVAL`` which is DST/calendar exact, so the
+        boundary scan needs no slack. Returns
+        ``(value, bucket, value_us, bucket_us, bucket_end_us | None)``."""
         col = to_column(self._pin_now(rhs_expr, now_ns))
-        row = (
-            self.spark.range(1)
-            .select(
-                col.alias("v"), F.date_trunc(granularity, col).alias("b")
+        b = F.date_trunc(granularity, col)
+        iv = self._BUCKET_INTERVAL.get(granularity.lower())
+        cols = [
+            col.alias("v"),
+            b.alias("b"),
+            F.unix_micros(col.cast("timestamp")).alias("v_us"),
+            F.unix_micros(b.cast("timestamp")).alias("b_us"),
+        ]
+        if iv is not None:
+            cols.append(
+                F.unix_micros((b + F.expr(iv)).cast("timestamp")).alias("be_us")
             )
-            .collect()[0]
-        )
+        row = self.spark.range(1).select(*cols).collect()[0]
         if row["v"] is None:
             raise Unsupported("dynamic bound evaluated to NULL")
-        return row["v"], row["b"]
+        be_us = row["be_us"] if iv is not None else None
+        return row["v"], row["b"], row["v_us"], row["b_us"], be_us
 
     def _plan_filter(self, spec, query: str):
         """Simple filter (non-aggregate) query caching — the reference's
@@ -880,6 +909,10 @@ class CachedSparkSession:
 
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
+        # dynamic-bound evaluation (value, bucket, epochs) is computed at
+        # most once per query — shared by the hot-path memo lookup, the
+        # fused dyn template, and the classic dyn assembly
+        dyn_eval = None
 
         # percentile/median histogram state guard (VERDICT r2 item 7): the
         # state is O(distinct values) per group — arm the store-time cap, and
@@ -1058,7 +1091,19 @@ class CachedSparkSession:
             decision.cache_hit = True
             decision.watermark_ns = entry.watermark_ns
             if cfg.result_memo:
-                memo = self._result_memo.get((fingerprint, entry.watermark_ns))
+                if dyn_bound is not None:
+                    # dynamic results depend on the pinned now too (a repeat
+                    # at the same now has the same boundary; an earlier now
+                    # would pick a different lower and must NOT serve the
+                    # memo) — the memo key carries (state watermark, now),
+                    # which determines the bound exactly
+                    memo = self._result_memo.get(
+                        (fingerprint, ("dyn", entry.watermark_ns, now_ns))
+                    )
+                else:
+                    memo = self._result_memo.get(
+                        (fingerprint, entry.watermark_ns)
+                    )
                 if memo is not None:
                     # this session already finalized a result at this exact
                     # watermark: same state, same pure finalize → same rows.
@@ -1091,7 +1136,6 @@ class CachedSparkSession:
             if (
                 state_is_local
                 and not spec.grouping_sets
-                and dyn_bound is None
                 and not cfg.salt_buckets  # salted program is classic-only
                 # data-watermark mode needs the max-ts job the template
                 # doesn't carry: classic path only
@@ -1100,30 +1144,51 @@ class CachedSparkSession:
                 # SQL-template fast path: the whole refresh program as ONE
                 # JVM-parsed SQL string (built once per query shape) — the
                 # resulting physical plan is identical to the DataFrame
-                # program below, minus ~600 py4j round-trips per call.
+                # program below, minus ~600 py4j round-trips per call. The
+                # dynamic-bound variant additionally folds the boundary
+                # recompute + final re-aggregate into the same program.
                 pc_col = cfg.temporal_partition_columns.get(ts_col)
-                tpl = self._warm_template(
-                    pkey, fingerprint, spec, plans, state_group, group_names,
-                    state_cols, partial_aggs, merge_aggs, pred, ts_col,
-                    shadow in base_cols,
-                    pc_col if (pc_col and pc_col in base_cols) else None,
-                    cached_state.schema, tables,
-                )
-                if tpl is not None:
-                    res = self._run_warm_template(
-                        tpl, entry, cached_state, wm_ns, now_ns,
-                        decision, spec, state_cols,
+                pc_arg = pc_col if (pc_col and pc_col in base_cols) else None
+                res = None
+                memo_key = now_ns
+                if dyn_bound is None:
+                    tpl = self._warm_template(
+                        pkey, fingerprint, spec, plans, state_group,
+                        group_names, state_cols, partial_aggs, merge_aggs,
+                        pred, ts_col, shadow in base_cols, pc_arg,
+                        cached_state.schema, tables,
                     )
-                    if res is not None:
-                        decision.cache_hit = True
-                        decision.watermark_ns = wm_ns
-                        cfg.log.info(
-                            fingerprint,
-                            f"cache hit: incremental refresh from watermark {wm_ns}",
+                    if tpl is not None:
+                        res = self._run_warm_template(
+                            tpl, entry, cached_state, wm_ns, now_ns,
+                            decision, spec, state_cols,
                         )
-                        # entry watermark is now now_ns: memo for hot re-reads
-                        self._memo_result(fingerprint, now_ns, res)
-                        return res, decision
+                else:
+                    tpl = self._dyn_warm_template(
+                        pkey, fingerprint, spec, plans, state_group,
+                        group_names, state_cols, partial_aggs, merge_aggs,
+                        pred, ts_col, shadow in base_cols, pc_arg,
+                        cached_state.schema, tables,
+                        bucket_name, bucket_gran, dyn_bound.op,
+                    )
+                    if tpl is not None:
+                        res = self._run_dyn_warm_template(
+                            tpl, entry, cached_state, wm_ns, now_ns,
+                            dyn_bound.rhs, decision, spec, state_cols,
+                        )
+                        # the bound is a pure function of the pinned now,
+                        # so (state watermark, now) keys the memo exactly
+                        memo_key = ("dyn", now_ns, now_ns)
+                if res is not None:
+                    decision.cache_hit = True
+                    decision.watermark_ns = wm_ns
+                    cfg.log.info(
+                        fingerprint,
+                        f"cache hit: incremental refresh from watermark {wm_ns}",
+                    )
+                    # entry watermark is now now_ns: memo for hot re-reads
+                    self._memo_result(fingerprint, memo_key, res)
+                    return res, decision
             scan_hi, store_wm_ns = data_scan_wm(wm_ns)
             merged, obs = self._warm_merge(
                 cached_state, wm_ns, scan_hi, get_base(), pred, time_bounds,
@@ -1302,9 +1367,11 @@ class CachedSparkSession:
         if dyn_bound is not None:
             # evaluate the bound once at plan time (reference captures "now"
             # the same way, ``src/aggregate.rs:375-382``)
-            lower, boundary = self._eval_bound_and_bucket(
-                dyn_bound.rhs, now_ns, bucket_gran
-            )
+            if dyn_eval is None:
+                dyn_eval = self._eval_bound_and_bucket(
+                    dyn_bound.rhs, now_ns, bucket_gran
+                )
+            lower, boundary = dyn_eval[0], dyn_eval[1]
             decision.dynamic_lower = lower
             bucket_dtype = dict(stored.dtypes)[bucket_name]
             boundary_lit = F.lit(boundary).cast(bucket_dtype)
@@ -1809,9 +1876,8 @@ class CachedSparkSession:
         self._tpl_cache[key] = tpl
         return tpl
 
-    def _build_warm_template(
+    def _tpl_core(
         self,
-        fingerprint: str,
         spec: AggSpec,
         plans,
         state_group,
@@ -1821,13 +1887,12 @@ class CachedSparkSession:
         merge_aggs: Dict[str, Column],
         pred: Optional[Column],
         ts_col: str,
-        shadow_ok: bool,
-        part_col: Optional[str],
         state_schema,
         tables: List[str],
     ) -> Optional[dict]:
-        import hashlib
-
+        """SQL fragments shared by the static and dynamic warm templates:
+        FROM clause, fresh/boundary partial select items, merge items, and
+        the finalize item list. None ⇒ this shape can't be templated."""
         layout = self._fused_layout(spec)
         if layout is None:
             return None
@@ -1859,6 +1924,95 @@ class CachedSparkSession:
                 kw = "LEFT JOIN" if step.how == "left" else "JOIN"
                 from_sql += f" {kw} {q(step.table)} ON {sql_of(to_column(step.on))}"
 
+        # partial select items: singleton row-states when every aggregate
+        # has one (the one-shuffle plan), else explicit partial aggregates
+        items = []
+        for n in state_cols:
+            if n in g_sql:
+                items.append(f"{g_sql[n]} AS {q(n)}")
+            elif use_singleton:
+                t = dtypes[n].simpleString()
+                items.append(f"CAST({sql_of(singletons[n])} AS {t}) AS {q(n)}")
+            else:
+                items.append(f"{sql_of(partial_aggs[n])} AS {q(n)}")
+
+        merge_items = [
+            f"{sql_of(merge_aggs[n])} AS {q(n)}"
+            for n in state_cols
+            if n not in g_sql
+        ]
+
+        # finalize item list (output expressions + order ride-alongs + the
+        # hidden HAVING flag) — the layout _arrow_result expects
+        fin_exprs = []
+        for i, name in enumerate(out_names):
+            if name in fin_raw:
+                fin_exprs.append(f"{sql_of(fin_raw[name])} AS {q('__fin%d' % i)}")
+            else:
+                fin_exprs.append(f"{q(name)} AS {q('__fin%d' % i)}")
+        for nm in extra_names:
+            fin_exprs.append(f"{q(nm)} AS {q('__ord_' + nm)}")
+        if spec.having is not None:
+            fin_exprs.append(f"{sql_of(fin_raw['__qc_having'])} AS {q('__fin_hv')}")
+
+        ts_is_ts = False
+        try:
+            from pyspark.sql.types import TimestampNTZType, TimestampType
+
+            ts_type = dict(
+                (f.name, f.dataType)
+                for f in self.spark.table(tables[0]).schema.fields
+            ).get(ts_col)
+            ts_is_ts = isinstance(ts_type, (TimestampType, TimestampNTZType))
+        except Exception:
+            pass  # pushdown companion is an optimization, never required
+
+        return {
+            "out_names": out_names,
+            "order_names": order_names,
+            "extra_names": extra_names,
+            "q": q,
+            "g_sql": g_sql,
+            "dtypes": dtypes,
+            "use_singleton": use_singleton,
+            "from_sql": from_sql,
+            "items": items,
+            "merge_items": merge_items,
+            "fin_exprs": fin_exprs,
+            "pred_sql": f"({sql_of(pred)})" if pred is not None else None,
+            "gb_exprs": ", ".join(g_sql[n] for n in group_names),
+            "sel_groups": ", ".join(q(n) for n in group_names),
+            "state_sel": ", ".join(q(c) for c in state_cols),
+            "ts_is_ts": ts_is_ts,
+        }
+
+    def _build_warm_template(
+        self,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+    ) -> Optional[dict]:
+        import hashlib
+
+        core = self._tpl_core(
+            spec, plans, state_group, group_names, state_cols, partial_aggs,
+            merge_aggs, pred, ts_col, state_schema, tables,
+        )
+        if core is None:
+            return None
+        q = core["q"]
+
         # WHERE: stable predicate + exact [wm, now) tiling + optional
         # partition-column coarsening for partition pruning. Same shape as
         # ``_push_time_bounds``: the ns shadow gives exactness; a REDUNDANT
@@ -1867,28 +2021,30 @@ class CachedSparkSession:
         # / ceil the upper so the superset never drops a row the ns bound
         # admits.
         conds = []
-        if pred is not None:
-            conds.append(f"({sql_of(pred)})")
+        if core["pred_sql"] is not None:
+            conds.append(core["pred_sql"])
         if shadow_ok:
             shadow = q(f"{ts_col}_ns")
-            conds.append(f"{shadow} >= __QC_WM_NS__")
-            conds.append(f"{shadow} < __QC_NOW_NS__")
-            try:
-                from pyspark.sql.types import TimestampNTZType, TimestampType
-
-                ts_type = dict(
-                    (f.name, f.dataType)
-                    for f in self.spark.table(tables[0]).schema.fields
-                ).get(ts_col)
-                if isinstance(ts_type, (TimestampType, TimestampNTZType)):
-                    conds.append(
-                        f"{q(ts_col)} >= timestamp_micros(__QC_WM_US_FLOOR__)"
-                    )
-                    conds.append(
-                        f"{q(ts_col)} < timestamp_micros(__QC_NOW_US__)"
-                    )
-            except Exception:
-                pass  # pushdown companion is an optimization, never required
+            if core["ts_is_ts"]:
+                # µs-aligned watermarks make the pushable µs bounds EXACT
+                # (ts_ns ≥ 1000k ⟺ µs(ts) ≥ k for any integer ts_ns), so
+                # the per-row ns-shadow comparisons are guarded out at
+                # substitution time: __QC_NSG__ becomes `true` when both
+                # bounds are multiples of 1000 and BooleanSimplification
+                # erases the whole conjunct — the scan then evaluates only
+                # the native µs comparisons. Misaligned bounds keep the
+                # exact ns tiling (guard `false` folds to the ns conds).
+                conds.append(
+                    f"(__QC_NSG__ OR ({shadow} >= __QC_WM_NS__ "
+                    f"AND {shadow} < __QC_NOW_NS__))"
+                )
+                conds.append(
+                    f"{q(ts_col)} >= timestamp_micros(__QC_WM_US_FLOOR__)"
+                )
+                conds.append(f"{q(ts_col)} < timestamp_micros(__QC_NOW_US__)")
+            else:
+                conds.append(f"{shadow} >= __QC_WM_NS__")
+                conds.append(f"{shadow} < __QC_NOW_NS__")
         else:
             conds.append(f"{q(ts_col)} >= timestamp_micros(__QC_WM_US__)")
             conds.append(f"{q(ts_col)} < timestamp_micros(__QC_NOW_US__)")
@@ -1902,44 +2058,31 @@ class CachedSparkSession:
 
         # fresh side: singleton row-states when every aggregate has one (the
         # one-shuffle plan), else an explicit partial sub-aggregate
-        items = []
-        for n in state_cols:
-            if n in g_sql:
-                items.append(f"{g_sql[n]} AS {q(n)}")
-            elif use_singleton:
-                t = dtypes[n].simpleString()
-                items.append(f"CAST({sql_of(singletons[n])} AS {t}) AS {q(n)}")
-            else:
-                items.append(f"{sql_of(partial_aggs[n])} AS {q(n)}")
-        if use_singleton:
+        items = core["items"]
+        if core["use_singleton"]:
             fresh_sql = (
                 f"SELECT {', '.join(items)}, 1 AS {isf} "
-                f"FROM {from_sql} WHERE {where_sql}"
+                f"FROM {core['from_sql']} WHERE {where_sql}"
             )
         else:
-            gb = ", ".join(g_sql[n] for n in group_names)
             fresh_sql = (
                 f"SELECT {', '.join(items)}, count(1) AS {isf} "
-                f"FROM {from_sql} WHERE {where_sql}"
-                + (f" GROUP BY {gb}" if group_names else "")
+                f"FROM {core['from_sql']} WHERE {where_sql}"
+                + (f" GROUP BY {core['gb_exprs']}" if group_names else "")
             )
 
-        state_sel = ", ".join(q(c) for c in state_cols)
+        state_sel = core["state_sel"]
         union_sql = (
             f"{fresh_sql} UNION ALL SELECT {state_sel}, 0 AS {isf} FROM {q(view)}"
         )
 
         # merge: one hash aggregate over the union — map-side combine of the
         # singleton rows IS the partial aggregation (single shuffle)
-        merge_items = [
-            f"{sql_of(merge_aggs[n])} AS {q(n)}"
-            for n in state_cols
-            if n not in g_sql
-        ]
-        sel_groups = ", ".join(q(n) for n in group_names)
+        sel_groups = core["sel_groups"]
         head = f"{sel_groups}, " if group_names else ""
         m_sql = (
-            f"SELECT {head}{', '.join(merge_items)}, sum({isf}) AS {q('__qc_fresh')} "
+            f"SELECT {head}{', '.join(core['merge_items'])}, "
+            f"sum({isf}) AS {q('__qc_fresh')} "
             f"FROM ({union_sql}) __qc_u"
             + (f" GROUP BY {sel_groups}" if group_names else "")
         )
@@ -1948,15 +2091,7 @@ class CachedSparkSession:
         # by the output expressions — same layout _arrow_result expects,
         # with the fresh-row counter as the (dropped) last column
         fin_items = [q(n) for n in state_cols]
-        for i, name in enumerate(out_names):
-            if name in fin_raw:
-                fin_items.append(f"{sql_of(fin_raw[name])} AS {q('__fin%d' % i)}")
-            else:
-                fin_items.append(f"{q(name)} AS {q('__fin%d' % i)}")
-        for nm in extra_names:
-            fin_items.append(f"{q(nm)} AS {q('__ord_' + nm)}")
-        if spec.having is not None:
-            fin_items.append(f"{sql_of(fin_raw['__qc_having'])} AS {q('__fin_hv')}")
+        fin_items.extend(core["fin_exprs"])
         fin_items.append(q("__qc_fresh"))
         sql = f"SELECT {', '.join(fin_items)} FROM ({m_sql}) __qc_m"
 
@@ -1969,10 +2104,11 @@ class CachedSparkSession:
         return {
             "sql": sql,
             "view": view,
-            "out_names": out_names,
-            "order_names": order_names,
-            "extra_names": extra_names,
+            "out_names": core["out_names"],
+            "order_names": core["order_names"],
+            "extra_names": core["extra_names"],
         }
+
 
     def _run_warm_template(
         self,
@@ -1993,8 +2129,10 @@ class CachedSparkSession:
 
         try:
             cached_state.createOrReplaceTempView(tpl["view"])
+            aligned = wm_ns % 1000 == 0 and now_ns % 1000 == 0
             sql = (
                 tpl["sql"]
+                .replace("__QC_NSG__", "true" if aligned else "false")
                 .replace("__QC_WM_NS__", str(wm_ns))
                 .replace("__QC_NOW_NS__", str(now_ns))
             )
@@ -2049,6 +2187,408 @@ class CachedSparkSession:
                 entry.put(now_ns, st_df, self.spark)
         return self._arrow_result(
             tbl, aug_fields, base_idx, spec,
+            tpl["out_names"], tpl["extra_names"], tpl["order_names"],
+        )
+
+    # -- dynamic-bound SQL-template warm path --------------------------------
+
+    @staticmethod
+    def _time_conds(
+        q,
+        ts_col: str,
+        shadow_ok: bool,
+        ts_is_ts: bool,
+        part_col: Optional[str],
+        p: str,
+    ) -> List[str]:
+        """Window conditions ``[lo, hi)`` with ``p``-prefixed placeholder
+        tokens: exact on the epoch-ns shadow when present (plus redundant
+        PUSHABLE µs bounds on the timestamp itself — floored lower, ceiled
+        upper, so the superset never drops an admitted row), µs bounds
+        otherwise, plus partition-column date bounds. The token twin of
+        ``_push_time_bounds``."""
+        conds = []
+        if shadow_ok:
+            shadow = q(f"{ts_col}_ns")
+            if ts_is_ts:
+                # µs-aligned bounds make the pushable µs comparisons exact;
+                # the guard token then folds the per-row ns conds away
+                # (see the static template's __QC_NSG__ note)
+                conds.append(
+                    f"(__QC_{p}NSG__ OR ({shadow} >= __QC_{p}LO_NS__ "
+                    f"AND {shadow} < __QC_{p}HI_NS__))"
+                )
+                conds.append(f"{q(ts_col)} >= timestamp_micros(__QC_{p}LO_USF__)")
+                conds.append(f"{q(ts_col)} < timestamp_micros(__QC_{p}HI_USC__)")
+            else:
+                conds.append(f"{shadow} >= __QC_{p}LO_NS__")
+                conds.append(f"{shadow} < __QC_{p}HI_NS__")
+        else:
+            conds.append(f"{q(ts_col)} >= timestamp_micros(__QC_{p}LO_USC__)")
+            conds.append(f"{q(ts_col)} < timestamp_micros(__QC_{p}HI_USC__)")
+        if part_col:
+            conds.append(f"{q(part_col)} >= DATE'__QC_{p}LO_D__'")
+            conds.append(f"{q(part_col)} <= DATE'__QC_{p}HI_D__'")
+        return conds
+
+    @staticmethod
+    def _sub_time_tokens(sql: str, p: str, lo_ns: int, hi_ns: int) -> str:
+        import datetime as _dt
+
+        aligned = lo_ns % 1000 == 0 and hi_ns % 1000 == 0
+        sql = sql.replace(f"__QC_{p}NSG__", "true" if aligned else "false")
+        sql = sql.replace(f"__QC_{p}LO_NS__", str(lo_ns))
+        sql = sql.replace(f"__QC_{p}HI_NS__", str(hi_ns))
+        sql = sql.replace(f"__QC_{p}LO_USF__", str(lo_ns // 1000))
+        sql = sql.replace(f"__QC_{p}LO_USC__", str(-(-lo_ns // 1000)))
+        sql = sql.replace(f"__QC_{p}HI_USC__", str(-(-hi_ns // 1000)))
+        if f"__QC_{p}LO_D__" in sql:
+            epoch = _dt.datetime(1970, 1, 1)
+            lo_d = (epoch + _dt.timedelta(microseconds=lo_ns // 1000)).date()
+            hi_d = (epoch + _dt.timedelta(microseconds=hi_ns // 1000)).date()
+            sql = sql.replace(f"__QC_{p}LO_D__", lo_d.isoformat())
+            sql = sql.replace(f"__QC_{p}HI_D__", hi_d.isoformat())
+        return sql
+
+    def _dyn_warm_template(
+        self,
+        pkey,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+        bucket_name: str,
+        bucket_gran: str,
+        dyn_op: str,
+    ) -> Optional[dict]:
+        """Memoized one-SQL template for the dynamic-bound refresh."""
+        key = ("dyn", pkey[0], pkey[1], state_schema.simpleString())
+        if key in self._tpl_cache:
+            return self._tpl_cache[key]
+        tpl = None
+        try:
+            tpl = self._build_dyn_warm_template(
+                fingerprint, spec, plans, state_group, group_names, state_cols,
+                partial_aggs, merge_aggs, pred, ts_col, shadow_ok, part_col,
+                state_schema, tables, bucket_name, bucket_gran, dyn_op,
+            )
+        except Exception as e:
+            self.config.log.info(
+                fingerprint,
+                f"dyn sql-template not available ({e}); using classic plan",
+            )
+            tpl = None
+        if tpl is not None:
+            tpl["key"] = key
+        self._tpl_cache[key] = tpl
+        return tpl
+
+    def _build_dyn_warm_template(
+        self,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+        bucket_name: str,
+        bucket_gran: str,
+        dyn_op: str,
+    ) -> Optional[dict]:
+        """One-SQL / one-shuffle dynamic-bound refresh program.
+
+        The classic dynamic warm path ran several driver-sequenced jobs per
+        refresh (fresh-tail merge, state store, boundary recompute, final
+        re-aggregate) — slower than a plain rescan at every recorded scale.
+        This template computes BOTH the refreshed state (for the store-back)
+        and the finished query result in ONE aggregate via a destination
+        tag:
+
+        * every input row is routed to ``dest=0`` (state maintenance, at
+          bucket granularity) and/or ``dest=1`` (the query result, at the
+          QUERY's granularity) — rows above the boundary bucket explode to
+          both, boundary-bucket recompute rows go only to the result;
+        * for result rows the synthetic bucket key is nulled out, so ONE
+          ``GROUP BY dest, <state groups>`` aggregates each destination at
+          its own granularity (merge associativity: re-aggregating merged
+          full buckets ≡ merging their raw parts);
+        * the whole program is one Spark job — one fresh-tail scan
+          ``[wm, now)``, one boundary-bucket scan ``[lower, bucket_end)``
+          (both reach parquet ``PushedFilters``), one tiny state-file scan,
+          ONE shuffle — against plain's full-window rescan.
+
+        ``bucket_end`` comes from a session-tz ``date_trunc + INTERVAL``,
+        so the boundary scan needs no DST slack; bound and boundary
+        literals bind as epoch-µs ``timestamp_micros`` tokens, so
+        session-timezone string reinterpretation can't shift them. The
+        driver splits the collected Arrow table on the kind column: kind=0
+        rows feed ``put_arrow`` (no second scan), kind=1 rows finish as
+        the LocalRelation result.
+        """
+        import hashlib
+
+        core = self._tpl_core(
+            spec, plans, state_group, group_names, state_cols, partial_aggs,
+            merge_aggs, pred, ts_col, state_schema, tables,
+        )
+        if core is None:
+            return None
+        q = core["q"]
+        g_sql = core["g_sql"]
+        if bucket_name not in g_sql:
+            return None  # no bucket column in state: not a dyn state shape
+
+        rg = [g.name for g in spec.group_by]
+        bucket_dt = core["dtypes"][bucket_name].simpleString()
+        # the bound, its bucket, and the bucket end are all EXPRESSIONS over
+        # the pinned-now rhs (token __QC_RHS__, rendered per call): Catalyst
+        # constant-folds them to literals before pushdown/pruning, so no
+        # driver-side evaluation job runs per refresh
+        rhs = "__QC_RHS__"
+        low_ts = f"CAST({rhs} AS TIMESTAMP)"
+        bnd_trunc = f"date_trunc('{bucket_gran}', {rhs})"
+        bnd_lit = f"CAST({bnd_trunc} AS {bucket_dt})"
+        null_bucket = bucket_name not in rg  # synthetic bucket: result drops it
+        dest = q("__qc_dest")
+        isf = q("__qc_isfresh")
+        view = f"__qc_state_{hashlib.md5(fingerprint.encode()).hexdigest()[:12]}"
+
+        def dest_arr(bucket_expr: str) -> str:
+            """Explode source: state-maintenance always; the result too for
+            rows strictly above the boundary bucket (boundary-bucket rows
+            reach the result via the exact recompute branch instead)."""
+            return (
+                f"LATERAL VIEW explode(CASE WHEN {bucket_expr} > {bnd_lit} "
+                f"THEN array(0, 1) ELSE array(0) END) __qc_x AS {q('__qc_dest')}"
+            )
+
+        def bucket_out(bucket_expr: str, const_dest1: bool) -> str:
+            if not null_bucket:
+                return bucket_expr
+            if const_dest1:
+                return f"CAST(NULL AS {bucket_dt})"
+            return (
+                f"CASE WHEN {dest} = 1 THEN CAST(NULL AS {bucket_dt}) "
+                f"ELSE {bucket_expr} END"
+            )
+
+        # state rows: one tiny scan, exploded to their destination set
+        st_items = []
+        for n in state_cols:
+            if n == bucket_name:
+                st_items.append(f"{bucket_out(q(n), False)} AS {q(n)}")
+            else:
+                st_items.append(q(n))
+        state_branch = (
+            f"SELECT {', '.join(st_items)}, {dest}, 0 AS {isf} "
+            f"FROM {q(view)} {dest_arr(q(bucket_name))}"
+        )
+
+        # fresh tail [wm, now) (prefix F tokens): one scan, exploded
+        f_conds = ([core["pred_sql"]] if core["pred_sql"] else []) + (
+            self._time_conds(q, ts_col, shadow_ok, core["ts_is_ts"], part_col, "F")
+        )
+        fresh_where = " AND ".join(f_conds)
+
+        def scan_items(const_dest1: bool) -> List[str]:
+            out = []
+            for s, n in zip(core["items"], state_cols):
+                if n == bucket_name:
+                    out.append(
+                        f"{bucket_out(g_sql[n], const_dest1)} AS {q(n)}"
+                    )
+                else:
+                    out.append(s)
+            return out
+
+        if core["use_singleton"]:
+            fresh_branch = (
+                f"SELECT {', '.join(scan_items(False))}, {dest}, "
+                f"CASE WHEN {dest} = 0 THEN 1 ELSE 0 END AS {isf} "
+                f"FROM {core['from_sql']} {dest_arr(g_sql[bucket_name])} "
+                f"WHERE {fresh_where}"
+            )
+        else:
+            gb = [f"{bucket_out(g_sql[n], False)}" if n == bucket_name
+                  else g_sql[n] for n in group_names]
+            fresh_branch = (
+                f"SELECT {', '.join(scan_items(False))}, {dest}, "
+                f"sum(CASE WHEN {dest} = 0 THEN 1 ELSE 0 END) AS {isf} "
+                f"FROM {core['from_sql']} {dest_arr(g_sql[bucket_name])} "
+                f"WHERE {fresh_where}"
+                f" GROUP BY {dest}, {', '.join(gb)}"
+            )
+
+        # boundary bucket recompute: exact [lower, min(now, bucket_end))
+        # scan + the dynamic comparison + the bucket equality on the SAME
+        # expression the state bucket was built from; result-only. The
+        # bucket end comes from a session-tz ``date_trunc + INTERVAL``
+        # (DST/calendar exact — no slack widening); all bounds fold to
+        # literals, so they reach parquet PushedFilters.
+        op = ">" if dyn_op == ">" else ">="
+        iv = self._BUCKET_INTERVAL.get(bucket_gran.lower())
+        if iv is not None:
+            bend_us = f"unix_micros(CAST({bnd_trunc} + {iv} AS TIMESTAMP))"
+            bhi_ns = f"least(CAST(__QC_FHI_NS__ AS BIGINT), {bend_us} * 1000)"
+            bhi_us = f"least(CAST(__QC_FHI_USC__ AS BIGINT), {bend_us})"
+        else:
+            bhi_ns = "__QC_FHI_NS__"
+            bhi_us = "__QC_FHI_USC__"
+        b_time = []
+        if shadow_ok:
+            shadow = q(f"{ts_col}_ns")
+            if core["ts_is_ts"]:
+                # the lower ns bound (unix_micros * 1000) is µs-aligned by
+                # construction; the upper is aligned whenever now is, so
+                # the F-window guard token also erases these ns conds
+                b_time.append(
+                    f"(__QC_FNSG__ OR ({shadow} >= unix_micros({low_ts}) "
+                    f"* 1000 AND {shadow} < {bhi_ns}))"
+                )
+                b_time.append(f"{q(ts_col)} >= {low_ts}")
+                b_time.append(f"{q(ts_col)} < timestamp_micros({bhi_us})")
+            else:
+                b_time.append(f"{shadow} >= unix_micros({low_ts}) * 1000")
+                b_time.append(f"{shadow} < {bhi_ns}")
+        else:
+            b_time.append(f"{q(ts_col)} >= {low_ts}")
+            b_time.append(f"{q(ts_col)} < timestamp_micros({bhi_us})")
+        if part_col:
+            b_time.append(f"{q(part_col)} >= CAST({low_ts} AS DATE)")
+            b_time.append(
+                f"{q(part_col)} <= CAST(timestamp_micros({bhi_us}) AS DATE)"
+            )
+        b_conds = ([core["pred_sql"]] if core["pred_sql"] else []) + b_time + [
+            f"{q(ts_col)} {op} {rhs}",
+            f"{g_sql[bucket_name]} = {bnd_lit}",
+        ]
+        bnd_where = " AND ".join(b_conds)
+        if core["use_singleton"]:
+            bnd_branch = (
+                f"SELECT {', '.join(scan_items(True))}, 1 AS {dest}, "
+                f"0 AS {isf} FROM {core['from_sql']} WHERE {bnd_where}"
+            )
+        else:
+            gb = [
+                g_sql[n] for n in group_names
+                if not (n == bucket_name and null_bucket)
+            ]
+            bnd_branch = (
+                f"SELECT {', '.join(scan_items(True))}, 1 AS {dest}, "
+                f"0 AS {isf} FROM {core['from_sql']} WHERE {bnd_where}"
+                + (f" GROUP BY {', '.join(gb)}" if gb else "")
+            )
+
+        # ONE aggregate over the tagged union: dest=0 groups merge at state
+        # (bucket) granularity, dest=1 groups at the query's granularity
+        union_sql = (
+            f"{state_branch} UNION ALL {fresh_branch} UNION ALL {bnd_branch}"
+        )
+        m_sql = (
+            f"SELECT {dest}, {core['sel_groups']}, "
+            f"{', '.join(core['merge_items'])}, "
+            f"sum({isf}) AS {q('__qc_fresh')} "
+            f"FROM ({union_sql}) __qc_u "
+            f"GROUP BY {dest}, {core['sel_groups']}"
+        )
+
+        # finalize: state columns ride through (kind=0 rows feed the
+        # store-back; their fin columns are computed but ignored), fins
+        # finish kind=1 rows — the layout _run_dyn_warm_template splits
+        fin_items = [q(n) for n in state_cols]
+        fin_items.extend(core["fin_exprs"])
+        fin_items.append(q("__qc_fresh"))
+        fin_items.append(f"{dest} AS {q('__qc_kind')}")
+        sql = f"SELECT {', '.join(fin_items)} FROM ({m_sql}) __qc_m"
+
+        if "lambdafunction(" in sql:
+            return None  # same non-parseable-render guard as the static path
+
+        return {
+            "sql": sql,
+            "view": view,
+            "out_names": core["out_names"],
+            "order_names": core["order_names"],
+            "extra_names": core["extra_names"],
+        }
+
+    def _run_dyn_warm_template(
+        self,
+        tpl: dict,
+        entry,
+        cached_state: DataFrame,
+        wm_ns: int,
+        now_ns: int,
+        dyn_rhs,
+        decision: Decision,
+        spec: AggSpec,
+        state_cols: List[str],
+    ) -> Optional[DataFrame]:
+        """Execute the templated dynamic refresh: one Spark job, one Arrow
+        collect, driver-side split into store-back state and result. The
+        bound never evaluates on the driver — the pinned rhs is rendered
+        into the SQL and Catalyst constant-folds it."""
+        from pyspark.sql.types import StructType
+
+        try:
+            rhs_sql = f"({self._sql_of(to_column(self._pin_now(dyn_rhs, now_ns)))})"
+            # the rendered pinned bound (classic paths carry the evaluated
+            # value; evaluating here would cost a driver-local Spark job)
+            decision.dynamic_lower = rhs_sql
+            cached_state.createOrReplaceTempView(tpl["view"])
+            sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
+            sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
+            df = self.spark.sql(sql)
+            self.last_refresh_df = df
+            aug_fields = list(df.schema.fields)
+            tbl = df.toArrow()  # the ONE job over the data
+        except Exception as e:
+            self._tpl_cache[tpl["key"]] = None
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"dyn sql-template warm path failed ({e}); falling back",
+            )
+            return None
+
+        import pyarrow.compute as pc
+
+        kind = tbl.column(tbl.num_columns - 1)
+        state_tbl = tbl.filter(pc.equal(kind, 0))
+        res_tbl = tbl.filter(pc.equal(kind, 1))
+        fresh = pc.sum(state_tbl.column(tbl.num_columns - 2)).as_py()
+        decision.fresh_rows_value = int(fresh or 0)
+        base_idx = len(state_cols)
+        res_tbl = res_tbl.remove_column(res_tbl.num_columns - 1)
+        res_tbl = res_tbl.remove_column(res_tbl.num_columns - 1)
+        aug_res_fields = aug_fields[:-2]
+        if decision.fresh_rows_value == 0 and entry.advance_watermark(now_ns):
+            pass  # merged state ≡ stored state: watermark swap only
+        else:
+            state_schema = StructType([f for f in aug_fields[:base_idx]])
+            state_part = state_tbl.select(list(range(base_idx)))
+            if not entry.put_arrow(now_ns, state_part, state_schema):
+                st_df = self.spark.createDataFrame(state_part, schema=state_schema)
+                entry.put(now_ns, st_df, self.spark)
+        return self._arrow_result(
+            res_tbl, aug_res_fields, base_idx, spec,
             tpl["out_names"], tpl["extra_names"], tpl["order_names"],
         )
 
