@@ -506,11 +506,14 @@ def main() -> None:
 
     # dynamic sliding window at x1000: the dyn path's crossover. Warm reads
     # full buckets from state, recomputes only the boundary bucket (one
-    # pruned date partition) and scans the fresh tail; plain re-scans the
-    # whole window every run (its ts predicate cannot prune the d layout).
+    # pruned date partition) and scans the fresh tail in ONE OR-range scan;
+    # plain re-scans the whole window every run. A 25-day window (~25
+    # buckets of the 30 days of data) makes the gap structural: plain's
+    # scan grows with the window, warm's refresh stays O(fresh tail +
+    # boundary bucket) no matter how wide the window gets.
     DYN_XK_SQL = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "
-        "FROM events_x1000 WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
+        "FROM events_x1000 WHERE ts > now() - INTERVAL 25 DAY GROUP BY 1"
     )
     qzd = CachedSparkSession(
         spark,
@@ -524,7 +527,7 @@ def main() -> None:
     qzd.sql(DYN_XK_SQL).collect()
     timed_warm("qc_dyn_x1000_warm", qzd, DYN_XK_SQL, [hi_ns - DAY_NS, hi_ns + 1])
     lo_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
-        microseconds=(hi_ns + 1 - 10 * DAY_NS) // 1000
+        microseconds=(hi_ns + 1 - 25 * DAY_NS) // 1000
     )
     DYN_XK_PLAIN = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "

@@ -43,20 +43,48 @@ from pyspark.sql import DataFrame, SparkSession
 #: naming contract (``__qc{i}_{kind}``).
 _HIST_COL_RE = re.compile(r"^__qc\d+_hist$")
 
+#: exact count(DISTINCT) set-state columns (``functions/partial.py`` names
+#: them ``__qc{i}_dset``) — capped at store time by ``_check_set_*`` below
+_DSET_COL_RE = re.compile(r"^__qc\d+_dset$")
 
-class HistogramCardinalityExceeded(RuntimeError):
-    """A percentile/median RLE-histogram cell holds more distinct values than
-    ``config.percentile_max_distinct`` — storing it would bloat cache state
-    (it is O(distinct values) per group). The session catches this, marks the
-    fingerprint uncacheable, and passes the query through."""
 
-    def __init__(self, fingerprint: str, distinct: int):
+class StateCardinalityExceeded(RuntimeError):
+    """A per-group state cell grew past its configured cardinality cap —
+    storing it would bloat cache state (it is O(distinct values) per
+    group). The session catches this, marks the fingerprint uncacheable,
+    and passes the query through."""
+
+    def __init__(self, fingerprint: str, distinct: int, what: str, knob: str):
         super().__init__(
-            f"histogram state for {fingerprint[:80]}... has {distinct} distinct "
-            "values per group (> percentile_max_distinct)"
+            f"{what} state for {fingerprint[:80]}... has {distinct} distinct "
+            f"values per group (> {knob})"
         )
         self.fingerprint = fingerprint
         self.distinct = distinct
+
+
+class HistogramCardinalityExceeded(StateCardinalityExceeded):
+    """Exact median/percentile RLE-histogram cell over
+    ``config.percentile_max_distinct``."""
+
+    def __init__(self, fingerprint: str, distinct: int):
+        super().__init__(
+            fingerprint, distinct, "histogram", "percentile_max_distinct"
+        )
+
+
+class SetCardinalityExceeded(StateCardinalityExceeded):
+    """Exact ``count(DISTINCT x)`` set-state cell over
+    ``config.distinct_max_values`` — a high-cardinality column would
+    otherwise silently materialize its full distinct set per group into
+    cached state (r4/r5 ADVICE). Callers degrade to passthrough;
+    ``approx_count_distinct`` (constant-size HLL state) stays cacheable at
+    any cardinality."""
+
+    def __init__(self, fingerprint: str, distinct: int):
+        super().__init__(
+            fingerprint, distinct, "count(DISTINCT) set", "distinct_max_values"
+        )
 
 
 def _compact_hist_cell(cell, cap: Optional[int] = None, fp: str = ""):
@@ -101,6 +129,32 @@ def _compact_hist_pdf(pdf, cap: Optional[int] = None, fp: str = ""):
     return pdf
 
 
+def _check_set_pdf(pdf, cap: Optional[int] = None, fp: str = ""):
+    """Enforce the count(DISTINCT) set-state cardinality cap on a pandas
+    state frame (cells are already-distinct arrays; a length check is the
+    whole enforcement — no compaction can shrink an exact distinct set)."""
+    if cap is not None:
+        for name in pdf.columns:
+            if _DSET_COL_RE.match(name):
+                for c in pdf[name]:
+                    if c is not None and len(c) > cap:
+                        raise SetCardinalityExceeded(fp, len(c))
+    return pdf
+
+
+def _check_set_arrow(tbl, cap: Optional[int] = None, fp: str = ""):
+    """Arrow twin of :func:`_check_set_pdf` (vectorized length max)."""
+    if cap is not None:
+        import pyarrow.compute as pc
+
+        for i, name in enumerate(tbl.schema.names):
+            if _DSET_COL_RE.match(name):
+                mx = pc.max(pc.list_value_length(tbl.column(i))).as_py()
+                if mx is not None and int(mx) > cap:
+                    raise SetCardinalityExceeded(fp, int(mx))
+    return tbl
+
+
 class CacheEntry(ABC):
     """One fingerprint's slot. ``occupied`` ⇔ reference's Occupied variant."""
 
@@ -111,6 +165,12 @@ class CacheEntry(ABC):
     #: the >500k-row distributed spill path skips the check — at that point
     #: the row cap, not per-cell cardinality, is the operative bound.
     hist_cap: Optional[int] = None
+
+    #: Set by the session when the query carries exact count(DISTINCT) set
+    #: state: max distinct values per group before the store raises
+    #: :class:`SetCardinalityExceeded`. Same enforcement surface and
+    #: distributed-path caveat as ``hist_cap``.
+    set_cap: Optional[int] = None
 
     @property
     @abstractmethod
@@ -253,7 +313,10 @@ class _MemoryEntry(CacheEntry):
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         schema = state.schema
-        pdf = _compact_hist_pdf(state.toPandas(), self.hist_cap, self._fp)
+        pdf = _check_set_pdf(
+            _compact_hist_pdf(state.toPandas(), self.hist_cap, self._fp),
+            self.set_cap, self._fp,
+        )
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, schema)
         return spark.createDataFrame(pdf, schema=schema)
@@ -274,8 +337,11 @@ class _MemoryEntry(CacheEntry):
                 _wm, pdf, schema = self._cache._store[self._fp]
                 self._cache._store[self._fp] = (watermark_ns, pdf, schema)
             return tbl
-        pdf = _compact_hist_pdf(
-            tbl.select(list(state_cols)).to_pandas(), self.hist_cap, self._fp
+        pdf = _check_set_pdf(
+            _compact_hist_pdf(
+                tbl.select(list(state_cols)).to_pandas(), self.hist_cap, self._fp
+            ),
+            self.set_cap, self._fp,
         )
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
@@ -306,7 +372,10 @@ class _MemoryEntry(CacheEntry):
         return len(self._cache._store[self._fp][1])
 
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
-        pdf = _compact_hist_pdf(state_tbl.to_pandas(), self.hist_cap, self._fp)
+        pdf = _check_set_pdf(
+            _compact_hist_pdf(state_tbl.to_pandas(), self.hist_cap, self._fp),
+            self.set_cap, self._fp,
+        )
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
         return True
@@ -457,6 +526,16 @@ class _ParquetEntry(CacheEntry):
             return None
         return self.get(spark)
 
+    def state_parquet_paths(self) -> Optional[List[str]]:
+        """Absolute parquet dirs holding the current state (None when
+        vacant). Lets the templated refresh inline ``parquet.`path``` in
+        its SQL instead of re-registering a temp view every refresh — the
+        state dir changes on every store-back swap, so a view would need
+        replacing each time anyway."""
+        if self._meta is None:
+            return None
+        return self._state_paths()
+
     def get_arrow(self):
         if self._meta is None:
             return None
@@ -501,7 +580,10 @@ class _ParquetEntry(CacheEntry):
             try:
                 import pyarrow.parquet as pq
 
-                tbl = _compact_hist_arrow(state.toArrow(), self.hist_cap, self._fp)
+                tbl = _check_set_arrow(
+                    _compact_hist_arrow(state.toArrow(), self.hist_cap, self._fp),
+                    self.set_cap, self._fp,
+                )
                 n_rows = tbl.num_rows
                 if n_rows <= self.DRIVER_COLLECT_MAX_ROWS:
                     os.makedirs(path, exist_ok=True)
@@ -578,7 +660,12 @@ class _ParquetEntry(CacheEntry):
         path = os.path.join(self._dir, txid)
         os.makedirs(path, exist_ok=True)
         pq.write_table(
-            _compact_hist_arrow(tbl.select(list(state_cols)), self.hist_cap, self._fp),
+            _check_set_arrow(
+                _compact_hist_arrow(
+                    tbl.select(list(state_cols)), self.hist_cap, self._fp
+                ),
+                self.set_cap, self._fp,
+            ),
             os.path.join(path, "part-0.parquet"),
         )
         self._swap_meta(watermark_ns, txid, state_schema.json(), tbl.num_rows)
@@ -591,7 +678,10 @@ class _ParquetEntry(CacheEntry):
         txid = f"state-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
         os.makedirs(path, exist_ok=True)
-        state_tbl = _compact_hist_arrow(state_tbl, self.hist_cap, self._fp)
+        state_tbl = _check_set_arrow(
+            _compact_hist_arrow(state_tbl, self.hist_cap, self._fp),
+            self.set_cap, self._fp,
+        )
         pq.write_table(state_tbl, os.path.join(path, "part-0.parquet"))
         self._swap_meta(watermark_ns, txid, state_schema.json(), state_tbl.num_rows)
         return True

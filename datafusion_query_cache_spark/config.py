@@ -88,6 +88,14 @@ class QueryCacheConfig:
     #: query (passthrough) rather than store a runaway state. ``None`` =
     #: unlimited.
     percentile_max_distinct: Optional[int] = 100_000
+    #: Distinct-value cap per group for the exact ``count(DISTINCT x)``
+    #: set state (``functions/partial.py``): the state materializes each
+    #: group's full distinct set, so a high-cardinality column (user ids,
+    #: event ids) would grow it without bound. Past the cap at store time
+    #: the engine refuses to cache the query (passthrough) rather than
+    #: store a runaway state — ``approx_count_distinct`` (constant-size
+    #: HLL state) is the scale path. ``None`` = unlimited.
+    distinct_max_values: Optional[int] = 1_000_000
     log: AbstractLog = field(default_factory=LogNoOp)
 
     @property

@@ -78,6 +78,9 @@ class Decomposition:
     #: time (kept uncompacted through partial/merge, like Spark's own
     #: exact-percentile buffer)
     histogram_states: List[str] = field(default_factory=list)
+    #: state columns holding an exact count(DISTINCT) value set — capped at
+    #: store time by config.distinct_max_values (cache._check_set_*)
+    set_states: List[str] = field(default_factory=list)
 
 
 class NotDecomposable(Exception):
@@ -240,6 +243,7 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
                 F.array_size(F.col(nm)), F.lit(0)
             ).cast("long"),
             singleton={nm: F.filter(F.array(a), lambda x: x.isNotNull())},
+            set_states=[nm],
         )
 
     if fn == "count":
@@ -595,6 +599,8 @@ class ItemPlan:
     singleton: Optional[Dict[str, Column]] = field(default_factory=dict)
     #: histogram-typed state columns needing store-time compaction
     histogram_states: List[str] = field(default_factory=list)
+    #: count(DISTINCT) set-state columns, capped at store time
+    set_states: List[str] = field(default_factory=list)
 
 
 def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
@@ -689,6 +695,7 @@ def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
                 plan.partial.update(dec.partial)
                 plan.merge.update(dec.merge)
                 plan.histogram_states.extend(dec.histogram_states)
+                plan.set_states.extend(dec.set_states)
                 if dec.singleton is None:
                     plan.singleton = None
                 elif plan.singleton is not None:

@@ -20,10 +20,37 @@ Scale notes (the design target is ~100 TB of documents on a real cluster):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: per-pipeline persisted frames, released generationally (see
+#: :func:`_persist_generational`)
+_PERSISTED: Dict[str, List[DataFrame]] = {}
+
+
+def _persist_generational(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing whatever the PREVIOUS call under ``key``
+    persisted.
+
+    The batch pipelines return LAZY results, so their intermediate frames
+    (signatures, candidate sets) cannot unpersist inside the call — the
+    caller hasn't materialized anything yet. Without release, a
+    long-running driver that re-runs a pipeline per trigger (a streaming
+    maintainer's foreachBatch, a standing dashboard) accumulates cached
+    blocks forever: Spark's CacheManager pins DataFrame-persisted blocks
+    until an explicit unpersist. Generational release bounds the pinned
+    set at ONE batch's worth per pipeline. Unpersisting is always safe —
+    a consumer still holding the previous batch's result just recomputes
+    its lineage."""
+    for old in _PERSISTED.pop(key, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session torn down / already released
+    _PERSISTED[key] = [df.persist()]
+    return df
 
 
 def _shingles(text: Column, k: int) -> Column:
@@ -141,7 +168,10 @@ def minhash_lsh_pairs(
     # shingle→hash→min pipeline recomputes per reference. At cluster scale
     # this is ~0.5 KB/doc — MEMORY_AND_DISK, or swap for a parquet
     # checkpoint when the corpus is huge.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = _persist_generational(
+        "minhash_sigs",
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k),
+    )
 
     banded = sigs.select(
         F.col(id_col),
@@ -321,7 +351,8 @@ def minhash_dedup_pairs(
         bands,
         threshold=max(0.0, threshold - est_slack),
         max_bucket=max_bucket,
-    ).persist()
+    )
+    cand = _persist_generational("minhash_cand", cand)
     return verify_pairs(
         df, cand.select("id_a", "id_b"), text_col, id_col, shingle_k, threshold
     )
@@ -341,9 +372,13 @@ def simhash_dedup_pairs(
     :func:`minhash_dedup_pairs`). ``max_hamming=9`` holds candidate recall
     1.0 for J ≥ 0.8 pairs on the fixtures (ham ≤ 7 suffices; 9 is margin)
     while candidates stay ~10⁻³ of all pairs."""
-    cand = simhash_pairs(
-        df, text_col, id_col, max_hamming=max_hamming, shingle_k=sim_shingle_k
-    ).persist()
+    cand = _persist_generational(
+        "simhash_cand",
+        simhash_pairs(
+            df, text_col, id_col, max_hamming=max_hamming,
+            shingle_k=sim_shingle_k,
+        ),
+    )
     return verify_pairs(
         df, cand.select("id_a", "id_b"), text_col, id_col, shingle_k, threshold
     )
@@ -417,7 +452,9 @@ def simhash_pairs(
     nbands = max_hamming + 1
     width = bits // nbands
     # persist: referenced by both sides of the band self-join below
-    fps = simhash(df, text_col, id_col, bits, shingle_k).persist()
+    fps = _persist_generational(
+        "simhash_fps", simhash(df, text_col, id_col, bits, shingle_k)
+    )
     banded = fps.select(
         F.col(id_col),
         F.col("simhash"),

@@ -206,17 +206,24 @@ class MinHashIndex:
         return got
 
     #: the driver (arrow) ingest tier handles batches/indexes up to these
-    #: sizes: signatures+band hashes still come from ONE Spark job (so the
+    #: BYTE sizes (``docs × num_hashes × 8`` — the signature matrix is
+    #: what the driver actually materializes, so the gate is dimensioned
+    #: in bytes, not a row count that's blind to signature width):
+    #: signatures+band hashes still come from ONE Spark job (so the
     #: hashes are bit-identical to the distributed path), but candidate
     #: generation, the estimate pre-filter, exact verification, and part
     #: writes run driver-side over the collected state — an ingest is ~3
     #: small Spark jobs instead of 5 jobs + 4 write commits. Past either
     #: cap the fully distributed path runs instead (identical semantics —
     #: the invariant tests exercise both). Same tiering pattern as
-    #: _ParquetEntry.put's DRIVER_COLLECT_MAX_ROWS.
-    DRIVER_INGEST_MAX_DOCS = 100_000
-    DRIVER_INDEX_MAX_DOCS = 2_000_000
+    #: _ParquetEntry.put's DRIVER_COLLECT_MAX_ROWS. At the default 64
+    #: hashes the budgets admit ~100k-doc ingests / ~2M-doc indexes.
+    DRIVER_INGEST_MAX_BYTES = 48 << 20
+    DRIVER_INDEX_MAX_BYTES = 1 << 30
     COMPACT_AT = 16
+
+    def _sig_bytes(self, docs: int) -> int:
+        return docs * self.num_hashes * 8
 
     def update(self, corpus: DataFrame) -> DataFrame:
         """Ingest every corpus row with ``id > watermark``; return the full
@@ -242,10 +249,11 @@ class MinHashIndex:
         migrate = self._meta is not None and not meta.get("band_parts")
         n_idx = meta.get("n_docs")
         small = self._meta is None or (
-            n_idx is not None and n_idx <= self.DRIVER_INDEX_MAX_DOCS
+            n_idx is not None
+            and self._sig_bytes(n_idx) <= self.DRIVER_INDEX_MAX_BYTES
         )
         if (
-            n_new <= self.DRIVER_INGEST_MAX_DOCS
+            self._sig_bytes(n_new) <= self.DRIVER_INGEST_MAX_BYTES
             and small
             and not compact
             and not migrate

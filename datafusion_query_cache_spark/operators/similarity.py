@@ -411,7 +411,7 @@ def cosine_neardup_pairs_banded(
     bands: int = 32,
     rows_per_band: int = 4,
     seed: int = 42,
-    bucket_bcast_max_rows: int = 1_000_000,
+    bucket_bcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Near-duplicate pairs via BANDED hyperplane LSH + exact verification —
     the scale path for ``cosine_neardup_pairs`` (reference-class operator;
@@ -429,9 +429,13 @@ def cosine_neardup_pairs_banded(
     LSH's worst case — candidates ≈ B/2^r of all pairs; on real clustered
     corpora the same config prunes to ~the true-pair neighborhood.)
 
-    Two verification tiers, selected by corpus size:
+    Two verification tiers, selected by the BYTE size of the normalized
+    matrix (``n·dim·8`` vs ``bucket_bcast_max_bytes``, default 256 MB) —
+    a row count alone is blind to dimensionality (1M rows is 0.5 GB at
+    dim 64 but 8 GB at dim 1024, far past what a driver collect +
+    broadcast should carry):
 
-    - ``n ≤ bucket_bcast_max_rows``: BUCKET-LOCAL verification — the
+    - under the byte budget: BUCKET-LOCAL verification — the
       normalized vector matrix is broadcast, and one ``applyInPandas``
       over (band, key) groups computes each bucket's gram block with a
       single BLAS matmul, emitting exact ≥-threshold pairs directly. The
@@ -449,7 +453,7 @@ def cosine_neardup_pairs_banded(
     est_bits = 512
     est_slack = 0.3
     dim = len(df.select(vec_col).first()[0])
-    if df.count() <= bucket_bcast_max_rows:
+    if df.count() * dim * 8 <= bucket_bcast_max_bytes:
         return _neardup_bucket_verify(
             df, threshold, vec_col, id_col, bands, rows_per_band, seed, dim
         )

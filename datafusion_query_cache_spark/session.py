@@ -31,13 +31,14 @@ from __future__ import annotations
 
 import time
 from collections import OrderedDict
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .cache import CacheEntry, HistogramCardinalityExceeded
+from .cache import CacheEntry, StateCardinalityExceeded
 from .config import QueryCacheConfig
 from .functions.compile import to_column
 from .functions.partial import ItemPlan, NotDecomposable, plan_items
@@ -205,6 +206,12 @@ class CachedSparkSession:
         # placeholders, so a standing query pays a single JVM parse instead
         # of ~600 py4j round-trips of DataFrame program rebuilding.
         self._tpl_cache: Dict[tuple, Optional[dict]] = {}
+        # re-entrant scope state for _refresh_confs (see its docstring)
+        import threading as _threading
+
+        self._conf_lock = _threading.Lock()
+        self._conf_depth = 0
+        self._conf_saved: Dict[str, str] = {}
         #: debug/observability: the refresh program of the last cached run
         #: (the augmented state+finalize DataFrame), for plan inspection
         self.last_refresh_df: Optional[DataFrame] = None
@@ -255,10 +262,11 @@ class CachedSparkSession:
             decision = Decision(sql=query, cached=False, reason=str(e))
             self.config.log.info("-", f"not cacheable: {e}")
             df = self.spark.sql(query)
-        except HistogramCardinalityExceeded as e:
-            # exact-percentile state would be O(distinct)/group past the
-            # configured bound: mark the fingerprint and degrade to
-            # passthrough — correct results, no runaway state.
+        except StateCardinalityExceeded as e:
+            # percentile-histogram or count(DISTINCT) set state would be
+            # O(distinct)/group past the configured bound: mark the
+            # fingerprint and degrade to passthrough — correct results, no
+            # runaway state.
             self._hist_denied.add(e.fingerprint)
             decision = Decision(sql=query, cached=False, reason=str(e))
             self.config.log.warn(e.fingerprint, str(e))
@@ -924,6 +932,17 @@ class CachedSparkSession:
                     f"percentile_max_distinct={cfg.percentile_max_distinct}"
                 )
             entry.hist_cap = cfg.percentile_max_distinct
+
+        # exact count(DISTINCT) set-state guard (r4/r5 ADVICE): same
+        # O(distinct)/group growth risk, same store-time cap + session-wide
+        # denial on trip — approx_count_distinct is the unbounded path.
+        if any(getattr(p, "set_states", None) for p in plans):
+            if fingerprint in self._hist_denied:
+                raise Unsupported(
+                    "count(DISTINCT) set state previously exceeded "
+                    f"distinct_max_values={cfg.distinct_max_values}"
+                )
+            entry.set_cap = cfg.distinct_max_values
 
         # group/predicate Columns are pure functions of the query shape —
         # memoize the py4j-built handles alongside the aggregate plans so a
@@ -2110,6 +2129,58 @@ class CachedSparkSession:
         }
 
 
+    def _bind_state_source(self, tpl: dict, entry, cached_state: DataFrame,
+                           sql: str) -> str:
+        """Bind the template's state reference by (re-)registering the temp
+        view over the entry's current state DataFrame.
+
+        Measured alternative: inlining the entry's parquet path as
+        ``parquet.`path``` (``entry.state_parquet_paths()``) skips this
+        registration (~8ms) but pays footer schema-inference during
+        analysis (~60ms/refresh — the state dir changes on every
+        store-back swap, so nothing caches) — strictly worse. The view
+        carries the explicit meta-schema read, so analysis never touches
+        the parquet footer."""
+        cached_state.createOrReplaceTempView(tpl["view"])
+        return sql
+
+    @contextmanager
+    def _refresh_confs(self):
+        """Scope down shuffle width for the one templated-refresh job: its
+        merge shuffle carries O(state-cardinality) rows (the template gate
+        only admits driver-local-small state), so 32+ reduce tasks and
+        AQE's per-stage re-planning rounds are pure scheduling overhead at
+        refresh time. Re-entrant (the streaming maintainer may refresh on
+        another thread): only the outermost scope saves/restores, so a
+        race can't leave the session pinned to the refresh settings."""
+        want = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8",
+        }
+        with self._conf_lock:
+            self._conf_depth += 1
+            if self._conf_depth == 1:
+                saved = {}
+                for k, v in want.items():
+                    try:
+                        saved[k] = self.spark.conf.get(k)
+                        self.spark.conf.set(k, v)
+                    except Exception:
+                        pass
+                self._conf_saved = saved
+        try:
+            yield
+        finally:
+            with self._conf_lock:
+                self._conf_depth -= 1
+                if self._conf_depth == 0:
+                    for k, v in self._conf_saved.items():
+                        try:
+                            self.spark.conf.set(k, v)
+                        except Exception:
+                            pass
+                    self._conf_saved = {}
+
     def _run_warm_template(
         self,
         tpl: dict,
@@ -2128,7 +2199,6 @@ class CachedSparkSession:
         from pyspark.sql.types import StructType
 
         try:
-            cached_state.createOrReplaceTempView(tpl["view"])
             aligned = wm_ns % 1000 == 0 and now_ns % 1000 == 0
             sql = (
                 tpl["sql"]
@@ -2151,10 +2221,12 @@ class CachedSparkSession:
                 hi_d = (epoch + _dt.timedelta(microseconds=now_ns // 1000)).date()
                 sql = sql.replace("__QC_LO_D__", lo_d.isoformat())
                 sql = sql.replace("__QC_HI_D__", hi_d.isoformat())
-            df = self.spark.sql(sql)
-            self.last_refresh_df = df
-            aug_fields = list(df.schema.fields)
-            tbl = df.toArrow()  # the ONE job over the data
+            sql = self._bind_state_source(tpl, entry, cached_state, sql)
+            with self._refresh_confs():
+                df = self.spark.sql(sql)
+                self.last_refresh_df = df
+                aug_fields = list(df.schema.fields)
+                tbl = df.toArrow()  # the ONE job over the data
         except Exception as e:
             # poison this template (wrong render, unregistered function,
             # ...) and fall back to the classic DataFrame program
@@ -2330,10 +2402,12 @@ class CachedSparkSession:
           ``GROUP BY dest, <state groups>`` aggregates each destination at
           its own granularity (merge associativity: re-aggregating merged
           full buckets ≡ merging their raw parts);
-        * the whole program is one Spark job — one fresh-tail scan
-          ``[wm, now)``, one boundary-bucket scan ``[lower, bucket_end)``
-          (both reach parquet ``PushedFilters``), one tiny state-file scan,
-          ONE shuffle — against plain's full-window rescan.
+        * the whole program is one Spark job — ONE fact-table scan whose
+          pushable OR-of-ranges filter covers both the fresh tail
+          ``[wm, now)`` and the boundary bucket ``[lower, bucket_end)``
+          (both ranges reach parquet ``PushedFilters`` / partition
+          pruning), one tiny state-file scan, ONE shuffle — against
+          plain's full-window rescan.
 
         ``bucket_end`` comes from a session-tz ``date_trunc + INTERVAL``,
         so the boundary scan needs no DST slack; bound and boundary
@@ -2402,11 +2476,121 @@ class CachedSparkSession:
             f"FROM {q(view)} {dest_arr(q(bucket_name))}"
         )
 
-        # fresh tail [wm, now) (prefix F tokens): one scan, exploded
-        f_conds = ([core["pred_sql"]] if core["pred_sql"] else []) + (
-            self._time_conds(q, ts_col, shadow_ok, core["ts_is_ts"], part_col, "F")
+        # ---- combined fresh-tail + boundary-bucket scan ---------------------
+        # ONE pass over the fact table replaces the former two scan branches
+        # (fresh tail [wm, now) and boundary-bucket recompute): the WHERE
+        # keeps a PUSHABLE OR-of-ranges conjunct — both ranges reach parquet
+        # row-group stats and partition pruning, so at scale the pruned set
+        # is exactly (fresh-tail partitions) ∪ (boundary-bucket partitions),
+        # the same I/O as two scans — plus the exact row conditions, and
+        # each admitted row explodes to its destination set. Halving the
+        # fact scans also halves the plan size, cutting the per-refresh
+        # optimize/codegen fixed cost that dominated at small scale.
+        op = ">" if dyn_op == ">" else ">="
+        iv = self._BUCKET_INTERVAL.get(bucket_gran.lower())
+        if iv is not None:
+            bend = f"CAST({bnd_trunc} + {iv} AS TIMESTAMP)"
+            if bucket_gran.lower() in ("minute", "hour"):
+                # sub-day buckets: widen the scan cap by 1h so a repeated
+                # DST fall-back hour in a non-UTC session tz cannot drop
+                # rows from the boundary recompute; the bucket-equality
+                # predicate below keeps the result exact either way.
+                # Day-and-coarser buckets get this from date_trunc+INTERVAL
+                # calendar arithmetic directly.
+                bend = f"{bend} + INTERVAL '1' HOUR"
+            bend_us = f"unix_micros({bend})"
+            bhi_ns = f"least(CAST(__QC_FHI_NS__ AS BIGINT), {bend_us} * 1000)"
+            bhi_us = f"least(CAST(__QC_FHI_USC__ AS BIGINT), {bend_us})"
+        else:
+            bhi_ns = "__QC_FHI_NS__"
+            bhi_us = "__QC_FHI_USC__"
+
+        # exact + pushable window conditions for each of the two ranges.
+        # The boundary side folds the dynamic comparison (`ts {op} rhs`)
+        # into its range's lower bound and — for calendar-exact bucket
+        # caps — drops the bucket-equality predicate entirely (the range
+        # [rhs, bucket_end) lies inside the boundary bucket by
+        # construction, so the equality is implied). That leaves the exact
+        # boundary conds ATOM-IDENTICAL to the pushable ones: the
+        # optimizer's distributive rewrite `(A∨B)∧(A∨C) → A∨(B∧C)` then
+        # yields a single all-translatable Or, and the OR-of-ranges
+        # reaches parquet PushedFilters. With an untranslatable leaf in
+        # the exact side (the sub-day slack / unknown-granularity cases
+        # keep the bucket equality), the same rewrite would fuse it into
+        # the Or and silently kill scan pushdown for BOTH ranges.
+        exact_cap = iv is not None and bucket_gran.lower() not in (
+            "minute", "hour",
         )
-        fresh_where = " AND ".join(f_conds)
+        f_exact = self._time_conds(
+            q, ts_col, shadow_ok, core["ts_is_ts"], None, "F"
+        )
+        b_exact: List[str] = []
+        if shadow_ok:
+            shadow = q(f"{ts_col}_ns")
+            if core["ts_is_ts"]:
+                # the lower ns bound (unix_micros * 1000) is µs-aligned by
+                # construction; the upper is aligned whenever now is, so
+                # the F-window guard token also erases these ns conds
+                b_exact.append(
+                    f"(__QC_FNSG__ OR ({shadow} >= unix_micros({low_ts}) "
+                    f"* 1000 AND {shadow} < {bhi_ns}))"
+                )
+                b_exact.append(f"{q(ts_col)} {op} {low_ts}")
+                b_exact.append(f"{q(ts_col)} < timestamp_micros({bhi_us})")
+                push_f = (
+                    f"({q(ts_col)} >= timestamp_micros(__QC_FLO_USF__) "
+                    f"AND {q(ts_col)} < timestamp_micros(__QC_FHI_USC__))"
+                )
+                push_b = (
+                    f"({q(ts_col)} {op} {low_ts} "
+                    f"AND {q(ts_col)} < timestamp_micros({bhi_us}))"
+                )
+            else:
+                b_exact.append(f"{shadow} >= unix_micros({low_ts}) * 1000")
+                b_exact.append(f"{shadow} < {bhi_ns}")
+                b_exact.append(f"{q(ts_col)} {op} {rhs}")
+                push_f = (
+                    f"({shadow} >= __QC_FLO_NS__ AND {shadow} < __QC_FHI_NS__)"
+                )
+                push_b = (
+                    f"({shadow} >= unix_micros({low_ts}) * 1000 "
+                    f"AND {shadow} < {bhi_ns})"
+                )
+        else:
+            b_exact.append(f"{q(ts_col)} {op} {low_ts}")
+            b_exact.append(f"{q(ts_col)} < timestamp_micros({bhi_us})")
+            push_f = (
+                f"({q(ts_col)} >= timestamp_micros(__QC_FLO_USC__) "
+                f"AND {q(ts_col)} < timestamp_micros(__QC_FHI_USC__))"
+            )
+            push_b = (
+                f"({q(ts_col)} {op} {low_ts} "
+                f"AND {q(ts_col)} < timestamp_micros({bhi_us}))"
+            )
+        if not exact_cap:
+            b_exact.append(f"{g_sql[bucket_name]} = {bnd_lit}")
+
+        # inner subquery: pushable range filters + the two exact-range
+        # booleans computed ONCE as columns (the SQL text and the per-row
+        # work would otherwise repeat each range condition three times)
+        in_fresh = "(" + " AND ".join(f_exact) + ")"
+        in_bnd = "(" + " AND ".join(b_exact) + ")"
+        inner_conds = [core["pred_sql"]] if core["pred_sql"] else []
+        inner_conds.append(f"({push_f} OR {push_b})")
+        if part_col:
+            # partition-pruning disjunct: each range's date bounds, OR'd —
+            # all leaves are plain comparisons, so the OR stays prunable
+            inner_conds.append(
+                f"(({q(part_col)} >= DATE'__QC_FLO_D__' AND "
+                f"{q(part_col)} <= DATE'__QC_FHI_D__') OR "
+                f"({q(part_col)} >= CAST({low_ts} AS DATE) AND "
+                f"{q(part_col)} <= CAST(timestamp_micros({bhi_us}) AS DATE)))"
+            )
+        qif, qib = q("__qc_if"), q("__qc_ib")
+        inner_sql = (
+            f"SELECT *, {in_fresh} AS {qif}, {in_bnd} AS {qib} "
+            f"FROM {core['from_sql']} WHERE {' AND '.join(inner_conds)}"
+        )
 
         def scan_items(const_dest1: bool) -> List[str]:
             out = []
@@ -2419,89 +2603,39 @@ class CachedSparkSession:
                     out.append(s)
             return out
 
+        # destination routing: fresh rows always maintain state (0) and
+        # additionally feed the result (1) when their bucket is strictly
+        # above the boundary bucket OR they fall in the exact boundary
+        # recompute range; boundary-only rows feed the result alone
+        dest_case = (
+            f"CASE WHEN {qif} AND ({g_sql[bucket_name]} > {bnd_lit} "
+            f"OR {qib}) THEN array(0, 1) "
+            f"WHEN {qif} THEN array(0) ELSE array(1) END"
+        )
+        scan_src = (
+            f"({inner_sql}) __qc_s "
+            f"LATERAL VIEW explode({dest_case}) __qc_x AS {q('__qc_dest')}"
+        )
+        scan_where = f"{qif} OR {qib}"
         if core["use_singleton"]:
-            fresh_branch = (
+            scan_branch = (
                 f"SELECT {', '.join(scan_items(False))}, {dest}, "
                 f"CASE WHEN {dest} = 0 THEN 1 ELSE 0 END AS {isf} "
-                f"FROM {core['from_sql']} {dest_arr(g_sql[bucket_name])} "
-                f"WHERE {fresh_where}"
+                f"FROM {scan_src} WHERE {scan_where}"
             )
         else:
             gb = [f"{bucket_out(g_sql[n], False)}" if n == bucket_name
                   else g_sql[n] for n in group_names]
-            fresh_branch = (
+            scan_branch = (
                 f"SELECT {', '.join(scan_items(False))}, {dest}, "
                 f"sum(CASE WHEN {dest} = 0 THEN 1 ELSE 0 END) AS {isf} "
-                f"FROM {core['from_sql']} {dest_arr(g_sql[bucket_name])} "
-                f"WHERE {fresh_where}"
+                f"FROM {scan_src} WHERE {scan_where}"
                 f" GROUP BY {dest}, {', '.join(gb)}"
-            )
-
-        # boundary bucket recompute: exact [lower, min(now, bucket_end))
-        # scan + the dynamic comparison + the bucket equality on the SAME
-        # expression the state bucket was built from; result-only. The
-        # bucket end comes from a session-tz ``date_trunc + INTERVAL``
-        # (DST/calendar exact — no slack widening); all bounds fold to
-        # literals, so they reach parquet PushedFilters.
-        op = ">" if dyn_op == ">" else ">="
-        iv = self._BUCKET_INTERVAL.get(bucket_gran.lower())
-        if iv is not None:
-            bend_us = f"unix_micros(CAST({bnd_trunc} + {iv} AS TIMESTAMP))"
-            bhi_ns = f"least(CAST(__QC_FHI_NS__ AS BIGINT), {bend_us} * 1000)"
-            bhi_us = f"least(CAST(__QC_FHI_USC__ AS BIGINT), {bend_us})"
-        else:
-            bhi_ns = "__QC_FHI_NS__"
-            bhi_us = "__QC_FHI_USC__"
-        b_time = []
-        if shadow_ok:
-            shadow = q(f"{ts_col}_ns")
-            if core["ts_is_ts"]:
-                # the lower ns bound (unix_micros * 1000) is µs-aligned by
-                # construction; the upper is aligned whenever now is, so
-                # the F-window guard token also erases these ns conds
-                b_time.append(
-                    f"(__QC_FNSG__ OR ({shadow} >= unix_micros({low_ts}) "
-                    f"* 1000 AND {shadow} < {bhi_ns}))"
-                )
-                b_time.append(f"{q(ts_col)} >= {low_ts}")
-                b_time.append(f"{q(ts_col)} < timestamp_micros({bhi_us})")
-            else:
-                b_time.append(f"{shadow} >= unix_micros({low_ts}) * 1000")
-                b_time.append(f"{shadow} < {bhi_ns}")
-        else:
-            b_time.append(f"{q(ts_col)} >= {low_ts}")
-            b_time.append(f"{q(ts_col)} < timestamp_micros({bhi_us})")
-        if part_col:
-            b_time.append(f"{q(part_col)} >= CAST({low_ts} AS DATE)")
-            b_time.append(
-                f"{q(part_col)} <= CAST(timestamp_micros({bhi_us}) AS DATE)"
-            )
-        b_conds = ([core["pred_sql"]] if core["pred_sql"] else []) + b_time + [
-            f"{q(ts_col)} {op} {rhs}",
-            f"{g_sql[bucket_name]} = {bnd_lit}",
-        ]
-        bnd_where = " AND ".join(b_conds)
-        if core["use_singleton"]:
-            bnd_branch = (
-                f"SELECT {', '.join(scan_items(True))}, 1 AS {dest}, "
-                f"0 AS {isf} FROM {core['from_sql']} WHERE {bnd_where}"
-            )
-        else:
-            gb = [
-                g_sql[n] for n in group_names
-                if not (n == bucket_name and null_bucket)
-            ]
-            bnd_branch = (
-                f"SELECT {', '.join(scan_items(True))}, 1 AS {dest}, "
-                f"0 AS {isf} FROM {core['from_sql']} WHERE {bnd_where}"
-                + (f" GROUP BY {', '.join(gb)}" if gb else "")
             )
 
         # ONE aggregate over the tagged union: dest=0 groups merge at state
         # (bucket) granularity, dest=1 groups at the query's granularity
-        union_sql = (
-            f"{state_branch} UNION ALL {fresh_branch} UNION ALL {bnd_branch}"
-        )
+        union_sql = f"{state_branch} UNION ALL {scan_branch}"
         m_sql = (
             f"SELECT {dest}, {core['sel_groups']}, "
             f"{', '.join(core['merge_items'])}, "
@@ -2553,13 +2687,14 @@ class CachedSparkSession:
             # the rendered pinned bound (classic paths carry the evaluated
             # value; evaluating here would cost a driver-local Spark job)
             decision.dynamic_lower = rhs_sql
-            cached_state.createOrReplaceTempView(tpl["view"])
             sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
             sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
-            df = self.spark.sql(sql)
-            self.last_refresh_df = df
-            aug_fields = list(df.schema.fields)
-            tbl = df.toArrow()  # the ONE job over the data
+            sql = self._bind_state_source(tpl, entry, cached_state, sql)
+            with self._refresh_confs():
+                df = self.spark.sql(sql)
+                self.last_refresh_df = df
+                aug_fields = list(df.schema.fields)
+                tbl = df.toArrow()  # the ONE job over the data
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(

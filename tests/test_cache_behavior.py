@@ -383,6 +383,62 @@ def test_percentile_state_cardinality_cap(spark, tmp_path, split_views):
     )
 
 
+def test_count_distinct_state_cardinality_cap(spark, tmp_path, split_views):
+    """r4/r5 ADVICE: exact count(DISTINCT x) set state is O(distinct)/group;
+    a high-cardinality column must trip config.distinct_max_values at store
+    time and degrade to passthrough (correct results, no runaway state),
+    staying passthrough for that fingerprint. An ample cap still caches."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns = split_views
+    run1()
+    # event_id is unique per row — thousands of distinct values per group;
+    # a cap of 5 must trip on the first store
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-dcap")),
+        default_temporal_column="ts",
+        override_now_ns=cut_ns,
+        distinct_max_values=5,
+    )
+    qc = CachedSparkSession(spark, cfg)
+    sql = (
+        "SELECT event_type, count(DISTINCT event_id) AS u, count(*) AS n "
+        "FROM events_split GROUP BY 1 ORDER BY 1"
+    )
+    r1 = qc.sql(sql)
+    assert not qc.last_decision.cached
+    assert "distinct_max_values" in (qc.last_decision.reason or "")
+    assert sorted(map(tuple, r1.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )
+    # run 2: short-circuits to passthrough without redoing the state build
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    r2 = qc.sql(sql)
+    assert not qc.last_decision.cached
+    assert "distinct_max_values" in (qc.last_decision.reason or "")
+    assert sorted(map(tuple, r2.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )
+    # an ample cap on a fresh session caches and refreshes the same query
+    cfg2 = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-dample")),
+        default_temporal_column="ts",
+        override_now_ns=cut_ns + 10**17,
+        distinct_max_values=1_000_000,
+    )
+    qc2 = CachedSparkSession(spark, cfg2)
+    r3 = qc2.sql(sql)
+    assert qc2.last_decision.cached
+    assert sorted(map(tuple, r3.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )
+
+
 def test_hll_sketch_merges_across_refreshes(spark, qc, split_views):
     """VERDICT r2 item 9: approx_count_distinct state is an HLL sketch;
     union-merging run-1 state with the fresh tail must give EXACTLY the

@@ -110,3 +110,26 @@ def test_verify_pairs_restricted_equals_allpairs(spark, docs, exact_pairs):
     assert set(got) == set(want)
     for p in got:
         assert got[p] == pytest.approx(want[p], rel=1e-12)
+
+
+def test_persisted_blocks_bounded_across_batches(spark, docs):
+    """r5 VERDICT item 6: the batch pipelines persist intermediates
+    (signatures, candidate sets) that a long-running driver re-running
+    them per trigger must not accumulate — generational release keeps the
+    pinned set at one batch's worth per pipeline."""
+    from datafusion_query_cache_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # settle: one batch of each pipeline establishes the steady-state set
+    minhash_dedup_pairs(docs, threshold=0.8).collect()
+    simhash_dedup_pairs(docs, threshold=0.8).collect()
+    baseline = n_persisted()
+    for _ in range(3):
+        minhash_dedup_pairs(docs, threshold=0.8).collect()
+        simhash_dedup_pairs(docs, threshold=0.8).collect()
+        assert n_persisted() <= baseline

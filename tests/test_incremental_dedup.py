@@ -111,7 +111,7 @@ def test_distributed_tier_equals_driver_tier(spark, docs, tmp_path):
 
     # force every ingest through the distributed path
     dist = MinHashIndex(str(tmp_path / "mh-dist"), threshold=0.8)
-    dist.DRIVER_INGEST_MAX_DOCS = 0
+    dist.DRIVER_INGEST_MAX_BYTES = 0
     dist.update(docs.filter(F.col("doc_id") <= c1))
     got_dist = _index_pairs(dist.update(docs))
     assert rows_set(got_dist) == rows_set(_batch_pairs(docs))
@@ -119,8 +119,8 @@ def test_distributed_tier_equals_driver_tier(spark, docs, tmp_path):
     # mixed tiers over one index: driver seed, distributed middle, driver end
     mix = MinHashIndex(str(tmp_path / "mh-mix"), threshold=0.8)
     mix.update(docs.filter(F.col("doc_id") <= c1))          # driver tier
-    mix.DRIVER_INGEST_MAX_DOCS = 0
+    mix.DRIVER_INGEST_MAX_BYTES = 0
     mix.update(docs.filter(F.col("doc_id") <= c2))          # distributed
-    mix.DRIVER_INGEST_MAX_DOCS = MinHashIndex.DRIVER_INGEST_MAX_DOCS
+    mix.DRIVER_INGEST_MAX_BYTES = MinHashIndex.DRIVER_INGEST_MAX_BYTES
     got_mix = _index_pairs(mix.update(docs))                # driver tier
     assert rows_set(got_mix) == rows_set(_batch_pairs(docs))

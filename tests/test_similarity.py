@@ -94,6 +94,63 @@ def test_banded_neardup_recall(spark, emb):
     assert not missed, f"banded LSH missed {len(missed)} true pairs: {sorted(missed)[:5]}"
 
 
+def test_banded_neardup_large_tier_equals_brute(spark, emb):
+    """The DISTRIBUTED verification tier (the 100 TB path: band self-join +
+    Hamming gate + exact cosine join) must reproduce the brute-force pair
+    set exactly, same as the driver/broadcast tier. Forced by a zero byte
+    budget — mirrors the dedup tiers' distributed-equals-driver test."""
+    from datafusion_query_cache_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_banded,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(
+            emb, threshold=0.4
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]) for r in cosine_neardup_pairs_banded(
+            emb, threshold=0.4, bucket_bcast_max_bytes=0
+        ).collect()
+    }
+    assert got.issubset(exact)  # precision 1.0 (exact verification)
+    missed = exact - got
+    assert not missed, f"distributed tier missed {len(missed)} pairs: {sorted(missed)[:5]}"
+
+
+def test_banded_neardup_byte_gate_scales_with_dim(spark, emb):
+    """The tier gate is dimensioned in BYTES (rows × dim × 8): a wide-dim
+    corpus must take the distributed tier even when its ROW count is far
+    under what the old row gate admitted."""
+    import numpy as np
+
+    from datafusion_query_cache_spark.operators import similarity as S
+
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    assert n * dim * 8 > 4096  # budget below forces the distributed tier
+    calls = []
+    orig = S._neardup_bucket_verify
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S._neardup_bucket_verify = spy
+    try:
+        S.cosine_neardup_pairs_banded(
+            emb, threshold=0.4, bucket_bcast_max_bytes=4096
+        )
+        assert not calls, "byte gate admitted a matrix over the budget"
+        S.cosine_neardup_pairs_banded(
+            emb, threshold=0.4, bucket_bcast_max_bytes=n * dim * 8
+        )
+        assert calls, "byte gate refused a matrix within the budget"
+    finally:
+        S._neardup_bucket_verify = orig
+
+
 def test_banded_neardup_plan_has_no_cartesian(spark, emb):
     from datafusion_query_cache_spark.operators.similarity import (
         cosine_neardup_pairs_banded,
