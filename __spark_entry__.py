@@ -1121,15 +1121,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_tfidf": _op_tfidf,
         }
     )
-    # Passthrough rows exercise Spark itself more than this engine; the
-    # highest-signal four stay inside the 50-row ledger window, the rest
-    # trail it (still runnable, just not driver-recorded).
-    q["pt_json_extract"] = _pt_json_extract
-    for key in ("pt_tpch_q1", "pt_tpch_q3", "pt_join_revenue"):
-        q[key] = _mk_pt(key)
-    for key in _PT_SQLS:
+    # Passthrough rows exercise Spark itself more than this engine, so only
+    # ONE of the 15 occupies the 50-row ledger window; the rest trail it
+    # (still runnable, just not driver-recorded). The occupant ROTATES per
+    # round — indexed by the count of the driver's own CORRECTNESS_r*.json
+    # artifacts — so every passthrough re-accumulates driver-ledger
+    # evidence over rounds instead of one hogging the slot (r5 VERDICT
+    # item 5). All 15 are additionally re-verified off-ledger each round
+    # via tools/check_oracle.py.
+    rotation = [
+        "pt_json_extract", "pt_tpch_q1", "pt_tpch_q3", "pt_join_revenue",
+        "pt_window_top_orders", "pt_exists_semi", "pt_rollup", "pt_topk",
+        "pt_setops", "pt_anti_join", "pt_except", "pt_conditional_agg",
+        "pt_cube", "pt_ntile", "pt_distinct_agg",
+    ]
+    import glob as _glob
+    import os as _os
+
+    rnd = len(
+        _glob.glob(
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "CORRECTNESS_r*.json")
+        )
+    )
+    spare = rotation[rnd % len(rotation)]
+
+    def _pt_entry(key):
+        return _pt_json_extract if key == "pt_json_extract" else _mk_pt(key)
+
+    q[spare] = _pt_entry(spare)
+    for key in rotation:
         if key not in q:
-            q[key] = _mk_pt(key)
+            q[key] = _pt_entry(key)
     return q
 
 

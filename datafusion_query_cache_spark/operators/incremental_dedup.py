@@ -69,6 +69,17 @@ _PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
 _COUNT_SCHEMA = "band int, band_hash long, n long"
 
 
+class ConcurrentIndexWriter(RuntimeError):
+    """Another writer committed to this index path since this instance last
+    read or wrote its meta. Committing anyway would silently orphan that
+    writer's ingested parts (this instance's part list doesn't include
+    them) and delete parts the other writer's meta still references — so
+    the commit is refused instead. The index is SINGLE-WRITER by contract
+    (a streaming maintainer guarantees it by construction: one query, one
+    foreachBatch at a time); on this error, ``reload()`` and re-run the
+    ingest against the fresh state."""
+
+
 def _band_keys(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
     """(id, band, band_hash) keys from a signature frame — identical
     arithmetic to the batch path (``dedup.minhash_lsh_pairs``), so an
@@ -95,7 +106,11 @@ class MinHashIndex:
     read-modify-write over the part list, so concurrent updaters could drop
     each other's parts. Readers are always safe (atomic meta swap). This is
     the standard single-maintainer shape of an ingest pipeline; serialize
-    updates externally if multiple ingest jobs share one index.
+    updates externally if multiple ingest jobs share one index. The
+    contract is FENCED, not just documented: every commit stamps a fresh
+    ``token`` into meta, and a commit whose instance last saw a different
+    token raises :class:`ConcurrentIndexWriter` instead of clobbering
+    (tested in tests/test_stream_dedup.py).
     """
 
     def __init__(
@@ -134,6 +149,38 @@ class MinHashIndex:
                 raise ValueError(
                     f"index at {path} was built with {params}, not {mine}"
                 )
+        # single-writer fence: the commit token this instance last saw
+        # (None for a vacant index or pre-token meta)
+        self._token: Optional[str] = (self._meta or {}).get("token")
+
+    def _fence(self) -> None:
+        """Raise :class:`ConcurrentIndexWriter` if meta on disk carries a
+        different commit token than this instance last saw."""
+        mp = os.path.join(self.path, "meta.json")
+        if not os.path.exists(mp):
+            return
+        try:
+            with open(mp) as f:
+                disk_token = json.load(f).get("token")
+        except (json.JSONDecodeError, OSError):
+            return  # unreadable mid-swap: benign, writer holds the pen
+        if disk_token != self._token:
+            raise ConcurrentIndexWriter(
+                f"index at {self.path}: meta was committed by another "
+                "writer since this instance loaded it; reload() and "
+                "re-run the ingest"
+            )
+
+    def reload(self) -> None:
+        """Re-read meta from disk — recovery step after
+        :class:`ConcurrentIndexWriter` (adopts the other writer's commit;
+        the next ``update`` ingests from ITS watermark)."""
+        self._meta = None
+        mp = os.path.join(self.path, "meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                self._meta = json.load(f)
+        self._token = (self._meta or {}).get("token")
 
     def _params(self) -> dict:
         return {
@@ -231,6 +278,13 @@ class MinHashIndex:
         indexed docs too (their text re-verifies mixed old/new candidates) —
         it is the standing table, not the delta."""
         spark = corpus.sparkSession
+        # single-writer fence, checked BEFORE any state read: a stale
+        # instance would otherwise read part paths another writer's commit
+        # already garbage-collected (the commit-time fence alone fires too
+        # late to protect those reads). Best-effort detection — the
+        # contract remains one writer at a time; this turns a silent
+        # clobber into an explicit error + reload() recovery.
+        self._fence()
         wm = self.watermark_id
         new = corpus if wm is None else corpus.filter(F.col(self.id_col) > F.lit(wm))
         # ONE cheap stats job (id column only — no signature work): the
@@ -348,6 +402,12 @@ class MinHashIndex:
         dead: List[str],
         n_docs: Optional[int],
     ) -> None:
+        # single-writer fence: refuse to commit over a meta some OTHER
+        # instance wrote since this one last loaded — a silent
+        # last-write-wins here would orphan that writer's parts and delete
+        # parts its meta still references
+        self._fence()
+        mp = os.path.join(self.path, "meta.json")
         meta = {
             "watermark_id": watermark_id,
             "sig_parts": sig_parts,
@@ -356,12 +416,14 @@ class MinHashIndex:
             "pair_parts": pair_parts,
             "n_docs": n_docs,
             "params": self._params(),
+            "token": uuid.uuid4().hex,
         }
         tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path, "meta.json"))
+        os.replace(tmp, mp)
         self._meta = meta
+        self._token = meta["token"]
         for p in dead:
             shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
 

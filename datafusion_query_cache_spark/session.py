@@ -104,32 +104,6 @@ def _push_time_bounds(
     return df
 
 
-def _next_bucket_start(b, gran: str):
-    """Start of the bucket AFTER the one beginning at ``b`` for a
-    date_trunc granularity; None for unrecognized grans (no upper bound)."""
-    import datetime as dt
-
-    g = gran.lower()
-    if g == "minute":
-        return b + dt.timedelta(minutes=1)
-    if g == "hour":
-        return b + dt.timedelta(hours=1)
-    if g in ("day", "dd"):
-        return b + dt.timedelta(days=1)
-    if g == "week":
-        return b + dt.timedelta(days=7)
-    if g in ("month", "mon", "mm"):
-        y, m = (b.year + 1, 1) if b.month == 12 else (b.year, b.month + 1)
-        return b.replace(year=y, month=m, day=1)
-    if g == "quarter":
-        m0 = b.month + 3
-        y, m = (b.year + 1, m0 - 12) if m0 > 12 else (b.year, m0)
-        return b.replace(year=y, month=m, day=1)
-    if g in ("year", "yyyy", "yy"):
-        return b.replace(year=b.year + 1, month=1, day=1)
-    return None
-
-
 def _order_col(name: str, o) -> Column:
     """ORDER BY item → Column with explicit direction AND null order.
 
@@ -156,7 +130,12 @@ class Decision:
     cache_hit: bool = False
     watermark_ns: Optional[int] = None
     now_ns: Optional[int] = None
-    dynamic_lower: Optional[object] = None  # evaluated f(now()) bound
+    #: the dynamic lower bound this run used — DUAL FORM: the EVALUATED
+    #: f(now()) value (timestamp/date) on the classic path, or the
+    #: rendered pinned-now SQL expression (string) on the fused template
+    #: path, which never evaluates the bound driver-side (that would cost
+    #: a Spark job per refresh). Non-None ⇔ a dynamic bound was in play.
+    dynamic_lower: Optional[object] = None
     observation: Optional[Observation] = None  # fresh-scan row count (hit only)
     #: exact fresh-row count when the SQL-template warm path ran (it counts
     #: via a rider aggregate instead of an Observation)
@@ -360,11 +339,12 @@ class CachedSparkSession:
         epoch-µs end of the boundary bucket — ONE driver-local job (the
         dynamic warm path runs per refresh, so the tiny range(1) collects
         are folded together). The epochs are computed JVM-side via
-        ``unix_micros`` in the SESSION timezone, so the SQL-template path
-        can bind them as ``timestamp_micros(...)`` literals with no
-        Python-side timezone assumption; the bucket end comes from
-        ``date_trunc + INTERVAL`` which is DST/calendar exact, so the
-        boundary scan needs no slack. Returns
+        ``unix_micros`` in the SESSION timezone; the CLASSIC dyn assembly
+        binds them as its boundary-scan range (no Python-side timezone
+        assumption, no DST slack — the bucket end is ``date_trunc +
+        INTERVAL``, calendar-exact in any tz). The fused SQL template
+        never calls this: it renders the bound as a constant-folded
+        expression instead. Returns
         ``(value, bucket, value_us, bucket_us, bucket_end_us | None)``."""
         col = to_column(self._pin_now(rhs_expr, now_ns))
         b = F.date_trunc(granularity, col)
@@ -917,9 +897,10 @@ class CachedSparkSession:
 
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
-        # dynamic-bound evaluation (value, bucket, epochs) is computed at
-        # most once per query — shared by the hot-path memo lookup, the
-        # fused dyn template, and the classic dyn assembly
+        # dynamic-bound evaluation (value, bucket, epochs) — computed at
+        # most once per query, and ONLY by the classic dyn assembly below
+        # (the fused template renders the bound as SQL and never evaluates
+        # it driver-side)
         dyn_eval = None
 
         # percentile/median histogram state guard (VERDICT r2 item 7): the
@@ -1404,41 +1385,19 @@ class CachedSparkSession:
                 if dyn_bound.op == ">"
                 else (F.col(ts_col) >= F.lit(lower))
             )
-            import datetime as _dt
-
-            if not isinstance(lower, _dt.datetime):
-                lower_dt = _dt.datetime(lower.year, lower.month, lower.day)
-            else:
-                lower_dt = lower
-            lower_ns_v = (
-                int((lower_dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6) * 1000
-            )
+            # the bound's and bucket-end's epoch-µs forms come straight
+            # from _eval_bound_and_bucket's JVM evaluation in the SESSION
+            # timezone — no Python-side naive-datetime arithmetic (which
+            # silently assumed UTC) and no +1h DST slack: the bucket end
+            # is date_trunc + INTERVAL, DST/calendar exact in any tz.
+            lower_ns_v = dyn_eval[2] * 1000
+            be_us = dyn_eval[4]
             # state is as-of now, so the boundary recompute must be too.
             # hi bound: the boundary BUCKET's end, not now — every boundary
-            # row satisfies ts < next_bucket_start, so capping the scan
-            # there prunes the (window - 1 bucket) tail the non-pushable
+            # row satisfies ts < bucket_end, so capping the scan there
+            # prunes the (window - 1 bucket) tail the non-pushable
             # date_trunc equality below would otherwise read and discard.
-            # +1 h slack guards DST-shifted local-time bucket edges; the
-            # equality filter keeps the result exact regardless.
-            bnd_dt = (
-                boundary
-                if isinstance(boundary, _dt.datetime)
-                else _dt.datetime(boundary.year, boundary.month, boundary.day)
-            )
-            bucket_end = _next_bucket_start(bnd_dt, bucket_gran)
-            hi_eff = now_ns
-            if bucket_end is not None:
-                end_ns = (
-                    int(
-                        (
-                            bucket_end + _dt.timedelta(hours=1)
-                            - _dt.datetime(1970, 1, 1)
-                        ).total_seconds()
-                        * 1e6
-                    )
-                    * 1000
-                )
-                hi_eff = min(now_ns, end_ns)
+            hi_eff = now_ns if be_us is None else min(now_ns, be_us * 1000)
             braw = time_bounds(braw, lo_ns=lower_ns_v, hi_ns=hi_eff)
             braw = braw.filter(
                 cmp_op
@@ -2199,7 +2158,8 @@ class CachedSparkSession:
         from pyspark.sql.types import StructType
 
         try:
-            aligned = wm_ns % 1000 == 0 and now_ns % 1000 == 0
+            # non-negativity required for erasure: see _sub_time_tokens
+            aligned = wm_ns % 1000 == 0 and now_ns % 1000 == 0 and wm_ns >= 0
             sql = (
                 tpl["sql"]
                 .replace("__QC_NSG__", "true" if aligned else "false")
@@ -2307,7 +2267,11 @@ class CachedSparkSession:
     def _sub_time_tokens(sql: str, p: str, lo_ns: int, hi_ns: int) -> str:
         import datetime as _dt
 
-        aligned = lo_ns % 1000 == 0 and hi_ns % 1000 == 0
+        # guard erasure also requires NON-NEGATIVE bounds: ns sources derive
+        # µs ts via `div 1000`, which truncates toward zero — for pre-1970
+        # (negative-epoch) values trunc != floor, so the "µs bounds are
+        # exact" equivalence the guard relies on breaks below epoch 0
+        aligned = lo_ns % 1000 == 0 and hi_ns % 1000 == 0 and lo_ns >= 0
         sql = sql.replace(f"__QC_{p}NSG__", "true" if aligned else "false")
         sql = sql.replace(f"__QC_{p}LO_NS__", str(lo_ns))
         sql = sql.replace(f"__QC_{p}HI_NS__", str(hi_ns))

@@ -106,3 +106,64 @@ def test_dynamic_upper_bound_still_passthrough(spark, qc):
     df = qc.sql("SELECT count(*) AS n FROM events WHERE ts < now()")
     assert not qc.last_decision.cached
     assert df.collect()[0]["n"] >= 0
+
+
+def test_classic_dyn_path_non_utc_session_tz(spark, pinned, tmp_path):
+    """r5 VERDICT item 8: the classic dyn assembly (used for
+    template-ineligible shapes) must be session-timezone exact. Its
+    boundary-scan bounds now come from the JVM-evaluated epoch forms of
+    the bound and bucket end (session tz, calendar-exact), replacing
+    Python naive-datetime math that assumed UTC and papered over the
+    difference with +1h of DST slack."""
+    from zoneinfo import ZoneInfo
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    import os
+    import time as _time
+
+    now_ns, _ = pinned
+    sql = DYN_QUERIES[0]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_env_tz = os.environ.get("TZ")
+    # BOTH timezones move: the session tz drives JVM-side bucketing, and
+    # the PROCESS tz drives how `.collect()` renders timestamps into naive
+    # datetimes — the old code fed those naive values into epoch math that
+    # assumed UTC, so the bug only bites when the process tz is not UTC.
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+
+        def ny_wall(ns):
+            # the session-tz wall-clock string denoting the instant `ns`
+            return dt.datetime.fromtimestamp(
+                ns / 1e9, tz=ZoneInfo("America/New_York")
+            ).replace(tzinfo=None)
+
+        cfg = QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "qc-tz")),
+            override_now_ns=now_ns,
+        )
+        qc = CachedSparkSession(spark, cfg)
+        # force the classic assembly: pretend no template is available
+        qc._dyn_warm_template = lambda *a, **k: None
+        qc.sql(sql).collect()  # cold: builds state in NY-bucketed days
+        now2_ns = now_ns + 2 * 24 * 3600 * 10**9
+        qc.config.override_now_ns = now2_ns
+        out = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+        assert rows_set(out) == rows_set(
+            spark.sql(plain_sql(sql, ny_wall(now2_ns)))
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        if old_env_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_env_tz
+        _time.tzset()

@@ -75,3 +75,49 @@ def test_stream_maintained_index_equals_batch(spark, docs, tmp_path):
     q = maintain_dedup_index(spark, idx, corpus_dir, ckpt)
     q.awaitTermination(120)
     assert idx.watermark_id == wm
+
+
+def test_concurrent_writer_fenced(spark, docs, tmp_path):
+    """r5 VERDICT item 7: the index's single-writer contract is FENCED, not
+    just documented. A second writer racing the first must trip
+    ConcurrentIndexWriter at commit time instead of silently clobbering
+    the other's parts; reload() adopts the winner and resumes cleanly."""
+    from datafusion_query_cache_spark.operators.incremental_dedup import (
+        ConcurrentIndexWriter,
+        MinHashIndex,
+    )
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    path = str(tmp_path / "mh-fence")
+
+    w1 = MinHashIndex(path, threshold=0.8)
+    w1.update(docs.filter(F.col("doc_id") <= c1))
+
+    # a second writer loads the committed state, then the first writer
+    # commits again behind its back
+    w2 = MinHashIndex(path, threshold=0.8)
+    w1.update(docs.filter(F.col("doc_id") <= c2))
+
+    # w2's commit must be fenced: its part list omits w1's newest parts
+    with pytest.raises(ConcurrentIndexWriter):
+        w2.update(docs)
+
+    # recovery: reload adopts w1's commit; the retried ingest starts from
+    # w1's watermark and the final pair set equals the batch pipeline's
+    w2.reload()
+    assert w2.watermark_id == c2
+    out = w2.update(docs)
+    assert rows_set(
+        out.select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+    ) == rows_set(_batch_pairs(docs))
+    # and w1, now stale itself, is fenced in turn
+    with pytest.raises(ConcurrentIndexWriter):
+        w1.update(
+            docs.unionByName(
+                docs.select(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    *[c for c in docs.columns if c != "doc_id"],
+                )
+            )
+        )
