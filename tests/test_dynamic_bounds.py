@@ -167,3 +167,42 @@ def test_classic_dyn_path_non_utc_session_tz(spark, pinned, tmp_path):
         else:
             os.environ["TZ"] = old_env_tz
         _time.tzset()
+
+
+def test_template_dyn_path_non_utc_sub_day_buckets(spark, pinned, tmp_path):
+    """The fused template under a non-UTC session tz with SUB-DAY state
+    buckets (no temporal group-by → config default 'hour' granularity):
+    exercises the widened DST-slack scan cap; the bucket-equality
+    predicate must keep the result exact."""
+    from zoneinfo import ZoneInfo
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    now_ns, _ = pinned
+    sql = DYN_QUERIES[1]  # GROUP BY event_type → synthetic hour bucket
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        cfg = QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "qc-tz-tpl")),
+            override_now_ns=now_ns,
+        )
+        qc = CachedSparkSession(spark, cfg)
+        qc.sql(sql).collect()  # cold
+        now2_ns = now_ns + 36 * 3600 * 10**9
+        qc.config.override_now_ns = now2_ns
+        out = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+        # the TEMPLATE path ran (it records the rendered SQL string as the
+        # bound; the classic assembly stores the evaluated value instead)
+        assert isinstance(qc.last_decision.dynamic_lower, str)
+        wall = dt.datetime.fromtimestamp(
+            now2_ns / 1e9, tz=ZoneInfo("America/New_York")
+        ).replace(tzinfo=None)
+        assert rows_set(out) == rows_set(spark.sql(plain_sql(sql, wall)))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
