@@ -87,3 +87,47 @@ def test_partitioned_results_exact_over_refreshes(spark, tmp_path, partitioned_e
             )
         )
         assert rows_set(got) == rows_set(expect)
+
+
+def test_dyn_template_pushes_or_of_ranges(spark, tmp_path):
+    """Regression pin for the one-scan dynamic template: the fused fact
+    scan's OR-of-ranges (fresh tail ∪ boundary bucket) must reach parquet
+    PushedFilters as a fully-translatable Or. The optimizer's distributive
+    rewrite `(A∨B)∧(A∨C)→A∨(B∧C)` silently kills pushdown for BOTH ranges
+    if any boundary-side atom (e.g. a date_trunc bucket equality) is left
+    in the exact conjunct — exactly what happened before the atoms were
+    made identity-equal (r6)."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    now1 = int(
+        dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9
+    )
+    now2 = int(
+        dt.datetime(2024, 1, 29, tzinfo=dt.timezone.utc).timestamp() * 1e9
+    )
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "dp")),
+            override_now_ns=now1,
+        ),
+    )
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
+    )
+    qc.sql(sql).collect()
+    qc.config.override_now_ns = now2
+    qc.sql(sql).collect()
+    assert qc.last_decision.cache_hit
+    assert isinstance(qc.last_decision.dynamic_lower, str)  # template ran
+    plan = qc.last_refresh_df._jdf.queryExecution().executedPlan().toString()
+    pushed = [p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]]
+    ors = [s for s in pushed if "Or(" in s]
+    assert ors, f"OR-of-ranges not pushed to any scan: {pushed}"
+    # both sides of the pushed Or are range conjunctions on the ts column
+    assert any("And(" in s and s.count("ts") >= 3 for s in ors), ors
