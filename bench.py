@@ -222,7 +222,8 @@ def main() -> None:
 
     # --- dynamic sliding window (beyond-reference) ---------------------------
     NOW1 = int(dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9)
-    NOW15 = int(dt.datetime(2024, 1, 28, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    NOW14 = int(dt.datetime(2024, 1, 27, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    NOW15 = int(dt.datetime(2024, 1, 29, tzinfo=dt.timezone.utc).timestamp() * 1e9)
     NOW2 = int(dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp() * 1e9)
     DYN_SQL = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
@@ -239,7 +240,7 @@ def main() -> None:
         )
         qcd.sql(DYN_SQL).collect()
         if timed_run:
-            timed_warm("qc_dyn_warm", qcd, DYN_SQL, [NOW15, NOW2])
+            timed_warm("qc_dyn_warm", qcd, DYN_SQL, [NOW14, NOW15, NOW2])
         else:
             qcd.config.override_now_ns = NOW2
             qcd.sql(DYN_SQL).collect()
@@ -279,7 +280,7 @@ def main() -> None:
 
     DAY_NS_ = 24 * 3600 * 10**9
     timed_plain_advancing(
-        "qc_dyn_plain", dyn_plain_sql("events", 10, "d"), [NOW15, NOW2]
+        "qc_dyn_plain", dyn_plain_sql("events", 10, "d"), [NOW14, NOW15, NOW2]
     )
 
     # --- incrementally-maintained top-k filter query -------------------------
@@ -550,11 +551,14 @@ def main() -> None:
         ),
     )
     qzd.sql(DYN_XK_SQL).collect()
-    timed_warm("qc_dyn_x1000_warm", qzd, DYN_XK_SQL, [hi_ns - DAY_NS, hi_ns + 1])
+    timed_warm(
+        "qc_dyn_x1000_warm", qzd, DYN_XK_SQL,
+        [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
+    )
     timed_plain_advancing(
         "qc_dyn_x1000_plain",
         dyn_plain_sql("events_x1000", 25, "dd"),
-        [hi_ns - DAY_NS, hi_ns + 1],
+        [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
     )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
