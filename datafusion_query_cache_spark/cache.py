@@ -854,6 +854,56 @@ class ParquetQueryCache(QueryCache):
         except (OSError, json.JSONDecodeError):
             return {}
 
+    def vacuum(self, grace_s: float = 3600.0) -> List[str]:
+        """Delete crash leftovers: ``state-*`` dirs no entry's meta
+        references and stale ``.meta-*.tmp`` files.
+
+        The atomic-swap commit (write new state dir → replace meta →
+        delete old dir) can be interrupted after the first or before the
+        last step, stranding orphan state dirs that a long-running
+        deployment accumulates as disk leakage. Anything younger than
+        ``grace_s`` is skipped so a writer mid-commit (state written, meta
+        swap pending) is never raced — at 100 TB this runs as periodic
+        maintenance alongside the refresh jobs. Returns removed paths
+        (root-relative)."""
+        removed: List[str] = []
+        now = time.time()
+        for fp_dir in os.listdir(self.root):
+            full = os.path.join(self.root, fp_dir)
+            if not os.path.isdir(full):
+                continue
+            live: set = set()
+            try:
+                with open(os.path.join(full, "meta.json")) as f:
+                    m = json.load(f)
+                live = set(m.get("parts") or [m.get("state", "")])
+            except (OSError, json.JSONDecodeError):
+                pass  # vacant/corrupt entry: every state dir is an orphan
+            for name in os.listdir(full):
+                sub = os.path.join(full, name)
+                stale_tmp = name.startswith(".meta-") and name.endswith(".tmp")
+                orphan = (
+                    name.startswith("state-")
+                    and name not in live
+                    and os.path.isdir(sub)
+                )
+                if not (stale_tmp or orphan):
+                    continue
+                try:
+                    if now - os.path.getmtime(sub) < grace_s:
+                        continue
+                except OSError:
+                    continue
+                if orphan:
+                    shutil.rmtree(sub, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(sub)
+                    except OSError:
+                        continue
+                removed.append(os.path.join(fp_dir, name))
+        return removed
+
     def entries(self) -> List[EntryInfo]:
         """Inventory of live entries (the reference's ``display()``,
         ``src/cache.rs:138-170``, as structured data)."""

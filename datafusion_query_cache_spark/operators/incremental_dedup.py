@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from typing import List, Optional
 
@@ -170,6 +171,47 @@ class MinHashIndex:
                 "writer since this instance loaded it; reload() and "
                 "re-run the ingest"
             )
+
+    def vacuum(self, grace_s: float = 3600.0) -> List[str]:
+        """Delete crash leftovers: part dirs the current meta no longer
+        references (parts written before an interrupted commit, or dead
+        parts whose post-swap deletion was cut short) and stale
+        ``.meta-*.tmp`` files. Skips anything younger than ``grace_s`` so
+        an in-flight commit's freshly-written parts are never raced;
+        fenced like every write. Returns removed names."""
+        import re as _re
+
+        self._fence()
+        live: set = set()
+        meta = self._meta or {}
+        for kind in ("sig_parts", "band_parts", "count_parts", "pair_parts"):
+            live.update(meta.get(kind, []))
+        removed: List[str] = []
+        now = time.time()
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            stale_tmp = name.startswith(".meta-") and name.endswith(".tmp")
+            orphan = (
+                _re.match(r"^(sigs|bands|counts|pairs)-", name) is not None
+                and name not in live
+                and os.path.isdir(full)
+            )
+            if not (stale_tmp or orphan):
+                continue
+            try:
+                if now - os.path.getmtime(full) < grace_s:
+                    continue
+            except OSError:
+                continue
+            if orphan:
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    continue
+            removed.append(name)
+        return removed
 
     def reload(self) -> None:
         """Re-read meta from disk — recovery step after

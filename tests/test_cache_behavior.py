@@ -575,3 +575,55 @@ def test_data_watermark_scan_bounded_by_stored_watermark(spark, tmp_path, split_
     assert wm2 > wm1
     assert str(wm2) in plan2, "refresh scan not bounded by the stored watermark"
     assert str(far_future + 10**12) not in plan2
+
+
+def test_parquet_cache_vacuum(spark, tmp_path, split_views):
+    """ParquetQueryCache.vacuum() deletes orphan state dirs and stale meta
+    tmps past the grace period; live state and young dirs survive."""
+    import os
+    import time
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns = split_views
+    run1()
+    cache = ParquetQueryCache(str(tmp_path / "qc-vac"))
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=cache, default_temporal_column="ts", override_now_ns=cut_ns
+        ),
+    )
+    sql = "SELECT event_type, count(*) AS n FROM events_split GROUP BY 1 ORDER BY 1"
+    qc.sql(sql).collect()
+    fp_dirs = [d for d in os.listdir(cache.root) if os.path.isdir(os.path.join(cache.root, d))]
+    assert fp_dirs
+    fp_dir = os.path.join(cache.root, fp_dirs[0])
+
+    orphan = os.path.join(fp_dir, "state-deadbeefcafe")
+    os.makedirs(orphan)
+    tmp_meta = os.path.join(fp_dir, ".meta-deadbeef.tmp")
+    open(tmp_meta, "w").write("{}")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(tmp_meta, (old, old))
+    young = os.path.join(fp_dir, "state-aaaaaaaaaaaa")
+    os.makedirs(young)
+
+    removed = cache.vacuum(grace_s=3600)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        ".meta-deadbeef.tmp", "state-deadbeefcafe",
+    ]
+    assert os.path.exists(young)
+    # live state untouched: warm refresh still serves and matches plain
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )

@@ -124,3 +124,35 @@ def test_distributed_tier_equals_driver_tier(spark, docs, tmp_path):
     mix.DRIVER_INGEST_MAX_BYTES = MinHashIndex.DRIVER_INGEST_MAX_BYTES
     got_mix = _index_pairs(mix.update(docs))                # driver tier
     assert rows_set(got_mix) == rows_set(_batch_pairs(docs))
+
+
+def test_vacuum_removes_only_orphans(spark, docs, tmp_path):
+    """vacuum() deletes crash leftovers (unreferenced part dirs, stale
+    meta tmps) past the grace period, never live parts or young dirs."""
+    import os
+    import time
+
+    from datafusion_query_cache_spark.operators.incremental_dedup import MinHashIndex
+
+    idx = MinHashIndex(str(tmp_path / "mh-vac"), threshold=0.8)
+    idx.update(docs)
+    before = rows_set(_index_pairs(idx.pairs(spark)))
+
+    # plant crash leftovers: an orphan part dir and a stale meta tmp
+    orphan = os.path.join(idx.path, "sigs-deadbeefcafe")
+    os.makedirs(orphan)
+    tmp_meta = os.path.join(idx.path, ".meta-deadbeef.tmp")
+    open(tmp_meta, "w").write("{}")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(tmp_meta, (old, old))
+    # and a YOUNG orphan that must survive (in-flight commit protection)
+    young = os.path.join(idx.path, "pairs-aaaaaaaaaaaa")
+    os.makedirs(young)
+
+    removed = idx.vacuum(grace_s=3600)
+    assert sorted(removed) == [".meta-deadbeef.tmp", "sigs-deadbeefcafe"]
+    assert not os.path.exists(orphan) and not os.path.exists(tmp_meta)
+    assert os.path.exists(young)
+    # live parts untouched: the pair set still reads back identically
+    assert rows_set(_index_pairs(idx.pairs(spark))) == before
