@@ -49,7 +49,11 @@ class IVFIndex:
 
     Concurrency contract: ONE writer at a time (read-modify-write part
     list); readers always safe (atomic meta swap) — same as
-    :class:`..incremental_dedup.MinHashIndex`."""
+    :class:`..incremental_dedup.MinHashIndex`, and FENCED the same way:
+    commits stamp a token, a stale instance raises
+    :class:`..incremental_dedup.ConcurrentIndexWriter` instead of
+    clobbering, ``reload()`` recovers, ``vacuum()`` collects crash
+    leftovers."""
 
     def __init__(
         self,
@@ -77,6 +81,73 @@ class IVFIndex:
                     f"index at {path} has k_cells={self._meta.get('k_cells')}, "
                     f"not {k_cells}"
                 )
+        self._token: Optional[str] = (self._meta or {}).get("token")
+
+    def _fence(self) -> None:
+        """Raise ConcurrentIndexWriter if meta on disk carries a different
+        commit token than this instance last saw (same contract and
+        rationale as MinHashIndex._fence)."""
+        from .incremental_dedup import ConcurrentIndexWriter
+
+        mp = os.path.join(self.path, "meta.json")
+        if not os.path.exists(mp):
+            return
+        try:
+            with open(mp) as f:
+                disk_token = json.load(f).get("token")
+        except (json.JSONDecodeError, OSError):
+            return  # unreadable mid-swap: benign, writer holds the pen
+        if disk_token != self._token:
+            raise ConcurrentIndexWriter(
+                f"index at {self.path}: meta was committed by another "
+                "writer since this instance loaded it; reload() and "
+                "re-run the ingest"
+            )
+
+    def reload(self) -> None:
+        """Re-read meta from disk — recovery after ConcurrentIndexWriter."""
+        self._meta = None
+        mp = os.path.join(self.path, "meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                self._meta = json.load(f)
+        self._token = (self._meta or {}).get("token")
+
+    def vacuum(self, grace_s: float = 3600.0) -> List[str]:
+        """Delete crash leftovers: ``cells-*`` dirs the current meta no
+        longer references and stale ``.meta-*.tmp`` files; skips anything
+        younger than ``grace_s`` (in-flight commit protection)."""
+        import re as _re
+        import time as _time
+
+        self._fence()
+        live = set((self._meta or {}).get("parts", []))
+        removed: List[str] = []
+        now = _time.time()
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            stale_tmp = name.startswith(".meta-") and name.endswith(".tmp")
+            orphan = (
+                _re.match(r"^cells-", name) is not None
+                and name not in live
+                and os.path.isdir(full)
+            )
+            if not (stale_tmp or orphan):
+                continue
+            try:
+                if now - os.path.getmtime(full) < grace_s:
+                    continue
+            except OSError:
+                continue
+            if orphan:
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    continue
+            removed.append(name)
+        return removed
 
     @property
     def watermark_id(self) -> Optional[int]:
@@ -106,6 +177,7 @@ class IVFIndex:
     def update(self, corpus: DataFrame) -> int:
         """Ingest every corpus row with ``id > watermark``. First call
         trains the centroids on the new batch. Returns rows ingested."""
+        self._fence()  # before any stale-part read (see MinHashIndex)
         wm = self.watermark_id
         new = corpus if wm is None else corpus.filter(F.col(self.id_col) > F.lit(wm))
         if self._meta is None:
@@ -143,17 +215,20 @@ class IVFIndex:
             "overwrite"
         ).partitionBy("ivf_cell").parquet(os.path.join(self.path, part))
         assigned.unpersist()
+        self._fence()  # single-writer commit fence (token mismatch raises)
         meta = {
             "watermark_id": int(agg["hi"]),
             "centroids": [list(map(float, c)) for c in cents],
             "parts": [part] if compact else old_parts + [part],
             "k_cells": self.k_cells,
+            "token": uuid.uuid4().hex,
         }
         tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.path, "meta.json"))
         self._meta = meta
+        self._token = meta["token"]
         if compact:
             for p in old_parts:
                 shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
@@ -193,4 +268,5 @@ class IVFIndex:
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
         self._meta = None
+        self._token = None
         return self.update(corpus)

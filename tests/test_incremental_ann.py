@@ -133,3 +133,40 @@ def test_recall_probe_under_drift_and_rebuild(spark, emb, tmp_path):
     # index is allowed to have decayed (that is the documented trade)
     assert recall_rebuilt >= 0.9
     assert recall_rebuilt >= recall_frozen
+
+
+def test_ivf_concurrent_writer_fenced_and_vacuum(spark, tmp_path):
+    """IVFIndex carries the same single-writer fence + vacuum contract as
+    MinHashIndex: a raced second writer errors instead of clobbering,
+    reload() recovers, vacuum() collects only stale orphans."""
+    import os
+    import time
+
+    from datafusion_query_cache_spark.operators.incremental_ann import IVFIndex
+    from datafusion_query_cache_spark.operators.incremental_dedup import (
+        ConcurrentIndexWriter,
+    )
+
+    emb = spark.table("embeddings")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    c1 = ids[len(ids) // 2]
+    path = str(tmp_path / "ivf-fence")
+
+    w1 = IVFIndex(path, k_cells=4)
+    w1.update(emb.filter(F.col("vec_id") <= c1))
+    w2 = IVFIndex(path, k_cells=4)
+    w1.update(emb)  # commits behind w2's back
+    with pytest.raises(ConcurrentIndexWriter):
+        w2.update(emb)
+    w2.reload()
+    assert w2.watermark_id == ids[-1]
+
+    # vacuum: stale orphan removed, young decoy and live parts survive
+    orphan = os.path.join(path, "cells-feedfacecafe")
+    os.makedirs(orphan)
+    os.utime(orphan, (time.time() - 7200,) * 2)
+    young = os.path.join(path, "cells-aaaaaaaaaaaa")
+    os.makedirs(young)
+    assert w2.vacuum(grace_s=3600) == ["cells-feedfacecafe"]
+    assert os.path.exists(young)
+    assert w2.vectors(spark).count() == len(ids)
