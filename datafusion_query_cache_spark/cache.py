@@ -121,29 +121,10 @@ def _compact_hist_arrow(tbl, cap: Optional[int] = None, fp: str = ""):
     return tbl
 
 
-def _compact_hist_pdf(pdf, cap: Optional[int] = None, fp: str = ""):
-    """Compact histogram state columns of a pandas state frame, in place."""
-    for name in pdf.columns:
-        if _HIST_COL_RE.match(name):
-            pdf[name] = pdf[name].map(lambda c: _compact_hist_cell(c, cap, fp))
-    return pdf
-
-
-def _check_set_pdf(pdf, cap: Optional[int] = None, fp: str = ""):
-    """Enforce the count(DISTINCT) set-state cardinality cap on a pandas
-    state frame (cells are already-distinct arrays; a length check is the
-    whole enforcement — no compaction can shrink an exact distinct set)."""
-    if cap is not None:
-        for name in pdf.columns:
-            if _DSET_COL_RE.match(name):
-                for c in pdf[name]:
-                    if c is not None and len(c) > cap:
-                        raise SetCardinalityExceeded(fp, len(c))
-    return pdf
-
-
 def _check_set_arrow(tbl, cap: Optional[int] = None, fp: str = ""):
-    """Arrow twin of :func:`_check_set_pdf` (vectorized length max)."""
+    """Enforce the count(DISTINCT) set-state cardinality cap on an arrow
+    state table (cells are already-distinct arrays; a length check is the
+    whole enforcement — no compaction can shrink an exact distinct set)."""
     if cap is not None:
         import pyarrow.compute as pc
 
@@ -308,18 +289,21 @@ class _MemoryEntry(CacheEntry):
         return v[0] if v else None
 
     def get(self, spark: SparkSession) -> DataFrame:
-        wm, pdf, schema = self._cache._store[self._fp]
-        return spark.createDataFrame(pdf, schema=schema)
+        wm, tbl, schema = self._cache._store[self._fp]
+        return spark.createDataFrame(tbl, schema=schema)
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
+        # state lives as an ARROW table, never pandas: the pandas detour
+        # conflates float NaN with SQL NULL (NaN is pandas' missing
+        # sentinel), silently nulling NaN aggregates on the round trip
         schema = state.schema
-        pdf = _check_set_pdf(
-            _compact_hist_pdf(state.toPandas(), self.hist_cap, self._fp),
+        tbl = _check_set_arrow(
+            _compact_hist_arrow(state.toArrow(), self.hist_cap, self._fp),
             self.set_cap, self._fp,
         )
         with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, pdf, schema)
-        return spark.createDataFrame(pdf, schema=schema)
+            self._cache._store[self._fp] = (watermark_ns, tbl, schema)
+        return spark.createDataFrame(tbl, schema=schema)
 
     def put_split(
         self,
@@ -334,30 +318,27 @@ class _MemoryEntry(CacheEntry):
         fresh_rows = fresh_rows_cb() if fresh_rows_cb is not None else None
         if fresh_rows == 0 and self.occupied:
             with self._cache._lock:
-                _wm, pdf, schema = self._cache._store[self._fp]
-                self._cache._store[self._fp] = (watermark_ns, pdf, schema)
+                _wm, cur, schema = self._cache._store[self._fp]
+                self._cache._store[self._fp] = (watermark_ns, cur, schema)
             return tbl
-        pdf = _check_set_pdf(
-            _compact_hist_pdf(
-                tbl.select(list(state_cols)).to_pandas(), self.hist_cap, self._fp
+        state_tbl = _check_set_arrow(
+            _compact_hist_arrow(
+                tbl.select(list(state_cols)), self.hist_cap, self._fp
             ),
             self.set_cap, self._fp,
         )
         with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
+            self._cache._store[self._fp] = (watermark_ns, state_tbl, state_schema)
         return tbl
 
     def get_arrow(self):
         if not self.occupied:
             return None
         try:
-            import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            _wm, pdf, schema = self._cache._store[self._fp]
-            return pa.Table.from_pandas(
-                pdf, schema=to_arrow_schema(schema), preserve_index=False
-            )
+            _wm, tbl, schema = self._cache._store[self._fp]
+            return tbl.cast(to_arrow_schema(schema))
         except Exception:
             return None
 
@@ -369,23 +350,23 @@ class _MemoryEntry(CacheEntry):
     def state_rows(self) -> Optional[int]:
         if not self.occupied:
             return None
-        return len(self._cache._store[self._fp][1])
+        return self._cache._store[self._fp][1].num_rows
 
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
-        pdf = _check_set_pdf(
-            _compact_hist_pdf(state_tbl.to_pandas(), self.hist_cap, self._fp),
+        tbl = _check_set_arrow(
+            _compact_hist_arrow(state_tbl, self.hist_cap, self._fp),
             self.set_cap, self._fp,
         )
         with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, pdf, state_schema)
+            self._cache._store[self._fp] = (watermark_ns, tbl, state_schema)
         return True
 
     def advance_watermark(self, watermark_ns: int) -> bool:
         if not self.occupied:
             return False
         with self._cache._lock:
-            _wm, pdf, schema = self._cache._store[self._fp]
-            self._cache._store[self._fp] = (watermark_ns, pdf, schema)
+            _wm, tbl, schema = self._cache._store[self._fp]
+            self._cache._store[self._fp] = (watermark_ns, tbl, schema)
         return True
 
     def append(
@@ -396,22 +377,22 @@ class _MemoryEntry(CacheEntry):
         partition_cols: Optional[List[str]] = None,
         replace: bool = False,
     ) -> DataFrame:
-        import pandas as pd
+        import pyarrow as pa
 
-        fresh_pdf = fresh.toPandas()
+        fresh_tbl = fresh.toArrow()
         if self.occupied and not replace:
-            _wm, pdf, schema = self._cache._store[self._fp]
-            new = pd.concat([pdf, fresh_pdf], ignore_index=True)
+            _wm, tbl, schema = self._cache._store[self._fp]
+            new = pa.concat_tables([tbl, fresh_tbl.cast(tbl.schema)])
         else:
             schema = fresh.schema
-            new = fresh_pdf
+            new = fresh_tbl
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, new, schema)
         return spark.createDataFrame(new, schema=schema)
 
 
 class MemoryQueryCache(QueryCache):
-    """In-process cache: fingerprint → (watermark_ns, pandas state, schema).
+    """In-process cache: fingerprint → (watermark_ns, arrow state, schema).
 
     The test/dev cache (reference ``MemoryQueryCache``, ``src/cache.rs:52``).
     State crosses the JVM↔Python boundary via Arrow on both put and get —
@@ -588,7 +569,9 @@ class _ParquetEntry(CacheEntry):
                 if n_rows <= self.DRIVER_COLLECT_MAX_ROWS:
                     os.makedirs(path, exist_ok=True)
                     pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
-                    result = spark.createDataFrame(tbl.to_pandas(), schema=state.schema)
+                    # arrow direct — NOT via pandas, whose NaN-as-missing
+                    # sentinel would null out NaN aggregate values
+                    result = spark.createDataFrame(tbl, schema=state.schema)
                 else:  # guessed wrong: state grew past the cap — spill path
                     shutil.rmtree(path, ignore_errors=True)
                     result = None

@@ -57,7 +57,10 @@ def rows_set(df):
         vals = []
         for v in r:
             if isinstance(v, float):
-                vals.append(round(v, 6))
+                import math
+
+                # NaN != NaN would fail comparisons of identical results
+                vals.append("NaN" if math.isnan(v) else round(v, 6))
             else:
                 vals.append(v)
         out.append(tuple(vals))
