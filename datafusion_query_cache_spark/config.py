@@ -96,6 +96,16 @@ class QueryCacheConfig:
     #: store a runaway state — ``approx_count_distinct`` (constant-size
     #: HLL state) is the scale path. ``None`` = unlimited.
     distinct_max_values: Optional[int] = 1_000_000
+    #: Byte budget for the driver-local "nano" dynamic-refresh tier
+    #: (``nano.py``): when the query's source is a locally registered
+    #: parquet table whose TOTAL file size fits this budget, the
+    #: per-refresh fresh-tail + boundary scan runs driver-side via pyarrow
+    #: (row-group pruning, vectorized group_by) instead of paying a Spark
+    #: job's per-refresh parse/optimize/codegen fixed cost (~0.3 s). Gated
+    #: in BYTES, not rows, per the r4/r5 driver-collect advice. Above the
+    #: budget — the 100 TB case — the distributed lite/template tiers run
+    #: unconditionally. 0 disables the tier.
+    nano_refresh_max_bytes: int = 256 << 20
     log: AbstractLog = field(default_factory=LogNoOp)
 
     @property

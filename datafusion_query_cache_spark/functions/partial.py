@@ -81,6 +81,16 @@ class Decomposition:
     #: state columns holding an exact count(DISTINCT) value set — capped at
     #: store time by config.distinct_max_values (cache._check_set_*)
     set_states: List[str] = field(default_factory=list)
+    #: driver-side merge of two state dicts ({state-col: python value},
+    #: both non-None) — set only for aggregates whose merge is exactly
+    #: reproducible in Python (count/sum/min/max/avg over non-decimal
+    #: input). Powers the dynamic-bound "lite" refresh tier, which merges
+    #: driver-small state on the driver instead of shipping it through a
+    #: second Spark aggregate (the reference merges accumulator state
+    #: in-engine the same way, ``src/aggregate.rs:402-409``).
+    py_merge: Optional[Callable[[dict, dict], dict]] = None
+    #: driver-side finalize of one state dict → the user-visible value
+    py_finalize: Optional[Callable[[dict], object]] = None
 
 
 class NotDecomposable(Exception):
@@ -116,6 +126,38 @@ def relax_nullability(dt):
 def _sum_compat(col: Column) -> Column:
     # merge-side sums must ignore nulls (they do) and keep integer sums exact
     return F.sum(col)
+
+
+def _py_add(a, b):
+    """SQL sum-merge of two partial sums: nulls are skipped, not poison."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _py_minmax(kind: str):
+    """Spark-exact min/max merge: nulls skipped, NaN sorts GREATEST (so
+    max picks NaN, min avoids it) — unlike Python's order-dependent
+    min/max over NaN."""
+    import math
+
+    def _nan(v):
+        return isinstance(v, float) and math.isnan(v)
+
+    def m(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if _nan(a) or _nan(b):
+            if kind == "max":
+                return a if _nan(a) else b
+            return b if _nan(a) else a
+        return max(a, b) if kind == "max" else min(a, b)
+
+    return m
 
 
 def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
@@ -251,12 +293,16 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         # finalize coalesces to 0: a global count over an EMPTY window (all
         # state rows filtered out, e.g. a dynamic bound in the future) merges
         # sum-over-nothing = NULL, but SQL count() of no rows is 0.
+        cnt_merge = lambda a_, b_: {n: _py_add(a_[n], b_[n])}  # noqa: E731
+        cnt_fin = lambda st: int(st[n]) if st[n] is not None else 0  # noqa: E731
         if not agg.args or isinstance(agg.args[0], Star):
             return Decomposition(
                 partial={n: F.count(F.lit(1))},
                 merge={n: _sum_compat(F.col(n))},
                 finalize=F.coalesce(F.col(n), F.lit(0).cast("long")),
                 singleton={n: F.lit(1).cast("long")},
+                py_merge=cnt_merge,
+                py_finalize=cnt_fin,
             )
         a = arg0()
         return Decomposition(
@@ -264,6 +310,8 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             merge={n: _sum_compat(F.col(n))},
             finalize=F.coalesce(F.col(n), F.lit(0).cast("long")),
             singleton={n: F.when(a.isNotNull(), 1).otherwise(0).cast("long")},
+            py_merge=cnt_merge,
+            py_finalize=cnt_fin,
         )
 
     if fn == "sum":
@@ -274,6 +322,8 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             merge={nm: F.sum(F.col(nm))},
             finalize=F.col(nm),
             singleton={nm: a},  # session casts to the stored state dtype
+            py_merge=lambda x, y: {nm: _py_add(x[nm], y[nm])},
+            py_finalize=lambda st: st[nm],
         )
 
     if fn in ("min", "max"):
@@ -285,11 +335,22 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             merge={nm: f_(F.col(nm))},
             finalize=F.col(nm),
             singleton={nm: a},
+            py_merge=(
+                lambda mm: lambda x, y: {nm: mm(x[nm], y[nm])}
+            )(_py_minmax(fn)),
+            py_finalize=lambda st: st[nm],
         )
 
     if fn == "avg":
         sm, ct = s("sum"), s("cnt")
         a = arg0()
+
+        def _avg_fin(st):
+            # sm/ct with ct=0 ⇒ sm is NULL ⇒ SQL null division ⇒ NULL
+            if st[sm] is None or not st[ct]:
+                return None
+            return st[sm] / st[ct]
+
         return Decomposition(
             partial={sm: F.sum(a.cast("double")), ct: F.count(a)},
             merge={sm: F.sum(F.col(sm)), ct: F.sum(F.col(ct))},
@@ -298,6 +359,11 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
                 sm: a.cast("double"),
                 ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
             },
+            py_merge=lambda x, y: {
+                sm: _py_add(x[sm], y[sm]),
+                ct: _py_add(x[ct], y[ct]),
+            },
+            py_finalize=_avg_fin,
         )
 
     if fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
@@ -601,6 +667,120 @@ class ItemPlan:
     histogram_states: List[str] = field(default_factory=list)
     #: count(DISTINCT) set-state columns, capped at store time
     set_states: List[str] = field(default_factory=list)
+    #: the item's IR expression and its (AggCall, Decomposition) pairs —
+    #: retained so the dynamic-bound lite tier can compile a Python
+    #: finalize mirror of ``finalize_raw`` (see ``lite_plan``)
+    expr: Optional[Expr] = None
+    decs: List[Tuple[AggCall, Decomposition]] = field(default_factory=list)
+
+
+def _round_half_up(x, d: int):
+    """Spark round(): BigDecimal.valueOf(x).setScale(d, HALF_UP).
+
+    ``BigDecimal.valueOf`` goes through ``Double.toString`` (shortest
+    round-trip decimal), which Python's ``repr(float)`` reproduces — so
+    quantizing ``Decimal(repr(x))`` HALF_UP matches Spark bit-for-bit for
+    doubles. Integers at non-negative scale are returned unchanged."""
+    if x is None:
+        return None
+    if isinstance(x, int) and d >= 0:
+        return x
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    xf = float(x)
+    if math.isnan(xf) or math.isinf(xf):
+        return xf
+    q = Decimal(1).scaleb(-d)
+    return float(Decimal(repr(xf)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+class _LiteUnsupported(Exception):
+    pass
+
+
+def _compile_lite_fin(e: Expr, by_canon: Dict[str, Decomposition]):
+    """Compile one finalize expression into a Python callable over the
+    state dict — the driver-side mirror of ``_rewrite_with_finalize``,
+    restricted to shapes whose Spark semantics are exactly reproducible
+    in Python: bare aggregates, numeric literals, ``+ - * /`` (non-ANSI:
+    null propagation, null on division by zero, ``/`` is double
+    division), and HALF_UP ``round``. Anything else raises."""
+    if isinstance(e, AggCall):
+        dec = by_canon.get(e.canon())
+        if dec is None or dec.py_finalize is None:
+            raise _LiteUnsupported(f"aggregate {e.fn} has no python finalize")
+        return dec.py_finalize
+    if isinstance(e, Lit):
+        v = e.value
+        if not isinstance(v, (int, float)):
+            raise _LiteUnsupported(f"literal {v!r} in lite finalize")
+        return lambda st: v
+    if isinstance(e, BinOp) and e.op in ("+", "-", "*", "/"):
+        lf = _compile_lite_fin(e.left, by_canon)
+        rf = _compile_lite_fin(e.right, by_canon)
+        op = e.op
+
+        def _bin(st):
+            a, b = lf(st), rf(st)
+            if a is None or b is None:
+                return None
+            if op == "+":
+                return a + b
+            if op == "-":
+                return a - b
+            if op == "*":
+                return a * b
+            if b == 0:  # non-ANSI: x / 0 is NULL
+                return None
+            return float(a) / float(b)  # SQL `/` on non-decimals is double
+
+        return _bin
+    if (
+        isinstance(e, Func)
+        and e.name.lower() == "round"
+        and len(e.args) in (1, 2)
+        and (len(e.args) == 1
+             or (isinstance(e.args[1], Lit) and isinstance(e.args[1].value, int)))
+    ):
+        inner = _compile_lite_fin(e.args[0], by_canon)
+        d = e.args[1].value if len(e.args) == 2 else 0
+        return lambda st: _round_half_up(inner(st), d)
+    raise _LiteUnsupported(f"expression {type(e).__name__} in lite finalize")
+
+
+def lite_plan(plans: List["ItemPlan"]):
+    """Driver-merge program for the dynamic-bound lite tier, or None.
+
+    Returns ``{"merges": [callable(dict, dict) -> dict], "fins":
+    {item name: callable(dict) -> value}}`` where each merge callable
+    reads its own state columns from the full state dict and returns the
+    merged values for them (caller folds the partial dicts together).
+    Distinct-aggregate state shared across items merges exactly once.
+    None ⇔ some aggregate or finalize shape has no exact Python mirror."""
+    merges = []
+    fins: Dict[str, Callable] = {}
+    seen_cols = set()
+    by_canon: Dict[str, Decomposition] = {}
+    for p in plans:
+        if p.expr is None or not p.decs:
+            return None
+        for a, dec in p.decs:
+            by_canon[a.canon()] = dec
+    for dec in by_canon.values():
+        if dec.py_merge is None:
+            return None
+        cols = tuple(dec.partial.keys())
+        if cols in seen_cols:
+            continue
+        seen_cols.add(cols)
+        merges.append(dec.py_merge)
+    for p in plans:
+        try:
+            fins[p.name] = _compile_lite_fin(p.expr, by_canon)
+        except _LiteUnsupported:
+            return None
+    return {"merges": merges, "fins": fins}
 
 
 def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
@@ -682,12 +862,13 @@ def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
         aggs = [n for n in item.expr.walk() if isinstance(n, AggCall)]
         if not aggs:
             raise Unsupported(f"select item {item.name} has no aggregate")
-        plan = ItemPlan(name=item.name)
+        plan = ItemPlan(name=item.name, expr=item.expr)
         fin_map: Dict[AggCall, Column] = {}
         for a in aggs:
             key = a.canon()
             if key in seen:
                 dec = seen[key][1]
+                plan.decs.append((a, dec))
             else:
                 dec = decompose_agg(a, str(counter), schema)
                 counter += 1
@@ -700,6 +881,7 @@ def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
                     plan.singleton = None
                 elif plan.singleton is not None:
                     plan.singleton.update(dec.singleton)
+                plan.decs.append((a, dec))
             fin_map[a] = dec.finalize
         plan.finalize_raw = _rewrite_with_finalize(item.expr, fin_map)
         plan.finalize = plan.finalize_raw.alias(item.name)

@@ -1,0 +1,619 @@
+"""Driver-local dynamic-refresh scan tier ("nano").
+
+The dynamic-bound warm path's floor cost in Spark is the per-refresh JVM
+query compilation: any job with fresh literal bounds pays parse + analyze
++ optimize + whole-stage-codegen (~0.2-0.3 s here) before a single row
+moves — at small scale that fixed cost alone exceeds a plain rescan. The
+reference has no such floor: DataFusion plans in-process in microseconds
+(``src/aggregate.rs`` just rebuilds the plan per call).
+
+This tier removes the floor for the case where Spark adds no value: the
+per-refresh scan volume is tiny (a fresh tail plus one boundary bucket of
+a BYTES-GATED local parquet source). It scans driver-side with a pyarrow
+dataset (parquet row-group statistics pruning — the same pushdown story
+as the Spark scan), computes the partial aggregates with vectorized
+``Table.group_by`` (no Python per-row loop), and hands the handful of
+partial rows to the same driver merge the lite tier uses
+(``functions/partial.py py_merge/py_finalize``).
+
+Admission is a strict contract, everything else falls through to the
+distributed tiers (lite → fused template → classic):
+
+* the source view was registered through ``sources.tables
+  .register_parquet_view`` (so its exact derivation — ns-shadow
+  normalization over raw parquet files — is KNOWN; arbitrary user views
+  never qualify), and the files' total size fits
+  ``config.nano_refresh_max_bytes`` (bytes, not rows);
+* single table, no joins, no residual predicate, session timezone UTC
+  (the data axis is tz-free µs/ns; UTC makes the Python calendar mirror
+  of ``date_trunc``/interval arithmetic exact);
+* group keys are bare columns or ``date_trunc`` buckets of the temporal
+  column; aggregate arguments are bare columns (count/sum/min/max/avg);
+* the dynamic bound is ``now()/current_date() ± INTERVAL`` shapes the
+  Python evaluator mirrors exactly (month/year intervals use Spark's
+  end-of-month clamp); anything else uses the JVM one-row evaluator.
+
+At 100 TB the gate simply never admits: the source is not a
+driver-local parquet file set under the byte budget, and the distributed
+tiers — whose scans push down and prune exactly — run instead.
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+import math
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .plans.ir import AggCall, BinOp, Cast, Col, Expr, Func, Lit, Star
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+class NanoUnsupported(Exception):
+    """Shape outside the nano contract → distributed tiers."""
+
+
+# ---------------------------------------------------------------------------
+# Python mirrors of the JVM-side temporal arithmetic (UTC session only)
+# ---------------------------------------------------------------------------
+
+def _us_of(d: dt.datetime) -> int:
+    delta = d - _EPOCH
+    # exact integer µs (timedelta is normalized: seconds/microseconds
+    # non-negative even for pre-epoch values)
+    return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+
+
+def _dt_of_us(us: int) -> dt.datetime:
+    return _EPOCH + dt.timedelta(microseconds=us)
+
+
+_TRUNC_ALIASES = {
+    "dd": "day", "hh": "hour", "mon": "month", "mm": "month",
+    "yyyy": "year", "yy": "year",
+}
+
+
+def trunc_dt(d: dt.datetime, gran: str) -> dt.datetime:
+    """``date_trunc(gran, d)`` for a tz-free timestamp — exact mirror of
+    Spark's UTC-session behavior (week starts Monday)."""
+    g = _TRUNC_ALIASES.get(gran.lower(), gran.lower())
+    if g == "minute":
+        return d.replace(second=0, microsecond=0)
+    if g == "hour":
+        return d.replace(minute=0, second=0, microsecond=0)
+    if g == "day":
+        return d.replace(hour=0, minute=0, second=0, microsecond=0)
+    if g == "week":
+        day0 = d.replace(hour=0, minute=0, second=0, microsecond=0)
+        return day0 - dt.timedelta(days=day0.weekday())
+    if g == "month":
+        return d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if g == "quarter":
+        m = 3 * ((d.month - 1) // 3) + 1
+        return d.replace(month=m, day=1, hour=0, minute=0, second=0,
+                         microsecond=0)
+    if g == "year":
+        return d.replace(month=1, day=1, hour=0, minute=0, second=0,
+                         microsecond=0)
+    raise NanoUnsupported(f"date_trunc granularity {gran}")
+
+
+def add_months(d: dt.datetime, months: int) -> dt.datetime:
+    """Spark's timestamp + INTERVAL months: calendar add with end-of-month
+    day clamp (Mar 31 - 1 month = Feb 28/29)."""
+    y, m = divmod(d.year * 12 + (d.month - 1) + months, 12)
+    last = calendar.monthrange(y, m + 1)[1]
+    return d.replace(year=y, month=m + 1, day=min(d.day, last))
+
+
+def bucket_end(b: dt.datetime, gran: str) -> dt.datetime:
+    g = _TRUNC_ALIASES.get(gran.lower(), gran.lower())
+    if g == "minute":
+        return b + dt.timedelta(minutes=1)
+    if g == "hour":
+        return b + dt.timedelta(hours=1)
+    if g == "day":
+        return b + dt.timedelta(days=1)
+    if g == "week":
+        return b + dt.timedelta(days=7)
+    if g == "month":
+        return add_months(b, 1)
+    if g == "quarter":
+        return add_months(b, 3)
+    if g == "year":
+        return add_months(b, 12)
+    raise NanoUnsupported(f"bucket granularity {gran}")
+
+
+_NOW_FNS = frozenset(
+    ("now", "current_timestamp", "localtimestamp", "get_current_timestamp",
+     "transaction_timestamp")
+)
+#: interval constructor → (months, timedelta-per-unit); mirrors
+#: functions/compile.py's duckdb interval lowering
+_IV_FNS = {
+    "to_years": (12, None),
+    "to_months": (1, None),
+    "to_weeks": (0, dt.timedelta(weeks=1)),
+    "to_days": (0, dt.timedelta(days=1)),
+    "to_hours": (0, dt.timedelta(hours=1)),
+    "to_minutes": (0, dt.timedelta(minutes=1)),
+    "to_seconds": (0, dt.timedelta(seconds=1)),
+    "to_milliseconds": (0, dt.timedelta(milliseconds=1)),
+    "to_microseconds": (0, dt.timedelta(microseconds=1)),
+}
+
+
+def _iv_count(e: Expr) -> int:
+    """Unwrap the duckdb interval-count lowering —
+    ``to_days(CAST(trunc(CAST(10 AS DOUBLE)) AS INTEGER))`` — to the
+    integral literal inside; raise on anything non-literal."""
+    while True:
+        if isinstance(e, Cast):
+            e = e.child
+            continue
+        if isinstance(e, Func) and e.name.lower() == "trunc" and len(e.args) == 1:
+            e = e.args[0]
+            continue
+        break
+    if isinstance(e, Lit) and isinstance(e.value, (int, float)):
+        v = e.value
+        if float(v) == int(v):
+            return int(v)
+    raise NanoUnsupported(f"interval count {e!r}")
+
+
+def validate_bound_expr(rhs: Expr) -> None:
+    """Raise NanoUnsupported unless ``eval_bound`` can evaluate ``rhs``."""
+    if isinstance(rhs, Func):
+        nl = rhs.name.lower()
+        if nl in _NOW_FNS or nl in ("current_date", "today"):
+            return
+        if nl in _IV_FNS:
+            if len(rhs.args) == 1:
+                _iv_count(rhs.args[0])
+                return
+            raise NanoUnsupported(f"interval arg of {rhs.name}")
+        raise NanoUnsupported(f"function {rhs.name} in bound")
+    if isinstance(rhs, BinOp) and rhs.op in ("+", "-"):
+        validate_bound_expr(rhs.left)
+        validate_bound_expr(rhs.right)
+        return
+    if isinstance(rhs, Cast) and rhs.to_type.upper() in ("DATE", "TIMESTAMP"):
+        validate_bound_expr(rhs.child)
+        return
+    raise NanoUnsupported(f"bound node {type(rhs).__name__}")
+
+
+def eval_bound(rhs: Expr, now_ns: int):
+    """Evaluate the pinned dynamic bound in Python — exact mirror of the
+    JVM evaluation under a UTC session (now pinned to floor-µs, identical
+    to ``_pin_now``'s ``timestamp_micros(now_ns // 1000)``)."""
+    now_dt = _dt_of_us(now_ns // 1000)
+
+    def ev(x):
+        if isinstance(x, Func):
+            nl = x.name.lower()
+            if nl in _NOW_FNS:
+                return now_dt
+            if nl in ("current_date", "today"):
+                return now_dt.date()
+            if nl in _IV_FNS:
+                months, unit = _IV_FNS[nl]
+                n = _iv_count(x.args[0])
+                if months:
+                    return ("months", months * n)
+                return unit * n
+            raise NanoUnsupported(f"function {x.name}")
+        if isinstance(x, BinOp):
+            l, r = ev(x.left), ev(x.right)
+            sign = 1 if x.op == "+" else -1
+            if isinstance(l, tuple) or isinstance(r, tuple):
+                base, mdelta = (r, l) if isinstance(l, tuple) else (l, r)
+                if isinstance(base, dt.date) and not isinstance(base, dt.datetime):
+                    base = dt.datetime(base.year, base.month, base.day)
+                return add_months(base, sign * mdelta[1])
+            base, delta = (r, l) if isinstance(l, dt.timedelta) else (l, r)
+            if isinstance(base, dt.date) and not isinstance(base, dt.datetime):
+                base = dt.datetime(base.year, base.month, base.day)
+            return base + sign * delta
+        if isinstance(x, Cast):
+            v = ev(x.child)
+            if x.to_type.upper() == "DATE":
+                return v.date() if isinstance(v, dt.datetime) else v
+            if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+                return dt.datetime(v.year, v.month, v.day)
+            return v
+        raise NanoUnsupported(f"bound node {type(x).__name__}")
+
+    v = ev(rhs)
+    if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        v = dt.datetime(v.year, v.month, v.day)
+    if not isinstance(v, dt.datetime):
+        raise NanoUnsupported(f"bound evaluated to {type(v).__name__}")
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Group / aggregate specs (parsed from the query IR at build time)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _GroupSpec:
+    name: str
+    kind: str  # "col" | "trunc"
+    col: str
+    gran: str = ""
+    as_date: bool = False
+
+
+def _parse_group(item, ts_col: str) -> _GroupSpec:
+    e = item.expr
+    as_date = False
+    if isinstance(e, Cast) and e.to_type.upper() == "DATE":
+        as_date = True
+        e = e.child
+    if isinstance(e, Col):
+        if as_date:
+            raise NanoUnsupported(f"CAST(col AS DATE) group {item.name}")
+        return _GroupSpec(item.name, "col", e.name)
+    if (
+        isinstance(e, Func)
+        and e.name.lower() == "date_trunc"
+        and len(e.args) == 2
+        and isinstance(e.args[0], Lit)
+        and isinstance(e.args[1], Col)
+        and e.args[1].name == ts_col
+    ):
+        gran = _TRUNC_ALIASES.get(
+            str(e.args[0].value).lower(), str(e.args[0].value).lower()
+        )
+        if gran not in ("minute", "hour", "day", "week", "month", "quarter",
+                        "year"):
+            raise NanoUnsupported(f"date_trunc granularity {gran}")
+        return _GroupSpec(item.name, "trunc", e.args[1].name, gran, as_date)
+    raise NanoUnsupported(f"group expression for {item.name}")
+
+
+@dataclass
+class _AggRecipe:
+    """How one state column is produced by the pyarrow group_by."""
+
+    state_col: str
+    src: str  # source column in the working table (may be a derived name)
+    fn: str  # pyarrow aggregate: sum / min / max / count
+    mode: str = "only_valid"  # for count
+
+
+def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
+    """Map every unique decomposition's state columns to pyarrow
+    aggregate recipes. Returns (recipes, float_minmax_cols) — the latter
+    need a NaN runtime check (pyarrow orders NaN differently from
+    Spark's NaN-greatest)."""
+    recipes: List[_AggRecipe] = []
+    nan_check: List[str] = []
+    seen = set()
+    for p in plans:
+        for a, dec in p.decs:
+            cols = tuple(dec.partial.keys())
+            if cols in seen:
+                continue
+            seen.add(cols)
+            fn = a.fn.lower()
+            star = not a.args or isinstance(a.args[0], Star)
+            if not star and not isinstance(a.args[0], Col):
+                raise NanoUnsupported(f"aggregate arg of {fn}")
+            src = None if star else a.args[0].name
+            if fn == "count" and star:
+                recipes.append(_AggRecipe(cols[0], ts_col, "count", "all"))
+            elif fn == "count":
+                recipes.append(_AggRecipe(cols[0], src, "count"))
+            elif fn == "sum":
+                recipes.append(_AggRecipe(cols[0], src, "sum"))
+            elif fn in ("min", "max"):
+                recipes.append(_AggRecipe(cols[0], src, fn))
+                nan_check.append(src)
+            elif fn == "avg":
+                # state: (sum double, count) — cast the source up front
+                recipes.append(_AggRecipe(cols[0], f"__qc_f64_{src}", "sum"))
+                recipes.append(_AggRecipe(cols[1], src, "count"))
+            else:
+                raise NanoUnsupported(f"aggregate {fn}")
+    return recipes, nan_check
+
+
+# ---------------------------------------------------------------------------
+# The program
+# ---------------------------------------------------------------------------
+
+class NanoProgram:
+    """Bytes-gated driver-side refresh scan for one query shape."""
+
+    def __init__(
+        self,
+        path: str,
+        ts_col: str,
+        ts_kind: str,  # "us" | "ns_long"
+        groups: List[_GroupSpec],
+        recipes: List[_AggRecipe],
+        nan_check: List[str],
+        bucket_gran: str,
+        dyn_op: str,
+        rhs: Expr,
+        rhs_python: bool,
+        bucket_is_date: bool,
+    ):
+        import pyarrow.dataset as pds
+
+        self.path = path
+        self.ts_col = ts_col
+        self.ts_kind = ts_kind
+        self.groups = groups
+        self.recipes = recipes
+        self.nan_check = nan_check
+        self.bucket_gran = bucket_gran
+        self.dyn_op = dyn_op
+        self.rhs = rhs
+        self.rhs_python = rhs_python
+        self.bucket_is_date = bucket_is_date
+        # built once: dataset handle caches parquet footers across refreshes
+        self._ds = pds.dataset(path, format="parquet")
+        need = {ts_col}
+        need.update(g.col for g in groups)
+        need.update(
+            r.src[len("__qc_f64_"):] if r.src.startswith("__qc_f64_") else r.src
+            for r in recipes
+        )
+        self.columns = sorted(need)
+        missing = [c for c in self.columns if c not in self._ds.schema.names]
+        if missing:
+            raise NanoUnsupported(f"columns {missing} not in parquet files")
+        import pyarrow as pa
+
+        ftype = self._ds.schema.field(ts_col).type
+        want_unit = "ns" if ts_kind == "ns_long" else "us"
+        if not (
+            pa.types.is_timestamp(ftype)
+            and ftype.unit == want_unit
+            and ftype.tz is None
+        ):
+            # tz-annotated or off-unit parquet timestamps: comparisons
+            # against naive scalars would be wrong/throw — distributed tiers
+            raise NanoUnsupported(f"{ts_col} parquet type {ftype}")
+        # working-table name-collision guards: a group alias that shadows a
+        # different source column would silently aggregate the wrong data
+        for g in groups:
+            if g.kind == "col" and g.name != g.col:
+                raise NanoUnsupported(f"aliased group column {g.name}")
+            if g.kind == "trunc" and g.name in self.columns:
+                raise NanoUnsupported(f"bucket alias {g.name} shadows a column")
+
+    # -- temporal window mirrors (ints, exact) --------------------------
+
+    def _scan(self, wm_ns: int, now_ns: int, bound_us: int, bhi_us: int):
+        """Load admitted rows. The dataset filter is the same pushable
+        OR-of-ranges the Spark scan uses — pyarrow prunes whole row groups
+        by parquet statistics, so the read set is (fresh-tail row groups)
+        ∪ (boundary-bucket row groups), NOT the envelope between them.
+        The exact per-row window masks are applied after load, mirroring
+        the engine's ns/µs conjunctions exactly."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+
+        f = pds.field(self.ts_col)
+        raw_is_ns_ts = self.ts_kind == "ns_long"
+        if raw_is_ns_ts:
+            # the Spark view reads these as epoch-ns longs (nanosAsLong);
+            # pyarrow reads the same parquet as timestamp[ns]
+            lo_f = pa.scalar(wm_ns // 1000 * 1000, pa.timestamp("ns"))
+            hi_f = pa.scalar(now_ns, pa.timestamp("ns"))
+            lo_b = pa.scalar(bound_us * 1000, pa.timestamp("ns"))
+            hi_b = pa.scalar(bhi_us * 1000, pa.timestamp("ns"))
+        else:
+            lo_f = pa.scalar(_dt_of_us(wm_ns // 1000), pa.timestamp("us"))
+            hi_f = pa.scalar(_dt_of_us(-(-now_ns // 1000)), pa.timestamp("us"))
+            lo_b = pa.scalar(_dt_of_us(bound_us), pa.timestamp("us"))
+            hi_b = pa.scalar(_dt_of_us(bhi_us), pa.timestamp("us"))
+        flt = ((f >= lo_f) & (f < hi_f)) | ((f >= lo_b) & (f < hi_b))
+        tbl = self._ds.to_table(columns=self.columns, filter=flt)
+
+        ts = tbl.column(self.ts_col)
+        if raw_is_ns_ts:
+            ns = pc.cast(ts.combine_chunks(), pa.int64())  # epoch ns
+            if tbl.num_rows and pc.min(ns).as_py() < 0:
+                # `div 1000` truncates toward zero; pre-1970 values break
+                # the trunc≡floor equivalence the µs mirror relies on
+                raise NanoUnsupported("negative epoch in ns source")
+            us = pc.divide(ns, 1000)  # non-negative ⇒ trunc ≡ floor
+            ts_us_dt = pc.cast(us, pa.timestamp("us"))
+            # fresh tail: ns ∈ [wm, now); the engine's extra µs bracket is
+            # implied (floor/ceil of the same bounds)
+            f_mask = pc.and_(pc.greater_equal(ns, wm_ns), pc.less(ns, now_ns))
+            # boundary: the engine's exact conjunction — the ns range AND
+            # the µs comparisons on the user-facing derived timestamp
+            b_mask = pc.and_(
+                pc.and_(
+                    pc.greater_equal(ns, bound_us * 1000),
+                    pc.less(ns, min(now_ns, bhi_us * 1000)),
+                ),
+                pc.and_(
+                    pc.greater(us, bound_us)
+                    if self.dyn_op == ">"
+                    else pc.greater_equal(us, bound_us),
+                    pc.less(us, bhi_us),
+                ),
+            )
+        else:
+            # µs/NTZ source: the derived ns shadow is ts*1000 exactly, so
+            # the engine's ns∧µs conjunction reduces to ceil-µs bounds
+            ts_us_dt = ts
+            lo = pa.scalar(_dt_of_us(-(-wm_ns // 1000)), pa.timestamp("us"))
+            f_mask = pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi_f))
+            b_mask = pc.and_(
+                pc.greater(ts, lo_b)
+                if self.dyn_op == ">"
+                else pc.greater_equal(ts, lo_b),
+                pc.less(ts, hi_b),
+            )
+        return tbl, ts_us_dt, f_mask, b_mask
+
+    def _group_arrays(self, tbl, ts_us_dt):
+        import pyarrow.compute as pc
+
+        out = {}
+        for g in self.groups:
+            if g.kind == "col":
+                out[g.name] = tbl.column(g.col)
+            else:
+                b = pc.floor_temporal(
+                    ts_us_dt, unit=g.gran, week_starts_monday=True
+                )
+                if g.as_date:
+                    import pyarrow as pa
+
+                    b = b.cast(pa.date32())
+                out[g.name] = b
+        return out
+
+    def _partials(self, tbl, garrs, mask) -> Tuple[Dict[tuple, dict], int]:
+        """Vectorized partial aggregation of the masked subset →
+        {group key tuple: {state col: value}}, plus the raw row count."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cols: Dict[str, object] = {}
+        gnames = [g.name for g in self.groups]
+        for g in self.groups:
+            cols[g.name] = garrs[g.name]
+        for r in self.recipes:
+            if r.src in cols:
+                continue
+            if r.src.startswith("__qc_f64_"):
+                cols[r.src] = pc.cast(
+                    tbl.column(r.src[len("__qc_f64_"):]), pa.float64()
+                )
+            else:
+                cols[r.src] = tbl.column(r.src)
+        for c in self.nan_check:
+            arr = tbl.column(c)
+            if pa.types.is_floating(arr.type) and tbl.num_rows and \
+                    pc.any(pc.is_nan(pc.fill_null(arr, 0.0))).as_py():
+                raise NanoUnsupported("NaN under min/max (ordering differs)")
+        work = pa.table(cols).filter(mask)
+        n = work.num_rows
+        if n == 0:
+            return {}, 0
+        aggs, outs = [], []
+        seen = set()
+        for r in self.recipes:
+            key = (r.src, r.fn, r.mode)
+            if key in seen:
+                continue
+            seen.add(key)
+            if r.fn == "count":
+                aggs.append((r.src, "count", pc.CountOptions(mode=r.mode)))
+            else:
+                aggs.append((r.src, r.fn))
+            outs.append(key)
+        res = work.group_by(gnames).aggregate(aggs)
+        # aggregate output order: the aggregate columns first? build a map
+        # by recomputing pyarrow's naming, then read via our key order
+        name_by_key = {}
+        agg_names = [c for c in res.column_names if c not in gnames]
+        for key, nm in zip(outs, agg_names):
+            name_by_key[key] = nm
+        parts: Dict[tuple, dict] = {}
+        for row in res.to_pylist():
+            k = tuple(row[g] for g in gnames)
+            st = {}
+            for r in self.recipes:
+                st[r.state_col] = row[name_by_key[(r.src, r.fn, r.mode)]]
+            parts[k] = st
+        return parts, n
+
+    def run(self, wm_ns: int, now_ns: int, jvm_eval=None):
+        """One refresh: returns (fresh_parts, bnd_parts, boundary,
+        fresh_rows, bound). Pure driver-side — no Spark job."""
+        if self.rhs_python:
+            bound_dt = eval_bound(self.rhs, now_ns)
+        else:
+            if jvm_eval is None:
+                raise NanoUnsupported("bound needs JVM evaluation")
+            bound_dt = jvm_eval()
+        bound_us = _us_of(bound_dt)
+        bucket = trunc_dt(bound_dt, self.bucket_gran)
+        bend_us = _us_of(bucket_end(bucket, self.bucket_gran))
+        bhi_us = min(-(-now_ns // 1000), bend_us)
+
+        tbl, ts_us_dt, f_mask, b_mask = self._scan(
+            wm_ns, now_ns, bound_us, bhi_us
+        )
+        garrs = self._group_arrays(tbl, ts_us_dt)
+        fresh, fresh_rows = self._partials(tbl, garrs, f_mask)
+        bnd, _ = self._partials(tbl, garrs, b_mask)
+        boundary = bucket.date() if self.bucket_is_date else bucket
+        return fresh, bnd, boundary, fresh_rows, bound_dt
+
+
+def build_nano_program(
+    table: str,
+    ts_col: str,
+    state_group,
+    plans,
+    bucket_name: str,
+    bucket_gran: str,
+    dyn_op: str,
+    rhs: Expr,
+    bucket_is_date: bool,
+    max_bytes: int,
+) -> NanoProgram:
+    """Build (and validate admission for) the nano program; raises
+    NanoUnsupported on any contract violation."""
+    from .sources.tables import LOCAL_PARQUET_SOURCES
+
+    src = LOCAL_PARQUET_SOURCES.get(table)
+    if src is None:
+        raise NanoUnsupported(f"table {table} not a registered local source")
+    ts_kind = src["ts_kinds"].get(ts_col)
+    if ts_kind is None:
+        raise NanoUnsupported(f"{ts_col} not a normalized temporal column")
+    path = src["path"]
+    if not os.path.exists(path):
+        raise NanoUnsupported(f"source path gone: {path}")
+    size = (
+        os.path.getsize(path)
+        if os.path.isfile(path)
+        else sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    )
+    if not max_bytes or size > max_bytes:
+        raise NanoUnsupported(
+            f"source {size} bytes over nano_refresh_max_bytes={max_bytes}"
+        )
+    groups = [_parse_group(g, ts_col) for g in state_group]
+    # group key cols must not collide with the shadow-normalized ts names
+    for g in groups:
+        if g.kind == "col" and g.col.endswith("_ns"):
+            raise NanoUnsupported("grouping on a derived shadow column")
+    recipes, nan_check = _parse_aggs(plans, ts_col)
+    gran = _TRUNC_ALIASES.get(bucket_gran.lower(), bucket_gran.lower())
+    if gran not in ("minute", "hour", "day", "week", "month", "quarter",
+                    "year"):
+        raise NanoUnsupported(f"bucket granularity {bucket_gran}")
+    rhs_python = True
+    try:
+        validate_bound_expr(rhs)
+    except NanoUnsupported:
+        rhs_python = False
+    return NanoProgram(
+        path, ts_col, ts_kind, groups, recipes, nan_check, gran, dyn_op,
+        rhs, rhs_python, bucket_is_date,
+    )

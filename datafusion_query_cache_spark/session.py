@@ -137,6 +137,10 @@ class Decision:
     #: a Spark job per refresh). Non-None ⇔ a dynamic bound was in play.
     dynamic_lower: Optional[object] = None
     observation: Optional[Observation] = None  # fresh-scan row count (hit only)
+    #: which warm-refresh tier served a dynamic-bound hit: "nano" (driver
+    #: pyarrow scan), "lite" (one plain-sized job + driver merge),
+    #: "template" (fused one-job SQL), or "classic" (DataFrame assembly)
+    refresh_tier: Optional[str] = None
     #: exact fresh-row count when the SQL-template warm path ran (it counts
     #: via a rider aggregate instead of an Observation)
     fresh_rows_value: Optional[int] = None
@@ -1164,18 +1168,49 @@ class CachedSparkSession:
                             decision, spec, state_cols,
                         )
                 else:
-                    tpl = self._dyn_warm_template(
+                    # tier ladder: nano (driver pyarrow scan, bytes-gated)
+                    # → lite (plain-sized job + driver merge) → fused
+                    # one-job template; each falls through on inadmission
+                    ntpl = self._dyn_nano_template(
                         pkey, fingerprint, spec, plans, state_group,
                         group_names, state_cols, partial_aggs, merge_aggs,
                         pred, ts_col, shadow in base_cols, pc_arg,
                         cached_state.schema, tables,
                         bucket_name, bucket_gran, dyn_bound.op,
+                        dyn_bound.rhs,
                     )
-                    if tpl is not None:
-                        res = self._run_dyn_warm_template(
-                            tpl, entry, cached_state, wm_ns, now_ns,
-                            dyn_bound.rhs, decision, spec, state_cols,
+                    if ntpl is not None:
+                        res = self._run_dyn_nano(
+                            ntpl, entry, cached_state, wm_ns, now_ns,
+                            dyn_bound.rhs, decision, spec,
                         )
+                    if res is None:
+                        ltpl = self._dyn_lite_template(
+                            pkey, fingerprint, spec, plans, state_group,
+                            group_names, state_cols, partial_aggs, merge_aggs,
+                            pred, ts_col, shadow in base_cols, pc_arg,
+                            cached_state.schema, tables,
+                            bucket_name, bucket_gran, dyn_bound.op,
+                        )
+                        if ltpl is not None:
+                            res = self._run_dyn_lite(
+                                ltpl, entry, cached_state, wm_ns, now_ns,
+                                dyn_bound.rhs, decision, spec,
+                            )
+                    if res is None:
+                        tpl = self._dyn_warm_template(
+                            pkey, fingerprint, spec, plans, state_group,
+                            group_names, state_cols, partial_aggs, merge_aggs,
+                            pred, ts_col, shadow in base_cols, pc_arg,
+                            cached_state.schema, tables,
+                            bucket_name, bucket_gran, dyn_bound.op,
+                        )
+                        if tpl is not None:
+                            res = self._run_dyn_warm_template(
+                                tpl, entry, cached_state, wm_ns, now_ns,
+                                dyn_bound.rhs, decision, spec, state_cols,
+                            )
+                    if res is not None:
                         # the bound is a pure function of the pinned now,
                         # so (state watermark, now) keys the memo exactly
                         memo_key = ("dyn", now_ns, now_ns)
@@ -2329,127 +2364,52 @@ class CachedSparkSession:
         self._tpl_cache[key] = tpl
         return tpl
 
-    def _build_dyn_warm_template(
+    def _dyn_scan_core(
         self,
-        fingerprint: str,
-        spec: AggSpec,
-        plans,
-        state_group,
-        group_names: List[str],
-        state_cols: List[str],
-        partial_aggs: Dict[str, Column],
-        merge_aggs: Dict[str, Column],
-        pred: Optional[Column],
+        core: dict,
         ts_col: str,
         shadow_ok: bool,
         part_col: Optional[str],
-        state_schema,
-        tables: List[str],
         bucket_name: str,
         bucket_gran: str,
         dyn_op: str,
-    ) -> Optional[dict]:
-        """One-SQL / one-shuffle dynamic-bound refresh program.
+    ) -> dict:
+        """Combined fresh-tail + boundary-bucket scan, shared by the fused
+        dyn template and the lite tier.
 
-        The classic dynamic warm path ran several driver-sequenced jobs per
-        refresh (fresh-tail merge, state store, boundary recompute, final
-        re-aggregate) — slower than a plain rescan at every recorded scale.
-        This template computes BOTH the refreshed state (for the store-back)
-        and the finished query result in ONE aggregate via a destination
-        tag:
+        ONE pass over the fact table replaces the former two scan branches
+        (fresh tail [wm, now) and boundary-bucket recompute): the WHERE
+        keeps a PUSHABLE OR-of-ranges conjunct — both ranges reach parquet
+        row-group stats and partition pruning, so at scale the pruned set
+        is exactly (fresh-tail partitions) ∪ (boundary-bucket partitions),
+        the same I/O as two scans — plus the exact row conditions exposed
+        as the ``qif``/``qib`` boolean columns.
 
-        * every input row is routed to ``dest=0`` (state maintenance, at
-          bucket granularity) and/or ``dest=1`` (the query result, at the
-          QUERY's granularity) — rows above the boundary bucket explode to
-          both, boundary-bucket recompute rows go only to the result;
-        * for result rows the synthetic bucket key is nulled out, so ONE
-          ``GROUP BY dest, <state groups>`` aggregates each destination at
-          its own granularity (merge associativity: re-aggregating merged
-          full buckets ≡ merging their raw parts);
-        * the whole program is one Spark job — ONE fact-table scan whose
-          pushable OR-of-ranges filter covers both the fresh tail
-          ``[wm, now)`` and the boundary bucket ``[lower, bucket_end)``
-          (both ranges reach parquet ``PushedFilters`` / partition
-          pruning), one tiny state-file scan, ONE shuffle — against
-          plain's full-window rescan.
+        The bound, its bucket, and the bucket end are all EXPRESSIONS over
+        the pinned-now rhs (token ``__QC_RHS__``, rendered per call):
+        Catalyst constant-folds them to literals before pushdown/pruning,
+        so no driver-side evaluation job runs per refresh.
 
-        ``bucket_end`` comes from a session-tz ``date_trunc + INTERVAL``,
-        so the boundary scan needs no DST slack; bound and boundary
-        literals bind as epoch-µs ``timestamp_micros`` tokens, so
-        session-timezone string reinterpretation can't shift them. The
-        driver splits the collected Arrow table on the kind column: kind=0
-        rows feed ``put_arrow`` (no second scan), kind=1 rows finish as
-        the LocalRelation result.
+        Pushdown invariant: the boundary side folds the dynamic comparison
+        (``ts {op} rhs``) into its range's lower bound and — for
+        calendar-exact bucket caps — drops the bucket-equality predicate
+        entirely (the range [rhs, bucket_end) lies inside the boundary
+        bucket by construction, so the equality is implied). That leaves
+        the exact boundary conds ATOM-IDENTICAL to the pushable ones: the
+        optimizer's distributive rewrite ``(A∨B)∧(A∨C) → A∨(B∧C)`` then
+        yields a single all-translatable Or, and the OR-of-ranges reaches
+        parquet PushedFilters. With an untranslatable leaf in the exact
+        side (the sub-day slack / unknown-granularity cases keep the
+        bucket equality), the same rewrite would fuse it into the Or and
+        silently kill scan pushdown for BOTH ranges.
         """
-        import hashlib
-
-        core = self._tpl_core(
-            spec, plans, state_group, group_names, state_cols, partial_aggs,
-            merge_aggs, pred, ts_col, state_schema, tables,
-        )
-        if core is None:
-            return None
         q = core["q"]
         g_sql = core["g_sql"]
-        if bucket_name not in g_sql:
-            return None  # no bucket column in state: not a dyn state shape
-
-        rg = [g.name for g in spec.group_by]
         bucket_dt = core["dtypes"][bucket_name].simpleString()
-        # the bound, its bucket, and the bucket end are all EXPRESSIONS over
-        # the pinned-now rhs (token __QC_RHS__, rendered per call): Catalyst
-        # constant-folds them to literals before pushdown/pruning, so no
-        # driver-side evaluation job runs per refresh
         rhs = "__QC_RHS__"
         low_ts = f"CAST({rhs} AS TIMESTAMP)"
         bnd_trunc = f"date_trunc('{bucket_gran}', {rhs})"
         bnd_lit = f"CAST({bnd_trunc} AS {bucket_dt})"
-        null_bucket = bucket_name not in rg  # synthetic bucket: result drops it
-        dest = q("__qc_dest")
-        isf = q("__qc_isfresh")
-        view = f"__qc_state_{hashlib.md5(fingerprint.encode()).hexdigest()[:12]}"
-
-        def dest_arr(bucket_expr: str) -> str:
-            """Explode source: state-maintenance always; the result too for
-            rows strictly above the boundary bucket (boundary-bucket rows
-            reach the result via the exact recompute branch instead)."""
-            return (
-                f"LATERAL VIEW explode(CASE WHEN {bucket_expr} > {bnd_lit} "
-                f"THEN array(0, 1) ELSE array(0) END) __qc_x AS {q('__qc_dest')}"
-            )
-
-        def bucket_out(bucket_expr: str, const_dest1: bool) -> str:
-            if not null_bucket:
-                return bucket_expr
-            if const_dest1:
-                return f"CAST(NULL AS {bucket_dt})"
-            return (
-                f"CASE WHEN {dest} = 1 THEN CAST(NULL AS {bucket_dt}) "
-                f"ELSE {bucket_expr} END"
-            )
-
-        # state rows: one tiny scan, exploded to their destination set
-        st_items = []
-        for n in state_cols:
-            if n == bucket_name:
-                st_items.append(f"{bucket_out(q(n), False)} AS {q(n)}")
-            else:
-                st_items.append(q(n))
-        state_branch = (
-            f"SELECT {', '.join(st_items)}, {dest}, 0 AS {isf} "
-            f"FROM {q(view)} {dest_arr(q(bucket_name))}"
-        )
-
-        # ---- combined fresh-tail + boundary-bucket scan ---------------------
-        # ONE pass over the fact table replaces the former two scan branches
-        # (fresh tail [wm, now) and boundary-bucket recompute): the WHERE
-        # keeps a PUSHABLE OR-of-ranges conjunct — both ranges reach parquet
-        # row-group stats and partition pruning, so at scale the pruned set
-        # is exactly (fresh-tail partitions) ∪ (boundary-bucket partitions),
-        # the same I/O as two scans — plus the exact row conditions, and
-        # each admitted row explodes to its destination set. Halving the
-        # fact scans also halves the plan size, cutting the per-refresh
-        # optimize/codegen fixed cost that dominated at small scale.
         op = ">" if dyn_op == ">" else ">="
         iv = self._BUCKET_INTERVAL.get(bucket_gran.lower())
         if iv is not None:
@@ -2469,19 +2429,6 @@ class CachedSparkSession:
             bhi_ns = "__QC_FHI_NS__"
             bhi_us = "__QC_FHI_USC__"
 
-        # exact + pushable window conditions for each of the two ranges.
-        # The boundary side folds the dynamic comparison (`ts {op} rhs`)
-        # into its range's lower bound and — for calendar-exact bucket
-        # caps — drops the bucket-equality predicate entirely (the range
-        # [rhs, bucket_end) lies inside the boundary bucket by
-        # construction, so the equality is implied). That leaves the exact
-        # boundary conds ATOM-IDENTICAL to the pushable ones: the
-        # optimizer's distributive rewrite `(A∨B)∧(A∨C) → A∨(B∧C)` then
-        # yields a single all-translatable Or, and the OR-of-ranges
-        # reaches parquet PushedFilters. With an untranslatable leaf in
-        # the exact side (the sub-day slack / unknown-granularity cases
-        # keep the bucket equality), the same rewrite would fuse it into
-        # the Or and silently kill scan pushdown for BOTH ranges.
         exact_cap = iv is not None and bucket_gran.lower() not in (
             "minute", "hour",
         )
@@ -2555,6 +2502,126 @@ class CachedSparkSession:
             f"SELECT *, {in_fresh} AS {qif}, {in_bnd} AS {qib} "
             f"FROM {core['from_sql']} WHERE {' AND '.join(inner_conds)}"
         )
+        return {
+            "rhs": rhs,
+            "low_ts": low_ts,
+            "bnd_lit": bnd_lit,
+            "bucket_dt": bucket_dt,
+            "qif": qif,
+            "qib": qib,
+            "inner_sql": inner_sql,
+        }
+
+    def _build_dyn_warm_template(
+        self,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+        bucket_name: str,
+        bucket_gran: str,
+        dyn_op: str,
+    ) -> Optional[dict]:
+        """One-SQL / one-shuffle dynamic-bound refresh program.
+
+        The classic dynamic warm path ran several driver-sequenced jobs per
+        refresh (fresh-tail merge, state store, boundary recompute, final
+        re-aggregate) — slower than a plain rescan at every recorded scale.
+        This template computes BOTH the refreshed state (for the store-back)
+        and the finished query result in ONE aggregate via a destination
+        tag:
+
+        * every input row is routed to ``dest=0`` (state maintenance, at
+          bucket granularity) and/or ``dest=1`` (the query result, at the
+          QUERY's granularity) — rows above the boundary bucket explode to
+          both, boundary-bucket recompute rows go only to the result;
+        * for result rows the synthetic bucket key is nulled out, so ONE
+          ``GROUP BY dest, <state groups>`` aggregates each destination at
+          its own granularity (merge associativity: re-aggregating merged
+          full buckets ≡ merging their raw parts);
+        * the whole program is one Spark job — ONE fact-table scan whose
+          pushable OR-of-ranges filter covers both the fresh tail
+          ``[wm, now)`` and the boundary bucket ``[lower, bucket_end)``
+          (both ranges reach parquet ``PushedFilters`` / partition
+          pruning), one tiny state-file scan, ONE shuffle — against
+          plain's full-window rescan.
+
+        ``bucket_end`` comes from a session-tz ``date_trunc + INTERVAL``,
+        so the boundary scan needs no DST slack; bound and boundary
+        literals bind as epoch-µs ``timestamp_micros`` tokens, so
+        session-timezone string reinterpretation can't shift them. The
+        driver splits the collected Arrow table on the kind column: kind=0
+        rows feed ``put_arrow`` (no second scan), kind=1 rows finish as
+        the LocalRelation result.
+        """
+        import hashlib
+
+        core = self._tpl_core(
+            spec, plans, state_group, group_names, state_cols, partial_aggs,
+            merge_aggs, pred, ts_col, state_schema, tables,
+        )
+        if core is None:
+            return None
+        q = core["q"]
+        g_sql = core["g_sql"]
+        if bucket_name not in g_sql:
+            return None  # no bucket column in state: not a dyn state shape
+
+        rg = [g.name for g in spec.group_by]
+        sc = self._dyn_scan_core(
+            core, ts_col, shadow_ok, part_col, bucket_name, bucket_gran,
+            dyn_op,
+        )
+        bucket_dt = sc["bucket_dt"]
+        bnd_lit = sc["bnd_lit"]
+        null_bucket = bucket_name not in rg  # synthetic bucket: result drops it
+        dest = q("__qc_dest")
+        isf = q("__qc_isfresh")
+        view = f"__qc_state_{hashlib.md5(fingerprint.encode()).hexdigest()[:12]}"
+
+        def dest_arr(bucket_expr: str) -> str:
+            """Explode source: state-maintenance always; the result too for
+            rows strictly above the boundary bucket (boundary-bucket rows
+            reach the result via the exact recompute branch instead)."""
+            return (
+                f"LATERAL VIEW explode(CASE WHEN {bucket_expr} > {bnd_lit} "
+                f"THEN array(0, 1) ELSE array(0) END) __qc_x AS {q('__qc_dest')}"
+            )
+
+        def bucket_out(bucket_expr: str, const_dest1: bool) -> str:
+            if not null_bucket:
+                return bucket_expr
+            if const_dest1:
+                return f"CAST(NULL AS {bucket_dt})"
+            return (
+                f"CASE WHEN {dest} = 1 THEN CAST(NULL AS {bucket_dt}) "
+                f"ELSE {bucket_expr} END"
+            )
+
+        # state rows: one tiny scan, exploded to their destination set
+        st_items = []
+        for n in state_cols:
+            if n == bucket_name:
+                st_items.append(f"{bucket_out(q(n), False)} AS {q(n)}")
+            else:
+                st_items.append(q(n))
+        state_branch = (
+            f"SELECT {', '.join(st_items)}, {dest}, 0 AS {isf} "
+            f"FROM {q(view)} {dest_arr(q(bucket_name))}"
+        )
+
+        qif, qib = sc["qif"], sc["qib"]
+        inner_sql = sc["inner_sql"]
 
         def scan_items(const_dest1: bool) -> List[str]:
             out = []
@@ -2686,10 +2753,483 @@ class CachedSparkSession:
             if not entry.put_arrow(now_ns, state_part, state_schema):
                 st_df = self.spark.createDataFrame(state_part, schema=state_schema)
                 entry.put(now_ns, st_df, self.spark)
+        decision.refresh_tier = "template"
         return self._arrow_result(
             res_tbl, aug_res_fields, base_idx, spec,
             tpl["out_names"], tpl["extra_names"], tpl["order_names"],
         )
+
+    def _dyn_lite_template(
+        self,
+        pkey,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+        bucket_name: str,
+        bucket_gran: str,
+        dyn_op: str,
+    ) -> Optional[dict]:
+        """Memoized lite-tier program for the dynamic-bound refresh."""
+        key = ("dynlite", pkey[0], pkey[1], state_schema.simpleString())
+        if key in self._tpl_cache:
+            return self._tpl_cache[key]
+        tpl = None
+        try:
+            tpl = self._build_dyn_lite_template(
+                fingerprint, spec, plans, state_group, group_names,
+                state_cols, partial_aggs, merge_aggs, pred, ts_col,
+                shadow_ok, part_col, state_schema, tables, bucket_name,
+                bucket_gran, dyn_op,
+            )
+        except Exception as e:
+            self.config.log.info(
+                fingerprint,
+                f"dyn lite tier not available ({e}); trying fused template",
+            )
+            tpl = None
+        if tpl is not None:
+            tpl["key"] = key
+        self._tpl_cache[key] = tpl
+        return tpl
+
+    def _build_dyn_lite_template(
+        self,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+        bucket_name: str,
+        bucket_gran: str,
+        dyn_op: str,
+    ) -> Optional[dict]:
+        """Lite dynamic-bound refresh: a PLAIN-SIZED Spark job plus an
+        O(state) driver merge.
+
+        The fused template's one-job program is still a 4-stage plan
+        (state scan ∪ exploded fact scan → merge shuffle → finalize) whose
+        per-refresh analyze+codegen fixed cost (~0.3 s) dwarfs plain's
+        (~0.1 s) at small scale. When the query GROUPS BY its own time
+        bucket, no cross-bucket merge is needed at all: the refreshed
+        state rows ARE the result rows (plus the recomputed boundary
+        bucket). So this tier runs ONLY the distributed part Spark is
+        needed for — the fresh-tail + boundary scan with the same pushable
+        OR-of-ranges filter, partially aggregated at (state groups ×
+        disjoint range cell) — and folds the handful of returned partial
+        rows into the driver-resident state with exact Python mirrors of
+        the merge/finalize semantics (``partial.py py_merge/py_finalize``;
+        the reference merges accumulator state in-engine the same way,
+        ``src/aggregate.rs:402-409``). One scan, one small shuffle, a
+        plan the size of plain's, and no second aggregate.
+
+        Admission (anything else falls back to the fused template):
+        * the bucket is one of the query's GROUP BY columns;
+        * every aggregate + finalize shape has an exact Python mirror
+          (count/sum/min/max/avg over non-decimal input; bare calls,
+          ``+ - * /``, HALF_UP round);
+        * no HAVING / grouping sets; no float-typed or nested group keys
+          (Python dict keys must hash like SQL equality);
+        * no ltz timestamps in state/output (tz-free Arrow round-trip).
+
+        At 100 TB the admission story is unchanged from the fused
+        template: both tiers require driver-small state (the caller's
+        ``state_is_local`` gate); the scan stays fully distributed with
+        parquet pushdown/pruning, only O(state) rows cross the driver.
+        """
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import (
+            ArrayType,
+            DateType,
+            DoubleType,
+            FloatType,
+            MapType,
+            StructType,
+            TimestampType,
+        )
+
+        from .functions.partial import lite_plan
+
+        rg = [g.name for g in spec.group_by]
+        if bucket_name not in rg:
+            return None  # cross-bucket merge needed: fused template's job
+        if spec.having is not None or spec.grouping_sets:
+            return None
+        lp = lite_plan(plans)
+        if lp is None:
+            return None
+        core = self._tpl_core(
+            spec, plans, state_group, group_names, state_cols, partial_aggs,
+            merge_aggs, pred, ts_col, state_schema, tables,
+        )
+        if core is None:
+            return None
+        q = core["q"]
+        g_sql = core["g_sql"]
+        sql_of = self._sql_of
+
+        st_fields = {f.name: f.dataType for f in state_schema.fields}
+        for g in group_names:
+            dt = st_fields[g]
+            if isinstance(dt, (FloatType, DoubleType, ArrayType, MapType,
+                               StructType)):
+                return None  # Python-key hashing differs from SQL equality
+        for f in state_schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                return None  # ltz: tz-dependent Arrow round-trip
+
+        sc = self._dyn_scan_core(
+            core, ts_col, shadow_ok, part_col, bucket_name, bucket_gran,
+            dyn_op,
+        )
+        qif, qib = sc["qif"], sc["qib"]
+
+        partial_cols = [n for n in state_cols if n not in g_sql]
+        items = [f"{g_sql[n]} AS {q(n)}" for n in group_names]
+        items += [f"{sql_of(partial_aggs[n])} AS {q(n)}" for n in partial_cols]
+        # disjoint range cells — no row is double-counted: 2 = fresh tail
+        # only, 1 = boundary recompute only, 3 = both. Driver folds
+        # {2,3} into the state update and {1,3} into the boundary result.
+        cell = f"(CASE WHEN {qif} AND {qib} THEN 3 WHEN {qif} THEN 2 ELSE 1 END)"
+        sql = (
+            f"SELECT {', '.join(items)}, count(1) AS {q('__qc_nr')}, "
+            f"any_value({sc['bnd_lit']}) AS {q('__qc_bnd')}, "
+            f"{cell} AS {q('__qc_cell')} "
+            f"FROM ({sc['inner_sql']}) __qc_s WHERE {qif} OR {qib} "
+            f"GROUP BY {core['gb_exprs']}, {cell}"
+        )
+
+        # output dtypes via a zero-row schema probe (analysis only, no job)
+        st0 = self.spark.createDataFrame([], state_schema)
+        merged0 = st0.groupBy(*[F.col(n) for n in group_names]).agg(
+            *[c.alias(n) for n, c in merge_aggs.items()]
+        )
+        fin_by = {p.name: p.finalize for p in plans}
+        out_names = core["out_names"]
+        extra_names = core["extra_names"]
+        res_names = out_names + extra_names
+        out0 = merged0.select(
+            *[fin_by[nm] if nm in fin_by else F.col(nm) for nm in res_names]
+        )
+        out_fields = list(out0.schema.fields)
+        for f in out_fields:
+            if isinstance(f.dataType, TimestampType):
+                return None
+        out_arrow = to_arrow_schema(StructType(out_fields))
+        state_arrow = to_arrow_schema(state_schema)
+
+        return {
+            "sql": sql,
+            "group_names": group_names,
+            "partial_cols": partial_cols,
+            "bucket_idx": group_names.index(bucket_name),
+            "bucket_gran": bucket_gran,
+            "bucket_is_date": isinstance(st_fields[bucket_name], DateType),
+            "merges": lp["merges"],
+            "fins": lp["fins"],
+            "out_names": out_names,
+            "extra_names": extra_names,
+            "order_names": core["order_names"],
+            "res_names": res_names,
+            "name_to_group": {g: i for i, g in enumerate(group_names)},
+            "out_fields": out_fields,
+            "out_arrow": out_arrow,
+            "state_arrow": state_arrow,
+            "state_schema": state_schema,
+        }
+
+    def _run_dyn_lite(
+        self,
+        tpl: dict,
+        entry,
+        cached_state: DataFrame,
+        wm_ns: int,
+        now_ns: int,
+        dyn_rhs,
+        decision: Decision,
+        spec: AggSpec,
+    ) -> Optional[DataFrame]:
+        """Execute the lite refresh: one plain-sized Spark job, then the
+        O(state) merge/finalize on the driver. Store-back happens only
+        after the result is safely built — a store failure leaves the old
+        state + watermark intact (the next refresh rescans from the old
+        watermark, exactly)."""
+        import datetime as _dt
+
+        try:
+            rhs_sql = f"({self._sql_of(to_column(self._pin_now(dyn_rhs, now_ns)))})"
+            decision.dynamic_lower = rhs_sql
+            sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
+            sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
+            with self._refresh_confs():
+                df = self.spark.sql(sql)
+                self.last_refresh_df = df
+                scan = df.toArrow().to_pylist()
+
+            state = self._load_driver_state(tpl, entry, cached_state)
+            gnames = tpl["group_names"]
+            pcols = tpl["partial_cols"]
+            merges = tpl["merges"]
+
+            def merge2(a, b):
+                if a is None:
+                    return dict(b)
+                out = dict(a)
+                for m in merges:
+                    out.update(m(a, b))
+                return out
+
+            fresh: dict = {}
+            bnd: dict = {}
+            boundary = None
+            fresh_rows = 0
+            for r in scan:
+                key = tuple(r[g] for g in gnames)
+                st = {c: r[c] for c in pcols}
+                boundary = r["__qc_bnd"]
+                if r["__qc_cell"] >= 2:  # cells 2, 3: fresh tail
+                    fresh[key] = merge2(fresh.get(key), st)
+                    fresh_rows += r["__qc_nr"]
+                if r["__qc_cell"] in (1, 3):  # boundary recompute
+                    bnd[key] = merge2(bnd.get(key), st)
+            decision.fresh_rows_value = int(fresh_rows)
+
+            if boundary is None:
+                # zero admitted rows: evaluate the boundary bucket directly
+                ev = self._eval_bound_and_bucket(
+                    dyn_rhs, now_ns, tpl["bucket_gran"]
+                )
+                boundary = ev[1]
+                if tpl["bucket_is_date"] and isinstance(boundary, _dt.datetime):
+                    boundary = boundary.date()
+
+            res = self._finish_dyn_driver(
+                tpl, entry, now_ns, decision, spec, state, fresh, bnd,
+                boundary,
+            )
+            decision.refresh_tier = "lite"
+            return res
+        except Exception as e:
+            self._tpl_cache[tpl["key"]] = None
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"dyn lite warm path failed ({e}); falling back",
+            )
+            return None
+
+    def _load_driver_state(self, tpl: dict, entry, cached_state: DataFrame):
+        """Current state rows as {group key tuple: {state col: value}}."""
+        st_tbl = entry.get_arrow()
+        if st_tbl is None:
+            st_tbl = cached_state.toArrow()
+        gnames = tpl["group_names"]
+        pcols = tpl["partial_cols"]
+        return {
+            tuple(r[g] for g in gnames): {c: r[c] for c in pcols}
+            for r in st_tbl.to_pylist()
+        }
+
+    def _finish_dyn_driver(
+        self,
+        tpl: dict,
+        entry,
+        now_ns: int,
+        decision: Decision,
+        spec: AggSpec,
+        state: dict,
+        fresh: dict,
+        bnd: dict,
+        boundary,
+    ) -> DataFrame:
+        """Shared driver tail of the nano and lite tiers: fold the fresh
+        partials into the state, finalize the result rows (full buckets
+        above the boundary from the refreshed state + the recomputed
+        boundary bucket), and store back. Store-back runs only after the
+        result is safely built — a store failure leaves the old state +
+        watermark intact (the next refresh rescans from the old
+        watermark, exactly)."""
+        import pyarrow as pa
+
+        gnames = tpl["group_names"]
+        merges = tpl["merges"]
+
+        def merge2(a, b):
+            if a is None:
+                return dict(b)
+            out = dict(a)
+            for m in merges:
+                out.update(m(a, b))
+            return out
+
+        new_state = dict(state)
+        for k, st in fresh.items():
+            new_state[k] = merge2(new_state.get(k), st)
+
+        bidx = tpl["bucket_idx"]
+        fins = tpl["fins"]
+        n2g = tpl["name_to_group"]
+
+        def mk_row(key, st):
+            return {
+                nm: key[n2g[nm]] if nm in n2g else fins[nm](st)
+                for nm in tpl["res_names"]
+            }
+
+        rows = [
+            mk_row(k, st)
+            for k, st in new_state.items()
+            if k[bidx] is not None and k[bidx] > boundary
+        ]
+        rows.extend(mk_row(k, st) for k, st in bnd.items())
+        res_tbl = pa.Table.from_pylist(rows, schema=tpl["out_arrow"])
+        res = self._arrow_result(
+            res_tbl, tpl["out_fields"], 0, spec,
+            tpl["out_names"], tpl["extra_names"], tpl["order_names"],
+        )
+
+        try:
+            if fresh or not entry.advance_watermark(now_ns):
+                state_rows = []
+                for k, st in new_state.items():
+                    d = {g: k[i] for i, g in enumerate(gnames)}
+                    d.update(st)
+                    state_rows.append(d)
+                stt = pa.Table.from_pylist(
+                    state_rows, schema=tpl["state_arrow"]
+                )
+                entry.put_arrow(now_ns, stt, tpl["state_schema"])
+        except Exception as e:
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"dyn driver store-back failed ({e}); "
+                "state/watermark unchanged",
+            )
+        return res
+
+    def _dyn_nano_template(
+        self,
+        pkey,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+        bucket_name: str,
+        bucket_gran: str,
+        dyn_op: str,
+        dyn_rhs,
+    ) -> Optional[dict]:
+        """Memoized nano-tier program: the lite tier's driver merge plus a
+        bytes-gated pyarrow scan replacing the Spark job (``nano.py``)."""
+        key = ("dynnano", pkey[0], pkey[1], state_schema.simpleString())
+        if key in self._tpl_cache:
+            return self._tpl_cache[key]
+        tpl = None
+        try:
+            if spec.join_steps or pred is not None:
+                raise Unsupported("joins/predicate outside the nano contract")
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+            if tz != "UTC":
+                raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
+            ltpl = self._dyn_lite_template(
+                pkey, fingerprint, spec, plans, state_group, group_names,
+                state_cols, partial_aggs, merge_aggs, pred, ts_col,
+                shadow_ok, part_col, state_schema, tables, bucket_name,
+                bucket_gran, dyn_op,
+            )
+            if ltpl is None:
+                raise Unsupported("lite driver-merge base unavailable")
+            from .nano import build_nano_program
+
+            prog = build_nano_program(
+                tables[0], ts_col, state_group, plans, bucket_name,
+                bucket_gran, dyn_op, dyn_rhs, ltpl["bucket_is_date"],
+                self.config.nano_refresh_max_bytes,
+            )
+            tpl = dict(ltpl)
+            tpl["nano"] = prog
+        except Exception as e:
+            self.config.log.info(
+                fingerprint,
+                f"dyn nano tier not available ({e}); trying lite/template",
+            )
+            tpl = None
+        if tpl is not None:
+            tpl["key"] = key
+        self._tpl_cache[key] = tpl
+        return tpl
+
+    def _run_dyn_nano(
+        self,
+        tpl: dict,
+        entry,
+        cached_state: DataFrame,
+        wm_ns: int,
+        now_ns: int,
+        dyn_rhs,
+        decision: Decision,
+        spec: AggSpec,
+    ) -> Optional[DataFrame]:
+        """Execute the nano refresh: NO Spark job — a pyarrow row-group-
+        pruned scan of the bytes-gated local source, vectorized partial
+        aggregation, and the shared driver merge/finalize/store tail."""
+        import datetime as _dt
+
+        try:
+            state = self._load_driver_state(tpl, entry, cached_state)
+
+            def jvm_eval():
+                v = self._eval_bound_value(dyn_rhs, now_ns)
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                    return _dt.datetime(v.year, v.month, v.day)
+                return v
+
+            fresh, bnd, boundary, fresh_rows, bound_v = tpl["nano"].run(
+                wm_ns, now_ns, jvm_eval=jvm_eval
+            )
+            decision.dynamic_lower = bound_v
+            decision.fresh_rows_value = int(fresh_rows)
+            res = self._finish_dyn_driver(
+                tpl, entry, now_ns, decision, spec, state, fresh, bnd,
+                boundary,
+            )
+            decision.refresh_tier = "nano"
+            return res
+        except Exception as e:
+            self._tpl_cache[tpl["key"]] = None
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"dyn nano warm path failed ({e}); falling back",
+            )
+            return None
 
     def _apply_order_limit(self, out: DataFrame, spec: AggSpec) -> DataFrame:
         if spec.order_by:

@@ -27,6 +27,14 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
+#: view name → {"path": parquet path, "ts_kinds": {ts col: "us" | "ns_long"}}
+#: for views registered through ``register_parquet_view``. This is the
+#: admission contract for the driver-local "nano" dynamic-refresh tier
+#: (``nano.py``): only sources registered through THIS api — whose exact
+#: view derivation (ns-shadow normalization) is therefore known — qualify
+#: for driver-side scanning. Arbitrary user views never do.
+LOCAL_PARQUET_SOURCES: dict = {}
+
 
 def _nanos_timestamp_columns(path: str) -> list:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
@@ -97,6 +105,12 @@ def register_parquet_view(spark: SparkSession, name: str, path: str) -> DataFram
     ]
     df = with_ns_shadow(df, *ts_cols)
     df.createOrReplaceTempView(name)
+    LOCAL_PARQUET_SOURCES[name] = {
+        "path": path,
+        "ts_kinds": {
+            c: ("ns_long" if c in ns_cols else "us") for c in ts_cols
+        },
+    }
     return df
 
 

@@ -1,0 +1,348 @@
+"""Nano + lite dynamic-refresh tier tests.
+
+The tier ladder (nano → lite → fused template → classic) must be
+invisible in RESULTS: every tier answers exactly what plain Spark SQL
+answers with now() pinned to the same literal. These tests pin the tier
+taken (``decision.refresh_tier``) AND the values, across agg shapes,
+source time-units, interval arithmetic, and every admission fallback.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, rows_set
+
+
+def _mk_qc(spark, tmp_path, **cfg_kw):
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        HistoryLog,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc-nano-cache")),
+        default_temporal_column="ts",
+        log=HistoryLog(),
+        **cfg_kw,
+    )
+    return CachedSparkSession(spark, cfg)
+
+
+@pytest.fixture()
+def now_points(spark):
+    """Four advancing now instants: mid-history (genuine fresh data each
+    refresh), including one boundary-bucket-edge-aligned instant."""
+    mx_ns = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 1_000_000_000
+    base = mx_ns - 5 * day
+    # strictly ascending (now is wall-clock monotone); the third instant is
+    # an exact µs-aligned midnight — a boundary-bucket edge case
+    edge = ((base + day // 3) // day + 1) * day
+    return [base, base + day // 3, edge, edge + day + 12345]
+
+
+def _plain(spark, sql: str, now_ns: int):
+    lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now_ns // 1000)
+    lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+    s = sql.replace("now()", lit)
+    return spark.sql(s.replace("WHERE ", f"WHERE ts < {lit} AND ", 1))
+
+
+DAILY_SQL = (
+    "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+    "round(sum(value), 2) AS s, min(value) AS mn, max(value) AS mx, "
+    "round(avg(value), 3) AS av, count(value) AS nv "
+    "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1 ORDER BY 1"
+)
+
+
+def _drive(spark, qc, sql, now_points, want_tier):
+    """Miss at the first instant, then warm refreshes at the rest; every
+    result must equal plain with the pinned literal, on the wanted tier."""
+    tiers = []
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain(spark, sql, now_ns)), (
+            f"refresh {i} diverged at now={now_ns}"
+        )
+        if i > 0:
+            assert qc.last_decision.cache_hit
+            tiers.append(qc.last_decision.refresh_tier)
+    assert tiers == [want_tier] * (len(now_points) - 1), tiers
+
+
+def test_nano_daily_matches_plain(spark, tmp_path, now_points):
+    qc = _mk_qc(spark, tmp_path)
+    _drive(spark, qc, DAILY_SQL, now_points, "nano")
+
+
+def test_nano_gte_op_and_plain_group(spark, tmp_path, now_points):
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, "
+        "count(*) AS n FROM events "
+        "WHERE ts >= now() - INTERVAL 8 DAY GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    _drive(spark, qc, sql, now_points, "nano")
+
+
+def test_nano_month_interval(spark, tmp_path, now_points):
+    sql = (
+        "SELECT CAST(date_trunc('week', ts) AS DATE) AS w, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 1 MONTH GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    _drive(spark, qc, sql, now_points, "nano")
+
+
+def test_nano_zero_fresh_advances_watermark(spark, tmp_path, now_points):
+    qc = _mk_qc(spark, tmp_path)
+    qc.config.override_now_ns = now_points[0]
+    qc.sql(DAILY_SQL).collect()
+    # same now +1µs: zero fresh rows, boundary unchanged — still exact
+    nxt = now_points[0] + 1000
+    qc.config.override_now_ns = nxt
+    got = qc.sql(DAILY_SQL)
+    assert qc.last_decision.refresh_tier == "nano"
+    assert qc.last_decision.fresh_rows_value == 0
+    assert rows_set(got) == rows_set(_plain(spark, DAILY_SQL, nxt))
+
+
+def test_lite_tier_on_predicate(spark, tmp_path, now_points):
+    """A residual predicate is outside the nano contract; the lite tier
+    (one plain-sized job + driver merge) must take it, exactly."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events "
+        "WHERE value > 10 AND ts > now() - INTERVAL 10 DAY "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+    def plain(now_ns):
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        return spark.sql(
+            sql.replace("now()", lit).replace(
+                "WHERE ", f"WHERE ts < {lit} AND ", 1
+            )
+        )
+
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(plain(now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "lite"
+
+
+def test_byte_gate_forces_lite(spark, tmp_path, now_points):
+    """nano_refresh_max_bytes=0 disables the driver tier: the 100 TB
+    admission story — over-budget sources take the distributed path."""
+    qc = _mk_qc(spark, tmp_path, nano_refresh_max_bytes=0)
+    _drive(spark, qc, DAILY_SQL, now_points, "lite")
+
+
+def test_template_when_bucket_not_in_groups(spark, tmp_path, now_points):
+    """Global aggregate: cross-bucket merge needed → fused template."""
+    sql = (
+        "SELECT count(*) AS n, min(value) AS mn, max(value) AS mx "
+        "FROM events WHERE ts > now() - INTERVAL 6 DAY"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "template"
+
+
+def test_unregistered_source_falls_back(spark, tmp_path, now_points):
+    """A view NOT registered through register_parquet_view (derivation
+    unknown) must never take the nano tier."""
+    from datafusion_query_cache_spark.sources.tables import LOCAL_PARQUET_SOURCES
+
+    spark.table("events").createOrReplaceTempView("events_anon")
+    saved = LOCAL_PARQUET_SOURCES.pop("events_anon", None)
+    assert "events_anon" not in LOCAL_PARQUET_SOURCES
+    sql = DAILY_SQL.replace("FROM events ", "FROM events_anon ")
+    qc = _mk_qc(
+        spark, tmp_path,
+    )
+    qc.config.extra_temporal_columns = frozenset()
+    for i, now_ns in enumerate(now_points[:3]):
+        qc.config.override_now_ns = now_ns
+        qc.sql(sql).collect()
+        if i > 0:
+            assert qc.last_decision.refresh_tier in ("lite", "template")
+    if saved is not None:
+        LOCAL_PARQUET_SOURCES["events_anon"] = saved
+
+
+def test_nano_ns_long_source(spark, tmp_path, now_points):
+    """Epoch-ns parquet (nanosAsLong reads) keep exact ns semantics on the
+    driver scan: rows with sub-µs offsets land on the right side of the
+    watermark just as in the distributed path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 3, 1)
+    n = 5000
+    ts_ns = (
+        np.int64(1_709_251_200_000_000_000)  # 2024-03-01 UTC epoch-ns
+        + rng.integers(0, 20 * 24 * 3600 * 1_000_000_000, n)
+        + rng.integers(0, 1000, n)  # sub-µs offsets
+    )
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts_ns, pa.timestamp("ns")),
+            "v": pa.array(rng.normal(50, 10, n)),
+            "k": pa.array(rng.choice(["a", "b"], n)),
+        }
+    )
+    p = str(tmp_path / "nsrc.parquet")
+    pq.write_table(tbl, p)
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    register_parquet_view(spark, "ns_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, k, count(*) AS n, "
+        "round(sum(v), 2) AS s FROM ns_events "
+        "WHERE ts > now() - INTERVAL 12 DAY GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    # µs-aligned now instants: a sub-µs now is exact on the engine's ns
+    # axis but inexpressible in the plain twin's µs TIMESTAMP literal
+    hi_ns = int(np.max(ts_ns)) // 1000 * 1000 + 1000
+    day = 24 * 3600 * 1_000_000_000
+    pts = [hi_ns - 4 * day, hi_ns - 2 * day + 17000, hi_ns - day, hi_ns]
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(pts):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace("now()", lit).replace(
+                "WHERE ", f"WHERE ts < {lit} AND ", 1
+            )
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_nano_nan_minmax_falls_back(spark, tmp_path):
+    """NaN under min/max orders differently in pyarrow than Spark's
+    NaN-greatest — the nano scan must refuse and the ladder still answer
+    exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    rows = {
+        "ts": pa.array(
+            [base_us + i * day_us // 4 for i in range(40)], pa.timestamp("us")
+        ),
+        "v": pa.array(
+            [float("nan") if i % 7 == 0 else float(i) for i in range(40)]
+        ),
+    }
+    p = str(tmp_path / "nansrc.parquet")
+    pq.write_table(pa.table(rows), p)
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    register_parquet_view(spark, "nan_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, max(v) AS mx, "
+        "count(*) AS n FROM nan_events "
+        "WHERE ts > now() - INTERVAL 6 DAY GROUP BY 1 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    hi_ns = (base_us + 10 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate([hi_ns - 2 * day_ns, hi_ns - day_ns, hi_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace("now()", lit).replace(
+                "WHERE ", f"WHERE ts < {lit} AND ", 1
+            )
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier != "nano"
+
+
+def test_eval_bound_matches_jvm(spark, tmp_path):
+    """The Python bound evaluator must agree with the JVM evaluation for
+    every supported rhs shape, including month-clamp edges."""
+    from datafusion_query_cache_spark.nano import eval_bound
+    from datafusion_query_cache_spark.plans import classify as C
+    from datafusion_query_cache_spark.plans.parser import parse_agg_query
+
+    qc = _mk_qc(spark, tmp_path)
+    rhss = [
+        "now() - INTERVAL 10 DAY",
+        "now() - INTERVAL 36 HOUR",
+        "now() - INTERVAL 90 MINUTE",
+        "now() - INTERVAL 1 MONTH",
+        "now() - INTERVAL 3 MONTH",
+        "now() - INTERVAL 1 YEAR",
+        "now() - INTERVAL 2 WEEK",
+        "current_date() - INTERVAL 5 DAY",
+    ]
+    nows = [
+        1_711_843_200_000_000_000,  # 2024-03-31 00:00 UTC (month clamp)
+        1_709_251_200_123_456_789,  # sub-µs now
+        1_706_659_165_261_702_001,
+    ]
+    for rhs_sql in rhss:
+        spec = parse_agg_query(
+            f"SELECT count(*) AS n FROM events WHERE ts > {rhs_sql}"
+        )
+        bound = C.classify(spec.predicate, frozenset({"ts"})).bound
+        assert bound is not None, rhs_sql
+        for now_ns in nows:
+            py = eval_bound(bound.rhs, now_ns)
+            jvm = qc._eval_bound_value(bound.rhs, now_ns)
+            if isinstance(jvm, dt.date) and not isinstance(jvm, dt.datetime):
+                jvm = dt.datetime(jvm.year, jvm.month, jvm.day)
+            assert py == jvm, (rhs_sql, now_ns, py, jvm)
+
+
+def test_nano_external_writer_coherence(spark, tmp_path, now_points):
+    """State is re-read from the entry every refresh: a second session
+    writing the same cache dir must be observed, not clobbered."""
+    qc1 = _mk_qc(spark, tmp_path)
+    qc2 = _mk_qc(spark, tmp_path)
+    qc1.config.override_now_ns = now_points[0]
+    qc1.sql(DAILY_SQL).collect()
+    # second session advances the entry
+    qc2.config.override_now_ns = now_points[1]
+    qc2.sql(DAILY_SQL).collect()
+    assert qc2.last_decision.refresh_tier == "nano"
+    # first session refreshes on top of the OTHER session's state
+    qc1.config.override_now_ns = now_points[3]
+    got = qc1.sql(DAILY_SQL)
+    assert qc1.last_decision.refresh_tier == "nano"
+    assert rows_set(got) == rows_set(_plain(spark, DAILY_SQL, now_points[3]))

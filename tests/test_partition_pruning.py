@@ -116,14 +116,18 @@ def test_dyn_template_pushes_or_of_ranges(spark, tmp_path):
             override_now_ns=now1,
         ),
     )
+    # stddev has no Python merge mirror, so the nano/lite driver tiers
+    # reject and the FUSED TEMPLATE (this test's subject) must run
     sql = (
-        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(stddev_samp(value), 2) AS sd "
         "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
     )
     qc.sql(sql).collect()
     qc.config.override_now_ns = now2
     qc.sql(sql).collect()
     assert qc.last_decision.cache_hit
+    assert qc.last_decision.refresh_tier == "template"
     assert isinstance(qc.last_decision.dynamic_lower, str)  # template ran
     plan = qc.last_refresh_df._jdf.queryExecution().executedPlan().toString()
     pushed = [p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]]
@@ -131,3 +135,43 @@ def test_dyn_template_pushes_or_of_ranges(spark, tmp_path):
     assert ors, f"OR-of-ranges not pushed to any scan: {pushed}"
     # both sides of the pushed Or are range conjunctions on the ts column
     assert any("And(" in s and s.count("ts") >= 3 for s in ors), ors
+
+
+def test_dyn_lite_pushes_or_of_ranges(spark, tmp_path):
+    """Same pushdown pin for the LITE tier's plain-sized job (a predicate
+    forces past nano; count/sum keep the lite driver merge eligible)."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    now1 = int(
+        dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9
+    )
+    now2 = int(
+        dt.datetime(2024, 1, 29, tzinfo=dt.timezone.utc).timestamp() * 1e9
+    )
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "dpl")),
+            override_now_ns=now1,
+        ),
+    )
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE value > 0 AND ts > now() - INTERVAL 10 DAY "
+        "GROUP BY 1"
+    )
+    qc.sql(sql).collect()
+    qc.config.override_now_ns = now2
+    qc.sql(sql).collect()
+    assert qc.last_decision.cache_hit
+    assert qc.last_decision.refresh_tier == "lite"
+    plan = qc.last_refresh_df._jdf.queryExecution().executedPlan().toString()
+    pushed = [p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]]
+    ors = [s for s in pushed if "Or(" in s]
+    assert ors, f"OR-of-ranges not pushed to any scan: {pushed}"
+    # the pushed-filter print truncates; the Or-of-And on ts is the pin
+    assert any("Or(And(" in s and "ts" in s for s in ors), ors
