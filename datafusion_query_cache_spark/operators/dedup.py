@@ -32,7 +32,8 @@ _PERSISTED: Dict[str, List[DataFrame]] = {}
 
 def _persist_generational(key: str, df: DataFrame) -> DataFrame:
     """Persist ``df``, releasing whatever the PREVIOUS call under ``key``
-    persisted.
+    persisted — UNLESS the previous generation computes the same plan, in
+    which case it is returned as-is (its cached blocks ARE this result).
 
     The batch pipelines return LAZY results, so their intermediate frames
     (signatures, candidate sets) cannot unpersist inside the call — the
@@ -41,10 +42,29 @@ def _persist_generational(key: str, df: DataFrame) -> DataFrame:
     maintainer's foreachBatch, a standing dashboard) accumulates cached
     blocks forever: Spark's CacheManager pins DataFrame-persisted blocks
     until an explicit unpersist. Generational release bounds the pinned
-    set at ONE batch's worth per pipeline. Unpersisting is always safe —
-    a consumer still holding the previous batch's result just recomputes
-    its lineage."""
-    for old in _PERSISTED.pop(key, []):
+    set at ONE batch's worth per pipeline.
+
+    The ``sameResult`` check preserves plain ``.persist()``'s repeat-run
+    economics: Spark's CacheManager serves any plan-identical DataFrame
+    from the existing cache, so a dashboard re-running the SAME pipeline
+    over the SAME source must keep hitting the warm generation —
+    unconditional eviction at call entry would throw those blocks away
+    and recompute from scratch every run (a measured 2× on the bench's
+    minhash row). Same-plan reuse carries Spark's standard cache
+    staleness semantics, identical to what ``.persist()`` alone did.
+    Unpersisting a superseded generation is always safe — a consumer
+    still holding its result just recomputes that lineage."""
+    olds = _PERSISTED.get(key, [])
+    for old in olds:
+        try:
+            if (
+                old._jdf.queryExecution().analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            ):
+                return old  # warm generation already computes this plan
+        except Exception:
+            pass  # session torn down / plan comparison unavailable
+    for old in olds:
         try:
             old.unpersist()
         except Exception:
