@@ -249,6 +249,74 @@ class _GroupSpec:
     col: str
     gran: str = ""
     as_date: bool = False
+    #: trunc bucket stored as an ltz timestamp (timestamp[us, tz=UTC]
+    #: arrow-side): the UTC-session gate makes the aware instants equal to
+    #: the naive UTC floor, so the mirror just annotates the tz
+    ltz: bool = False
+
+
+def _parse_pred(e: Expr):
+    """Compile a residual predicate into a pyarrow mask builder, or raise.
+
+    Supported: conjunctions of comparisons between a bare column and a
+    numeric/string/bool literal, IS [NOT] NULL, and NOT — shapes whose
+    SQL semantics pyarrow reproduces exactly (a NULL comparison yields a
+    null mask entry, and ``Table.filter`` drops null-mask rows just as
+    SQL WHERE does)."""
+    from .plans.ir import InList, IsNull, Not
+
+    if isinstance(e, BinOp):
+        if e.op in ("and",):
+            lf, lc = _parse_pred(e.left)
+            rf, rc = _parse_pred(e.right)
+
+            def _and(tbl, _lf=lf, _rf=rf):
+                import pyarrow.compute as pc
+
+                return pc.and_(_lf(tbl), _rf(tbl))
+
+            return _and, lc | rc
+        if e.op in (">", ">=", "<", "<=", "=", "!="):
+            col, lit, op = None, None, e.op
+            flip = {">": "<", ">=": "<=", "<": ">", "<=": ">="}
+            if isinstance(e.left, Col) and isinstance(e.right, Lit):
+                col, lit = e.left.name, e.right.value
+            elif isinstance(e.right, Col) and isinstance(e.left, Lit):
+                col, lit, op = e.right.name, e.left.value, flip.get(op, op)
+            if col is None or not isinstance(lit, (int, float, str, bool)):
+                raise NanoUnsupported(f"predicate comparison {e!r}")
+            fns = {
+                ">": "greater", ">=": "greater_equal", "<": "less",
+                "<=": "less_equal", "=": "equal", "!=": "not_equal",
+            }
+
+            def _cmp(tbl, _c=col, _l=lit, _f=fns[op]):
+                import pyarrow.compute as pc
+
+                return getattr(pc, _f)(tbl.column(_c), _l)
+
+            return _cmp, {col}
+    if isinstance(e, Not):
+        f, cols = _parse_pred(e.child)
+
+        def _not(tbl, _f=f):
+            import pyarrow.compute as pc
+
+            return pc.invert(_f(tbl))
+
+        return _not, cols
+    if isinstance(e, IsNull) and isinstance(e.child, Col):
+        name = e.child.name
+        neg = bool(getattr(e, "negated", False))
+
+        def _isnull(tbl, _c=name, _n=neg):
+            import pyarrow.compute as pc
+
+            m = pc.is_null(tbl.column(_c))
+            return pc.invert(m) if _n else m
+
+        return _isnull, {name}
+    raise NanoUnsupported(f"predicate node {type(e).__name__}")
 
 
 def _parse_group(item, ts_col: str) -> _GroupSpec:
@@ -343,9 +411,12 @@ class NanoProgram:
         nan_check: List[str],
         bucket_gran: str,
         dyn_op: str,
-        rhs: Expr,
+        rhs: Optional[Expr],
         rhs_python: bool,
         bucket_is_date: bool,
+        pred_fn=None,
+        pred_cols: Optional[set] = None,
+        static: bool = False,
     ):
         import pyarrow.dataset as pds
 
@@ -360,10 +431,13 @@ class NanoProgram:
         self.rhs = rhs
         self.rhs_python = rhs_python
         self.bucket_is_date = bucket_is_date
+        self.pred_fn = pred_fn
+        self.static = static
         # built once: dataset handle caches parquet footers across refreshes
         self._ds = pds.dataset(path, format="parquet")
         need = {ts_col}
         need.update(g.col for g in groups)
+        need.update(pred_cols or set())
         need.update(
             r.src[len("__qc_f64_"):] if r.src.startswith("__qc_f64_") else r.src
             for r in recipes
@@ -419,8 +493,13 @@ class NanoProgram:
             hi_f = pa.scalar(_dt_of_us(-(-now_ns // 1000)), pa.timestamp("us"))
             lo_b = pa.scalar(_dt_of_us(bound_us), pa.timestamp("us"))
             hi_b = pa.scalar(_dt_of_us(bhi_us), pa.timestamp("us"))
-        flt = ((f >= lo_f) & (f < hi_f)) | ((f >= lo_b) & (f < hi_b))
+        flt = (f >= lo_f) & (f < hi_f)
+        if not self.static:
+            flt = flt | ((f >= lo_b) & (f < hi_b))
         tbl = self._ds.to_table(columns=self.columns, filter=flt)
+        if self.pred_fn is not None:
+            # residual predicate: SQL WHERE semantics (null mask ⇒ dropped)
+            tbl = tbl.filter(self.pred_fn(tbl))
 
         ts = tbl.column(self.ts_col)
         if raw_is_ns_ts:
@@ -477,6 +556,10 @@ class NanoProgram:
                     import pyarrow as pa
 
                     b = b.cast(pa.date32())
+                elif g.ltz:
+                    # UTC session (gated): the aware instants equal the
+                    # naive UTC floor — annotate the tz the state carries
+                    b = pc.assume_timezone(b, "UTC")
                 out[g.name] = b
         return out
 
@@ -538,7 +621,15 @@ class NanoProgram:
 
     def run(self, wm_ns: int, now_ns: int, jvm_eval=None):
         """One refresh: returns (fresh_parts, bnd_parts, boundary,
-        fresh_rows, bound). Pure driver-side — no Spark job."""
+        fresh_rows, bound). Pure driver-side — no Spark job. In static
+        mode there is no bound/boundary: only the fresh window scans and
+        bnd_parts/boundary/bound come back empty."""
+        if self.static:
+            tbl, ts_us_dt, f_mask, _ = self._scan(wm_ns, now_ns, 0, 0)
+            garrs = self._group_arrays(tbl, ts_us_dt)
+            fresh, fresh_rows = self._partials(tbl, garrs, f_mask)
+            return fresh, {}, None, fresh_rows, None
+
         if self.rhs_python:
             bound_dt = eval_bound(self.rhs, now_ns)
         else:
@@ -565,15 +656,19 @@ def build_nano_program(
     ts_col: str,
     state_group,
     plans,
-    bucket_name: str,
-    bucket_gran: str,
+    bucket_name: Optional[str],
+    bucket_gran: Optional[str],
     dyn_op: str,
-    rhs: Expr,
+    rhs: Optional[Expr],
     bucket_is_date: bool,
     max_bytes: int,
+    pred_expr: Optional[Expr] = None,
+    group_ltz: Optional[set] = None,
+    static: bool = False,
 ) -> NanoProgram:
     """Build (and validate admission for) the nano program; raises
-    NanoUnsupported on any contract violation."""
+    NanoUnsupported on any contract violation. ``static=True`` builds the
+    fresh-window-only variant (no dynamic bound/boundary)."""
     from .sources.tables import LOCAL_PARQUET_SOURCES
 
     src = LOCAL_PARQUET_SOURCES.get(table)
@@ -599,21 +694,30 @@ def build_nano_program(
             f"source {size} bytes over nano_refresh_max_bytes={max_bytes}"
         )
     groups = [_parse_group(g, ts_col) for g in state_group]
-    # group key cols must not collide with the shadow-normalized ts names
     for g in groups:
+        # group key cols must not collide with the shadow-normalized names
         if g.kind == "col" and g.col.endswith("_ns"):
             raise NanoUnsupported("grouping on a derived shadow column")
+        if g.kind == "trunc" and g.name in (group_ltz or set()):
+            g.ltz = True
     recipes, nan_check = _parse_aggs(plans, ts_col)
-    gran = _TRUNC_ALIASES.get(bucket_gran.lower(), bucket_gran.lower())
-    if gran not in ("minute", "hour", "day", "week", "month", "quarter",
-                    "year"):
-        raise NanoUnsupported(f"bucket granularity {bucket_gran}")
-    rhs_python = True
-    try:
-        validate_bound_expr(rhs)
-    except NanoUnsupported:
-        rhs_python = False
+    pred_fn, pred_cols = (None, set())
+    if pred_expr is not None:
+        pred_fn, pred_cols = _parse_pred(pred_expr)
+    gran = ""
+    rhs_python = False
+    if not static:
+        gran = _TRUNC_ALIASES.get(bucket_gran.lower(), bucket_gran.lower())
+        if gran not in ("minute", "hour", "day", "week", "month", "quarter",
+                        "year"):
+            raise NanoUnsupported(f"bucket granularity {bucket_gran}")
+        rhs_python = True
+        try:
+            validate_bound_expr(rhs)
+        except NanoUnsupported:
+            rhs_python = False
     return NanoProgram(
         path, ts_col, ts_kind, groups, recipes, nan_check, gran, dyn_op,
-        rhs, rhs_python, bucket_is_date,
+        rhs, rhs_python, bucket_is_date, pred_fn=pred_fn,
+        pred_cols=pred_cols, static=static,
     )

@@ -1156,17 +1156,44 @@ class CachedSparkSession:
                 res = None
                 memo_key = now_ns
                 if dyn_bound is None:
-                    tpl = self._warm_template(
+                    # static ladder: nano (driver pyarrow scan, bytes-
+                    # gated) → lite (one plain-sized job + driver merge)
+                    # → fused template; each falls through
+                    sntpl = self._static_nano_template(
                         pkey, fingerprint, spec, plans, state_group,
                         group_names, state_cols, partial_aggs, merge_aggs,
-                        pred, ts_col, shadow in base_cols, pc_arg,
-                        cached_state.schema, tables,
+                        pred, state_pred_expr, ts_col, shadow in base_cols,
+                        pc_arg, cached_state.schema, tables,
                     )
-                    if tpl is not None:
-                        res = self._run_warm_template(
-                            tpl, entry, cached_state, wm_ns, now_ns,
-                            decision, spec, state_cols,
+                    if sntpl is not None:
+                        res = self._run_static_nano(
+                            sntpl, entry, cached_state, wm_ns, now_ns,
+                            decision, spec,
                         )
+                    if res is None:
+                        sltpl = self._static_lite_template(
+                            pkey, fingerprint, spec, plans, state_group,
+                            group_names, state_cols, partial_aggs, merge_aggs,
+                            pred, ts_col, shadow in base_cols, pc_arg,
+                            cached_state.schema, tables,
+                        )
+                        if sltpl is not None:
+                            res = self._run_static_lite(
+                                sltpl, entry, cached_state, wm_ns, now_ns,
+                                decision, spec,
+                            )
+                    if res is None:
+                        tpl = self._warm_template(
+                            pkey, fingerprint, spec, plans, state_group,
+                            group_names, state_cols, partial_aggs, merge_aggs,
+                            pred, ts_col, shadow in base_cols, pc_arg,
+                            cached_state.schema, tables,
+                        )
+                        if tpl is not None:
+                            res = self._run_warm_template(
+                                tpl, entry, cached_state, wm_ns, now_ns,
+                                decision, spec, state_cols,
+                            )
                 else:
                     # tier ladder: nano (driver pyarrow scan, bytes-gated)
                     # → lite (plain-sized job + driver merge) → fused
@@ -2252,6 +2279,7 @@ class CachedSparkSession:
                     state_part, schema=state_schema
                 )
                 entry.put(now_ns, st_df, self.spark)
+        decision.refresh_tier = "template"
         return self._arrow_result(
             tbl, aug_fields, base_idx, spec,
             tpl["out_names"], tpl["extra_names"], tpl["order_names"],
@@ -2856,10 +2884,69 @@ class CachedSparkSession:
         ``state_is_local`` gate); the scan stays fully distributed with
         parquet pushdown/pruning, only O(state) rows cross the driver.
         """
+        from pyspark.sql.types import DateType
+
+        rg = [g.name for g in spec.group_by]
+        if bucket_name not in rg:
+            return None  # cross-bucket merge needed: fused template's job
+        # dyn rejects ltz timestamps: the boundary compare / trunc
+        # arithmetic driver-side assumes tz-free values (static lite allows
+        # them — aware datetimes pass through as opaque keys there)
+        base = self._lite_base(
+            spec, plans, state_group, group_names, state_cols, partial_aggs,
+            merge_aggs, pred, ts_col, state_schema, tables, allow_ltz=False,
+        )
+        if base is None:
+            return None
+        core = base.pop("__core")
+        q = core["q"]
+
+        sc = self._dyn_scan_core(
+            core, ts_col, shadow_ok, part_col, bucket_name, bucket_gran,
+            dyn_op,
+        )
+        qif, qib = sc["qif"], sc["qib"]
+
+        # disjoint range cells — no row is double-counted: 2 = fresh tail
+        # only, 1 = boundary recompute only, 3 = both. Driver folds
+        # {2,3} into the state update and {1,3} into the boundary result.
+        cell = f"(CASE WHEN {qif} AND {qib} THEN 3 WHEN {qif} THEN 2 ELSE 1 END)"
+        base["sql"] = (
+            f"SELECT {', '.join(base.pop('__items'))}, "
+            f"count(1) AS {q('__qc_nr')}, "
+            f"any_value({sc['bnd_lit']}) AS {q('__qc_bnd')}, "
+            f"{cell} AS {q('__qc_cell')} "
+            f"FROM ({sc['inner_sql']}) __qc_s WHERE {qif} OR {qib} "
+            f"GROUP BY {core['gb_exprs']}, {cell}"
+        )
+        st_fields = {f.name: f.dataType for f in state_schema.fields}
+        base["bucket_idx"] = group_names.index(bucket_name)
+        base["bucket_gran"] = bucket_gran
+        base["bucket_is_date"] = isinstance(st_fields[bucket_name], DateType)
+        return base
+
+    def _lite_base(
+        self,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        state_schema,
+        tables: List[str],
+        allow_ltz: bool,
+    ) -> Optional[dict]:
+        """Shared driver-merge scaffolding of the lite/nano tiers: the
+        Python merge program, the partial select items, and the
+        output/state Arrow schemas (a zero-row schema probe — analysis
+        only, no job). None ⇔ some shape has no exact Python mirror."""
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import (
             ArrayType,
-            DateType,
             DoubleType,
             FloatType,
             MapType,
@@ -2869,9 +2956,6 @@ class CachedSparkSession:
 
         from .functions.partial import lite_plan
 
-        rg = [g.name for g in spec.group_by]
-        if bucket_name not in rg:
-            return None  # cross-bucket merge needed: fused template's job
         if spec.having is not None or spec.grouping_sets:
             return None
         lp = lite_plan(plans)
@@ -2893,30 +2977,14 @@ class CachedSparkSession:
             if isinstance(dt, (FloatType, DoubleType, ArrayType, MapType,
                                StructType)):
                 return None  # Python-key hashing differs from SQL equality
-        for f in state_schema.fields:
-            if isinstance(f.dataType, TimestampType):
-                return None  # ltz: tz-dependent Arrow round-trip
-
-        sc = self._dyn_scan_core(
-            core, ts_col, shadow_ok, part_col, bucket_name, bucket_gran,
-            dyn_op,
-        )
-        qif, qib = sc["qif"], sc["qib"]
+        if not allow_ltz:
+            for f in state_schema.fields:
+                if isinstance(f.dataType, TimestampType):
+                    return None  # ltz: tz-dependent driver arithmetic
 
         partial_cols = [n for n in state_cols if n not in g_sql]
         items = [f"{g_sql[n]} AS {q(n)}" for n in group_names]
         items += [f"{sql_of(partial_aggs[n])} AS {q(n)}" for n in partial_cols]
-        # disjoint range cells — no row is double-counted: 2 = fresh tail
-        # only, 1 = boundary recompute only, 3 = both. Driver folds
-        # {2,3} into the state update and {1,3} into the boundary result.
-        cell = f"(CASE WHEN {qif} AND {qib} THEN 3 WHEN {qif} THEN 2 ELSE 1 END)"
-        sql = (
-            f"SELECT {', '.join(items)}, count(1) AS {q('__qc_nr')}, "
-            f"any_value({sc['bnd_lit']}) AS {q('__qc_bnd')}, "
-            f"{cell} AS {q('__qc_cell')} "
-            f"FROM ({sc['inner_sql']}) __qc_s WHERE {qif} OR {qib} "
-            f"GROUP BY {core['gb_exprs']}, {cell}"
-        )
 
         # output dtypes via a zero-row schema probe (analysis only, no job)
         st0 = self.spark.createDataFrame([], state_schema)
@@ -2931,19 +2999,18 @@ class CachedSparkSession:
             *[fin_by[nm] if nm in fin_by else F.col(nm) for nm in res_names]
         )
         out_fields = list(out0.schema.fields)
-        for f in out_fields:
-            if isinstance(f.dataType, TimestampType):
-                return None
+        if not allow_ltz:
+            for f in out_fields:
+                if isinstance(f.dataType, TimestampType):
+                    return None
         out_arrow = to_arrow_schema(StructType(out_fields))
         state_arrow = to_arrow_schema(state_schema)
 
         return {
-            "sql": sql,
+            "__core": core,
+            "__items": items,
             "group_names": group_names,
             "partial_cols": partial_cols,
-            "bucket_idx": group_names.index(bucket_name),
-            "bucket_gran": bucket_gran,
-            "bucket_is_date": isinstance(st_fields[bucket_name], DateType),
             "merges": lp["merges"],
             "fins": lp["fins"],
             "out_names": out_names,
@@ -3084,7 +3151,6 @@ class CachedSparkSession:
         for k, st in fresh.items():
             new_state[k] = merge2(new_state.get(k), st)
 
-        bidx = tpl["bucket_idx"]
         fins = tpl["fins"]
         n2g = tpl["name_to_group"]
 
@@ -3094,12 +3160,17 @@ class CachedSparkSession:
                 for nm in tpl["res_names"]
             }
 
-        rows = [
-            mk_row(k, st)
-            for k, st in new_state.items()
-            if k[bidx] is not None and k[bidx] > boundary
-        ]
-        rows.extend(mk_row(k, st) for k, st in bnd.items())
+        if boundary is None:
+            # static window: the refreshed state IS the result
+            rows = [mk_row(k, st) for k, st in new_state.items()]
+        else:
+            bidx = tpl["bucket_idx"]
+            rows = [
+                mk_row(k, st)
+                for k, st in new_state.items()
+                if k[bidx] is not None and k[bidx] > boundary
+            ]
+            rows.extend(mk_row(k, st) for k, st in bnd.items())
         res_tbl = pa.Table.from_pylist(rows, schema=tpl["out_arrow"])
         res = self._arrow_result(
             res_tbl, tpl["out_fields"], 0, spec,
@@ -3228,6 +3299,233 @@ class CachedSparkSession:
             self.config.log.warn(
                 decision.fingerprint or "",
                 f"dyn nano warm path failed ({e}); falling back",
+            )
+            return None
+
+    def _static_lite_template(
+        self,
+        pkey,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+    ) -> Optional[dict]:
+        """Memoized STATIC lite-tier program.
+
+        Static warm refreshes are strictly simpler than dynamic ones —
+        the state granularity IS the query granularity and there is no
+        boundary bucket — so when every aggregate/finalize has an exact
+        Python mirror the whole refresh collapses to: ONE plain-sized
+        Spark job (fresh-window scan + partial aggregation, the same
+        pushable watermark conds as the fused template), a driver-side
+        O(state) merge, and finalize over ALL refreshed state rows. This
+        removes the fused template's state-scan ∪ union ∪ merge-shuffle
+        plan — roughly halving the per-refresh JVM compile+run floor —
+        for the most common dashboard shapes (any groups incl. ltz time
+        buckets, predicates, joins, expression agg args; the partial agg
+        stays in SQL so only MERGE/FINALIZE need Python mirrors).
+        """
+        key = ("slite", pkey[0], pkey[1], state_schema.simpleString())
+        if key in self._tpl_cache:
+            return self._tpl_cache[key]
+        tpl = None
+        try:
+            base = self._lite_base(
+                spec, plans, state_group, group_names, state_cols,
+                partial_aggs, merge_aggs, pred, ts_col, state_schema,
+                tables, allow_ltz=True,
+            )
+            if base is not None:
+                core = base.pop("__core")
+                q = core["q"]
+                conds = list(
+                    self._time_conds(
+                        q, ts_col, shadow_ok, core["ts_is_ts"], part_col, "F"
+                    )
+                )
+                if core["pred_sql"]:
+                    conds.insert(0, core["pred_sql"])
+                base["sql"] = (
+                    f"SELECT {', '.join(base.pop('__items'))}, "
+                    f"count(1) AS {q('__qc_nr')} "
+                    f"FROM {core['from_sql']} WHERE {' AND '.join(conds)} "
+                    f"GROUP BY {core['gb_exprs']}"
+                )
+                tpl = base
+        except Exception as e:
+            self.config.log.info(
+                fingerprint,
+                f"static lite tier not available ({e}); using template",
+            )
+            tpl = None
+        if tpl is not None:
+            tpl["key"] = key
+        self._tpl_cache[key] = tpl
+        return tpl
+
+    def _static_nano_template(
+        self,
+        pkey,
+        fingerprint: str,
+        spec: AggSpec,
+        plans,
+        state_group,
+        group_names: List[str],
+        state_cols: List[str],
+        partial_aggs: Dict[str, Column],
+        merge_aggs: Dict[str, Column],
+        pred: Optional[Column],
+        pred_expr,
+        ts_col: str,
+        shadow_ok: bool,
+        part_col: Optional[str],
+        state_schema,
+        tables: List[str],
+    ) -> Optional[dict]:
+        """Memoized STATIC nano-tier program: the static lite driver merge
+        with the Spark job replaced by a bytes-gated pyarrow scan of the
+        fresh window. Beyond the dynamic nano contract it admits simple
+        residual predicates (conjunctions of column-vs-literal
+        comparisons, IS [NOT] NULL — mirrored exactly by pyarrow masks)
+        and ltz time-bucket groups (UTC session gate: the aware instants
+        equal the naive UTC floor)."""
+        key = ("snano", pkey[0], pkey[1], state_schema.simpleString())
+        if key in self._tpl_cache:
+            return self._tpl_cache[key]
+        tpl = None
+        try:
+            if spec.join_steps:
+                raise Unsupported("joins outside the nano contract")
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+            if tz != "UTC":
+                raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
+            sltpl = self._static_lite_template(
+                pkey, fingerprint, spec, plans, state_group, group_names,
+                state_cols, partial_aggs, merge_aggs, pred, ts_col,
+                shadow_ok, part_col, state_schema, tables,
+            )
+            if sltpl is None:
+                raise Unsupported("static lite driver-merge base unavailable")
+            from pyspark.sql.types import TimestampType
+
+            from .nano import build_nano_program
+
+            group_ltz = {
+                f.name
+                for f in state_schema.fields
+                if f.name in group_names
+                and isinstance(f.dataType, TimestampType)
+            }
+            prog = build_nano_program(
+                tables[0], ts_col, state_group, plans, None, None, ">",
+                None, False, self.config.nano_refresh_max_bytes,
+                pred_expr=pred_expr, group_ltz=group_ltz, static=True,
+            )
+            tpl = dict(sltpl)
+            tpl["nano"] = prog
+        except Exception as e:
+            self.config.log.info(
+                fingerprint,
+                f"static nano tier not available ({e}); trying lite/template",
+            )
+            tpl = None
+        if tpl is not None:
+            tpl["key"] = key
+        self._tpl_cache[key] = tpl
+        return tpl
+
+    def _run_static_nano(
+        self,
+        tpl: dict,
+        entry,
+        cached_state: DataFrame,
+        wm_ns: int,
+        now_ns: int,
+        decision: Decision,
+        spec: AggSpec,
+    ) -> Optional[DataFrame]:
+        """Execute the static nano refresh: NO Spark job — pyarrow scan of
+        the fresh window, vectorized partials, shared driver merge."""
+        try:
+            state = self._load_driver_state(tpl, entry, cached_state)
+            fresh, _bnd, _boundary, fresh_rows, _bound = tpl["nano"].run(
+                wm_ns, now_ns
+            )
+            decision.fresh_rows_value = int(fresh_rows)
+            res = self._finish_dyn_driver(
+                tpl, entry, now_ns, decision, spec, state, fresh, {}, None,
+            )
+            decision.refresh_tier = "nano"
+            return res
+        except Exception as e:
+            self._tpl_cache[tpl["key"]] = None
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"static nano warm path failed ({e}); falling back",
+            )
+            return None
+
+    def _run_static_lite(
+        self,
+        tpl: dict,
+        entry,
+        cached_state: DataFrame,
+        wm_ns: int,
+        now_ns: int,
+        decision: Decision,
+        spec: AggSpec,
+    ) -> Optional[DataFrame]:
+        """Execute the static lite refresh: one plain-sized Spark job over
+        the fresh window, driver merge, finalize over the whole state."""
+        try:
+            sql = self._sub_time_tokens(tpl["sql"], "F", wm_ns, now_ns)
+            with self._refresh_confs():
+                df = self.spark.sql(sql)
+                self.last_refresh_df = df
+                scan = df.toArrow().to_pylist()
+
+            state = self._load_driver_state(tpl, entry, cached_state)
+            gnames = tpl["group_names"]
+            pcols = tpl["partial_cols"]
+            merges = tpl["merges"]
+
+            def merge2(a, b):
+                if a is None:
+                    return dict(b)
+                out = dict(a)
+                for m in merges:
+                    out.update(m(a, b))
+                return out
+
+            fresh: dict = {}
+            fresh_rows = 0
+            for r in scan:
+                key = tuple(r[g] for g in gnames)
+                st = {c: r[c] for c in pcols}
+                fresh[key] = merge2(fresh.get(key), st)
+                fresh_rows += r["__qc_nr"]
+            decision.fresh_rows_value = int(fresh_rows)
+
+            res = self._finish_dyn_driver(
+                tpl, entry, now_ns, decision, spec, state, fresh, {}, None,
+            )
+            decision.refresh_tier = "lite"
+            return res
+        except Exception as e:
+            self._tpl_cache[tpl["key"]] = None
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"static lite warm path failed ({e}); falling back",
             )
             return None
 

@@ -330,6 +330,137 @@ def test_eval_bound_matches_jvm(spark, tmp_path):
             assert py == jvm, (rhs_sql, now_ns, py, jvm)
 
 
+STATIC_SQL = (
+    "SELECT date_trunc('hour', ts) AS h, round(avg(value) + 1e-9, 2) AS av, "
+    "count(*) AS n, min(value) AS mn, max(value) AS mx "
+    "FROM events WHERE value > 1 GROUP BY 1 ORDER BY 1"
+)
+
+
+def _plain_static(spark, sql: str, now_ns: int):
+    """Plain twin with the engine's as-of bound (state scans are bounded
+    ts < now)."""
+    lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now_ns // 1000)
+    lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+    if " WHERE " in sql:
+        s = sql.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+    elif " GROUP BY" in sql:
+        s = sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+    else:
+        s = f"{sql} WHERE ts < {lit}"
+    return spark.sql(s)
+
+
+def test_static_nano_matches_plain(spark, tmp_path, now_points):
+    """Static warm refreshes on a registered source: no Spark job, exact
+    results — incl. an ltz hour bucket and a residual predicate (both
+    beyond the dynamic nano contract)."""
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(STATIC_SQL)
+        assert rows_set(got) == rows_set(
+            _plain_static(spark, STATIC_SQL, now_ns)
+        ), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.cache_hit
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_static_lite_on_expression_args(spark, tmp_path, now_points):
+    """Expression aggregate arguments are outside the nano contract (it
+    computes partials itself) but INSIDE the lite contract (partials stay
+    in SQL; only merge/finalize need Python mirrors)."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(sum(value * 2), 2) AS s2, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "lite"
+
+
+def test_static_template_on_unsupported_agg(spark, tmp_path, now_points):
+    """stddev has no Python merge mirror: the fused template must run."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(stddev_samp(value), 4) AS sd FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "template"
+
+
+def test_static_nano_global_agg(spark, tmp_path, now_points):
+    """Global static aggregate: one-row state merged driver-side."""
+    sql = (
+        "SELECT count(*) AS n, round(sum(value), 2) AS s, max(value) AS mx "
+        "FROM events"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_static_pred_null_semantics(spark, tmp_path):
+    """The pyarrow predicate mirror must drop NULL comparisons exactly
+    like SQL WHERE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [base_us + i * day_us // 3 for i in range(30)],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array(
+                [None if i % 5 == 0 else float(i) for i in range(30)]
+            ),
+        }
+    )
+    p = str(tmp_path / "nullsrc.parquet")
+    pq.write_table(tbl, p)
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    register_parquet_view(spark, "null_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM null_events WHERE v > 3 GROUP BY 1 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    hi_ns = (base_us + 10 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate([hi_ns - 3 * day_ns, hi_ns - day_ns, hi_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
 def test_nano_external_writer_coherence(spark, tmp_path, now_points):
     """State is re-read from the entry every refresh: a second session
     writing the same cache dir must be observed, not clobbered."""
