@@ -435,6 +435,7 @@ class NanoProgram:
         self.static = static
         # built once: dataset handle caches parquet footers across refreshes
         self._ds = pds.dataset(path, format="parquet")
+        self._src_sig = self._stat_sig()
         need = {ts_col}
         need.update(g.col for g in groups)
         need.update(pred_cols or set())
@@ -465,6 +466,30 @@ class NanoProgram:
                 raise NanoUnsupported(f"aliased group column {g.name}")
             if g.kind == "trunc" and g.name in self.columns:
                 raise NanoUnsupported(f"bucket alias {g.name} shadows a column")
+
+    def _stat_sig(self):
+        st = os.stat(self.path)
+        return (st.st_mtime_ns, st.st_size)
+
+    def validate(self, table: str) -> None:
+        """Raise NanoUnsupported when the pinned file set drifted: the
+        view was re-registered (possibly over a different path) or the
+        path itself changed (overwrite; for a directory, POSIX bumps the
+        dir mtime when files are added/removed). The caller drops the
+        memoized program so the next refresh REBUILDS against the current
+        source — the distributed tiers, which resolve the view name per
+        call, serve this refresh correctly in the meantime."""
+        from .sources.tables import LOCAL_PARQUET_SOURCES
+
+        src = LOCAL_PARQUET_SOURCES.get(table)
+        if src is None or src["path"] != self.path:
+            raise NanoUnsupported(f"source {table} re-registered")
+        try:
+            sig = self._stat_sig()
+        except OSError as e:
+            raise NanoUnsupported(f"source stat failed: {e}")
+        if sig != self._src_sig:
+            raise NanoUnsupported("source files changed since build")
 
     # -- temporal window mirrors (ints, exact) --------------------------
 

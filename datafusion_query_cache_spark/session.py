@@ -1204,7 +1204,7 @@ class CachedSparkSession:
                         pred, ts_col, shadow in base_cols, pc_arg,
                         cached_state.schema, tables,
                         bucket_name, bucket_gran, dyn_bound.op,
-                        dyn_bound.rhs,
+                        dyn_bound.rhs, pred_expr=state_pred_expr,
                     )
                     if ntpl is not None:
                         res = self._run_dyn_nano(
@@ -1257,6 +1257,7 @@ class CachedSparkSession:
                 plans, state_group, group_names, merge_aggs, partial_agg,
             )
             decision.cache_hit = True
+            decision.refresh_tier = "classic"
             decision.watermark_ns = wm_ns
             decision.observation = obs
             cfg.log.info(
@@ -3217,16 +3218,18 @@ class CachedSparkSession:
         bucket_gran: str,
         dyn_op: str,
         dyn_rhs,
+        pred_expr=None,
     ) -> Optional[dict]:
         """Memoized nano-tier program: the lite tier's driver merge plus a
-        bytes-gated pyarrow scan replacing the Spark job (``nano.py``)."""
+        bytes-gated pyarrow scan replacing the Spark job (``nano.py``).
+        Simple residual predicates ride as exact pyarrow mask mirrors."""
         key = ("dynnano", pkey[0], pkey[1], state_schema.simpleString())
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
         try:
-            if spec.join_steps or pred is not None:
-                raise Unsupported("joins/predicate outside the nano contract")
+            if spec.join_steps:
+                raise Unsupported("joins outside the nano contract")
             tz = self.spark.conf.get("spark.sql.session.timeZone", "")
             if tz != "UTC":
                 raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
@@ -3243,10 +3246,11 @@ class CachedSparkSession:
             prog = build_nano_program(
                 tables[0], ts_col, state_group, plans, bucket_name,
                 bucket_gran, dyn_op, dyn_rhs, ltpl["bucket_is_date"],
-                self.config.nano_refresh_max_bytes,
+                self.config.nano_refresh_max_bytes, pred_expr=pred_expr,
             )
             tpl = dict(ltpl)
             tpl["nano"] = prog
+            tpl["table"] = tables[0]
         except Exception as e:
             self.config.log.info(
                 fingerprint,
@@ -3274,6 +3278,18 @@ class CachedSparkSession:
         aggregation, and the shared driver merge/finalize/store tail."""
         import datetime as _dt
 
+        try:
+            tpl["nano"].validate(tpl["table"])
+        except Exception as e:
+            # source drifted: drop the memo so the NEXT refresh rebuilds
+            # against the current files; this one takes the lite/template
+            # tiers, which resolve the view per call
+            self._tpl_cache.pop(tpl["key"], None)
+            self.config.log.info(
+                decision.fingerprint or "",
+                f"dyn nano program stale ({e}); rebuilding next refresh",
+            )
+            return None
         try:
             state = self._load_driver_state(tpl, entry, cached_state)
 
@@ -3433,6 +3449,7 @@ class CachedSparkSession:
             )
             tpl = dict(sltpl)
             tpl["nano"] = prog
+            tpl["table"] = tables[0]
         except Exception as e:
             self.config.log.info(
                 fingerprint,
@@ -3456,6 +3473,16 @@ class CachedSparkSession:
     ) -> Optional[DataFrame]:
         """Execute the static nano refresh: NO Spark job — pyarrow scan of
         the fresh window, vectorized partials, shared driver merge."""
+        try:
+            tpl["nano"].validate(tpl["table"])
+        except Exception as e:
+            # source drifted: drop the memo so the NEXT refresh rebuilds
+            self._tpl_cache.pop(tpl["key"], None)
+            self.config.log.info(
+                decision.fingerprint or "",
+                f"static nano program stale ({e}); rebuilding next refresh",
+            )
+            return None
         try:
             state = self._load_driver_state(tpl, entry, cached_state)
             fresh, _bnd, _boundary, fresh_rows, _bound = tpl["nano"].run(

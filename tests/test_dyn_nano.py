@@ -117,12 +117,13 @@ def test_nano_zero_fresh_advances_watermark(spark, tmp_path, now_points):
 
 
 def test_lite_tier_on_predicate(spark, tmp_path, now_points):
-    """A residual predicate is outside the nano contract; the lite tier
-    (one plain-sized job + driver merge) must take it, exactly."""
+    """An OR-of-conditions predicate is outside the nano mask mirror; the
+    lite tier (one plain-sized job + driver merge) must take it, exactly."""
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
         "round(sum(value), 2) AS s FROM events "
-        "WHERE value > 10 AND ts > now() - INTERVAL 10 DAY "
+        "WHERE (value > 10 OR event_type = 'click') "
+        "AND ts > now() - INTERVAL 10 DAY "
         "GROUP BY 1 ORDER BY 1"
     )
 
@@ -459,6 +460,179 @@ def test_static_pred_null_semantics(spark, tmp_path):
         assert rows_set(got) == rows_set(expect), f"refresh {i}"
         if i > 0:
             assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_dyn_nano_with_predicate(spark, tmp_path, now_points):
+    """Simple residual predicates ride the DYNAMIC nano tier too."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events "
+        "WHERE value > 10 AND ts > now() - INTERVAL 10 DAY "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain(spark, sql, now_ns)), (
+            f"refresh {i}"
+        )
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_randomized_tier_equivalence(spark, tmp_path):
+    """Seeded sweep: random agg/group/filter/window combinations must be
+    exact on WHATEVER tier serves them, across an advancing-now flow."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    mx_ns = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 1_000_000_000
+
+    groups = [
+        "CAST(date_trunc('day', ts) AS DATE) AS d",
+        "date_trunc('hour', ts) AS h",
+        "event_type",
+    ]
+    aggs = [
+        "count(*) AS n",
+        "count(value) AS nv",
+        "sum(value) AS s",
+        "min(value) AS mn",
+        "max(value) AS mx",
+        "avg(value) AS av",
+        "sum(value * 1.5) AS sx",
+    ]
+    preds = [None, "value > 5", "value <= 80", "event_type != 'click'"]
+    windows = [None, "ts > now() - INTERVAL 9 DAY",
+               "ts >= now() - INTERVAL 2 WEEK"]
+
+    tiers_seen = set()
+    for trial in range(10):
+        gs = rng.sample(groups, rng.randint(1, 2))
+        ags = rng.sample(aggs, rng.randint(1, 3))
+        pred = rng.choice(preds)
+        win = rng.choice(windows)
+        conds = [c for c in (pred, win) if c]
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
+        gb = ", ".join(str(i + 1) for i in range(len(gs)))
+        sql = (
+            f"SELECT {', '.join(gs + ags)} FROM events{where} "
+            f"GROUP BY {gb} ORDER BY {gb}"
+        )
+        qc = _mk_qc(spark, tmp_path / f"t{trial}")
+        base = mx_ns - rng.randint(2, 5) * day
+        pts = [base, base + day // 2, base + day + rng.randint(0, 10**9)]
+        for i, now_ns in enumerate(pts):
+            qc.config.override_now_ns = now_ns
+            got = qc.sql(sql)
+            lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=now_ns // 1000
+            )
+            lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+            s = sql.replace("now()", lit)
+            if " WHERE " in s:
+                s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+            else:
+                s = s.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+            # fp sums merge in a different association order than plain's
+            # single pass (inherent to ANY incremental tier): compare
+            # floats relatively, everything else exactly
+            import math
+
+            def _close(a, b):
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        return True
+                    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+                return a == b
+
+            g_rows = sorted(
+                (tuple(r) for r in got.collect()), key=repr
+            )
+            p_rows = sorted(
+                (tuple(r) for r in spark.sql(s).collect()), key=repr
+            )
+            assert len(g_rows) == len(p_rows) and all(
+                all(_close(a, b) for a, b in zip(gr, pr))
+                for gr, pr in zip(g_rows, p_rows)
+            ), f"trial {trial} refresh {i}: {sql}"
+            if i > 0:
+                tiers_seen.add(qc.last_decision.refresh_tier)
+    # the sweep must actually exercise the driver tiers, not only templates
+    assert "nano" in tiers_seen or "lite" in tiers_seen, tiers_seen
+
+
+def test_nano_source_drift_rebuild(spark, tmp_path):
+    """A re-registered/grown source must NOT be served from the pinned
+    file set: the stale program is dropped, the refresh falls to a
+    view-resolving tier, and the next refresh rebuilds nano against the
+    new files — results exact throughout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+
+    def write(n_rows: int):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [base_us + i * day_us // 4 for i in range(n_rows)],
+                    pa.timestamp("us"),
+                ),
+                "v": pa.array([float(i % 17) for i in range(n_rows)]),
+            }
+        )
+        p = str(tmp_path / "growsrc.parquet")
+        pq.write_table(tbl, p)
+        return p
+
+    p = write(40)
+    register_parquet_view(spark, "grow_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(sum(v), 2) AS s FROM grow_events GROUP BY 1 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    qc = _mk_qc(spark, tmp_path)
+
+    def plain(now_ns):
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        return spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+
+    t0 = (base_us + 8 * day_us) * 1000
+    qc.config.override_now_ns = t0
+    qc.sql(sql).collect()  # miss
+    qc.config.override_now_ns = t0 + day_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.refresh_tier == "nano"
+
+    # the source GROWS and is re-registered (new rows extend the tail)
+    write(60)
+    register_parquet_view(spark, "grow_events", p)
+    t2 = (base_us + 16 * day_us) * 1000
+    qc.config.override_now_ns = t2
+    got = qc.sql(sql)
+    # stale program dropped; this refresh is exact on a fallback tier
+    assert qc.last_decision.refresh_tier in ("lite", "template", "classic")
+    assert rows_set(got) == rows_set(plain(t2))
+    # next refresh rebuilds nano over the new files
+    t3 = t2 + day_ns
+    qc.config.override_now_ns = t3
+    got = qc.sql(sql)
+    assert qc.last_decision.refresh_tier == "nano"
+    assert rows_set(got) == rows_set(plain(t3))
 
 
 def test_nano_external_writer_coherence(spark, tmp_path, now_points):

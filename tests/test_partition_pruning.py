@@ -159,10 +159,12 @@ def test_dyn_lite_pushes_or_of_ranges(spark, tmp_path):
             override_now_ns=now1,
         ),
     )
+    # an OR-of-conditions predicate is outside the nano mask mirror, so
+    # the LITE tier (this test's subject) must run the Spark job
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
-        "FROM events WHERE value > 0 AND ts > now() - INTERVAL 10 DAY "
-        "GROUP BY 1"
+        "FROM events WHERE (value > 0 OR event_type = 'click') "
+        "AND ts > now() - INTERVAL 10 DAY GROUP BY 1"
     )
     qc.sql(sql).collect()
     qc.config.override_now_ns = now2
