@@ -177,10 +177,9 @@ def main() -> None:
     JOIN_SQL = (
         "SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m, "
         "count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
-        "FROM orders_bench o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1, 2"
     )
-    jo = spark.table("orders")
     jo_cut = dt.datetime(1998, 1, 1)
     jo_cut_ns = int(jo_cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
 
@@ -193,11 +192,7 @@ def main() -> None:
                 override_now_ns=jo_cut_ns,
             ),
         )
-        jo.filter(F.col("o_orderdate") < F.lit(jo_cut)).createOrReplaceTempView(
-            "orders_bench"
-        )
         qcj.sql(JOIN_SQL).collect()
-        jo.createOrReplaceTempView("orders_bench")
         if timed_run:
             jo_mid_ns = int(
                 dt.datetime(1998, 3, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9

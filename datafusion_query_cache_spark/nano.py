@@ -357,6 +357,24 @@ class _AggRecipe:
     mode: str = "only_valid"  # for count
 
 
+@dataclass
+class _DimJoin:
+    """One left-deep join step against a registered (small) dim table.
+
+    pyarrow's hash join reproduces SQL equi-join semantics exactly for
+    the admitted shapes: INNER drops null-key rows on both sides, LEFT
+    OUTER keeps unmatched/null-key left rows with null right columns,
+    and duplicate right keys fan out. The right key column is coalesced
+    away (same as SQL USING); all other loaded columns ride through."""
+
+    table: str
+    path: str
+    how: str  # "inner" | "left outer"
+    left_key: str
+    right_key: str
+    columns: List[str]
+
+
 def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
     """Map every unique decomposition's state columns to pyarrow
     aggregate recipes. Returns (recipes, float_minmax_cols) — the latter
@@ -417,6 +435,8 @@ class NanoProgram:
         pred_fn=None,
         pred_cols: Optional[set] = None,
         static: bool = False,
+        fact_columns: Optional[List[str]] = None,
+        dims: Optional[List[_DimJoin]] = None,
     ):
         import pyarrow.dataset as pds
 
@@ -433,20 +453,32 @@ class NanoProgram:
         self.bucket_is_date = bucket_is_date
         self.pred_fn = pred_fn
         self.static = static
-        # built once: dataset handle caches parquet footers across refreshes
+        self.dims = dims or []
+        # built once: dataset handles cache parquet footers across refreshes
         self._ds = pds.dataset(path, format="parquet")
+        self._dim_ds = [
+            pds.dataset(d.path, format="parquet") for d in self.dims
+        ]
         self._src_sig = self._stat_sig()
-        need = {ts_col}
-        need.update(g.col for g in groups)
-        need.update(pred_cols or set())
-        need.update(
-            r.src[len("__qc_f64_"):] if r.src.startswith("__qc_f64_") else r.src
-            for r in recipes
-        )
-        self.columns = sorted(need)
+        if fact_columns is not None:
+            self.columns = sorted(fact_columns)
+        else:
+            need = {ts_col}
+            need.update(g.col for g in groups)
+            need.update(pred_cols or set())
+            need.update(
+                r.src[len("__qc_f64_"):]
+                if r.src.startswith("__qc_f64_") else r.src
+                for r in recipes
+            )
+            self.columns = sorted(need)
         missing = [c for c in self.columns if c not in self._ds.schema.names]
         if missing:
             raise NanoUnsupported(f"columns {missing} not in parquet files")
+        for d, ds in zip(self.dims, self._dim_ds):
+            miss = [c for c in d.columns if c not in ds.schema.names]
+            if miss:
+                raise NanoUnsupported(f"columns {miss} not in {d.table}")
         import pyarrow as pa
 
         ftype = self._ds.schema.field(ts_col).type
@@ -461,29 +493,39 @@ class NanoProgram:
             raise NanoUnsupported(f"{ts_col} parquet type {ftype}")
         # working-table name-collision guards: a group alias that shadows a
         # different source column would silently aggregate the wrong data
+        all_cols = set(self.columns)
+        for d in self.dims:
+            all_cols.update(d.columns)
         for g in groups:
             if g.kind == "col" and g.name != g.col:
                 raise NanoUnsupported(f"aliased group column {g.name}")
-            if g.kind == "trunc" and g.name in self.columns:
+            if g.kind == "trunc" and g.name in all_cols:
                 raise NanoUnsupported(f"bucket alias {g.name} shadows a column")
 
     def _stat_sig(self):
-        st = os.stat(self.path)
-        return (st.st_mtime_ns, st.st_size)
+        def one(p):
+            st = os.stat(p)
+            return (st.st_mtime_ns, st.st_size)
+
+        return tuple(one(p) for p in [self.path] + [d.path for d in self.dims])
 
     def validate(self, table: str) -> None:
-        """Raise NanoUnsupported when the pinned file set drifted: the
-        view was re-registered (possibly over a different path) or the
-        path itself changed (overwrite; for a directory, POSIX bumps the
-        dir mtime when files are added/removed). The caller drops the
-        memoized program so the next refresh REBUILDS against the current
-        source — the distributed tiers, which resolve the view name per
-        call, serve this refresh correctly in the meantime."""
+        """Raise NanoUnsupported when the pinned file set drifted: a view
+        was re-registered (possibly over a different path) or a path's
+        files changed (overwrite; for a directory, POSIX bumps the dir
+        mtime when files are added/removed). Covers the fact table AND
+        every joined dim. The caller drops the memoized program so the
+        next refresh REBUILDS against the current sources — the
+        distributed tiers, which resolve view names per call, serve this
+        refresh correctly in the meantime."""
         from .sources.tables import LOCAL_PARQUET_SOURCES
 
-        src = LOCAL_PARQUET_SOURCES.get(table)
-        if src is None or src["path"] != self.path:
-            raise NanoUnsupported(f"source {table} re-registered")
+        for name, path in [(table, self.path)] + [
+            (d.table, d.path) for d in self.dims
+        ]:
+            src = LOCAL_PARQUET_SOURCES.get(name)
+            if src is None or src["path"] != path:
+                raise NanoUnsupported(f"source {name} re-registered")
         try:
             sig = self._stat_sig()
         except OSError as e:
@@ -522,8 +564,18 @@ class NanoProgram:
         if not self.static:
             flt = flt | ((f >= lo_b) & (f < hi_b))
         tbl = self._ds.to_table(columns=self.columns, filter=flt)
+        # left-deep dim joins over the window-pruned fact (dims are tiny
+        # by the byte gate); the window masks below read the JOINED ts
+        # column, so fan-out rows carry their fact timestamps correctly
+        for d, ds in zip(self.dims, self._dim_ds):
+            right = ds.to_table(columns=d.columns)
+            tbl = tbl.join(
+                right, keys=[d.left_key], right_keys=[d.right_key],
+                join_type=d.how,
+            )
         if self.pred_fn is not None:
-            # residual predicate: SQL WHERE semantics (null mask ⇒ dropped)
+            # residual predicate AFTER joins (may reference dim columns):
+            # SQL WHERE semantics (null mask ⇒ dropped)
             tbl = tbl.filter(self.pred_fn(tbl))
 
         ts = tbl.column(self.ts_col)
@@ -690,33 +742,50 @@ def build_nano_program(
     pred_expr: Optional[Expr] = None,
     group_ltz: Optional[set] = None,
     static: bool = False,
+    join_steps=(),
 ) -> NanoProgram:
     """Build (and validate admission for) the nano program; raises
     NanoUnsupported on any contract violation. ``static=True`` builds the
-    fresh-window-only variant (no dynamic bound/boundary)."""
+    fresh-window-only variant (no dynamic bound/boundary). Left-deep
+    equi-joins against OTHER registered sources are admitted when every
+    table fits the shared byte budget — the dims load and join
+    driver-side per refresh (the broadcast-join analogue)."""
     from .sources.tables import LOCAL_PARQUET_SOURCES
 
-    src = LOCAL_PARQUET_SOURCES.get(table)
-    if src is None:
-        raise NanoUnsupported(f"table {table} not a registered local source")
+    def _src_of(name: str):
+        s = LOCAL_PARQUET_SOURCES.get(name)
+        if s is None:
+            raise NanoUnsupported(f"table {name} not a registered local source")
+        p = s["path"]
+        if not os.path.exists(p):
+            raise NanoUnsupported(f"source path gone: {p}")
+        return s
+
+    def _size_of(p: str) -> int:
+        return (
+            os.path.getsize(p)
+            if os.path.isfile(p)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        )
+
+    src = _src_of(table)
     ts_kind = src["ts_kinds"].get(ts_col)
     if ts_kind is None:
         raise NanoUnsupported(f"{ts_col} not a normalized temporal column")
     path = src["path"]
-    if not os.path.exists(path):
-        raise NanoUnsupported(f"source path gone: {path}")
-    size = (
-        os.path.getsize(path)
-        if os.path.isfile(path)
-        else sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-        )
-    )
+    dim_paths = []
+    for step in join_steps:
+        if step.on is None or step.how not in ("inner", "left"):
+            raise NanoUnsupported(f"join shape {step.how} not admitted")
+        dim_paths.append((step, _src_of(step.table)["path"]))
+    size = _size_of(path) + sum(_size_of(p) for _, p in dim_paths)
     if not max_bytes or size > max_bytes:
         raise NanoUnsupported(
-            f"source {size} bytes over nano_refresh_max_bytes={max_bytes}"
+            f"sources {size} bytes over nano_refresh_max_bytes={max_bytes}"
         )
     groups = [_parse_group(g, ts_col) for g in state_group]
     for g in groups:
@@ -729,6 +798,14 @@ def build_nano_program(
     pred_fn, pred_cols = (None, set())
     if pred_expr is not None:
         pred_fn, pred_cols = _parse_pred(pred_expr)
+
+    fact_columns: Optional[List[str]] = None
+    dims: Optional[List[_DimJoin]] = None
+    if dim_paths:
+        fact_columns, dims = _resolve_join_columns(
+            path, ts_col, dim_paths, groups, recipes, pred_cols
+        )
+
     gran = ""
     rhs_python = False
     if not static:
@@ -744,5 +821,87 @@ def build_nano_program(
     return NanoProgram(
         path, ts_col, ts_kind, groups, recipes, nan_check, gran, dyn_op,
         rhs, rhs_python, bucket_is_date, pred_fn=pred_fn,
-        pred_cols=pred_cols, static=static,
+        pred_cols=pred_cols, static=static, fact_columns=fact_columns,
+        dims=dims,
     )
+
+
+def _resolve_join_columns(
+    fact_path: str,
+    ts_col: str,
+    dim_paths,
+    groups,
+    recipes,
+    pred_cols: set,
+):
+    """Assign every needed column (and join key) to its owning table.
+
+    Ownership must be UNIQUE across the fact and all joined dims — an
+    ambiguous name would silently read the wrong side, so it rejects.
+    Join keys must connect the accumulated left side to the new right
+    table (left-deep), mirroring how the SQL planner resolved them."""
+    import pyarrow.parquet as pq
+
+    def _schema_names(p: str) -> set:
+        if os.path.isfile(p):
+            return set(pq.read_schema(p).names)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    return set(pq.read_schema(os.path.join(r, f)).names)
+        raise NanoUnsupported(f"no parquet files under {p}")
+
+    tables = [("__fact__", fact_path, _schema_names(fact_path))]
+    for step, p in dim_paths:
+        tables.append((step.table, p, _schema_names(p)))
+
+    def owner(col: str) -> int:
+        hits = [i for i, (_, _, names) in enumerate(tables) if col in names]
+        if len(hits) != 1:
+            raise NanoUnsupported(
+                f"column {col} owned by {len(hits)} tables (need exactly 1)"
+            )
+        return hits[0]
+
+    need = {ts_col}
+    need.update(g.col for g in groups)
+    need.update(pred_cols)
+    need.update(
+        r.src[len("__qc_f64_"):] if r.src.startswith("__qc_f64_") else r.src
+        for r in recipes
+    )
+    per_table: List[set] = [set() for _ in tables]
+    for c in need:
+        per_table[owner(c)].add(c)
+
+    dims: List[_DimJoin] = []
+    left_tables = {0}
+    for i, (step, p) in enumerate(dim_paths, start=1):
+        on = step.on
+        if not (
+            isinstance(on, BinOp)
+            and on.op == "="
+            and isinstance(on.left, Col)
+            and isinstance(on.right, Col)
+        ):
+            raise NanoUnsupported(f"join condition {on!r}")
+        a, b = owner(on.left.name), owner(on.right.name)
+        if a in left_tables and b == i:
+            lk, rk = on.left.name, on.right.name
+        elif b in left_tables and a == i:
+            lk, rk = on.right.name, on.left.name
+        else:
+            raise NanoUnsupported("join keys do not connect left to right")
+        per_table[owner(lk)].add(lk)
+        per_table[i].add(rk)
+        left_tables.add(i)
+        dims.append(
+            _DimJoin(
+                step.table, p,
+                "inner" if step.how == "inner" else "left outer",
+                lk, rk, [],  # columns filled after all keys are known
+            )
+        )
+    for i, d in enumerate(dims, start=1):
+        d.columns = sorted(per_table[i])
+    return sorted(per_table[0]), dims

@@ -3228,8 +3228,6 @@ class CachedSparkSession:
             return self._tpl_cache[key]
         tpl = None
         try:
-            if spec.join_steps:
-                raise Unsupported("joins outside the nano contract")
             tz = self.spark.conf.get("spark.sql.session.timeZone", "")
             if tz != "UTC":
                 raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
@@ -3247,6 +3245,7 @@ class CachedSparkSession:
                 tables[0], ts_col, state_group, plans, bucket_name,
                 bucket_gran, dyn_op, dyn_rhs, ltpl["bucket_is_date"],
                 self.config.nano_refresh_max_bytes, pred_expr=pred_expr,
+                join_steps=spec.join_steps,
             )
             tpl = dict(ltpl)
             tpl["nano"] = prog
@@ -3420,8 +3419,6 @@ class CachedSparkSession:
             return self._tpl_cache[key]
         tpl = None
         try:
-            if spec.join_steps:
-                raise Unsupported("joins outside the nano contract")
             tz = self.spark.conf.get("spark.sql.session.timeZone", "")
             if tz != "UTC":
                 raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
@@ -3446,6 +3443,7 @@ class CachedSparkSession:
                 tables[0], ts_col, state_group, plans, None, None, ">",
                 None, False, self.config.nano_refresh_max_bytes,
                 pred_expr=pred_expr, group_ltz=group_ltz, static=True,
+                join_steps=spec.join_steps,
             )
             tpl = dict(sltpl)
             tpl["nano"] = prog

@@ -566,6 +566,100 @@ def test_randomized_tier_equivalence(spark, tmp_path):
     assert "nano" in tiers_seen or "lite" in tiers_seen, tiers_seen
 
 
+def test_static_nano_star_join(spark, tmp_path):
+    """Left-deep equi-joins against registered dims run driver-side
+    (the broadcast-join analogue): exact vs plain, no Spark job."""
+    from pyspark.sql import functions as F
+
+    sql = (
+        "SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) "
+        "AS m, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS rev "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    hi_ns = int(
+        spark.table("orders").agg(F.max("o_orderdate_ns")).collect()[0][0]
+    )
+    day = 24 * 3600 * 1_000_000_000
+    qc = _mk_qc(spark, tmp_path)
+    qc.config.default_temporal_column = "o_orderdate"
+    pts = [hi_ns - 60 * day, hi_ns - 30 * day, hi_ns - 10 * day, hi_ns + day]
+    for i, now_ns in enumerate(pts):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace(
+                " GROUP BY", f" WHERE o.o_orderdate < {lit} GROUP BY", 1
+            )
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_nano_left_join_null_keys(spark, tmp_path):
+    """LEFT JOIN keeps unmatched/null-key fact rows with null dim columns
+    — the pyarrow join must mirror that exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    fact = pa.table(
+        {
+            "ts": pa.array(
+                [base_us + i * day_us // 2 for i in range(30)],
+                pa.timestamp("us"),
+            ),
+            "k": pa.array(
+                [None if i % 7 == 0 else i % 5 for i in range(30)],
+                pa.int64(),
+            ),
+            "v": pa.array([float(i) for i in range(30)]),
+        }
+    )
+    dim = pa.table(
+        {
+            "dk": pa.array([0, 1, 2], pa.int64()),  # keys 3, 4 unmatched
+            "label": pa.array(["a", "b", "c"]),
+        }
+    )
+    pf = str(tmp_path / "jfact.parquet")
+    pd_ = str(tmp_path / "jdim.parquet")
+    pq.write_table(fact, pf)
+    pq.write_table(dim, pd_)
+    register_parquet_view(spark, "jfact", pf)
+    register_parquet_view(spark, "jdim", pd_)
+    sql = (
+        "SELECT label, count(*) AS n, round(sum(v), 2) AS s "
+        "FROM jfact f LEFT JOIN jdim d ON f.k = d.dk "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    hi_ns = (base_us + 16 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate([hi_ns - 5 * day_ns, hi_ns - day_ns, hi_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
 def test_nano_source_drift_rebuild(spark, tmp_path):
     """A re-registered/grown source must NOT be served from the pinned
     file set: the stale program is dropped, the refresh falls to a
