@@ -355,6 +355,53 @@ class _AggRecipe:
     src: str  # source column in the working table (may be a derived name)
     fn: str  # pyarrow aggregate: sum / min / max / count
     mode: str = "only_valid"  # for count
+    #: builds the source array from the loaded table (None ⇒ plain column)
+    derive: Optional[object] = None
+    #: raw columns the derive reads (for projection pushdown)
+    cols: frozenset = frozenset()
+    #: the derive floated a Decimal literal: every referenced column must
+    #: be float64 so Spark's expression type is double (checked at build)
+    needs_float_cols: bool = False
+
+
+def _compile_arg(e: Expr):
+    """Compile an aggregate ARGUMENT expression into a pyarrow array
+    builder — bare columns plus ``+ - *`` arithmetic over columns and
+    numeric literals, whose elementwise fp/int semantics (null
+    propagation, int-literal widening) pyarrow reproduces exactly.
+    Returns (builder, raw columns, canonical key, has_decimal_lit).
+    Decimal literals (SQL ``0.001``) are floated — exact ONLY when the
+    expression is double-typed (Spark promotes the whole thing to
+    double); the caller enforces the all-float64-columns guard, since
+    int-only operands would keep Spark in EXACT decimal arithmetic.
+    Division is NOT mirrored: SQL ``x / 0`` is NULL (non-ANSI) where
+    pyarrow yields inf/raise."""
+    import decimal
+
+    if isinstance(e, Col):
+        name = e.name
+        return (
+            (lambda tbl: tbl.column(name)), frozenset([name]),
+            f"c:{name}", False,
+        )
+    if isinstance(e, Lit) and isinstance(e.value, (int, float)):
+        v = e.value
+        return (lambda tbl: v), frozenset(), f"l:{v!r}", False
+    if isinstance(e, Lit) and isinstance(e.value, decimal.Decimal):
+        v = float(e.value)
+        return (lambda tbl: v), frozenset(), f"l:{v!r}", True
+    if isinstance(e, BinOp) and e.op in ("+", "-", "*"):
+        lf, lc, lk, ld = _compile_arg(e.left)
+        rf, rc, rk, rd = _compile_arg(e.right)
+        fn_name = {"+": "add", "-": "subtract", "*": "multiply"}[e.op]
+
+        def _bin(tbl, _lf=lf, _rf=rf, _f=fn_name):
+            import pyarrow.compute as pc
+
+            return getattr(pc, _f)(_lf(tbl), _rf(tbl))
+
+        return _bin, lc | rc, f"({lk}{e.op}{rk})", ld or rd
+    raise NanoUnsupported(f"aggregate argument {type(e).__name__}")
 
 
 @dataclass
@@ -375,38 +422,72 @@ class _DimJoin:
     columns: List[str]
 
 
+def _recipe_cols(r: _AggRecipe) -> frozenset:
+    """Raw source columns one recipe reads (projection pushdown)."""
+    if r.cols:
+        return r.cols
+    src = r.src
+    if src.startswith("__qc_f64_"):
+        src = src[len("__qc_f64_"):]
+    return frozenset([src])
+
+
 def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
     """Map every unique decomposition's state columns to pyarrow
-    aggregate recipes. Returns (recipes, float_minmax_cols) — the latter
-    need a NaN runtime check (pyarrow orders NaN differently from
-    Spark's NaN-greatest)."""
+    aggregate recipes. Arguments may be bare columns or ``+ - *``
+    arithmetic (see :func:`_compile_arg`); non-column arguments become
+    derived working-table columns. Returns (recipes, nan_check_srcs) —
+    the latter need a NaN runtime check under min/max (pyarrow orders
+    NaN differently from Spark's NaN-greatest)."""
     recipes: List[_AggRecipe] = []
     nan_check: List[str] = []
     seen = set()
     for p in plans:
         for a, dec in p.decs:
-            cols = tuple(dec.partial.keys())
-            if cols in seen:
+            state_cols = tuple(dec.partial.keys())
+            if state_cols in seen:
                 continue
-            seen.add(cols)
+            seen.add(state_cols)
             fn = a.fn.lower()
             star = not a.args or isinstance(a.args[0], Star)
-            if not star and not isinstance(a.args[0], Col):
-                raise NanoUnsupported(f"aggregate arg of {fn}")
-            src = None if star else a.args[0].name
             if fn == "count" and star:
-                recipes.append(_AggRecipe(cols[0], ts_col, "count", "all"))
-            elif fn == "count":
-                recipes.append(_AggRecipe(cols[0], src, "count"))
+                recipes.append(_AggRecipe(state_cols[0], ts_col, "count",
+                                          "all"))
+                continue
+            if star:
+                raise NanoUnsupported(f"aggregate {fn}(*)")
+            if isinstance(a.args[0], Col):
+                src = a.args[0].name
+                derive, cols, has_dec = None, frozenset([src]), False
+            else:
+                derive, cols, key, has_dec = _compile_arg(a.args[0])
+                if not cols:
+                    raise NanoUnsupported("column-free aggregate argument")
+                import hashlib
+
+                src = f"__qc_expr_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+            if fn == "count":
+                recipes.append(_AggRecipe(state_cols[0], src, "count",
+                                          derive=derive, cols=cols,
+                                          needs_float_cols=has_dec))
             elif fn == "sum":
-                recipes.append(_AggRecipe(cols[0], src, "sum"))
+                recipes.append(_AggRecipe(state_cols[0], src, "sum",
+                                          derive=derive, cols=cols,
+                                          needs_float_cols=has_dec))
             elif fn in ("min", "max"):
-                recipes.append(_AggRecipe(cols[0], src, fn))
+                recipes.append(_AggRecipe(state_cols[0], src, fn,
+                                          derive=derive, cols=cols,
+                                          needs_float_cols=has_dec))
                 nan_check.append(src)
             elif fn == "avg":
                 # state: (sum double, count) — cast the source up front
-                recipes.append(_AggRecipe(cols[0], f"__qc_f64_{src}", "sum"))
-                recipes.append(_AggRecipe(cols[1], src, "count"))
+                recipes.append(_AggRecipe(
+                    state_cols[0], f"__qc_f64_{src}", "sum",
+                    derive=derive, cols=cols, needs_float_cols=has_dec,
+                ))
+                recipes.append(_AggRecipe(state_cols[1], src, "count",
+                                          derive=derive, cols=cols,
+                                          needs_float_cols=has_dec))
             else:
                 raise NanoUnsupported(f"aggregate {fn}")
     return recipes, nan_check
@@ -466,11 +547,8 @@ class NanoProgram:
             need = {ts_col}
             need.update(g.col for g in groups)
             need.update(pred_cols or set())
-            need.update(
-                r.src[len("__qc_f64_"):]
-                if r.src.startswith("__qc_f64_") else r.src
-                for r in recipes
-            )
+            for r in recipes:
+                need.update(_recipe_cols(r))
             self.columns = sorted(need)
         missing = [c for c in self.columns if c not in self._ds.schema.names]
         if missing:
@@ -491,6 +569,21 @@ class NanoProgram:
             # tz-annotated or off-unit parquet timestamps: comparisons
             # against naive scalars would be wrong/throw — distributed tiers
             raise NanoUnsupported(f"{ts_col} parquet type {ftype}")
+        # decimal-literal args: every referenced column must be float64 so
+        # Spark's expression type is double (int operands would keep Spark
+        # in exact decimal arithmetic our float mirror can't reproduce)
+        type_of = {}
+        for ds in [self._ds] + self._dim_ds:
+            for fld in ds.schema:
+                type_of.setdefault(fld.name, fld.type)
+        for r in self.recipes:
+            if r.needs_float_cols:
+                for c in r.cols:
+                    t = type_of.get(c)
+                    if t is None or not pa.types.is_float64(t):
+                        raise NanoUnsupported(
+                            f"decimal-literal arg over non-double column {c}"
+                        )
         # working-table name-collision guards: a group alias that shadows a
         # different source column would silently aggregate the wrong data
         all_cols = set(self.columns)
@@ -653,14 +746,19 @@ class NanoProgram:
         for r in self.recipes:
             if r.src in cols:
                 continue
-            if r.src.startswith("__qc_f64_"):
+            if r.derive is not None:
+                arr = r.derive(tbl)
+                if r.src.startswith("__qc_f64_"):
+                    arr = pc.cast(arr, pa.float64())
+                cols[r.src] = arr
+            elif r.src.startswith("__qc_f64_"):
                 cols[r.src] = pc.cast(
                     tbl.column(r.src[len("__qc_f64_"):]), pa.float64()
                 )
             else:
                 cols[r.src] = tbl.column(r.src)
         for c in self.nan_check:
-            arr = tbl.column(c)
+            arr = cols[c]
             if pa.types.is_floating(arr.type) and tbl.num_rows and \
                     pc.any(pc.is_nan(pc.fill_null(arr, 0.0))).as_py():
                 raise NanoUnsupported("NaN under min/max (ordering differs)")
@@ -866,10 +964,8 @@ def _resolve_join_columns(
     need = {ts_col}
     need.update(g.col for g in groups)
     need.update(pred_cols)
-    need.update(
-        r.src[len("__qc_f64_"):] if r.src.startswith("__qc_f64_") else r.src
-        for r in recipes
-    )
+    for r in recipes:
+        need.update(_recipe_cols(r))
     per_table: List[set] = [set() for _ in tables]
     for c in need:
         per_table[owner(c)].add(c)

@@ -368,13 +368,31 @@ def test_static_nano_matches_plain(spark, tmp_path, now_points):
             assert qc.last_decision.refresh_tier == "nano"
 
 
-def test_static_lite_on_expression_args(spark, tmp_path, now_points):
-    """Expression aggregate arguments are outside the nano contract (it
-    computes partials itself) but INSIDE the lite contract (partials stay
-    in SQL; only merge/finalize need Python mirrors)."""
+def test_static_nano_on_arith_args(spark, tmp_path, now_points):
+    """``+ - *`` aggregate arguments are mirrored as pyarrow derived
+    columns and stay on the nano tier."""
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
-        "round(sum(value * 2), 2) AS s2, count(*) AS n "
+        "round(sum(value * 2), 2) AS s2, "
+        "round(sum(value * (1 - value * 0.001)), 2) AS sx, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_static_lite_on_division_args(spark, tmp_path, now_points):
+    """Division aggregate arguments are outside the nano arg mirror (SQL
+    x/0 is NULL, pyarrow differs) but INSIDE the lite contract (partials
+    stay in SQL; only merge/finalize need Python mirrors)."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(sum(value / 2), 2) AS s2, count(*) AS n "
         "FROM events GROUP BY 1 ORDER BY 1"
     )
     qc = _mk_qc(spark, tmp_path)
