@@ -551,11 +551,19 @@ def test_randomized_tier_equivalence(spark, tmp_path):
                 microseconds=now_ns // 1000
             )
             lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
-            s = sql.replace("now()", lit)
-            if " WHERE " in s:
-                s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+            if qc.last_decision.cached:
+                # cached answers are as-of the pinned now (state scans are
+                # bounded ts < now)
+                s = sql.replace("now()", lit)
+                if " WHERE " in s:
+                    s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+                else:
+                    s = s.replace(
+                        " GROUP BY", f" WHERE ts < {lit} GROUP BY", 1
+                    )
             else:
-                s = s.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+                # passthroughs ARE the plain query (live now(), full data)
+                s = sql
             # fp sums merge in a different association order than plain's
             # single pass (inherent to ANY incremental tier): compare
             # floats relatively, everything else exactly
