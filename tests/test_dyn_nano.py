@@ -686,6 +686,63 @@ def test_nano_left_join_null_keys(spark, tmp_path):
             assert qc.last_decision.refresh_tier == "nano"
 
 
+def test_concurrent_refreshes_restore_confs(spark, tmp_path):
+    """Two threads refreshing different entries concurrently (one on a
+    Spark-job tier whose _refresh_confs scopes AQE/shuffle down, one on
+    nano) must both stay exact, and the session confs must be restored
+    afterward — the re-entrant conf scope cannot leave the session
+    pinned to refresh settings."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    mx_ns = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 1_000_000_000
+    # stddev keeps qA on the fused template (Spark job + conf scope)
+    sql_a = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(stddev_samp(value), 4) AS sd FROM events GROUP BY 1 ORDER BY 1"
+    )
+    sql_b = DAILY_SQL
+    qa = _mk_qc(spark, tmp_path / "a")
+    qb = _mk_qc(spark, tmp_path / "b")
+    for q in (qa, qb):
+        q.config.override_now_ns = mx_ns - 3 * day
+    qa.sql(sql_a).collect()
+    qb.sql(sql_b).collect()
+
+    errs = []
+
+    def drive(qc, sql, pts):
+        try:
+            for now_ns in pts:
+                qc.config.override_now_ns = now_ns
+                got = qc.sql(sql)
+                assert rows_set(got) == rows_set(
+                    _plain_static(spark, sql, now_ns)
+                    if "now()" not in sql
+                    else _plain(spark, sql, now_ns)
+                )
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    pts_a = [mx_ns - 2 * day, mx_ns - day, mx_ns + 10 ** 9]
+    pts_b = [mx_ns - 2 * day + 7, mx_ns - day + 7000, mx_ns + 2 * 10 ** 9]
+    ta = threading.Thread(target=drive, args=(qa, sql_a, pts_a))
+    tb = threading.Thread(target=drive, args=(qb, sql_b, pts_b))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+    after = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    assert after == before, (before, after)
+
+
 def test_nano_source_drift_rebuild(spark, tmp_path):
     """A re-registered/grown source must NOT be served from the pinned
     file set: the stale program is dropped, the refresh falls to a
