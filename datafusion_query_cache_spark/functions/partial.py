@@ -388,6 +388,22 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             fin = F.when(F.col(ct) > 0, F.sqrt(m2 / F.col(ct)))
         else:
             fin = F.when(F.col(ct) > 1, F.sqrt(m2 / (F.col(ct) - 1)))
+        def _var_fin(st):
+            # exact mirror of the SQL finalize above: same fp64 ops in the
+            # same order, incl. the clamp and the ct guards
+            c, s_, q2 = st[ct], st[sm], st[s2]
+            if not c or s_ is None or q2 is None:
+                return None
+            need = 1 if fn in ("var_pop", "stddev_pop") else 2
+            if c < need:
+                return None
+            import math
+
+            m2v = max(q2 - (s_ * s_) / c, 0.0)
+            div = c if fn in ("var_pop", "stddev_pop") else c - 1
+            out = m2v / div
+            return math.sqrt(out) if fn.startswith("stddev") else out
+
         return Decomposition(
             partial={ct: F.count(a), sm: F.sum(a), s2: F.sum(a * a)},
             merge={ct: F.sum(F.col(ct)), sm: F.sum(F.col(sm)), s2: F.sum(F.col(s2))},
@@ -397,6 +413,12 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
                 sm: a,
                 s2: a * a,
             },
+            py_merge=lambda x, y: {
+                ct: _py_add(x[ct], y[ct]),
+                sm: _py_add(x[sm], y[sm]),
+                s2: _py_add(x[s2], y[s2]),
+            },
+            py_finalize=_var_fin,
         )
 
     if fn == "approx_count_distinct":

@@ -488,6 +488,28 @@ def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
                 recipes.append(_AggRecipe(state_cols[1], src, "count",
                                           derive=derive, cols=cols,
                                           needs_float_cols=has_dec))
+            elif fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
+                # state: (count, sum double, sum of squares double) — the
+                # square mirrors Spark's cast-to-double-then-multiply
+                def _sq(tbl, _b=derive, _c=src):
+                    import pyarrow as pa
+                    import pyarrow.compute as pc
+
+                    arr = _b(tbl) if _b is not None else tbl.column(_c)
+                    arr = pc.cast(arr, pa.float64())
+                    return pc.multiply(arr, arr)
+
+                recipes.append(_AggRecipe(state_cols[0], src, "count",
+                                          derive=derive, cols=cols,
+                                          needs_float_cols=has_dec))
+                recipes.append(_AggRecipe(
+                    state_cols[1], f"__qc_f64_{src}", "sum",
+                    derive=derive, cols=cols, needs_float_cols=has_dec,
+                ))
+                recipes.append(_AggRecipe(
+                    state_cols[2], f"__qc_sq_{src}", "sum",
+                    derive=_sq, cols=cols, needs_float_cols=has_dec,
+                ))
             else:
                 raise NanoUnsupported(f"aggregate {fn}")
     return recipes, nan_check

@@ -386,6 +386,23 @@ def test_static_nano_on_arith_args(spark, tmp_path, now_points):
             assert qc.last_decision.refresh_tier == "nano"
 
 
+def test_static_nano_variance(spark, tmp_path, now_points):
+    """var/stddev state (count, sum, sum²) merges exactly in Python and
+    the finalize mirrors the SQL formula bit-for-bit — nano-eligible."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(stddev_samp(value), 4) AS sd, round(var_pop(value), 4) AS vp "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
 def test_static_lite_on_division_args(spark, tmp_path, now_points):
     """Division aggregate arguments are outside the nano arg mirror (SQL
     x/0 is NULL, pyarrow differs) but INSIDE the lite contract (partials
@@ -405,10 +422,12 @@ def test_static_lite_on_division_args(spark, tmp_path, now_points):
 
 
 def test_static_template_on_unsupported_agg(spark, tmp_path, now_points):
-    """stddev has no Python merge mirror: the fused template must run."""
+    """corr has no Python merge mirror: the fused template must run.
+    (stddev/variance DO have mirrors now and ride the nano tier.)"""
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
-        "round(stddev_samp(value), 4) AS sd FROM events GROUP BY 1 ORDER BY 1"
+        "round(corr(value, user_id), 4) AS cr FROM events "
+        "GROUP BY 1 ORDER BY 1"
     )
     qc = _mk_qc(spark, tmp_path)
     for i, now_ns in enumerate(now_points):

@@ -116,11 +116,11 @@ def test_dyn_template_pushes_or_of_ranges(spark, tmp_path):
             override_now_ns=now1,
         ),
     )
-    # stddev has no Python merge mirror, so the nano/lite driver tiers
+    # corr has no Python merge mirror, so the nano/lite driver tiers
     # reject and the FUSED TEMPLATE (this test's subject) must run
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
-        "round(stddev_samp(value), 2) AS sd "
+        "round(corr(value, user_id), 2) AS cr "
         "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
     )
     qc.sql(sql).collect()
