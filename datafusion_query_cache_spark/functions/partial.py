@@ -278,6 +278,28 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             raise NotDecomposable("count(DISTINCT) over multiple args")
         nm = s("dset")
         a = arg0()
+
+        def _dset_merge(x, y):
+            # set-union merge of the distinct-value lists; sorted so the
+            # stored state is deterministic. Raises (→ tier fallback) on
+            # unsortable element mixes.
+            return {nm: sorted(set(x[nm] or []) | set(y[nm] or []))}
+
+        # Python mirrors only for non-float SIMPLE columns: float sets
+        # diverge on NaN (SQL DISTINCT counts NaN once; Python's
+        # NaN != NaN keeps every copy)
+        from ..plans.ir import Col as _Col
+
+        py_ok = False
+        if isinstance(agg.args[0], _Col) and schema is not None:
+            from pyspark.sql.types import DoubleType, FloatType
+
+            f = next(
+                (f for f in schema.fields if f.name == agg.args[0].name), None
+            )
+            py_ok = f is not None and not isinstance(
+                f.dataType, (FloatType, DoubleType)
+            )
         return Decomposition(
             partial={nm: F.collect_set(a)},
             merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},
@@ -286,6 +308,11 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             ).cast("long"),
             singleton={nm: F.filter(F.array(a), lambda x: x.isNotNull())},
             set_states=[nm],
+            py_merge=_dset_merge if py_ok else None,
+            py_finalize=(
+                (lambda st: len(st[nm]) if st[nm] is not None else 0)
+                if py_ok else None
+            ),
         )
 
     if fn == "count":

@@ -454,6 +454,16 @@ def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
                 recipes.append(_AggRecipe(state_cols[0], ts_col, "count",
                                           "all"))
                 continue
+            if fn == "count" and a.distinct:
+                # set state: pyarrow's `distinct` group aggregation drops
+                # nulls like collect_set; only a bare non-float column
+                # carries a py mirror (enforced upstream by the dec gate)
+                if not isinstance(a.args[0], Col):
+                    raise NanoUnsupported("count(DISTINCT expr)")
+                src = a.args[0].name
+                recipes.append(_AggRecipe(state_cols[0], src, "distinct",
+                                          cols=frozenset([src])))
+                continue
             if star:
                 raise NanoUnsupported(f"aggregate {fn}(*)")
             if isinstance(a.args[0], Col):

@@ -3096,6 +3096,8 @@ class CachedSparkSession:
             )
             decision.refresh_tier = "lite"
             return res
+        except StateCardinalityExceeded:
+            raise  # cap trip: sql() registers the denial (cap contract)
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(
@@ -3189,6 +3191,10 @@ class CachedSparkSession:
                     state_rows, schema=tpl["state_arrow"]
                 )
                 entry.put_arrow(now_ns, stt, tpl["state_schema"])
+        except StateCardinalityExceeded:
+            # cap trip must surface: sql() registers the session denial
+            # and degrades the query to passthrough, per the cap contract
+            raise
         except Exception as e:
             self.config.log.warn(
                 decision.fingerprint or "",
@@ -3309,6 +3315,8 @@ class CachedSparkSession:
             )
             decision.refresh_tier = "nano"
             return res
+        except StateCardinalityExceeded:
+            raise  # cap trip: sql() registers the denial (cap contract)
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(
@@ -3492,6 +3500,8 @@ class CachedSparkSession:
             )
             decision.refresh_tier = "nano"
             return res
+        except StateCardinalityExceeded:
+            raise  # cap trip: sql() registers the denial (cap contract)
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(
@@ -3546,6 +3556,8 @@ class CachedSparkSession:
             )
             decision.refresh_tier = "lite"
             return res
+        except StateCardinalityExceeded:
+            raise  # cap trip: sql() registers the denial (cap contract)
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(

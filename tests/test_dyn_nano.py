@@ -403,6 +403,63 @@ def test_static_nano_variance(spark, tmp_path, now_points):
             assert qc.last_decision.refresh_tier == "nano"
 
 
+def test_static_nano_count_distinct(spark, tmp_path, now_points):
+    """Exact count(DISTINCT non-float col): pyarrow's `distinct` group
+    aggregation + Python set-union merge keep it on the nano tier; float
+    columns are gated out (NaN set semantics differ)."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(DISTINCT event_type) AS dt, count(DISTINCT user_id) AS du, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+    # float DISTINCT: no py mirror → a Spark tier serves it, still exact
+    sqlf = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(DISTINCT value) AS dv FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qf = _mk_qc(spark, tmp_path / "f")
+    for i, now_ns in enumerate(now_points[:3]):
+        qf.config.override_now_ns = now_ns
+        got = qf.sql(sqlf)
+        assert rows_set(got) == rows_set(_plain_static(spark, sqlf, now_ns))
+        if i > 0:
+            assert qf.last_decision.refresh_tier != "nano"
+
+
+def test_distinct_cap_trips_through_driver_tier(spark, tmp_path, now_points):
+    """A count(DISTINCT) set-state cap trip during a DRIVER-tier
+    store-back must surface like any other trip: the session registers
+    the denial and the query degrades to exact passthrough."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(DISTINCT user_id) AS du FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path, distinct_max_values=3)
+    qc.config.override_now_ns = now_points[0]
+    got = qc.sql(sql)  # miss already trips the tiny cap → passthrough
+    assert not qc.last_decision.cached
+    # passthroughs ARE the plain query: full data, no as-of bound
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+    # trip DURING a driver-tier refresh: seed state under a loose cap,
+    # then shrink the cap so the warm store-back exceeds it
+    qc2 = _mk_qc(spark, tmp_path / "w", distinct_max_values=100_000)
+    qc2.config.override_now_ns = now_points[0]
+    qc2.sql(sql).collect()
+    qc2.config.distinct_max_values = 3
+    qc2.config.override_now_ns = now_points[1]
+    got = qc2.sql(sql)
+    assert not qc2.last_decision.cached  # degraded, not silently swallowed
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
 def test_static_lite_on_division_args(spark, tmp_path, now_points):
     """Division aggregate arguments are outside the nano arg mirror (SQL
     x/0 is NULL, pyarrow differs) but INSIDE the lite contract (partials
