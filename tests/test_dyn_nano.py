@@ -888,6 +888,29 @@ def test_nano_source_drift_rebuild(spark, tmp_path):
     assert rows_set(got) == rows_set(plain(t3))
 
 
+def test_nano_on_memory_cache(spark, now_points):
+    """The driver tiers work against the in-process MemoryQueryCache too
+    (arrow state round trip via get_arrow/put_arrow)."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=MemoryQueryCache(), default_temporal_column="ts"
+        ),
+    )
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(DAILY_SQL)
+        assert rows_set(got) == rows_set(_plain(spark, DAILY_SQL, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
 def test_nano_external_writer_coherence(spark, tmp_path, now_points):
     """State is re-read from the entry every refresh: a second session
     writing the same cache dir must be observed, not clobbered."""
