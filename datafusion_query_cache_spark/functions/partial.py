@@ -785,6 +785,43 @@ def _compile_lite_fin(e: Expr, by_canon: Dict[str, Decomposition]):
             return float(a) / float(b)  # SQL `/` on non-decimals is double
 
         return _bin
+    if isinstance(e, BinOp) and e.op in (">", ">=", "<", "<=", "=", "!="):
+        lf = _compile_lite_fin(e.left, by_canon)
+        rf = _compile_lite_fin(e.right, by_canon)
+        op = e.op
+
+        def _cmp(st):
+            a, b = lf(st), rf(st)
+            if a is None or b is None:
+                return None  # SQL: NULL comparison is UNKNOWN
+            return {
+                ">": a > b, ">=": a >= b, "<": a < b, "<=": a <= b,
+                "=": a == b, "!=": a != b,
+            }[op]
+
+        return _cmp
+    if isinstance(e, BinOp) and e.op in ("and", "or"):
+        lf = _compile_lite_fin(e.left, by_canon)
+        rf = _compile_lite_fin(e.right, by_canon)
+        is_and = e.op == "and"
+
+        def _bool(st):
+            # SQL three-valued logic: FALSE AND NULL = FALSE,
+            # TRUE OR NULL = TRUE, else NULL propagates
+            a, b = lf(st), rf(st)
+            if is_and:
+                if a is False or b is False:
+                    return False
+                if a is None or b is None:
+                    return None
+                return True
+            if a is True or b is True:
+                return True
+            if a is None or b is None:
+                return None
+            return False
+
+        return _bool
     if (
         isinstance(e, Func)
         and e.name.lower() == "round"

@@ -2957,7 +2957,7 @@ class CachedSparkSession:
 
         from .functions.partial import lite_plan
 
-        if spec.having is not None or spec.grouping_sets:
+        if spec.grouping_sets:
             return None
         lp = lite_plan(plans)
         if lp is None:
@@ -3156,6 +3156,12 @@ class CachedSparkSession:
 
         fins = tpl["fins"]
         n2g = tpl["name_to_group"]
+        # HAVING applies at result granularity: the Python mirror filters
+        # finalized rows (SQL keeps only TRUE; UNKNOWN/FALSE drop)
+        having = fins.get("__qc_having")
+
+        def keep(st):
+            return having is None or having(st) is True
 
         def mk_row(key, st):
             return {
@@ -3165,18 +3171,29 @@ class CachedSparkSession:
 
         if boundary is None:
             # static window: the refreshed state IS the result
-            rows = [mk_row(k, st) for k, st in new_state.items()]
+            rows = [
+                mk_row(k, st) for k, st in new_state.items() if keep(st)
+            ]
         else:
             bidx = tpl["bucket_idx"]
             rows = [
                 mk_row(k, st)
                 for k, st in new_state.items()
-                if k[bidx] is not None and k[bidx] > boundary
+                if k[bidx] is not None and k[bidx] > boundary and keep(st)
             ]
-            rows.extend(mk_row(k, st) for k, st in bnd.items())
+            rows.extend(
+                mk_row(k, st) for k, st in bnd.items() if keep(st)
+            )
         res_tbl = pa.Table.from_pylist(rows, schema=tpl["out_arrow"])
+        # having already applied above: hand _arrow_result a having-free
+        # spec so it doesn't treat the last column as a filter flag
+        import dataclasses as _dc
+
+        fin_spec = (
+            _dc.replace(spec, having=None) if spec.having is not None else spec
+        )
         res = self._arrow_result(
-            res_tbl, tpl["out_fields"], 0, spec,
+            res_tbl, tpl["out_fields"], 0, fin_spec,
             tpl["out_names"], tpl["extra_names"], tpl["order_names"],
         )
 

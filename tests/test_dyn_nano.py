@@ -460,6 +460,38 @@ def test_distinct_cap_trips_through_driver_tier(spark, tmp_path, now_points):
     assert rows_set(got) == rows_set(spark.sql(sql))
 
 
+def test_having_on_driver_tiers(spark, tmp_path, now_points):
+    """HAVING filters finalized rows with SQL three-valued semantics —
+    the Python mirror keeps the query on the nano tier."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events GROUP BY 1 "
+        "HAVING count(*) > 30 AND sum(value) > 100 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_having_dynamic_window(spark, tmp_path, now_points):
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1 "
+        "HAVING count(*) >= 20 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
 def test_static_lite_on_division_args(spark, tmp_path, now_points):
     """Division aggregate arguments are outside the nano arg mirror (SQL
     x/0 is NULL, pyarrow differs) but INSIDE the lite contract (partials
