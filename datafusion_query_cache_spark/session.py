@@ -2876,7 +2876,7 @@ class CachedSparkSession:
         * every aggregate + finalize shape has an exact Python mirror
           (count/sum/min/max/avg over non-decimal input; bare calls,
           ``+ - * /``, HALF_UP round);
-        * no HAVING / grouping sets; no float-typed or nested group keys
+        * no grouping sets; no float-typed or nested group keys
           (Python dict keys must hash like SQL equality);
         * no ltz timestamps in state/output (tz-free Arrow round-trip).
 
