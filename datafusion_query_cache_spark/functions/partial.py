@@ -683,11 +683,22 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
     if fn == "product":
         nm = s("prod")
         a = arg0()
+
+        def _prod_merge(x, y):
+            px, py_ = x[nm], y[nm]
+            if px is None:
+                return {nm: py_}
+            if py_ is None:
+                return {nm: px}
+            return {nm: px * py_}
+
         return Decomposition(
             partial={nm: F.product(a)},
             merge={nm: F.product(F.col(nm))},
             finalize=F.col(nm),
             singleton={nm: a},
+            py_merge=_prod_merge,
+            py_finalize=lambda st: st[nm],
         )
 
     raise NotDecomposable(f"aggregate {fn} has no mergeable decomposition")

@@ -480,6 +480,10 @@ def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
                 recipes.append(_AggRecipe(state_cols[0], src, "count",
                                           derive=derive, cols=cols,
                                           needs_float_cols=has_dec))
+            elif fn == "product":
+                recipes.append(_AggRecipe(state_cols[0], src, "product",
+                                          derive=derive, cols=cols,
+                                          needs_float_cols=has_dec))
             elif fn == "sum":
                 recipes.append(_AggRecipe(state_cols[0], src, "sum",
                                           derive=derive, cols=cols,

@@ -492,6 +492,37 @@ def test_having_dynamic_window(spark, tmp_path, now_points):
             assert qc.last_decision.refresh_tier == "nano"
 
 
+def test_static_nano_product(spark, tmp_path, now_points):
+    """product() merges multiplicatively in Python and pyarrow has the
+    matching group aggregation. (No Spark SQL twin exists — `product` is
+    DataFrame-API only — so the expectation is built with F.product.)"""
+    sql = (
+        "SELECT event_type, round(product(1 + value * 0.00001), 6) AS p, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        expect = (
+            spark.table("events")
+            .filter(F.col("ts") < F.lit(lit_dt))
+            .groupBy("event_type")
+            .agg(
+                F.round(
+                    F.product(1 + F.col("value") * 0.00001), 6
+                ).alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
+
+
 def test_static_lite_on_division_args(spark, tmp_path, now_points):
     """Division aggregate arguments are outside the nano arg mirror (SQL
     x/0 is NULL, pyarrow differs) but INSIDE the lite contract (partials
