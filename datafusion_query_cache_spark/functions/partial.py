@@ -748,6 +748,13 @@ def _round_half_up(x, d: int):
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    if isinstance(x, Decimal):
+        # Spark round(decimal, d) is exact decimal HALF_UP at a changed
+        # scale; the float round-trip below loses precision past ~16
+        # significant digits and returns the wrong type. Decimal sum/avg
+        # never reach here (gated out of the driver tiers) but min/max
+        # are admitted untyped — degrade to the distributed tiers.
+        raise _LiteUnsupported("round() over decimal state in lite finalize")
     xf = float(x)
     if math.isnan(xf) or math.isinf(xf):
         return xf
@@ -785,6 +792,13 @@ def _compile_lite_fin(e: Expr, by_canon: Dict[str, Decomposition]):
             a, b = lf(st), rf(st)
             if a is None or b is None:
                 return None
+            from decimal import Decimal as _Dec
+
+            if isinstance(a, _Dec) or isinstance(b, _Dec):
+                # Spark decimal arithmetic is exact with result-scale
+                # rules this float mirror can't reproduce (min/max state
+                # is admitted untyped) — degrade to distributed tiers
+                raise _LiteUnsupported("decimal operand in lite finalize")
             if op == "+":
                 return a + b
             if op == "-":

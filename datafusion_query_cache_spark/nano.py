@@ -636,17 +636,27 @@ class NanoProgram:
             st = os.stat(p)
             return (st.st_mtime_ns, st.st_size)
 
-        return tuple(one(p) for p in [self.path] + [d.path for d in self.dims])
+        # top-level paths (directory mtime catches part-file add/remove)
+        # PLUS the pinned per-file list of every dataset: rewriting an
+        # existing part file in place (open+truncate, no rename) bumps
+        # only the FILE's mtime, not the directory's — without the
+        # per-file stats the nano tier would serve stale results
+        paths = [self.path] + [d.path for d in self.dims]
+        for ds in [self._ds] + self._dim_ds:
+            paths.extend(sorted(ds.files))
+        return tuple(one(p) for p in paths)
 
     def validate(self, table: str) -> None:
         """Raise NanoUnsupported when the pinned file set drifted: a view
         was re-registered (possibly over a different path) or a path's
-        files changed (overwrite; for a directory, POSIX bumps the dir
-        mtime when files are added/removed). Covers the fact table AND
-        every joined dim. The caller drops the memoized program so the
-        next refresh REBUILDS against the current sources — the
-        distributed tiers, which resolve view names per call, serve this
-        refresh correctly in the meantime."""
+        files changed — overwrite of the path itself, part files added or
+        removed under a directory (POSIX bumps the dir mtime), or an
+        existing part file rewritten IN PLACE (caught by the pinned
+        per-file stats). Covers the fact table AND every joined dim. The
+        caller drops the memoized program so the next refresh REBUILDS
+        against the current sources — the distributed tiers, which
+        resolve view names per call, serve this refresh correctly in the
+        meantime."""
         from .sources.tables import LOCAL_PARQUET_SOURCES
 
         for name, path in [(table, self.path)] + [
@@ -775,26 +785,37 @@ class NanoProgram:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        cols: Dict[str, object] = {}
+        # Aggregate over RESERVED internal column names: user aliases and
+        # pyarrow's derived '{col}_{fn}' output names can therefore never
+        # collide with the group block (e.g. a bucket aliased v_sum
+        # alongside sum(v), or count-all vs count-valid over one column
+        # both deriving '{col}_count'), making the positional read below
+        # unambiguous.
         gnames = [g.name for g in self.groups]
-        for g in self.groups:
-            cols[g.name] = garrs[g.name]
+        g_int = [f"__qc_g{i}" for i in range(len(self.groups))]
+        src_int: Dict[str, str] = {}
+        cols: Dict[str, object] = {}
+        for gi, g in zip(g_int, self.groups):
+            cols[gi] = garrs[g.name]
+            src_int.setdefault(g.name, gi)
         for r in self.recipes:
-            if r.src in cols:
+            if r.src in src_int:
                 continue
+            nm = f"__qc_a{len(src_int)}"
+            src_int[r.src] = nm
             if r.derive is not None:
                 arr = r.derive(tbl)
                 if r.src.startswith("__qc_f64_"):
                     arr = pc.cast(arr, pa.float64())
-                cols[r.src] = arr
+                cols[nm] = arr
             elif r.src.startswith("__qc_f64_"):
-                cols[r.src] = pc.cast(
+                cols[nm] = pc.cast(
                     tbl.column(r.src[len("__qc_f64_"):]), pa.float64()
                 )
             else:
-                cols[r.src] = tbl.column(r.src)
+                cols[nm] = tbl.column(r.src)
         for c in self.nan_check:
-            arr = cols[c]
+            arr = cols[src_int[c]]
             if pa.types.is_floating(arr.type) and tbl.num_rows and \
                     pc.any(pc.is_nan(pc.fill_null(arr, 0.0))).as_py():
                 raise NanoUnsupported("NaN under min/max (ordering differs)")
@@ -810,23 +831,34 @@ class NanoProgram:
                 continue
             seen.add(key)
             if r.fn == "count":
-                aggs.append((r.src, "count", pc.CountOptions(mode=r.mode)))
+                aggs.append(
+                    (src_int[r.src], "count", pc.CountOptions(mode=r.mode))
+                )
             else:
-                aggs.append((r.src, r.fn))
+                aggs.append((src_int[r.src], r.fn))
             outs.append(key)
-        res = work.group_by(gnames).aggregate(aggs)
-        # aggregate output order: the aggregate columns first? build a map
-        # by recomputing pyarrow's naming, then read via our key order
-        name_by_key = {}
-        agg_names = [c for c in res.column_names if c not in gnames]
-        for key, nm in zip(outs, agg_names):
-            name_by_key[key] = nm
+        res = work.group_by(g_int).aggregate(aggs)
+        # column layout varies across pyarrow versions (keys first vs
+        # aggregates first); the reserved names identify the group block
+        # exactly, and the aggregate block is positional in aggs order
+        ng, na = len(g_int), len(outs)
+        if res.num_columns != ng + na:
+            raise NanoUnsupported("unexpected pyarrow aggregate layout")
+        if res.column_names[:ng] == g_int:
+            key_cols, agg_cols = res.columns[:ng], res.columns[ng:]
+        elif res.column_names[na:] == g_int:
+            key_cols, agg_cols = res.columns[na:], res.columns[:na]
+        else:
+            raise NanoUnsupported("unexpected pyarrow aggregate layout")
+        agg_vals = [c.to_pylist() for c in agg_cols]
+        key_vals = [c.to_pylist() for c in key_cols]
+        pos_by_key = {key: i for i, key in enumerate(outs)}
         parts: Dict[tuple, dict] = {}
-        for row in res.to_pylist():
-            k = tuple(row[g] for g in gnames)
+        for i in range(res.num_rows):
+            k = tuple(kv[i] for kv in key_vals)
             st = {}
             for r in self.recipes:
-                st[r.state_col] = row[name_by_key[(r.src, r.fn, r.mode)]]
+                st[r.state_col] = agg_vals[pos_by_key[(r.src, r.fn, r.mode)]][i]
             parts[k] = st
         return parts, n
 

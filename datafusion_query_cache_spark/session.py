@@ -3247,13 +3247,12 @@ class CachedSparkSession:
         bytes-gated pyarrow scan replacing the Spark job (``nano.py``).
         Simple residual predicates ride as exact pyarrow mask mirrors."""
         key = ("dynnano", pkey[0], pkey[1], state_schema.simpleString())
+        if not self._nano_tz_ok(fingerprint):
+            return None  # bypass (memo untouched: resumes if tz → UTC)
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
         try:
-            tz = self.spark.conf.get("spark.sql.session.timeZone", "")
-            if tz != "UTC":
-                raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
             ltpl = self._dyn_lite_template(
                 pkey, fingerprint, spec, plans, state_group, group_names,
                 state_cols, partial_aggs, merge_aggs, pred, ts_col,
@@ -3283,6 +3282,23 @@ class CachedSparkSession:
             tpl["key"] = key
         self._tpl_cache[key] = tpl
         return tpl
+
+    def _nano_tz_ok(self, fingerprint: str) -> bool:
+        """The nano programs evaluate date_trunc buckets and window bounds
+        with UTC Python/pyarrow mirrors, so they require a UTC session
+        timezone at RUN time, not just when the memoized program was
+        built. Checked on every refresh (template builders run before the
+        memo lookup): a later ``SET spark.sql.session.timeZone`` bypasses
+        the tier — the view-resolving tiers serve correctly — and the
+        untouched memo resumes serving if the timezone returns to UTC."""
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+        if tz == "UTC":
+            return True
+        self.config.log.info(
+            fingerprint,
+            f"nano tier bypassed: session timezone {tz!r} (needs UTC)",
+        )
+        return False
 
     def _run_dyn_nano(
         self,
@@ -3398,8 +3414,11 @@ class CachedSparkSession:
                 base["sql"] = (
                     f"SELECT {', '.join(base.pop('__items'))}, "
                     f"count(1) AS {q('__qc_nr')} "
-                    f"FROM {core['from_sql']} WHERE {' AND '.join(conds)} "
-                    f"GROUP BY {core['gb_exprs']}"
+                    f"FROM {core['from_sql']} WHERE {' AND '.join(conds)}"
+                    # global aggregate: no GROUP BY clause (an empty
+                    # expression list would be a ParseException that
+                    # permanently nulls this memo — a silent tier loss)
+                    + (f" GROUP BY {core['gb_exprs']}" if group_names else "")
                 )
                 tpl = base
         except Exception as e:
@@ -3440,13 +3459,12 @@ class CachedSparkSession:
         and ltz time-bucket groups (UTC session gate: the aware instants
         equal the naive UTC floor)."""
         key = ("snano", pkey[0], pkey[1], state_schema.simpleString())
+        if not self._nano_tz_ok(fingerprint):
+            return None  # bypass (memo untouched: resumes if tz → UTC)
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
         try:
-            tz = self.spark.conf.get("spark.sql.session.timeZone", "")
-            if tz != "UTC":
-                raise Unsupported(f"session timezone {tz!r} (nano needs UTC)")
             sltpl = self._static_lite_template(
                 pkey, fingerprint, spec, plans, state_group, group_names,
                 state_cols, partial_aggs, merge_aggs, pred, ts_col,

@@ -990,3 +990,220 @@ def test_nano_external_writer_coherence(spark, tmp_path, now_points):
     got = qc1.sql(DAILY_SQL)
     assert qc1.last_decision.refresh_tier == "nano"
     assert rows_set(got) == rows_set(_plain(spark, DAILY_SQL, now_points[3]))
+
+
+def test_nano_inplace_part_rewrite_invalidates(spark, tmp_path):
+    """Rewriting an existing part file IN PLACE (open+truncate, no
+    rename) does not bump the directory mtime — the pinned PER-FILE
+    stats must still invalidate the program (ADVICE r6, medium)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    d = tmp_path / "dirsrc"
+    d.mkdir()
+
+    def part(rows):
+        ts, v = zip(*rows)
+        return pa.table(
+            {
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "v": pa.array([float(x) for x in v]),
+            }
+        )
+
+    old_days = [(base_us + i * day_us // 4, i % 7) for i in range(20)]
+    recent = [(base_us + 5 * day_us + i * day_us // 4, i % 5) for i in range(8)]
+    pq.write_table(part(old_days), str(d / "part-0.parquet"))
+    pq.write_table(part(recent), str(d / "part-1.parquet"))
+    register_parquet_view(spark, "dir_events", str(d))
+
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n, "
+        "round(sum(v), 2) AS s FROM dir_events GROUP BY 1 ORDER BY 1"
+    )
+
+    def plain(now_ns):
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        return spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+
+    day_ns = day_us * 1000
+    t0 = (base_us + 8 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    qc.config.override_now_ns = t0
+    qc.sql(sql).collect()  # miss
+    qc.config.override_now_ns = t0 + day_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.refresh_tier == "nano"
+
+    # in-place rewrite of part-1: same rows plus a fresh tail beyond the
+    # watermark; the DIRECTORY mtime must stay put for the repro, so pin
+    # it back after the write
+    st_dir = os.stat(d)
+    tail = [
+        (t0 + day_ns + (i + 1) * day_ns // 3, 100 + i) for i in range(6)
+    ]
+    pq.write_table(
+        part(recent + [(ns // 1000, v) for ns, v in tail]),
+        str(d / "part-1.parquet"),
+    )
+    os.utime(d, ns=(st_dir.st_atime_ns, st_dir.st_mtime_ns))
+
+    t2 = t0 + 3 * day_ns
+    qc.config.override_now_ns = t2
+    got = qc.sql(sql)
+    # stale program detected via per-file stats: exact on a fallback tier
+    assert qc.last_decision.refresh_tier in ("lite", "template", "classic")
+    assert rows_set(got) == rows_set(plain(t2))
+    # next refresh rebuilds nano over the rewritten file
+    t3 = t2 + day_ns
+    qc.config.override_now_ns = t3
+    got = qc.sql(sql)
+    assert qc.last_decision.refresh_tier == "nano"
+    assert rows_set(got) == rows_set(plain(t3))
+
+
+def test_nano_tz_flip_bypasses_then_resumes(spark, tmp_path, now_points):
+    """A session-timezone change AFTER the nano program is memoized must
+    bypass the tier per refresh (UTC Python mirrors would bucket in the
+    wrong zone); restoring UTC resumes the memoized program."""
+    qc = _mk_qc(spark, tmp_path)
+    qc.config.override_now_ns = now_points[0]
+    qc.sql(DAILY_SQL).collect()  # miss
+    qc.config.override_now_ns = now_points[1]
+    qc.sql(DAILY_SQL).collect()
+    assert qc.last_decision.refresh_tier == "nano"
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        qc.config.override_now_ns = now_points[2]
+        qc.sql(DAILY_SQL).collect()
+        assert qc.last_decision.refresh_tier != "nano"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qc.config.override_now_ns = now_points[3]
+    got = qc.sql(DAILY_SQL)
+    assert qc.last_decision.refresh_tier == "nano"
+    assert rows_set(got) == rows_set(_plain(spark, DAILY_SQL, now_points[3]))
+
+
+def test_static_lite_global_agg_when_nano_gated(spark, tmp_path, now_points):
+    """Global static aggregate with the nano byte gate closed: the lite
+    SQL must omit the GROUP BY clause (an empty expression list was a
+    ParseException that silently nulled the tier — ADVICE r6)."""
+    sql = (
+        "SELECT count(*) AS n, round(sum(value), 2) AS s, max(value) AS mx "
+        "FROM events"
+    )
+    qc = _mk_qc(spark, tmp_path, nano_refresh_max_bytes=0)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "lite"
+
+
+def test_decimal_round_falls_back_exact(spark, tmp_path):
+    """round(max(decimal)) has no float-safe driver mirror: the refresh
+    must degrade to the Spark-side template and stay EXACT at full
+    decimal precision (ADVICE r6: the float round-trip loses digits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    # 20 significant digits: float64 cannot represent these exactly
+    vals = [
+        Decimal("12345678901234567.89") + Decimal(i) for i in range(24)
+    ]
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [base_us + i * day_us // 3 for i in range(24)],
+                pa.timestamp("us"),
+            ),
+            "dv": pa.array(vals, pa.decimal128(22, 3)),
+        }
+    )
+    p = str(tmp_path / "decsrc.parquet")
+    pq.write_table(tbl, p)
+    register_parquet_view(spark, "dec_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(max(dv), 1) AS mx, min(dv) AS mn "
+        "FROM dec_events GROUP BY 1 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    hi_ns = (base_us + 8 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate([hi_ns - 4 * day_ns, hi_ns - day_ns, hi_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            # driver tiers raise _LiteUnsupported at finalize → template
+            assert qc.last_decision.refresh_tier == "template"
+
+
+def test_nano_bucket_alias_collides_with_derived_name(spark, tmp_path):
+    """A bucket alias equal to pyarrow's derived '{col}_{fn}' aggregate
+    output name (v_sum alongside sum(v)) must still map state correctly:
+    the partials are read POSITIONALLY, not by filtered names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [base_us + i * day_us // 3 for i in range(30)],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array([float(i % 11) for i in range(30)]),
+        }
+    )
+    p = str(tmp_path / "aliassrc.parquet")
+    pq.write_table(tbl, p)
+    register_parquet_view(spark, "alias_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS v_sum, "
+        "round(sum(v), 2) AS s, count(*) AS n "
+        "FROM alias_events GROUP BY 1 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    hi_ns = (base_us + 10 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate([hi_ns - 3 * day_ns, hi_ns - day_ns, hi_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "nano"
