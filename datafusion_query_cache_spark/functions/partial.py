@@ -819,6 +819,14 @@ def _compile_lite_fin(e: Expr, by_canon: Dict[str, Decomposition]):
             a, b = lf(st), rf(st)
             if a is None or b is None:
                 return None  # SQL: NULL comparison is UNKNOWN
+            from decimal import Decimal as _Dec
+
+            if isinstance(a, _Dec) or isinstance(b, _Dec):
+                # Spark casts decimal to double before comparing against a
+                # float; Python compares Decimal vs float exactly — results
+                # diverge near the boundary for >15-significant-digit
+                # decimals (min/max state is admitted untyped) — degrade
+                raise _LiteUnsupported("decimal operand in lite compare")
             return {
                 ">": a > b, ">=": a >= b, "<": a < b, "<=": a <= b,
                 "=": a == b, "!=": a != b,

@@ -632,27 +632,37 @@ class NanoProgram:
                 raise NanoUnsupported(f"bucket alias {g.name} shadows a column")
 
     def _stat_sig(self):
+        import pyarrow.dataset as pds
+
         def one(p):
             st = os.stat(p)
             return (st.st_mtime_ns, st.st_size)
 
-        # top-level paths (directory mtime catches part-file add/remove)
-        # PLUS the pinned per-file list of every dataset: rewriting an
-        # existing part file in place (open+truncate, no rename) bumps
-        # only the FILE's mtime, not the directory's — without the
-        # per-file stats the nano tier would serve stale results
+        # top-level paths (directory mtime catches part-file add/remove at
+        # the root) PLUS a FRESH per-source file discovery: the file NAME
+        # list catches add/remove/rename anywhere in the tree — including
+        # under nested subdirectories (hive-partitioned layouts), where a
+        # new part file bumps only the subdirectory's mtime — and the
+        # per-file stats catch an existing part file rewritten IN PLACE
+        # (open+truncate, no rename: only the file's mtime moves). The
+        # re-discovery walk is bounded by the same byte gate that admits
+        # the nano tier, so the file set is always small.
         paths = [self.path] + [d.path for d in self.dims]
-        for ds in [self._ds] + self._dim_ds:
-            paths.extend(sorted(ds.files))
-        return tuple(one(p) for p in paths)
+        sig = [one(p) for p in paths]
+        for p in paths:
+            files = sorted(pds.dataset(p, format="parquet").files)
+            sig.append(tuple(files))
+            sig.extend(one(f) for f in files)
+        return tuple(sig)
 
     def validate(self, table: str) -> None:
         """Raise NanoUnsupported when the pinned file set drifted: a view
         was re-registered (possibly over a different path) or a path's
-        files changed — overwrite of the path itself, part files added or
-        removed under a directory (POSIX bumps the dir mtime), or an
-        existing part file rewritten IN PLACE (caught by the pinned
-        per-file stats). Covers the fact table AND every joined dim. The
+        files changed — overwrite of the path itself, part files added,
+        removed, or renamed anywhere in the tree including nested
+        subdirectories (caught by re-discovering the dataset's file list
+        at validate time), or an existing part file rewritten IN PLACE
+        (caught by the per-file stats). Covers the fact table AND every joined dim. The
         caller drops the memoized program so the next refresh REBUILDS
         against the current sources — the distributed tiers, which
         resolve view names per call, serve this refresh correctly in the
@@ -791,7 +801,6 @@ class NanoProgram:
         # alongside sum(v), or count-all vs count-valid over one column
         # both deriving '{col}_count'), making the positional read below
         # unambiguous.
-        gnames = [g.name for g in self.groups]
         g_int = [f"__qc_g{i}" for i in range(len(self.groups))]
         src_int: Dict[str, str] = {}
         cols: Dict[str, object] = {}
