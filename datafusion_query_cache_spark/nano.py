@@ -647,10 +647,22 @@ class NanoProgram:
         # (open+truncate, no rename: only the file's mtime moves). The
         # re-discovery walk is bounded by the same byte gate that admits
         # the nano tier, so the file set is always small.
+        #
+        # The fresh discovery is anchored to the PINNED scan set
+        # (self._ds / self._dim_ds — the handles _scan actually reads):
+        # if they ever diverge, we raise rather than sign a file list the
+        # scan never reads. At build time (called from __init__) that
+        # catches a part file added/removed between dataset construction
+        # and signing; at validate time it is the drift signal itself.
         paths = [self.path] + [d.path for d in self.dims]
+        pinned = [sorted(ds.files) for ds in [self._ds] + self._dim_ds]
         sig = [one(p) for p in paths]
-        for p in paths:
+        for p, pin in zip(paths, pinned):
             files = sorted(pds.dataset(p, format="parquet").files)
+            if files != pin:
+                raise NanoUnsupported(
+                    f"file set under {p} diverged from the pinned scan set"
+                )
             sig.append(tuple(files))
             sig.extend(one(f) for f in files)
         return tuple(sig)
@@ -677,7 +689,14 @@ class NanoProgram:
                 raise NanoUnsupported(f"source {name} re-registered")
         try:
             sig = self._stat_sig()
-        except OSError as e:
+        except NanoUnsupported:
+            raise
+        except Exception as e:
+            # pds.dataset() can raise non-OSError pyarrow exceptions
+            # (ArrowInvalid on a corrupt/non-parquet file, schema
+            # inference failures) — any failure to re-sign the sources
+            # means we cannot prove the pinned program is still valid,
+            # so degrade rather than rely on callers' blanket handlers.
             raise NanoUnsupported(f"source stat failed: {e}")
         if sig != self._src_sig:
             raise NanoUnsupported("source files changed since build")

@@ -27,11 +27,58 @@ def write_bucketed(
     sort_cols: Sequence[str] = (),
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (and optionally sort-ordered) managed table."""
+    """Persist as a bucketed (and optionally sort-ordered) managed table.
+
+    Overwrites are SELF-HEALING: an interrupted prior write can leave a
+    stale catalog entry and/or catalog-less residue at the managed
+    location (a ``_temporary`` dir from a killed job) that makes the next
+    ``saveAsTable`` fail or silently merge stale files — both are cleared
+    first."""
+    if mode == "overwrite":
+        _heal_stale_table(df.sparkSession, table)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def _heal_stale_table(spark: SparkSession, table: str) -> None:
+    """Drop a stale catalog entry (capturing its real location first) and
+    delete whatever sits at the table's managed location — through the
+    Hadoop FileSystem API, so it heals HDFS/S3 warehouses the same way
+    as local ones."""
+    loc = None
+    try:
+        rows = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .where("col_name = 'Location'")
+            .select("data_type")
+            .collect()
+        )
+        if rows:
+            loc = rows[0][0]
+    except Exception:
+        pass  # table absent: fall through to the default managed location
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if loc is None:
+        if "." in table:
+            db, name = table.rsplit(".", 1)
+        else:
+            db, name = spark.catalog.currentDatabase(), table
+        rows = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .where("info_name = 'Location'")
+            .select("info_value")
+            .collect()
+        )
+        if not rows:
+            return
+        loc = rows[0][0].rstrip("/") + "/" + name.lower()
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def colocated_join(

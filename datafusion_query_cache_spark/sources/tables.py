@@ -124,9 +124,16 @@ def register_testdata(
             register_parquet_view(spark, t, p)
 
 
-def get_session(app: str = "datafusion_query_cache_spark", cpus: Optional[int] = None) -> SparkSession:
+def get_session(
+    app: str = "datafusion_query_cache_spark",
+    cpus: Optional[int] = None,
+    warehouse: Optional[str] = None,
+) -> SparkSession:
     """Local test/bench session. Cluster deployments bring their own session;
-    nothing in the engine assumes local mode."""
+    nothing in the engine assumes local mode. ``warehouse`` points
+    ``spark.sql.warehouse.dir`` somewhere disposable (tests use a temp dir
+    so managed-table residue never lands in the working tree); it is a
+    static conf, honored only by the call that creates the JVM session."""
     n = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     b = (
         SparkSession.builder.master(f"local[{n}]")
@@ -141,4 +148,6 @@ def get_session(app: str = "datafusion_query_cache_spark", cpus: Optional[int] =
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("QC_DRIVER_MEMORY", "8g"))
     )
+    if warehouse:
+        b = b.config("spark.sql.warehouse.dir", warehouse)
     return b.getOrCreate()

@@ -8,10 +8,16 @@ SF_DIR = os.environ.get("QC_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from datafusion_query_cache_spark.sources.tables import get_session, register_testdata
 
-    s = get_session(app="qc-tests", cpus=os.environ.get("QC_TEST_CPUS", "8"))
+    s = get_session(
+        app="qc-tests",
+        cpus=os.environ.get("QC_TEST_CPUS", "8"),
+        # managed-table (bucketing) tests must never leave residue like
+        # spark-warehouse/<tbl>/_temporary in the repo root
+        warehouse=str(tmp_path_factory.mktemp("spark-warehouse")),
+    )
     s.sparkContext.setLogLevel("ERROR")
     register_testdata(s, SF_DIR)
     yield s

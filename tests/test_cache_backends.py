@@ -153,3 +153,42 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
         spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
+def test_bucketed_write_self_heals_stale_location(spark):
+    """A killed prior write leaves catalog-less residue (a `_temporary`
+    dir) at the managed location; `write_bucketed` must clear it and
+    succeed — and the test session's warehouse must live OUTSIDE the
+    repo so residue never lands in the working tree (VERDICT r7/r8)."""
+    import os
+    from urllib.parse import urlparse
+
+    from datafusion_query_cache_spark.sources.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path or wh
+    assert "/root/repo" not in os.path.abspath(wh_path)
+
+    # pre-seed stale residue where the managed table will live
+    tloc = os.path.join(wh_path, "bk_heal")
+    os.makedirs(os.path.join(tloc, "_temporary", "0"), exist_ok=True)
+    with open(os.path.join(tloc, "part-stale.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    spark.sql("DROP TABLE IF EXISTS bk_heal")  # residue, no catalog entry
+
+    try:
+        li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(li, "bk_heal", ["l_orderkey"], 4, ["l_orderkey"])
+        assert spark.table("bk_heal").count() == li.count()
+        assert not os.path.exists(os.path.join(tloc, "_temporary"))
+        assert not os.path.exists(os.path.join(tloc, "part-stale.parquet"))
+        # overwrite over a LIVE entry heals/replaces cleanly too
+        write_bucketed(
+            li.limit(10), "bk_heal", ["l_orderkey"], 4, ["l_orderkey"]
+        )
+        assert spark.table("bk_heal").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_heal")

@@ -1207,3 +1207,160 @@ def test_nano_bucket_alias_collides_with_derived_name(spark, tmp_path):
         assert rows_set(got) == rows_set(expect), f"refresh {i}"
         if i > 0:
             assert qc.last_decision.refresh_tier == "nano"
+
+
+def test_nano_nested_subdir_part_add_invalidates(spark, tmp_path):
+    """A part file ADDED under a nested (hive-partition) subdirectory
+    bumps only the subdirectory's mtime — the top-level dir stat stays
+    put. validate()'s fresh per-source file discovery must still catch
+    it: the stale program is dropped, the refresh answers exactly on a
+    view-resolving tier, and the next refresh rebuilds nano (ADVICE r7,
+    pinned r9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    d = tmp_path / "hivesrc"
+    (d / "day=0").mkdir(parents=True)
+    (d / "day=1").mkdir()
+
+    def part(rows):
+        ts, v = zip(*rows)
+        return pa.table(
+            {
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "v": pa.array([float(x) for x in v]),
+            }
+        )
+
+    old = [(base_us + i * day_us // 4, i % 7) for i in range(20)]
+    recent = [(base_us + 5 * day_us + i * day_us // 4, i % 5) for i in range(8)]
+    pq.write_table(part(old), str(d / "day=0" / "part-0.parquet"))
+    pq.write_table(part(recent), str(d / "day=1" / "part-0.parquet"))
+    register_parquet_view(spark, "hive_events", str(d))
+
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n, "
+        "round(sum(v), 2) AS s FROM hive_events GROUP BY 1 ORDER BY 1"
+    )
+
+    def plain(now_ns):
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        return spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+
+    day_ns = day_us * 1000
+    t0 = (base_us + 8 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    qc.config.override_now_ns = t0
+    qc.sql(sql).collect()  # miss
+    qc.config.override_now_ns = t0 + day_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.refresh_tier == "nano"
+
+    # a NEW part file lands under the existing day=1 subdirectory; the
+    # ROOT dir mtime must stay put for the repro (only the subdir's
+    # mtime moves on a real fs — pin the root back to make that certain)
+    st_root = os.stat(d)
+    tail = [(t0 + day_ns + (i + 1) * day_ns // 3, 100 + i) for i in range(6)]
+    pq.write_table(
+        part([(ns // 1000, v) for ns, v in tail]),
+        str(d / "day=1" / "part-1.parquet"),
+    )
+    os.utime(d, ns=(st_root.st_atime_ns, st_root.st_mtime_ns))
+    # Spark's view snapshot must see the new file too (the engine's
+    # distributed tiers resolve the view; an external writer would
+    # refresh the catalog the same way)
+    register_parquet_view(spark, "hive_events", str(d))
+
+    # validate() itself must flag the drift (unit-level pin)
+    from datafusion_query_cache_spark.nano import NanoUnsupported
+
+    progs = [
+        t["nano"]
+        for t in qc._tpl_cache.values()
+        if isinstance(t, dict)
+        and t.get("nano") is not None
+        and t["nano"].path == str(d)
+    ]
+    assert progs, "nano program for the hive source should be memoized"
+    for prog in progs:
+        with pytest.raises(NanoUnsupported):
+            prog.validate("hive_events")
+
+    t2 = t0 + 3 * day_ns
+    qc.config.override_now_ns = t2
+    got = qc.sql(sql)
+    # stale program dropped: exact on a view-resolving fallback tier
+    assert qc.last_decision.refresh_tier in ("lite", "template", "classic")
+    assert rows_set(got) == rows_set(plain(t2))
+    # next refresh rebuilds nano over the grown file set
+    t3 = t2 + day_ns
+    qc.config.override_now_ns = t3
+    got = qc.sql(sql)
+    assert qc.last_decision.refresh_tier == "nano"
+    assert rows_set(got) == rows_set(plain(t3))
+
+
+def test_decimal_having_compare_falls_back_exact(spark, tmp_path):
+    """A HAVING compare over a decimal aggregate (min(dv) > 0.3) has no
+    float-safe driver mirror: Spark compares after a decimal→double
+    cast with its own rounding, Python would compare Decimal exactly —
+    the lite/nano finalize must degrade to the Spark-side template and
+    stay EXACT at full decimal precision (ADVICE r8 guard
+    functions/partial.py `_cmp`, pinned r9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    # values straddle the 0.3 HAVING boundary, with >15-significant-digit
+    # entries where Decimal-exact and double-cast comparisons diverge
+    vals = [
+        Decimal("0.299999999999999999"),
+        Decimal("0.300000000000000001"),
+    ] + [Decimal("0.25") + Decimal(i) / Decimal(10) for i in range(22)]
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [base_us + i * day_us // 3 for i in range(24)],
+                pa.timestamp("us"),
+            ),
+            "dv": pa.array(vals, pa.decimal128(22, 18)),
+        }
+    )
+    p = str(tmp_path / "deccmpsrc.parquet")
+    pq.write_table(tbl, p)
+    register_parquet_view(spark, "dec_cmp_events", p)
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "min(dv) AS mn, count(*) AS n "
+        "FROM dec_cmp_events GROUP BY 1 HAVING min(dv) > 0.3 ORDER BY 1"
+    )
+    day_ns = day_us * 1000
+    hi_ns = (base_us + 8 * day_us) * 1000
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate([hi_ns - 4 * day_ns, hi_ns - day_ns, hi_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=now_ns // 1000
+        )
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        expect = spark.sql(
+            sql.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+        )
+        assert rows_set(got) == rows_set(expect), f"refresh {i}"
+        if i > 0:
+            # driver tiers raise _LiteUnsupported at the compare → template
+            assert qc.last_decision.refresh_tier == "template"
