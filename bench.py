@@ -119,6 +119,33 @@ def main() -> None:
     qc_flow(timed_run=True)
     timed("qc_plain", lambda: spark.sql(FLAGSHIP).collect())
 
+    # --- distributed-tier twin: nano byte gate CLOSED -------------------------
+    # The warm rows above may be served by the driver-local nano tier, which
+    # self-bypasses at 100 TB (256 MB byte gate). This row forces the tiers
+    # that WOULD serve at cluster scale (lite/template/classic — Spark jobs
+    # that scan only the fresh tail) and proves THEY meet the ≤2x-of-plain
+    # gate at sf0.1, not just the driver shortcut.
+    def qc_dist_flow(timed_run: bool) -> None:
+        qcD = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-dist-")),
+                override_now_ns=cut_ns,
+                nano_refresh_max_bytes=0,
+            ),
+        )
+        qcD.sql(FLAGSHIP).collect()
+        if timed_run:
+            timed_warm("qc_warm_dist", qcD, FLAGSHIP, [mid_ns, mid2_ns, cut_ns + 10**17])
+            tier = qcD.last_decision.refresh_tier
+            assert tier != "nano", f"dist row mislabeled: served by {tier}"
+        else:
+            qcD.config.override_now_ns = cut_ns + 10**17
+            qcD.sql(FLAGSHIP).collect()
+
+    qc_dist_flow(timed_run=False)
+    qc_dist_flow(timed_run=True)
+
     # hot read: query re-runs with no new data (now unchanged) — state only
     qh = CachedSparkSession(
         spark,
@@ -275,9 +302,35 @@ def main() -> None:
         "qc_dyn_plain", dyn_plain_sql("events", 10, "d"), [NOW14, NOW15, NOW2]
     )
 
+    # distributed-tier twin for the dynamic flow (nano byte gate closed:
+    # the fused-template/lite Spark jobs that serve at 100 TB)
+    def dyn_dist_flow(timed_run: bool) -> None:
+        qcDd = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-dynd-")),
+                override_now_ns=NOW1,
+                nano_refresh_max_bytes=0,
+            ),
+        )
+        qcDd.sql(DYN_SQL).collect()
+        if timed_run:
+            timed_warm("qc_dyn_warm_dist", qcDd, DYN_SQL, [NOW14, NOW15, NOW2])
+            tier = qcDd.last_decision.refresh_tier
+            assert tier != "nano", f"dist row mislabeled: served by {tier}"
+        else:
+            qcDd.config.override_now_ns = NOW2
+            qcDd.sql(DYN_SQL).collect()
+
+    dyn_dist_flow(timed_run=False)
+    dyn_dist_flow(timed_run=True)
+
     # --- incrementally-maintained top-k filter query -------------------------
+    # runs against the REGISTERED events table (like the other flows): the
+    # engine's as-of bound subsets the data by override_now_ns, and a
+    # registered source admits the driver top-k nano tier
     TOPK_SQL = (
-        "SELECT event_id, value FROM events_bench WHERE event_type = 'click' "
+        "SELECT event_id, value FROM events WHERE event_type = 'click' "
         "ORDER BY value DESC, event_id LIMIT 100"
     )
 
@@ -289,17 +342,17 @@ def main() -> None:
                 override_now_ns=cut_ns,
             ),
         )
-        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_bench")
         qct.sql(TOPK_SQL).collect()
-        ev.createOrReplaceTempView("events_bench")
         if timed_run:
-            timed_warm("qc_topk_warm", qct, TOPK_SQL, [mid_ns, cut_ns + 10**17])
+            timed_warm("qc_topk_warm", qct, TOPK_SQL, [mid_ns, mid2_ns, cut_ns + 10**17])
         else:
             qct.config.override_now_ns = cut_ns + 10**17
             qct.sql(TOPK_SQL).collect()
 
     topk_flow(timed_run=False)
     topk_flow(timed_run=True)
+    # plain twin: same top-k over the full table, no maintained state
+    timed("qc_topk_plain", lambda: spark.sql(TOPK_SQL).collect())
 
     # --- inherited SQL surface ----------------------------------------------
     pt = E._PT_SQLS

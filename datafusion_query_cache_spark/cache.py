@@ -206,6 +206,11 @@ class CacheEntry(ABC):
         state read), or ``None`` when the backend can't answer cheaply."""
         return None
 
+    def state_schema(self):
+        """Stored-state Spark schema (StructType) from metadata alone, or
+        ``None`` when the backend can't answer cheaply."""
+        return None
+
     def state_rows(self) -> Optional[int]:
         """Stored-state row count when known from metadata, else ``None``."""
         return None
@@ -346,6 +351,11 @@ class _MemoryEntry(CacheEntry):
         if not self.occupied:
             return None
         return [f.name for f in self._cache._store[self._fp][2].fields]
+
+    def state_schema(self):
+        if not self.occupied:
+            return None
+        return self._cache._store[self._fp][2]
 
     def state_rows(self) -> Optional[int]:
         if not self.occupied:
@@ -496,6 +506,16 @@ class _ParquetEntry(CacheEntry):
         try:
             sch = json.loads(self._meta["schema"])
             return [f["name"] for f in sch["fields"]]
+        except Exception:
+            return None
+
+    def state_schema(self):
+        if self._meta is None:
+            return None
+        try:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(json.loads(self._meta["schema"]))
         except Exception:
             return None
 

@@ -1097,3 +1097,230 @@ def _resolve_join_columns(
     for i, d in enumerate(dims, start=1):
         d.columns = sorted(per_table[i])
     return sorted(per_table[0]), dims
+
+
+class NanoTopKProgram:
+    """Driver-side refresh for the MAINTAINED TOP-K filter query (the
+    reference's simple-filter-caching roadmap box, ``README.md:130``, with
+    ORDER BY + LIMIT): state is ≤k rows, the fresh tail is byte-gated, so
+    ``topk(state ∪ fresh)`` is a pure pyarrow scan + sort — zero Spark
+    jobs. The same admission contract as :class:`NanoProgram`: only
+    sources registered through ``register_parquet_view``, pinned dataset
+    handles, per-file drift signature, exact window/predicate mirrors.
+
+    At 100 TB the byte gate self-bypasses and the distributed path (one
+    fresh-tail Spark job merging k state rows) serves instead — this tier
+    exists because at SMALL fresh-tail sizes two Spark jobs per refresh
+    cost more than the scan itself.
+    """
+
+    #: sortable-by-pyarrow-with-Spark-identical-ordering column types
+    _ORDERABLE = (
+        "is_integer", "is_floating", "is_decimal", "is_string",
+        "is_large_string", "is_boolean", "is_timestamp", "is_date",
+    )
+
+    def __init__(
+        self,
+        path: str,
+        ts_col: str,
+        ts_kind: str,
+        projection,  # [(out_name, source_col)]
+        pred_fn,
+        pred_cols,
+        sort_spec,  # [(out_name, ascending, nulls_first)] — Spark-effective
+        limit: int,
+    ):
+        import pyarrow as pa
+        import pyarrow.dataset as pds
+
+        self.path = path
+        self.ts_col = ts_col
+        self.ts_kind = ts_kind
+        self.projection = list(projection)
+        self.pred_fn = pred_fn
+        self.sort_spec = list(sort_spec)
+        self.limit = limit
+        self.dims = []
+        self._dim_ds = []
+        self._ds = pds.dataset(path, format="parquet")
+        self._src_sig = self._stat_sig()
+
+        shadow = f"{ts_col}_ns"
+        names = set(self._ds.schema.names)
+        if len({n for n, _ in self.projection}) != len(self.projection):
+            raise NanoUnsupported("duplicate output names")
+        scan = {ts_col}
+        self.derive = {}  # out name -> "ts" | "shadow" | None
+        for out, src in self.projection:
+            if src == shadow:
+                self.derive[out] = "shadow"
+            elif src == ts_col:
+                self.derive[out] = "ts"
+            elif src in names:
+                self.derive[out] = None
+                scan.add(src)
+            else:
+                raise NanoUnsupported(f"column {src} not in parquet files")
+        for c in pred_cols:
+            if c in (ts_col, shadow):
+                raise NanoUnsupported("predicate on the temporal axis")
+            if c not in names:
+                raise NanoUnsupported(f"predicate column {c} not in parquet files")
+            scan.add(c)
+        self.scan_columns = sorted(scan)
+
+        ftype = self._ds.schema.field(ts_col).type
+        want_unit = "ns" if ts_kind == "ns_long" else "us"
+        if not (
+            pa.types.is_timestamp(ftype)
+            and ftype.unit == want_unit
+            and ftype.tz is None
+        ):
+            raise NanoUnsupported(f"{ts_col} parquet type {ftype}")
+
+        out_src = dict(self.projection)
+        for name, _asc, _nf in self.sort_spec:
+            src = out_src.get(name)
+            if src is None:
+                raise NanoUnsupported(f"sort column {name} not in output")
+            if self.derive[name] == "ts":
+                continue  # derived µs timestamp — orderable
+            if self.derive[name] == "shadow":
+                continue  # epoch-ns long — orderable
+            t = self._ds.schema.field(src).type
+            if not any(getattr(pa.types, chk)(t) for chk in self._ORDERABLE):
+                raise NanoUnsupported(f"sort column type {t} not mirrored")
+
+    _stat_sig = NanoProgram._stat_sig
+    validate = NanoProgram.validate
+
+    def refresh(self, state_tbl, wm_ns: int, now_ns: int):
+        """topk(state ∪ fresh[wm, now)) as a pyarrow Table in the state
+        schema. Window bounds mirror ``_push_time_bounds`` exactly: the
+        ns range is binding (ns-long sources read raw ns; µs sources
+        reduce it to ceil-µs bounds)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+
+        f = pds.field(self.ts_col)
+        if self.ts_kind == "ns_long":
+            lo_f = pa.scalar(wm_ns, pa.timestamp("ns"))
+            hi_f = pa.scalar(now_ns, pa.timestamp("ns"))
+        else:
+            lo_f = pa.scalar(_dt_of_us(-(-wm_ns // 1000)), pa.timestamp("us"))
+            hi_f = pa.scalar(_dt_of_us(-(-now_ns // 1000)), pa.timestamp("us"))
+        tbl = self._ds.to_table(
+            columns=self.scan_columns, filter=(f >= lo_f) & (f < hi_f)
+        )
+        if self.pred_fn is not None:
+            tbl = tbl.filter(self.pred_fn(tbl))
+
+        ts_us = ns = None
+        if any(self.derive[n] for n, _ in self.projection):
+            raw = tbl.column(self.ts_col).combine_chunks()
+            if self.ts_kind == "ns_long":
+                ns = pc.cast(raw, pa.int64())
+                if tbl.num_rows and pc.min(ns).as_py() < 0:
+                    # `div 1000` truncates toward zero; pre-1970 values
+                    # break the trunc≡floor equivalence the mirror needs
+                    raise NanoUnsupported("negative epoch in ns source")
+                ts_us = pc.cast(pc.divide(ns, 1000), pa.timestamp("us"))
+            else:
+                ts_us = raw
+                ns = pc.multiply(pc.cast(raw, pa.int64()), 1000)
+        arrays, names = [], []
+        for out, src in self.projection:
+            kind = self.derive[out]
+            if kind == "ts":
+                arrays.append(ts_us)
+            elif kind == "shadow":
+                arrays.append(ns)
+            else:
+                arrays.append(tbl.column(src))
+            names.append(out)
+        fresh = pa.Table.from_arrays(
+            [pa.chunked_array([a]) if isinstance(a, pa.Array) else a
+             for a in arrays],
+            names=names,
+        ).cast(state_tbl.schema)
+        merged = pa.concat_tables([state_tbl, fresh])
+
+        # Spark orders NaN ABOVE all numbers; pyarrow's placement differs —
+        # state is k rows and fresh is byte-gated, so the guard is cheap
+        for name, _asc, _nf in self.sort_spec:
+            col = merged.column(name)
+            if (
+                pa.types.is_floating(col.type)
+                and merged.num_rows
+                and pc.any(pc.is_nan(pc.fill_null(col, 0.0))).as_py()
+            ):
+                raise NanoUnsupported("NaN in sort column (ordering differs)")
+
+        # per-key NULLS FIRST/LAST via helper is-null keys: pyarrow's
+        # null_placement is global, Spark's is per ORDER BY item
+        work = merged
+        sort_keys = []
+        for i, (name, asc, nulls_first) in enumerate(self.sort_spec):
+            h = f"__qc_n{i}"
+            work = work.append_column(
+                h, pc.cast(pc.is_null(merged.column(name)), pa.int8())
+            )
+            sort_keys.append((h, "descending" if nulls_first else "ascending"))
+            sort_keys.append((name, "ascending" if asc else "descending"))
+        idx = pc.sort_indices(work, sort_keys=sort_keys)
+        if len(idx) > self.limit:
+            idx = idx.slice(0, self.limit)
+        return merged.take(idx)
+
+
+#: maintained-k cap for the driver tier: above this the per-refresh driver
+#: sort stops being trivially cheap and the distributed path should serve
+NANO_TOPK_MAX_K = 100_000
+
+
+def build_nano_topk_program(
+    table: str,
+    ts_col: str,
+    projection,
+    pred_expr: Optional[Expr],
+    sort_spec,
+    limit: int,
+    max_bytes: int,
+) -> NanoTopKProgram:
+    """Build (and validate admission for) the driver top-k program; raises
+    NanoUnsupported on any contract violation."""
+    from .sources.tables import LOCAL_PARQUET_SOURCES
+
+    if not limit or limit > NANO_TOPK_MAX_K:
+        raise NanoUnsupported(f"limit {limit} over driver top-k cap")
+    src = LOCAL_PARQUET_SOURCES.get(table)
+    if src is None:
+        raise NanoUnsupported(f"table {table} not a registered local source")
+    path = src["path"]
+    if not os.path.exists(path):
+        raise NanoUnsupported(f"source path gone: {path}")
+    ts_kind = src["ts_kinds"].get(ts_col)
+    if ts_kind is None:
+        raise NanoUnsupported(f"{ts_col} not a normalized temporal column")
+    size = (
+        os.path.getsize(path)
+        if os.path.isfile(path)
+        else sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    )
+    if not max_bytes or size > max_bytes:
+        raise NanoUnsupported(
+            f"source {size} bytes over nano_refresh_max_bytes={max_bytes}"
+        )
+    pred_fn, pred_cols = (None, set())
+    if pred_expr is not None:
+        pred_fn, pred_cols = _parse_pred(pred_expr)
+    return NanoTopKProgram(
+        path, ts_col, ts_kind, projection, pred_fn, pred_cols, sort_spec,
+        limit,
+    )

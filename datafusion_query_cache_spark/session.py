@@ -409,8 +409,8 @@ class CachedSparkSession:
                 return df
             return df.select(*[to_column(i.expr).alias(i.name) for i in spec.items])
 
-        def sort_cols():
-            cols = []
+        def sort_items():
+            items = []
             for o in spec.order_by:
                 if isinstance(o.expr, Col) and o.expr.name in out_names:
                     name = o.expr.name
@@ -426,8 +426,11 @@ class CachedSparkSession:
                             break
                     else:
                         raise Unsupported("order by expression not in select list")
-                cols.append(_order_col(name, o))
-            return cols
+                items.append((name, o))
+            return items
+
+        def sort_cols():
+            return [_order_col(n, o) for n, o in sort_items()]
 
         topk = spec.limit is not None
         fingerprint = (
@@ -481,12 +484,17 @@ class CachedSparkSession:
         # stale-state ∪ recompute (duplicated rows)
         stale = False
         expected = out_names if topk else out_names + [part_col]
+        state: Optional[DataFrame] = None
         if hit:
             try:
-                state = entry.get(self.spark)
-                if list(state.columns) != expected and set(state.columns) != set(
-                    expected
-                ):
+                # metadata-only column check when the backend supports it;
+                # the state DataFrame itself is built lazily (the driver
+                # top-k tier never needs it)
+                cols = entry.state_columns()
+                if cols is None:
+                    state = entry.get(self.spark)
+                    cols = list(state.columns)
+                if list(cols) != expected and set(cols) != set(expected):
                     cfg.log.warn(fingerprint, "filter state schema mismatch; recompute")
                     hit = False
                     stale = True
@@ -522,19 +530,93 @@ class CachedSparkSession:
                 return int(mx) + 1
             return lo_ns if lo_ns is not None else 0
 
+        def topk_nano_stored(wm_ns: int, swm: int):
+            """Driver tier for the maintained top-k (zero Spark jobs):
+            ``topk(state ∪ fresh)`` over ≤k state rows and a byte-gated
+            fresh tail is a pyarrow scan + sort (``nano.NanoTopKProgram``)
+            — the two small Spark jobs the distributed path pays per
+            refresh cost more than the scan at this size. Returns the
+            stored-state LocalRelation, or None → Spark path."""
+            from .nano import build_nano_topk_program
+
+            if not self._nano_tz_ok(fingerprint):
+                return None
+            key = ("topknano", fingerprint)
+            if key not in self._tpl_cache:
+                prog = None
+                try:
+                    if spec.items is None:
+                        projection = [(c, c) for c in base.columns]
+                    else:
+                        projection = []
+                        for i in spec.items:
+                            if not isinstance(i.expr, Col):
+                                raise Unsupported("non-column select item")
+                            projection.append((i.name, i.expr.name))
+                    sspec = [
+                        (
+                            n,
+                            not o.desc,
+                            o.nulls_first
+                            if o.nulls_first is not None
+                            else not o.desc,
+                        )
+                        for n, o in sort_items()
+                    ]
+                    prog = build_nano_topk_program(
+                        spec.table, ts_col, projection, spec.predicate,
+                        sspec, spec.limit, cfg.nano_refresh_max_bytes,
+                    )
+                except Exception as e:
+                    cfg.log.info(
+                        fingerprint, f"top-k nano tier not available ({e})"
+                    )
+                self._tpl_cache[key] = prog
+            prog = self._tpl_cache[key]
+            if prog is None:
+                return None
+            try:
+                prog.validate(spec.table)
+                state_tbl = entry.get_arrow()
+                st_schema = entry.state_schema()
+                if state_tbl is None or st_schema is None:
+                    return None
+                res = prog.refresh(state_tbl, wm_ns, swm)
+                if not entry.put_arrow(swm, res, st_schema):
+                    return None
+                # rows are already in exact final order and limited: re-enter
+                # Spark as a LocalRelation with NO re-sort (same pattern as
+                # _arrow_result's sorted_locally path — a LocalRelation
+                # orderBy would pay a per-refresh sort job)
+                return self.spark.createDataFrame(res, schema=st_schema)
+            except Exception as e:
+                # source drift / unmirrorable data (NaN in a sort column):
+                # drop the memo so the next refresh re-admits or re-degrades
+                self._tpl_cache.pop(key, None)
+                cfg.log.info(fingerprint, f"top-k nano refresh degraded ({e})")
+                return None
+
         if hit:
             wm_ns = entry.watermark_ns
             swm = store_wm(wm_ns)
-            fresh = project_store(bounds(src, lo_ns=wm_ns, hi_ns=swm))
-            if topk:
-                merged = (
-                    state.unionByName(fresh).orderBy(*sort_cols()).limit(spec.limit)
-                )
-                stored = entry.put(swm, merged, self.spark)
+            stored = topk_nano_stored(wm_ns, swm) if topk else None
+            if stored is not None:
+                decision.refresh_tier = "nano"
             else:
-                stored = entry.append(
-                    swm, fresh, self.spark, partition_cols=[part_col]
-                )
+                fresh = project_store(bounds(src, lo_ns=wm_ns, hi_ns=swm))
+                if topk:
+                    if state is None:
+                        state = entry.get(self.spark)
+                    merged = (
+                        state.unionByName(fresh)
+                        .orderBy(*sort_cols())
+                        .limit(spec.limit)
+                    )
+                    stored = entry.put(swm, merged, self.spark)
+                else:
+                    stored = entry.append(
+                        swm, fresh, self.spark, partition_cols=[part_col]
+                    )
             decision.cache_hit = True
             decision.watermark_ns = wm_ns
             cfg.log.info(
@@ -623,6 +705,10 @@ class CachedSparkSession:
                 )
             except Exception:
                 pass  # advisory only; never fail the query over a tag
+        if topk and decision.refresh_tier == "nano":
+            # driver tier returned a LocalRelation already in final order
+            # and limited — a re-sort would cost a per-refresh sort job
+            return stored, decision
         out = stored if topk else stored.drop(part_col)
         if spec.order_by:
             out = out.orderBy(*sort_cols())

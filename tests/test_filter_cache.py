@@ -327,3 +327,154 @@ def test_stale_state_replaced_memory_backend(spark, qc_mem, split):
     got = [r["event_id"] for r in r2.select("event_id").collect()]
     assert len(got) == len(set(got)), "stale state appended: duplicated rows"
     assert rows_set(r2) == rows_set(spark.sql(FILTER_SQL))
+
+
+def _ordered(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _plain_at(spark, sql: str, now_ns: int):
+    lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now_ns // 1000)
+    lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+    return spark.sql(sql.replace("WHERE ", f"WHERE ts < {lit} AND ", 1))
+
+
+def test_topk_nano_tier_on_registered_source(spark, qc):
+    """Maintained top-k over a source registered through
+    register_parquet_view refreshes on the DRIVER tier (zero Spark jobs,
+    nano.NanoTopKProgram): tier pinned AND the ORDERED rows equal plain
+    Spark with now() pinned to the same literal."""
+    ev = spark.table("events")
+    mx_ns = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    nows = [mx_ns - 3 * day, mx_ns - 2 * day, mx_ns - day, mx_ns + 1]
+    sql = (
+        "SELECT event_id, value FROM events WHERE event_type = 'click' "
+        "ORDER BY value DESC, event_id LIMIT 10"
+    )
+    qc.config.override_now_ns = nows[0]
+    qc.sql(sql).collect()  # miss
+    assert not qc.last_decision.cache_hit
+    for now_ns in nows[1:]:
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+        assert qc.last_decision.refresh_tier == "nano"
+        assert _ordered(got) == _ordered(_plain_at(spark, sql, now_ns))
+
+
+def test_topk_nano_nulls_mixed_order_exact(spark, qc, tmp_path):
+    """NULLS in a sort column with MIXED directions and an explicit NULLS
+    FIRST: the driver mirror must reproduce Spark's per-key null
+    placement exactly (pyarrow's global null_placement can't — the tier
+    uses per-key is-null helper keys)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+    vals = [None if i % 5 == 0 else float(i % 7) for i in range(40)]
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [base_us + i * day_us // 4 for i in range(40)],
+                pa.timestamp("us"),
+            ),
+            "id": pa.array(range(40), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    p = str(tmp_path / "nulltopk.parquet")
+    pq.write_table(tbl, p)
+    register_parquet_view(spark, "nulltopk_events", p)
+    sql = (
+        "SELECT id, v FROM nulltopk_events WHERE id >= 0 "
+        "ORDER BY v DESC NULLS FIRST, id LIMIT 7"
+    )
+    day_ns = day_us * 1000
+    t0 = (base_us + 5 * day_us) * 1000
+    qc.config.override_now_ns = t0
+    qc.sql(sql).collect()  # miss
+    for i, now_ns in enumerate([t0 + day_ns, t0 + 2 * day_ns, t0 + 11 * day_ns]):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert qc.last_decision.refresh_tier == "nano", f"refresh {i}"
+        assert _ordered(got) == _ordered(_plain_at(spark, sql, now_ns)), (
+            f"refresh {i}"
+        )
+
+
+def test_topk_nano_drift_falls_back_then_resumes(spark, qc, tmp_path):
+    """A grown/re-registered source drops the memoized top-k program: the
+    refresh answers exactly on the Spark path, the next one rebuilds the
+    driver tier over the new files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_query_cache_spark.sources.tables import register_parquet_view
+
+    base_us = 1_709_251_200_000_000
+    day_us = 24 * 3600 * 1_000_000
+
+    def write(n):
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [base_us + i * day_us // 4 for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "id": pa.array(range(n), pa.int64()),
+                "v": pa.array([float((i * 13) % 29) for i in range(n)]),
+            }
+        )
+        p = str(tmp_path / "growtopk.parquet")
+        pq.write_table(t, p)
+        return p
+
+    p = write(30)
+    register_parquet_view(spark, "growtopk_events", p)
+    sql = (
+        "SELECT id, v FROM growtopk_events WHERE v > 1 "
+        "ORDER BY v DESC, id LIMIT 5"
+    )
+    day_ns = day_us * 1000
+    t0 = (base_us + 5 * day_us) * 1000
+    qc.config.override_now_ns = t0
+    qc.sql(sql).collect()  # miss
+    qc.config.override_now_ns = t0 + day_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.refresh_tier == "nano"
+
+    write(50)  # source grows (rewritten in place)
+    register_parquet_view(spark, "growtopk_events", p)
+    t2 = t0 + 3 * day_ns
+    qc.config.override_now_ns = t2
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert qc.last_decision.refresh_tier is None  # Spark path served
+    assert _ordered(got) == _ordered(_plain_at(spark, sql, t2))
+    t3 = t2 + day_ns
+    qc.config.override_now_ns = t3
+    got = qc.sql(sql)
+    assert qc.last_decision.refresh_tier == "nano"
+    assert _ordered(got) == _ordered(_plain_at(spark, sql, t3))
+
+
+def test_topk_non_column_item_stays_on_spark_path(spark, qc, split):
+    """A computed select item (value * 2) is outside the driver mirror:
+    the warm refresh must stay on the Spark path and stay exact."""
+    run1, run2, cut_ns = split
+    run2()
+    sql = (
+        "SELECT event_id, value * 2 AS v2 FROM events WHERE value > 1 "
+        "ORDER BY v2 DESC, event_id LIMIT 8"
+    )
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()  # miss
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert qc.last_decision.refresh_tier is None
+    assert _ordered(got) == _ordered(_plain_at(spark, sql, cut_ns + 10**17))
