@@ -113,17 +113,15 @@ _QC_SQLS = {
         "round(sum(value), 2) AS s, "
         "count(value) AS c FROM {v} GROUP BY 1, 2 ORDER BY 1, 2"
     ),
-    # EXACT median/percentile via mergeable RLE-histogram state
+    # EXACT median + p90/p10 via ONE mergeable RLE-histogram state
     # (functions/partial.py) — beyond the reference, which abandons exact
-    # percentiles. round(+1e-9): interpolation can land on .xx5 halves.
-    "qc_median": (
-        "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
-        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
-    ),
-    # p90 over the same histogram state (oracle override: DuckDB spells
-    # Spark's percentile(x, p) as quantile_cont(x, p))
+    # percentiles. median ≡ percentile(x, 0.5); one ledger row covers the
+    # whole family (freed a window slot for the pt_* rotation, VERDICT r8
+    # item 4). round(+1e-9): interpolation can land on .xx5 halves.
+    # (oracle override: DuckDB spells percentile(x, p) as quantile_cont)
     "qc_percentile": (
-        "SELECT event_type, round(percentile(value, 0.9) + 1e-9, 2) AS p90, "
+        "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
+        "round(percentile(value, 0.9) + 1e-9, 2) AS p90, "
         "round(percentile(value, 0.1) + 1e-9, 2) AS p10, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
@@ -180,17 +178,15 @@ _QC_SQLS = {
         "FROM {v} WHERE value IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     # ROLLUP re-aggregated from finest-granularity cached state
+    # 2-level ROLLUP with grouping() flags reconstructed per grouping set
+    # (one row covers both the multi-level rollup and the flags — freed a
+    # window slot for the pt_* rotation, VERDICT r8 item 4)
     "qc_rollup": (
         "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "grouping(event_type) AS ge, grouping(d) AS gd, "
         "count(*) AS n, round(sum(value), 2) AS s FROM {v} "
         "GROUP BY ROLLUP (event_type, d) "
         "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
-    ),
-    # grouping() flags reconstructed per grouping set
-    "qc_grouping_flags": (
-        "SELECT event_type, grouping(event_type) AS ge, count(*) AS n, "
-        "round(sum(value), 2) AS s FROM {v} GROUP BY ROLLUP (event_type) "
-        "ORDER BY event_type NULLS FIRST"
     ),
     # incrementally-maintained top-k (ORDER BY + LIMIT filter query)
     "qc_filter_topk": (
@@ -1122,13 +1118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }
     )
     # Passthrough rows exercise Spark itself more than this engine, so only
-    # ONE of the 15 occupies the 50-row ledger window; the rest trail it
-    # (still runnable, just not driver-recorded). The occupant ROTATES per
+    # THREE of the 15 occupy the 50-row ledger window; the rest trail it
+    # (still runnable, just not driver-recorded). The occupants ROTATE per
     # round — indexed by the count of the driver's own CORRECTNESS_r*.json
-    # artifacts — so every passthrough re-accumulates driver-ledger
-    # evidence over rounds instead of one hogging the slot (r5 VERDICT
-    # item 5). All 15 are additionally re-verified off-ledger each round
-    # via tools/check_oracle.py.
+    # artifacts, striding by the slot count so every passthrough
+    # re-accumulates driver-ledger evidence within ~5 rounds instead of 15
+    # (r5 VERDICT item 5; widened 1 → 3 slots per r8 item 4). All 15 are
+    # additionally re-verified off-ledger each round via
+    # tools/check_oracle.py.
     rotation = [
         "pt_json_extract", "pt_tpch_q1", "pt_tpch_q3", "pt_join_revenue",
         "pt_window_top_orders", "pt_exists_semi", "pt_rollup", "pt_topk",
@@ -1144,12 +1141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "CORRECTNESS_r*.json")
         )
     )
-    spare = rotation[rnd % len(rotation)]
+    n_slots = 3
+    spares = [
+        rotation[(rnd * n_slots + i) % len(rotation)] for i in range(n_slots)
+    ]
 
     def _pt_entry(key):
         return _pt_json_extract if key == "pt_json_extract" else _mk_pt(key)
 
-    q[spare] = _pt_entry(spare)
+    for spare in spares:
+        q[spare] = _pt_entry(spare)
     for key in rotation:
         if key not in q:
             q[key] = _pt_entry(key)
@@ -1172,7 +1173,8 @@ def oracle_sql() -> dict[str, str]:
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
     o["qc_percentile"] = (
-        "SELECT event_type, round(quantile_cont(value, 0.9) + 1e-9, 2) AS p90, "
+        "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
+        "round(quantile_cont(value, 0.9) + 1e-9, 2) AS p90, "
         "round(quantile_cont(value, 0.1) + 1e-9, 2) AS p10, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
@@ -1204,10 +1206,13 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
     # duckdb grouping() returns BIGINT; Spark's is TINYINT
-    o["qc_grouping_flags"] = (
-        "SELECT event_type, CAST(grouping(event_type) AS TINYINT) AS ge, "
+    o["qc_rollup"] = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "CAST(grouping(event_type) AS TINYINT) AS ge, "
+        "CAST(grouping(d) AS TINYINT) AS gd, "
         "count(*) AS n, round(sum(value), 2) AS s FROM events "
-        "GROUP BY ROLLUP (event_type) ORDER BY event_type NULLS FIRST"
+        "GROUP BY ROLLUP (event_type, d) "
+        "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
     )
     for key, (_spark_sql, duck_sql) in _QC_DYN_SQLS.items():
         o[key] = duck_sql
@@ -1222,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         o[key] = sql
     # duckdb sum(INTEGER) yields HUGEINT (int128); Spark's is BIGINT — cast
     # so the driver's dtype-sensitive value hash matches (same precedent as
-    # qc_grouping_flags above).
+    # qc_rollup above).
     o["pt_conditional_agg"] = (
         "SELECT o_orderpriority, "
         "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
