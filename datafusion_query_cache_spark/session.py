@@ -146,6 +146,18 @@ class CachedSparkSession(RefreshTiers):
             decision = Decision(sql=query, cached=False, reason=str(e))
             self.config.log.warn(e.fingerprint, str(e))
             df = self.spark.sql(query)
+        except Exception as e:  # noqa: BLE001 — degrade, never fail a query
+            # Any unexpected error in the CACHED plan build (an analysis
+            # edge the decomposer missed, a cache backend fault) must not
+            # fail a query plain Spark could answer — the reference's
+            # ``Transformed::no`` contract extended to engine faults. Loud
+            # warn so the degrade is visible; genuinely bad user SQL fails
+            # identically in the passthrough below, so nothing is hidden.
+            decision = Decision(
+                sql=query, cached=False, reason=f"engine error: {e}"
+            )
+            self.config.log.warn("-", f"engine error, passthrough: {e}")
+            df = self.spark.sql(query)
         self.last_decision = decision
         return df
 
@@ -1447,7 +1459,15 @@ class CachedSparkSession(RefreshTiers):
                     == boundary_lit
                 )
             )
-            dtypes2 = {f.name: f.dataType for f in stored.schema.fields}
+            # deep-relax nullability like the warm merge does: set/list
+            # states (count(DISTINCT), collect_*) carry containsNull flags
+            # Spark infers from the partial aggregate, and a nullable→
+            # non-null array cast is refused at analysis
+            from .functions.partial import relax_nullability as _relax2
+
+            dtypes2 = {
+                f.name: _relax2(f.dataType) for f in stored.schema.fields
+            }
             singletons2: Dict[str, Column] = {}
             use_singleton2 = all(p.singleton is not None for p in plans)
             if use_singleton2:

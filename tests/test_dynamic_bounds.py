@@ -206,3 +206,39 @@ def test_template_dyn_path_non_utc_sub_day_buckets(spark, pinned, tmp_path):
         assert rows_set(out) == rows_set(spark.sql(plain_sql(sql, wall)))
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_dynamic_count_distinct_set_state(spark, tmp_path, pinned):
+    """Dynamic bound + count(DISTINCT) — the set-state singleton must cast
+    into the stored array dtype (deep-relaxed nullability; a raw cast of
+    the nullable-element filter(array(x)) partial into the non-null stored
+    element type is refused at analysis — r9 fuzzer find), and every
+    refresh must stay exact."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    now_ns, _ = pinned
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(DISTINCT event_type) AS de, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 8 DAY GROUP BY 1"
+    )
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "qc-dcd")),
+            override_now_ns=now_ns,
+        ),
+    )
+    day_ns = 24 * 3600 * 10**9
+    for i, now in enumerate([now_ns, now_ns + day_ns, now_ns + 2 * day_ns]):
+        qc.config.override_now_ns = now
+        got = qc.sql(sql)
+        assert qc.last_decision.cached, qc.last_decision.reason
+        if i > 0:
+            assert qc.last_decision.cache_hit
+        now_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now // 1000)
+        assert rows_set(got) == rows_set(spark.sql(plain_sql(sql, now_dt)))

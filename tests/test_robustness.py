@@ -180,3 +180,21 @@ def test_session_salted_state_matches_unsalted(spark, tmp_path):
         assert qc.last_decision.cache_hit
         results[buckets] = rows_set(got)
     assert results[0] == results[8]
+
+
+def test_engine_error_degrades_to_passthrough(spark, qc):
+    """An unexpected exception inside the cached plan build must degrade to
+    plain spark.sql with a loud reason, never fail the query (the
+    reference's Transformed::no contract extended to engine faults)."""
+    sql = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+    want = {tuple(r) for r in spark.sql(sql).collect()}
+
+    def boom(*a, **k):
+        raise RuntimeError("injected planner fault")
+
+    qc._plan_cached = boom
+    got = qc.sql(sql)
+    assert {tuple(r) for r in got.collect()} == want
+    assert qc.last_decision.cached is False
+    assert "engine error" in qc.last_decision.reason
+    assert "injected planner fault" in qc.last_decision.reason

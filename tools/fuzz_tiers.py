@@ -1,0 +1,209 @@
+"""Differential fuzzer for the refresh-tier ladder.
+
+Generates random cacheable-shaped aggregate queries over the registered
+``events`` table and drives each through an advancing-now flow on a fresh
+``CachedSparkSession``, comparing every answer against plain ``spark.sql``
+with now() pinned to the same literal (the as-of contract: cached answers
+are bounded ``ts < now``). Config axes are fuzzed too: parquet vs memory
+cache, nano byte gate open/closed, salted state.
+
+This is the WIDE offline twin of
+``tests/test_dyn_nano.py::test_randomized_tier_equivalence`` (10 seeded
+trials, run per-suite): run it with hundreds of trials before shipping a
+planner/tier change. Floats compare relatively (incremental merges
+re-associate fp sums — inherent to ANY incremental engine, reference
+included: its accumulator merge is the same re-association,
+``src/aggregate.rs:402-409``).
+
+Usage: python tools/fuzz_tiers.py [trials] [seed] [sf_dir]
+Exit 0 = every comparison on every refresh of every trial matched.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+SF_DIR = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+GROUPS = [
+    "CAST(date_trunc('day', ts) AS DATE) AS d",
+    "date_trunc('hour', ts) AS h",
+    "date_trunc('week', ts) AS w",
+    "event_type",
+]
+AGGS = [
+    "count(*) AS n",
+    "count(value) AS nv",
+    "sum(value) AS s",
+    "min(value) AS mn",
+    "max(value) AS mx",
+    "avg(value) AS av",
+    "round(avg(value), 3) AS avr",
+    "sum(value * 1.5) AS sx",
+    "sum(value) / count(*) AS spr",
+    "var_samp(value) AS vs",
+    "stddev_pop(value) AS sp",
+    "min_by(event_type, value) AS mb",
+    "max_by(event_type, value) AS xb",
+    "count(DISTINCT event_type) AS de",
+    "bool_or(value > 50) AS bo",
+    "bit_or(CAST(value AS BIGINT)) AS br",
+]
+PREDS = [
+    None,
+    "value > 5",
+    "value <= 80",
+    "event_type != 'click'",
+    "event_type IN ('click', 'view')",
+    "(value > 10 OR event_type = 'click')",
+    "value BETWEEN 5 AND 90",
+]
+WINDOWS = [
+    None,
+    "ts > now() - INTERVAL 9 DAY",
+    "ts >= now() - INTERVAL 2 WEEK",
+    "ts > now() - INTERVAL 30 HOUR",
+]
+HAVINGS = [None, None, None, "count(*) > 3", "min(value) >= 0"]
+
+
+def _close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.sources.tables import (
+        get_session,
+        register_testdata,
+    )
+
+    spark = get_session(app="fuzz-tiers", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_testdata(spark, SF_DIR)
+
+    rng = random.Random(SEED)
+    mx_ns = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 1_000_000_000
+
+    failures = []
+    tiers_seen: dict = {}
+    for trial in range(TRIALS):
+        gs = rng.sample(GROUPS, rng.randint(1, 2))
+        ags = rng.sample(AGGS, rng.randint(1, 4))
+        pred = rng.choice(PREDS)
+        win = rng.choice(WINDOWS)
+        having = rng.choice(HAVINGS)
+        conds = [c for c in (pred, win) if c]
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
+        gb = ", ".join(str(i + 1) for i in range(len(gs)))
+        hv = f" HAVING {having}" if having else ""
+        order = f" ORDER BY {gb}" if rng.random() < 0.7 else ""
+        limit = " LIMIT 500" if order and rng.random() < 0.2 else ""
+        sql = (
+            f"SELECT {', '.join(gs + ags)} FROM events{where} "
+            f"GROUP BY {gb}{hv}{order}{limit}"
+        )
+
+        kw = {}
+        if rng.random() < 0.3:
+            kw["nano_refresh_max_bytes"] = 0
+        if rng.random() < 0.15:
+            kw["salt_buckets"] = 4
+        cache = (
+            MemoryQueryCache()
+            if rng.random() < 0.3
+            else ParquetQueryCache(tempfile.mkdtemp(prefix="qc-fuzz-"))
+        )
+        qc = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=cache, default_temporal_column="ts", **kw
+            ),
+        )
+
+        base = mx_ns - rng.randint(2, 6) * day
+        pts = [
+            base,
+            base + rng.randint(1, day),
+            base + day + rng.randint(0, 10**9),
+            ((base // day) + 3) * day,  # exact midnight edge
+        ]
+        for i, now_ns in enumerate(pts):
+            qc.config.override_now_ns = now_ns
+            try:
+                got = qc.sql(sql)
+                g_rows = sorted((tuple(r) for r in got.collect()), key=repr)
+            except Exception as e:  # noqa: BLE001 — report, keep fuzzing
+                failures.append((trial, i, sql, f"ENGINE ERROR {e}"))
+                break
+            lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=now_ns // 1000
+            )
+            lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+            if qc.last_decision.cached:
+                s = sql.replace("now()", lit)
+                if " WHERE " in s:
+                    s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+                else:
+                    s = s.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
+            else:
+                s = sql
+            p_rows = sorted(
+                (tuple(r) for r in spark.sql(s).collect()), key=repr
+            )
+            ok = len(g_rows) == len(p_rows) and all(
+                all(_close(a, b) for a, b in zip(gr, pr))
+                for gr, pr in zip(g_rows, p_rows)
+            )
+            if not ok:
+                diff = [
+                    (gr, pr)
+                    for gr, pr in zip(g_rows, p_rows)
+                    if not all(_close(a, b) for a, b in zip(gr, pr))
+                ][:2]
+                failures.append(
+                    (trial, i, sql, f"MISMATCH {len(g_rows)}/{len(p_rows)} {diff}")
+                )
+                break
+            if i > 0:
+                t = qc.last_decision.refresh_tier
+                tiers_seen[t] = tiers_seen.get(t, 0) + 1
+        if (trial + 1) % 20 == 0:
+            print(
+                f"[{trial + 1}/{TRIALS}] failures={len(failures)} "
+                f"tiers={tiers_seen}",
+                flush=True,
+            )
+
+    print(f"\ntiers exercised: {tiers_seen}")
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for t, i, sql, msg in failures[:20]:
+            print(f"  trial {t} refresh {i}: {sql}\n    {msg[:400]}")
+        return 1
+    print(f"ALL OK ({TRIALS} trials)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
