@@ -290,17 +290,38 @@ def _qc_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-state cache: approx_count_distinct via mergeable HLL sketches
-    (hll_sketch_agg / hll_union_agg). No DuckDB oracle — estimator outputs
-    differ across engines — so the driver records the rows-only check; exact
-    cross-run correctness is covered by tests/test_cache_behavior.py, and
-    the EXACT twin entry qc_distinct_exact value-checks the same
-    incremental plumbing with a real oracle."""
+    (hll_sketch_agg / hll_union_agg). Estimator OUTPUTS have no cross-engine
+    equality (Spark HLL++ vs DuckDB HLL differ), so the oracle checks the
+    property a user of an approximate distinct actually relies on: the
+    MERGED sketch's estimate (cached state ∪ fresh tail — HLL union is a
+    register-wise max, so the incremental estimate must equal the
+    single-pass one) lands within a 10% band of the exact distinct count.
+    ``est_ok`` is that bounds check; ``n``/``u_exact`` value-check the rest
+    of the row exactly. The EXACT twin qc_distinct_exact value-checks the
+    same incremental plumbing with full equality."""
     view = "events_qc_approx"
     sql = (
         "SELECT event_type, approx_count_distinct(user_id) AS u, "
         f"count(*) AS n FROM {view} GROUP BY 1 ORDER BY 1"
     )
-    return _qc_two_run(spark, sf_dir, sql, view)
+    out = _qc_two_run(spark, sf_dir, sql, view)  # cached flow: HLL merge
+    exact = spark.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS u_exact FROM {view} "
+        "GROUP BY 1"
+    )
+    return (
+        out.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "u_exact",
+            (
+                F.abs(F.col("u") - F.col("u_exact"))
+                <= 0.1 * F.col("u_exact")
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _mk_qc_dyn(key: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -1180,6 +1201,14 @@ def oracle_sql() -> dict[str, str]:
     )
     o["qc_distinct_exact"] = (
         "SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    # bounds-checked oracle for the HLL sketch row: est_ok must be TRUE for
+    # every group (the Spark side computes |estimate - exact| <= 10% exact;
+    # estimates themselves have no cross-engine equality)
+    o["qc_approx_distinct"] = (
+        "SELECT event_type, count(*) AS n, "
+        "count(DISTINCT user_id) AS u_exact, TRUE AS est_ok "
         "FROM events GROUP BY 1 ORDER BY 1"
     )
     o["qc_filter_subsume"] = (

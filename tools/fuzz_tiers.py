@@ -74,6 +74,41 @@ WINDOWS = [
 ]
 HAVINGS = [None, None, None, "count(*) > 3", "min(value) >= 0"]
 
+# filter/top-k mode (SELECT cols ... WHERE ... [ORDER BY ... LIMIT k]) —
+# exercises _plan_filter row sets + the maintained/driver top-k tiers
+F_COLS = [
+    ["event_id", "value"],
+    ["event_id", "event_type", "value"],
+    ["event_id", "ts", "value"],
+]
+F_PREDS = [
+    "event_type = 'click'",
+    "value > 50",
+    "event_type != 'view' AND value <= 90",
+    "event_type IN ('click', 'purchase')",
+]
+F_ORDERS = [
+    "value DESC",
+    "value ASC",
+    "value DESC NULLS LAST, event_type ASC",
+    "ts DESC",
+]
+
+
+def gen_filter_sql(rng: random.Random) -> tuple[str, bool]:
+    cols = rng.choice(F_COLS)
+    pred = rng.choice(F_PREDS)
+    topk = rng.random() < 0.7
+    sql = f"SELECT {', '.join(cols)} FROM events WHERE {pred}"
+    if topk:
+        # event_id is unique: a trailing tiebreak makes the sort total, so
+        # top-k selection is deterministic on both sides (ties otherwise
+        # make engine-vs-plain comparison flaky, not wrong)
+        order = rng.choice(F_ORDERS)
+        k = rng.choice([5, 10, 50])
+        sql += f" ORDER BY {order}, event_id LIMIT {k}"
+    return sql, topk
+
 
 def _close(a, b):
     if isinstance(a, float) and isinstance(b, float):
@@ -97,7 +132,21 @@ def main() -> int:
         register_testdata,
     )
 
-    spark = get_session(app="fuzz-tiers", cpus="8")
+    import os
+
+    if os.environ.get("QC_FUZZ_VANILLA"):
+        # worst-case driver simulation (mirrors tools/check_oracle.py):
+        # default session configs, non-UTC timezone
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-tiers-vanilla")
+            .config("spark.sql.session.timeZone", "America/Chicago")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session(app="fuzz-tiers", cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
     register_testdata(spark, SF_DIR)
 
@@ -108,6 +157,9 @@ def main() -> int:
     failures = []
     tiers_seen: dict = {}
     for trial in range(TRIALS):
+        filter_mode = rng.random() < 0.25
+        if filter_mode:
+            sql, topk = gen_filter_sql(rng)
         gs = rng.sample(GROUPS, rng.randint(1, 2))
         ags = rng.sample(AGGS, rng.randint(1, 4))
         pred = rng.choice(PREDS)
@@ -119,10 +171,11 @@ def main() -> int:
         hv = f" HAVING {having}" if having else ""
         order = f" ORDER BY {gb}" if rng.random() < 0.7 else ""
         limit = " LIMIT 500" if order and rng.random() < 0.2 else ""
-        sql = (
-            f"SELECT {', '.join(gs + ags)} FROM events{where} "
-            f"GROUP BY {gb}{hv}{order}{limit}"
-        )
+        if not filter_mode:
+            sql = (
+                f"SELECT {', '.join(gs + ags)} FROM events{where} "
+                f"GROUP BY {gb}{hv}{order}{limit}"
+            )
 
         kw = {}
         if rng.random() < 0.3:
@@ -156,9 +209,15 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001 — report, keep fuzzing
                 failures.append((trial, i, sql, f"ENGINE ERROR {e}"))
                 break
-            lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(
-                microseconds=now_ns // 1000
-            )
+            # render the pinned instant as a literal in the SESSION
+            # timezone (a naive epoch+µs repr is only correct in UTC)
+            from zoneinfo import ZoneInfo
+
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            lit_dt = (
+                dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                + dt.timedelta(microseconds=now_ns // 1000)
+            ).astimezone(ZoneInfo(tz)).replace(tzinfo=None)
             lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
             if qc.last_decision.cached:
                 s = sql.replace("now()", lit)
