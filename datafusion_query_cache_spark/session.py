@@ -517,10 +517,12 @@ class CachedSparkSession(RefreshTiers):
                         .limit(spec.limit)
                     )
                     stored = entry.put(swm, merged, self.spark)
+                    decision.refresh_tier = "topk"
                 else:
                     stored = entry.append(
                         swm, fresh, self.spark, partition_cols=[part_col]
                     )
+                    decision.refresh_tier = "rowset"
             decision.cache_hit = True
             decision.watermark_ns = wm_ns
             cfg.log.info(

@@ -453,7 +453,7 @@ def test_topk_nano_drift_falls_back_then_resumes(spark, qc, tmp_path):
     qc.config.override_now_ns = t2
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit
-    assert qc.last_decision.refresh_tier is None  # Spark path served
+    assert qc.last_decision.refresh_tier == "topk"  # Spark path served
     assert _ordered(got) == _ordered(_plain_at(spark, sql, t2))
     t3 = t2 + day_ns
     qc.config.override_now_ns = t3
@@ -476,5 +476,5 @@ def test_topk_non_column_item_stays_on_spark_path(spark, qc, split):
     qc.config.override_now_ns = cut_ns + 10**17
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit
-    assert qc.last_decision.refresh_tier is None
+    assert qc.last_decision.refresh_tier == "topk"  # Spark, not driver, tier
     assert _ordered(got) == _ordered(_plain_at(spark, sql, cut_ns + 10**17))
