@@ -125,9 +125,11 @@ class Decision:
     #: a Spark job per refresh). Non-None ⇔ a dynamic bound was in play.
     dynamic_lower: Optional[object] = None
     observation: Optional[Observation] = None  # fresh-scan row count (hit only)
-    #: which warm-refresh tier served a dynamic-bound hit: "nano" (driver
+    #: which warm-refresh tier served a hit: aggregates — "nano" (driver
     #: pyarrow scan), "lite" (one plain-sized job + driver merge),
-    #: "template" (fused one-job SQL), or "classic" (DataFrame assembly)
+    #: "template" (fused one-job SQL), or "classic" (DataFrame assembly);
+    #: filter queries — "nano" (driver top-k), "topk" (Spark-path top-k
+    #: union+sort+limit), or "rowset" (appended row sets)
     refresh_tier: Optional[str] = None
     #: exact fresh-row count when the SQL-template warm path ran (it counts
     #: via a rider aggregate instead of an Observation)
