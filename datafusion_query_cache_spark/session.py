@@ -1084,6 +1084,12 @@ class CachedSparkSession(RefreshTiers):
             # answers — no scan, no store-back, one tiny local job.
             # (Queries re-run faster than data arrives — the reference's
             # repeated-dashboard case — pay only the state read.)
+            # A now BELOW the watermark (only possible via the
+            # override_now_ns replay knob; wall clocks are monotone) lands
+            # here too and serves as-of the WATERMARK, not the regressed
+            # now — the cache never time-travels backwards. The reference
+            # behaves the same but coarser: its cached reads are always
+            # as-of store time (no upper bound at all, SURVEY §4.4.2).
             decision.cache_hit = True
             decision.watermark_ns = entry.watermark_ns
             if cfg.result_memo:

@@ -627,3 +627,36 @@ def test_parquet_cache_vacuum(spark, tmp_path, split_views):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, spark.sql(sql).collect())
     )
+
+
+def test_regressed_now_serves_as_of_watermark(spark, qc):
+    """override_now_ns BELOW the stored watermark (replay knob; wall
+    clocks are monotone) is a hot read as-of the WATERMARK — the cache
+    never time-travels backwards, and never scans. Reference parity,
+    refined: its cached reads are always as-of store time (no upper
+    bound at all); ours are as-of max(now, watermark)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    mx = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    sql = "SELECT count(*) AS n, round(sum(value), 2) AS s FROM events"
+    qc.config.override_now_ns = mx - 2 * day
+    qc.sql(sql).collect()
+    qc.config.override_now_ns = mx
+    as_of_mx = {tuple(r) for r in qc.sql(sql).collect()}
+    wm = qc.last_decision.watermark_ns
+
+    qc.config.override_now_ns = mx - 5 * day  # regress below the watermark
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert {tuple(r) for r in got.collect()} == as_of_mx
+    lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=mx // 1000)
+    plain = spark.sql(
+        sql.replace(
+            "FROM events",
+            f"FROM events WHERE ts < TIMESTAMP '{lit_dt.isoformat(sep=' ')}'",
+        )
+    )
+    assert {tuple(r) for r in plain.collect()} == as_of_mx
