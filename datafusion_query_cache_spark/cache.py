@@ -87,6 +87,25 @@ class SetCardinalityExceeded(StateCardinalityExceeded):
         )
 
 
+def dense_arrow(tbl):
+    """Drop interior zero-row record batches before an Arrow table crosses
+    into Spark. PySpark 4.x's ``createDataFrame(pa.Table)`` stops
+    converting at the first EMPTY batch that has non-empty batches after
+    it, silently truncating every following row (leading/trailing empties
+    are fine) — found by the r9 differential fuzzer when a zero-row
+    refresh appended an empty chunk to a memory-cache row set and the
+    next refresh's rows vanished. Zero-copy: re-slices the same buffers.
+    """
+    import pyarrow as pa
+
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return tbl
+    batches = [b for b in tbl.to_batches() if b.num_rows]
+    if len(batches) == tbl.column(0).num_chunks:
+        return tbl  # no empty chunks — common case, no work
+    return pa.Table.from_batches(batches, schema=tbl.schema)
+
+
 def _compact_hist_cell(cell, cap: Optional[int] = None, fp: str = ""):
     if cell is None or len(cell) == 0:
         return cell
@@ -295,7 +314,7 @@ class _MemoryEntry(CacheEntry):
 
     def get(self, spark: SparkSession) -> DataFrame:
         wm, tbl, schema = self._cache._store[self._fp]
-        return spark.createDataFrame(tbl, schema=schema)
+        return spark.createDataFrame(dense_arrow(tbl), schema=schema)
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         # state lives as an ARROW table, never pandas: the pandas detour
@@ -363,9 +382,11 @@ class _MemoryEntry(CacheEntry):
         return self._cache._store[self._fp][1].num_rows
 
     def put_arrow(self, watermark_ns: int, state_tbl, state_schema) -> bool:
-        tbl = _check_set_arrow(
-            _compact_hist_arrow(state_tbl, self.hist_cap, self._fp),
-            self.set_cap, self._fp,
+        tbl = dense_arrow(
+            _check_set_arrow(
+                _compact_hist_arrow(state_tbl, self.hist_cap, self._fp),
+                self.set_cap, self._fp,
+            )
         )
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, tbl, state_schema)
@@ -392,13 +413,21 @@ class _MemoryEntry(CacheEntry):
         fresh_tbl = fresh.toArrow()
         if self.occupied and not replace:
             _wm, tbl, schema = self._cache._store[self._fp]
-            new = pa.concat_tables([tbl, fresh_tbl.cast(tbl.schema)])
+            if fresh_tbl.num_rows == 0:
+                # zero-row refresh: advance the watermark only — never
+                # store an empty chunk (interior empties would truncate a
+                # later createDataFrame, see dense_arrow)
+                new = tbl
+            else:
+                new = dense_arrow(
+                    pa.concat_tables([tbl, fresh_tbl.cast(tbl.schema)])
+                )
         else:
             schema = fresh.schema
             new = fresh_tbl
         with self._cache._lock:
             self._cache._store[self._fp] = (watermark_ns, new, schema)
-        return spark.createDataFrame(new, schema=schema)
+        return spark.createDataFrame(dense_arrow(new), schema=schema)
 
 
 class MemoryQueryCache(QueryCache):
@@ -555,7 +584,9 @@ class _ParquetEntry(CacheEntry):
             # distributed-written parquet may round-trip timestamps at a
             # different unit/annotation than the driver-side Arrow write.
             sch = StructType.fromJson(json.loads(self._meta["schema"]))
-            return tbl.cast(to_arrow_schema(sch))
+            # dense: an empty part file would leave an interior empty
+            # chunk that truncates a later createDataFrame (dense_arrow)
+            return dense_arrow(tbl.cast(to_arrow_schema(sch)))
         except Exception:
             return None
 

@@ -255,6 +255,20 @@ class _GroupSpec:
     ltz: bool = False
 
 
+def _source_bytes(p: str) -> int:
+    """Total on-disk bytes under a registered parquet source path — the
+    shared byte-gate walk of both nano builders (aggregate and top-k)."""
+    return (
+        os.path.getsize(p)
+        if os.path.isfile(p)
+        else sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+    )
+
+
 def _parse_pred(e: Expr):
     """Compile a residual predicate into a pyarrow mask builder, or raise.
 
@@ -285,15 +299,28 @@ def _parse_pred(e: Expr):
                 col, lit, op = e.right.name, e.left.value, flip.get(op, op)
             if col is None or not isinstance(lit, (int, float, str, bool)):
                 raise NanoUnsupported(f"predicate comparison {e!r}")
+            if isinstance(lit, float) and math.isnan(lit):
+                # Spark: NaN = NaN is TRUE, NaN uniquely ordered — IEEE
+                # disagrees on every operator; don't mirror NaN literals
+                raise NanoUnsupported("NaN literal in predicate")
             fns = {
                 ">": "greater", ">=": "greater_equal", "<": "less",
                 "<=": "less_equal", "=": "equal", "!=": "not_equal",
             }
 
-            def _cmp(tbl, _c=col, _l=lit, _f=fns[op]):
+            def _cmp(tbl, _c=col, _l=lit, _f=fns[op], _op=op):
+                import pyarrow as pa
                 import pyarrow.compute as pc
 
-                return getattr(pc, _f)(tbl.column(_c), _l)
+                colv = tbl.column(_c)
+                m = getattr(pc, _f)(colv, _l)
+                if _op in (">", ">=") and pa.types.is_floating(colv.type):
+                    # Spark orders NaN ABOVE every number: NaN > lit and
+                    # NaN >= lit are TRUE there, FALSE in IEEE/pyarrow —
+                    # add NaN rows back so the mirror admits exactly what
+                    # the Spark scan admits (<, <=, =, != already agree)
+                    m = pc.or_(m, pc.is_nan(colv))
+                return m
 
             return _cmp, {col}
     if isinstance(e, Not):
@@ -955,17 +982,6 @@ def build_nano_program(
             raise NanoUnsupported(f"source path gone: {p}")
         return s
 
-    def _size_of(p: str) -> int:
-        return (
-            os.path.getsize(p)
-            if os.path.isfile(p)
-            else sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(p)
-                for f in fs
-            )
-        )
-
     src = _src_of(table)
     ts_kind = src["ts_kinds"].get(ts_col)
     if ts_kind is None:
@@ -976,7 +992,7 @@ def build_nano_program(
         if step.on is None or step.how not in ("inner", "left"):
             raise NanoUnsupported(f"join shape {step.how} not admitted")
         dim_paths.append((step, _src_of(step.table)["path"]))
-    size = _size_of(path) + sum(_size_of(p) for _, p in dim_paths)
+    size = _source_bytes(path) + sum(_source_bytes(p) for _, p in dim_paths)
     if not max_bytes or size > max_bytes:
         raise NanoUnsupported(
             f"sources {size} bytes over nano_refresh_max_bytes={max_bytes}"
@@ -1304,15 +1320,7 @@ def build_nano_topk_program(
     ts_kind = src["ts_kinds"].get(ts_col)
     if ts_kind is None:
         raise NanoUnsupported(f"{ts_col} not a normalized temporal column")
-    size = (
-        os.path.getsize(path)
-        if os.path.isfile(path)
-        else sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-        )
-    )
+    size = _source_bytes(path)
     if not max_bytes or size > max_bytes:
         raise NanoUnsupported(
             f"source {size} bytes over nano_refresh_max_bytes={max_bytes}"

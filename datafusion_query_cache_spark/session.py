@@ -486,13 +486,18 @@ class CachedSparkSession(RefreshTiers):
                 if state_tbl is None or st_schema is None:
                     return None
                 res = prog.refresh(state_tbl, wm_ns, swm)
-                if not entry.put_arrow(swm, res, st_schema):
-                    return None
                 # rows are already in exact final order and limited: re-enter
                 # Spark as a LocalRelation with NO re-sort (same pattern as
                 # _arrow_result's sorted_locally path — a LocalRelation
-                # orderBy would pay a per-refresh sort job)
-                return self.spark.createDataFrame(res, schema=st_schema)
+                # orderBy would pay a per-refresh sort job). Built BEFORE
+                # the store-back: if any step here fails, the state and
+                # watermark are untouched and the Spark-path fallback
+                # rescans [wm, swm) exactly once — store-back-last is the
+                # same contract _finish_dyn_driver documents.
+                out = self.spark.createDataFrame(res, schema=st_schema)
+                if not entry.put_arrow(swm, res, st_schema):
+                    return None
+                return out
             except Exception as e:
                 # source drift / unmirrorable data (NaN in a sort column):
                 # drop the memo so the next refresh re-admits or re-degrades
@@ -500,7 +505,20 @@ class CachedSparkSession(RefreshTiers):
                 cfg.log.info(fingerprint, f"top-k nano refresh degraded ({e})")
                 return None
 
-        if hit:
+        if hit and entry.watermark_ns is not None and now_ns <= entry.watermark_ns:
+            # hot read: the refresh window [wm, now) is provably empty —
+            # including a now BELOW the watermark (override_now_ns replay;
+            # wall clocks are monotone). Serve stored rows as-of the
+            # WATERMARK with no scan and NO store: storing would REGRESS
+            # the watermark, and the next refresh would rescan
+            # already-stored rows into duplicates (same contract as the
+            # aggregate path's hot read).
+            wm_ns = entry.watermark_ns
+            stored = state if state is not None else entry.get(self.spark)
+            decision.cache_hit = True
+            decision.watermark_ns = wm_ns
+            cfg.log.info(fingerprint, "filter cache hot read: empty window")
+        elif hit:
             wm_ns = entry.watermark_ns
             swm = store_wm(wm_ns)
             stored = topk_nano_stored(wm_ns, swm) if topk else None

@@ -48,18 +48,24 @@ def _heal_stale_table(spark: SparkSession, table: str) -> None:
     Hadoop FileSystem API, so it heals HDFS/S3 warehouses the same way
     as local ones."""
     loc = None
+    ttype = None
     try:
-        rows = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-            .where("col_name = 'Location'")
-            .select("data_type")
+        desc = {
+            r[0]: r[1]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .select("col_name", "data_type")
             .collect()
-        )
-        if rows:
-            loc = rows[0][0]
+        }
+        loc = desc.get("Location")
+        ttype = desc.get("Type")
     except Exception:
         pass  # table absent: fall through to the default managed location
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if ttype is not None and str(ttype).strip().upper() != "MANAGED":
+        # EXTERNAL (or view): DROP TABLE already removed the catalog entry
+        # and the data at Location is the USER'S — never delete it. Heal
+        # only the DEFAULT managed location our saveAsTable will write to.
+        loc = None
     if loc is None:
         if "." in table:
             db, name = table.rsplit(".", 1)

@@ -192,3 +192,53 @@ def test_bucketed_write_self_heals_stale_location(spark):
         assert spark.table("bk_heal").count() == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_heal")
+
+
+def test_dense_arrow_interior_empty_chunk(spark):
+    """PySpark 4.x createDataFrame stops converting at an INTERIOR empty
+    record batch, silently truncating later rows (r9 fuzzer find);
+    dense_arrow must make any such table convert losslessly."""
+    import pyarrow as pa
+
+    from datafusion_query_cache_spark.cache import dense_arrow
+
+    t1 = pa.table({"a": pa.array(range(5), pa.int64())})
+    e = pa.table({"a": pa.array([], pa.int64())})
+    t2 = pa.table({"a": pa.array(range(5, 8), pa.int64())})
+    cat = pa.concat_tables([t1, e, t2])
+    assert cat.num_rows == 8
+    # (documents the defect this guards against: raw conversion drops rows)
+    assert spark.createDataFrame(dense_arrow(cat)).count() == 8
+    # no-op on already-dense and on fully-empty tables
+    assert dense_arrow(t1) is t1
+    assert dense_arrow(e).num_rows == 0
+
+
+def test_memory_rowset_zero_row_refresh_then_rows(spark, qc_mem):
+    """A zero-row refresh window between two row-adding refreshes must not
+    lose the later rows: the empty append used to store an interior empty
+    chunk that truncated every later createDataFrame of the row set."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    mx = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    base = mx - 5 * day
+    # window 1→2 is ~0.4 s: virtually always zero fresh rows
+    pts = [base, base + day, base + day + 4 * 10**8, ((base // day) + 3) * day]
+    sql = "SELECT event_id, event_type, value FROM events WHERE value > 50"
+    qc_mem.config.default_temporal_column = "ts"
+    for now in pts:
+        qc_mem.config.override_now_ns = now
+        got = sorted(tuple(r) for r in qc_mem.sql(sql).collect())
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        lit_dt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=now // 1000)
+        lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
+        want = sorted(
+            tuple(r)
+            for r in spark.sql(
+                sql.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+            ).collect()
+        )
+        assert got == want, f"at now={now}: {len(got)} vs {len(want)} rows"

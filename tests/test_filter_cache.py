@@ -478,3 +478,30 @@ def test_topk_non_column_item_stays_on_spark_path(spark, qc, split):
     assert qc.last_decision.cache_hit
     assert qc.last_decision.refresh_tier == "topk"  # Spark, not driver, tier
     assert _ordered(got) == _ordered(_plain_at(spark, sql, cut_ns + 10**17))
+
+
+def test_filter_regressed_now_no_duplicates(spark, qc, split):
+    """override_now_ns below the stored watermark (replay knob) must be a
+    hot read: no scan, no store, watermark NOT regressed — a regressed
+    store would make the next refresh rescan already-stored rows into
+    duplicates (r9 review find)."""
+    run1, run2, cut_ns = split
+    run2()  # full view throughout: only now moves
+    sql = "SELECT event_id, value FROM events WHERE value > 10"
+    day = 24 * 3600 * 10**9
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()  # miss: rows as-of cut
+    fp = qc.last_decision.fingerprint
+    wm0 = qc.config.cache.entry(fp).watermark_ns
+
+    qc.config.override_now_ns = cut_ns - 2 * day  # regress below watermark
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    rows_regressed = sorted(tuple(r) for r in got.collect())
+    assert qc.config.cache.entry(fp).watermark_ns == wm0  # NOT regressed
+
+    qc.config.override_now_ns = cut_ns + 10**17  # advance past all data
+    got2 = sorted(tuple(r) for r in qc.sql(sql).collect())
+    want = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert got2 == want  # exact — in particular, no duplicated rows
+    assert len(rows_regressed) == len(set(rows_regressed))
