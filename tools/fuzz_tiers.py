@@ -183,6 +183,30 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_testdata(spark, SF_DIR)
 
+    # date-partitioned twin of events, registered as a real parquet source
+    # (admits the nano tier AND exercises partition pruning + the
+    # temporal_partition_columns config axis)
+    import os as _os
+    import tempfile as _tmp
+
+    from datafusion_query_cache_spark.sources.tables import (
+        register_parquet_view,
+    )
+
+    part_path = _os.path.join(
+        _tmp.gettempdir(), f"qc-fuzz-events-part-{_os.path.basename(SF_DIR)}"
+    )
+    if not _os.path.exists(_os.path.join(part_path, "_SUCCESS")):
+        (
+            spark.table("events")
+            .drop("ts_ns")
+            .withColumn("d", F.to_date(F.col("ts")))
+            .write.mode("overwrite")
+            .partitionBy("d")
+            .parquet(part_path)
+        )
+    register_parquet_view(spark, "events_part", part_path)
+
     # small static dim for the star-join mode
     spark.range(50).select(
         F.col("id").alias("bucket_id"),
@@ -227,6 +251,14 @@ def main() -> int:
             kw["nano_refresh_max_bytes"] = 0
         if rng.random() < 0.15:
             kw["salt_buckets"] = 4
+        if rng.random() < 0.2:
+            kw["watermark_mode"] = "data"
+        # 20% of single-table trials run against the date-partitioned twin
+        # with partition pruning configured (results must be identical —
+        # same rows, different physical layout)
+        if not join_mode and rng.random() < 0.2 and "FROM events " in sql:
+            sql = sql.replace("FROM events ", "FROM events_part ")
+            kw["temporal_partition_columns"] = {"ts": "d"}
         cache = (
             MemoryQueryCache()
             if rng.random() < 0.3
