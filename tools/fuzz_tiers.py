@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import random
 import sys
 import tempfile
@@ -221,6 +222,7 @@ def main() -> int:
 
     failures = []
     tiers_seen: dict = {}
+    corruptions = 0
     for trial in range(TRIALS):
         mode_p = rng.random()
         filter_mode = mode_p < 0.25
@@ -278,7 +280,32 @@ def main() -> int:
             base + day + rng.randint(0, 10**9),
             ((base // day) + 3) * day,  # exact midnight edge
         ]
+        # corruption axis: after a mid-flow refresh, vandalize one random
+        # file under the parquet cache root — the engine must self-heal
+        # (recompute as a miss) and every later answer must stay exact
+        corrupt_p = float(os.environ.get("QC_FUZZ_CORRUPT_P", "0.15"))
+        corrupt_at = (
+            2
+            if isinstance(cache, ParquetQueryCache)
+            and rng.random() < corrupt_p
+            else None
+        )
         for i, now_ns in enumerate(pts):
+            if i == corrupt_at:
+                import glob as _glob
+
+                files = [
+                    f
+                    for f in _glob.glob(
+                        os.path.join(cache.root, "**", "*"), recursive=True
+                    )
+                    if os.path.isfile(f)
+                ]
+                if files:
+                    victim = rng.choice(files)
+                    with open(victim, "wb") as fh:
+                        fh.write(b"\x00CORRUPT")
+                    corruptions += 1
             qc.config.override_now_ns = now_ns
             try:
                 got = qc.sql(sql)
@@ -331,7 +358,7 @@ def main() -> int:
                 flush=True,
             )
 
-    print(f"\ntiers exercised: {tiers_seen}")
+    print(f"\ntiers exercised: {tiers_seen} corruptions={corruptions}")
     if failures:
         print(f"{len(failures)} FAILURES:")
         for t, i, sql, msg in failures[:20]:
