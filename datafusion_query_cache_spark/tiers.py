@@ -469,14 +469,18 @@ class RefreshTiers:
     def _refresh_confs(self):
         """Scope down shuffle width for the one templated-refresh job: its
         merge shuffle carries O(state-cardinality) rows (the template gate
-        only admits driver-local-small state), so 32+ reduce tasks and
-        AQE's per-stage re-planning rounds are pure scheduling overhead at
-        refresh time. Re-entrant (the streaming maintainer may refresh on
-        another thread): only the outermost scope saves/restores, so a
-        race can't leave the session pinned to the refresh settings."""
+        only admits driver-local-small state — the refresh output is
+        collected to the driver regardless, so 2 reduce tasks always
+        suffice for the volume), and 8+ reduce tasks plus AQE's per-stage
+        re-planning rounds are pure scheduling overhead at refresh time
+        (measured at sf0.1: width 8 → 2 cuts the lite dyn refresh from
+        ~0.43s to ~0.26s per refresh, −40%). Re-entrant (the streaming
+        maintainer may refresh on another thread): only the outermost
+        scope saves/restores, so a race can't leave the session pinned to
+        the refresh settings."""
         want = {
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.shuffle.partitions": "2",
         }
         with self._conf_lock:
             self._conf_depth += 1
