@@ -100,10 +100,29 @@ def dense_arrow(tbl):
 
     if tbl.num_rows == 0 or tbl.num_columns == 0:
         return tbl
-    batches = [b for b in tbl.to_batches() if b.num_rows]
-    if len(batches) == tbl.column(0).num_chunks:
-        return tbl  # no empty chunks — common case, no work
-    return pa.Table.from_batches(batches, schema=tbl.schema)
+    # compare filtered vs unfiltered BATCH counts — comparing against
+    # column(0).num_chunks misses a zero-length chunk living only in a
+    # differently-chunked non-first column, which to_batches() still
+    # surfaces as an interior empty batch (r9 ADVICE)
+    batches = tbl.to_batches()
+    dense = [b for b in batches if b.num_rows]
+    if len(dense) == len(batches):
+        return tbl  # no empty batches — common case, no work
+    return pa.Table.from_batches(dense, schema=tbl.schema)
+
+
+def arrow_to_spark(spark: SparkSession, tbl, schema=None) -> DataFrame:
+    """The ONE doorway for ``pa.Table`` → Spark DataFrame conversion:
+    densify, then convert. Every call site in the engine routes through
+    here (or passes ``dense_arrow`` output directly) so the PySpark 4.x
+    interior-empty-batch truncation bug can never resurface via a new
+    code path — the invariant is local, not enforced at a distance."""
+    t = dense_arrow(tbl)
+    return (
+        spark.createDataFrame(t, schema=schema)
+        if schema is not None
+        else spark.createDataFrame(t)
+    )
 
 
 def _compact_hist_cell(cell, cap: Optional[int] = None, fp: str = ""):
@@ -314,7 +333,8 @@ class _MemoryEntry(CacheEntry):
 
     def get(self, spark: SparkSession) -> DataFrame:
         wm, tbl, schema = self._cache._store[self._fp]
-        return spark.createDataFrame(dense_arrow(tbl), schema=schema)
+        self._cache._touch(self._fp)
+        return arrow_to_spark(spark, tbl, schema=schema)
 
     def put(self, watermark_ns: int, state: DataFrame, spark: SparkSession) -> DataFrame:
         # state lives as an ARROW table, never pandas: the pandas detour
@@ -325,9 +345,8 @@ class _MemoryEntry(CacheEntry):
             _compact_hist_arrow(state.toArrow(), self.hist_cap, self._fp),
             self.set_cap, self._fp,
         )
-        with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, tbl, schema)
-        return spark.createDataFrame(tbl, schema=schema)
+        self._cache._store_put(self._fp, (watermark_ns, tbl, schema))
+        return arrow_to_spark(spark, tbl, schema=schema)
 
     def put_split(
         self,
@@ -341,9 +360,8 @@ class _MemoryEntry(CacheEntry):
         tbl = augmented.toArrow()  # the ONE job over the data
         fresh_rows = fresh_rows_cb() if fresh_rows_cb is not None else None
         if fresh_rows == 0 and self.occupied:
-            with self._cache._lock:
-                _wm, cur, schema = self._cache._store[self._fp]
-                self._cache._store[self._fp] = (watermark_ns, cur, schema)
+            _wm, cur, schema = self._cache._store[self._fp]
+            self._cache._store_put(self._fp, (watermark_ns, cur, schema))
             return tbl
         state_tbl = _check_set_arrow(
             _compact_hist_arrow(
@@ -351,8 +369,7 @@ class _MemoryEntry(CacheEntry):
             ),
             self.set_cap, self._fp,
         )
-        with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, state_tbl, state_schema)
+        self._cache._store_put(self._fp, (watermark_ns, state_tbl, state_schema))
         return tbl
 
     def get_arrow(self):
@@ -362,7 +379,11 @@ class _MemoryEntry(CacheEntry):
             from pyspark.sql.pandas.types import to_arrow_schema
 
             _wm, tbl, schema = self._cache._store[self._fp]
-            return tbl.cast(to_arrow_schema(schema))
+            self._cache._touch(self._fp)
+            # dense at the source: a stored table carrying an interior
+            # empty chunk (e.g. concatenated upstream) must never reach a
+            # createDataFrame consumer undensified (dense_arrow)
+            return dense_arrow(tbl.cast(to_arrow_schema(schema)))
         except Exception:
             return None
 
@@ -388,8 +409,7 @@ class _MemoryEntry(CacheEntry):
                 self.set_cap, self._fp,
             )
         )
-        with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, tbl, state_schema)
+        self._cache._store_put(self._fp, (watermark_ns, tbl, state_schema))
         return True
 
     def advance_watermark(self, watermark_ns: int) -> bool:
@@ -398,6 +418,7 @@ class _MemoryEntry(CacheEntry):
         with self._cache._lock:
             _wm, tbl, schema = self._cache._store[self._fp]
             self._cache._store[self._fp] = (watermark_ns, tbl, schema)
+            self._cache._store.move_to_end(self._fp)
         return True
 
     def append(
@@ -425,9 +446,8 @@ class _MemoryEntry(CacheEntry):
         else:
             schema = fresh.schema
             new = fresh_tbl
-        with self._cache._lock:
-            self._cache._store[self._fp] = (watermark_ns, new, schema)
-        return spark.createDataFrame(dense_arrow(new), schema=schema)
+        self._cache._store_put(self._fp, (watermark_ns, new, schema))
+        return arrow_to_spark(spark, new, schema=schema)
 
 
 class MemoryQueryCache(QueryCache):
@@ -439,13 +459,46 @@ class MemoryQueryCache(QueryCache):
     :class:`ParquetQueryCache` when state is large.
     """
 
-    def __init__(self) -> None:
-        self._store: Dict[str, Tuple[int, object, object]] = {}
+    def __init__(self, max_entries: Optional[int] = None) -> None:
+        from collections import OrderedDict
+
+        #: insertion/access-ordered: first = least recently used. The
+        #: fingerprint includes every literal (SURVEY §4.4.3 — `value>1`
+        #: and `value>2` are separate entries by design), so a standing
+        #: session serving ad-hoc dashboards accumulates entries without
+        #: bound unless capped (r9 verdict item 3). ``None`` = unbounded.
+        self._store: "OrderedDict[str, Tuple[int, object, object]]" = OrderedDict()
         self._tags: Dict[str, Dict[str, str]] = {}
         self._lock = threading.Lock()
+        self.max_entries = max_entries
 
     def entry(self, fingerprint: str) -> CacheEntry:
         return _MemoryEntry(self, fingerprint)
+
+    def _touch(self, fingerprint: str) -> None:
+        """Mark ``fingerprint`` most-recently-used (reads and writes)."""
+        with self._lock:
+            if fingerprint in self._store:
+                self._store.move_to_end(fingerprint)
+
+    def _store_put(self, fingerprint: str, value) -> None:
+        """Insert/overwrite as most-recently-used, then enforce the LRU cap
+        (plain dict assignment would NOT refresh recency on overwrite)."""
+        with self._lock:
+            self._store[fingerprint] = value
+            self._store.move_to_end(fingerprint)
+            self._evict_over_cap()
+
+    def _evict_over_cap(self) -> List[str]:
+        """Evict least-recently-used entries past ``max_entries``. Called
+        under ``self._lock`` by the put paths. An evicted fingerprint's
+        next query self-heals as a plain miss (cold recompute + store)."""
+        evicted: List[str] = []
+        if self.max_entries is not None:
+            while len(self._store) > self.max_entries:
+                fp, _ = self._store.popitem(last=False)
+                evicted.append(fp)
+        return evicted
 
     def put_tag(self, fingerprint: str, key: str, value: str) -> None:
         with self._lock:
@@ -519,8 +572,29 @@ class _ParquetEntry(CacheEntry):
             out = out.unionByName(rd.parquet(p))
         return out
 
+    def _touch_access(self) -> None:
+        """Bump the ``.accessed`` sidecar's mtime at most once per 60s —
+        the sweep's last-access signal for read-only workloads whose
+        meta.json never rewrites (pinned-now replays, pure hot reads).
+        Rate-limited by the file's own mtime, so repeated hot reads cost
+        one ``getmtime`` each, not a write."""
+        if self._meta is None:
+            return
+        p = os.path.join(self._dir, ".accessed")
+        try:
+            if time.time() - os.path.getmtime(p) < 60.0:
+                return
+            os.utime(p, None)
+        except OSError:
+            try:
+                with open(p, "w"):
+                    pass
+            except OSError:
+                pass  # advisory only: never fail a read over a touch
+
     def get(self, spark: SparkSession) -> DataFrame:
         # schema from meta.json → no parquet-footer inference at plan time
+        self._touch_access()
         try:
             from pyspark.sql.types import StructType
 
@@ -564,6 +638,7 @@ class _ParquetEntry(CacheEntry):
         replacing each time anyway."""
         if self._meta is None:
             return None
+        self._touch_access()
         return self._state_paths()
 
     def get_arrow(self):
@@ -572,6 +647,7 @@ class _ParquetEntry(CacheEntry):
         rows = self._meta.get("rows")
         if rows is None or rows > self.DRIVER_COLLECT_MAX_ROWS:
             return None
+        self._touch_access()
         try:
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -622,7 +698,7 @@ class _ParquetEntry(CacheEntry):
                     pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
                     # arrow direct — NOT via pandas, whose NaN-as-missing
                     # sentinel would null out NaN aggregate values
-                    result = spark.createDataFrame(tbl, schema=state.schema)
+                    result = arrow_to_spark(spark, tbl, schema=state.schema)
                 else:  # guessed wrong: state grew past the cap — spill path
                     shutil.rmtree(path, ignore_errors=True)
                     result = None
@@ -853,12 +929,100 @@ class ParquetQueryCache(QueryCache):
     the same path-based API.
     """
 
-    def __init__(self, root: str):
+    def __init__(
+        self,
+        root: str,
+        ttl_s: Optional[float] = None,
+        max_bytes: Optional[int] = None,
+        sweep_interval_s: float = 300.0,
+    ):
         self.root = root
+        #: Evict entries not accessed (read OR refreshed) within this many
+        #: seconds. The fingerprint includes every literal (SURVEY §4.4.3),
+        #: so a standing deployment serving ad-hoc dashboards accumulates
+        #: entries without bound unless swept (r9 verdict item 3 — the
+        #: reference has the same unbounded growth, ``src/cache.rs:52-56``).
+        self.ttl_s = ttl_s
+        #: Byte budget across ALL entries: past it, least-recently-accessed
+        #: entries evict first until under budget.
+        self.max_bytes = max_bytes
+        #: Opportunistic sweeps (piggybacked on ``entry()``) run at most
+        #: this often; a real deployment also runs ``sweep()`` as scheduled
+        #: maintenance alongside ``vacuum()``.
+        self.sweep_interval_s = sweep_interval_s
+        self._last_sweep = 0.0
         os.makedirs(root, exist_ok=True)
 
     def entry(self, fingerprint: str) -> CacheEntry:
+        self._maybe_sweep()
         return _ParquetEntry(self.root, fingerprint)
+
+    def _maybe_sweep(self) -> None:
+        if self.ttl_s is None and self.max_bytes is None:
+            return
+        now = time.monotonic()
+        if now - self._last_sweep < self.sweep_interval_s:
+            return
+        self._last_sweep = now
+        try:
+            self.sweep()
+        except OSError:
+            pass  # maintenance must never fail a query
+
+    def sweep(
+        self, ttl_s: Optional[float] = None, max_bytes: Optional[int] = None
+    ) -> List[str]:
+        """Fingerprint-level eviction: drop whole entries by last-access TTL,
+        then least-recently-accessed-first until under the byte budget.
+
+        Last access = the newer of ``meta.json``'s mtime (bumped by every
+        refresh/watermark swap) and the ``.accessed`` sidecar (bumped at
+        most once a minute by reads — see ``_ParquetEntry._touch_access``).
+        A concurrent reader of an evicted entry self-heals as a miss: the
+        entry constructor treats a missing state dir as vacant and the next
+        query recomputes cold (same guarantee as corruption recovery).
+        Returns removed entry-dir names."""
+        ttl = ttl_s if ttl_s is not None else self.ttl_s
+        budget = max_bytes if max_bytes is not None else self.max_bytes
+        removed: List[str] = []
+        now = time.time()
+        survivors: List[Tuple[float, int, str, str]] = []
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if not os.path.isdir(full):
+                continue  # _tags_*.json and friends are not entries
+            meta_path = os.path.join(full, "meta.json")
+            if not os.path.exists(meta_path):
+                continue  # orphan dirs belong to vacuum(), not the sweep
+            try:
+                last = os.path.getmtime(meta_path)
+            except OSError:
+                continue
+            try:
+                last = max(last, os.path.getmtime(os.path.join(full, ".accessed")))
+            except OSError:
+                pass
+            size = 0
+            for r, _dirs, fs in os.walk(full):
+                for f in fs:
+                    try:
+                        size += os.path.getsize(os.path.join(r, f))
+                    except OSError:
+                        pass
+            if ttl is not None and now - last > ttl:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+                continue
+            survivors.append((last, size, full, d))
+        if budget is not None:
+            total = sum(s for _l, s, _f, _d in survivors)
+            for last, size, full, d in sorted(survivors):
+                if total <= budget:
+                    break
+                shutil.rmtree(full, ignore_errors=True)
+                total -= size
+                removed.append(d)
+        return removed
 
     def _tags_path(self, key: str) -> str:
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in key)

@@ -29,6 +29,7 @@ Scale notes (local[32] is the test rig; the design targets a cluster):
 
 from __future__ import annotations
 
+import os
 import time
 from collections import OrderedDict
 from typing import Dict, List, Optional
@@ -36,7 +37,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .cache import StateCardinalityExceeded
+from .cache import StateCardinalityExceeded, arrow_to_spark
 from .config import QueryCacheConfig
 from .functions.compile import to_column
 from .functions.partial import NotDecomposable, plan_items
@@ -87,6 +88,9 @@ class CachedSparkSession(RefreshTiers):
         self._conf_lock = _threading.Lock()
         self._conf_depth = 0
         self._conf_saved: Dict[str, str] = {}
+        #: parquet path → (on-disk bytes, monotonic stamp): 60s memo for
+        #: the refresh-narrowing byte gate (tiers._narrow_refresh_ok)
+        self._src_bytes_memo: Dict[str, tuple] = {}
         #: debug/observability: the refresh program of the last cached run
         #: (the augmented state+finalize DataFrame), for plan inspection
         self.last_refresh_df: Optional[DataFrame] = None
@@ -153,6 +157,11 @@ class CachedSparkSession(RefreshTiers):
             # ``Transformed::no`` contract extended to engine faults. Loud
             # warn so the degrade is visible; genuinely bad user SQL fails
             # identically in the passthrough below, so nothing is hidden.
+            # Test/fuzz rigs set strict_errors (or QC_STRICT_ERRORS=1) so
+            # engine regressions fail CI loudly instead of silently
+            # un-caching queries behind a log line (r9 ADVICE).
+            if self._strict_errors():
+                raise
             decision = Decision(
                 sql=query, cached=False, reason=f"engine error: {e}"
             )
@@ -160,6 +169,12 @@ class CachedSparkSession(RefreshTiers):
             df = self.spark.sql(query)
         self.last_decision = decision
         return df
+
+    def _strict_errors(self) -> bool:
+        """Strict mode: engine faults raise instead of degrading (CI rigs)."""
+        if getattr(self.config, "strict_errors", False):
+            return True
+        return os.environ.get("QC_STRICT_ERRORS", "").lower() in ("1", "true")
 
     # -- planning -----------------------------------------------------------
 
@@ -494,7 +509,7 @@ class CachedSparkSession(RefreshTiers):
                 # watermark are untouched and the Spark-path fallback
                 # rescans [wm, swm) exactly once — store-back-last is the
                 # same contract _finish_dyn_driver documents.
-                out = self.spark.createDataFrame(res, schema=st_schema)
+                out = arrow_to_spark(self.spark, res, schema=st_schema)
                 if not entry.put_arrow(swm, res, st_schema):
                     return None
                 return out
@@ -1064,7 +1079,7 @@ class CachedSparkSession(RefreshTiers):
             nonlocal cached_state, state_is_local
             state_tbl = entry.get_arrow()
             if state_tbl is not None:
-                cached_state = self.spark.createDataFrame(state_tbl)
+                cached_state = arrow_to_spark(self.spark, state_tbl)
                 state_is_local = True
             else:
                 cached_state = entry.get(self.spark)
@@ -1682,13 +1697,13 @@ class CachedSparkSession(RefreshTiers):
             if extra_names:
                 res = res.select(list(range(n_fin)))
                 res_fields = res_fields[:n_fin]
-            out = self.spark.createDataFrame(res, schema=StructType(res_fields))
+            out = arrow_to_spark(self.spark, res, schema=StructType(res_fields))
             if spec.limit is not None and not spec.order_by:
                 out = out.limit(spec.limit)
             return out
         # mixed null placements / NaN present: Spark-side local sort (single
         # partition → no range exchange), then project the extras away.
-        out = self.spark.createDataFrame(res, schema=StructType(res_fields))
+        out = arrow_to_spark(self.spark, res, schema=StructType(res_fields))
         sort_cols = [
             _order_col(nm, o) for o, nm in zip(spec.order_by, order_names)
         ]
@@ -1855,7 +1870,7 @@ class CachedSparkSession(RefreshTiers):
             try:
                 tbl = d_entry.get_arrow()
                 d_state = (
-                    self.spark.createDataFrame(tbl)
+                    arrow_to_spark(self.spark, tbl)
                     if tbl is not None
                     else d_entry.get(self.spark)
                 )

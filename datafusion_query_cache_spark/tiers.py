@@ -36,7 +36,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
-from .cache import StateCardinalityExceeded
+from .cache import StateCardinalityExceeded, arrow_to_spark
 from .functions.compile import to_column
 from .plans.ir import AggSpec, Col, Lit, Unsupported
 
@@ -465,8 +465,48 @@ class RefreshTiers:
         cached_state.createOrReplaceTempView(tpl["view"])
         return sql
 
+    def _narrow_refresh_ok(self, spec) -> bool:
+        """Should this refresh job narrow its merge shuffle to 2 tasks?
+
+        Only when the TOTAL on-disk size of every source table is known
+        driver-side (registered through ``register_parquet_view``) and fits
+        ``config.refresh_narrow_max_bytes``. Below the gate the refresh
+        scan is tiny and 8+ reduce tasks plus AQE re-planning rounds are
+        pure scheduling overhead (sf0.1 A/B: width 8 → 2 cut the lite dyn
+        refresh −40%). Above it — or for any source whose size we cannot
+        see — the fresh-window + boundary-bucket scan grows with the data
+        and the narrowed exchange becomes the bottleneck (x1000 A/B: the
+        unconditional width-2 pin DOUBLED the dyn warm refresh, 0.53s@8 vs
+        1.03s@2), so the session's own shuffle settings and AQE coalescing
+        stay in charge. Sizes are memoized per path for 60s — the walk is
+        O(files) driver-side and sources grow over time."""
+        gate = getattr(self.config, "refresh_narrow_max_bytes", 0)
+        if not gate or spec is None:
+            return False
+        from .nano import _source_bytes
+        from .sources.tables import LOCAL_PARQUET_SOURCES
+
+        total = 0
+        now = time.monotonic()
+        for t in spec.tables or (spec.table,):
+            src = LOCAL_PARQUET_SOURCES.get(t)
+            if src is None:
+                return False
+            path = src["path"]
+            memo = self._src_bytes_memo.get(path)
+            if memo is None or now - memo[1] > 60.0:
+                try:
+                    memo = (_source_bytes(path), now)
+                except Exception:
+                    return False
+                self._src_bytes_memo[path] = memo
+            total += memo[0]
+            if total > gate:
+                return False
+        return True
+
     @contextmanager
-    def _refresh_confs(self):
+    def _refresh_confs(self, spec=None):
         """Scope down shuffle width for the one templated-refresh job: its
         merge shuffle carries O(state-cardinality) rows (the template gate
         only admits driver-local-small state — the refresh output is
@@ -474,10 +514,24 @@ class RefreshTiers:
         suffice for the volume), and 8+ reduce tasks plus AQE's per-stage
         re-planning rounds are pure scheduling overhead at refresh time
         (measured at sf0.1: width 8 → 2 cuts the lite dyn refresh from
-        ~0.43s to ~0.26s per refresh, −40%). Re-entrant (the streaming
+        ~0.43s to ~0.26s per refresh, −40%). Gated by source size — see
+        ``_narrow_refresh_ok``: big or unknown-size sources keep the
+        session settings (AQE on), because a constant width calibrated at
+        sf0.1 does not survive a 100× scale-up. Re-entrant (the streaming
         maintainer may refresh on another thread): only the outermost
         scope saves/restores, so a race can't leave the session pinned to
-        the refresh settings."""
+        the refresh settings.
+
+        Known interference window: the conf mutation is session-global, so
+        an unrelated query PLANNED concurrently on the same SparkSession
+        during a narrowed refresh inherits width 2 + AQE off for that
+        plan. The window is one short driver-collected job over a
+        byte-gated source; sessions that interleave heavy ad-hoc queries
+        with refreshes on other threads can set
+        ``refresh_narrow_max_bytes=0`` to opt out entirely."""
+        if not self._narrow_refresh_ok(spec):
+            yield
+            return
         want = {
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": "2",
@@ -548,7 +602,7 @@ class RefreshTiers:
                 sql = sql.replace("__QC_LO_D__", lo_d.isoformat())
                 sql = sql.replace("__QC_HI_D__", hi_d.isoformat())
             sql = self._bind_state_source(tpl, entry, cached_state, sql)
-            with self._refresh_confs():
+            with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 aug_fields = list(df.schema.fields)
@@ -579,8 +633,8 @@ class RefreshTiers:
             )
             state_part = tbl.select(list(range(base_idx)))
             if not entry.put_arrow(now_ns, state_part, state_schema):
-                st_df = self.spark.createDataFrame(
-                    state_part, schema=state_schema
+                st_df = arrow_to_spark(
+                    self.spark, state_part, schema=state_schema
                 )
                 entry.put(now_ns, st_df, self.spark)
         decision.refresh_tier = "template"
@@ -1053,7 +1107,7 @@ class RefreshTiers:
             sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
             sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
             sql = self._bind_state_source(tpl, entry, cached_state, sql)
-            with self._refresh_confs():
+            with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 aug_fields = list(df.schema.fields)
@@ -1083,7 +1137,7 @@ class RefreshTiers:
             state_schema = StructType([f for f in aug_fields[:base_idx]])
             state_part = state_tbl.select(list(range(base_idx)))
             if not entry.put_arrow(now_ns, state_part, state_schema):
-                st_df = self.spark.createDataFrame(state_part, schema=state_schema)
+                st_df = arrow_to_spark(self.spark, state_part, schema=state_schema)
                 entry.put(now_ns, st_df, self.spark)
         decision.refresh_tier = "template"
         return self._arrow_result(
@@ -1351,7 +1405,7 @@ class RefreshTiers:
             decision.dynamic_lower = rhs_sql
             sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
             sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
-            with self._refresh_confs():
+            with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 scan = df.toArrow().to_pylist()
@@ -1862,7 +1916,7 @@ class RefreshTiers:
         the fresh window, driver merge, finalize over the whole state."""
         try:
             sql = self._sub_time_tokens(tpl["sql"], "F", wm_ns, now_ns)
-            with self._refresh_confs():
+            with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 scan = df.toArrow().to_pylist()

@@ -214,6 +214,56 @@ def test_dense_arrow_interior_empty_chunk(spark):
     assert dense_arrow(e).num_rows == 0
 
 
+def test_dense_arrow_non_first_column_chunking(spark):
+    """A zero-length chunk living only in a NON-first column still makes
+    to_batches() emit an interior empty batch; the guard must compare
+    filtered-vs-unfiltered BATCH counts, not column(0).num_chunks (r9
+    ADVICE — with col0 at 2 chunks and col1 at [5],[0],[3] the old
+    chunk-count compare returned the table undensified)."""
+    import pyarrow as pa
+
+    from datafusion_query_cache_spark.cache import dense_arrow
+
+    c0 = pa.chunked_array(
+        [pa.array(range(5), pa.int64()), pa.array(range(5, 8), pa.int64())]
+    )
+    c1 = pa.chunked_array(
+        [
+            pa.array(range(5), pa.int64()),
+            pa.array([], pa.int64()),
+            pa.array(range(3), pa.int64()),
+        ]
+    )
+    t = pa.Table.from_arrays([c0, c1], names=["a", "b"])
+    assert [b.num_rows for b in t.to_batches()] == [5, 0, 3]
+    d = dense_arrow(t)
+    assert all(b.num_rows for b in d.to_batches())
+    assert spark.createDataFrame(d).count() == 8
+
+
+def test_memory_entry_get_arrow_is_dense(spark, qc_mem):
+    """MemoryEntry.get_arrow must densify at the source: a stored state
+    table carrying an interior empty chunk (e.g. concatenated upstream)
+    must reach createDataFrame consumers losslessly (r9 verdict item 2)."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_query_cache_spark.cache import MemoryQueryCache
+
+    cache = MemoryQueryCache()
+    entry = cache.entry("fp-dense-test")
+    t1 = pa.table({"g": pa.array([1, 2], pa.int64())})
+    e = pa.table({"g": pa.array([], pa.int64())})
+    t2 = pa.table({"g": pa.array([3, 4, 5], pa.int64())})
+    chunked = pa.concat_tables([t1, e, t2])
+    schema = StructType([StructField("g", LongType())])
+    cache._store["fp-dense-test"] = (0, chunked, schema)
+    got = entry.get_arrow()
+    assert got.num_rows == 5
+    assert all(b.num_rows for b in got.to_batches())
+    assert spark.createDataFrame(got).count() == 5
+
+
 def test_memory_rowset_zero_row_refresh_then_rows(spark, qc_mem):
     """A zero-row refresh window between two row-adding refreshes must not
     lose the later rows: the empty append used to store an interior empty
@@ -242,3 +292,121 @@ def test_memory_rowset_zero_row_refresh_then_rows(spark, qc_mem):
             ).collect()
         )
         assert got == want, f"at now={now}: {len(got)} vs {len(want)} rows"
+
+
+def test_memory_cache_lru_eviction(spark):
+    """max_entries LRU (r9 verdict item 3): least-recently-USED entry
+    evicts on overflow; reads refresh recency."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_query_cache_spark.cache import MemoryQueryCache
+
+    cache = MemoryQueryCache(max_entries=2)
+    sch = StructType([StructField("g", LongType())])
+    t = pa.table({"g": pa.array([1], pa.int64())})
+    cache.entry("fp-a").put_arrow(1, t, sch)
+    cache.entry("fp-b").put_arrow(1, t, sch)
+    assert cache.entry("fp-a").get_arrow() is not None  # a is now MRU
+    cache.entry("fp-c").put_arrow(1, t, sch)  # overflow: b (LRU) evicts
+    assert len(cache) == 2
+    assert cache.entry("fp-b").occupied is False
+    assert cache.entry("fp-a").occupied and cache.entry("fp-c").occupied
+    # overwrite refreshes recency too
+    cache.entry("fp-a").put_arrow(2, t, sch)
+    cache.entry("fp-d").put_arrow(1, t, sch)
+    assert cache.entry("fp-c").occupied is False
+    assert cache.entry("fp-a").occupied and cache.entry("fp-d").occupied
+
+
+def _backdate_entry(root, keep_fp, seconds):
+    """Shift an entry dir's meta/.accessed mtimes into the past."""
+    import time as _t
+
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if not os.path.isdir(full):
+            continue
+        with open(os.path.join(full, "meta.json")) as f:
+            import json as _json
+
+            fp = _json.load(f).get("fingerprint", "")
+        if keep_fp(fp):
+            continue
+        past = _t.time() - seconds
+        for name in ("meta.json", ".accessed"):
+            p = os.path.join(full, name)
+            if os.path.exists(p):
+                os.utime(p, (past, past))
+
+
+def test_parquet_cache_ttl_sweep_and_self_heal(spark, tmp_path):
+    """TTL sweep (r9 verdict item 3): an expired entry's whole fingerprint
+    dir evicts; the next query self-heals as a cold miss with correct
+    results."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    cache = ParquetQueryCache(str(tmp_path / "c"), ttl_s=3600.0)
+    qc = CachedSparkSession(spark, QueryCacheConfig(cache=cache))
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS s "
+        "FROM events GROUP BY event_type"
+    )
+    want = rows_set(qc.sql(sql))
+    assert qc.last_decision.cached
+    assert len(cache.entries()) == 1
+    _backdate_entry(cache.root, keep_fp=lambda fp: False, seconds=7200)
+    removed = cache.sweep()
+    assert len(removed) == 1 and len(cache.entries()) == 0
+    got = qc.sql(sql)  # self-heals as a plain miss: recompute + store
+    assert rows_set(got) == want
+    assert qc.last_decision.cached
+    assert len(cache.entries()) == 1
+
+
+def test_parquet_cache_byte_budget_evicts_lru_first(spark, tmp_path):
+    """Byte-budget sweep: past the budget, least-recently-accessed entries
+    evict first; recently-touched entries survive."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    qc = CachedSparkSession(spark, QueryCacheConfig(cache=cache))
+    old_sql = "SELECT count(*) AS n FROM events"
+    new_sql = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    qc.sql(old_sql).collect()
+    qc.sql(new_sql).collect()
+    assert len(cache.entries()) == 2
+    fresh_fp = qc.last_decision.fingerprint
+    _backdate_entry(cache.root, keep_fp=lambda fp: fp == fresh_fp, seconds=7200)
+    removed = cache.sweep(max_bytes=1)  # both over budget: oldest goes first
+    # budget=1 can never be satisfied, so both evict — oldest first
+    assert len(removed) == 2
+    cache2 = ParquetQueryCache(str(tmp_path / "c2"))
+    qc2 = CachedSparkSession(spark, QueryCacheConfig(cache=cache2))
+    qc2.sql(old_sql).collect()
+    qc2.sql(new_sql).collect()
+    fresh_fp2 = qc2.last_decision.fingerprint
+    _backdate_entry(cache2.root, keep_fp=lambda fp: fp == fresh_fp2, seconds=7200)
+    sizes = {}
+    for d in os.listdir(cache2.root):
+        full = os.path.join(cache2.root, d)
+        if os.path.isdir(full):
+            sizes[d] = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dd, fs in os.walk(full)
+                for f in fs
+            )
+    # budget that ONE entry fits but two don't: only the stale one evicts
+    budget = max(sizes.values()) + 1
+    removed = cache2.sweep(max_bytes=budget)
+    assert len(removed) == 1
+    left = cache2.entries()
+    assert len(left) == 1 and left[0].fingerprint == fresh_fp2
