@@ -126,9 +126,15 @@ _QC_SQLS = {
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
     # variance family via sum-of-squares state (SURVEY §4.3)
+    # second-moment family via ONE mergeable (co-)moment state: variance,
+    # stddev, AND corr (six-component co-moment) share the machinery, so
+    # one ledger row covers all three (same consolidation precedent as
+    # median→percentile, r9 — freed the window slot qc_subquery occupies)
     "qc_variance": (
         "SELECT event_type, round(var_samp(value), 2) AS vs, "
-        "round(stddev_pop(value), 2) AS sp, count(*) AS n FROM {v} GROUP BY 1"
+        "round(stddev_pop(value), 2) AS sp, "
+        "round(corr(value, user_id) + 1e-9, 4) AS c, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
     # BETWEEN desugar (reference panics on this — we support it)
     "qc_between": (
@@ -160,10 +166,14 @@ _QC_SQLS = {
         "array_join(array_sort(collect_set(CAST(user_id AS VARCHAR))), ',') AS us, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
-    # correlation: six-component co-moment state
-    "qc_corr": (
-        "SELECT event_type, round(corr(value, user_id) + 1e-9, 4) AS c, "
-        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    # aggregate inside a derived table (reference's bottom-up rule caches
+    # these for free, src/aggregate.rs:74-76 / README.md:124): the INNER
+    # rollup is the cached entry (shared with the standalone query); the
+    # outer WHERE/ORDER/LIMIT replays post-finalize over O(state) rows
+    "qc_subquery": (
+        "SELECT h, n, av FROM (SELECT date_trunc('hour', ts) AS h, "
+        "count(*) AS n, round(avg(value) + 1e-9, 2) AS av FROM {v} "
+        "GROUP BY 1) x WHERE n > 2 ORDER BY n DESC, h LIMIT 20"
     ),
     # simple filter query caching (reference README.md:130 — unimplemented
     # there): state = the filtered row set, appended incrementally

@@ -336,6 +336,30 @@ class FilterSpec:
         return f"Filter[table={self.table}|where={pred}|select=[{sel}]|order=[{ob}]|limit={lim}]"
 
 
+@dataclass
+class SubquerySpec:
+    """An aggregate inside a derived table, plus the outer shape applied to
+    its result: ``SELECT <items> FROM (<inner aggregate>) x [WHERE pred]
+    [ORDER BY ...] [LIMIT n]``.
+
+    The reference's bottom-up optimizer rule caches the inner Aggregate
+    node wherever it sits in the plan (``src/aggregate.rs:74-76``,
+    ``README.md:124``); our SQL front-end gets the same effect by lowering
+    the derived table to its :class:`AggSpec` — the CACHE KEY is the inner
+    aggregate alone, so a dashboard rollup and every outer shape built on
+    it share one state entry — and replaying the outer shape as O(state)
+    DataFrame ops on the finalized result.
+
+    ``items=None`` means ``SELECT *`` (all inner outputs).
+    """
+
+    inner: "AggSpec"
+    items: Optional[Tuple[SelectItem, ...]]
+    predicate: Optional[Expr]
+    order_by: Tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+
+
 class Unsupported(Exception):
     """Query shape outside the mini-IR → run as plain spark.sql passthrough."""
 

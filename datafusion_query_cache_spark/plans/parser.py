@@ -256,20 +256,32 @@ def parse_agg_query(sql: str) -> AggSpec:
 
 
 def parse_query(sql: str):
-    """Parse ``sql`` into an :class:`AggSpec` or :class:`FilterSpec`.
+    """Parse ``sql`` into an :class:`AggSpec`, :class:`FilterSpec`, or
+    :class:`SubquerySpec`.
 
     Supported shapes (the reference's cacheable surface, README.md:126-130):
     aggregates — ``SELECT <agg-or-group exprs> FROM <one table> [WHERE pred]
     [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]``; simple filters —
-    ``SELECT <cols|*> FROM <one table> [WHERE pred] [ORDER BY] [LIMIT]``.
+    ``SELECT <cols|*> FROM <one table> [WHERE pred] [ORDER BY] [LIMIT]``;
+    derived tables — ``SELECT ... FROM (<aggregate>) x [WHERE] [ORDER BY]
+    [LIMIT]`` (the reference's bottom-up rule caches aggregates inside
+    subqueries for free, ``src/aggregate.rs:74-76``).
     """
+    node = _parse_json_ast(sql)
+    return _lower_select(node)
+
+
+def _lower_select(node: Dict[str, Any]):
+    """Lower one SELECT node (top-level or derived-table body)."""
     from .ir import FilterSpec
 
-    node = _parse_json_ast(sql)
     if node.get("type") != "SELECT_NODE":
         raise Unsupported(f"statement {node.get('type')}")
     if node.get("cte_map", {}).get("map"):
         raise Unsupported("CTE")
+
+    if (node.get("from_table") or {}).get("type") == "SUBQUERY":
+        return _lower_subquery(node)
 
     # FROM: one base table, or a LEFT-DEEP tree of INNER/LEFT equi-joins
     # over base tables (the fact table first, carrying the temporal column).
@@ -485,4 +497,105 @@ def parse_query(sql: str):
         having=having_expr,
         grouping_sets=grouping_sets,
         grouping_fn_items=tuple(grouping_fn_items),
+    )
+
+
+def _lower_subquery(node: Dict[str, Any]):
+    """Lower ``SELECT ... FROM (<inner aggregate>) x [WHERE] [ORDER] [LIMIT]``.
+
+    The inner SELECT must lower to a plain :class:`AggSpec` (that is what
+    gets cached); the outer shape may project/compute over the inner's
+    output columns, filter them, order, and limit — it runs post-finalize
+    over O(state) rows, so nothing here affects cached state. Outer
+    aggregates (re-aggregation of an aggregate) and outer GROUP BY stay
+    passthrough.
+    """
+    from .ir import AggSpec, SubquerySpec
+
+    ft = node["from_table"]
+    if ft.get("column_name_alias"):
+        raise Unsupported("derived-table column aliases")
+    inner = _lower_select(ft["subquery"]["node"])
+    if not isinstance(inner, AggSpec):
+        raise Unsupported("derived table is not a plain aggregate")
+
+    if node.get("group_expressions") or node.get("group_sets"):
+        raise Unsupported("GROUP BY above a derived table")
+    if node.get("having"):
+        raise Unsupported("HAVING above a derived table")
+
+    order_by: List[OrderItem] = []
+    limit: Optional[int] = None
+    for mod in node.get("modifiers", []):
+        mt = mod.get("type")
+        if mt == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                desc = o.get("type") == "DESCENDING"
+                nf = None
+                no = o.get("null_order")
+                if no == "NULLS_FIRST":
+                    nf = True
+                elif no == "NULLS_LAST":
+                    nf = False
+                order_by.append(OrderItem(_expr(o["expression"]), desc, nf))
+        elif mt == "LIMIT_MODIFIER":
+            lim = mod.get("limit")
+            if lim is not None:
+                lv = _expr(lim)
+                if not isinstance(lv, Lit) or not isinstance(lv.value, int):
+                    raise Unsupported("non-literal limit")
+                limit = lv.value
+            if mod.get("offset") is not None:
+                raise Unsupported("offset")
+        else:
+            raise Unsupported(f"modifier {mt} above a derived table")
+
+    where = node.get("where_clause")
+    predicate = _expr(where) if where is not None else None
+
+    star = False
+    items: List[SelectItem] = []
+    sel_list = node.get("select_list", [])
+    if (
+        len(sel_list) == 1
+        and sel_list[0].get("class") == "STAR"
+        and not sel_list[0].get("expr")
+    ):
+        if sel_list[0].get("exclude_list") or sel_list[0].get("replace_list"):
+            raise Unsupported("star with exclude/replace")
+        star = True
+    else:
+        for i, sel in enumerate(sel_list):
+            e = _expr(sel)
+            if _contains_agg(e):
+                raise Unsupported("aggregate above a derived table")
+            alias = sel.get("alias") or ""
+            if not alias:
+                alias = e.name if isinstance(e, Col) else f"col{i}"
+            if alias.startswith("__qc"):
+                raise Unsupported(f"alias {alias} uses reserved __qc prefix")
+            items.append(SelectItem(alias, e))
+        if not items:
+            raise Unsupported("empty select list")
+
+    # every outer column ref must be an inner output (qualifiers were
+    # stripped by _expr; the subquery alias is the only scope here)
+    exposed = set(inner.select_order)
+    refs: List[Expr] = [it.expr for it in items]
+    refs.extend(o.expr for o in order_by)
+    if predicate is not None:
+        refs.append(predicate)
+    for r in refs:
+        for nd in r.walk():
+            if isinstance(nd, Col) and nd.name not in exposed:
+                raise Unsupported(f"outer column {nd.name} not produced by the derived table")
+        if _contains_agg(r):
+            raise Unsupported("aggregate above a derived table")
+
+    return SubquerySpec(
+        inner=inner,
+        items=None if star else tuple(items),
+        predicate=predicate,
+        order_by=tuple(order_by),
+        limit=limit,
     )

@@ -126,7 +126,7 @@ class CachedSparkSession(RefreshTiers):
     def sql(self, query: str) -> DataFrame:
         """Run ``query``; transparently incremental when cache-eligible."""
         try:
-            from .plans.ir import FilterSpec
+            from .plans.ir import FilterSpec, SubquerySpec
             from .plans.parser import parse_query
 
             spec = self._spec_cache.get(query)
@@ -135,6 +135,8 @@ class CachedSparkSession(RefreshTiers):
                 self._spec_cache[query] = spec
             if isinstance(spec, FilterSpec):
                 df, decision = self._plan_filter(spec, query)
+            elif isinstance(spec, SubquerySpec):
+                df, decision = self._plan_subquery(spec, query)
             else:
                 df, decision = self._plan_cached(query, spec)
         except (Unsupported, NotDecomposable) as e:
@@ -716,6 +718,68 @@ class CachedSparkSession(RefreshTiers):
                 continue
             return d_entry, d_wm, fp
         return None
+
+    def _plan_subquery(self, spec, query: str):
+        """Aggregate inside a derived table: cache the INNER aggregate,
+        replay the outer shape post-finalize.
+
+        The reference's bottom-up rule rewrites Aggregate nodes wherever
+        they sit in the plan (``src/aggregate.rs:74-76``, ``README.md:124``);
+        here the derived table's aggregate goes through the full cached
+        pipeline (same fingerprint as the standalone query — one state
+        entry serves the bare rollup AND every outer shape built on it)
+        and the outer WHERE/SELECT/ORDER/LIMIT runs as DataFrame ops over
+        the finalized result — O(state) rows, never touching the source.
+        """
+        from .functions.compile import to_column
+        from .plans.classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+        from .plans.ir import Func as _Func
+
+        # volatile time functions in the OUTER shape would be evaluated by
+        # Spark at execution time (not pinned to the engine's now) — keep
+        # the pinned-now contract by refusing them (passthrough).
+        outer_exprs = list(spec.items or ())
+        for e in [i.expr for i in outer_exprs] + (
+            [spec.predicate] if spec.predicate is not None else []
+        ) + [o.expr for o in spec.order_by]:
+            for nd in e.walk():
+                if isinstance(nd, _Func) and nd.name.lower() in (
+                    VOLATILE_FNS | VOLATILE_TIME_FNS
+                ):
+                    raise Unsupported("volatile function above a derived table")
+
+        df, decision = self._plan_cached(query, spec.inner)
+        if spec.predicate is not None:
+            df = df.filter(to_column(spec.predicate))
+        if spec.items is not None:
+            df = df.select(
+                *[to_column(i.expr).alias(i.name) for i in spec.items]
+            )
+        if spec.order_by:
+            from .tiers import _order_col
+
+            cols = []
+            for i, o in enumerate(spec.order_by):
+                from .plans.ir import Col as _Col
+
+                if isinstance(o.expr, _Col):
+                    cols.append(_order_col(o.expr.name, o))
+                else:
+                    c = to_column(o.expr)
+                    if o.nulls_first is None:
+                        cols.append(c.desc() if o.desc else c.asc())
+                    elif o.desc:
+                        cols.append(
+                            c.desc_nulls_first() if o.nulls_first else c.desc_nulls_last()
+                        )
+                    else:
+                        cols.append(
+                            c.asc_nulls_first() if o.nulls_first else c.asc_nulls_last()
+                        )
+            df = df.orderBy(*cols)
+        if spec.limit is not None:
+            df = df.limit(spec.limit)
+        return df, decision
 
     def _plan_cached(self, query: str, spec: Optional[AggSpec] = None):
         cfg = self.config

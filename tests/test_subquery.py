@@ -1,0 +1,138 @@
+"""Aggregate-inside-derived-table caching (r9 verdict item 4).
+
+The reference's bottom-up optimizer rule rewrites Aggregate nodes wherever
+they sit in the plan (``src/aggregate.rs:74-76``, ``README.md:124``); our
+front-end lowers ``SELECT ... FROM (<aggregate>) x [WHERE] [ORDER] [LIMIT]``
+to a SubquerySpec — inner aggregate cached (sharing the standalone query's
+entry), outer shape replayed post-finalize over O(state) rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+def _two_run(qc, spark, sql):
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+    qc.config.override_now_ns = cut_ns
+    try:
+        qc.sql(sql).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        ev.createOrReplaceTempView("events")
+        qc.config.override_now_ns = mx + 10**9
+        out = qc.sql(sql)
+        assert qc.last_decision.cached and qc.last_decision.cache_hit
+        return out
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+# -- parsing ------------------------------------------------------------
+
+
+def test_parse_subquery_shape():
+    from datafusion_query_cache_spark.plans.ir import SubquerySpec
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    s = parse_query(
+        "SELECT h, n FROM (SELECT date_trunc('hour', ts) AS h, count(*) AS n "
+        "FROM events GROUP BY 1) x WHERE n > 5 ORDER BY n DESC LIMIT 3"
+    )
+    assert isinstance(s, SubquerySpec)
+    # the cache key is the INNER aggregate alone: identical to the
+    # standalone query's spec, so they share one state entry
+    inner = parse_query(
+        "SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1"
+    )
+    assert s.inner.canon() == inner.canon()
+    assert s.limit == 3 and s.predicate is not None and len(s.order_by) == 1
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        (
+            "SELECT sum(n) FROM (SELECT event_type, count(*) AS n "
+            "FROM events GROUP BY 1) t",
+            "aggregate above",
+        ),
+        (
+            "SELECT bogus FROM (SELECT event_type, count(*) AS n "
+            "FROM events GROUP BY 1) t",
+            "not produced",
+        ),
+        (
+            "SELECT n FROM (SELECT event_type, count(*) AS n FROM events "
+            "GROUP BY 1) t GROUP BY n",
+            "GROUP BY above",
+        ),
+        (
+            "SELECT event_id FROM (SELECT event_id, value FROM events) t",
+            "not a plain aggregate",
+        ),
+    ],
+)
+def test_parse_subquery_unsupported(sql, msg):
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match=msg):
+        parse_query(sql)
+
+
+# -- behavior -----------------------------------------------------------
+
+
+def test_subquery_warm_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT h, n, av FROM (SELECT date_trunc('hour', ts) AS h, "
+        "count(*) AS n, round(avg(value) + 1e-9, 2) AS av FROM events "
+        "GROUP BY 1) x WHERE n > 2 ORDER BY n DESC, h LIMIT 10"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_subquery_star_and_filter(spark, qc_mem):
+    sql = (
+        "SELECT * FROM (SELECT event_type, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events GROUP BY 1) t WHERE n > 0"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_subquery_shares_entry_with_standalone(spark, qc_mem):
+    inner = (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+    )
+    outer = f"SELECT n FROM ({inner}) t WHERE n >= 0"
+    qc_mem.config.override_now_ns = None
+    qc_mem.sql(outer).collect()
+    assert qc_mem.last_decision.cached
+    fp1 = qc_mem.last_decision.fingerprint
+    qc_mem.sql(inner).collect()
+    assert qc_mem.last_decision.cached and qc_mem.last_decision.cache_hit
+    assert qc_mem.last_decision.fingerprint == fp1
+
+
+def test_subquery_outer_volatile_passthrough(spark, qc_mem):
+    # now() in the outer shape would evaluate at Spark execution time, not
+    # the engine's pinned now — must stay passthrough, with right answers
+    sql = (
+        "SELECT d FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n FROM events GROUP BY 1) t WHERE d < CAST(now() AS DATE)"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached is False
+    assert rows_set(out) == rows_set(spark.sql(sql))
