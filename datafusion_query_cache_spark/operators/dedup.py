@@ -173,12 +173,34 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    candidates_obs=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over MinHash signatures.
 
     Pipeline: signature → explode ``bands`` band-hashes → self-join within
     (band, hash) buckets → estimated Jaccard = fraction of matching
     signature positions → filter ≥ threshold.
+
+    ``(bands, rows=num_hashes//bands)`` sets the s-curve: a pair with true
+    Jaccard J becomes a candidate with probability ``1-(1-J^rows)^bands``,
+    steepest around the midpoint ``(1/bands)^(1/rows)``. Pick the banding
+    whose midpoint sits at (or just below) your verify threshold — a lower
+    midpoint costs candidate volume, a higher one costs recall:
+
+    ====================  ========  ==============================
+    (num_hashes, bands)   midpoint  use for verify threshold ≈
+    ====================  ========  ==============================
+    (64, 32)  rows=2      0.18      0.2 – 0.35
+    (64, 16)  rows=4      0.50      0.5 – 0.7   (default)
+    (128, 16) rows=8      0.71      0.7 – 0.8   (tighter estimator too)
+    (64, 8)   rows=8      0.77      0.8 – 0.9
+    ====================  ========  ==============================
+
+    At 1B docs the candidate:verify ratio (1,762:1 at sf0.1 with the
+    default banding at threshold 0.6) is the cost driver — pass a
+    ``pyspark.sql.Observation`` as ``candidates_obs`` and read
+    ``obs.get["candidates"]`` after the first action to see the candidate
+    volume a production run actually pushed through the distinct shuffle.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
@@ -224,6 +246,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if candidates_obs is not None:
+        # post-distinct candidate count: the volume the verify join pays
+        cand = cand.observe(
+            candidates_obs, F.count(F.lit(1)).alias("candidates")
+        )
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
     pairs = cand.join(sig_a, "id_a").join(sig_b, "id_b")
@@ -350,6 +377,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     est_slack: float = 0.25,
     max_bucket: int = 1000,
+    candidates_obs=None,
 ) -> DataFrame:
     """Production MinHash dedup pipeline: LSH candidates → exact verify.
 
@@ -359,7 +387,12 @@ def minhash_dedup_pairs(
     OUTPUT is exact: precision 1.0 by construction, recall = the banding
     recall (1-(1-J^r)^B ≈ 0.9998 at J=0.8 with 16 bands of 4; verified
     1.0 on the sf fixtures in tests/test_dedup.py). This is what makes the
-    operator value-checkable against the exact all-pairs oracle."""
+    operator value-checkable against the exact all-pairs oracle.
+
+    ``num_hashes``/``bands`` select the banding s-curve — see the table on
+    :func:`minhash_lsh_pairs`; ``candidates_obs`` (an ``Observation``)
+    reports the candidate volume so the candidate:verify ratio is visible
+    in production (r9 profile: 1,762:1 at sf0.1, banding-dominated)."""
     # persist: verify_pairs references the candidate set twice (member ids
     # + pair join); uncached, the whole banding pipeline would run twice
     cand = minhash_lsh_pairs(
@@ -371,6 +404,7 @@ def minhash_dedup_pairs(
         bands,
         threshold=max(0.0, threshold - est_slack),
         max_bucket=max_bucket,
+        candidates_obs=candidates_obs,
     )
     cand = _persist_generational("minhash_cand", cand)
     return verify_pairs(
