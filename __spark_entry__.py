@@ -308,7 +308,12 @@ def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass one) lands within a 10% band of the exact distinct count.
     ``est_ok`` is that bounds check; ``n``/``u_exact`` value-check the rest
     of the row exactly. The EXACT twin qc_distinct_exact value-checks the
-    same incremental plumbing with full equality."""
+    same incremental plumbing with full equality.
+
+    Band derivation (r9 ADVICE — a fixed 10% of a probabilistic estimator
+    can flake): approx_count_distinct's default rsd is 5%, so the band is
+    4×rsd = 20% of exact, floored at 4 absolute for small/skewed groups
+    where a relative band is tighter than one register flip."""
     view = "events_qc_approx"
     sql = (
         "SELECT event_type, approx_count_distinct(user_id) AS u, "
@@ -327,7 +332,7 @@ def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u_exact",
             (
                 F.abs(F.col("u") - F.col("u_exact"))
-                <= 0.1 * F.col("u_exact")
+                <= F.greatest(0.2 * F.col("u_exact"), F.lit(4.0))
             ).alias("est_ok"),
         )
         .orderBy("event_type")

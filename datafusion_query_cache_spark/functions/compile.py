@@ -250,3 +250,70 @@ def to_column(e: Expr) -> Column:
     if isinstance(e, AggCall):
         raise Unsupported("aggregate call reached scalar compiler")
     raise Unsupported(f"cannot compile {type(e).__name__}")
+
+
+#: AggCall fn → pyspark.sql.functions name for PLAIN (non-incremental)
+#: re-aggregation — used only over already-finalized O(state) results
+#: (outer aggregates above a cached derived table), never on cached state,
+#: so no partial/merge decomposition is needed.
+_PLAIN_AGGS = {
+    "count": "count",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "avg": "avg",
+    "var_samp": "var_samp",
+    "var_pop": "var_pop",
+    "stddev_samp": "stddev_samp",
+    "stddev_pop": "stddev_pop",
+    "min_by": "min_by",
+    "max_by": "max_by",
+    "corr": "corr",
+    "covar_samp": "covar_samp",
+    "covar_pop": "covar_pop",
+    "collect_set": "collect_set",
+    "array_agg": "collect_list",
+    "median": "median",
+    "mode": "mode",
+    "bool_and": "bool_and",
+    "bool_or": "bool_or",
+    "bit_and": "bit_and",
+    "bit_or": "bit_or",
+    "bit_xor": "bit_xor",
+    "approx_count_distinct": "approx_count_distinct",
+    "product": "product",
+}
+
+
+def plain_agg_column(a: AggCall) -> Column:
+    """Compile an AggCall into a plain Spark aggregate Column.
+
+    For re-aggregation OVER a finalized cached result (outer
+    ``GROUP BY``/aggregates above a derived table): the input is exact and
+    O(state)-small, so ordinary Spark aggregation is both correct and
+    cheap — decomposability (functions/partial.py) is irrelevant here.
+    ``first``/``last`` are refused: bare Spark first/last are
+    order-arbitrary, and the engine's time-series rewrite (min_by/max_by
+    on the temporal column) has no temporal column at this level."""
+    fn = a.fn.lower()
+    if fn == "count" and len(a.args) == 1 and isinstance(a.args[0], Star):
+        if a.distinct:
+            raise Unsupported("count(DISTINCT *) above a derived table")
+        return F.count(F.lit(1))
+    if any(isinstance(n, AggCall) for arg in a.args for n in arg.walk()):
+        raise Unsupported("nested aggregate")
+    args = [to_column(x) for x in a.args]
+    if a.distinct:
+        if fn == "count":
+            return F.count_distinct(*args)
+        if fn == "sum":
+            return F.sum_distinct(args[0])
+        raise Unsupported(f"{fn}(DISTINCT) above a derived table")
+    if fn in ("percentile", "percentile_cont", "quantile"):
+        if len(args) != 2:
+            raise Unsupported(f"{fn} arity above a derived table")
+        return F.percentile(args[0], args[1])
+    name = _PLAIN_AGGS.get(fn)
+    if name is None:
+        raise Unsupported(f"aggregate {fn} above a derived table")
+    return getattr(F, name)(*args)

@@ -350,7 +350,12 @@ class SubquerySpec:
     it share one state entry — and replaying the outer shape as O(state)
     DataFrame ops on the finalized result.
 
-    ``items=None`` means ``SELECT *`` (all inner outputs).
+    ``items=None`` means ``SELECT *`` (all inner outputs). When
+    ``aggregates`` is non-empty the outer shape is itself an aggregation
+    (``SELECT g, sum(n) FROM (...) GROUP BY g`` — the two-level rollup):
+    it runs as PLAIN Spark aggregation over the finalized inner rows
+    (O(state), exact), with ``group_by``/``having``/``select_order``
+    mirroring AggSpec's fields and ``items`` unused.
     """
 
     inner: "AggSpec"
@@ -358,6 +363,10 @@ class SubquerySpec:
     predicate: Optional[Expr]
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
+    group_by: Tuple[SelectItem, ...] = ()
+    aggregates: Tuple[SelectItem, ...] = ()
+    having: Optional[Expr] = None
+    select_order: Tuple[str, ...] = ()
 
 
 class Unsupported(Exception):

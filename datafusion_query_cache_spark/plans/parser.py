@@ -277,8 +277,9 @@ def _lower_select(node: Dict[str, Any]):
 
     if node.get("type") != "SELECT_NODE":
         raise Unsupported(f"statement {node.get('type')}")
-    if node.get("cte_map", {}).get("map"):
-        raise Unsupported("CTE")
+    ctes = node.get("cte_map", {}).get("map")
+    if ctes:
+        return _lower_cte(node, ctes)
 
     if (node.get("from_table") or {}).get("type") == "SUBQUERY":
         return _lower_subquery(node)
@@ -519,10 +520,12 @@ def _lower_subquery(node: Dict[str, Any]):
     if not isinstance(inner, AggSpec):
         raise Unsupported("derived table is not a plain aggregate")
 
-    if node.get("group_expressions") or node.get("group_sets"):
-        raise Unsupported("GROUP BY above a derived table")
-    if node.get("having"):
-        raise Unsupported("HAVING above a derived table")
+    raw_sets = node.get("group_sets") or []
+    n_outer_groups = len(node.get("group_expressions") or [])
+    if raw_sets and not (
+        len(raw_sets) == 1 and sorted(raw_sets[0]) == list(range(n_outer_groups))
+    ):
+        raise Unsupported("grouping sets above a derived table")
 
     order_by: List[OrderItem] = []
     limit: Optional[int] = None
@@ -554,7 +557,7 @@ def _lower_subquery(node: Dict[str, Any]):
     predicate = _expr(where) if where is not None else None
 
     star = False
-    items: List[SelectItem] = []
+    raw_items: List[Tuple[str, Expr]] = []
     sel_list = node.get("select_list", [])
     if (
         len(sel_list) == 1
@@ -567,35 +570,156 @@ def _lower_subquery(node: Dict[str, Any]):
     else:
         for i, sel in enumerate(sel_list):
             e = _expr(sel)
-            if _contains_agg(e):
-                raise Unsupported("aggregate above a derived table")
             alias = sel.get("alias") or ""
             if not alias:
                 alias = e.name if isinstance(e, Col) else f"col{i}"
             if alias.startswith("__qc"):
                 raise Unsupported(f"alias {alias} uses reserved __qc prefix")
-            items.append(SelectItem(alias, e))
-        if not items:
+            raw_items.append((alias, e))
+        if not raw_items:
             raise Unsupported("empty select list")
 
-    # every outer column ref must be an inner output (qualifiers were
-    # stripped by _expr; the subquery alias is the only scope here)
     exposed = set(inner.select_order)
-    refs: List[Expr] = [it.expr for it in items]
-    refs.extend(o.expr for o in order_by)
-    if predicate is not None:
-        refs.append(predicate)
-    for r in refs:
-        for nd in r.walk():
+
+    def _check_inner_refs(e: Expr, what: str) -> None:
+        for nd in e.walk():
             if isinstance(nd, Col) and nd.name not in exposed:
-                raise Unsupported(f"outer column {nd.name} not produced by the derived table")
-        if _contains_agg(r):
-            raise Unsupported("aggregate above a derived table")
+                raise Unsupported(
+                    f"outer {what} {nd.name} not produced by the derived table"
+                )
+
+    if predicate is not None:
+        # outer WHERE applies to inner output rows (before any outer agg)
+        if _contains_agg(predicate):
+            raise Unsupported("aggregate in WHERE above a derived table")
+        _check_inner_refs(predicate, "column")
+
+    has_outer_agg = any(_contains_agg(e) for _, e in raw_items) or bool(
+        node.get("group_expressions")
+    )
+    if node.get("having") and not has_outer_agg:
+        raise Unsupported("HAVING without aggregates above a derived table")
+
+    if not has_outer_agg:
+        for _n, e in raw_items:
+            _check_inner_refs(e, "column")
+        for o in order_by:
+            if _contains_agg(o.expr):
+                raise Unsupported("aggregate in ORDER BY above a derived table")
+            _check_inner_refs(o.expr, "column")
+        return SubquerySpec(
+            inner=inner,
+            items=None if star else tuple(SelectItem(n, e) for n, e in raw_items),
+            predicate=predicate,
+            order_by=tuple(order_by),
+            limit=limit,
+        )
+
+    # outer AGGREGATION over the derived table (the two-level rollup):
+    # resolve groups the same way the main lowering does, split items into
+    # group vs aggregate outputs. All of this evaluates as PLAIN Spark ops
+    # over the finalized inner result — only the inner aggregate is cached.
+    if star:
+        raise Unsupported("SELECT * with GROUP BY above a derived table")
+    group_items: List[SelectItem] = []
+    grouped_exprs: List[Expr] = []
+    for ge in node.get("group_expressions", []):
+        g = _expr(ge)
+        if isinstance(g, Lit) and isinstance(g.value, int):
+            idx = g.value - 1
+            if not 0 <= idx < len(raw_items):
+                raise Unsupported("group-by position out of range")
+            name, e = raw_items[idx]
+            group_items.append(SelectItem(name, e))
+            grouped_exprs.append(e)
+            continue
+        if isinstance(g, Col):
+            for name, e in raw_items:
+                if name == g.name and not isinstance(e, Col):
+                    group_items.append(SelectItem(name, e))
+                    grouped_exprs.append(e)
+                    break
+            else:
+                group_items.append(SelectItem(g.name, g))
+                grouped_exprs.append(g)
+            continue
+        for name, e in raw_items:
+            if e == g:
+                group_items.append(SelectItem(name, e))
+                break
+        else:
+            group_items.append(SelectItem(f"g{len(group_items)}", g))
+        grouped_exprs.append(g)
+
+    agg_items: List[SelectItem] = []
+    select_order: List[str] = []
+    group_names = {s.name for s in group_items}
+    for name, e in raw_items:
+        select_order.append(name)
+        if _contains_agg(e):
+            agg_items.append(SelectItem(name, e))
+        elif e in grouped_exprs or name in group_names:
+            continue
+        else:
+            raise Unsupported(
+                f"non-aggregate outer select item {name} not in GROUP BY"
+            )
+    if not agg_items:
+        raise Unsupported("GROUP BY above a derived table without aggregates")
+
+    having = node.get("having")
+    having_expr = _expr(having) if having is not None else None
+
+    for it in group_items + agg_items:
+        _check_inner_refs(it.expr, "column")
+    if having_expr is not None:
+        _check_inner_refs(having_expr, "column")
+    outer_names = set(select_order) | group_names
+    for o in order_by:
+        # post-aggregation ORDER BY may reference outer outputs by name or
+        # re-state an aggregate/group expression verbatim
+        if _contains_agg(o.expr):
+            _check_inner_refs(o.expr, "column")
+        else:
+            for nd in o.expr.walk():
+                if isinstance(nd, Col) and nd.name not in outer_names:
+                    raise Unsupported(
+                        f"outer ORDER BY {nd.name} not an outer output"
+                    )
 
     return SubquerySpec(
         inner=inner,
-        items=None if star else tuple(items),
+        items=None,
         predicate=predicate,
         order_by=tuple(order_by),
         limit=limit,
+        group_by=tuple(group_items),
+        aggregates=tuple(agg_items),
+        having=having_expr,
+        select_order=tuple(select_order),
     )
+
+
+def _lower_cte(node: Dict[str, Any], ctes: List[Dict[str, Any]]):
+    """Lower ``WITH name AS (<aggregate>) SELECT ... FROM name`` by
+    rewriting the CTE into the equivalent derived table — the reference's
+    bottom-up rule sees CTE bodies the same way it sees subqueries."""
+    if len(ctes) != 1:
+        raise Unsupported("multiple CTEs")
+    cte = ctes[0]
+    name = cte["key"]
+    v = cte["value"]
+    if v.get("aliases"):
+        raise Unsupported("CTE column aliases")
+    ft = node.get("from_table") or {}
+    if ft.get("type") != "BASE_TABLE" or ft.get("table_name") != name:
+        raise Unsupported("CTE not the sole FROM table")
+    synth = dict(node)
+    synth["cte_map"] = {"map": []}
+    synth["from_table"] = {
+        "type": "SUBQUERY",
+        "alias": name,
+        "column_name_alias": [],
+        "subquery": {"node": v["query"]["node"]},
+    }
+    return _lower_select(synth)

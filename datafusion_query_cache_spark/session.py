@@ -731,15 +731,20 @@ class CachedSparkSession(RefreshTiers):
         and the outer WHERE/SELECT/ORDER/LIMIT runs as DataFrame ops over
         the finalized result — O(state) rows, never touching the source.
         """
-        from .functions.compile import to_column
+        from .functions.compile import plain_agg_column, to_column
         from .plans.classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+        from .plans.ir import AggCall as _AggCall
         from .plans.ir import Func as _Func
 
         # volatile time functions in the OUTER shape would be evaluated by
         # Spark at execution time (not pinned to the engine's now) — keep
         # the pinned-now contract by refusing them (passthrough).
-        outer_exprs = list(spec.items or ())
-        for e in [i.expr for i in outer_exprs] + (
+        outer_exprs = [i.expr for i in (spec.items or ())]
+        outer_exprs.extend(i.expr for i in spec.group_by)
+        outer_exprs.extend(i.expr for i in spec.aggregates)
+        if spec.having is not None:
+            outer_exprs.append(spec.having)
+        for e in outer_exprs + (
             [spec.predicate] if spec.predicate is not None else []
         ) + [o.expr for o in spec.order_by]:
             for nd in e.walk():
@@ -751,18 +756,43 @@ class CachedSparkSession(RefreshTiers):
         df, decision = self._plan_cached(query, spec.inner)
         if spec.predicate is not None:
             df = df.filter(to_column(spec.predicate))
-        if spec.items is not None:
+        if spec.aggregates:
+            # two-level rollup: PLAIN re-aggregation of the finalized
+            # (exact, O(state)) inner result — no decomposition needed
+            from .functions.partial import _rewrite_with_finalize
+
+            def _agg_col(e):
+                calls = [n for n in e.walk() if isinstance(n, _AggCall)]
+                fin_map = {c: plain_agg_column(c) for c in calls}
+                return _rewrite_with_finalize(e, fin_map)
+
+            gb = [to_column(g.expr).alias(g.name) for g in spec.group_by]
+            aggs = [_agg_col(i.expr).alias(i.name) for i in spec.aggregates]
+            if spec.having is not None:
+                aggs.append(_agg_col(spec.having).alias("__qc_having"))
+            df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+            if spec.having is not None:
+                df = df.filter(F.col("__qc_having")).drop("__qc_having")
+            df = df.select(*spec.select_order)
+        elif spec.items is not None:
             df = df.select(
                 *[to_column(i.expr).alias(i.name) for i in spec.items]
             )
         if spec.order_by:
             from .tiers import _order_col
 
+            # post-aggregation ORDER BY may restate an output expression
+            # verbatim (`ORDER BY sum(n)`) — resolve it to the output name
+            alias_of = {
+                i.expr: i.name for i in (spec.aggregates + spec.group_by)
+            }
             cols = []
             for i, o in enumerate(spec.order_by):
                 from .plans.ir import Col as _Col
 
-                if isinstance(o.expr, _Col):
+                if o.expr in alias_of:
+                    cols.append(_order_col(alias_of[o.expr], o))
+                elif isinstance(o.expr, _Col):
                     cols.append(_order_col(o.expr.name, o))
                 else:
                     c = to_column(o.expr)

@@ -62,9 +62,9 @@ def test_parse_subquery_shape():
     "sql,msg",
     [
         (
-            "SELECT sum(n) FROM (SELECT event_type, count(*) AS n "
-            "FROM events GROUP BY 1) t",
-            "aggregate above",
+            "SELECT n FROM (SELECT event_type, count(*) AS n "
+            "FROM events GROUP BY 1) t WHERE sum(n) > 5",
+            "aggregate in WHERE above",
         ),
         (
             "SELECT bogus FROM (SELECT event_type, count(*) AS n "
@@ -136,3 +136,60 @@ def test_subquery_outer_volatile_passthrough(spark, qc_mem):
     out = qc_mem.sql(sql)
     assert qc_mem.last_decision.cached is False
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_subquery_outer_reaggregation(spark, qc_mem):
+    """Two-level rollup: outer GROUP BY + aggregates over the cached inner
+    aggregate run as plain ops over the finalized O(state) result."""
+    sql = (
+        "SELECT event_type, sum(n) AS total, max(n) AS peak FROM "
+        "(SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n FROM events GROUP BY 1, 2) x "
+        "GROUP BY 1 HAVING sum(n) > 10 ORDER BY sum(n) DESC, event_type"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_subquery_outer_global_agg(spark, qc_mem):
+    sql = (
+        "SELECT count(*) AS days, max(n) AS peak FROM "
+        "(SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events GROUP BY 1) t"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_cte_lowered_like_subquery(spark, qc_mem):
+    sql = (
+        "WITH agg AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1) "
+        "SELECT event_type, n FROM agg WHERE n > 5 ORDER BY n DESC"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    # CTE and derived-table forms share the same inner fingerprint
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    s1 = parse_query(sql)
+    s2 = parse_query(
+        "SELECT event_type, n FROM (SELECT event_type, count(*) AS n "
+        "FROM events GROUP BY 1) agg WHERE n > 5 ORDER BY n DESC"
+    )
+    assert s1.inner.canon() == s2.inner.canon()
+
+
+def test_cte_unsupported_shapes():
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match="multiple CTEs"):
+        parse_query(
+            "WITH a AS (SELECT count(*) n FROM events), "
+            "b AS (SELECT count(*) m FROM events) SELECT * FROM a"
+        )
+    with pytest.raises(Unsupported, match="sole FROM"):
+        parse_query(
+            "WITH a AS (SELECT event_type, count(*) n FROM events GROUP BY 1) "
+            "SELECT e.event_id FROM events e"
+        )
