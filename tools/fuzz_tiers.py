@@ -144,6 +144,44 @@ def gen_filter_sql(rng: random.Random) -> tuple[str, bool]:
     return sql, topk
 
 
+#: agg aliases (from AGGS) that are numeric and safe to re-aggregate
+_NUMERIC_AGGS = {"n", "nv", "s", "mn", "mx", "av", "avr", "sx", "spr", "vs", "sp", "de", "br"}
+
+
+def wrap_subquery(sql: str, rng: random.Random, gs, ags) -> str:
+    """Wrap a generated aggregate in a derived table / CTE with a random
+    outer shape (projection+filter, re-aggregation, or the WITH spelling)
+    — fuzzes the r10 SubquerySpec lowering. The twin surgery downstream
+    still works because the INNER where/group-by is the first occurrence
+    in string order."""
+    g_names = [g.split(" AS ")[-1] if " AS " in g else g for g in gs]
+    a_names = [a.split(" AS ")[-1] for a in ags]
+    all_names = g_names + a_names
+    nums = [a for a in a_names if a in _NUMERIC_AGGS]
+    kind = rng.choice(["proj", "proj", "reagg", "cte"])
+    if kind == "reagg" and nums:
+        g = g_names[0]
+        m = rng.choice(nums)
+        hv = " HAVING count(*) >= 1" if rng.random() < 0.3 else ""
+        ob = " ORDER BY 1" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT {g}, round(sum({m}) + 1e-9, 3) AS zs, max({m}) AS zm, "
+            f"count(*) AS zc FROM ({sql}) __f GROUP BY 1{hv}{ob}"
+        )
+    sel = ", ".join(rng.sample(all_names, rng.randint(1, len(all_names))))
+    # outer WHERE only when the inner already has one: the twin surgery
+    # inserts the as-of bound at the FIRST " WHERE " in string order, which
+    # must be the inner's
+    wpred = (
+        f" WHERE {rng.choice(nums)} >= 0"
+        if nums and " WHERE " in sql and rng.random() < 0.5
+        else ""
+    )
+    if kind == "cte":
+        return f"WITH __f AS ({sql}) SELECT {sel} FROM __f{wpred}"
+    return f"SELECT {sel} FROM ({sql}) __f{wpred}"
+
+
 def _close(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -247,6 +285,11 @@ def main() -> int:
                 f"SELECT {', '.join(gs + ags)} FROM events{where} "
                 f"GROUP BY {gb}{hv}{order}{limit}"
             )
+            # 25%: wrap in a derived table / CTE with a random outer shape
+            # (projection, filter, re-aggregation) — the inner aggregate
+            # must stay cached and every answer exact (r10 SubquerySpec)
+            if rng.random() < 0.25:
+                sql = wrap_subquery(sql, rng, gs, ags)
 
         kw = {}
         if rng.random() < 0.3:
