@@ -369,6 +369,28 @@ class SubquerySpec:
     select_order: Tuple[str, ...] = ()
 
 
+@dataclass
+class UnionSpec:
+    """``<branch> UNION [ALL] <branch> [...] [ORDER BY] [LIMIT]`` where
+    every branch is independently cacheable (AggSpec / SubquerySpec /
+    FilterSpec).
+
+    Each branch plans through its own cached pipeline — a dashboard that
+    unions this-period vs prior-period rollups gets each leg served
+    incrementally from its own entry. The union itself, optional DISTINCT
+    (``all=False``), and the outer ORDER/LIMIT are plain ops over the
+    finalized branch results. SQL UNION is positional: columns take the
+    FIRST branch's names; ``ORDER BY`` resolves positions/names against
+    them. Any uncacheable branch aborts the whole union to passthrough
+    (the branch planners raise Unsupported), which keeps semantics exact.
+    """
+
+    branches: Tuple[object, ...]
+    all: bool
+    order_by: Tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+
+
 class Unsupported(Exception):
     """Query shape outside the mini-IR → run as plain spark.sql passthrough."""
 

@@ -275,6 +275,8 @@ def _lower_select(node: Dict[str, Any]):
     """Lower one SELECT node (top-level or derived-table body)."""
     from .ir import FilterSpec
 
+    if node.get("type") == "SET_OPERATION_NODE":
+        return _lower_setop(node)
     if node.get("type") != "SELECT_NODE":
         raise Unsupported(f"statement {node.get('type')}")
     ctes = node.get("cte_map", {}).get("map")
@@ -723,3 +725,105 @@ def _lower_cte(node: Dict[str, Any], ctes: List[Dict[str, Any]]):
         "subquery": {"node": v["query"]["node"]},
     }
     return _lower_select(synth)
+
+
+def _lower_setop(node: Dict[str, Any]):
+    """Lower ``a UNION [ALL] b [UNION [ALL] c ...] [ORDER BY] [LIMIT]``
+    into a :class:`UnionSpec` of independently-cacheable branches.
+
+    Only UNION (both flavors) is lowered — each leg keeps its own cache
+    entry and the union/distinct runs over finalized results, which is
+    exact. EXCEPT/INTERSECT stay passthrough: they would need BOTH sides'
+    full row sets anyway, so there is nothing incremental to exploit at
+    the set level."""
+    from .ir import UnionSpec
+
+    if node.get("setop_type") != "UNION":
+        raise Unsupported(f"set operation {node.get('setop_type')}")
+    if node.get("cte_map", {}).get("map"):
+        raise Unsupported("CTE over a set operation")
+    want_all = bool(node.get("setop_all"))
+
+    branches: List[object] = []
+
+    def flat(n: Dict[str, Any]) -> None:
+        if (
+            n.get("type") == "SET_OPERATION_NODE"
+            and n.get("setop_type") == "UNION"
+            and bool(n.get("setop_all")) == want_all
+            and not n.get("modifiers")
+        ):
+            flat(n["left"])
+            flat(n["right"])
+            return
+        branches.append(_lower_select(n))
+
+    flat(node["left"])
+    flat(node["right"])
+
+    first = branches[0]
+    names = _branch_names(first)
+    for b in branches[1:]:
+        bn = _branch_names(b)
+        if len(bn) != len(names):
+            raise Unsupported("UNION branch arity mismatch")
+
+    order_by: List[OrderItem] = []
+    limit: Optional[int] = None
+    for mod in node.get("modifiers", []):
+        mt = mod.get("type")
+        if mt == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                desc = o.get("type") == "DESCENDING"
+                nf = None
+                no = o.get("null_order")
+                if no == "NULLS_FIRST":
+                    nf = True
+                elif no == "NULLS_LAST":
+                    nf = False
+                e = _expr(o["expression"])
+                if isinstance(e, Lit) and isinstance(e.value, int):
+                    # UNION ORDER BY is positional against the output
+                    if not 1 <= e.value <= len(names):
+                        raise Unsupported("union order position out of range")
+                    e = Col(names[e.value - 1])
+                elif not (isinstance(e, Col) and e.name in names):
+                    raise Unsupported("union ORDER BY must be an output column")
+                order_by.append(OrderItem(e, desc, nf))
+        elif mt == "LIMIT_MODIFIER":
+            lim = mod.get("limit")
+            if lim is not None:
+                lv = _expr(lim)
+                if not isinstance(lv, Lit) or not isinstance(lv.value, int):
+                    raise Unsupported("non-literal limit")
+                limit = lv.value
+            if mod.get("offset") is not None:
+                raise Unsupported("offset")
+        else:
+            raise Unsupported(f"modifier {mt} over a set operation")
+
+    return UnionSpec(
+        branches=tuple(branches),
+        all=want_all,
+        order_by=tuple(order_by),
+        limit=limit,
+    )
+
+
+def _branch_names(spec) -> List[str]:
+    """Output column names of a lowered branch, in output order."""
+    from .ir import AggSpec, FilterSpec, SubquerySpec
+
+    if isinstance(spec, AggSpec):
+        return list(spec.select_order)
+    if isinstance(spec, SubquerySpec):
+        if spec.aggregates:
+            return list(spec.select_order)
+        if spec.items is not None:
+            return [i.name for i in spec.items]
+        return list(spec.inner.select_order)
+    if isinstance(spec, FilterSpec):
+        if spec.items is None:
+            raise Unsupported("SELECT * branch in a UNION")
+        return [i.name for i in spec.items]
+    raise Unsupported("unsupported UNION branch")

@@ -126,7 +126,7 @@ class CachedSparkSession(RefreshTiers):
     def sql(self, query: str) -> DataFrame:
         """Run ``query``; transparently incremental when cache-eligible."""
         try:
-            from .plans.ir import FilterSpec, SubquerySpec
+            from .plans.ir import FilterSpec, SubquerySpec, UnionSpec
             from .plans.parser import parse_query
 
             spec = self._spec_cache.get(query)
@@ -137,6 +137,8 @@ class CachedSparkSession(RefreshTiers):
                 df, decision = self._plan_filter(spec, query)
             elif isinstance(spec, SubquerySpec):
                 df, decision = self._plan_subquery(spec, query)
+            elif isinstance(spec, UnionSpec):
+                df, decision = self._plan_union(spec, query)
             else:
                 df, decision = self._plan_cached(query, spec)
         except (Unsupported, NotDecomposable) as e:
@@ -719,6 +721,55 @@ class CachedSparkSession(RefreshTiers):
             return d_entry, d_wm, fp
         return None
 
+    def _plan_union(self, spec, query: str):
+        """UNION [ALL] of independently-cacheable branches: each leg plans
+        through its own cached pipeline (own fingerprint, own state entry,
+        own refresh tier); the union, the optional DISTINCT, and the outer
+        ORDER/LIMIT are plain ops over the finalized results. Any branch
+        the planners refuse aborts the whole union to passthrough (the
+        Unsupported propagates to ``sql()``'s fallback), so semantics are
+        always exact."""
+        from .plans.ir import FilterSpec, SubquerySpec
+        from .tiers import _order_col
+
+        dfs = []
+        decisions = []
+        for b in spec.branches:
+            if isinstance(b, FilterSpec):
+                df, d = self._plan_filter(b, query)
+            elif isinstance(b, SubquerySpec):
+                df, d = self._plan_subquery(b, query)
+            else:
+                df, d = self._plan_cached(query, b)
+            dfs.append(df)
+            decisions.append(d)
+        names = dfs[0].columns
+        out = dfs[0]
+        for d2 in dfs[1:]:
+            if len(d2.columns) != len(names):
+                raise Unsupported("UNION branch arity mismatch")
+            # SQL UNION is positional: first branch names the output
+            out = out.union(d2.toDF(*names))
+        if not spec.all:
+            out = out.distinct()
+        if spec.order_by:
+            out = out.orderBy(
+                *[_order_col(o.expr.name, o) for o in spec.order_by]
+            )
+        if spec.limit is not None:
+            out = out.limit(spec.limit)
+        decision = Decision(
+            sql=query,
+            cached=True,
+            reason=f"union of {len(dfs)} cached branches",
+            fingerprint=decisions[0].fingerprint,
+            cache_hit=all(d.cache_hit for d in decisions),
+            watermark_ns=decisions[0].watermark_ns,
+            now_ns=decisions[0].now_ns,
+            refresh_tier=decisions[0].refresh_tier,
+        )
+        return out, decision
+
     def _plan_subquery(self, spec, query: str):
         """Aggregate inside a derived table: cache the INNER aggregate,
         replay the outer shape post-finalize.
@@ -986,8 +1037,11 @@ class CachedSparkSession(RefreshTiers):
             plan_inputs.append(_SelectItem("__qc_having", spec.having))
         # schema-aware: decimal sum/avg get typed state (pinned at
         # decimal(38,s), finalize cast to Spark's exact output type);
-        # composite expressions over decimal columns stay passthrough
-        pkey = (query, base_schema.simpleString())
+        # composite expressions over decimal columns stay passthrough.
+        # Keyed on the spec's CANONICAL form, not the query string: one SQL
+        # string can carry several distinct specs (UNION branches), and a
+        # string key would silently reuse branch 1's plans for branch 2.
+        pkey = (spec.canon(), base_schema.simpleString())
         plans = self._plan_cache.get(pkey)
         if plans is None:
             plans = plan_items(tuple(plan_inputs), base_schema)

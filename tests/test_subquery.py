@@ -193,3 +193,70 @@ def test_cte_unsupported_shapes():
             "WITH a AS (SELECT event_type, count(*) n FROM events GROUP BY 1) "
             "SELECT e.event_id FROM events e"
         )
+
+
+# -- UNION of cacheable branches ----------------------------------------
+
+
+def test_union_all_cached_branches(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events WHERE value > 50 GROUP BY 1 "
+        "UNION ALL "
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s "
+        "FROM events WHERE value <= 50 GROUP BY 1 ORDER BY 1, 2"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert "union of 2 cached branches" in qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_union_distinct_and_three_branches(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events WHERE value > 80 GROUP BY 1 "
+        "UNION ALL SELECT event_type, count(*) AS n FROM events "
+        "WHERE value BETWEEN 20 AND 80 GROUP BY 1 "
+        "UNION ALL SELECT event_type, count(*) AS n FROM events "
+        "WHERE value < 20 GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 8"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+    dsql = (
+        "SELECT event_type FROM (SELECT event_type, count(*) AS n "
+        "FROM events GROUP BY 1) a UNION SELECT event_type FROM "
+        "(SELECT event_type, max(value) AS m FROM events GROUP BY 1) b"
+    )
+    out2 = _two_run(qc_mem, spark, dsql)
+    assert rows_set(out2) == rows_set(spark.sql(dsql))
+
+
+def test_union_branches_get_distinct_plans(spark, qc_mem):
+    """Regression for the plan-cache key collision: both branches of a
+    union share ONE query string, so plan caches keyed on the string
+    reused branch 1's compiled plans for branch 2 and returned branch 1's
+    rows twice. Keys are now the spec's canonical form."""
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events WHERE value > 50 "
+        "GROUP BY 1 UNION ALL SELECT event_type, count(*) AS n FROM events "
+        "WHERE value <= 50 GROUP BY 1"
+    )
+    qc_mem.config.override_now_ns = None
+    got = qc_mem.sql(sql)
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    # the two branches must have produced DIFFERENT row groups
+    rows = got.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["n"])
+    assert all(len(set(v)) == len(v) for v in by_type.values()), by_type
+
+
+def test_except_intersect_passthrough(spark, qc_mem):
+    sql = (
+        "SELECT event_type FROM events EXCEPT "
+        "SELECT event_type FROM events WHERE value > 1000"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached is False
+    assert rows_set(out) == rows_set(spark.sql(sql))
