@@ -265,10 +265,30 @@ def main() -> int:
         mode_p = rng.random()
         filter_mode = mode_p < 0.25
         join_mode = 0.25 <= mode_p < 0.4
+        union_mode = 0.4 <= mode_p < 0.5
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
             sql = gen_join_sql(rng)
+        elif union_mode:
+            # UNION [ALL] of two cacheable branches (r10 UnionSpec): same
+            # select shape (positional arity), different predicates. Every
+            # branch carries a WHERE so the twin surgery below can insert
+            # the as-of bound into ALL branches with a replace-all.
+            u_gs = rng.sample(GROUPS, rng.randint(1, 2))
+            u_ags = rng.sample(AGGS, rng.randint(1, 3))
+            p1, p2 = rng.sample([p for p in PREDS if p], 2)
+            u_win = rng.choice(WINDOWS)
+            u_gb = ", ".join(str(i + 1) for i in range(len(u_gs)))
+
+            def _branch(p):
+                conds = [c for c in (p, u_win) if c]
+                return (
+                    f"SELECT {', '.join(u_gs + u_ags)} FROM events "
+                    f"WHERE {' AND '.join(conds)} GROUP BY {u_gb}"
+                )
+
+            sql = _branch(p1) + rng.choice([" UNION ALL ", " UNION "]) + _branch(p2)
         gs = rng.sample(GROUPS, rng.randint(1, 2))
         ags = rng.sample(AGGS, rng.randint(1, 4))
         pred = rng.choice(PREDS)
@@ -280,7 +300,7 @@ def main() -> int:
         hv = f" HAVING {having}" if having else ""
         order = f" ORDER BY {gb}" if rng.random() < 0.7 else ""
         limit = " LIMIT 500" if order and rng.random() < 0.2 else ""
-        if not filter_mode and not join_mode:
+        if not filter_mode and not join_mode and not union_mode:
             sql = (
                 f"SELECT {', '.join(gs + ags)} FROM events{where} "
                 f"GROUP BY {gb}{hv}{order}{limit}"
@@ -369,7 +389,10 @@ def main() -> int:
             if qc.last_decision.cached:
                 s = sql.replace("now()", lit)
                 if " WHERE " in s:
-                    s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", 1)
+                    # union branches each need the as-of bound (every
+                    # union_mode branch is generated WITH a WHERE)
+                    cnt = -1 if union_mode else 1
+                    s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", cnt)
                 else:
                     s = s.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
             else:
