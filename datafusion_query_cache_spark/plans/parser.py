@@ -515,11 +515,15 @@ def _lower_subquery(node: Dict[str, Any]):
     """
     from .ir import AggSpec, SubquerySpec
 
+    from .ir import SubquerySpec as _SubquerySpec
+
     ft = node["from_table"]
     if ft.get("column_name_alias"):
         raise Unsupported("derived-table column aliases")
     inner = _lower_select(ft["subquery"]["node"])
-    if not isinstance(inner, AggSpec):
+    if not isinstance(inner, (AggSpec, _SubquerySpec)):
+        # FilterSpec inner stays passthrough: its row-set state is the
+        # result itself, so an outer shape gains nothing from this path
         raise Unsupported("derived table is not a plain aggregate")
 
     raw_sets = node.get("group_sets") or []
@@ -581,7 +585,7 @@ def _lower_subquery(node: Dict[str, Any]):
         if not raw_items:
             raise Unsupported("empty select list")
 
-    exposed = set(inner.select_order)
+    exposed = set(_branch_names(inner))
 
     def _check_inner_refs(e: Expr, what: str) -> None:
         for nd in e.walk():
@@ -702,28 +706,41 @@ def _lower_subquery(node: Dict[str, Any]):
     )
 
 
+def _subst_cte_from(n: Dict[str, Any], defs: Dict[str, Dict[str, Any]]):
+    """If ``n``'s FROM is a bare reference to a known CTE, inline it as a
+    derived table. JOINs referencing CTEs are left alone (→ Unsupported
+    downstream → passthrough, which Spark executes natively)."""
+    ft = n.get("from_table") or {}
+    if ft.get("type") == "BASE_TABLE" and ft.get("table_name") in defs:
+        n = dict(n)
+        n["from_table"] = {
+            "type": "SUBQUERY",
+            "alias": ft["table_name"],
+            "column_name_alias": [],
+            "subquery": {"node": defs[ft["table_name"]]},
+        }
+    return n
+
+
 def _lower_cte(node: Dict[str, Any], ctes: List[Dict[str, Any]]):
-    """Lower ``WITH name AS (<aggregate>) SELECT ... FROM name`` by
-    rewriting the CTE into the equivalent derived table — the reference's
-    bottom-up rule sees CTE bodies the same way it sees subqueries."""
-    if len(ctes) != 1:
-        raise Unsupported("multiple CTEs")
-    cte = ctes[0]
-    name = cte["key"]
-    v = cte["value"]
-    if v.get("aliases"):
-        raise Unsupported("CTE column aliases")
-    ft = node.get("from_table") or {}
-    if ft.get("type") != "BASE_TABLE" or ft.get("table_name") != name:
-        raise Unsupported("CTE not the sole FROM table")
+    """Lower ``WITH a AS (<aggregate>)[, b AS (SELECT ... FROM a) ...]
+    SELECT ... FROM <last>`` by inlining each CTE reference as a derived
+    table — the reference's bottom-up rule sees CTE bodies the same way it
+    sees subqueries (``src/aggregate.rs:74-76``). Chains lower to NESTED
+    SubquerySpecs: the innermost aggregate is the one cached entry; every
+    level above it replays as plain ops over O(state) rows."""
+    defs: Dict[str, Dict[str, Any]] = {}
+    for cte in ctes:
+        v = cte["value"]
+        if v.get("aliases"):
+            raise Unsupported("CTE column aliases")
+        # bodies may reference EARLIER ctes (duckdb enforces the ordering)
+        defs[cte["key"]] = _subst_cte_from(v["query"]["node"], defs)
     synth = dict(node)
     synth["cte_map"] = {"map": []}
-    synth["from_table"] = {
-        "type": "SUBQUERY",
-        "alias": name,
-        "column_name_alias": [],
-        "subquery": {"node": v["query"]["node"]},
-    }
+    synth = _subst_cte_from(synth, defs)
+    if (synth.get("from_table") or {}).get("type") != "SUBQUERY":
+        raise Unsupported("CTE not the sole FROM table")
     return _lower_select(synth)
 
 

@@ -804,7 +804,15 @@ class CachedSparkSession(RefreshTiers):
                 ):
                     raise Unsupported("volatile function above a derived table")
 
-        df, decision = self._plan_cached(query, spec.inner)
+        from .plans.ir import SubquerySpec as _SubquerySpec
+
+        if isinstance(spec.inner, _SubquerySpec):
+            # nested derived tables / chained CTEs: recurse — only the
+            # INNERMOST aggregate is cached; every level above replays as
+            # plain ops over its finalized O(state) result
+            df, decision = self._plan_subquery(spec.inner, query)
+        else:
+            df, decision = self._plan_cached(query, spec.inner)
         if spec.predicate is not None:
             df = df.filter(to_column(spec.predicate))
         if spec.aggregates:

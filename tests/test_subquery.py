@@ -183,16 +183,43 @@ def test_cte_unsupported_shapes():
     from datafusion_query_cache_spark.plans.ir import Unsupported
     from datafusion_query_cache_spark.plans.parser import parse_query
 
-    with pytest.raises(Unsupported, match="multiple CTEs"):
-        parse_query(
-            "WITH a AS (SELECT count(*) n FROM events), "
-            "b AS (SELECT count(*) m FROM events) SELECT * FROM a"
-        )
     with pytest.raises(Unsupported, match="sole FROM"):
         parse_query(
             "WITH a AS (SELECT event_type, count(*) n FROM events GROUP BY 1) "
             "SELECT e.event_id FROM events e"
         )
+
+
+def test_chained_cte_and_nested_derived_tables(spark, qc_mem):
+    """Chains lower to NESTED SubquerySpecs: only the innermost aggregate
+    is cached; each level above replays as plain ops."""
+    chain = (
+        "WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) "
+        "AS d, count(*) AS n FROM events GROUP BY 1, 2), "
+        "busy AS (SELECT event_type, d, n FROM daily WHERE n > 2) "
+        "SELECT event_type, sum(n) AS total, count(*) AS busy_days "
+        "FROM busy GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, chain)
+    assert rows_set(out) == rows_set(spark.sql(chain))
+
+    nested = (
+        "SELECT et, total FROM (SELECT event_type AS et, sum(n) AS total "
+        "FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n FROM events GROUP BY 1, 2) i GROUP BY 1) o "
+        "WHERE total > 10 ORDER BY total DESC"
+    )
+    out2 = _two_run(qc_mem, spark, nested)
+    assert rows_set(out2) == rows_set(spark.sql(nested))
+
+    # a dead (unreferenced) second CTE is ignored, not a rejection
+    dead = (
+        "WITH a AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), "
+        "b AS (SELECT count(*) AS m FROM events) "
+        "SELECT event_type, n FROM a ORDER BY 1"
+    )
+    out3 = _two_run(qc_mem, spark, dead)
+    assert rows_set(out3) == rows_set(spark.sql(dead))
 
 
 # -- UNION of cacheable branches ----------------------------------------
