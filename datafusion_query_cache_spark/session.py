@@ -72,9 +72,17 @@ class CachedSparkSession(RefreshTiers):
         # Column building per call, all of it identical. Keyed on schema so
         # a source change invalidates naturally.
         self._plan_cache: Dict[tuple, list] = {}
-        #: (query, schema) → compiled group/predicate Column handles
+        #: (canon, schema) → compiled group/predicate Column handles
         self._col_cache: Dict[tuple, tuple] = {}
         self._spec_cache: Dict[str, object] = {}
+        #: driver-memory hygiene for STANDING sessions serving ad-hoc SQL:
+        #: each distinct query string/shape adds a spec/plan/template memo
+        #: entry forever. Past this many entries a memo is cleared whole —
+        #: a rare, cheap full re-derive beats an unbounded driver heap (the
+        #: memos exist for REPEATED queries; an ad-hoc flood has no reuse
+        #: to lose). The durable state cache is governed separately
+        #: (ParquetQueryCache ttl/bytes, MemoryQueryCache max_entries).
+        self._MEMO_MAX = 10_000
         # (query, source schema, state schema) → warm-path SQL template (or
         # None = shape not template-able). The template collapses the whole
         # refresh program — fresh scan, singleton projection, union with the
@@ -132,6 +140,8 @@ class CachedSparkSession(RefreshTiers):
             spec = self._spec_cache.get(query)
             if spec is None:
                 spec = parse_query(query)
+                if len(self._spec_cache) >= self._MEMO_MAX:
+                    self._spec_cache.clear()
                 self._spec_cache[query] = spec
             if isinstance(spec, FilterSpec):
                 df, decision = self._plan_filter(spec, query)
@@ -421,6 +431,15 @@ class CachedSparkSession(RefreshTiers):
                     cfg.log.warn(fingerprint, "filter state schema mismatch; recompute")
                     hit = False
                     stale = True
+                elif not entry.verify_state_files():
+                    # the row-set result LAZILY scans the state parquet at
+                    # the caller's action — a corrupt part must self-heal
+                    # HERE (plan time), not as the caller's read error
+                    cfg.log.warn(
+                        fingerprint, "filter state failed integrity check; recompute"
+                    )
+                    hit = False
+                    stale = True
             except Exception as e:
                 cfg.log.warn(fingerprint, f"filter state unreadable ({e}); recompute")
                 hit = False
@@ -494,6 +513,8 @@ class CachedSparkSession(RefreshTiers):
                     cfg.log.info(
                         fingerprint, f"top-k nano tier not available ({e})"
                     )
+                if len(self._tpl_cache) >= self._MEMO_MAX:
+                    self._tpl_cache.clear()
                 self._tpl_cache[key] = prog
             prog = self._tpl_cache[key]
             if prog is None:
@@ -1053,6 +1074,8 @@ class CachedSparkSession(RefreshTiers):
         plans = self._plan_cache.get(pkey)
         if plans is None:
             plans = plan_items(tuple(plan_inputs), base_schema)
+            if len(self._plan_cache) >= self._MEMO_MAX:
+                self._plan_cache.clear()
             self._plan_cache[pkey] = plans
 
         # fingerprint = canonical IR + resolved source schema — the analogue
@@ -1122,6 +1145,8 @@ class CachedSparkSession(RefreshTiers):
                 if state_pred_expr is not None
                 else None,
             )
+            if len(self._col_cache) >= self._MEMO_MAX:
+                self._col_cache.clear()
             self._col_cache[pkey] = cols_memo
         group_partial, pred = cols_memo
         group_names = [g.name for g in state_group]

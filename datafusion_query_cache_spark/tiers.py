@@ -213,6 +213,8 @@ class RefreshTiers:
             tpl = None
         if tpl is not None:
             tpl["key"] = key
+        if len(self._tpl_cache) >= self._MEMO_MAX:
+            self._tpl_cache.clear()
         self._tpl_cache[key] = tpl
         return tpl
 
@@ -747,6 +749,8 @@ class RefreshTiers:
             tpl = None
         if tpl is not None:
             tpl["key"] = key
+        if len(self._tpl_cache) >= self._MEMO_MAX:
+            self._tpl_cache.clear()
         self._tpl_cache[key] = tpl
         return tpl
 
@@ -1186,6 +1190,8 @@ class RefreshTiers:
             tpl = None
         if tpl is not None:
             tpl["key"] = key
+        if len(self._tpl_cache) >= self._MEMO_MAX:
+            self._tpl_cache.clear()
         self._tpl_cache[key] = tpl
         return tpl
 
@@ -1637,6 +1643,8 @@ class RefreshTiers:
             tpl = None
         if tpl is not None:
             tpl["key"] = key
+        if len(self._tpl_cache) >= self._MEMO_MAX:
+            self._tpl_cache.clear()
         self._tpl_cache[key] = tpl
         return tpl
 
@@ -1786,6 +1794,8 @@ class RefreshTiers:
             tpl = None
         if tpl is not None:
             tpl["key"] = key
+        if len(self._tpl_cache) >= self._MEMO_MAX:
+            self._tpl_cache.clear()
         self._tpl_cache[key] = tpl
         return tpl
 
@@ -1856,6 +1866,8 @@ class RefreshTiers:
             tpl = None
         if tpl is not None:
             tpl["key"] = key
+        if len(self._tpl_cache) >= self._MEMO_MAX:
+            self._tpl_cache.clear()
         self._tpl_cache[key] = tpl
         return tpl
 

@@ -505,3 +505,49 @@ def test_filter_regressed_now_no_duplicates(spark, qc, split):
     want = sorted(tuple(r) for r in spark.sql(sql).collect())
     assert got2 == want  # exact — in particular, no duplicated rows
     assert len(rows_regressed) == len(set(rows_regressed))
+
+
+def test_rowset_state_corruption_self_heals(spark, qc):
+    """r10 fuzz find (seed 31337 trial 123): the row-set result LAZILY
+    scans the state parquet, so a vandalized part file used to surface as
+    the CALLER's FAILED_READ_FILE at collect time. Plan-time footer
+    verification must convert it into a self-healed recompute."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    sql = (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type IN ('click', 'purchase')"
+    )
+    qc.config.override_now_ns = mx - 2 * day
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached
+    qc.config.override_now_ns = mx - day
+    qc.sql(sql).collect()  # one append so multiple part dirs exist
+
+    root = qc.config.cache.root
+    victims = [
+        f
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    ]
+    assert victims
+    with open(victims[0], "wb") as fh:
+        fh.write(b"\x00CORRUPT")  # truncate: footer gone
+
+    qc.config.override_now_ns = mx + 1
+    out = qc.sql(sql)
+    got = sorted(tuple(r) for r in out.collect())  # must NOT raise
+    assert qc.last_decision.cached
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT event_id, event_type, value FROM events "
+            f"WHERE event_type IN ('click', 'purchase') AND ts_ns < {mx + 1}"
+        ).collect()
+    )
+    assert got == want

@@ -94,3 +94,21 @@ def test_strict_errors_mode_raises(spark, qc_mem, monkeypatch):
     assert out.collect()[0]["n"] > 0
     assert qc_mem.last_decision.cached is False
     assert "engine error" in (qc_mem.last_decision.reason or "")
+
+
+def test_session_memos_bounded(spark, qc_mem):
+    """Standing-session driver-memory hygiene: the spec/plan memos clear
+    past _MEMO_MAX instead of growing with every distinct ad-hoc query."""
+    qc_mem._MEMO_MAX = 5
+    for i in range(12):
+        qc_mem.sql(
+            f"SELECT event_type, count(*) AS n FROM events "
+            f"WHERE value > {i} GROUP BY 1"
+        ).collect()
+    assert len(qc_mem._spec_cache) <= 5
+    assert len(qc_mem._plan_cache) <= 5
+    # correctness unaffected by a memo clear: re-run an evicted shape
+    out = qc_mem.sql(
+        "SELECT event_type, count(*) AS n FROM events WHERE value > 0 GROUP BY 1"
+    )
+    assert out.count() > 0 and qc_mem.last_decision.cached

@@ -288,7 +288,20 @@ def main() -> int:
                     f"WHERE {' AND '.join(conds)} GROUP BY {u_gb}"
                 )
 
-            sql = _branch(p1) + rng.choice([" UNION ALL ", " UNION "]) + _branch(p2)
+            # UNION (distinct) only over EXACT outputs: DISTINCT compares
+            # values for equality, so a ULP difference in a computed float
+            # aggregate (sum/avg/var — re-associated by ANY incremental
+            # merge, reference included) flips row counts rather than
+            # values; _close tolerance can't absorb a cardinality change.
+            # min/max/counts/bit/bool/argmin preserve exact input values.
+            exact = {"n", "nv", "mn", "mx", "de", "bo", "br", "mb", "xb"}
+            names = {a.split(" AS ")[-1] for a in u_ags}
+            kind = (
+                rng.choice([" UNION ALL ", " UNION "])
+                if names <= exact
+                else " UNION ALL "
+            )
+            sql = _branch(p1) + kind + _branch(p2)
         gs = rng.sample(GROUPS, rng.randint(1, 2))
         ags = rng.sample(AGGS, rng.randint(1, 4))
         pred = rng.choice(PREDS)
