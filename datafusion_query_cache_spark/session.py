@@ -1278,6 +1278,16 @@ class CachedSparkSession(RefreshTiers):
                         fingerprint, "cached state schema mismatch; recomputing"
                     )
                     hit = False
+                elif not entry.verify_state_files():
+                    # hot reads / file-backed warm state scan the state
+                    # parquet LAZILY (the result df, or the refresh job);
+                    # a corrupt part must self-heal at plan time, not as
+                    # the caller's read error. Aggregate state is usually
+                    # one coalesced file — a single ~1 KB footer read.
+                    cfg.log.warn(
+                        fingerprint, "cached state failed integrity check; recomputing"
+                    )
+                    hit = False
             except Exception as e:  # unreadable state → self-heal as a miss
                 cfg.log.warn(fingerprint, f"cached state unreadable ({e}); recomputing")
                 hit = False

@@ -410,3 +410,37 @@ def test_parquet_cache_byte_budget_evicts_lru_first(spark, tmp_path):
     assert len(removed) == 1
     left = cache2.entries()
     assert len(left) == 1 and left[0].fingerprint == fresh_fp2
+
+
+def test_aggregate_state_corruption_self_heals_hot_read(spark, tmp_path):
+    """Aggregate twin of the row-set corruption fix: a hot read serves the
+    state parquet lazily, so a vandalized state file must self-heal at
+    plan time rather than fail the caller's collect."""
+    import glob
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    qc = CachedSparkSession(spark, QueryCacheConfig(cache=cache))
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS s "
+        "FROM events GROUP BY event_type ORDER BY 1"
+    )
+    want = rows_set(qc.sql(sql))
+    assert qc.last_decision.cached
+    victims = glob.glob(
+        os.path.join(cache.root, "**", "*.parquet"), recursive=True
+    )
+    assert victims
+    with open(victims[0], "wb") as fh:
+        fh.write(b"\x00CORRUPT")
+    out = qc.sql(sql)  # must self-heal as a miss, not raise at collect
+    assert rows_set(out) == want
+    assert qc.last_decision.cached
+    # recomputed state serves the next read warm again
+    out2 = qc.sql(sql)
+    assert rows_set(out2) == want and qc.last_decision.cached
