@@ -586,20 +586,31 @@ def main() -> None:
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "
         "FROM events_x1000 WHERE ts > now() - INTERVAL 25 DAY GROUP BY 1"
     )
-    qzd = CachedSparkSession(
-        spark,
-        QueryCacheConfig(
-            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-xkd-")),
-            default_temporal_column="ts",
-            temporal_partition_columns={"ts": "d"},
-            override_now_ns=cut_ns,
-        ),
-    )
-    qzd.sql(DYN_XK_SQL).collect()
-    timed_warm(
-        "qc_dyn_x1000_warm", qzd, DYN_XK_SQL,
-        [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
-    )
+    def dyn_xk_flow(timed_run: bool) -> None:
+        qzd = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-xkd-")),
+                default_temporal_column="ts",
+                temporal_partition_columns={"ts": "d"},
+                override_now_ns=cut_ns,
+            ),
+        )
+        qzd.sql(DYN_XK_SQL).collect()  # miss: state over all but the tail
+        nows = [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1]
+        if timed_run:
+            timed_warm("qc_dyn_x1000_warm", qzd, DYN_XK_SQL, nows)
+        else:
+            for now_ns in nows:
+                qzd.config.override_now_ns = now_ns
+                qzd.sql(DYN_XK_SQL).collect()
+
+    # same steady-state protocol as the x100 flow above: one untimed
+    # warm-up flow JIT-compiles the dyn refresh plan shapes (first-flow
+    # refreshes are 2-3x codegen-dominated: 1.2-1.8s vs 0.47-0.60s for the
+    # identical flow in a warm JVM), then a fresh-cache timed flow
+    dyn_xk_flow(timed_run=False)
+    dyn_xk_flow(timed_run=True)
     timed_plain_advancing(
         "qc_dyn_x1000_plain",
         dyn_plain_sql("events_x1000", 25, "dd"),
