@@ -203,6 +203,22 @@ _QC_SQLS = {
         "SELECT event_id, value FROM {v} WHERE event_type = 'click' "
         "ORDER BY value DESC, event_id LIMIT 15"
     ),
+    # window functions over the cached rollup (the reference's
+    # Window-above-rewritten-Aggregate shape, src/aggregate.rs:74-76):
+    # rank + running sum evaluate post-finalize over O(state) rows in a
+    # middle derived level; the outer level filters on the rank — only the
+    # innermost per-type daily aggregate is cached state. Both engines
+    # share the default RANGE UNBOUNDED..CURRENT ROW frame; full
+    # tie-breaks keep rank/cum deterministic.
+    "qc_window_topn": (
+        "SELECT et, dd, n, rnk, cum FROM ("
+        "SELECT et, dd, n, "
+        "rank() OVER (PARTITION BY et ORDER BY n DESC, dd) AS rnk, "
+        "sum(n) OVER (PARTITION BY et ORDER BY dd) AS cum "
+        "FROM (SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) "
+        "AS dd, count(*) AS n FROM {v} GROUP BY 1, 2) t) w "
+        "WHERE rnk <= 5 ORDER BY et, rnk, dd"
+    ),
 }
 
 

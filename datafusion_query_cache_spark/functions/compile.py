@@ -165,8 +165,72 @@ def _lit(e: Lit) -> Column:
     return F.lit(e.value)
 
 
+def order_column(o) -> Column:
+    """Compile an :class:`OrderItem` into an ordered Spark Column (used by
+    window OVER clauses and post-finalize ORDER BY replay)."""
+    c = to_column(o.expr)
+    if o.nulls_first is None:
+        return c.desc() if o.desc else c.asc()
+    if o.desc:
+        return c.desc_nulls_first() if o.nulls_first else c.desc_nulls_last()
+    return c.asc_nulls_first() if o.nulls_first else c.asc_nulls_last()
+
+
+def window_column(e) -> Column:
+    """Compile a :class:`WindowExpr` (default frame only — the parser
+    refuses anything else; DuckDB and Spark share the ``RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW`` default, so running aggregates agree with
+    the oracle). Evaluated post-finalize over O(state) rows, so an empty
+    PARTITION BY (one-partition exchange) is fine here — this never runs
+    against the source table."""
+    from pyspark.sql.window import Window
+
+    fn = e.fn
+    w = Window.partitionBy(*[to_column(p) for p in e.partition_by])
+    if e.order_by:
+        w = w.orderBy(*[order_column(o) for o in e.order_by])
+    if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
+        return getattr(F, fn)().over(w)
+    if fn == "ntile":
+        n = e.args[0]
+        if not isinstance(n, Lit) or not isinstance(n.value, int):
+            raise Unsupported("non-literal ntile bucket count")
+        return F.ntile(n.value).over(w)
+    if fn in ("lag", "lead"):
+        off = 1
+        if e.offset is not None:
+            if not isinstance(e.offset, Lit) or not isinstance(e.offset.value, int):
+                raise Unsupported(f"non-literal {fn} offset")
+            off = e.offset.value
+        dflt = None
+        if e.default is not None:
+            if not isinstance(e.default, Lit):
+                raise Unsupported(f"non-literal {fn} default")
+            dflt = e.default.value
+        return getattr(F, fn)(to_column(e.args[0]), off, dflt).over(w)
+    if fn in ("first_value", "last_value"):
+        return (F.first if fn == "first_value" else F.last)(
+            to_column(e.args[0])
+        ).over(w)
+    if fn in ("sum", "avg", "min", "max", "count"):
+        from ..plans.ir import Star as _Star
+
+        # count(*) OVER (...) arrives with no children in the duckdb AST
+        arg = (
+            F.lit(1)
+            if (fn == "count" and (not e.args or isinstance(e.args[0], _Star)))
+            else to_column(e.args[0])
+        )
+        return getattr(F, fn)(arg).over(w)
+    raise Unsupported(f"window function {fn}")
+
+
 def to_column(e: Expr) -> Column:
     """Compile an IR expression (no AggCall nodes) to a Spark Column."""
+    from ..plans.ir import WindowExpr as _WindowExpr
+
+    if isinstance(e, _WindowExpr):
+        return window_column(e)
     if isinstance(e, Col):
         return F.col(e.name)
     if isinstance(e, Lit):

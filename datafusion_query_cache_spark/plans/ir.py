@@ -225,6 +225,55 @@ class OrderItem:
 
 
 @dataclass(frozen=True)
+class WindowExpr(Expr):
+    """``fn(args) OVER (PARTITION BY ... ORDER BY ...)`` with the default
+    frame (``RANGE UNBOUNDED PRECEDING .. CURRENT ROW`` — identical default
+    in DuckDB and Spark, so running aggregates agree between the engine and
+    the oracle).
+
+    Window functions are admitted ONLY in the outer select of a derived
+    table over a cached aggregate (:class:`SubquerySpec`) — they evaluate
+    post-finalize over O(state) rows, so the cached state and fingerprint
+    are untouched; the reference's bottom-up rule gets the same shape for
+    free because the Window node sits above the rewritten Aggregate
+    (``src/aggregate.rs:74-76``). ``fn`` is the lower-cased function name
+    (row_number/rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead/
+    first_value/last_value, or a plain aggregate sum/avg/min/max/count);
+    ``offset``/``default`` carry lag/lead's extra operands.
+    """
+
+    fn: str
+    args: Tuple[Expr, ...] = ()
+    partition_by: Tuple[Expr, ...] = ()
+    order_by: Tuple["OrderItem", ...] = ()
+    offset: Optional[Expr] = None
+    default: Optional[Expr] = None
+
+    def children(self) -> Tuple[Expr, ...]:
+        out = list(self.args) + list(self.partition_by)
+        out.extend(o.expr for o in self.order_by)
+        if self.offset is not None:
+            out.append(self.offset)
+        if self.default is not None:
+            out.append(self.default)
+        return tuple(out)
+
+    def canon(self) -> str:
+        p = ",".join(x.canon() for x in self.partition_by)
+        o = ",".join(
+            f"{x.expr.canon()}:{'d' if x.desc else 'a'}:{x.nulls_first}"
+            for x in self.order_by
+        )
+        a = ",".join(x.canon() for x in self.args)
+        extra = ""
+        if self.offset is not None:
+            extra += f",off={self.offset.canon()}"
+        if self.default is not None:
+            extra += f",def={self.default.canon()}"
+        return f"win:{self.fn}({a}{extra}) over(p[{p}] o[{o}])"
+
+
+@dataclass(frozen=True)
 class JoinStep:
     """One step of a left-deep join tree: ``... JOIN table ON cond``."""
 
@@ -408,7 +457,8 @@ def _ir_classes():
     if not _IR_CLASSES:
         for cls in (
             Col, Lit, Star, BinOp, Not, Neg, IsNull, Cast, Func, AggCall,
-            Case, InList, SelectItem, OrderItem, JoinStep, FilterSpec, AggSpec,
+            Case, InList, SelectItem, OrderItem, JoinStep, WindowExpr,
+            FilterSpec, AggSpec,
         ):
             _IR_CLASSES[cls.__name__] = cls
     return _IR_CLASSES

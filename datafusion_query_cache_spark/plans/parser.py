@@ -240,7 +240,95 @@ def _expr(node: Dict[str, Any]) -> Expr:
             return AggCall(fn, args, distinct=bool(node.get("distinct")))
         return Func(name, args)
 
+    if cls == "WINDOW":
+        return _window_expr(node)
+
     raise Unsupported(f"expr class {cls}/{typ}")
+
+
+def _order_item(o: Dict[str, Any]) -> OrderItem:
+    """One ORDER BY entry (modifier or window OVER clause) → OrderItem."""
+    desc = o.get("type") == "DESCENDING"
+    nf = None
+    no = o.get("null_order")
+    if no == "NULLS_FIRST":
+        nf = True
+    elif no == "NULLS_LAST":
+        nf = False
+    return OrderItem(_expr(o["expression"]), desc, nf)
+
+
+_WIN_RANKING = {
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
+}
+_WIN_VALUE = {"lag", "lead", "first_value", "last_value"}
+_WIN_AGG = {"sum", "avg", "mean", "min", "max", "count", "count_star"}
+
+
+def _window_expr(node: Dict[str, Any]) -> Expr:
+    """``fn(...) OVER (PARTITION BY ... ORDER BY ...)`` — default frame only.
+
+    DuckDB's and Spark's default frame are both ``RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW`` (peers included), so running aggregates
+    agree with the oracle; explicit frames, FILTER, IGNORE NULLS,
+    DISTINCT, and EXCLUDE stay passthrough. Aggregates inside the window
+    spec (``rank() OVER (ORDER BY sum(n))``) stay passthrough too — above
+    a derived table the window can simply order by the inner's aliased
+    output instead.
+    """
+    from .ir import WindowExpr
+
+    fn = (node.get("function_name") or "").lower()
+    if node.get("filter_expr") is not None:
+        raise Unsupported("window FILTER clause")
+    if node.get("ignore_nulls"):
+        raise Unsupported("window IGNORE NULLS")
+    if node.get("distinct"):
+        raise Unsupported("window DISTINCT")
+    if node.get("exclude_clause", "NO_OTHER") != "NO_OTHER":
+        raise Unsupported("window EXCLUDE clause")
+    if (
+        node.get("start") != "UNBOUNDED_PRECEDING"
+        or node.get("end") != "CURRENT_ROW_RANGE"
+        or node.get("start_expr") is not None
+        or node.get("end_expr") is not None
+    ):
+        raise Unsupported("explicit window frame")
+    if fn not in _WIN_RANKING | _WIN_VALUE | _WIN_AGG:
+        raise Unsupported(f"window function {fn}")
+
+    args = tuple(_expr(c) for c in node.get("children", []))
+    parts = tuple(_expr(p) for p in node.get("partitions", []))
+    orders = tuple(_order_item(o) for o in node.get("orders", []))
+    if fn == "count_star":
+        fn, args = "count", (Star(),)
+    elif fn == "mean":
+        fn = "avg"
+    if fn in _WIN_RANKING | _WIN_VALUE and not orders:
+        # Spark requires an ordered window for ranking/offset functions
+        raise Unsupported(f"window {fn} without ORDER BY")
+    off = node.get("offset_expr")
+    dflt = node.get("default_expr")
+    if (off is not None or dflt is not None) and fn not in ("lag", "lead"):
+        raise Unsupported(f"offset/default on window {fn}")
+    w = WindowExpr(
+        fn,
+        args,
+        parts,
+        orders,
+        offset=_expr(off) if off is not None else None,
+        default=_expr(dflt) if dflt is not None else None,
+    )
+    for nd in w.walk():
+        if isinstance(nd, AggCall):
+            raise Unsupported("aggregate inside a window spec")
+    return w
+
+
+def _contains_window(e: Expr) -> bool:
+    from .ir import WindowExpr
+
+    return any(isinstance(n, WindowExpr) for n in e.walk())
 
 
 def _contains_agg(e: Expr) -> bool:
@@ -396,6 +484,13 @@ def _lower_select(node: Dict[str, Any]):
             raise Unsupported("group by / having without aggregates")
         if len(tables) > 1:
             raise Unsupported("filter-query caching is single-table")
+        if any(_contains_window(e) for _, e in raw_items) or any(
+            _contains_window(o.expr) for o in order_by
+        ):
+            # windows over a cached ROW SET would have to recompute over
+            # the whole state at read time with topk/limit tiers disabled —
+            # supported only above a derived-table aggregate (SubquerySpec)
+            raise Unsupported("window function over a filter query")
         return FilterSpec(
             table=table,
             predicate=predicate,
@@ -486,6 +581,14 @@ def _lower_select(node: Dict[str, Any]):
         len(raw_sets) == 1 and sorted(raw_sets[0]) == list(range(n_groups))
     ):
         grouping_sets = tuple(tuple(sorted(t)) for t in raw_sets)
+
+    for e in (
+        [s.expr for s in group_items + agg_items]
+        + [o.expr for o in order_by]
+        + ([having_expr] if having_expr is not None else [])
+    ):
+        if _contains_window(e):
+            raise Unsupported("window function in an aggregate query")
 
     return AggSpec(
         table=table,
@@ -598,6 +701,8 @@ def _lower_subquery(node: Dict[str, Any]):
         # outer WHERE applies to inner output rows (before any outer agg)
         if _contains_agg(predicate):
             raise Unsupported("aggregate in WHERE above a derived table")
+        if _contains_window(predicate):
+            raise Unsupported("window function in WHERE above a derived table")
         _check_inner_refs(predicate, "column")
 
     has_outer_agg = any(_contains_agg(e) for _, e in raw_items) or bool(
@@ -608,10 +713,18 @@ def _lower_subquery(node: Dict[str, Any]):
 
     if not has_outer_agg:
         for _n, e in raw_items:
+            # window functions ARE allowed here: they evaluate post-finalize
+            # over the derived table's O(state) finalized rows (the
+            # reference's Window-above-rewritten-Aggregate shape)
             _check_inner_refs(e, "column")
         for o in order_by:
             if _contains_agg(o.expr):
                 raise Unsupported("aggregate in ORDER BY above a derived table")
+            if _contains_window(o.expr):
+                raise Unsupported(
+                    "window function in ORDER BY above a derived table"
+                    " (alias it in the select list instead)"
+                )
             _check_inner_refs(o.expr, "column")
         return SubquerySpec(
             inner=inner,
@@ -677,8 +790,12 @@ def _lower_subquery(node: Dict[str, Any]):
     having_expr = _expr(having) if having is not None else None
 
     for it in group_items + agg_items:
+        if _contains_window(it.expr):
+            raise Unsupported("window function above an outer aggregation")
         _check_inner_refs(it.expr, "column")
     if having_expr is not None:
+        if _contains_window(having_expr):
+            raise Unsupported("window function in HAVING above a derived table")
         _check_inner_refs(having_expr, "column")
     outer_names = set(select_order) | group_names
     for o in order_by:
@@ -838,7 +955,7 @@ def _branch_names(spec) -> List[str]:
             return list(spec.select_order)
         if spec.items is not None:
             return [i.name for i in spec.items]
-        return list(spec.inner.select_order)
+        return _branch_names(spec.inner)  # SELECT *: recurse (inner may nest)
     if isinstance(spec, FilterSpec):
         if spec.items is None:
             raise Unsupported("SELECT * branch in a UNION")

@@ -1,0 +1,169 @@
+"""Window functions over a cached derived-table aggregate.
+
+The reference's bottom-up rule rewrites the Aggregate wherever it sits, so
+``Window(Aggregate(...))`` plans get a cached aggregate underneath for free
+(``src/aggregate.rs:74-76``). Here the same shape is the outer select of a
+derived table: the window evaluates post-finalize over O(state) rows, the
+cached state and fingerprint are those of the inner aggregate alone.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+def _two_run(qc, spark, sql):
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+    qc.config.override_now_ns = cut_ns
+    try:
+        qc.sql(sql).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        ev.createOrReplaceTempView("events")
+        qc.config.override_now_ns = mx + 10**9
+        out = qc.sql(sql)
+        assert qc.last_decision.cached and qc.last_decision.cache_hit
+        return out
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+DAILY = (
+    "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "
+    "FROM events GROUP BY 1"
+)
+TYPE_DAILY = (
+    "SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) AS dd, "
+    "count(*) AS n FROM events GROUP BY 1, 2"
+)
+
+
+# -- parsing ------------------------------------------------------------
+
+
+def test_parse_window_shape():
+    from datafusion_query_cache_spark.plans.ir import SubquerySpec, WindowExpr
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    s = parse_query(
+        f"SELECT dd, n, rank() OVER (ORDER BY n DESC, dd) AS r FROM ({DAILY}) t"
+    )
+    assert isinstance(s, SubquerySpec)
+    w = s.items[2].expr
+    assert isinstance(w, WindowExpr) and w.fn == "rank"
+    assert len(w.order_by) == 2 and w.order_by[0].desc
+    # fingerprint = inner aggregate alone, shared with the bare rollup
+    assert s.inner.canon() == parse_query(DAILY).canon()
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        # windows over a plain filter query: row-set tiers don't replay them
+        (
+            "SELECT event_id, rank() OVER (ORDER BY value) AS r FROM events",
+            "window function over a filter query",
+        ),
+        # windows directly in an aggregate query's select list
+        (
+            "SELECT event_type, count(*) AS n, "
+            "rank() OVER (ORDER BY event_type) AS r FROM events GROUP BY 1",
+            "not in GROUP BY",
+        ),
+        # explicit frame → passthrough
+        (
+            f"SELECT dd, sum(n) OVER (ORDER BY dd ROWS BETWEEN 2 PRECEDING "
+            f"AND CURRENT ROW) AS s FROM ({DAILY}) t",
+            "explicit window frame",
+        ),
+        # aggregate inside the window spec above an outer GROUP BY
+        (
+            f"SELECT et, sum(n) AS s, rank() OVER (ORDER BY sum(n)) AS r "
+            f"FROM ({TYPE_DAILY}) t GROUP BY et",
+            "window spec",
+        ),
+        # window in outer WHERE / ORDER BY
+        (
+            f"SELECT dd, n FROM ({DAILY}) t "
+            "ORDER BY rank() OVER (ORDER BY n)",
+            "window function in ORDER BY",
+        ),
+    ],
+)
+def test_parse_window_unsupported(sql, msg):
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match=msg):
+        parse_query(sql)
+
+
+# -- behavior -----------------------------------------------------------
+
+
+def test_window_topn_per_group_matches_plain(spark, qc_mem):
+    # the classic dashboard shape: top-3 days per event type over a rollup,
+    # rank computed in a middle derived level, filtered one level up
+    sql = (
+        "SELECT et, dd, n, rnk FROM ("
+        "  SELECT et, dd, n, rank() OVER (PARTITION BY et ORDER BY n DESC, dd)"
+        f"  AS rnk FROM ({TYPE_DAILY}) t) w "
+        "WHERE rnk <= 3 ORDER BY et, rnk, dd"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_window_running_totals_match_plain(spark, qc_mem):
+    sql = (
+        "SELECT dd, n, sum(n) OVER (ORDER BY dd) AS cum, "
+        "lag(n, 1) OVER (ORDER BY dd) AS prev, "
+        "lead(n, 1, -1) OVER (ORDER BY dd) AS nxt, "
+        "row_number() OVER (ORDER BY dd) AS rn, "
+        f"count(*) OVER () AS days FROM ({DAILY}) t"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_window_partitioned_agg_and_ntile(spark, qc_mem):
+    sql = (
+        "SELECT et, dd, n, max(n) OVER (PARTITION BY et) AS mx, "
+        "avg(n) OVER (PARTITION BY et) AS av, "
+        "ntile(3) OVER (ORDER BY n, dd, et) AS bucket "
+        f"FROM ({TYPE_DAILY}) t"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_window_shares_entry_with_bare_rollup(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    qc_mem.sql(
+        f"SELECT dd, n, rank() OVER (ORDER BY n DESC, dd) AS r FROM ({DAILY}) t"
+    ).collect()
+    assert qc_mem.last_decision.cached
+    fp = qc_mem.last_decision.fingerprint
+    qc_mem.sql(DAILY).collect()
+    assert qc_mem.last_decision.cached and qc_mem.last_decision.cache_hit
+    assert qc_mem.last_decision.fingerprint == fp
+
+
+def test_window_above_outer_where(spark, qc_mem):
+    # outer WHERE filters inner rows BEFORE the window evaluates (SQL
+    # semantics: WHERE precedes window computation in the same SELECT)
+    sql = (
+        "SELECT dd, n, row_number() OVER (ORDER BY n DESC, dd) AS rn "
+        f"FROM ({DAILY}) t WHERE n > 2"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
