@@ -259,6 +259,55 @@ _QC_DYN_SQLS = {
 }
 
 
+def _qc_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dims joined ABOVE a cached derived aggregate, then re-aggregated:
+    the per-customer monthly rollup is the one cached entry (append-only
+    fact, temporal col o_orderdate); the customer→nation joins and the
+    nation-level re-aggregation replay post-finalize over O(state) rows.
+    The reference's bottom-up rule caches the inner Aggregate of this plan
+    for free (src/aggregate.rs:74-76); dims are read fresh each query — this
+    path differs from qc_join_star (join BEFORE aggregation) in that label
+    changes in the dims show up without any cache invalidation."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    _load(spark, sf_dir)
+    od = spark.table("orders")
+    cut = dt.datetime(1998, 1, 1)
+    cut_ns = int(cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    sql = (
+        "SELECT n_name, m, sum(n_orders) AS n_orders, "
+        "round(sum(revenue), 2) AS revenue FROM ("
+        "SELECT o_custkey AS ck, CAST(date_trunc('month', o_orderdate) AS "
+        "DATE) AS m, count(*) AS n_orders, round(sum(o_totalprice), 2) AS "
+        "revenue FROM orders_qcdim GROUP BY 1, 2) x "
+        "JOIN customer ON ck = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-dimjoin-")),
+            default_temporal_column="o_orderdate",
+            override_now_ns=cut_ns,
+        ),
+    )
+    od.filter(F.col("o_orderdate") < F.lit(cut)).createOrReplaceTempView(
+        "orders_qcdim"
+    )
+    qc.sql(sql)
+    od.createOrReplaceTempView("orders_qcdim")
+    qc.config.override_now_ns = cut_ns + 10**18
+    out = qc.sql(sql)
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.cache_hit
+    return out
+
+
 def _qc_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached aggregate over a star join: append-only fact (orders, temporal
     col o_orderdate) joined to static dims (customer, nation). The join is
@@ -1138,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_approx_distinct"] = _qc_approx_distinct
     q["qc_distinct_exact"] = _qc_distinct_exact
     q["qc_join_star"] = _qc_join_star
+    q["qc_dim_join"] = _qc_dim_join
     q["qc_filter_subsume"] = _qc_filter_subsume
     q["qc_coarsen_reuse"] = _qc_coarsen_reuse
     q["qc_data_watermark"] = _qc_data_watermark
@@ -1281,6 +1331,18 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    # sum(count(*)) re-agg: duckdb sum(BIGINT) → HUGEINT; cast to match
+    # Spark's BIGINT for the dtype-sensitive value hash
+    o["qc_dim_join"] = (
+        "SELECT n_name, m, CAST(sum(n_orders) AS BIGINT) AS n_orders, "
+        "round(sum(revenue), 2) AS revenue FROM ("
+        "SELECT o_custkey AS ck, CAST(date_trunc('month', o_orderdate) AS "
+        "DATE) AS m, count(*) AS n_orders, round(sum(o_totalprice), 2) AS "
+        "revenue FROM orders GROUP BY 1, 2) x "
+        "JOIN customer ON ck = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
         "GROUP BY 1, 2 ORDER BY 1, 2"
     )
     for key, sql in _PT_SQLS.items():

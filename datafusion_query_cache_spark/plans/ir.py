@@ -416,6 +416,12 @@ class SubquerySpec:
     aggregates: Tuple[SelectItem, ...] = ()
     having: Optional[Expr] = None
     select_order: Tuple[str, ...] = ()
+    #: dimension tables joined onto the DERIVED RESULT (post-finalize):
+    #: ``SELECT ... FROM (<aggregate>) x JOIN dim ON ... [JOIN ...]`` — the
+    #: rollup-joined-back-to-labels dashboard shape. The joins replay as
+    #: plain O(state)-row joins each read; only the inner aggregate is
+    #: cached. Dims are read fresh, so label changes show up immediately.
+    join_steps: Tuple[JoinStep, ...] = ()
 
 
 @dataclass

@@ -371,8 +371,17 @@ def _lower_select(node: Dict[str, Any]):
     if ctes:
         return _lower_cte(node, ctes)
 
-    if (node.get("from_table") or {}).get("type") == "SUBQUERY":
+    ft0 = node.get("from_table") or {}
+    if ft0.get("type") == "SUBQUERY":
         return _lower_subquery(node)
+    if ft0.get("type") == "JOIN":
+        # a derived table at the head of a join spine: SELECT ... FROM
+        # (<aggregate>) x JOIN dim ON ... — lower via the subquery path
+        leaf = ft0
+        while isinstance(leaf, dict) and leaf.get("type") == "JOIN":
+            leaf = leaf.get("left") or {}
+        if leaf.get("type") == "SUBQUERY":
+            return _lower_subquery(node)
 
     # FROM: one base table, or a LEFT-DEEP tree of INNER/LEFT equi-joins
     # over base tables (the fact table first, carrying the temporal column).
@@ -616,11 +625,45 @@ def _lower_subquery(node: Dict[str, Any]):
     aggregates (re-aggregation of an aggregate) and outer GROUP BY stay
     passthrough.
     """
-    from .ir import AggSpec, SubquerySpec
+    from .ir import AggSpec, JoinStep, SubquerySpec
 
     from .ir import SubquerySpec as _SubquerySpec
 
     ft = node["from_table"]
+    join_steps: List[JoinStep] = []
+    if ft.get("type") == "JOIN":
+        # dims joined onto the derived result: collect the left-deep spine
+        # (mirrors the star-join walk in _lower_select); the session joins
+        # them onto the finalized O(state) rows at read time
+        spine: List[Dict[str, Any]] = []
+        cur = ft
+        while cur.get("type") == "JOIN":
+            spine.append(cur)
+            cur = cur.get("left") or {}
+        ft = cur  # the SUBQUERY leaf
+        dim_tables: List[str] = []
+        for j in reversed(spine):
+            jt = j.get("join_type")
+            if jt not in ("INNER", "LEFT", "CROSS"):
+                raise Unsupported(f"join type {jt} above a derived table")
+            right = j.get("right") or {}
+            if right.get("type") != "BASE_TABLE":
+                raise Unsupported("non-left-deep join above a derived table")
+            if right.get("schema_name"):
+                raise Unsupported("qualified table")
+            cond = j.get("condition")
+            if cond is None and jt != "CROSS":
+                raise Unsupported("USING/NATURAL join above a derived table")
+            t = right["table_name"]
+            if t in dim_tables:
+                raise Unsupported("duplicate dim table above a derived table")
+            join_steps.append(
+                JoinStep(
+                    t,
+                    _expr(cond) if cond is not None else None,
+                    "left" if jt == "LEFT" else "inner",
+                )
+            )
     if ft.get("column_name_alias"):
         raise Unsupported("derived-table column aliases")
     inner = _lower_select(ft["subquery"]["node"])
@@ -691,11 +734,22 @@ def _lower_subquery(node: Dict[str, Any]):
     exposed = set(_branch_names(inner))
 
     def _check_inner_refs(e: Expr, what: str) -> None:
+        if join_steps:
+            # dim-table columns are resolvable only against live schemas at
+            # plan time; Spark's analyzer rejects genuine unknowns there
+            return
         for nd in e.walk():
             if isinstance(nd, Col) and nd.name not in exposed:
                 raise Unsupported(
                     f"outer {what} {nd.name} not produced by the derived table"
                 )
+
+    for js in join_steps:
+        if js.on is not None:
+            if _contains_agg(js.on):
+                raise Unsupported("aggregate in a join condition")
+            if _contains_window(js.on):
+                raise Unsupported("window function in a join condition")
 
     if predicate is not None:
         # outer WHERE applies to inner output rows (before any outer agg)
@@ -732,6 +786,7 @@ def _lower_subquery(node: Dict[str, Any]):
             predicate=predicate,
             order_by=tuple(order_by),
             limit=limit,
+            join_steps=tuple(join_steps),
         )
 
     # outer AGGREGATION over the derived table (the two-level rollup):
@@ -820,22 +875,45 @@ def _lower_subquery(node: Dict[str, Any]):
         aggregates=tuple(agg_items),
         having=having_expr,
         select_order=tuple(select_order),
+        join_steps=tuple(join_steps),
     )
 
 
 def _subst_cte_from(n: Dict[str, Any], defs: Dict[str, Dict[str, Any]]):
-    """If ``n``'s FROM is a bare reference to a known CTE, inline it as a
-    derived table. JOINs referencing CTEs are left alone (→ Unsupported
-    downstream → passthrough, which Spark executes natively)."""
-    ft = n.get("from_table") or {}
-    if ft.get("type") == "BASE_TABLE" and ft.get("table_name") in defs:
-        n = dict(n)
-        n["from_table"] = {
+    """If ``n``'s FROM references a known CTE — bare, or as the HEAD of a
+    left-deep join spine (``FROM rollup JOIN dim ON ...``) — inline it as
+    a derived table. CTE references anywhere else in a join tree are left
+    alone (→ Unsupported downstream → passthrough, which Spark executes
+    natively)."""
+
+    def _as_subquery(ft: Dict[str, Any]) -> Dict[str, Any]:
+        return {
             "type": "SUBQUERY",
             "alias": ft["table_name"],
             "column_name_alias": [],
             "subquery": {"node": defs[ft["table_name"]]},
         }
+
+    ft = n.get("from_table") or {}
+    if ft.get("type") == "BASE_TABLE" and ft.get("table_name") in defs:
+        n = dict(n)
+        n["from_table"] = _as_subquery(ft)
+        return n
+    if ft.get("type") == "JOIN":
+        leaf = ft
+        spine: List[Dict[str, Any]] = []
+        while isinstance(leaf, dict) and leaf.get("type") == "JOIN":
+            spine.append(leaf)
+            leaf = leaf.get("left") or {}
+        if leaf.get("type") == "BASE_TABLE" and leaf.get("table_name") in defs:
+            # rebuild the spine with the head swapped for the derived table
+            new_left: Dict[str, Any] = _as_subquery(leaf)
+            for j in reversed(spine):
+                j2 = dict(j)
+                j2["left"] = new_left
+                new_left = j2
+            n = dict(n)
+            n["from_table"] = new_left
     return n
 
 
@@ -856,9 +934,16 @@ def _lower_cte(node: Dict[str, Any], ctes: List[Dict[str, Any]]):
     synth = dict(node)
     synth["cte_map"] = {"map": []}
     synth = _subst_cte_from(synth, defs)
-    if (synth.get("from_table") or {}).get("type") != "SUBQUERY":
-        raise Unsupported("CTE not the sole FROM table")
-    return _lower_select(synth)
+    sft = synth.get("from_table") or {}
+    if sft.get("type") == "SUBQUERY":
+        return _lower_select(synth)
+    if sft.get("type") == "JOIN":
+        leaf = sft
+        while isinstance(leaf, dict) and leaf.get("type") == "JOIN":
+            leaf = leaf.get("left") or {}
+        if leaf.get("type") == "SUBQUERY":
+            return _lower_select(synth)
+    raise Unsupported("CTE not the head of the FROM clause")
 
 
 def _lower_setop(node: Dict[str, Any]):

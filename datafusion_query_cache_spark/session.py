@@ -816,6 +816,9 @@ class CachedSparkSession(RefreshTiers):
         outer_exprs.extend(i.expr for i in spec.aggregates)
         if spec.having is not None:
             outer_exprs.append(spec.having)
+        outer_exprs.extend(
+            js.on for js in spec.join_steps if js.on is not None
+        )
         for e in outer_exprs + (
             [spec.predicate] if spec.predicate is not None else []
         ) + [o.expr for o in spec.order_by]:
@@ -824,6 +827,27 @@ class CachedSparkSession(RefreshTiers):
                     VOLATILE_FNS | VOLATILE_TIME_FNS
                 ):
                     raise Unsupported("volatile function above a derived table")
+
+        dim_frames: Dict[str, DataFrame] = {}
+        if spec.join_steps:
+            # dims joined onto the finalized derived result. Resolve frames
+            # and check name-uniqueness BEFORE planning the inner aggregate
+            # (the star-join rule: unqualified references must be
+            # unambiguous — parser drops qualifiers), so an uncacheable
+            # shape degrades without doing the state work first.
+            from .plans.parser import _branch_names
+
+            seen_cols = {c: "(derived)" for c in _branch_names(spec.inner)}
+            for js in spec.join_steps:
+                fr = self.spark.table(js.table)
+                dim_frames[js.table] = fr
+                for c in fr.columns:
+                    if c in seen_cols:
+                        raise Unsupported(
+                            f"ambiguous column {c} (in {seen_cols[c]} and"
+                            f" {js.table})"
+                        )
+                    seen_cols[c] = js.table
 
         from .plans.ir import SubquerySpec as _SubquerySpec
 
@@ -834,6 +858,13 @@ class CachedSparkSession(RefreshTiers):
             df, decision = self._plan_subquery(spec.inner, query)
         else:
             df, decision = self._plan_cached(query, spec.inner)
+        for js in spec.join_steps:
+            # O(state) rows on the left; dims read fresh each query (label
+            # changes show immediately). AQE picks broadcast for small dims.
+            if js.on is not None:
+                df = df.join(dim_frames[js.table], to_column(js.on), js.how)
+            else:
+                df = df.crossJoin(dim_frames[js.table])
         if spec.predicate is not None:
             df = df.filter(to_column(spec.predicate))
         if spec.aggregates:

@@ -183,7 +183,7 @@ def test_cte_unsupported_shapes():
     from datafusion_query_cache_spark.plans.ir import Unsupported
     from datafusion_query_cache_spark.plans.parser import parse_query
 
-    with pytest.raises(Unsupported, match="sole FROM"):
+    with pytest.raises(Unsupported, match="head of the FROM"):
         parse_query(
             "WITH a AS (SELECT event_type, count(*) n FROM events GROUP BY 1) "
             "SELECT e.event_id FROM events e"
@@ -286,4 +286,132 @@ def test_except_intersect_passthrough(spark, qc_mem):
     )
     out = qc_mem.sql(sql)
     assert qc_mem.last_decision.cached is False
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+# -- dims joined above the derived aggregate ----------------------------
+
+
+def test_parse_dim_join_above_derived():
+    from datafusion_query_cache_spark.plans.ir import SubquerySpec
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    s = parse_query(
+        "SELECT n_name, n FROM (SELECT c_nationkey AS nk, count(*) AS n "
+        "FROM customer GROUP BY 1) x JOIN nation ON nk = n_nationkey"
+    )
+    assert isinstance(s, SubquerySpec)
+    assert len(s.join_steps) == 1 and s.join_steps[0].table == "nation"
+    # the cache key stays the inner aggregate alone
+    inner = parse_query(
+        "SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1"
+    )
+    assert s.inner.canon() == inner.canon()
+
+
+def test_parse_dim_join_unsupported():
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    # derived table on the RIGHT of a join: not left-deep → passthrough
+    with pytest.raises(Unsupported):
+        parse_query(
+            "SELECT * FROM nation JOIN (SELECT c_nationkey AS nk, count(*) "
+            "AS n FROM customer GROUP BY 1) x ON nk = n_nationkey"
+        )
+
+
+def _dim_two_run(qc, spark, sql):
+    # orders is the append-only fact; customer/nation are static dims
+    od = spark.table("orders")
+    import datetime as dt
+
+    cut = dt.datetime(1998, 1, 1)
+    cut_ns = int(cut.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    qc.config.default_temporal_column = "o_orderdate"
+    od.filter(F.col("o_orderdate") < F.lit(cut)).createOrReplaceTempView("orders")
+    qc.config.override_now_ns = cut_ns
+    try:
+        qc.sql(sql).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        od.createOrReplaceTempView("orders")
+        qc.config.override_now_ns = cut_ns + 10**18
+        out = qc.sql(sql)
+        assert qc.last_decision.cached and qc.last_decision.cache_hit
+        return out
+    finally:
+        od.createOrReplaceTempView("orders")
+        qc.config.default_temporal_column = "ts"
+
+
+def test_dim_join_project_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT n_name, m, n_orders FROM ("
+        "SELECT o_custkey AS ck, CAST(date_trunc('month', o_orderdate) AS "
+        "DATE) AS m, count(*) AS n_orders FROM orders GROUP BY 1, 2) x "
+        "JOIN customer ON ck = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey"
+    )
+    out = _dim_two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_dim_join_reaggregation_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT n_name, sum(n_orders) AS n_orders FROM ("
+        "SELECT o_custkey AS ck, count(*) AS n_orders FROM orders "
+        "GROUP BY 1) x JOIN customer ON ck = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"
+    )
+    out = _dim_two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_dim_left_join_keeps_agg_rows(spark, qc_mem):
+    sql = (
+        "SELECT c_mktsegment, n_orders FROM ("
+        "SELECT o_custkey AS ck, count(*) AS n_orders FROM orders "
+        "GROUP BY 1) x LEFT JOIN customer ON ck = c_custkey"
+    )
+    out = _dim_two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_cte_head_of_join_spine(spark, qc_mem):
+    sql = (
+        "WITH rollup AS (SELECT o_custkey AS ck, count(*) AS n_orders "
+        "FROM orders GROUP BY 1) "
+        "SELECT c_mktsegment, sum(n_orders) AS n FROM rollup "
+        "JOIN customer ON ck = c_custkey GROUP BY 1 ORDER BY 1"
+    )
+    out = _dim_two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_dim_join_window_above(spark, qc_mem):
+    # window referencing a DIM column after the join, over O(state) rows
+    sql = (
+        "SELECT n_name, n_orders, "
+        "rank() OVER (PARTITION BY n_name ORDER BY n_orders DESC, ck) AS r "
+        "FROM (SELECT o_custkey AS ck, count(*) AS n_orders FROM orders "
+        "GROUP BY 1) x JOIN customer ON ck = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey"
+    )
+    out = _dim_two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_dim_join_ambiguous_column_passthrough(spark, qc_mem):
+    # derived output name collides with a dim column: the parser drops
+    # qualifiers, so resolving x.n_name unqualified would be WRONG — the
+    # plan-time ambiguity check must force passthrough (where Spark's own
+    # resolver honors the qualifiers)
+    sql = (
+        "SELECT x.n FROM (SELECT c_nationkey AS n_name, count(*) AS n "
+        "FROM customer GROUP BY 1) x JOIN nation ON x.n_name = n_nationkey"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached is False
+    assert "ambiguous" in qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))
