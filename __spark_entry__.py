@@ -203,6 +203,15 @@ _QC_SQLS = {
         "SELECT event_id, value FROM {v} WHERE event_type = 'click' "
         "ORDER BY value DESC, event_id LIMIT 15"
     ),
+    # scalar subquery: the INNER global aggregate is the cached entry
+    # (the reference's bottom-up rule rewrites it like any Aggregate,
+    # src/aggregate.rs:74-76); its value folds into the outer predicate as
+    # a literal at plan time and the outer filter runs plain. max()/2 is
+    # bit-exact in both engines (no re-association, power-of-two divide).
+    "qc_scalar_subq": (
+        "SELECT event_id, event_type, value FROM {v} "
+        "WHERE value > (SELECT max(value) FROM {v}) / 2 ORDER BY event_id"
+    ),
     # window functions over the cached rollup (the reference's
     # Window-above-rewritten-Aggregate shape, src/aggregate.rs:74-76):
     # rank + running sum evaluate post-finalize over O(state) rows in a

@@ -225,6 +225,26 @@ class OrderItem:
 
 
 @dataclass(frozen=True)
+class ScalarSubquery(Expr):
+    """``(SELECT <one global aggregate> FROM ...)`` used as a scalar in an
+    outer predicate/HAVING (``WHERE v > (SELECT avg(v) FROM t)``).
+
+    The reference's bottom-up rule caches the inner Aggregate wherever it
+    sits (``src/aggregate.rs:74-76``) — here the inner global aggregate
+    runs through the full cached pipeline at plan time, its single-row
+    result is folded into the outer predicate as a literal, and the outer
+    query executes as plain Spark ops. Identity/equality/hash use the
+    canonical string alone; ``spec`` (the lowered inner AggSpec) rides
+    along for the planner."""
+
+    canon_str: str
+    spec: object = field(hash=False, compare=False, default=None, repr=False)
+
+    def canon(self) -> str:
+        return f"scalarsubq({self.canon_str})"
+
+
+@dataclass(frozen=True)
 class WindowExpr(Expr):
     """``fn(args) OVER (PARTITION BY ... ORDER BY ...)`` with the default
     frame (``RANGE UNBOUNDED PRECEDING .. CURRENT ROW`` — identical default

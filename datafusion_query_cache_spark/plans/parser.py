@@ -243,7 +243,97 @@ def _expr(node: Dict[str, Any]) -> Expr:
     if cls == "WINDOW":
         return _window_expr(node)
 
+    if cls == "SUBQUERY":
+        return _scalar_subquery(node)
+
     raise Unsupported(f"expr class {cls}/{typ}")
+
+
+def _scalar_subquery(node: Dict[str, Any]) -> Expr:
+    """``(SELECT <one global aggregate> FROM ...)`` as a scalar operand.
+
+    Only SCALAR subqueries whose body lowers to a single-row, single-column
+    global AggSpec are admitted — that inner aggregate is what gets cached
+    (the reference's bottom-up rule, ``src/aggregate.rs:74-76``); the
+    session folds its value into the outer predicate as a literal at plan
+    time. EXISTS/IN/ANY and correlated shapes stay passthrough."""
+    from .ir import AggSpec as _AggSpec, ScalarSubquery
+    from .ir import canon_predicate
+
+    if node.get("subquery_type") != "SCALAR":
+        raise Unsupported(f"subquery type {node.get('subquery_type')}")
+    inner = _lower_select(node["subquery"]["node"])
+    if not isinstance(inner, _AggSpec):
+        raise Unsupported("scalar subquery is not a plain aggregate")
+    if (
+        inner.group_by
+        or inner.grouping_sets
+        or inner.join_steps
+        or inner.order_by
+        or inner.limit is not None
+        or inner.having is not None
+        or len(inner.select_order) != 1
+    ):
+        raise Unsupported("scalar subquery must be one global aggregate")
+    if inner.predicate is not None and _contains_scalar_subq(inner.predicate):
+        raise Unsupported("nested scalar subquery")
+    canon_str = (
+        f"{inner.table}|{inner.select_order[0]}="
+        f"{inner.aggregates[0].expr.canon()}"
+        f"|{canon_predicate(inner.predicate)}"
+    )
+    return ScalarSubquery(canon_str=canon_str, spec=inner)
+
+
+def _contains_scalar_subq(e: Expr) -> bool:
+    from .ir import ScalarSubquery
+
+    return any(isinstance(n, ScalarSubquery) for n in e.walk())
+
+
+def scalar_subqueries(spec) -> list:
+    """The ScalarSubquery nodes in a TOP-LEVEL FilterSpec/AggSpec's
+    predicate and HAVING — the only positions the planner resolves (the
+    parser rejects every other position). Order: predicate first."""
+    from .ir import AggSpec, FilterSpec, ScalarSubquery
+
+    out: list = []
+    if isinstance(spec, (FilterSpec, AggSpec)):
+        exprs = []
+        if spec.predicate is not None:
+            exprs.append(spec.predicate)
+        having = getattr(spec, "having", None)
+        if having is not None:
+            exprs.append(having)
+        for e in exprs:
+            out.extend(n for n in e.walk() if isinstance(n, ScalarSubquery))
+    return out
+
+
+def _spec_has_scalar_subq(spec) -> bool:
+    """Any ScalarSubquery anywhere in a lowered spec (for rejecting them
+    inside derived tables / UNION branches, where the session's top-level
+    resolution never runs)."""
+    from .ir import AggSpec, FilterSpec, SubquerySpec, UnionSpec
+
+    if isinstance(spec, UnionSpec):
+        return any(_spec_has_scalar_subq(b) for b in spec.branches)
+    if isinstance(spec, SubquerySpec):
+        exprs = [i.expr for i in (spec.items or ())]
+        exprs.extend(i.expr for i in spec.group_by)
+        exprs.extend(i.expr for i in spec.aggregates)
+        exprs.extend(o.expr for o in spec.order_by)
+        if spec.predicate is not None:
+            exprs.append(spec.predicate)
+        if spec.having is not None:
+            exprs.append(spec.having)
+        exprs.extend(js.on for js in spec.join_steps if js.on is not None)
+        if any(_contains_scalar_subq(e) for e in exprs):
+            return True
+        return _spec_has_scalar_subq(spec.inner)
+    if isinstance(spec, (FilterSpec, AggSpec)):
+        return bool(scalar_subqueries(spec))
+    return False
 
 
 def _order_item(o: Dict[str, Any]) -> OrderItem:
@@ -500,6 +590,11 @@ def _lower_select(node: Dict[str, Any]):
             # the whole state at read time with topk/limit tiers disabled —
             # supported only above a derived-table aggregate (SubquerySpec)
             raise Unsupported("window function over a filter query")
+        if any(_contains_scalar_subq(e) for _, e in raw_items) or any(
+            _contains_scalar_subq(o.expr) for o in order_by
+        ):
+            # scalar subqueries resolve only in predicates/HAVING
+            raise Unsupported("scalar subquery outside WHERE/HAVING")
         return FilterSpec(
             table=table,
             predicate=predicate,
@@ -598,6 +693,14 @@ def _lower_select(node: Dict[str, Any]):
     ):
         if _contains_window(e):
             raise Unsupported("window function in an aggregate query")
+    for e in (
+        [s.expr for s in group_items + agg_items]
+        + [o.expr for o in order_by]
+        + [js.on for js in join_steps if js.on is not None]
+    ):
+        if _contains_scalar_subq(e):
+            # scalar subqueries resolve only in predicates/HAVING
+            raise Unsupported("scalar subquery outside WHERE/HAVING")
 
     return AggSpec(
         table=table,
@@ -667,6 +770,9 @@ def _lower_subquery(node: Dict[str, Any]):
     if ft.get("column_name_alias"):
         raise Unsupported("derived-table column aliases")
     inner = _lower_select(ft["subquery"]["node"])
+    if _spec_has_scalar_subq(inner):
+        # the session resolves scalar subqueries only at the top level
+        raise Unsupported("scalar subquery inside a derived table")
     if not isinstance(inner, (AggSpec, _SubquerySpec)):
         # FilterSpec inner stays passthrough: its row-set state is the
         # result itself, so an outer shape gains nothing from this path
@@ -730,6 +836,16 @@ def _lower_subquery(node: Dict[str, Any]):
             raw_items.append((alias, e))
         if not raw_items:
             raise Unsupported("empty select list")
+
+    for e in (
+        [e for _n, e in raw_items]
+        + [o.expr for o in order_by]
+        + ([predicate] if predicate is not None else [])
+        + [js.on for js in join_steps if js.on is not None]
+    ):
+        if _contains_scalar_subq(e):
+            # the session resolves scalar subqueries only at the top level
+            raise Unsupported("scalar subquery above a derived table")
 
     exposed = set(_branch_names(inner))
 
@@ -851,6 +967,8 @@ def _lower_subquery(node: Dict[str, Any]):
     if having_expr is not None:
         if _contains_window(having_expr):
             raise Unsupported("window function in HAVING above a derived table")
+        if _contains_scalar_subq(having_expr):
+            raise Unsupported("scalar subquery above a derived table")
         _check_inner_refs(having_expr, "column")
     outer_names = set(select_order) | group_names
     for o in order_by:
@@ -975,7 +1093,11 @@ def _lower_setop(node: Dict[str, Any]):
             flat(n["left"])
             flat(n["right"])
             return
-        branches.append(_lower_select(n))
+        b = _lower_select(n)
+        if _spec_has_scalar_subq(b):
+            # the session resolves scalar subqueries only at the top level
+            raise Unsupported("scalar subquery in a UNION branch")
+        branches.append(b)
 
     flat(node["left"])
     flat(node["right"])

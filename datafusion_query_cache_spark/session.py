@@ -29,6 +29,8 @@ Scale notes (local[32] is the test rig; the design targets a cluster):
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _dec
 import os
 import time
 from collections import OrderedDict
@@ -143,7 +145,12 @@ class CachedSparkSession(RefreshTiers):
                 if len(self._spec_cache) >= self._MEMO_MAX:
                     self._spec_cache.clear()
                 self._spec_cache[query] = spec
-            if isinstance(spec, FilterSpec):
+            from .plans.parser import scalar_subqueries
+
+            subqs = scalar_subqueries(spec)
+            if subqs:
+                df, decision = self._plan_scalar_outer(spec, query, subqs)
+            elif isinstance(spec, FilterSpec):
                 df, decision = self._plan_filter(spec, query)
             elif isinstance(spec, SubquerySpec):
                 df, decision = self._plan_subquery(spec, query)
@@ -790,6 +797,141 @@ class CachedSparkSession(RefreshTiers):
             refresh_tier=decisions[0].refresh_tier,
         )
         return out, decision
+
+    def _plan_scalar_outer(self, spec, query: str, subqs):
+        """``WHERE v > (SELECT avg(v) FROM t)`` — cache the INNER scalar
+        aggregate, fold its value into the outer predicate, run the outer
+        plainly.
+
+        The reference's bottom-up rule rewrites the inner Aggregate like
+        any other (``src/aggregate.rs:74-76``); here each scalar subquery
+        runs through the full cached pipeline at plan time (a 1-row
+        collect — bounded by construction) and the outer query executes as
+        ordinary Spark ops with the scalar as a literal. The OUTER is
+        deliberately NOT cached: its fingerprint would embed the scalar,
+        which changes with every inner refresh — each refresh would orphan
+        the previous outer entry and the first read of each would rescan
+        the source (worse than plain). At scale the win is the inner: its
+        full-table aggregation scan is replaced by an O(new) refresh; the
+        outer's one filter scan is the same scan plain Spark would do.
+        """
+        import dataclasses
+
+        from .functions.compile import order_column, plain_agg_column, to_column
+        from .functions.partial import _rewrite_with_finalize
+        from .plans.ir import AggCall as _AggCall
+        from .plans.ir import Col as _Col
+        from .plans.ir import FilterSpec as _FilterSpec
+        from .plans.ir import Lit as _Lit
+        from .plans.ir import ScalarSubquery as _SS
+        from .plans.ir import transform as _transform
+
+        if not isinstance(spec, _FilterSpec):
+            # AggSpec outer: plain re-aggregation — same restrictions the
+            # derived-table re-agg path enforces
+            if spec.grouping_sets or spec.join_steps or spec.grouping_fn_items:
+                raise Unsupported(
+                    "grouping sets / joins above a scalar subquery"
+                )
+
+        # resolve each distinct inner aggregate through the cached pipeline
+        resolved: Dict[object, _Lit] = {}
+        inner_decisions = []
+        for sq in subqs:
+            if sq in resolved:
+                continue
+            idf, idec = self._plan_cached(query, sq.spec)
+            rows = idf.collect()  # global aggregate: exactly one row
+            val = rows[0][0] if rows else None
+            if val is not None and not isinstance(
+                val, (bool, int, float, str, _dec.Decimal, _dt.date, _dt.datetime)
+            ):
+                raise Unsupported(
+                    f"scalar subquery value type {type(val).__name__}"
+                )
+            resolved[sq] = _Lit(val)
+            inner_decisions.append(idec)
+
+        def _sub(n):
+            return resolved.get(n, n) if isinstance(n, _SS) else n
+
+        new_pred = (
+            _transform(spec.predicate, _sub)
+            if spec.predicate is not None
+            else None
+        )
+
+        df = self.spark.table(spec.table)
+        if new_pred is not None:
+            df = df.filter(to_column(new_pred))
+
+        if isinstance(spec, _FilterSpec):
+            if spec.items is not None:
+                from .tiers import _order_col
+
+                def _out_name(e):
+                    if isinstance(e, _Lit) and isinstance(e.value, int):
+                        idx = e.value - 1
+                        if 0 <= idx < len(spec.items):
+                            return spec.items[idx].name
+                        raise Unsupported("order-by position out of range")
+                    if isinstance(e, _Col) and e.name in names:
+                        return e.name
+                    for i in spec.items:
+                        if i.expr == e:
+                            return i.name
+                    raise Unsupported(
+                        "ORDER BY not an output column (scalar-subquery path)"
+                    )
+
+                names = {i.name for i in spec.items}
+                ocols = [
+                    _order_col(_out_name(o.expr), o) for o in spec.order_by
+                ]
+                df = df.select(
+                    *[to_column(i.expr).alias(i.name) for i in spec.items]
+                )
+                if ocols:
+                    df = df.orderBy(*ocols)
+            elif spec.order_by:
+                df = df.orderBy(*[order_column(o) for o in spec.order_by])
+            if spec.limit is not None:
+                df = df.limit(spec.limit)
+        else:
+            # AggSpec outer: plain aggregation over the filtered source
+            def _agg_col(e):
+                calls = [n for n in e.walk() if isinstance(n, _AggCall)]
+                return _rewrite_with_finalize(
+                    e, {c: plain_agg_column(c) for c in calls}
+                )
+
+            gb = [to_column(g.expr).alias(g.name) for g in spec.group_by]
+            aggs = [_agg_col(i.expr).alias(i.name) for i in spec.aggregates]
+            new_hav = (
+                _transform(spec.having, _sub)
+                if spec.having is not None
+                else None
+            )
+            if new_hav is not None:
+                aggs.append(_agg_col(new_hav).alias("__qc_having"))
+            df = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+            if new_hav is not None:
+                df = df.filter(F.col("__qc_having")).drop("__qc_having")
+            df = df.select(*spec.select_order)
+            df = self._apply_order_limit(df, spec)
+
+        base = inner_decisions[0]
+        decision = Decision(
+            sql=query,
+            cached=True,
+            reason="scalar subquery: inner aggregate cached, outer plain",
+            fingerprint=base.fingerprint,
+            cache_hit=all(d.cache_hit for d in inner_decisions),
+            watermark_ns=base.watermark_ns,
+            now_ns=base.now_ns,
+            refresh_tier=base.refresh_tier,
+        )
+        return df, decision
 
     def _plan_subquery(self, spec, query: str):
         """Aggregate inside a derived table: cache the INNER aggregate,

@@ -1,0 +1,167 @@
+"""Scalar-subquery aggregates: ``WHERE v > (SELECT avg(v) FROM t)``.
+
+The reference's bottom-up rule rewrites the inner Aggregate like any other
+(``src/aggregate.rs:74-76``); here the inner global aggregate runs through
+the cached pipeline at plan time, its 1-row value folds into the outer
+predicate as a literal, and the outer executes as plain Spark ops (the
+outer is deliberately uncached — its fingerprint would churn with every
+inner refresh, see ``session._plan_scalar_outer``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+def _two_run(qc, spark, sql):
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+    qc.config.override_now_ns = cut_ns
+    try:
+        qc.sql(sql).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        ev.createOrReplaceTempView("events")
+        qc.config.override_now_ns = mx + 10**9
+        out = qc.sql(sql)
+        assert qc.last_decision.cached and qc.last_decision.cache_hit
+        return out
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+# -- parsing ------------------------------------------------------------
+
+
+def test_parse_scalar_subquery():
+    from datafusion_query_cache_spark.plans.ir import (
+        FilterSpec,
+        ScalarSubquery,
+    )
+    from datafusion_query_cache_spark.plans.parser import (
+        parse_query,
+        scalar_subqueries,
+    )
+
+    s = parse_query(
+        "SELECT event_id FROM events "
+        "WHERE value > (SELECT avg(value) FROM events)"
+    )
+    assert isinstance(s, FilterSpec)
+    subqs = scalar_subqueries(s)
+    assert len(subqs) == 1 and isinstance(subqs[0], ScalarSubquery)
+    # the inner spec is a plain single-row AggSpec — the cache entry
+    assert subqs[0].spec.table == "events"
+    assert len(subqs[0].spec.aggregates) == 1
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        # grouped inner: not a scalar
+        (
+            "SELECT event_id FROM events WHERE value > "
+            "(SELECT avg(value) FROM events GROUP BY event_type)",
+            "one global aggregate",
+        ),
+        # in the select list: unsupported position
+        (
+            "SELECT event_id, (SELECT count(*) FROM events) AS total "
+            "FROM events",
+            "outside WHERE/HAVING",
+        ),
+        # nested scalar subqueries
+        (
+            "SELECT event_id FROM events WHERE value > (SELECT avg(value) "
+            "FROM events WHERE value > (SELECT min(value) FROM events))",
+            "nested scalar subquery",
+        ),
+        # inside a derived table: the top-level resolution never sees it
+        (
+            "SELECT n FROM (SELECT event_type, count(*) AS n FROM events "
+            "WHERE value > (SELECT avg(value) FROM events) GROUP BY 1) t",
+            "inside a derived table",
+        ),
+    ],
+)
+def test_parse_scalar_subquery_unsupported(sql, msg):
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match=msg):
+        parse_query(sql)
+
+
+def test_parse_exists_stays_passthrough():
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported):
+        parse_query(
+            "SELECT event_id FROM events e WHERE EXISTS "
+            "(SELECT 1 FROM events x WHERE x.event_id = e.event_id)"
+        )
+
+
+# -- behavior -----------------------------------------------------------
+
+
+def test_scalar_subquery_filter_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT event_id, value FROM events "
+        "WHERE value > (SELECT max(value) FROM events) / 2 ORDER BY event_id"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_scalar_subquery_agg_outer_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE value > (SELECT max(value) FROM events) / 2 "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_scalar_subquery_in_having(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+        "HAVING count(*) > (SELECT count(*) FROM events) / 10 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_two_scalar_subqueries_one_entry_each(spark, qc_mem):
+    sql = (
+        "SELECT event_id FROM events "
+        "WHERE value > (SELECT min(value) FROM events) "
+        "AND value < (SELECT max(value) FROM events) ORDER BY event_id"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_scalar_subquery_inner_shares_standalone_entry(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    inner = "SELECT max(value) AS m FROM events"
+    qc_mem.sql(inner).collect()
+    assert qc_mem.last_decision.cached
+    fp = qc_mem.last_decision.fingerprint
+    qc_mem.sql(
+        "SELECT event_id FROM events "
+        "WHERE value > (SELECT max(value) AS m FROM events) / 2"
+    ).collect()
+    d = qc_mem.last_decision
+    # the subquery resolved through the SAME cache entry → hit
+    assert d.cached and d.cache_hit and d.fingerprint == fp
