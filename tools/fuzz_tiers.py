@@ -158,7 +158,35 @@ def wrap_subquery(sql: str, rng: random.Random, gs, ags) -> str:
     a_names = [a.split(" AS ")[-1] for a in ags]
     all_names = g_names + a_names
     nums = [a for a in a_names if a in _NUMERIC_AGGS]
-    kind = rng.choice(["proj", "proj", "reagg", "cte"])
+    kind = rng.choice(["proj", "proj", "reagg", "cte", "win"])
+    if kind == "win":
+        # r10 windows over the cached rollup. EXACT-only order keys: the
+        # rank is an integer, so a ULP flip in a float key would flip it
+        # (mn/mx are exact — min/max never re-associate); the running sum
+        # over exact ints stays exact, sum over () of mn/mx floats is
+        # absorbed by _close.
+        exact = [a for a in a_names if a in {"n", "nv", "mn", "mx", "de", "br"}]
+        if exact:
+            m = rng.choice(exact)
+            keys = ", ".join(g_names)
+            part = (
+                f"PARTITION BY {g_names[0]} "
+                if len(g_names) > 1 and rng.random() < 0.5
+                else ""
+            )
+            wfn = rng.choice(
+                [
+                    f"rank() OVER ({part}ORDER BY {m} DESC, {keys}) AS wr",
+                    f"row_number() OVER ({part}ORDER BY {m} DESC, {keys}) AS wr",
+                    f"lag({m}, 1) OVER ({part}ORDER BY {keys}) AS wr",
+                ]
+            )
+            sel = ", ".join(all_names)
+            return (
+                f"SELECT {sel}, {wfn}, sum({m}) OVER () AS wt "
+                f"FROM ({sql}) __f"
+            )
+        kind = "proj"
     if kind == "reagg" and nums:
         g = g_names[0]
         m = rng.choice(nums)
@@ -180,6 +208,65 @@ def wrap_subquery(sql: str, rng: random.Random, gs, ags) -> str:
     if kind == "cte":
         return f"WITH __f AS ({sql}) SELECT {sel} FROM __f{wpred}"
     return f"SELECT {sel} FROM ({sql}) __f{wpred}"
+
+
+def gen_scalar_sql(rng: random.Random) -> str:
+    """Scalar-subquery filter (r10): the INNER global aggregate is cached;
+    the outer filter runs plain and UNBOUNDED (matching the reference,
+    where only the rewritten Aggregate gets the watermark bound — plain
+    plan parts always scan the live table). EXACT scalars only (min/max/
+    count — no re-associated float): a ULP in the threshold would flip
+    boundary-row membership, a cardinality change tolerance can't absorb.
+    Shape invariant the twin surgery relies on: exactly TWO `` WHERE ``
+    occurrences, outer first, inner second (bound goes on the inner only).
+    """
+    scalar = rng.choice(
+        [
+            "max(value)",
+            "min(value)",
+            "count(*)",
+            "max(value) - min(value)",
+        ]
+    )
+    ipred = rng.choice([p for p in PREDS if p])
+    iwin = rng.choice(WINDOWS)
+    iconds = " AND ".join(c for c in (ipred, iwin) if c)
+    op, div = rng.choice([(">", " / 2"), ("<", " * 2"), (">=", " / 4")])
+    outer_pred = rng.choice(["value IS NOT NULL", "event_id >= 0"])
+    order = " ORDER BY event_id" if rng.random() < 0.7 else ""
+    return (
+        f"SELECT event_id, event_type, value FROM events "
+        f"WHERE {outer_pred} AND value {op} "
+        f"(SELECT {scalar} FROM events WHERE {iconds}){div}{order}"
+    )
+
+
+def gen_dimjoin_sql(rng: random.Random) -> str:
+    """Dim joined ABOVE a cached derived aggregate (r10): inner rollup on
+    a bucket key, fz_seg joined onto the finalized result, optional
+    re-aggregation to the segment level. The inner WHERE is the FIRST in
+    string order, so the default twin surgery (cnt=1) bounds the right
+    scan; outer shapes add no WHERE."""
+    ipred = rng.choice([p for p in PREDS if p])
+    iwin = rng.choice(WINDOWS)
+    iconds = " AND ".join(c for c in (ipred, iwin) if c)
+    inner = (
+        "SELECT user_id % 50 AS bucket, count(*) AS n, max(value) AS mx "
+        f"FROM events WHERE {iconds} GROUP BY 1"
+    )
+    how = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    if rng.random() < 0.5:
+        # re-aggregate to segment level (exact: sum of ints, max of floats)
+        return (
+            "SELECT segment, sum(n) AS zn, max(mx) AS zx "
+            f"FROM ({inner}) x {how} fz_seg ON bucket = bucket_id "
+            "GROUP BY 1 ORDER BY 1"
+        )
+    return (
+        "SELECT bucket, segment, n, mx "
+        f"FROM ({inner}) x {how} fz_seg ON bucket = bucket_id "
+        "ORDER BY bucket"
+    )
 
 
 def _close(a, b):
@@ -263,13 +350,19 @@ def main() -> int:
     corruptions = 0
     for trial in range(TRIALS):
         mode_p = rng.random()
-        filter_mode = mode_p < 0.25
-        join_mode = 0.25 <= mode_p < 0.4
-        union_mode = 0.4 <= mode_p < 0.5
+        filter_mode = mode_p < 0.22
+        join_mode = 0.22 <= mode_p < 0.34
+        union_mode = 0.34 <= mode_p < 0.44
+        scalar_mode = 0.44 <= mode_p < 0.52
+        dimjoin_mode = 0.52 <= mode_p < 0.60
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
             sql = gen_join_sql(rng)
+        elif scalar_mode:
+            sql = gen_scalar_sql(rng)
+        elif dimjoin_mode:
+            sql = gen_dimjoin_sql(rng)
         elif union_mode:
             # UNION [ALL] of two cacheable branches (r10 UnionSpec): same
             # select shape (positional arity), different predicates. Every
@@ -313,7 +406,13 @@ def main() -> int:
         hv = f" HAVING {having}" if having else ""
         order = f" ORDER BY {gb}" if rng.random() < 0.7 else ""
         limit = " LIMIT 500" if order and rng.random() < 0.2 else ""
-        if not filter_mode and not join_mode and not union_mode:
+        if (
+            not filter_mode
+            and not join_mode
+            and not union_mode
+            and not scalar_mode
+            and not dimjoin_mode
+        ):
             sql = (
                 f"SELECT {', '.join(gs + ags)} FROM events{where} "
                 f"GROUP BY {gb}{hv}{order}{limit}"
@@ -401,7 +500,22 @@ def main() -> int:
             lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
             if qc.last_decision.cached:
                 s = sql.replace("now()", lit)
-                if " WHERE " in s:
+                if scalar_mode:
+                    # only the INNER scalar aggregate is watermark-bounded;
+                    # the plain outer scans the live table unbounded (the
+                    # reference bounds only the rewritten Aggregate's
+                    # input). Generated shape: outer WHERE first, inner
+                    # WHERE second — bound the second alone.
+                    parts = s.split(" WHERE ")
+                    assert len(parts) == 3, s
+                    s = (
+                        parts[0]
+                        + " WHERE "
+                        + parts[1]
+                        + f" WHERE ts < {lit} AND "
+                        + parts[2]
+                    )
+                elif " WHERE " in s:
                     # union branches each need the as-of bound (every
                     # union_mode branch is generated WITH a WHERE)
                     cnt = -1 if union_mode else 1
