@@ -119,19 +119,18 @@ _QC_SQLS = {
     # whole family (freed a window slot for the pt_* rotation, VERDICT r8
     # item 4). round(+1e-9): interpolation can land on .xx5 halves.
     # (oracle override: DuckDB spells percentile(x, p) as quantile_cont)
+    # ONE query, ONE cache entry, TWO state families: the RLE-histogram
+    # state (exact median/percentiles) AND the six-component co-moment
+    # state (var/stddev/corr) live side by side in the same entry — a
+    # stronger test than either alone (heterogeneous partial state must
+    # round-trip the store and merge independently). Consolidates the
+    # former qc_variance row (same precedent as median→percentile, r9;
+    # frees a window slot for the pt_* rotation, VERDICT r9 item 5).
     "qc_percentile": (
         "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
         "round(percentile(value, 0.9) + 1e-9, 2) AS p90, "
         "round(percentile(value, 0.1) + 1e-9, 2) AS p10, "
-        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
-    ),
-    # variance family via sum-of-squares state (SURVEY §4.3)
-    # second-moment family via ONE mergeable (co-)moment state: variance,
-    # stddev, AND corr (six-component co-moment) share the machinery, so
-    # one ledger row covers all three (same consolidation precedent as
-    # median→percentile, r9 — freed the window slot qc_subquery occupies)
-    "qc_variance": (
-        "SELECT event_type, round(var_samp(value), 2) AS vs, "
+        "round(var_samp(value), 2) AS vs, "
         "round(stddev_pop(value), 2) AS sp, "
         "round(corr(value, user_id) + 1e-9, 4) AS c, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
@@ -146,24 +145,28 @@ _QC_SQLS = {
         "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s FROM {v} "
         "GROUP BY 1 HAVING count(*) > 100 ORDER BY 1"
     ),
-    # argmin/argmax state (first/last-event-by-timestamp machinery)
+    # argmin/argmax state: explicit min_by/max_by AND bare first()/last()
+    # (time-series semantics — value at min/max ts, rewritten onto the
+    # same argmin/argmax state by session.py's first/last rewrite) in one
+    # query/one entry. Consolidates the former qc_first_last row (same
+    # state family; frees a window slot for the pt_* rotation, r9 item 5).
     "qc_minmax_by": (
         "SELECT event_type, min_by(event_id, ts) AS first_event, "
-        "max_by(event_id, ts) AS last_event, count(*) AS n FROM {v} "
-        "GROUP BY 1 ORDER BY 1"
-    ),
-    # bare first()/last() — time-series semantics (value at min/max ts),
-    # rewritten onto the argmin/argmax state (session.py first/last rewrite)
-    "qc_first_last": (
-        "SELECT event_type, first(value) AS first_v, last(value) AS last_v, "
+        "max_by(event_id, ts) AS last_event, "
+        "first(value) AS first_v, last(value) AS last_v, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
     # collect_set state: merge = array_distinct(flatten(...)); output made
     # order-stable with array_sort + array_join AT FINALIZE (set order is
-    # engine-arbitrary in both Spark and DuckDB)
+    # engine-arbitrary in both Spark and DuckDB). count(DISTINCT) rides the
+    # same set-valued state (cardinality finalize) — the value-checked twin
+    # of qc_approx_distinct, whose HLL estimates have no cross-engine
+    # oracle. Consolidates the former qc_distinct_exact row (same state
+    # family; frees a window slot for the pt_* rotation, r9 item 5).
     "qc_collect_set": (
         "SELECT event_type, "
         "array_join(array_sort(collect_set(CAST(user_id AS VARCHAR))), ',') AS us, "
+        "count(DISTINCT user_id) AS du, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
     # aggregate inside a derived table (reference's bottom-up rule caches
@@ -358,20 +361,6 @@ def _qc_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _qc_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT count(DISTINCT) through the cache: set-valued partial state
-    (collect_set), union merge, cardinality finalize — the value-checked
-    twin of qc_approx_distinct (whose HLL estimates have no cross-engine
-    oracle). DuckDB count(DISTINCT …) is exact, so this entry hash-checks
-    the same incremental machinery the sketch entry exercises."""
-    view = "events_qc_dexact"
-    sql = (
-        "SELECT event_type, count(DISTINCT user_id) AS du, "
-        f"count(*) AS n FROM {view} GROUP BY 1 ORDER BY 1"
-    )
-    return _qc_two_run(spark, sf_dir, sql, view)
-
-
 def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-state cache: approx_count_distinct via mergeable HLL sketches
     (hll_sketch_agg / hll_union_agg). Estimator OUTPUTS have no cross-engine
@@ -381,7 +370,8 @@ def _qc_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register-wise max, so the incremental estimate must equal the
     single-pass one) lands within a 10% band of the exact distinct count.
     ``est_ok`` is that bounds check; ``n``/``u_exact`` value-check the rest
-    of the row exactly. The EXACT twin qc_distinct_exact value-checks the
+    of the row exactly. The EXACT twin (count(DISTINCT) inside
+    qc_collect_set, same set-valued state) value-checks the
     same incremental plumbing with full equality.
 
     Band derivation (r9 ADVICE — a fixed 10% of a probabilistic estimator
@@ -1194,7 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in _QC_DYN_SQLS:
         q[key] = _mk_qc_dyn(key)
     q["qc_approx_distinct"] = _qc_approx_distinct
-    q["qc_distinct_exact"] = _qc_distinct_exact
     q["qc_join_star"] = _qc_join_star
     q["qc_dim_join"] = _qc_dim_join
     q["qc_filter_subsume"] = _qc_filter_subsume
@@ -1287,11 +1276,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
         "round(quantile_cont(value, 0.9) + 1e-9, 2) AS p90, "
         "round(quantile_cont(value, 0.1) + 1e-9, 2) AS p10, "
+        "round(var_samp(value), 2) AS vs, "
+        "round(stddev_pop(value), 2) AS sp, "
+        "round(corr(value, user_id) + 1e-9, 4) AS c, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
-    )
-    o["qc_distinct_exact"] = (
-        "SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n "
-        "FROM events GROUP BY 1 ORDER BY 1"
     )
     # bounds-checked oracle for the HLL sketch row: est_ok must be TRUE for
     # every group (the Spark side computes |estimate - exact| <= 10% exact;
@@ -1313,15 +1301,17 @@ def oracle_sql() -> dict[str, str]:
     # first/last have no order-deterministic DuckDB twin under the same
     # name — the oracle states the DEFINITION explicitly (value at min/max
     # ts; ts in the raw parquet is the epoch-ns BIGINT, same ordering)
-    o["qc_first_last"] = (
-        "SELECT event_type, arg_min(value, ts) AS first_v, "
-        "arg_max(value, ts) AS last_v, count(*) AS n FROM events "
-        "GROUP BY 1 ORDER BY 1"
+    o["qc_minmax_by"] = (
+        "SELECT event_type, min_by(event_id, ts) AS first_event, "
+        "max_by(event_id, ts) AS last_event, "
+        "arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
     # duckdb spells the sorted-set finisher differently
     o["qc_collect_set"] = (
         "SELECT event_type, "
         "array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',') AS us, "
+        "count(DISTINCT user_id) AS du, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
     # duckdb grouping() returns BIGINT; Spark's is TINYINT

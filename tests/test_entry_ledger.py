@@ -34,6 +34,14 @@ def test_graded_entries_inside_ledger_window():
         f"graded entries pushed past the driver's {LEDGER_WINDOW}-row "
         f"ledger window: {missing}"
     )
+    # the pt_* accreditation rotation (VERDICT r5 item 5 / r8 item 4 / r9
+    # item 5) needs its 3 slots INSIDE the window — new graded rows must
+    # consolidate into same-state-family rows rather than evict them
+    pt_in_window = [k for k in keys[:LEDGER_WINDOW] if k.startswith("pt_")]
+    assert len(pt_in_window) >= 3, (
+        f"pt_* rotation squeezed out of the ledger window "
+        f"(only {pt_in_window} inside the first {LEDGER_WINDOW})"
+    )
 
 
 def test_every_entry_has_oracle_or_is_allowlisted():
