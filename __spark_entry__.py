@@ -206,14 +206,20 @@ _QC_SQLS = {
         "SELECT event_id, value FROM {v} WHERE event_type = 'click' "
         "ORDER BY value DESC, event_id LIMIT 15"
     ),
-    # scalar subquery: the INNER global aggregate is the cached entry
-    # (the reference's bottom-up rule rewrites it like any Aggregate,
-    # src/aggregate.rs:74-76); its value folds into the outer predicate as
-    # a literal at plan time and the outer filter runs plain. max()/2 is
-    # bit-exact in both engines (no re-association, power-of-two divide).
+    # scalar subquery + IN subquery in one predicate: each INNER aggregate
+    # is a cached entry (the reference's bottom-up rule rewrites them like
+    # any Aggregate, src/aggregate.rs:74-76); the scalar's value folds in
+    # as a literal, the IN's grouped-HAVING result column folds in as an
+    # IN-list (exact SQL NULL semantics), and the outer filter runs plain.
+    # max()/2 is bit-exact in both engines (no re-association, power-of-two
+    # divide); the IN values are group KEYS (exact strings) and the avg>50
+    # threshold sits far from every group's avg at every sf, so an
+    # incremental-merge ULP cannot flip membership.
     "qc_scalar_subq": (
         "SELECT event_id, event_type, value FROM {v} "
-        "WHERE value > (SELECT max(value) FROM {v}) / 2 ORDER BY event_id"
+        "WHERE value > (SELECT max(value) FROM {v}) / 2 "
+        "AND event_type IN (SELECT event_type FROM {v} "
+        "GROUP BY 1 HAVING avg(value) > 50) ORDER BY event_id"
     ),
     # window functions over the cached rollup (the reference's
     # Window-above-rewritten-Aggregate shape, src/aggregate.rs:74-76):

@@ -117,6 +117,15 @@ class QueryCacheConfig:
     #: width-2 pin applied unconditionally DOUBLED the x1000 dyn warm
     #: refresh). 0 disables narrowing entirely.
     refresh_narrow_max_bytes: int = 64 << 20
+    #: ``x IN (SELECT …)`` fold cap: the inner cached aggregate's result
+    #: column is collected driver-side and folded into the outer predicate
+    #: as an IN-list of literals — sound only while the list stays small.
+    #: More groups than this → the query degrades to passthrough (the
+    #: already-refreshed inner entry stays valid for other queries). At
+    #: 100 TB an IN over a high-cardinality key should be a semi-join the
+    #: user writes explicitly; this path is for the dashboard shape
+    #: ("types whose count exceeds N") where the set is tens of values.
+    in_subquery_max_values: int = 10_000
     #: Strict-error mode (test/fuzz rigs): when True, an unexpected
     #: exception inside the cached planner RAISES instead of degrading to
     #: a warn-and-passthrough, so engine regressions fail loudly in CI

@@ -245,6 +245,34 @@ class ScalarSubquery(Expr):
 
 
 @dataclass(frozen=True)
+class InSubquery(Expr):
+    """``x IN (SELECT <one column> FROM … [GROUP BY …] [HAVING …])`` used
+    as a boolean in an outer predicate/HAVING.
+
+    Same design as :class:`ScalarSubquery` — the reference's bottom-up
+    rule caches the inner Aggregate wherever it sits
+    (``src/aggregate.rs:74-76``). The inner aggregate runs through the
+    full cached pipeline at plan time; its single output column (bounded
+    by ``config.in_subquery_max_values``, else passthrough) folds into the
+    outer predicate as an IN-list of literals with exact SQL NULL
+    semantics, and the outer query executes as plain Spark ops. Identity/
+    equality/hash use ``left`` + the canonical string; ``spec`` rides
+    along for the planner. ``NOT IN`` arrives as a NOT operator above this
+    node and needs no special casing (the folded expression propagates
+    NULLs exactly)."""
+
+    left: Expr
+    canon_str: str
+    spec: object = field(hash=False, compare=False, default=None, repr=False)
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.left,)
+
+    def canon(self) -> str:
+        return f"insubq({self.left.canon()},{self.canon_str})"
+
+
+@dataclass(frozen=True)
 class WindowExpr(Expr):
     """``fn(args) OVER (PARTITION BY ... ORDER BY ...)`` with the default
     frame (``RANGE UNBOUNDED PRECEDING .. CURRENT ROW`` — identical default

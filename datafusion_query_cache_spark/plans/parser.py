@@ -249,53 +249,118 @@ def _expr(node: Dict[str, Any]) -> Expr:
     raise Unsupported(f"expr class {cls}/{typ}")
 
 
-def _scalar_subquery(node: Dict[str, Any]) -> Expr:
-    """``(SELECT <one global aggregate> FROM ...)`` as a scalar operand.
+def _reject_foreign_qualifiers(sub_json: Dict[str, Any]) -> None:
+    """Refuse qualified column refs inside a subquery body that name a
+    table OTHER than the subquery's own FROM tables — ``WHERE t_outer.c =
+    …`` is a correlated reference; lowering the body standalone would
+    silently re-bind it to the inner table's same-named column (the parser
+    drops qualifiers). Unqualified correlated refs are safe without this
+    guard: either the name exists inner-side (SQL binds inner-first — the
+    same binding we produce) or Spark fails to resolve it at plan time
+    (loud error in strict mode, passthrough otherwise)."""
+    own: set = set()
 
-    Only SCALAR subqueries whose body lowers to a single-row, single-column
-    global AggSpec are admitted — that inner aggregate is what gets cached
-    (the reference's bottom-up rule, ``src/aggregate.rs:74-76``); the
-    session folds its value into the outer predicate as a literal at plan
-    time. EXISTS/IN/ANY and correlated shapes stay passthrough."""
-    from .ir import AggSpec as _AggSpec, ScalarSubquery
+    def _tables(n) -> None:
+        if isinstance(n, dict):
+            if n.get("type") in ("BASE_TABLE",):
+                own.add(n.get("table_name", "").lower())
+                alias = n.get("alias") or ""
+                if alias:
+                    own.add(alias.lower())
+            for v in n.values():
+                _tables(v)
+        elif isinstance(n, list):
+            for v in n:
+                _tables(v)
+
+    def _refs(n) -> None:
+        if isinstance(n, dict):
+            if n.get("class") == "COLUMN_REF":
+                names = n.get("column_names", [])
+                if len(names) > 1 and names[0].lower() not in own:
+                    raise Unsupported(
+                        f"correlated/qualified column {'.'.join(names)} "
+                        "in subquery"
+                    )
+            for v in n.values():
+                _refs(v)
+        elif isinstance(n, list):
+            for v in n:
+                _refs(v)
+
+    _tables(sub_json)
+    _refs(sub_json)
+
+
+def _scalar_subquery(node: Dict[str, Any]) -> Expr:
+    """``(SELECT <one global aggregate> FROM ...)`` as a scalar operand,
+    or ``x IN (SELECT <one column> FROM … [GROUP BY/HAVING])`` as a
+    boolean.
+
+    Only subqueries whose body lowers to a single-column AggSpec are
+    admitted — that inner aggregate is what gets cached (the reference's
+    bottom-up rule, ``src/aggregate.rs:74-76``); the session folds its
+    result into the outer predicate at plan time (a literal for SCALAR, an
+    IN-list for ANY/IN — see ``InSubquery``). EXISTS and correlated shapes
+    stay passthrough."""
+    from .ir import AggSpec as _AggSpec, InSubquery, ScalarSubquery
     from .ir import canon_predicate
 
-    if node.get("subquery_type") != "SCALAR":
-        raise Unsupported(f"subquery type {node.get('subquery_type')}")
+    sq_type = node.get("subquery_type")
+    if sq_type not in ("SCALAR", "ANY"):
+        raise Unsupported(f"subquery type {sq_type}")
+    if sq_type == "ANY" and node.get("comparison_type") != "COMPARE_EQUAL":
+        raise Unsupported(
+            f"quantified comparison {node.get('comparison_type')}"
+        )
+    _reject_foreign_qualifiers(node["subquery"])
     inner = _lower_select(node["subquery"]["node"])
     if not isinstance(inner, _AggSpec):
-        raise Unsupported("scalar subquery is not a plain aggregate")
+        raise Unsupported("subquery body is not a plain aggregate")
     if (
-        inner.group_by
-        or inner.grouping_sets
+        inner.grouping_sets
         or inner.join_steps
         or inner.order_by
         or inner.limit is not None
-        or inner.having is not None
         or len(inner.select_order) != 1
     ):
-        raise Unsupported("scalar subquery must be one global aggregate")
-    if inner.predicate is not None and _contains_scalar_subq(inner.predicate):
-        raise Unsupported("nested scalar subquery")
+        raise Unsupported("subquery must be a one-column aggregate")
+    for e in [inner.predicate, inner.having]:
+        if e is not None and _contains_scalar_subq(e):
+            raise Unsupported("nested subquery in a subquery body")
+    if sq_type == "SCALAR":
+        if inner.group_by or inner.having is not None:
+            raise Unsupported("scalar subquery must be one global aggregate")
+        canon_str = (
+            f"{inner.table}|{inner.select_order[0]}="
+            f"{inner.aggregates[0].expr.canon()}"
+            f"|{canon_predicate(inner.predicate)}"
+        )
+        return ScalarSubquery(canon_str=canon_str, spec=inner)
     canon_str = (
-        f"{inner.table}|{inner.select_order[0]}="
-        f"{inner.aggregates[0].expr.canon()}"
-        f"|{canon_predicate(inner.predicate)}"
+        f"{inner.canon()}|sel={inner.select_order[0]}"
+        f"|having={inner.having.canon() if inner.having is not None else ''}"
     )
-    return ScalarSubquery(canon_str=canon_str, spec=inner)
+    left = _expr(node["child"])
+    if _contains_scalar_subq(left):
+        raise Unsupported("subquery inside IN's left operand")
+    return InSubquery(left=left, canon_str=canon_str, spec=inner)
 
 
 def _contains_scalar_subq(e: Expr) -> bool:
-    from .ir import ScalarSubquery
+    from .ir import InSubquery, ScalarSubquery
 
-    return any(isinstance(n, ScalarSubquery) for n in e.walk())
+    return any(
+        isinstance(n, (ScalarSubquery, InSubquery)) for n in e.walk()
+    )
 
 
 def scalar_subqueries(spec) -> list:
-    """The ScalarSubquery nodes in a TOP-LEVEL FilterSpec/AggSpec's
-    predicate and HAVING — the only positions the planner resolves (the
-    parser rejects every other position). Order: predicate first."""
-    from .ir import AggSpec, FilterSpec, ScalarSubquery
+    """The ScalarSubquery/InSubquery nodes in a TOP-LEVEL FilterSpec/
+    AggSpec's predicate and HAVING — the only positions the planner
+    resolves (the parser rejects every other position). Order: predicate
+    first."""
+    from .ir import AggSpec, FilterSpec, InSubquery, ScalarSubquery
 
     out: list = []
     if isinstance(spec, (FilterSpec, AggSpec)):
@@ -306,14 +371,18 @@ def scalar_subqueries(spec) -> list:
         if having is not None:
             exprs.append(having)
         for e in exprs:
-            out.extend(n for n in e.walk() if isinstance(n, ScalarSubquery))
+            out.extend(
+                n
+                for n in e.walk()
+                if isinstance(n, (ScalarSubquery, InSubquery))
+            )
     return out
 
 
 def _spec_has_scalar_subq(spec) -> bool:
-    """Any ScalarSubquery anywhere in a lowered spec (for rejecting them
-    inside derived tables / UNION branches, where the session's top-level
-    resolution never runs)."""
+    """Any ScalarSubquery/InSubquery anywhere in a lowered spec (for
+    rejecting them inside derived tables / UNION branches, where the
+    session's top-level resolution never runs)."""
     from .ir import AggSpec, FilterSpec, SubquerySpec, UnionSpec
 
     if isinstance(spec, UnionSpec):
@@ -577,9 +646,21 @@ def _lower_select(node: Dict[str, Any]):
     if not raw_items and not star:
         raise Unsupported("empty select list")
 
-    if star or not any(_contains_agg(e) for _, e in raw_items):
+    having_node = node.get("having")
+    if star or not (
+        any(_contains_agg(e) for _, e in raw_items)
+        # ``SELECT k FROM t GROUP BY k HAVING count(*) > n``: the only
+        # aggregate lives in HAVING — still the aggregate shape (the
+        # HAVING aggregate is planned as a hidden select item, so the
+        # cached entry has real partial state)
+        or (
+            node.get("group_expressions")
+            and having_node is not None
+            and _contains_agg(_expr(having_node))
+        )
+    ):
         # non-aggregate shape → FilterSpec (group-by/having make no sense)
-        if node.get("group_expressions") or node.get("having"):
+        if node.get("group_expressions") or having_node is not None:
             raise Unsupported("group by / having without aggregates")
         if len(tables) > 1:
             raise Unsupported("filter-query caching is single-table")
@@ -668,11 +749,15 @@ def _lower_select(node: Dict[str, Any]):
             if e in grouped_exprs or name in group_names:
                 continue  # already a group output
             raise Unsupported(f"non-aggregate select item {name} not in GROUP BY")
-    if not agg_items:
-        raise Unsupported("no aggregate in select list")
-
     having = node.get("having")
     having_expr = _expr(having) if having is not None else None
+    if not agg_items and not (
+        having_expr is not None and _contains_agg(having_expr)
+    ):
+        # a group-by with no aggregate anywhere (DISTINCT-like) has no
+        # partial state to cache; with an aggregate in HAVING the hidden
+        # __qc_having select item carries the state
+        raise Unsupported("no aggregate in select list")
 
     # ROLLUP / CUBE / GROUPING SETS: duckdb exposes group_sets as index
     # lists into group_expressions. A single all-indices set == plain

@@ -799,29 +799,34 @@ class CachedSparkSession(RefreshTiers):
         return out, decision
 
     def _plan_scalar_outer(self, spec, query: str, subqs):
-        """``WHERE v > (SELECT avg(v) FROM t)`` — cache the INNER scalar
-        aggregate, fold its value into the outer predicate, run the outer
-        plainly.
+        """``WHERE v > (SELECT avg(v) FROM t)`` / ``WHERE k IN (SELECT k
+        FROM t GROUP BY k HAVING …)`` — cache the INNER aggregate, fold its
+        result into the outer predicate, run the outer plainly.
 
         The reference's bottom-up rule rewrites the inner Aggregate like
-        any other (``src/aggregate.rs:74-76``); here each scalar subquery
-        runs through the full cached pipeline at plan time (a 1-row
-        collect — bounded by construction) and the outer query executes as
-        ordinary Spark ops with the scalar as a literal. The OUTER is
-        deliberately NOT cached: its fingerprint would embed the scalar,
-        which changes with every inner refresh — each refresh would orphan
-        the previous outer entry and the first read of each would rescan
-        the source (worse than plain). At scale the win is the inner: its
-        full-table aggregation scan is replaced by an O(new) refresh; the
-        outer's one filter scan is the same scan plain Spark would do.
+        any other (``src/aggregate.rs:74-76``); here each subquery runs
+        through the full cached pipeline at plan time (a 1-row collect for
+        scalars; an IN-list collect bounded by
+        ``config.in_subquery_max_values``) and the outer query executes as
+        ordinary Spark ops with the result as literals. The OUTER is
+        deliberately NOT cached: its fingerprint would embed the folded
+        values, which change with every inner refresh — each refresh would
+        orphan the previous outer entry and the first read of each would
+        rescan the source (worse than plain). At scale the win is the
+        inner: its full-table aggregation scan is replaced by an O(new)
+        refresh; the outer's one filter scan is the same scan plain Spark
+        would do.
         """
         import dataclasses
 
         from .functions.compile import order_column, plain_agg_column, to_column
         from .functions.partial import _rewrite_with_finalize
         from .plans.ir import AggCall as _AggCall
+        from .plans.ir import BinOp as _BinOp
         from .plans.ir import Col as _Col
         from .plans.ir import FilterSpec as _FilterSpec
+        from .plans.ir import InList as _InList
+        from .plans.ir import InSubquery as _ISQ
         from .plans.ir import Lit as _Lit
         from .plans.ir import ScalarSubquery as _SS
         from .plans.ir import transform as _transform
@@ -834,26 +839,58 @@ class CachedSparkSession(RefreshTiers):
                     "grouping sets / joins above a scalar subquery"
                 )
 
+        _OK_TYPES = (
+            bool, int, float, str, _dec.Decimal, _dt.date, _dt.datetime
+        )
+
         # resolve each distinct inner aggregate through the cached pipeline
-        resolved: Dict[object, _Lit] = {}
+        resolved: Dict[object, object] = {}
         inner_decisions = []
         for sq in subqs:
             if sq in resolved:
                 continue
             idf, idec = self._plan_cached(query, sq.spec)
-            rows = idf.collect()  # global aggregate: exactly one row
-            val = rows[0][0] if rows else None
-            if val is not None and not isinstance(
-                val, (bool, int, float, str, _dec.Decimal, _dt.date, _dt.datetime)
-            ):
-                raise Unsupported(
-                    f"scalar subquery value type {type(val).__name__}"
-                )
-            resolved[sq] = _Lit(val)
+            if isinstance(sq, _ISQ):
+                cap = getattr(self.config, "in_subquery_max_values", 10_000)
+                rows = idf.limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise Unsupported(
+                        f"IN subquery yields more than {cap} values"
+                    )
+                vals = [r[0] for r in rows]
+                nonnull = [v for v in vals if v is not None]
+                for v in nonnull:
+                    if not isinstance(v, _OK_TYPES):
+                        raise Unsupported(
+                            f"IN subquery value type {type(v).__name__}"
+                        )
+                # exact SQL IN semantics: x IN (v…)       — plain IN-list
+                #   empty set        → FALSE (even for NULL x / NOT IN)
+                #   set had a NULL   → (x IN (v…)) OR NULL: TRUE on match,
+                #                      NULL otherwise — NOT above this node
+                #                      then propagates NULL exactly
+                folded: object
+                if not nonnull:
+                    folded = _Lit(False)
+                else:
+                    folded = _InList(
+                        sq.left, tuple(_Lit(v) for v in nonnull)
+                    )
+                if len(nonnull) != len(vals):
+                    folded = _BinOp("or", folded, _Lit(None))
+                resolved[sq] = folded
+            else:
+                rows = idf.collect()  # global aggregate: exactly one row
+                val = rows[0][0] if rows else None
+                if val is not None and not isinstance(val, _OK_TYPES):
+                    raise Unsupported(
+                        f"scalar subquery value type {type(val).__name__}"
+                    )
+                resolved[sq] = _Lit(val)
             inner_decisions.append(idec)
 
         def _sub(n):
-            return resolved.get(n, n) if isinstance(n, _SS) else n
+            return resolved.get(n, n) if isinstance(n, (_SS, _ISQ)) else n
 
         new_pred = (
             _transform(spec.predicate, _sub)
@@ -921,10 +958,16 @@ class CachedSparkSession(RefreshTiers):
             df = self._apply_order_limit(df, spec)
 
         base = inner_decisions[0]
+        kinds = [
+            k
+            for k, t in (("scalar", _SS), ("IN", _ISQ))
+            if any(isinstance(s, t) for s in resolved)
+        ]
         decision = Decision(
             sql=query,
             cached=True,
-            reason="scalar subquery: inner aggregate cached, outer plain",
+            reason=f"{'+'.join(kinds)} subquery: "
+            "inner aggregate cached, outer plain",
             fingerprint=base.fingerprint,
             cache_hit=all(d.cache_hit for d in inner_decisions),
             watermark_ns=base.watermark_ns,

@@ -82,7 +82,7 @@ def test_parse_scalar_subquery():
         (
             "SELECT event_id FROM events WHERE value > (SELECT avg(value) "
             "FROM events WHERE value > (SELECT min(value) FROM events))",
-            "nested scalar subquery",
+            "nested subquery",
         ),
         # inside a derived table: the top-level resolution never sees it
         (

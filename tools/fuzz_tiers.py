@@ -241,6 +241,37 @@ def gen_scalar_sql(rng: random.Random) -> str:
     )
 
 
+def gen_insubq_sql(rng: random.Random) -> str:
+    """IN-subquery filter (r10): the INNER aggregate is cached; its value
+    column folds into the outer predicate as an IN-list and the outer
+    runs plain and UNBOUNDED. EXACT inner values only (group keys, int
+    min/max, count-based HAVING) — a ULP in a folded value would flip set
+    membership. Same shape invariant as gen_scalar_sql: exactly TWO
+    `` WHERE `` occurrences, outer first, inner second (the twin surgery
+    bounds the inner alone)."""
+    ipred = rng.choice([p for p in PREDS if p])
+    iwin = rng.choice(WINDOWS)
+    iconds = " AND ".join(c for c in (ipred, iwin) if c)
+    neg = rng.choice(["", "", "NOT "])
+    k = rng.randint(5, 60)
+    in_expr = rng.choice(
+        [
+            f"event_type {neg}IN (SELECT event_type FROM events "
+            f"WHERE {iconds} GROUP BY 1 HAVING count(*) > {k})",
+            f"user_id {neg}IN (SELECT max(user_id) FROM events "
+            f"WHERE {iconds} GROUP BY event_type)",
+            f"user_id {neg}IN (SELECT min(user_id) FROM events "
+            f"WHERE {iconds} GROUP BY event_type HAVING count(*) > {k})",
+        ]
+    )
+    outer_pred = rng.choice(["value IS NOT NULL", "event_id >= 0"])
+    order = " ORDER BY event_id" if rng.random() < 0.7 else ""
+    return (
+        f"SELECT event_id, event_type, value FROM events "
+        f"WHERE {outer_pred} AND {in_expr}{order}"
+    )
+
+
 def gen_dimjoin_sql(rng: random.Random) -> str:
     """Dim joined ABOVE a cached derived aggregate (r10): inner rollup on
     a bucket key, fz_seg joined onto the finalized result, optional
@@ -355,12 +386,15 @@ def main() -> int:
         union_mode = 0.34 <= mode_p < 0.44
         scalar_mode = 0.44 <= mode_p < 0.52
         dimjoin_mode = 0.52 <= mode_p < 0.60
+        insubq_mode = 0.60 <= mode_p < 0.66
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
             sql = gen_join_sql(rng)
         elif scalar_mode:
             sql = gen_scalar_sql(rng)
+        elif insubq_mode:
+            sql = gen_insubq_sql(rng)
         elif dimjoin_mode:
             sql = gen_dimjoin_sql(rng)
         elif union_mode:
@@ -411,16 +445,33 @@ def main() -> int:
             and not join_mode
             and not union_mode
             and not scalar_mode
+            and not insubq_mode
             and not dimjoin_mode
         ):
+            gb_clause = f"GROUP BY {gb}"
+            sel = gs + ags
+            # 12%: ROLLUP/CUBE/GROUPING SETS re-aggregated from finest
+            # cached state, with grouping() flags reconstructed per set —
+            # the grouping-sets replay must stay exact under moving now
+            if len(gs) == 2 and not having and rng.random() < 0.12:
+                kind = rng.choice(
+                    ["ROLLUP (1, 2)", "CUBE (1, 2)",
+                     "GROUPING SETS ((1), (2), (1, 2))"]
+                )
+                gb_clause = f"GROUP BY {kind}"
+                g1 = gs[0].split(" AS ")[-1] if " AS " in gs[0] else gs[0]
+                sel = sel + [f"grouping({g1}) AS gflag"]
+                hv = ""
+                order = ""
+                limit = ""
             sql = (
-                f"SELECT {', '.join(gs + ags)} FROM events{where} "
-                f"GROUP BY {gb}{hv}{order}{limit}"
+                f"SELECT {', '.join(sel)} FROM events{where} "
+                f"{gb_clause}{hv}{order}{limit}"
             )
             # 25%: wrap in a derived table / CTE with a random outer shape
             # (projection, filter, re-aggregation) — the inner aggregate
             # must stay cached and every answer exact (r10 SubquerySpec)
-            if rng.random() < 0.25:
+            if rng.random() < 0.25 and "grouping" not in sql:
                 sql = wrap_subquery(sql, rng, gs, ags)
 
         kw = {}
@@ -500,7 +551,7 @@ def main() -> int:
             lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
             if qc.last_decision.cached:
                 s = sql.replace("now()", lit)
-                if scalar_mode:
+                if scalar_mode or insubq_mode:
                     # only the INNER scalar aggregate is watermark-bounded;
                     # the plain outer scans the live table unbounded (the
                     # reference bounds only the rewritten Aggregate's
