@@ -140,10 +140,15 @@ _QC_SQLS = {
         "SELECT event_type, count(*) AS n, round(avg(value) + 1e-9, 2) AS av FROM {v} "
         "WHERE ts BETWEEN '2024-01-03' AND '2024-01-27' AND value > 0 GROUP BY 1"
     ),
-    # HAVING planned as a hidden select item, filtered at finalize
+    # HAVING planned as a hidden select item, filtered at finalize; the
+    # share-of-total column adds a SELECT-LIST scalar subquery (r10): the
+    # scalar's own global aggregate is a second cached entry, folded into
+    # the outer projection post-finalize — the rollup fingerprint stays
+    # scalar-free, so BOTH entries refresh incrementally
     "qc_having": (
-        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s FROM {v} "
-        "GROUP BY 1 HAVING count(*) > 100 ORDER BY 1"
+        "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s, "
+        "round(count(*) / (SELECT count(*) FROM {v}) + 1e-9, 4) AS share "
+        "FROM {v} GROUP BY 1 HAVING count(*) > 100 ORDER BY 1"
     ),
     # argmin/argmax state: explicit min_by/max_by AND bare first()/last()
     # (time-series semantics — value at min/max ts, rewritten onto the

@@ -379,6 +379,23 @@ def scalar_subqueries(spec) -> list:
     return out
 
 
+def select_scalar_subqueries(spec) -> list:
+    """The ScalarSubquery nodes in a TOP-LEVEL AggSpec's SELECT items —
+    the share-of-total shape (``count(*) / (SELECT count(*) FROM t)``).
+    The session folds these post-finalize so the outer aggregate's
+    fingerprint stays scalar-free (``_plan_select_scalars``)."""
+    from .ir import AggSpec, ScalarSubquery
+
+    if not isinstance(spec, AggSpec):
+        return []
+    out: list = []
+    for i in spec.aggregates:
+        out.extend(
+            n for n in i.expr.walk() if isinstance(n, ScalarSubquery)
+        )
+    return out
+
+
 def _spec_has_scalar_subq(spec) -> bool:
     """Any ScalarSubquery/InSubquery anywhere in a lowered spec (for
     rejecting them inside derived tables / UNION branches, where the
@@ -401,7 +418,9 @@ def _spec_has_scalar_subq(spec) -> bool:
             return True
         return _spec_has_scalar_subq(spec.inner)
     if isinstance(spec, (FilterSpec, AggSpec)):
-        return bool(scalar_subqueries(spec))
+        return bool(scalar_subqueries(spec)) or bool(
+            select_scalar_subqueries(spec)
+        )
     return False
 
 
@@ -743,7 +762,12 @@ def _lower_select(node: Dict[str, Any]):
         select_order.append(name)
         if name in gf_names:
             continue  # grouping()/grouping_id(): reconstructed per set
-        if _contains_agg(e):
+        if _contains_agg(e) or _contains_scalar_subq(e):
+            # scalar subqueries in the select list (share-of-total:
+            # ``count(*) / (SELECT count(*) FROM t)``) ride as aggregate
+            # items — constant per group, folded by the session at plan
+            # time (the pure-scalar item with no AggCall anywhere in the
+            # query is rejected by the session: no state to cache)
             agg_items.append(SelectItem(name, e))
         else:
             if e in grouped_exprs or name in group_names:
@@ -779,13 +803,22 @@ def _lower_select(node: Dict[str, Any]):
         if _contains_window(e):
             raise Unsupported("window function in an aggregate query")
     for e in (
-        [s.expr for s in group_items + agg_items]
+        [s.expr for s in group_items]
         + [o.expr for o in order_by]
         + [js.on for js in join_steps if js.on is not None]
     ):
         if _contains_scalar_subq(e):
-            # scalar subqueries resolve only in predicates/HAVING
-            raise Unsupported("scalar subquery outside WHERE/HAVING")
+            # subqueries resolve in predicates/HAVING/select items only —
+            # a group KEY changing with every inner refresh would churn a
+            # cache entry per refresh
+            raise Unsupported("scalar subquery outside WHERE/HAVING/SELECT")
+    from .ir import InSubquery as _InSubquery
+
+    for s in agg_items:
+        if any(isinstance(n, _InSubquery) for n in s.expr.walk()):
+            # IN produces a boolean filter, not a scalar value — only
+            # meaningful in predicates
+            raise Unsupported("IN subquery in the select list")
 
     return AggSpec(
         table=table,

@@ -145,11 +145,21 @@ class CachedSparkSession(RefreshTiers):
                 if len(self._spec_cache) >= self._MEMO_MAX:
                     self._spec_cache.clear()
                 self._spec_cache[query] = spec
-            from .plans.parser import scalar_subqueries
+            from .plans.parser import (
+                scalar_subqueries,
+                select_scalar_subqueries,
+            )
 
             subqs = scalar_subqueries(spec)
+            sel_subqs = select_scalar_subqueries(spec)
             if subqs:
-                df, decision = self._plan_scalar_outer(spec, query, subqs)
+                df, decision = self._plan_scalar_outer(
+                    spec, query, subqs + sel_subqs
+                )
+            elif sel_subqs:
+                df, decision = self._plan_select_scalars(
+                    spec, query, sel_subqs
+                )
             elif isinstance(spec, FilterSpec):
                 df, decision = self._plan_filter(spec, query)
             elif isinstance(spec, SubquerySpec):
@@ -943,7 +953,14 @@ class CachedSparkSession(RefreshTiers):
                 )
 
             gb = [to_column(g.expr).alias(g.name) for g in spec.group_by]
-            aggs = [_agg_col(i.expr).alias(i.name) for i in spec.aggregates]
+            # select-list scalars (share-of-total) fold here too when the
+            # query ALSO has a WHERE/HAVING subquery (this plain path);
+            # select-only scalars take _plan_select_scalars instead, which
+            # keeps the outer aggregate cached
+            aggs = [
+                _agg_col(_transform(i.expr, _sub)).alias(i.name)
+                for i in spec.aggregates
+            ]
             new_hav = (
                 _transform(spec.having, _sub)
                 if spec.having is not None
@@ -975,6 +992,164 @@ class CachedSparkSession(RefreshTiers):
             refresh_tier=base.refresh_tier,
         )
         return df, decision
+
+    def _plan_select_scalars(self, spec, query: str, sel_subqs):
+        """Scalar subqueries in the SELECT list of an aggregate — the
+        share-of-total dashboard shape::
+
+            SELECT event_type, count(*) / (SELECT count(*) FROM t) AS share
+            FROM t GROUP BY 1
+
+        Unlike the WHERE/HAVING fold (``_plan_scalar_outer``, where the
+        outer must run plain because the folded literal changes the row
+        set), a select-list scalar never affects grouping or filtering —
+        so the OUTER aggregate stays fully cached: the query is rewritten
+        to a derived-table shape whose inner aggregate carries only the
+        AggCalls (scalar-free fingerprint, stable across refreshes) and
+        whose outer projection replays the item expressions with each
+        scalar folded as a plan-time literal over O(state) rows. Both the
+        inner rollup AND every scalar's own aggregate refresh
+        incrementally; nothing rescans the source on a warm read."""
+        import dataclasses
+
+        from .plans.ir import AggCall as _AggCall
+        from .plans.ir import Col as _Col
+        from .plans.ir import Lit as _Lit
+        from .plans.ir import OrderItem as _OrderItem
+        from .plans.ir import ScalarSubquery as _SS
+        from .plans.ir import SelectItem as _SelectItem
+        from .plans.ir import SubquerySpec as _SubquerySpec
+        from .plans.ir import transform as _transform
+
+        if spec.grouping_sets or spec.grouping_fn_items or spec.join_steps:
+            raise Unsupported(
+                "grouping sets / star joins with select-list scalar "
+                "subqueries"
+            )
+
+        # resolve each distinct scalar through the cached pipeline
+        # (plan-time 1-row collects — bounded by construction)
+        resolved: Dict[object, _Lit] = {}
+        hits = []
+        for sq in sel_subqs:
+            if sq in resolved:
+                continue
+            idf, idec = self._plan_cached(query, sq.spec)
+            rows = idf.collect()
+            val = rows[0][0] if rows else None
+            if val is not None and not isinstance(
+                val,
+                (bool, int, float, str, _dec.Decimal, _dt.date, _dt.datetime),
+            ):
+                raise Unsupported(
+                    f"scalar subquery value type {type(val).__name__}"
+                )
+            resolved[sq] = _Lit(val)
+            hits.append(idec.cache_hit)
+
+        # split every select item: AggCalls become (deduped) hidden items
+        # of the scalar-free INNER aggregate; the item expression replays
+        # as an outer projection with scalars folded
+        hidden: Dict[object, str] = {}
+        inner_aggs: list = []
+        outer_items: list = []
+        group_names = {g.name for g in spec.group_by}
+
+        def _repl(n):
+            if isinstance(n, _SS):
+                return resolved[n]
+            if isinstance(n, _AggCall):
+                h = hidden.get(n)
+                if h is None:
+                    h = f"__qc_sel{len(hidden)}"
+                    hidden[n] = h
+                    inner_aggs.append(_SelectItem(h, n))
+                return _Col(h)
+            return n
+
+        by_name = {i.name: i for i in spec.aggregates}
+        for name in spec.select_order:
+            if name in group_names:
+                outer_items.append(_SelectItem(name, _Col(name)))
+                continue
+            item = by_name[name]
+            if not any(isinstance(n, _SS) for n in item.expr.walk()):
+                # scalar-free item: keep the WHOLE finalize expression in
+                # the inner aggregate under its own name
+                inner_aggs.append(item)
+                outer_items.append(_SelectItem(name, _Col(name)))
+                continue
+            outer_items.append(
+                _SelectItem(name, _transform(item.expr, _repl))
+            )
+        if not any(
+            isinstance(n, _AggCall)
+            for i in inner_aggs
+            for n in i.expr.walk()
+        ):
+            # ``SELECT g, (SELECT …) FROM t GROUP BY g`` — no partial
+            # state anywhere; nothing to cache
+            raise Unsupported(
+                "select-list scalar subquery without aggregates"
+            )
+
+        # ORDER BY replays on the outer projection: resolve each key to an
+        # output column (by name, by position, or by restating an item
+        # expression verbatim); anything else stays passthrough
+        out_names = [i.name for i in outer_items]
+        expr_name = {i.expr: i.name for i in spec.aggregates}
+        expr_name.update({g.expr: g.name for g in spec.group_by})
+        new_order = []
+        for o in spec.order_by:
+            if isinstance(o.expr, _Col) and o.expr.name in out_names:
+                new_order.append(o)
+            elif (
+                isinstance(o.expr, _Lit)
+                and isinstance(o.expr.value, int)
+                and 1 <= o.expr.value <= len(out_names)
+            ):
+                new_order.append(
+                    dataclasses.replace(
+                        o, expr=_Col(out_names[o.expr.value - 1])
+                    )
+                )
+            elif o.expr in expr_name:
+                new_order.append(
+                    dataclasses.replace(o, expr=_Col(expr_name[o.expr]))
+                )
+            else:
+                raise Unsupported(
+                    "ORDER BY not an output column "
+                    "(select-list scalar path)"
+                )
+
+        inner = dataclasses.replace(
+            spec,
+            aggregates=tuple(inner_aggs),
+            select_order=tuple(
+                [g.name for g in spec.group_by]
+                + [i.name for i in inner_aggs]
+            ),
+            order_by=(),
+            limit=None,
+        )
+        sub = _SubquerySpec(
+            inner=inner,
+            items=tuple(outer_items),
+            predicate=None,
+            order_by=tuple(new_order),
+            limit=spec.limit,
+        )
+        df, dec = self._plan_subquery(sub, query)
+        return df, dataclasses.replace(
+            dec,
+            sql=query,
+            reason=(
+                (dec.reason + "; " if dec.reason else "")
+                + "select-list scalar subqueries folded post-finalize"
+            ),
+            cache_hit=dec.cache_hit and all(hits),
+        )
 
     def _plan_subquery(self, spec, query: str):
         """Aggregate inside a derived table: cache the INNER aggregate,

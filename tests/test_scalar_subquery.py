@@ -165,3 +165,102 @@ def test_scalar_subquery_inner_shares_standalone_entry(spark, qc_mem):
     d = qc_mem.last_decision
     # the subquery resolved through the SAME cache entry → hit
     assert d.cached and d.cache_hit and d.fingerprint == fp
+
+
+# -- select-list scalars (share-of-total) --------------------------------
+
+
+def test_select_scalar_share_of_total_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n, "
+        "round(count(*) / (SELECT count(*) FROM events) + 1e-9, 4) AS share "
+        "FROM events GROUP BY 1 ORDER BY share DESC, event_type"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    assert "select-list scalar" in qc_mem.last_decision.reason
+
+
+def test_select_scalar_outer_stays_cached(spark, qc_mem):
+    """Unlike the WHERE fold (outer plain), a select-list scalar keeps the
+    OUTER aggregate cached: the rollup and the scalar both refresh
+    incrementally and the warm read touches no source rows."""
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, "
+        "count(*) / (SELECT count(*) FROM events) AS share "
+        "FROM events GROUP BY 1"
+    )
+    qc_mem.sql(sql).collect()
+    d1 = qc_mem.last_decision
+    assert d1.cached and not d1.cache_hit
+    out = qc_mem.sql(sql)
+    d2 = qc_mem.last_decision
+    assert d2.cached and d2.cache_hit  # rollup entry AND scalar entry hit
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_select_scalar_two_scalars_and_limit(spark, qc_mem):
+    sql = (
+        "SELECT date_trunc('day', ts) AS d, "
+        "max(value) - (SELECT min(value) FROM events) AS spread, "
+        "round(avg(value) - (SELECT avg(value) FROM events) + 1e-9, 3) "
+        "AS delta FROM events GROUP BY 1 ORDER BY 1 LIMIT 10"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_select_scalar_global_outer(spark, qc_mem):
+    sql = (
+        "SELECT count(*) / (SELECT count(*) FROM events) AS one FROM events"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_select_scalar_plus_where_scalar_runs_plain_outer(spark, qc_mem):
+    """WHERE scalar forces the plain-outer path; the select scalar must
+    still fold there."""
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, "
+        "round(count(*) / (SELECT count(*) FROM events) + 1e-9, 4) AS share "
+        "FROM events WHERE value > (SELECT max(value) FROM events) / 4 "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached
+    assert "outer plain" in qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_select_scalar_without_aggregate_passthrough(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, (SELECT count(*) FROM events) AS total "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert not qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_select_scalar_fingerprint_is_scalar_free(spark, qc_mem):
+    """The inner rollup entry must be SHARED with the bare rollup (the
+    scalar folds outside the fingerprint), so the bare spelling hits."""
+    qc_mem.config.override_now_ns = None
+    qc_mem.sql(
+        "SELECT event_type, "
+        "count(*) / (SELECT count(*) FROM events) AS share "
+        "FROM events GROUP BY 1"
+    ).collect()
+    assert qc_mem.last_decision.cached
+    # the same inner state serves a second, differently-scaled scalar
+    qc_mem.sql(
+        "SELECT event_type, "
+        "100 * count(*) / (SELECT count(*) FROM events) AS pct "
+        "FROM events GROUP BY 1"
+    ).collect()
+    d = qc_mem.last_decision
+    assert d.cached and d.cache_hit

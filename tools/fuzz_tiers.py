@@ -272,6 +272,29 @@ def gen_insubq_sql(rng: random.Random) -> str:
     )
 
 
+def gen_selscalar_sql(rng: random.Random) -> str:
+    """Select-list scalar subquery (r10 share-of-total): BOTH aggregates
+    are cached — the outer rollup (scalar-free fingerprint, scalar folded
+    post-finalize) AND the scalar's own inner — so the twin surgery bounds
+    EVERY scan (replace-all). EXACT scalars only; the outer float columns
+    go through the _close tolerance like any aggregate output."""
+    scalar = rng.choice(["max(value)", "min(value)", "count(*)"])
+    ipred = rng.choice([p for p in PREDS if p])
+    iwin = rng.choice(WINDOWS)
+    iconds = " AND ".join(c for c in (ipred, iwin) if c)
+    opred = rng.choice([p for p in PREDS if p])
+    owin = rng.choice(WINDOWS)
+    oconds = " AND ".join(c for c in (opred, owin) if c)
+    g = rng.choice(GROUPS)
+    ags = rng.sample(AGGS, rng.randint(1, 2))
+    return (
+        f"SELECT {g}, {', '.join(ags)}, "
+        f"round(max(value) - (SELECT {scalar} FROM events "
+        f"WHERE {iconds}) + 1e-9, 3) AS zdiff "
+        f"FROM events WHERE {oconds} GROUP BY 1 ORDER BY 1"
+    )
+
+
 def gen_dimjoin_sql(rng: random.Random) -> str:
     """Dim joined ABOVE a cached derived aggregate (r10): inner rollup on
     a bucket key, fz_seg joined onto the finalized result, optional
@@ -387,6 +410,7 @@ def main() -> int:
         scalar_mode = 0.44 <= mode_p < 0.52
         dimjoin_mode = 0.52 <= mode_p < 0.60
         insubq_mode = 0.60 <= mode_p < 0.66
+        selscalar_mode = 0.66 <= mode_p < 0.71
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
@@ -395,6 +419,8 @@ def main() -> int:
             sql = gen_scalar_sql(rng)
         elif insubq_mode:
             sql = gen_insubq_sql(rng)
+        elif selscalar_mode:
+            sql = gen_selscalar_sql(rng)
         elif dimjoin_mode:
             sql = gen_dimjoin_sql(rng)
         elif union_mode:
@@ -446,6 +472,7 @@ def main() -> int:
             and not union_mode
             and not scalar_mode
             and not insubq_mode
+            and not selscalar_mode
             and not dimjoin_mode
         ):
             gb_clause = f"GROUP BY {gb}"
@@ -459,8 +486,14 @@ def main() -> int:
                      "GROUPING SETS ((1), (2), (1, 2))"]
                 )
                 gb_clause = f"GROUP BY {kind}"
-                g1 = gs[0].split(" AS ")[-1] if " AS " in gs[0] else gs[0]
-                sel = sel + [f"grouping({g1}) AS gflag"]
+                # grouping(<select alias>) is valid DuckDB but NOT valid
+                # Spark SQL (lateral alias in grouping) — a passthrough
+                # trial would explode in the plain twin, so only flag
+                # plain-column keys (the engine itself handles aliases,
+                # qc_rollup's grouping(d) proves it)
+                plain = [x for x in gs if " AS " not in x]
+                if plain:
+                    sel = sel + [f"grouping({plain[0]}) AS gflag"]
                 hv = ""
                 order = ""
                 limit = ""
@@ -568,8 +601,10 @@ def main() -> int:
                     )
                 elif " WHERE " in s:
                     # union branches each need the as-of bound (every
-                    # union_mode branch is generated WITH a WHERE)
-                    cnt = -1 if union_mode else 1
+                    # union_mode branch is generated WITH a WHERE); in
+                    # selscalar mode BOTH aggregates are cached, so both
+                    # scans get the bound
+                    cnt = -1 if (union_mode or selscalar_mode) else 1
                     s = s.replace("WHERE ", f"WHERE ts < {lit} AND ", cnt)
                 else:
                     s = s.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
