@@ -196,7 +196,12 @@ def wrap_subquery(sql: str, rng: random.Random, gs, ags) -> str:
             f"SELECT {g}, round(sum({m}) + 1e-9, 3) AS zs, max({m}) AS zm, "
             f"count(*) AS zc FROM ({sql}) __f GROUP BY 1{hv}{ob}"
         )
-    sel = ", ".join(rng.sample(all_names, rng.randint(1, len(all_names))))
+    # ALWAYS project the group keys: they are the only exact row identity
+    # the twin comparison can pair on — a projection of float-only columns
+    # makes the repr-sort pair rows by ULP-differing sums (a comparison
+    # artifact, not an engine bug; seed 20260815 trial 47)
+    picked = set(rng.sample(all_names, rng.randint(1, len(all_names))))
+    sel = ", ".join(n for n in all_names if n in picked or n in g_names)
     # outer WHERE only when the inner already has one: the twin surgery
     # inserts the as-of bound at the FIRST " WHERE " in string order, which
     # must be the inner's
