@@ -474,24 +474,31 @@ class SubquerySpec:
 
 @dataclass
 class UnionSpec:
-    """``<branch> UNION [ALL] <branch> [...] [ORDER BY] [LIMIT]`` where
-    every branch is independently cacheable (AggSpec / SubquerySpec /
+    """``<branch> UNION [ALL] <branch> [...] [ORDER BY] [LIMIT]`` — or the
+    binary ``EXCEPT [ALL]`` / ``INTERSECT [ALL]`` (``op``) — where every
+    branch is independently cacheable (AggSpec / SubquerySpec /
     FilterSpec).
 
     Each branch plans through its own cached pipeline — a dashboard that
     unions this-period vs prior-period rollups gets each leg served
-    incrementally from its own entry. The union itself, optional DISTINCT
-    (``all=False``), and the outer ORDER/LIMIT are plain ops over the
-    finalized branch results. SQL UNION is positional: columns take the
-    FIRST branch's names; ``ORDER BY`` resolves positions/names against
-    them. Any uncacheable branch aborts the whole union to passthrough
-    (the branch planners raise Unsupported), which keeps semantics exact.
+    incrementally from its own entry. The set operation itself, optional
+    DISTINCT (``all=False``), and the outer ORDER/LIMIT are plain ops over
+    the finalized branch results. SQL set ops are positional: columns take
+    the FIRST branch's names; ``ORDER BY`` resolves positions/names
+    against them. Any uncacheable branch aborts the whole thing to
+    passthrough (the branch planners raise Unsupported), which keeps
+    semantics exact. EXCEPT/INTERSECT compare finalized VALUES across
+    branches, so (exactly like UNION DISTINCT) float aggregates that
+    re-associate under incremental merge can flip membership by a ULP —
+    same caveat as any engine that merges partial sums.
     """
 
     branches: Tuple[object, ...]
     all: bool
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
+    #: "union" (n-ary) | "except" | "intersect" (binary)
+    op: str = "union"
 
 
 class Unsupported(Exception):

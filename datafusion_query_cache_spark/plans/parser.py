@@ -608,9 +608,10 @@ def _lower_select(node: Dict[str, Any]):
         raise Unsupported("self-join")  # column references would be ambiguous
     table = tables[0]
 
-    # modifiers: order / limit; distinct → unsupported
+    # modifiers: order / limit / distinct
     order_by: List[OrderItem] = []
     limit: Optional[int] = None
+    distinct = False
     for mod in node.get("modifiers", []):
         mt = mod.get("type")
         if mt == "ORDER_MODIFIER":
@@ -633,7 +634,7 @@ def _lower_select(node: Dict[str, Any]):
             if mod.get("offset") is not None:
                 raise Unsupported("offset")
         elif mt == "DISTINCT_MODIFIER":
-            raise Unsupported("SELECT DISTINCT")
+            distinct = True
         else:
             raise Unsupported(f"modifier {mt}")
 
@@ -666,6 +667,37 @@ def _lower_select(node: Dict[str, Any]):
         raise Unsupported("empty select list")
 
     having_node = node.get("having")
+    if distinct:
+        # SELECT DISTINCT cols FROM t [WHERE] ≡ GROUP BY over all outputs:
+        # cache it as an aggregate whose state is the group keys plus ONE
+        # hidden count item (dropped at finalize — never in select_order),
+        # so the distinct set is maintained incrementally like any rollup
+        if star:
+            raise Unsupported("SELECT DISTINCT *")
+        if node.get("group_expressions") or having_node is not None:
+            raise Unsupported("DISTINCT with GROUP BY/HAVING")
+        if any(
+            _contains_agg(e) or _contains_scalar_subq(e) for _, e in raw_items
+        ):
+            raise Unsupported("DISTINCT over aggregates/subqueries")
+        if any(_contains_window(e) for _, e in raw_items):
+            raise Unsupported("DISTINCT over window functions")
+        if len(tables) > 1 or join_steps:
+            raise Unsupported("DISTINCT caching is single-table")
+        return AggSpec(
+            table=table,
+            tables=tuple(tables),
+            join_steps=(),
+            predicate=predicate,
+            group_by=tuple(SelectItem(n, e) for n, e in raw_items),
+            aggregates=(
+                SelectItem("__qc_d", AggCall("count", (Star(),), False)),
+            ),
+            select_order=tuple(n for n, _ in raw_items),
+            order_by=tuple(order_by),
+            limit=limit,
+            having=None,
+        )
     if star or not (
         any(_contains_agg(e) for _, e in raw_items)
         # ``SELECT k FROM t GROUP BY k HAVING count(*) > n``: the only
@@ -1184,22 +1216,31 @@ def _lower_cte(node: Dict[str, Any], ctes: List[Dict[str, Any]]):
 
 def _lower_setop(node: Dict[str, Any]):
     """Lower ``a UNION [ALL] b [UNION [ALL] c ...] [ORDER BY] [LIMIT]``
-    into a :class:`UnionSpec` of independently-cacheable branches.
+    (n-ary) or the binary ``a EXCEPT|INTERSECT [ALL] b`` into a
+    :class:`UnionSpec` of independently-cacheable branches.
 
-    Only UNION (both flavors) is lowered — each leg keeps its own cache
-    entry and the union/distinct runs over finalized results, which is
-    exact. EXCEPT/INTERSECT stay passthrough: they would need BOTH sides'
-    full row sets anyway, so there is nothing incremental to exploit at
-    the set level."""
+    Each leg keeps its own cache entry; the set operation runs over
+    finalized results. There is nothing incremental to exploit at the SET
+    level (EXCEPT/INTERSECT need both sides' full finalized sets) — the
+    win is that each side's AGGREGATION over the growing fact table is
+    served from its state entry instead of a rescan."""
     from .ir import UnionSpec
 
-    if node.get("setop_type") != "UNION":
-        raise Unsupported(f"set operation {node.get('setop_type')}")
+    setop = node.get("setop_type")
+    if setop not in ("UNION", "EXCEPT", "INTERSECT"):
+        raise Unsupported(f"set operation {setop}")
     if node.get("cte_map", {}).get("map"):
         raise Unsupported("CTE over a set operation")
     want_all = bool(node.get("setop_all"))
 
     branches: List[object] = []
+
+    def lower_branch(n: Dict[str, Any]) -> None:
+        b = _lower_select(n)
+        if _spec_has_scalar_subq(b):
+            # the session resolves scalar subqueries only at the top level
+            raise Unsupported("scalar subquery in a set-operation branch")
+        branches.append(b)
 
     def flat(n: Dict[str, Any]) -> None:
         if (
@@ -1211,14 +1252,17 @@ def _lower_setop(node: Dict[str, Any]):
             flat(n["left"])
             flat(n["right"])
             return
-        b = _lower_select(n)
-        if _spec_has_scalar_subq(b):
-            # the session resolves scalar subqueries only at the top level
-            raise Unsupported("scalar subquery in a UNION branch")
-        branches.append(b)
+        lower_branch(n)
 
-    flat(node["left"])
-    flat(node["right"])
+    if setop == "UNION":
+        flat(node["left"])
+        flat(node["right"])
+    else:
+        # binary, not flattened: a chained `a EXCEPT b EXCEPT c` arrives
+        # left-nested, its left child is itself a set-op node, and
+        # _lower_select refuses it → passthrough (exact either way)
+        lower_branch(node["left"])
+        lower_branch(node["right"])
 
     first = branches[0]
     names = _branch_names(first)
@@ -1266,6 +1310,7 @@ def _lower_setop(node: Dict[str, Any]):
         all=want_all,
         order_by=tuple(order_by),
         limit=limit,
+        op=setop.lower(),
     )
 
 
@@ -1285,4 +1330,4 @@ def _branch_names(spec) -> List[str]:
         if spec.items is None:
             raise Unsupported("SELECT * branch in a UNION")
         return [i.name for i in spec.items]
-    raise Unsupported("unsupported UNION branch")
+    raise Unsupported("unsupported set-operation branch")

@@ -783,12 +783,24 @@ class CachedSparkSession(RefreshTiers):
             decisions.append(d)
         names = dfs[0].columns
         out = dfs[0]
+        op = getattr(spec, "op", "union")
         for d2 in dfs[1:]:
             if len(d2.columns) != len(names):
-                raise Unsupported("UNION branch arity mismatch")
-            # SQL UNION is positional: first branch names the output
-            out = out.union(d2.toDF(*names))
-        if not spec.all:
+                raise Unsupported("set-operation branch arity mismatch")
+            # SQL set ops are positional: first branch names the output
+            right = d2.toDF(*names)
+            if op == "union":
+                out = out.union(right)
+            elif op == "except":
+                # Spark: subtract == EXCEPT DISTINCT, exceptAll == EXCEPT ALL
+                out = out.exceptAll(right) if spec.all else out.subtract(right)
+            else:  # intersect
+                out = (
+                    out.intersectAll(right)
+                    if spec.all
+                    else out.intersect(right)
+                )
+        if op == "union" and not spec.all:
             out = out.distinct()
         if spec.order_by:
             out = out.orderBy(
@@ -799,7 +811,7 @@ class CachedSparkSession(RefreshTiers):
         decision = Decision(
             sql=query,
             cached=True,
-            reason=f"union of {len(dfs)} cached branches",
+            reason=f"{op} of {len(dfs)} cached branches",
             fingerprint=decisions[0].fingerprint,
             cache_hit=all(d.cache_hit for d in decisions),
             watermark_ns=decisions[0].watermark_ns,

@@ -279,13 +279,17 @@ def test_union_branches_get_distinct_plans(spark, qc_mem):
     assert all(len(set(v)) == len(v) for v in by_type.values()), by_type
 
 
-def test_except_intersect_passthrough(spark, qc_mem):
+def test_except_over_filter_branches_cached(spark, qc_mem):
+    """EXCEPT legs are cacheable row sets over the temporal fact — served
+    from state since r10 (was passthrough through r9)."""
+    qc_mem.config.override_now_ns = None
     sql = (
         "SELECT event_type FROM events EXCEPT "
         "SELECT event_type FROM events WHERE value > 1000"
     )
     out = qc_mem.sql(sql)
-    assert qc_mem.last_decision.cached is False
+    assert qc_mem.last_decision.cached
+    assert "except of 2 cached branches" in qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))
 
 
@@ -414,4 +418,54 @@ def test_dim_join_ambiguous_column_passthrough(spark, qc_mem):
     out = qc_mem.sql(sql)
     assert qc_mem.last_decision.cached is False
     assert "ambiguous" in qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+# -- EXCEPT / INTERSECT of cacheable branches -----------------------------
+
+
+def test_except_cached_branches(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events WHERE value > 5 "
+        "GROUP BY 1 EXCEPT SELECT event_type, count(*) AS n FROM events "
+        "WHERE value > 80 GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    assert "except of 2 cached branches" in qc_mem.last_decision.reason
+
+
+def test_except_all_cached_branches(spark, qc_mem):
+    sql = (
+        "SELECT event_type FROM events WHERE value > 5 GROUP BY 1 "
+        "HAVING count(*) > 10 EXCEPT ALL SELECT event_type FROM events "
+        "WHERE value > 80 GROUP BY 1 HAVING count(*) > 100"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_intersect_cached_branches(spark, qc_mem):
+    sql = (
+        "SELECT event_type, min(value) AS mn FROM events WHERE value > 5 "
+        "GROUP BY 1 INTERSECT SELECT event_type, min(value) AS mn FROM "
+        "events WHERE value > 5 AND event_id >= 0 GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    assert "intersect of 2 cached branches" in qc_mem.last_decision.reason
+
+
+def test_chained_except_stays_passthrough(spark, qc_mem):
+    """a EXCEPT b EXCEPT c arrives left-nested; the nested set-op branch
+    is refused and the whole query runs plain — exact either way."""
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type FROM events GROUP BY 1 HAVING count(*) > 5 "
+        "EXCEPT SELECT event_type FROM events GROUP BY 1 "
+        "HAVING count(*) > 100 EXCEPT SELECT event_type FROM events "
+        "GROUP BY 1 HAVING count(*) > 200"
+    )
+    out = qc_mem.sql(sql)
+    assert not qc_mem.last_decision.cached
     assert rows_set(out) == rows_set(spark.sql(sql))

@@ -300,6 +300,29 @@ def gen_selscalar_sql(rng: random.Random) -> str:
     )
 
 
+def gen_distinct_sql(rng: random.Random) -> str:
+    """SELECT DISTINCT (r10): lowers to a group-by whose state is the key
+    set + a hidden count item dropped at finalize. Exact-valued key
+    columns only (strings/ints/buckets) — DISTINCT compares values."""
+    cols = rng.sample(
+        [
+            "event_type",
+            "user_id % 20 AS b",
+            "CAST(date_trunc('day', ts) AS DATE) AS d",
+            "value > 50 AS hi",
+        ],
+        rng.randint(1, 2),
+    )
+    pred = rng.choice([p for p in PREDS if p])
+    win = rng.choice(WINDOWS)
+    conds = " AND ".join(c for c in (pred, win) if c)
+    order = " ORDER BY 1" if rng.random() < 0.6 else ""
+    return (
+        f"SELECT DISTINCT {', '.join(cols)} FROM events "
+        f"WHERE {conds}{order}"
+    )
+
+
 def gen_dimjoin_sql(rng: random.Random) -> str:
     """Dim joined ABOVE a cached derived aggregate (r10): inner rollup on
     a bucket key, fz_seg joined onto the finalized result, optional
@@ -416,6 +439,7 @@ def main() -> int:
         dimjoin_mode = 0.52 <= mode_p < 0.60
         insubq_mode = 0.60 <= mode_p < 0.66
         selscalar_mode = 0.66 <= mode_p < 0.71
+        distinct_mode = 0.71 <= mode_p < 0.75
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
@@ -426,6 +450,8 @@ def main() -> int:
             sql = gen_insubq_sql(rng)
         elif selscalar_mode:
             sql = gen_selscalar_sql(rng)
+        elif distinct_mode:
+            sql = gen_distinct_sql(rng)
         elif dimjoin_mode:
             sql = gen_dimjoin_sql(rng)
         elif union_mode:
@@ -454,8 +480,13 @@ def main() -> int:
             # min/max/counts/bit/bool/argmin preserve exact input values.
             exact = {"n", "nv", "mn", "mx", "de", "bo", "br", "mb", "xb"}
             names = {a.split(" AS ")[-1] for a in u_ags}
+            # EXCEPT/INTERSECT (r10) compare branch VALUES like UNION
+            # DISTINCT does — exact outputs only, same ULP argument
             kind = (
-                rng.choice([" UNION ALL ", " UNION "])
+                rng.choice(
+                    [" UNION ALL ", " UNION ", " EXCEPT ", " INTERSECT ",
+                     " EXCEPT ALL ", " INTERSECT ALL "]
+                )
                 if names <= exact
                 else " UNION ALL "
             )
@@ -478,6 +509,7 @@ def main() -> int:
             and not scalar_mode
             and not insubq_mode
             and not selscalar_mode
+            and not distinct_mode
             and not dimjoin_mode
         ):
             gb_clause = f"GROUP BY {gb}"
