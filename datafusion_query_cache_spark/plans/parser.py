@@ -700,14 +700,19 @@ def _lower_select(node: Dict[str, Any]):
         )
     if star or not (
         any(_contains_agg(e) for _, e in raw_items)
-        # ``SELECT k FROM t GROUP BY k HAVING count(*) > n``: the only
-        # aggregate lives in HAVING — still the aggregate shape (the
-        # HAVING aggregate is planned as a hidden select item, so the
-        # cached entry has real partial state)
+        # ``SELECT k FROM t GROUP BY k HAVING count(*) > n`` and
+        # ``… ORDER BY count(*)``: the only aggregate lives in HAVING /
+        # ORDER BY — still the aggregate shape (planned as hidden select
+        # items, so the cached entry has real partial state)
         or (
             node.get("group_expressions")
-            and having_node is not None
-            and _contains_agg(_expr(having_node))
+            and (
+                (
+                    having_node is not None
+                    and _contains_agg(_expr(having_node))
+                )
+                or any(_contains_agg(o.expr) for o in order_by)
+            )
         )
     ):
         # non-aggregate shape → FilterSpec (group-by/having make no sense)
@@ -808,11 +813,12 @@ def _lower_select(node: Dict[str, Any]):
     having = node.get("having")
     having_expr = _expr(having) if having is not None else None
     if not agg_items and not (
-        having_expr is not None and _contains_agg(having_expr)
+        (having_expr is not None and _contains_agg(having_expr))
+        or any(_contains_agg(o.expr) for o in order_by)
     ):
         # a group-by with no aggregate anywhere (DISTINCT-like) has no
-        # partial state to cache; with an aggregate in HAVING the hidden
-        # __qc_having select item carries the state
+        # partial state to cache; with an aggregate in HAVING or ORDER BY
+        # a hidden select item carries the state
         raise Unsupported("no aggregate in select list")
 
     # ROLLUP / CUBE / GROUPING SETS: duckdb exposes group_sets as index
@@ -852,19 +858,73 @@ def _lower_select(node: Dict[str, Any]):
             # meaningful in predicates
             raise Unsupported("IN subquery in the select list")
 
-    return AggSpec(
+    # ORDER BY keys that are NOT output columns but contain an aggregate
+    # after resolving select aliases (``SELECT k FROM t GROUP BY k ORDER
+    # BY count(*) DESC``, ``ORDER BY n * 2`` where n aliases count(*)):
+    # plan each as a hidden ``__qc_ord{i}`` item on the INNER aggregate
+    # and wrap the query in a SubquerySpec that orders on the hidden
+    # columns BEFORE projecting them away — the state entry carries the
+    # sort aggregates, the output schema doesn't.
+    alias_expr = {name: e for name, e in raw_items}
+    out_name_set = set(select_order)
+    item_expr_set = {s.expr for s in group_items} | {
+        s.expr for s in agg_items
+    }
+    hidden_ord: List[SelectItem] = []
+    outer_order: List[OrderItem] = []
+    for o in order_by:
+        e = o.expr
+        if (
+            (isinstance(e, Lit) and isinstance(e.value, int))
+            or (isinstance(e, Col) and e.name in out_name_set)
+            or e in item_expr_set
+        ):
+            outer_order.append(o)
+            continue
+        from .ir import transform as _ir_transform
+
+        e2 = _ir_transform(
+            e,
+            lambda n: alias_expr.get(n.name, n) if isinstance(n, Col) else n,
+        )
+        if not _contains_agg(e2):
+            # not computable from the aggregate's state — keep the
+            # original expr; the session's order resolution decides
+            # (output-expr match or Unsupported → passthrough)
+            outer_order.append(o)
+            continue
+        hname = f"__qc_ord{len(hidden_ord)}"
+        hidden_ord.append(SelectItem(hname, e2))
+        outer_order.append(OrderItem(Col(hname), o.desc, o.nulls_first))
+
+    if hidden_ord and (grouping_sets or grouping_fn_items):
+        raise Unsupported("hidden sort aggregate with grouping sets")
+
+    inner = AggSpec(
         table=table,
         tables=tuple(tables),
         join_steps=tuple(join_steps),
         predicate=predicate,
         group_by=tuple(group_items),
-        aggregates=tuple(agg_items),
-        select_order=tuple(select_order),
-        order_by=tuple(order_by),
-        limit=limit,
+        aggregates=tuple(agg_items) + tuple(hidden_ord),
+        select_order=tuple(select_order)
+        + tuple(s.name for s in hidden_ord),
+        order_by=() if hidden_ord else tuple(outer_order),
+        limit=None if hidden_ord else limit,
         having=having_expr,
         grouping_sets=grouping_sets,
         grouping_fn_items=tuple(grouping_fn_items),
+    )
+    if not hidden_ord:
+        return inner
+    from .ir import SubquerySpec as _SubquerySpec
+
+    return _SubquerySpec(
+        inner=inner,
+        items=tuple(SelectItem(n, Col(n)) for n in select_order),
+        predicate=None,
+        order_by=tuple(outer_order),
+        limit=limit,
     )
 
 

@@ -1258,6 +1258,46 @@ class CachedSparkSession(RefreshTiers):
                 df = df.filter(F.col("__qc_having")).drop("__qc_having")
             df = df.select(*spec.select_order)
         elif spec.items is not None:
+            from .plans.ir import Col as _Col
+
+            item_names = {i.name for i in spec.items}
+            if spec.order_by and any(
+                isinstance(o.expr, _Col) and o.expr.name not in item_names
+                for o in spec.order_by
+            ):
+                # hidden sort keys (__qc_ord{i}): order on the pre-
+                # projection frame, THEN project them away — Catalyst
+                # fuses sort+project(+limit) into TakeOrderedAndProject,
+                # and a projection never reorders rows
+                from .plans.ir import Lit as _Lit
+                from .tiers import _order_col as _oc
+
+                item_list = list(spec.items)
+
+                def _okey(o):
+                    if isinstance(o.expr, _Col):
+                        return _oc(o.expr.name, o)
+                    if isinstance(o.expr, _Lit) and isinstance(
+                        o.expr.value, int
+                    ):
+                        # positional: against the OUTPUT items
+                        idx = o.expr.value - 1
+                        if not 0 <= idx < len(item_list):
+                            raise Unsupported(
+                                "order-by position out of range"
+                            )
+                        return _oc(item_list[idx].name, o)
+                    raise Unsupported(
+                        "ORDER BY expression with hidden sort keys"
+                    )
+
+                df = df.orderBy(*[_okey(o) for o in spec.order_by])
+                df = df.select(
+                    *[to_column(i.expr).alias(i.name) for i in spec.items]
+                )
+                if spec.limit is not None:
+                    df = df.limit(spec.limit)
+                return df, decision
             df = df.select(
                 *[to_column(i.expr).alias(i.name) for i in spec.items]
             )

@@ -501,6 +501,17 @@ def main() -> int:
         gb = ", ".join(str(i + 1) for i in range(len(gs)))
         hv = f" HAVING {having}" if having else ""
         order = f" ORDER BY {gb}" if rng.random() < 0.7 else ""
+        if rng.random() < 0.10 and not having:
+            # hidden sort aggregate (r10): an EXACT aggregate that is not
+            # in the select list — the engine plans it as a __qc_ord item
+            # and drops it post-order; gb tiebreak keeps order total.
+            # NOT combined with HAVING: plain Spark (the twin) rejects an
+            # un-selected aggregate sort key above a HAVING filter
+            # (UNRESOLVED_COLUMN through the Project), while DuckDB and
+            # the engine both accept it — no twin to compare against
+            # (seed 70707 trial 53; engine behavior pinned instead by
+            # test_hidden_order.py::test_hidden_order_with_having)
+            order = f" ORDER BY sum(user_id) DESC, {gb}"
         limit = " LIMIT 500" if order and rng.random() < 0.2 else ""
         if (
             not filter_mode
@@ -544,6 +555,12 @@ def main() -> int:
             if rng.random() < 0.25 and "grouping" not in sql:
                 sql = wrap_subquery(sql, rng, gs, ags)
 
+        trace = os.environ.get("QC_FUZZ_TRACE")
+        if trace:
+            import time as _time
+
+            _t0 = _time.monotonic()
+            print(f"trial {trial}: {sql[:200]}", flush=True)
         kw = {}
         if rng.random() < 0.3:
             kw["nano_refresh_max_bytes"] = 0
@@ -667,6 +684,13 @@ def main() -> int:
             if i > 0:
                 t = qc.last_decision.refresh_tier
                 tiers_seen[t] = tiers_seen.get(t, 0) + 1
+        if trace:
+            import time as _time
+
+            print(
+                f"trial {trial} done in {_time.monotonic() - _t0:.1f}s",
+                flush=True,
+            )
         if (trial + 1) % 20 == 0:
             print(
                 f"[{trial + 1}/{TRIALS}] failures={len(failures)} "
