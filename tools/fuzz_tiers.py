@@ -582,7 +582,14 @@ def main() -> int:
         qc = CachedSparkSession(
             spark,
             QueryCacheConfig(
-                cache=cache, default_temporal_column="ts", **kw
+                cache=cache,
+                default_temporal_column="ts",
+                # strict: an unexpected engine fault must FAIL the trial,
+                # not silently degrade to a passthrough that then compares
+                # equal (r9 ADVICE — fuzz/CI rigs run loud). Expected
+                # rejections (Unsupported/NotDecomposable) are unaffected.
+                strict_errors=True,
+                **kw,
             ),
         )
 
