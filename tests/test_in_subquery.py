@@ -256,3 +256,30 @@ def test_in_empty_set(spark, null_tables):
         out = qc.sql(sql)
         assert qc.last_decision.cached, qc.last_decision.reason
         assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_having_mixes_group_key_and_in_subquery(spark, qc_mem):
+    """HAVING may reference the group KEY alongside the folded IN — the
+    hidden __qc_having item carries both (grouping columns are legal
+    inside Spark aggregate expression lists)."""
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+        "HAVING event_type IN (SELECT event_type FROM events GROUP BY 1 "
+        "HAVING count(*) > 50) ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_having_mixes_group_key_and_scalar(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+        "HAVING count(*) > (SELECT count(*) FROM events) / 10 "
+        "AND event_type != 'error' ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
