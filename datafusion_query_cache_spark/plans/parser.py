@@ -205,6 +205,10 @@ def _expr(node: Dict[str, Any]) -> Expr:
             # one argument ⇒ Spark's grouping() (tinyint), more ⇒
             # grouping_id() (bigint bit-vector)
             return Func("grouping" if len(kids) == 1 else "grouping_id", tuple(kids))
+        if typ == "OPERATOR_COALESCE":
+            # duckdb desugars COALESCE into its own operator class;
+            # identical builtin in Spark (functions/compile.py `coalesce`)
+            return Func("coalesce", tuple(kids))
         raise Unsupported(f"operator {typ}")
 
     if cls == "CAST":
