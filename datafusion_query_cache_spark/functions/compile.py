@@ -131,6 +131,11 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "current_timestamp": lambda: F.current_timestamp(),
     "current_date": lambda: F.current_date(),
     "to_timestamp": lambda c, *fmt: F.to_timestamp(c, *fmt),
+    "to_date": lambda c, *fmt: F.to_date(c, *fmt),
+    # duckdb lowers EXTRACT(field FROM ts) to date_part('field', ts); the
+    # field literal arrives as a foldable lit Column, which Spark accepts
+    "date_part": lambda f, c: F.date_part(f, c),
+    "datepart": lambda f, c: F.date_part(f, c),
     # duckdb interval constructors (INTERVAL 1 DAY lowers to to_days(1)):
     # needed to evaluate dynamic lower bounds `now() - INTERVAL ...`
     "to_years": lambda n: F.make_interval(n),
@@ -290,6 +295,11 @@ def to_column(e: Expr) -> Column:
             return F.floor(l / r)
         if op == "%":
             return l % r
+        if op == "is_distinct":
+            # IS DISTINCT FROM ≡ NOT (a <=> b)
+            return ~l.eqNullSafe(r)
+        if op == "is_not_distinct":
+            return l.eqNullSafe(r)
         if op == "like":
             if isinstance(e.right, Lit):
                 return l.like(str(e.right.value))

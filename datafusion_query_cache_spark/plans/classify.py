@@ -72,6 +72,7 @@ STABLE_FNS = frozenset(
         "datepart",
         "extract",
         "to_timestamp",
+        "to_date",
         "strptime",
         "cast",
         "md5",
@@ -244,12 +245,12 @@ def classify(expr: Optional[Expr], temporal_columns: FrozenSet[str]) -> Classifi
                 classify(left, temporal_columns), classify(right, temporal_columns)
             )
 
-        if op in ("like", "not_like"):
+        if op in ("like", "not_like", "is_distinct", "is_not_distinct"):
             lc = classify(left, temporal_columns)
             rc = classify(right, temporal_columns)
             if lc.verdict is Verdict.STABLE and rc.verdict is Verdict.STABLE:
                 return _STABLE
-            return Classification(Verdict.ABANDON, reason="non-stable LIKE")
+            return Classification(Verdict.ABANDON, reason=f"non-stable {op}")
 
         if op == "or":
             lc = classify(left, temporal_columns)

@@ -91,6 +91,9 @@ _COMPARE_OPS = {
     "COMPARE_GREATERTHANOREQUALTO": ">=",
     "COMPARE_LESSTHAN": "<",
     "COMPARE_LESSTHANOREQUALTO": "<=",
+    # null-safe (in)equality: Spark's <=> / NOT <=>
+    "COMPARE_DISTINCT_FROM": "is_distinct",
+    "COMPARE_NOT_DISTINCT_FROM": "is_not_distinct",
 }
 
 _OPERATOR_FUNCS = {
