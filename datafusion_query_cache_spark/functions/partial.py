@@ -209,7 +209,7 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
     decimal(min(38, p+4), s+4), HALF_UP like Spark's own Average).
     """
     fn = agg.fn.lower()
-    if agg.distinct and fn not in ("approx_count_distinct", "count"):
+    if agg.distinct and fn not in ("approx_count_distinct", "count", "sum"):
         raise NotDecomposable(f"{fn}(DISTINCT) has no mergeable state")
 
     def arg0() -> Column:
@@ -266,6 +266,60 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         # decimal expressions inside args still raise via _resolve_decimal
         for a_expr in agg.args:
             _resolve_decimal(a_expr, schema)
+
+    if fn == "sum" and agg.distinct:
+        # EXACT distinct sum on the same capped set state as
+        # count(DISTINCT); finalize folds the set with the OUTPUT type's
+        # zero so integral columns promote to long exactly like Spark's
+        # own sum(DISTINCT). Plain typed column only — the output type
+        # must be known driver-side to seed the fold.
+        from ..plans.ir import Col as _Col
+
+        if (
+            len(agg.args) != 1
+            or not isinstance(agg.args[0], _Col)
+            or schema is None
+        ):
+            raise NotDecomposable("sum(DISTINCT) needs a plain typed column")
+        fld = next(
+            (f for f in schema.fields if f.name == agg.args[0].name), None
+        )
+        if fld is None:
+            raise NotDecomposable("sum(DISTINCT) column not in source schema")
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        if isinstance(
+            fld.dataType, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            out_t = "long"
+        elif isinstance(fld.dataType, (FloatType, DoubleType)):
+            out_t = "double"
+        else:
+            raise NotDecomposable(
+                "sum(DISTINCT) over non-float/integral input"
+            )
+        nm = s("dset")
+        a = arg0()
+        fin = F.aggregate(
+            F.col(nm),
+            F.lit(None).cast(out_t),
+            lambda acc, x: F.coalesce(acc, F.lit(0).cast(out_t))
+            + x.cast(out_t),
+        )
+        return Decomposition(
+            partial={nm: F.collect_set(a)},
+            merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},
+            finalize=fin,
+            singleton={nm: F.filter(F.array(a), lambda x: x.isNotNull())},
+            set_states=[nm],
+        )
 
     if fn == "count" and agg.distinct:
         # EXACT distinct count, mergeable: set state (same machinery as
@@ -446,6 +500,65 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
                 s2: _py_add(x[s2], y[s2]),
             },
             py_finalize=_var_fin,
+        )
+
+    if fn in ("skewness", "kurtosis"):
+        # third/fourth-moment family on raw power sums (n, Σx, Σx², Σx³
+        # [, Σx⁴]) — the same state style as the variance block above.
+        # Central moments reconstruct at finalize; Spark's streaming
+        # update differs in low-order bits (raw power sums cancel harder),
+        # so callers should round like every float aggregate here.
+        ct, sm, s2, s3 = s("cnt"), s("sum"), s("sum2"), s("sum3")
+        a = arg0().cast("double")
+        partial = {
+            ct: F.count(a),
+            sm: F.sum(a),
+            s2: F.sum(a * a),
+            s3: F.sum(a * a * a),
+        }
+        merge = {
+            ct: F.sum(F.col(ct)),
+            sm: F.sum(F.col(sm)),
+            s2: F.sum(F.col(s2)),
+            s3: F.sum(F.col(s3)),
+        }
+        singleton = {
+            ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
+            sm: a,
+            s2: a * a,
+            s3: a * a * a,
+        }
+        n = F.col(ct).cast("double")
+        mean = F.col(sm) / n
+        # central sums: m2 = Σx² − n·mean², m3 = Σx³ − 3·mean·Σx² + 2·n·mean³
+        m2 = F.greatest(
+            F.col(s2) - n * mean * mean, F.lit(0.0)
+        )
+        m3 = F.col(s3) - F.lit(3.0) * mean * F.col(s2) + F.lit(2.0) * n * mean * mean * mean
+        if fn == "skewness":
+            # Spark: sqrt(n) · m3 / m2^1.5 (NaN when m2 = 0, NULL when n = 0)
+            fin = F.when(
+                F.col(ct) > 0,
+                F.sqrt(n) * m3 / F.pow(m2, F.lit(1.5)),
+            )
+            return Decomposition(
+                partial=partial, merge=merge, finalize=fin, singleton=singleton
+            )
+        s4 = s("sum4")
+        partial[s4] = F.sum(a * a * a * a)
+        merge[s4] = F.sum(F.col(s4))
+        singleton[s4] = a * a * a * a
+        # m4 = Σx⁴ − 4·mean·Σx³ + 6·mean²·Σx² − 3·n·mean⁴
+        m4 = (
+            F.col(s4)
+            - F.lit(4.0) * mean * F.col(s3)
+            + F.lit(6.0) * mean * mean * F.col(s2)
+            - F.lit(3.0) * n * mean * mean * mean * mean
+        )
+        # Spark: n · m4 / m2² − 3 (excess kurtosis)
+        fin = F.when(F.col(ct) > 0, n * m4 / (m2 * m2) - F.lit(3.0))
+        return Decomposition(
+            partial=partial, merge=merge, finalize=fin, singleton=singleton
         )
 
     if fn == "approx_count_distinct":

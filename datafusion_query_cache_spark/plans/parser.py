@@ -67,6 +67,8 @@ AGG_FUNCTIONS = {
     "corr",
     "covar_samp",
     "covar_pop",
+    "skewness",
+    "kurtosis",
     "list",
     "array_agg",
     "collect_set",
@@ -241,6 +243,17 @@ def _expr(node: Dict[str, Any]) -> Expr:
             return Func(mapped, args)
         if name == "count_star":
             return AggCall("count", (Star(),), distinct=False)
+        if name == "count_if":
+            # count_if(p) ≡ count(CASE WHEN p THEN 1 END): counts TRUE rows
+            # (NULL/FALSE uncounted), 0 on empty input — rides the existing
+            # mergeable count state
+            if len(args) != 1:
+                raise Unsupported("count_if arity")
+            return AggCall(
+                "count",
+                (Case(whens=((args[0], Lit(1)),)),),
+                distinct=False,
+            )
         if name in AGG_FUNCTIONS:
             fn = {"mean": "avg", "variance": "var_samp", "stddev": "stddev_samp",
                   "list": "array_agg"}.get(name, name)

@@ -163,8 +163,11 @@ def test_exact_distinct_cached_single_arg_only(qc, spark):
     )
     assert not qc.last_decision.cached
     assert df2.collect()[0]["u"] > 0
-    # and sum(DISTINCT) remains non-decomposable
+    # sum(DISTINCT plain col) caches on the same set state since r10…
     qc.sql("SELECT sum(DISTINCT value) AS s FROM events").collect()
+    assert qc.last_decision.cached
+    # …but avg(DISTINCT) and expression args remain non-decomposable
+    qc.sql("SELECT avg(DISTINCT value) AS a FROM events").collect()
     assert not qc.last_decision.cached
 
 

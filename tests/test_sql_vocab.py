@@ -51,3 +51,55 @@ def test_is_not_distinct_from_predicate(spark, qc_mem):
     )
     out = _two_run(qc_mem, spark, sql)
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+# -- r10 aggregate additions ----------------------------------------------
+
+
+def test_count_if_matches_plain(spark, qc_mem):
+    """count_if(p) is rewritten to count(CASE WHEN p THEN 1 END) at parse
+    and rides the mergeable count state."""
+    sql = (
+        "SELECT event_type, count_if(value > 50) AS hi, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_sum_distinct_matches_plain(spark, qc_mem):
+    """sum(DISTINCT col) rides the capped distinct-set state; the finalize
+    folds with the OUTPUT type's zero (integral promotes to long like
+    Spark's own sum(DISTINCT); empty set stays NULL)."""
+    sql = (
+        "SELECT event_type, sum(DISTINCT user_id) AS sd, "
+        "round(sum(DISTINCT value), 2) AS sv FROM events "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_sum_distinct_expression_stays_passthrough(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, sum(DISTINCT user_id % 10) AS sd FROM events "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert not qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_skewness_kurtosis_match_plain(spark, qc_mem):
+    """Third/fourth-moment family on raw power sums — same state style as
+    the variance block; rounding absorbs the low-order-bit difference vs
+    Spark's streaming central-moment update (verified to 4 decimals at
+    sf0.1 too)."""
+    sql = (
+        "SELECT event_type, round(skewness(value) + 1e-9, 3) AS sk, "
+        "round(kurtosis(value) + 1e-9, 3) AS ku, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))

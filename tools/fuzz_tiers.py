@@ -61,6 +61,12 @@ AGGS = [
     "count(DISTINCT event_type) AS de",
     "bool_or(value > 50) AS bo",
     "bit_or(CAST(value AS BIGINT)) AS br",
+    # r10 additions: count_if (rewritten onto the count state),
+    # sum(DISTINCT plain column) (capped set state), skewness (M3 raw
+    # power sums — rounded like avr; kurtosis shares the machinery)
+    "count_if(value > 50) AS ci",
+    "sum(DISTINCT user_id) AS sdu",
+    "round(skewness(value) + 1e-9, 3) AS skw",
 ]
 PREDS = [
     None,
@@ -478,7 +484,10 @@ def main() -> int:
             # merge, reference included) flips row counts rather than
             # values; _close tolerance can't absorb a cardinality change.
             # min/max/counts/bit/bool/argmin preserve exact input values.
-            exact = {"n", "nv", "mn", "mx", "de", "bo", "br", "mb", "xb"}
+            exact = {
+                "n", "nv", "mn", "mx", "de", "bo", "br", "mb", "xb",
+                "ci", "sdu",
+            }
             names = {a.split(" AS ")[-1] for a in u_ags}
             # EXCEPT/INTERSECT (r10) compare branch VALUES like UNION
             # DISTINCT does — exact outputs only, same ULP argument
