@@ -209,7 +209,9 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
     decimal(min(38, p+4), s+4), HALF_UP like Spark's own Average).
     """
     fn = agg.fn.lower()
-    if agg.distinct and fn not in ("approx_count_distinct", "count", "sum"):
+    if agg.distinct and fn not in (
+        "approx_count_distinct", "count", "sum", "avg", "mean"
+    ):
         raise NotDecomposable(f"{fn}(DISTINCT) has no mergeable state")
 
     def arg0() -> Column:
@@ -267,12 +269,14 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         for a_expr in agg.args:
             _resolve_decimal(a_expr, schema)
 
-    if fn == "sum" and agg.distinct:
-        # EXACT distinct sum on the same capped set state as
+    if fn in ("sum", "avg", "mean") and agg.distinct:
+        # EXACT distinct sum/avg on the same capped set state as
         # count(DISTINCT); finalize folds the set with the OUTPUT type's
         # zero so integral columns promote to long exactly like Spark's
-        # own sum(DISTINCT). Plain typed column only — the output type
-        # must be known driver-side to seed the fold.
+        # own sum(DISTINCT) (avg(DISTINCT) is always double for
+        # non-decimal input, divided by the set size). Plain typed column
+        # only — the output type must be known driver-side to seed the
+        # fold.
         from ..plans.ir import Col as _Col
 
         if (
@@ -307,12 +311,16 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             )
         nm = s("dset")
         a = arg0()
+        if fn in ("avg", "mean"):
+            out_t = "double"  # Spark avg over non-decimal is always double
         fin = F.aggregate(
             F.col(nm),
             F.lit(None).cast(out_t),
             lambda acc, x: F.coalesce(acc, F.lit(0).cast(out_t))
             + x.cast(out_t),
         )
+        if fn in ("avg", "mean"):
+            fin = fin / F.array_size(F.col(nm))
         return Decomposition(
             partial={nm: F.collect_set(a)},
             merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},

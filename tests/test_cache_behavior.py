@@ -163,11 +163,14 @@ def test_exact_distinct_cached_single_arg_only(qc, spark):
     )
     assert not qc.last_decision.cached
     assert df2.collect()[0]["u"] > 0
-    # sum(DISTINCT plain col) caches on the same set state since r10…
+    # sum/avg(DISTINCT plain col) cache on the same set state since r10…
     qc.sql("SELECT sum(DISTINCT value) AS s FROM events").collect()
     assert qc.last_decision.cached
-    # …but avg(DISTINCT) and expression args remain non-decomposable
     qc.sql("SELECT avg(DISTINCT value) AS a FROM events").collect()
+    assert qc.last_decision.cached
+    # …but computed-expression args remain non-decomposable (the output
+    # type is not knowable driver-side)
+    qc.sql("SELECT sum(DISTINCT value * 2) AS s FROM events").collect()
     assert not qc.last_decision.cached
 
 

@@ -103,3 +103,14 @@ def test_skewness_kurtosis_match_plain(spark, qc_mem):
     )
     out = _two_run(qc_mem, spark, sql)
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_avg_distinct_matches_plain(spark, qc_mem):
+    """avg(DISTINCT col) on the same set state — double fold / set size."""
+    sql = (
+        "SELECT event_type, round(avg(DISTINCT value) + 1e-9, 3) AS av, "
+        "round(avg(DISTINCT user_id) + 1e-9, 3) AS au FROM events "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
