@@ -320,7 +320,12 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             + x.cast(out_t),
         )
         if fn in ("avg", "mean"):
-            fin = fin / F.array_size(F.col(nm))
+            # empty set (all inputs NULL, or an all-state row after an
+            # empty refresh window) → NULL, not ANSI divide-by-zero
+            fin = F.when(
+                F.array_size(F.col(nm)) > 0,
+                fin / F.array_size(F.col(nm)),
+            )
         return Decomposition(
             partial={nm: F.collect_set(a)},
             merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},
@@ -544,9 +549,11 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         )
         m3 = F.col(s3) - F.lit(3.0) * mean * F.col(s2) + F.lit(2.0) * n * mean * mean * mean
         if fn == "skewness":
-            # Spark: sqrt(n) · m3 / m2^1.5 (NaN when m2 = 0, NULL when n = 0)
+            # Spark: sqrt(n) · m3 / m2^1.5, NULL when n = 0 OR m2 = 0
+            # (constant group) — the m2 > 0 guard also keeps ANSI mode
+            # from raising DIVIDE_BY_ZERO (closing-sweep find, seed 101010)
             fin = F.when(
-                F.col(ct) > 0,
+                (F.col(ct) > 0) & (m2 > 0),
                 F.sqrt(n) * m3 / F.pow(m2, F.lit(1.5)),
             )
             return Decomposition(
@@ -563,8 +570,10 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             + F.lit(6.0) * mean * mean * F.col(s2)
             - F.lit(3.0) * n * mean * mean * mean * mean
         )
-        # Spark: n · m4 / m2² − 3 (excess kurtosis)
-        fin = F.when(F.col(ct) > 0, n * m4 / (m2 * m2) - F.lit(3.0))
+        # Spark: n · m4 / m2² − 3 (excess kurtosis), NULL when m2 = 0
+        fin = F.when(
+            (F.col(ct) > 0) & (m2 > 0), n * m4 / (m2 * m2) - F.lit(3.0)
+        )
         return Decomposition(
             partial=partial, merge=merge, finalize=fin, singleton=singleton
         )

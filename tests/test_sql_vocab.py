@@ -114,3 +114,38 @@ def test_avg_distinct_matches_plain(spark, qc_mem):
     )
     out = _two_run(qc_mem, spark, sql)
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_avg_distinct_all_null_group_is_null(spark):
+    """Empty distinct set (all-NULL group) must finalize to NULL — the
+    unguarded division hit ANSI DIVIDE_BY_ZERO (found by the closing
+    150-trial fuzz sweep, seed 101010)."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a", 1.0, base), ("a", 2.0, base), ("b", None, base)]
+    spark.createDataFrame(
+        rows, "g string, v double, ts timestamp"
+    ).createOrReplaceTempView("qc_avgd_null")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=MemoryQueryCache(),
+            default_temporal_column="ts",
+            strict_errors=True,
+        ),
+    )
+    sql = (
+        "SELECT g, avg(DISTINCT v) AS a, sum(DISTINCT v) AS s "
+        "FROM qc_avgd_null GROUP BY 1 ORDER BY 1"
+    )
+    got = [tuple(r) for r in qc.sql(sql).collect()]
+    assert qc.last_decision.cached
+    assert got == [tuple(r) for r in spark.sql(sql).collect()]
+    assert got[1] == ("b", None, None)
