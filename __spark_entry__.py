@@ -1283,6 +1283,21 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for key, sql in _QC_SQLS.items():
         o[key] = sql.format(v="events")
+    # windowed sum over a BIGINT: DuckDB widens to HUGEINT (decimal128 in
+    # Arrow) while Spark stays BIGINT — cast so the driver's dtype-sensitive
+    # value hash matches (same precedent as qc_dim_join / qc_rollup below).
+    # value-column sums elsewhere are DOUBLE in both engines; count(*) is the
+    # only BIGINT the auto-derived oracles aggregate, and only here does a
+    # second-level sum re-aggregate it.
+    o["qc_window_topn"] = (
+        "SELECT et, dd, n, rnk, cum FROM ("
+        "SELECT et, dd, n, "
+        "rank() OVER (PARTITION BY et ORDER BY n DESC, dd) AS rnk, "
+        "CAST(sum(n) OVER (PARTITION BY et ORDER BY dd) AS BIGINT) AS cum "
+        "FROM (SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) "
+        "AS dd, count(*) AS n FROM events GROUP BY 1, 2) t) w "
+        "WHERE rnk <= 5 ORDER BY et, rnk, dd"
+    )
     o["qc_percentile"] = (
         "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "
         "round(quantile_cont(value, 0.9) + 1e-9, 2) AS p90, "
