@@ -69,6 +69,16 @@ def _fn_direct(name: str) -> Callable[..., Column]:
     return lambda *args: fn(*args)
 
 
+def _date_part(*a) -> Column:
+    # only the two-arg scalar-field form compiles; duckdb's list-of-parts
+    # form date_part(['year','month'], ts) and any other arity degrade to
+    # passthrough via Unsupported instead of a TypeError (which would take
+    # the unexpected-error path and raise under strict_errors).
+    if len(a) != 2 or not isinstance(a[0], str) or not isinstance(a[1], Column):
+        raise Unsupported("date_part: only date_part('field', ts) compiles")
+    return F.date_part(F.lit(a[0]), a[1])
+
+
 # duckdb function name → builder(args...) -> Column.  Only deterministic
 # scalars — the classifier guarantees volatile fns never reach compilation
 # on the cached path; passthrough queries never reach this compiler at all.
@@ -133,9 +143,12 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "to_timestamp": lambda c, *fmt: F.to_timestamp(c, *fmt),
     "to_date": lambda c, *fmt: F.to_date(c, *fmt),
     # duckdb lowers EXTRACT(field FROM ts) to date_part('field', ts); the
-    # field literal arrives as a foldable lit Column, which Spark accepts
-    "date_part": lambda f, c: F.date_part(f, c),
-    "datepart": lambda f, c: F.date_part(f, c),
+    # field literal arrives as a foldable lit Column, which Spark accepts.
+    # Arity-guarded: duckdb also has date_part(['year','month'], ts) (a
+    # struct-returning list form) and other arities — those must degrade to
+    # Unsupported/passthrough, not TypeError.
+    "date_part": lambda *a: _date_part(*a),
+    "datepart": lambda *a: _date_part(*a),
     # duckdb interval constructors (INTERVAL 1 DAY lowers to to_days(1)):
     # needed to evaluate dynamic lower bounds `now() - INTERVAL ...`
     "to_years": lambda n: F.make_interval(n),
@@ -316,7 +329,7 @@ def to_column(e: Expr) -> Column:
         args = []
         for a in e.args:
             # scalar-literal args that must stay python (date_trunc fmt, round n)
-            if isinstance(a, Lit) and e.name.lower() in ("date_trunc", "round", "substr", "substring", "power", "pow", "lpad", "rpad", "to_timestamp", "array_join", "array_to_string") and not isinstance(a.value, (dict, list)):
+            if isinstance(a, Lit) and e.name.lower() in ("date_trunc", "round", "substr", "substring", "power", "pow", "lpad", "rpad", "to_timestamp", "array_join", "array_to_string", "date_part", "datepart") and not isinstance(a.value, (dict, list)):
                 args.append(a.value)
             else:
                 args.append(to_column(a))

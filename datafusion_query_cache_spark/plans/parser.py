@@ -1316,6 +1316,14 @@ def _lower_setop(node: Dict[str, Any]):
     branches: List[object] = []
 
     def lower_branch(n: Dict[str, Any]) -> None:
+        if n.get("type") == "SET_OPERATION_NODE":
+            # nested set-op leg (chained `a EXCEPT b EXCEPT c` arrives
+            # left-nested; non-flattenable UNION mixes too): _lower_select
+            # would lower it to a nested UnionSpec, which the planner's
+            # binary set-op assembly cannot take as a branch — refuse
+            # explicitly so it degrades to passthrough instead of relying
+            # on a downstream accident.
+            raise Unsupported("nested set operation branch")
         b = _lower_select(n)
         if _spec_has_scalar_subq(b):
             # the session resolves scalar subqueries only at the top level
@@ -1339,8 +1347,8 @@ def _lower_setop(node: Dict[str, Any]):
         flat(node["right"])
     else:
         # binary, not flattened: a chained `a EXCEPT b EXCEPT c` arrives
-        # left-nested, its left child is itself a set-op node, and
-        # _lower_select refuses it → passthrough (exact either way)
+        # left-nested, its left child is itself a set-op node — refused
+        # explicitly in lower_branch above → passthrough (exact either way)
         lower_branch(node["left"])
         lower_branch(node["right"])
 

@@ -874,13 +874,23 @@ class CachedSparkSession(RefreshTiers):
             idf, idec = self._plan_cached(query, sq.spec)
             if isinstance(sq, _ISQ):
                 cap = getattr(self.config, "in_subquery_max_values", 10_000)
-                rows = idf.limit(cap + 1).collect()
+                # distinct BEFORE the cap: the fold only needs the value SET,
+                # so the cap must measure set size, not result rows — e.g.
+                # `IN (SELECT max(x) FROM t GROUP BY k)` over >cap groups
+                # with few distinct maxima stays foldable. distinct() also
+                # dedups the literals the IN-list is built from.
+                rows = idf.distinct().limit(cap + 1).collect()
                 if len(rows) > cap:
                     raise Unsupported(
-                        f"IN subquery yields more than {cap} values"
+                        f"IN subquery yields more than {cap} distinct values"
                     )
                 vals = [r[0] for r in rows]
                 nonnull = [v for v in vals if v is not None]
+                try:
+                    # deterministic literal order → stable folded plan
+                    nonnull.sort()
+                except TypeError:
+                    pass
                 for v in nonnull:
                     if not isinstance(v, _OK_TYPES):
                         raise Unsupported(

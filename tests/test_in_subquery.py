@@ -163,12 +163,34 @@ def test_in_subquery_cap_degrades_to_passthrough(spark, qc_mem):
     qc_mem.config.in_subquery_max_values = 2
     sql = (
         "SELECT count(*) AS n FROM events "
-        "WHERE user_id IN (SELECT max(user_id) FROM events "
-        "GROUP BY event_type)"
+        "WHERE user_id IN (SELECT min(user_id) FROM events "
+        "GROUP BY user_id)"
     )
     out = qc_mem.sql(sql)
     assert not qc_mem.last_decision.cached
-    assert "more than 2 values" in qc_mem.last_decision.reason
+    assert "more than 2 distinct values" in qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_in_subquery_cap_counts_distinct_not_rows(spark, qc_mem):
+    """>cap result ROWS but ≤cap distinct values must still fold: the cap
+    measures the folded set size (max per high-cardinality group collapses
+    to few distinct maxima)."""
+    n_types = spark.sql(
+        "SELECT count(DISTINCT event_type) AS n FROM events"
+    ).collect()[0][0]
+    n_groups = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+    ).collect()[0][0]
+    assert n_groups > n_types  # the premise: many groups, few values
+    qc_mem.config.in_subquery_max_values = n_types
+    sql = (
+        "SELECT count(*) AS n FROM events "
+        "WHERE event_type IN (SELECT max(event_type) FROM events "
+        "GROUP BY user_id)"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached
     assert rows_set(out) == rows_set(spark.sql(sql))
 
 

@@ -149,3 +149,23 @@ def test_avg_distinct_all_null_group_is_null(spark):
     assert qc.last_decision.cached
     assert got == [tuple(r) for r in spark.sql(sql).collect()]
     assert got[1] == ("b", None, None)
+
+
+def test_date_part_bad_arity_degrades_not_typeerror():
+    """duckdb's list-of-parts form date_part(['year','month'], ts) and other
+    arities must raise Unsupported (→ passthrough), never TypeError (which
+    would take the unexpected-error path under strict_errors)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark.functions.compile import _date_part
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+
+    with pytest.raises(Unsupported):
+        _date_part(F.lit("year"))  # one arg
+    with pytest.raises(Unsupported):
+        _date_part(F.col("parts"), F.col("ts"))  # non-literal field
+    with pytest.raises(Unsupported):
+        _date_part("year", F.col("ts"), F.col("extra"))  # three args
+    with pytest.raises(Unsupported):
+        _date_part("year", "ts_name")  # non-Column source
