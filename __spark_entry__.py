@@ -135,10 +135,17 @@ _QC_SQLS = {
         "round(corr(value, user_id) + 1e-9, 4) AS c, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
-    # BETWEEN desugar (reference panics on this — we support it)
+    # BETWEEN desugar (reference panics on this — we support it) PLUS
+    # scalar-expression group keys (upper/CASE) in one entry — consolidates
+    # the former qc_scalar_groupby row (same finest-state machinery; frees
+    # a window slot for qc_window_ma, r10 verdict item 2).
     "qc_between": (
-        "SELECT event_type, count(*) AS n, round(avg(value) + 1e-9, 2) AS av FROM {v} "
-        "WHERE ts BETWEEN '2024-01-03' AND '2024-01-27' AND value > 0 GROUP BY 1"
+        "SELECT upper(event_type) AS et, "
+        "CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS band, "
+        "count(*) AS n, round(sum(value), 2) AS s, "
+        "round(avg(value) + 1e-9, 2) AS av FROM {v} "
+        "WHERE ts BETWEEN '2024-01-03' AND '2024-01-27' AND value > 0 "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     # HAVING planned as a hidden select item, filtered at finalize; the
     # share-of-total column adds a SELECT-LIST scalar subquery (r10): the
@@ -188,13 +195,8 @@ _QC_SQLS = {
     "qc_filter_rows": (
         "SELECT event_id, event_type, value FROM {v} WHERE value > 100"
     ),
-    # scalar-expression group keys through the cached path
-    "qc_scalar_groupby": (
-        "SELECT upper(event_type) AS et, "
-        "CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS band, "
-        "count(*) AS n, round(sum(value), 2) AS s "
-        "FROM {v} WHERE value IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
-    ),
+    # (scalar-expression group keys: consolidated into qc_between above,
+    # r11 — same upper()/CASE keys, now alongside the BETWEEN bound)
     # ROLLUP re-aggregated from finest-granularity cached state
     # 2-level ROLLUP with grouping() flags reconstructed per grouping set
     # (one row covers both the multi-level rollup and the flags — freed a
@@ -241,6 +243,23 @@ _QC_SQLS = {
         "FROM (SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) "
         "AS dd, count(*) AS n FROM {v} GROUP BY 1, 2) t) w "
         "WHERE rnk <= 5 ORDER BY et, rnk, dd"
+    ),
+    # explicit ROWS frames over the cached daily rollup (r10 verdict item
+    # 2 — the moving-average dashboard): 7-day MA + 3-day sum replay
+    # post-finalize over O(state) rows; only the inner daily aggregate is
+    # cached state (entry SHARED with any other daily-rollup consumer).
+    # ROWS semantics agree between DuckDB and Spark given the same ORDER;
+    # dd is unique so the frame contents are deterministic. CAST on the
+    # windowed sum keeps DuckDB's HUGEINT at Spark's BIGINT in BOTH
+    # engines (the qc_window_topn oracle-dtype lesson, applied at source).
+    "qc_window_ma": (
+        "SELECT dd, n, "
+        "round(avg(n) OVER (ORDER BY dd ROWS BETWEEN 6 PRECEDING AND "
+        "CURRENT ROW) + 1e-9, 2) AS ma7, "
+        "CAST(sum(n) OVER (ORDER BY dd ROWS BETWEEN 2 PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS s3 "
+        "FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, "
+        "count(*) AS n FROM {v} GROUP BY 1) t ORDER BY dd"
     ),
 }
 

@@ -195,18 +195,25 @@ def order_column(o) -> Column:
 
 
 def window_column(e) -> Column:
-    """Compile a :class:`WindowExpr` (default frame only — the parser
-    refuses anything else; DuckDB and Spark share the ``RANGE UNBOUNDED
-    PRECEDING .. CURRENT ROW`` default, so running aggregates agree with
-    the oracle). Evaluated post-finalize over O(state) rows, so an empty
-    PARTITION BY (one-partition exchange) is fine here — this never runs
-    against the source table."""
+    """Compile a :class:`WindowExpr`. Default frame (``RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW`` — identical in DuckDB and Spark) or an
+    explicit ROWS frame (``e.frame`` in rowsBetween encoding; ROWS
+    semantics agree between the engines given the same ORDER — the
+    moving-average-dashboard shape). Evaluated post-finalize over
+    O(state) rows, so an empty PARTITION BY (one-partition exchange) is
+    fine here — this never runs against the source table."""
     from pyspark.sql.window import Window
 
     fn = e.fn
     w = Window.partitionBy(*[to_column(p) for p in e.partition_by])
     if e.order_by:
         w = w.orderBy(*[order_column(o) for o in e.order_by])
+    if getattr(e, "frame", None) is not None:
+        lo, hi = e.frame
+        w = w.rowsBetween(
+            Window.unboundedPreceding if lo is None else lo,
+            Window.unboundedFollowing if hi is None else hi,
+        )
     if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
         return getattr(F, fn)().over(w)
     if fn == "ntile":

@@ -160,6 +160,167 @@ def _py_minmax(kind: str):
     return m
 
 
+def _central_merge_exprs(fields: List[Tuple[str, str]]) -> Dict[str, Column]:
+    """Merge exprs for central-moment state rows via a JVM-side array fold.
+
+    ``fields`` is ``[(struct_key, state_col), ...]`` and must start with
+    ``n``/``mean``/``m2``-style keys drawn from the vocabulary below.  The
+    fold applies the pairwise Pébay/Chan combination — the same update
+    Spark's own ``CentralMomentAgg.merge``/``Covariance.merge`` perform —
+    so merged state matches plain Spark to fp rounding even for
+    large-mean/low-variance groups, where the previous raw-power-sum state
+    reconstructed central moments by catastrophic cancellation (relative
+    error ~ (mean/σ)^k · ε): the round-10 advisory's medium finding.
+
+    Keys understood: ``n`` (count), ``mean``, ``m2``, ``m3``, ``m4`` for
+    the one-column moment family; ``n``, ``mx``, ``my``, ``c2``, ``m2x``,
+    ``m2y`` for the two-column co-moment family.
+
+    One ``collect_list`` + ``aggregate`` (higher-order fold, JVM-side, no
+    UDF) per output column.  The merge input is O(1) rows per group —
+    compacted cached state plus one fresh partial row, or a bounded bucket
+    count when coarsening — never raw rows: these decompositions carry NO
+    singleton form precisely so the fold's array stays tiny.  (The
+    one-shuffle singleton plan would make the merge input one row per raw
+    fresh row, and collect_list over a hot group would not scale.)
+    """
+    keys = [k for k, _ in fields]
+    two_col = "mx" in keys
+
+    lst = F.collect_list(
+        F.struct(
+            *[
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(k)
+                for k, c in fields
+            ]
+        )
+    )
+    init = F.struct(*[F.lit(0.0).alias(k) for k in keys])
+
+    def comb(acc, x):
+        n1, n2 = acc.getField("n"), x.getField("n")
+        n = n1 + n2
+        out = [n.alias("n")]
+        if not two_col:
+            delta = x.getField("mean") - acc.getField("mean")
+            dn = F.when(n > 0, delta / n).otherwise(F.lit(0.0))
+            out.append((acc.getField("mean") + dn * n2).alias("mean"))
+            a2, b2 = acc.getField("m2"), x.getField("m2")
+            out.append((a2 + b2 + delta * dn * n1 * n2).alias("m2"))
+            if "m3" in keys:
+                a3, b3 = acc.getField("m3"), x.getField("m3")
+                out.append(
+                    (
+                        a3
+                        + b3
+                        + dn * dn * delta * n1 * n2 * (n1 - n2)
+                        + F.lit(3.0) * dn * (n1 * b2 - n2 * a2)
+                    ).alias("m3")
+                )
+            if "m4" in keys:
+                a4, b4 = acc.getField("m4"), x.getField("m4")
+                a3, b3 = acc.getField("m3"), x.getField("m3")
+                out.append(
+                    (
+                        a4
+                        + b4
+                        + dn
+                        * dn
+                        * dn
+                        * delta
+                        * n1
+                        * n2
+                        * (n1 * n1 - n1 * n2 + n2 * n2)
+                        + F.lit(6.0) * dn * dn * (n1 * n1 * b2 + n2 * n2 * a2)
+                        + F.lit(4.0) * dn * (n1 * b3 - n2 * a3)
+                    ).alias("m4")
+                )
+        else:
+            dx = x.getField("mx") - acc.getField("mx")
+            dy = x.getField("my") - acc.getField("my")
+            dxn = F.when(n > 0, dx / n).otherwise(F.lit(0.0))
+            dyn_ = F.when(n > 0, dy / n).otherwise(F.lit(0.0))
+            out.append((acc.getField("mx") + dxn * n2).alias("mx"))
+            out.append((acc.getField("my") + dyn_ * n2).alias("my"))
+            out.append(
+                (
+                    acc.getField("c2") + x.getField("c2") + dx * dyn_ * n1 * n2
+                ).alias("c2")
+            )
+            out.append(
+                (
+                    acc.getField("m2x") + x.getField("m2x") + dx * dxn * n1 * n2
+                ).alias("m2x")
+            )
+            out.append(
+                (
+                    acc.getField("m2y") + x.getField("m2y") + dy * dyn_ * n1 * n2
+                ).alias("m2y")
+            )
+        return F.struct(*out)
+
+    merged = F.aggregate(lst, init, comb)
+    out: Dict[str, Column] = {}
+    for k, c in fields:
+        col = merged.getField(k)
+        out[c] = col.cast("long") if k == "n" else col
+    return out
+
+
+def _py_central_merge(fields: List[Tuple[str, str]]):
+    """Driver-side mirror of :func:`_central_merge_exprs` for the lite/nano
+    tiers: fold two state dicts with the identical pairwise formulas."""
+    keys = [k for k, _ in fields]
+    col_of = dict(fields)
+    two_col = "mx" in keys
+
+    def g(st, k):
+        v = st.get(col_of[k])
+        return 0.0 if v is None else float(v)
+
+    def m(a: dict, b: dict) -> dict:
+        n1, n2 = g(a, "n"), g(b, "n")
+        n = n1 + n2
+        out = {col_of["n"]: int(n)}
+        if not two_col:
+            delta = g(b, "mean") - g(a, "mean")
+            dn = delta / n if n > 0 else 0.0
+            out[col_of["mean"]] = g(a, "mean") + dn * n2
+            a2, b2 = g(a, "m2"), g(b, "m2")
+            out[col_of["m2"]] = a2 + b2 + delta * dn * n1 * n2
+            if "m3" in keys:
+                a3, b3 = g(a, "m3"), g(b, "m3")
+                out[col_of["m3"]] = (
+                    a3
+                    + b3
+                    + dn * dn * delta * n1 * n2 * (n1 - n2)
+                    + 3.0 * dn * (n1 * b2 - n2 * a2)
+                )
+            if "m4" in keys:
+                a4, b4 = g(a, "m4"), g(b, "m4")
+                a3, b3 = g(a, "m3"), g(b, "m3")
+                out[col_of["m4"]] = (
+                    a4
+                    + b4
+                    + dn * dn * dn * delta * n1 * n2 * (n1 * n1 - n1 * n2 + n2 * n2)
+                    + 6.0 * dn * dn * (n1 * n1 * b2 + n2 * n2 * a2)
+                    + 4.0 * dn * (n1 * b3 - n2 * a3)
+                )
+        else:
+            dx = g(b, "mx") - g(a, "mx")
+            dy = g(b, "my") - g(a, "my")
+            dxn = dx / n if n > 0 else 0.0
+            dyn_ = dy / n if n > 0 else 0.0
+            out[col_of["mx"]] = g(a, "mx") + dxn * n2
+            out[col_of["my"]] = g(a, "my") + dyn_ * n2
+            out[col_of["c2"]] = g(a, "c2") + g(b, "c2") + dx * dyn_ * n1 * n2
+            out[col_of["m2x"]] = g(a, "m2x") + g(b, "m2x") + dx * dxn * n1 * n2
+            out[col_of["m2y"]] = g(a, "m2y") + g(b, "m2y") + dy * dyn_ * n1 * n2
+        return out
+
+    return m
+
+
 def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
     """(precision, scale) when ``expr`` is decimal-typed, else None.
 
@@ -461,19 +622,19 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         )
 
     if fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
-        # state: count, sum, sum of squares (double).  finalize via the
-        # textbook formula; matches Spark/DuckDB up to fp rounding.
-        ct, sm, s2 = s("cnt"), s("sum"), s("sum2")
+        # Central-moment state (n, mean, M2), merged by the pairwise
+        # Pébay/Chan fold — matches Spark's own CentralMomentAgg numerics.
+        # The previous raw power-sum state (n, Σx, Σx²) reconstructed M2 by
+        # cancellation (wrong 4th significant digit at mean≈1e9, σ≈300:
+        # round-10 advisory); M2 here is non-negative by construction, so
+        # no clamp is needed.  No singleton form on purpose — see
+        # _central_merge_exprs.
+        ct, mn, m2n = s("cnt"), s("mean"), s("m2")
         a = arg0().cast("double")
-        # Clamp at 0: for near-constant inputs the s2 - s²/n subtraction can
-        # go slightly negative by catastrophic cancellation, and sqrt(<0) is
-        # NaN where plain Spark returns ~0 (hypothesis: [100.0, 99.99999999999999]).
-        m2 = F.greatest(
-            F.col(s2) - (F.col(sm) * F.col(sm)) / F.col(ct), F.lit(0.0)
-        )
-        # ct > 0 guard: with zero non-null inputs the answer is NULL, and the
-        # clamp above would otherwise turn the NULL state into 0.0/0 (ANSI
-        # divide-by-zero throw).
+        fields = [("n", ct), ("mean", mn), ("m2", m2n)]
+        m2 = F.col(m2n)
+        # ct guards: with zero (or, for _samp, one) non-null inputs the
+        # answer is NULL — also keeps ANSI mode from DIVIDE_BY_ZERO.
         if fn == "var_pop":
             fin = F.when(F.col(ct) > 0, m2 / F.col(ct))
         elif fn == "var_samp":
@@ -482,100 +643,105 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             fin = F.when(F.col(ct) > 0, F.sqrt(m2 / F.col(ct)))
         else:
             fin = F.when(F.col(ct) > 1, F.sqrt(m2 / (F.col(ct) - 1)))
+
         def _var_fin(st):
-            # exact mirror of the SQL finalize above: same fp64 ops in the
-            # same order, incl. the clamp and the ct guards
-            c, s_, q2 = st[ct], st[sm], st[s2]
-            if not c or s_ is None or q2 is None:
-                return None
+            # exact mirror of the SQL finalize above
+            c, m2v = st[ct], st[m2n]
             need = 1 if fn in ("var_pop", "stddev_pop") else 2
-            if c < need:
+            if not c or c < need or m2v is None:
                 return None
             import math
 
-            m2v = max(q2 - (s_ * s_) / c, 0.0)
             div = c if fn in ("var_pop", "stddev_pop") else c - 1
             out = m2v / div
             return math.sqrt(out) if fn.startswith("stddev") else out
 
         return Decomposition(
-            partial={ct: F.count(a), sm: F.sum(a), s2: F.sum(a * a)},
-            merge={ct: F.sum(F.col(ct)), sm: F.sum(F.col(sm)), s2: F.sum(F.col(s2))},
+            partial={
+                ct: F.count(a),
+                mn: F.coalesce(F.avg(a), F.lit(0.0)),
+                m2n: F.coalesce(F.var_pop(a) * F.count(a), F.lit(0.0)),
+            },
+            merge=_central_merge_exprs(fields),
             finalize=fin,
-            singleton={
-                ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
-                sm: a,
-                s2: a * a,
-            },
-            py_merge=lambda x, y: {
-                ct: _py_add(x[ct], y[ct]),
-                sm: _py_add(x[sm], y[sm]),
-                s2: _py_add(x[s2], y[s2]),
-            },
+            py_merge=_py_central_merge(fields),
             py_finalize=_var_fin,
         )
 
     if fn in ("skewness", "kurtosis"):
-        # third/fourth-moment family on raw power sums (n, Σx, Σx², Σx³
-        # [, Σx⁴]) — the same state style as the variance block above.
-        # Central moments reconstruct at finalize; Spark's streaming
-        # update differs in low-order bits (raw power sums cancel harder),
-        # so callers should round like every float aggregate here.
-        ct, sm, s2, s3 = s("cnt"), s("sum"), s("sum2"), s("sum3")
+        # Central-moment state (n, mean, M2, M3[, M4]) merged by the
+        # pairwise Pébay/Chan fold — matches Spark's own CentralMomentAgg.
+        # The previous raw power-sum state (Σx…Σx⁴) reconstructed M3/M4 by
+        # catastrophic cancellation (skewness over mean≈1e9, σ≈300 came
+        # back 3.5e4 instead of ~0: round-10 advisory, medium).  Partial
+        # states derive the central sums from Spark's OWN skewness/
+        # kurtosis/var_pop builtins (inverting the finalize formulas), so
+        # the fresh scan never materializes a power sum at all.
+        ct, mn, m2n, m3n = s("cnt"), s("mean"), s("m2"), s("m3")
         a = arg0().cast("double")
-        partial = {
-            ct: F.count(a),
-            sm: F.sum(a),
-            s2: F.sum(a * a),
-            s3: F.sum(a * a * a),
-        }
-        merge = {
-            ct: F.sum(F.col(ct)),
-            sm: F.sum(F.col(sm)),
-            s2: F.sum(F.col(s2)),
-            s3: F.sum(F.col(s3)),
-        }
-        singleton = {
-            ct: F.when(a.isNotNull(), 1).otherwise(0).cast("long"),
-            sm: a,
-            s2: a * a,
-            s3: a * a * a,
-        }
         n = F.col(ct).cast("double")
-        mean = F.col(sm) / n
-        # central sums: m2 = Σx² − n·mean², m3 = Σx³ − 3·mean·Σx² + 2·n·mean³
-        m2 = F.greatest(
-            F.col(s2) - n * mean * mean, F.lit(0.0)
-        )
-        m3 = F.col(s3) - F.lit(3.0) * mean * F.col(s2) + F.lit(2.0) * n * mean * mean * mean
+        m2 = F.col(m2n)
+        vp = F.var_pop(a)
+        cnt = F.count(a)
+        partial = {
+            ct: cnt,
+            mn: F.coalesce(F.avg(a), F.lit(0.0)),
+            m2n: F.coalesce(vp * cnt, F.lit(0.0)),
+            # skewness = √n·M3/M2^1.5  ⇒  M3 = skew·vp^1.5·n  (NULL when
+            # M2 = 0, i.e. a constant group, where M3 is exactly 0)
+            m3n: F.coalesce(
+                F.skewness(a) * F.pow(vp, F.lit(1.5)) * cnt, F.lit(0.0)
+            ),
+        }
         if fn == "skewness":
+            fields = [("n", ct), ("mean", mn), ("m2", m2n), ("m3", m3n)]
             # Spark: sqrt(n) · m3 / m2^1.5, NULL when n = 0 OR m2 = 0
             # (constant group) — the m2 > 0 guard also keeps ANSI mode
             # from raising DIVIDE_BY_ZERO (closing-sweep find, seed 101010)
             fin = F.when(
                 (F.col(ct) > 0) & (m2 > 0),
-                F.sqrt(n) * m3 / F.pow(m2, F.lit(1.5)),
+                F.sqrt(n) * F.col(m3n) / F.pow(m2, F.lit(1.5)),
             )
+
+            def _skew_fin(st):
+                c, m2v, m3v = st[ct], st[m2n], st[m3n]
+                if not c or m2v is None or m2v <= 0 or m3v is None:
+                    return None
+                import math
+
+                return math.sqrt(c) * m3v / m2v**1.5
+
             return Decomposition(
-                partial=partial, merge=merge, finalize=fin, singleton=singleton
+                partial=partial,
+                merge=_central_merge_exprs(fields),
+                finalize=fin,
+                py_merge=_py_central_merge(fields),
+                py_finalize=_skew_fin,
             )
-        s4 = s("sum4")
-        partial[s4] = F.sum(a * a * a * a)
-        merge[s4] = F.sum(F.col(s4))
-        singleton[s4] = a * a * a * a
-        # m4 = Σx⁴ − 4·mean·Σx³ + 6·mean²·Σx² − 3·n·mean⁴
-        m4 = (
-            F.col(s4)
-            - F.lit(4.0) * mean * F.col(s3)
-            + F.lit(6.0) * mean * mean * F.col(s2)
-            - F.lit(3.0) * n * mean * mean * mean * mean
+        m4n = s("m4")
+        fields = [("n", ct), ("mean", mn), ("m2", m2n), ("m3", m3n), ("m4", m4n)]
+        # kurtosis = n·M4/M2² − 3  ⇒  M4 = (kurt+3)·vp²·n
+        partial[m4n] = F.coalesce(
+            (F.kurtosis(a) + F.lit(3.0)) * vp * vp * cnt, F.lit(0.0)
         )
         # Spark: n · m4 / m2² − 3 (excess kurtosis), NULL when m2 = 0
         fin = F.when(
-            (F.col(ct) > 0) & (m2 > 0), n * m4 / (m2 * m2) - F.lit(3.0)
+            (F.col(ct) > 0) & (m2 > 0),
+            n * F.col(m4n) / (m2 * m2) - F.lit(3.0),
         )
+
+        def _kurt_fin(st):
+            c, m2v, m4v = st[ct], st[m2n], st[m4n]
+            if not c or m2v is None or m2v <= 0 or m4v is None:
+                return None
+            return c * m4v / (m2v * m2v) - 3.0
+
         return Decomposition(
-            partial=partial, merge=merge, finalize=fin, singleton=singleton
+            partial=partial,
+            merge=_central_merge_exprs(fields),
+            finalize=fin,
+            py_merge=_py_central_merge(fields),
+            py_finalize=_kurt_fin,
         )
 
     if fn == "approx_count_distinct":
@@ -640,9 +806,14 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         )
 
     if fn in ("corr", "covar_samp", "covar_pop"):
-        # two-column co-moment state: n (both non-null), Σx, Σy, Σxy, Σx²,
-        # Σy². SQL semantics: a pair with EITHER side NULL is excluded from
-        # every sum, so all state inputs are gated on pair-validity.
+        # two-column central co-moment state: n (both non-null), mean(x),
+        # mean(y), C2 = Σ(x−x̄)(y−ȳ), M2x, M2y — merged by the pairwise
+        # co-moment fold (the update Spark's own Covariance/Corr agg
+        # performs), replacing the raw Σx/Σxy/Σx² sums whose finalize
+        # cancelled catastrophically for large-mean inputs (round-10
+        # advisory).  SQL semantics: a pair with EITHER side NULL is
+        # excluded from every state input, so all are gated on
+        # pair-validity.
         if len(agg.args) != 2:
             raise NotDecomposable(f"{fn} requires two arguments")
         x = to_column(agg.args[0]).cast("double")
@@ -650,46 +821,51 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         valid = x.isNotNull() & y.isNotNull()
         vx = F.when(valid, x)
         vy = F.when(valid, y)
-        n, sx, sy, sxy, sx2, sy2 = (
-            s("cnt"), s("sx"), s("sy"), s("sxy"), s("sx2"), s("sy2")
+        n, mxn, myn, c2n, m2xn, m2yn = (
+            s("cnt"), s("mx"), s("my"), s("c2"), s("m2x"), s("m2y")
         )
-        cN, cSX, cSY, cSXY, cSX2, cSY2 = (
-            F.col(n), F.col(sx), F.col(sy), F.col(sxy), F.col(sx2), F.col(sy2)
-        )
+        fields = [
+            ("n", n), ("mx", mxn), ("my", myn),
+            ("c2", c2n), ("m2x", m2xn), ("m2y", m2yn),
+        ]
+        cN, cC2, cM2X, cM2Y = F.col(n), F.col(c2n), F.col(m2xn), F.col(m2yn)
         if fn == "corr":
-            num = cN * cSXY - cSX * cSY
-            den = F.sqrt(cN * cSX2 - cSX * cSX) * F.sqrt(cN * cSY2 - cSY * cSY)
-            fin = F.when(cN > 1, num / den)
+            # C2/√(M2x·M2y) ≡ the old (NΣxy−ΣxΣy)/… form, incl. its IEEE
+            # NaN-on-constant-column behavior (0/0), which matches Spark
+            fin = F.when(cN > 1, cC2 / (F.sqrt(cM2X) * F.sqrt(cM2Y)))
         elif fn == "covar_samp":
-            fin = F.when(cN > 1, (cSXY - cSX * cSY / cN) / (cN - 1))
+            fin = F.when(cN > 1, cC2 / (cN - 1))
         else:  # covar_pop
-            fin = F.when(cN > 0, (cSXY - cSX * cSY / cN) / cN)
+            fin = F.when(cN > 0, cC2 / cN)
+
+        def _corr_fin(st):
+            c, c2v = st[n], st[c2n]
+            need = 1 if fn == "covar_pop" else 2
+            if not c or c < need or c2v is None:
+                return None
+            import math
+
+            if fn == "corr":
+                den = math.sqrt(st[m2xn]) * math.sqrt(st[m2yn])
+                if den == 0.0:
+                    return float("nan") if c2v == 0.0 else math.inf * c2v
+                return c2v / den
+            return c2v / (c - 1) if fn == "covar_samp" else c2v / c
+
+        pair_cnt = F.count(F.when(valid, 1))
         return Decomposition(
             partial={
-                n: F.count(F.when(valid, 1)),
-                sx: F.sum(vx),
-                sy: F.sum(vy),
-                sxy: F.sum(vx * vy),
-                sx2: F.sum(vx * vx),
-                sy2: F.sum(vy * vy),
+                n: pair_cnt,
+                mxn: F.coalesce(F.avg(vx), F.lit(0.0)),
+                myn: F.coalesce(F.avg(vy), F.lit(0.0)),
+                c2n: F.coalesce(F.covar_pop(x, y) * pair_cnt, F.lit(0.0)),
+                m2xn: F.coalesce(F.var_pop(vx) * pair_cnt, F.lit(0.0)),
+                m2yn: F.coalesce(F.var_pop(vy) * pair_cnt, F.lit(0.0)),
             },
-            merge={
-                n: F.sum(F.col(n)),
-                sx: F.sum(F.col(sx)),
-                sy: F.sum(F.col(sy)),
-                sxy: F.sum(F.col(sxy)),
-                sx2: F.sum(F.col(sx2)),
-                sy2: F.sum(F.col(sy2)),
-            },
+            merge=_central_merge_exprs(fields),
             finalize=fin,
-            singleton={
-                n: F.when(valid, 1).otherwise(0).cast("long"),
-                sx: vx,
-                sy: vy,
-                sxy: vx * vy,
-                sx2: vx * vx,
-                sy2: vy * vy,
-            },
+            py_merge=_py_central_merge(fields),
+            py_finalize=_corr_fin,
         )
 
     if fn in ("min_by", "max_by", "arg_min", "arg_max"):

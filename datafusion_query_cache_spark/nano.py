@@ -389,6 +389,10 @@ class _AggRecipe:
     #: the derive floated a Decimal literal: every referenced column must
     #: be float64 so Spark's expression type is double (checked at build)
     needs_float_cols: bool = False
+    #: post-processes the raw pyarrow aggregate value with the state dict
+    #: built so far (recipes-order): ``post(raw_value, st) -> value``.
+    #: Used by the central-moment family, whose M2 state is var_pop·n.
+    post: Optional[object] = None
 
 
 def _compile_arg(e: Expr):
@@ -530,26 +534,25 @@ def _parse_aggs(plans, ts_col: str) -> Tuple[List[_AggRecipe], List[str]]:
                                           derive=derive, cols=cols,
                                           needs_float_cols=has_dec))
             elif fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
-                # state: (count, sum double, sum of squares double) — the
-                # square mirrors Spark's cast-to-double-then-multiply
-                def _sq(tbl, _b=derive, _c=src):
-                    import pyarrow as pa
-                    import pyarrow.compute as pc
-
-                    arr = _b(tbl) if _b is not None else tbl.column(_c)
-                    arr = pc.cast(arr, pa.float64())
-                    return pc.multiply(arr, arr)
-
+                # central-moment state (count, mean, M2) — pyarrow's own
+                # hash mean/variance kernels are numerically stable (no
+                # power-sum cancellation, mirroring the Spark-side
+                # var_pop·n partial); M2 = var_pop · n via the post hook,
+                # with the same NULL→0.0 normalization as the SQL partial
                 recipes.append(_AggRecipe(state_cols[0], src, "count",
                                           derive=derive, cols=cols,
                                           needs_float_cols=has_dec))
                 recipes.append(_AggRecipe(
-                    state_cols[1], f"__qc_f64_{src}", "sum",
+                    state_cols[1], f"__qc_f64_{src}", "mean",
                     derive=derive, cols=cols, needs_float_cols=has_dec,
+                    post=lambda v, st: 0.0 if v is None else v,
                 ))
                 recipes.append(_AggRecipe(
-                    state_cols[2], f"__qc_sq_{src}", "sum",
-                    derive=_sq, cols=cols, needs_float_cols=has_dec,
+                    state_cols[2], f"__qc_f64_{src}", "variance",
+                    derive=derive, cols=cols, needs_float_cols=has_dec,
+                    post=lambda v, st, _n=state_cols[0]: (
+                        0.0 if v is None else v * st[_n]
+                    ),
                 ))
             else:
                 raise NanoUnsupported(f"aggregate {fn}")
@@ -913,7 +916,8 @@ class NanoProgram:
             k = tuple(kv[i] for kv in key_vals)
             st = {}
             for r in self.recipes:
-                st[r.state_col] = agg_vals[pos_by_key[(r.src, r.fn, r.mode)]][i]
+                v = agg_vals[pos_by_key[(r.src, r.fn, r.mode)]][i]
+                st[r.state_col] = r.post(v, st) if r.post is not None else v
             parts[k] = st
         return parts, n
 

@@ -296,6 +296,14 @@ class WindowExpr(Expr):
     order_by: Tuple["OrderItem", ...] = ()
     offset: Optional[Expr] = None
     default: Optional[Expr] = None
+    #: explicit ROWS frame ``(lo, hi)`` in Spark rowsBetween encoding —
+    #: ints are offsets from the current row (negative = preceding),
+    #: ``None`` = unbounded on that side; the whole field ``None`` = the
+    #: shared default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW).
+    #: ROWS semantics are identical in DuckDB and Spark given the same
+    #: ORDER (ties make any engine's ROWS frames order-dependent — same
+    #: caveat as plain Spark).
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
 
     def children(self) -> Tuple[Expr, ...]:
         out = list(self.args) + list(self.partition_by)
@@ -318,7 +326,8 @@ class WindowExpr(Expr):
             extra += f",off={self.offset.canon()}"
         if self.default is not None:
             extra += f",def={self.default.canon()}"
-        return f"win:{self.fn}({a}{extra}) over(p[{p}] o[{o}])"
+        f = "" if self.frame is None else f" rows[{self.frame[0]},{self.frame[1]}]"
+        return f"win:{self.fn}({a}{extra}) over(p[{p}] o[{o}]{f})"
 
 
 @dataclass(frozen=True)

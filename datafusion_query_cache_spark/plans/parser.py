@@ -485,15 +485,22 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
         raise Unsupported("window DISTINCT")
     if node.get("exclude_clause", "NO_OTHER") != "NO_OTHER":
         raise Unsupported("window EXCLUDE clause")
+    frame = None
     if (
         node.get("start") != "UNBOUNDED_PRECEDING"
         or node.get("end") != "CURRENT_ROW_RANGE"
         or node.get("start_expr") is not None
         or node.get("end_expr") is not None
     ):
-        raise Unsupported("explicit window frame")
+        # explicit ROWS frames compile to Spark rowsBetween (semantics
+        # identical in DuckDB and Spark given the same ORDER); RANGE
+        # frames with expressions and GROUPS frames stay passthrough
+        frame = _rows_frame(node)
     if fn not in _WIN_RANKING | _WIN_VALUE | _WIN_AGG:
         raise Unsupported(f"window function {fn}")
+    if frame is not None and fn not in _WIN_AGG | {"first_value", "last_value"}:
+        # Spark's analyzer rejects explicit frames on ranking/offset fns
+        raise Unsupported(f"explicit frame on window {fn}")
 
     args = tuple(_expr(c) for c in node.get("children", []))
     parts = tuple(_expr(p) for p in node.get("partitions", []))
@@ -509,6 +516,8 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
     dflt = node.get("default_expr")
     if (off is not None or dflt is not None) and fn not in ("lag", "lead"):
         raise Unsupported(f"offset/default on window {fn}")
+    if frame is not None and not orders:
+        raise Unsupported("explicit window frame without ORDER BY")
     w = WindowExpr(
         fn,
         args,
@@ -516,11 +525,48 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
         orders,
         offset=_expr(off) if off is not None else None,
         default=_expr(dflt) if dflt is not None else None,
+        frame=frame,
     )
     for nd in w.walk():
         if isinstance(nd, AggCall):
             raise Unsupported("aggregate inside a window spec")
     return w
+
+
+def _rows_frame(node: Dict[str, Any]):
+    """Lower an explicit ROWS frame to the Spark ``rowsBetween`` encoding
+    ``(lo, hi)`` (ints = offsets, negative = preceding; None = unbounded).
+    Anything but literal non-negative integer ROWS offsets — RANGE/GROUPS
+    frames, expression offsets — raises Unsupported (passthrough)."""
+
+    def k(which: str):
+        e = node.get(f"{which}_expr")
+        if e is None:
+            return None
+        lowered = _expr(e)
+        if not isinstance(lowered, Lit) or not isinstance(lowered.value, int) \
+                or isinstance(lowered.value, bool) or lowered.value < 0:
+            raise Unsupported("non-literal window frame offset")
+        return lowered.value
+
+    def bound(which: str):
+        marker = node.get("start") if which == "lo" else node.get("end")
+        if marker == "CURRENT_ROW_ROWS":
+            return 0
+        if marker == "EXPR_PRECEDING_ROWS":
+            return -k("start" if which == "lo" else "end")
+        if marker == "EXPR_FOLLOWING_ROWS":
+            return k("start" if which == "lo" else "end")
+        if which == "lo" and marker == "UNBOUNDED_PRECEDING":
+            return None
+        if which == "hi" and marker == "UNBOUNDED_FOLLOWING":
+            return None
+        raise Unsupported(f"window frame bound {marker}")
+
+    lo, hi = bound("lo"), bound("hi")
+    if lo is not None and hi is not None and lo > hi:
+        raise Unsupported("empty window frame")
+    return (lo, hi)
 
 
 def _contains_window(e: Expr) -> bool:

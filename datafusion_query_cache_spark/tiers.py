@@ -283,6 +283,14 @@ class RefreshTiers:
             for n in state_cols
             if n not in g_sql
         ]
+        # The central-moment merges (var/skew/kurt/corr families) are
+        # higher-order array folds; the JVM renderer emits them as
+        # `lambdafunction(...)`, which spark.sql cannot parse back. Flag it
+        # so the SQL-template builders (the only merge_items consumers)
+        # refuse and fall back to the classic DataFrame plan — the lite/
+        # nano tiers also build on this core but merge via py_merge, so
+        # they stay eligible.
+        merge_has_hof = any("lambdafunction(" in f for f in merge_items + items)
 
         # finalize item list (output expressions + order ride-alongs + the
         # hidden HAVING flag) — the layout _arrow_result expects
@@ -320,6 +328,7 @@ class RefreshTiers:
             "from_sql": from_sql,
             "items": items,
             "merge_items": merge_items,
+            "merge_has_hof": merge_has_hof,
             "fin_exprs": fin_exprs,
             "pred_sql": f"({sql_of(pred)})" if pred is not None else None,
             "gb_exprs": ", ".join(g_sql[n] for n in group_names),
@@ -420,6 +429,10 @@ class RefreshTiers:
 
         # merge: one hash aggregate over the union — map-side combine of the
         # singleton rows IS the partial aggregation (single shuffle)
+        if core.get("merge_has_hof"):
+            raise ValueError(
+                "merge uses a higher-order fold (not SQL-renderable)"
+            )
         sel_groups = core["sel_groups"]
         head = f"{sel_groups}, " if group_names else ""
         m_sql = (
@@ -1056,6 +1069,10 @@ class RefreshTiers:
 
         # ONE aggregate over the tagged union: dest=0 groups merge at state
         # (bucket) granularity, dest=1 groups at the query's granularity
+        if core.get("merge_has_hof"):
+            raise ValueError(
+                "merge uses a higher-order fold (not SQL-renderable)"
+            )
         union_sql = f"{state_branch} UNION ALL {scan_branch}"
         m_sql = (
             f"SELECT {dest}, {core['sel_groups']}, "

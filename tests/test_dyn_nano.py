@@ -387,8 +387,9 @@ def test_static_nano_on_arith_args(spark, tmp_path, now_points):
 
 
 def test_static_nano_variance(spark, tmp_path, now_points):
-    """var/stddev state (count, sum, sum²) merges exactly in Python and
-    the finalize mirrors the SQL formula bit-for-bit — nano-eligible."""
+    """var/stddev central state (count, mean, M2) merges via the pairwise
+    Pébay/Chan Python mirror; finalize mirrors the SQL formula —
+    nano-eligible (pyarrow hash mean/variance kernels)."""
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
         "round(stddev_samp(value), 4) AS sd, round(var_pop(value), 4) AS vp "
@@ -542,11 +543,12 @@ def test_static_lite_on_division_args(spark, tmp_path, now_points):
 
 
 def test_static_template_on_unsupported_agg(spark, tmp_path, now_points):
-    """corr has no Python merge mirror: the fused template must run.
-    (stddev/variance DO have mirrors now and ride the nano tier.)"""
+    """min_by has no Python merge mirror: the fused template must run.
+    (var/stddev ride nano; corr/skew/kurt ride lite since the central
+    co-moment state gained exact Python mirrors, round-11.)"""
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
-        "round(corr(value, user_id), 4) AS cr FROM events "
+        "min_by(event_id, value) AS lo FROM events "
         "GROUP BY 1 ORDER BY 1"
     )
     qc = _mk_qc(spark, tmp_path)
@@ -556,6 +558,26 @@ def test_static_template_on_unsupported_agg(spark, tmp_path, now_points):
         assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
         if i > 0:
             assert qc.last_decision.refresh_tier == "template"
+
+
+def test_static_lite_corr_skew_kurt(spark, tmp_path, now_points):
+    """The central co-moment families (corr/skewness/kurtosis) merge
+    driver-side via the pairwise Pébay/Chan mirror — lite-eligible (no
+    nano pyarrow recipe), and exact vs plain at every refresh."""
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "round(corr(value, user_id) + 1e-9, 4) AS cr, "
+        "round(skewness(value) + 1e-9, 4) AS sk, "
+        "round(kurtosis(value) + 1e-9, 4) AS ku "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc = _mk_qc(spark, tmp_path)
+    for i, now_ns in enumerate(now_points):
+        qc.config.override_now_ns = now_ns
+        got = qc.sql(sql)
+        assert rows_set(got) == rows_set(_plain_static(spark, sql, now_ns))
+        if i > 0:
+            assert qc.last_decision.refresh_tier == "lite"
 
 
 def test_static_nano_global_agg(spark, tmp_path, now_points):

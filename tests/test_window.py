@@ -79,11 +79,25 @@ def test_parse_window_shape():
             "rank() OVER (ORDER BY event_type) AS r FROM events GROUP BY 1",
             "not in GROUP BY",
         ),
-        # explicit frame → passthrough
+        # RANGE frame with an expression bound → passthrough (only ROWS
+        # frames with literal offsets compile, round 11)
         (
-            f"SELECT dd, sum(n) OVER (ORDER BY dd ROWS BETWEEN 2 PRECEDING "
+            f"SELECT dd, sum(n) OVER (ORDER BY n RANGE BETWEEN 2 PRECEDING "
             f"AND CURRENT ROW) AS s FROM ({DAILY}) t",
-            "explicit window frame",
+            "window frame bound",
+        ),
+        # explicit frame on a ranking function → passthrough (Spark's
+        # analyzer rejects it)
+        (
+            f"SELECT dd, rank() OVER (ORDER BY dd ROWS BETWEEN 2 PRECEDING "
+            f"AND CURRENT ROW) AS r FROM ({DAILY}) t",
+            "explicit frame on window rank",
+        ),
+        # non-literal frame offset → passthrough
+        (
+            f"SELECT dd, sum(n) OVER (ORDER BY dd ROWS BETWEEN n PRECEDING "
+            f"AND CURRENT ROW) AS s FROM ({DAILY}) t",
+            "non-literal window frame offset",
         ),
         # aggregate inside the window spec above an outer GROUP BY
         (
@@ -164,6 +178,53 @@ def test_window_above_outer_where(spark, qc_mem):
     sql = (
         "SELECT dd, n, row_number() OVER (ORDER BY n DESC, dd) AS rn "
         f"FROM ({DAILY}) t WHERE n > 2"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_parse_rows_frame():
+    from datafusion_query_cache_spark.plans.ir import SubquerySpec, WindowExpr
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    s = parse_query(
+        f"SELECT dd, avg(n) OVER (ORDER BY dd ROWS BETWEEN 6 PRECEDING "
+        f"AND CURRENT ROW) AS ma7 FROM ({DAILY}) t"
+    )
+    assert isinstance(s, SubquerySpec)
+    w = s.items[1].expr
+    assert isinstance(w, WindowExpr) and w.frame == (-6, 0)
+    # frame is part of the window's canonical form (distinct fingerprint
+    # inputs for distinct frames), but the INNER fingerprint is unchanged
+    assert "rows[-6,0]" in w.canon()
+    assert s.inner.canon() == parse_query(DAILY).canon()
+
+
+def test_window_moving_average_matches_plain(spark, qc_mem):
+    # the moving-average dashboard: 7-day MA + 3-day sum over the daily
+    # rollup — explicit ROWS frames replay post-finalize over O(state) rows
+    sql = (
+        "SELECT dd, n, "
+        "round(avg(n) OVER (ORDER BY dd ROWS BETWEEN 6 PRECEDING AND "
+        "CURRENT ROW) + 1e-9, 2) AS ma7, "
+        "sum(n) OVER (ORDER BY dd ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        f" AS s3 FROM ({DAILY}) t ORDER BY dd"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_window_frame_variants_match_plain(spark, qc_mem):
+    # unbounded/following/centered frames, partitioned, incl. value fns
+    sql = (
+        "SELECT et, dd, n, "
+        "sum(n) OVER (PARTITION BY et ORDER BY dd ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 FOLLOWING) AS cum_next, "
+        "min(n) OVER (PARTITION BY et ORDER BY dd ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING) AS lo3, "
+        "last_value(n) OVER (PARTITION BY et ORDER BY dd ROWS BETWEEN "
+        "CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_n "
+        f"FROM ({TYPE_DAILY}) t ORDER BY et, dd"
     )
     out = _two_run(qc_mem, spark, sql)
     assert rows_set(out) == rows_set(spark.sql(sql))
