@@ -222,11 +222,20 @@ _QC_SQLS = {
     # divide); the IN values are group KEYS (exact strings) and the avg>50
     # threshold sits far from every group's avg at every sf, so an
     # incremental-merge ULP cannot flip membership.
+    # r11 adds the [NOT] EXISTS folds (verdict item 3): each is a plan-time
+    # row-existence probe over its own cached inner — both spelled to be
+    # TRUE (EXISTS over a populated grouped-HAVING; NOT EXISTS over an
+    # impossible threshold) so the row's other coverage is preserved while
+    # a broken fold would empty the result or flip it entirely.
     "qc_scalar_subq": (
         "SELECT event_id, event_type, value FROM {v} "
         "WHERE value > (SELECT max(value) FROM {v}) / 2 "
         "AND event_type IN (SELECT event_type FROM {v} "
-        "GROUP BY 1 HAVING avg(value) > 50) ORDER BY event_id"
+        "GROUP BY 1 HAVING avg(value) > 50) "
+        "AND EXISTS (SELECT event_type FROM {v} "
+        "GROUP BY 1 HAVING count(*) > 5) "
+        "AND NOT EXISTS (SELECT event_type FROM {v} "
+        "GROUP BY 1 HAVING count(*) > 100000000) ORDER BY event_id"
     ),
     # window functions over the cached rollup (the reference's
     # Window-above-rewritten-Aggregate shape, src/aggregate.rs:74-76):

@@ -273,6 +273,28 @@ class InSubquery(Expr):
 
 
 @dataclass(frozen=True)
+class ExistsSubquery(Expr):
+    """``[NOT] EXISTS (SELECT <one column> FROM … [GROUP BY …] [HAVING …])``
+    used as a boolean in an outer predicate/HAVING — UNCORRELATED only
+    (the parser rejects outer references).
+
+    Same design as :class:`InSubquery`, strictly simpler: the inner
+    aggregate runs through the full cached pipeline at plan time and the
+    fold is a single ``limit(1)`` row-existence probe → a TRUE/FALSE
+    literal (EXISTS is never NULL, so there are no three-valued-logic
+    cases). ``NOT EXISTS`` arrives as a NOT operator above this node and
+    needs no special casing. The reference's bottom-up rule caches the
+    inner Aggregate wherever it sits (``src/aggregate.rs:74-76``);
+    correlated shapes stay passthrough (``_reject_foreign_qualifiers``)."""
+
+    canon_str: str
+    spec: object = field(hash=False, compare=False, default=None, repr=False)
+
+    def canon(self) -> str:
+        return f"existssubq({self.canon_str})"
+
+
+@dataclass(frozen=True)
 class WindowExpr(Expr):
     """``fn(args) OVER (PARTITION BY ... ORDER BY ...)`` with the default
     frame (``RANGE UNBOUNDED PRECEDING .. CURRENT ROW`` — identical default

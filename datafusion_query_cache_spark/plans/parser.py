@@ -323,11 +323,11 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
     result into the outer predicate at plan time (a literal for SCALAR, an
     IN-list for ANY/IN — see ``InSubquery``). EXISTS and correlated shapes
     stay passthrough."""
-    from .ir import AggSpec as _AggSpec, InSubquery, ScalarSubquery
-    from .ir import canon_predicate
+    from .ir import AggSpec as _AggSpec, ExistsSubquery, InSubquery
+    from .ir import ScalarSubquery, canon_predicate
 
     sq_type = node.get("subquery_type")
-    if sq_type not in ("SCALAR", "ANY"):
+    if sq_type not in ("SCALAR", "ANY", "EXISTS"):
         raise Unsupported(f"subquery type {sq_type}")
     if sq_type == "ANY" and node.get("comparison_type") != "COMPARE_EQUAL":
         raise Unsupported(
@@ -361,6 +361,8 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
         f"{inner.canon()}|sel={inner.select_order[0]}"
         f"|having={inner.having.canon() if inner.having is not None else ''}"
     )
+    if sq_type == "EXISTS":
+        return ExistsSubquery(canon_str=canon_str, spec=inner)
     left = _expr(node["child"])
     if _contains_scalar_subq(left):
         raise Unsupported("subquery inside IN's left operand")
@@ -368,10 +370,11 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
 
 
 def _contains_scalar_subq(e: Expr) -> bool:
-    from .ir import InSubquery, ScalarSubquery
+    from .ir import ExistsSubquery, InSubquery, ScalarSubquery
 
     return any(
-        isinstance(n, (ScalarSubquery, InSubquery)) for n in e.walk()
+        isinstance(n, (ScalarSubquery, InSubquery, ExistsSubquery))
+        for n in e.walk()
     )
 
 
@@ -380,7 +383,13 @@ def scalar_subqueries(spec) -> list:
     AggSpec's predicate and HAVING — the only positions the planner
     resolves (the parser rejects every other position). Order: predicate
     first."""
-    from .ir import AggSpec, FilterSpec, InSubquery, ScalarSubquery
+    from .ir import (
+        AggSpec,
+        ExistsSubquery,
+        FilterSpec,
+        InSubquery,
+        ScalarSubquery,
+    )
 
     out: list = []
     if isinstance(spec, (FilterSpec, AggSpec)):
@@ -394,7 +403,7 @@ def scalar_subqueries(spec) -> list:
             out.extend(
                 n
                 for n in e.walk()
-                if isinstance(n, (ScalarSubquery, InSubquery))
+                if isinstance(n, (ScalarSubquery, InSubquery, ExistsSubquery))
             )
     return out
 

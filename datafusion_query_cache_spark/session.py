@@ -847,6 +847,7 @@ class CachedSparkSession(RefreshTiers):
         from .plans.ir import BinOp as _BinOp
         from .plans.ir import Col as _Col
         from .plans.ir import FilterSpec as _FilterSpec
+        from .plans.ir import ExistsSubquery as _EXQ
         from .plans.ir import InList as _InList
         from .plans.ir import InSubquery as _ISQ
         from .plans.ir import Lit as _Lit
@@ -911,6 +912,14 @@ class CachedSparkSession(RefreshTiers):
                 if len(nonnull) != len(vals):
                     folded = _BinOp("or", folded, _Lit(None))
                 resolved[sq] = folded
+            elif isinstance(sq, _EXQ):
+                # EXISTS: a single row-existence probe over the cached
+                # inner — O(1) collect, never NULL (TRUE iff >= 1 row;
+                # an inner global aggregate always yields one row, so
+                # those fold to TRUE without special casing). NOT EXISTS
+                # is a NOT above this literal and needs nothing extra.
+                rows = idf.limit(1).collect()
+                resolved[sq] = _Lit(bool(rows))
             else:
                 rows = idf.collect()  # global aggregate: exactly one row
                 val = rows[0][0] if rows else None
@@ -922,7 +931,11 @@ class CachedSparkSession(RefreshTiers):
             inner_decisions.append(idec)
 
         def _sub(n):
-            return resolved.get(n, n) if isinstance(n, (_SS, _ISQ)) else n
+            return (
+                resolved.get(n, n)
+                if isinstance(n, (_SS, _ISQ, _EXQ))
+                else n
+            )
 
         new_pred = (
             _transform(spec.predicate, _sub)
@@ -1523,7 +1536,16 @@ class CachedSparkSession(RefreshTiers):
         # Keyed on the spec's CANONICAL form, not the query string: one SQL
         # string can carry several distinct specs (UNION branches), and a
         # string key would silently reuse branch 1's plans for branch 2.
-        pkey = (spec.canon(), base_schema.simpleString())
+        # HAVING participates explicitly — spec.canon() excludes it, but
+        # plan_inputs embeds the compiled __qc_having item, so two specs
+        # differing only in the HAVING expression must NOT share plans
+        # (r11 find: a query with two EXISTS inners differing only in the
+        # HAVING literal folded both to the first's verdict).
+        pkey = (
+            spec.canon(),
+            spec.having.canon() if spec.having is not None else "",
+            base_schema.simpleString(),
+        )
         plans = self._plan_cache.get(pkey)
         if plans is None:
             plans = plan_items(tuple(plan_inputs), base_schema)

@@ -196,7 +196,7 @@ class RefreshTiers:
         watermark bounds as placeholder tokens, plus a rider aggregate
         ``sum(__qc_isfresh)`` that reproduces the Observation row count for
         free. None ⇒ this query shape can't be templated (stay classic)."""
-        key = (pkey[0], pkey[1], state_schema.simpleString())
+        key = (*pkey, state_schema.simpleString())
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
@@ -744,7 +744,7 @@ class RefreshTiers:
         dyn_op: str,
     ) -> Optional[dict]:
         """Memoized one-SQL template for the dynamic-bound refresh."""
-        key = ("dyn", pkey[0], pkey[1], state_schema.simpleString())
+        key = ("dyn", *pkey, state_schema.simpleString())
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
@@ -1188,7 +1188,7 @@ class RefreshTiers:
         dyn_op: str,
     ) -> Optional[dict]:
         """Memoized lite-tier program for the dynamic-bound refresh."""
-        key = ("dynlite", pkey[0], pkey[1], state_schema.simpleString())
+        key = ("dynlite", *pkey, state_schema.simpleString())
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
@@ -1626,7 +1626,7 @@ class RefreshTiers:
         """Memoized nano-tier program: the lite tier's driver merge plus a
         bytes-gated pyarrow scan replacing the Spark job (``nano.py``).
         Simple residual predicates ride as exact pyarrow mask mirrors."""
-        key = ("dynnano", pkey[0], pkey[1], state_schema.simpleString())
+        key = ("dynnano", *pkey, state_schema.simpleString())
         if not self._nano_tz_ok(fingerprint):
             return None  # bypass (memo untouched: resumes if tz → UTC)
         if key in self._tpl_cache:
@@ -1773,7 +1773,7 @@ class RefreshTiers:
         buckets, predicates, joins, expression agg args; the partial agg
         stays in SQL so only MERGE/FINALIZE need Python mirrors).
         """
-        key = ("slite", pkey[0], pkey[1], state_schema.simpleString())
+        key = ("slite", *pkey, state_schema.simpleString())
         if key in self._tpl_cache:
             return self._tpl_cache[key]
         tpl = None
@@ -1842,7 +1842,7 @@ class RefreshTiers:
         comparisons, IS [NOT] NULL — mirrored exactly by pyarrow masks)
         and ltz time-bucket groups (UTC session gate: the aware instants
         equal the naive UTC floor)."""
-        key = ("snano", pkey[0], pkey[1], state_schema.simpleString())
+        key = ("snano", *pkey, state_schema.simpleString())
         if not self._nano_tz_ok(fingerprint):
             return None  # bypass (memo untouched: resumes if tz → UTC)
         if key in self._tpl_cache:

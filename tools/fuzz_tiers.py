@@ -180,13 +180,30 @@ def wrap_subquery(sql: str, rng: random.Random, gs, ags) -> str:
                 if len(g_names) > 1 and rng.random() < 0.5
                 else ""
             )
-            wfn = rng.choice(
-                [
-                    f"rank() OVER ({part}ORDER BY {m} DESC, {keys}) AS wr",
-                    f"row_number() OVER ({part}ORDER BY {m} DESC, {keys}) AS wr",
-                    f"lag({m}, 1) OVER ({part}ORDER BY {keys}) AS wr",
-                ]
-            )
+            # r11 explicit ROWS frames: framed aggs over the EXACT group
+            # keys — `keys` is a total order (the full group-by list), so
+            # the frame contents are deterministic in both engines. The
+            # framed SUM is restricted to INT metrics (a float frame-sum's
+            # within-frame execution order is engine-private); framed
+            # max/count are exact for any metric.
+            ints = [a for a in exact if a in {"n", "nv", "de", "br"}]
+            lo = rng.randint(0, 4)
+            hi = rng.randint(0, 3)
+            cands = [
+                f"rank() OVER ({part}ORDER BY {m} DESC, {keys}) AS wr",
+                f"row_number() OVER ({part}ORDER BY {m} DESC, {keys}) AS wr",
+                f"lag({m}, 1) OVER ({part}ORDER BY {keys}) AS wr",
+                f"max({m}) OVER ({part}ORDER BY {keys} ROWS BETWEEN "
+                f"{lo} PRECEDING AND {hi} FOLLOWING) AS wr",
+                f"count(*) OVER ({part}ORDER BY {keys} ROWS BETWEEN "
+                f"UNBOUNDED PRECEDING AND {hi} FOLLOWING) AS wr",
+            ]
+            if ints:
+                cands.append(
+                    f"sum({rng.choice(ints)}) OVER ({part}ORDER BY {keys} "
+                    f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW) AS wr"
+                )
+            wfn = rng.choice(cands)
             sel = ", ".join(all_names)
             return (
                 f"SELECT {sel}, {wfn}, sum({m}) OVER () AS wt "
@@ -273,6 +290,13 @@ def gen_insubq_sql(rng: random.Random) -> str:
             f"WHERE {iconds} GROUP BY event_type)",
             f"user_id {neg}IN (SELECT min(user_id) FROM events "
             f"WHERE {iconds} GROUP BY event_type HAVING count(*) > {k})",
+            # r11 uncorrelated [NOT] EXISTS: plan-time boolean fold over
+            # the cached inner; count-based HAVING keeps the row-existence
+            # verdict exact (the {k} range straddles both outcomes)
+            f"{neg}EXISTS (SELECT event_type FROM events "
+            f"WHERE {iconds} GROUP BY 1 HAVING count(*) > {k})",
+            f"{neg}EXISTS (SELECT min(user_id) FROM events "
+            f"WHERE {iconds} GROUP BY user_id HAVING count(*) > {k})",
         ]
     )
     outer_pred = rng.choice(["value IS NOT NULL", "event_id >= 0"])
