@@ -27,11 +27,13 @@ and merges with the stored state. Non-eligible queries run unchanged via
 from .cache import MemoryQueryCache, ParquetQueryCache, QueryCache
 from .config import QueryCacheConfig
 from .log import HistoryLog, LogNoOp, LogStderr
-from .session import CachedSparkSession, Decision
+from .session import AuditBucket, AuditReport, CachedSparkSession, Decision
 
 __all__ = [
     "CachedSparkSession",
     "Decision",
+    "AuditReport",
+    "AuditBucket",
     "QueryCacheConfig",
     "QueryCache",
     "MemoryQueryCache",

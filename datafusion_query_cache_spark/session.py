@@ -59,6 +59,29 @@ from .tiers import (  # noqa: F401  (Decision re-exported)
 )
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class AuditBucket:
+    """One sampled group bucket's audit outcome: ``diffs`` holds
+    ``(column, state_value, recomputed_value)`` triples, empty when ok."""
+
+    key: tuple
+    ok: bool
+    diffs: tuple = ()
+
+
+@_dataclass(frozen=True)
+class AuditReport:
+    """Result of :meth:`CachedSparkSession.audit` — ``ok`` is True when
+    every sampled bucket matched, None when there was nothing to audit."""
+
+    fingerprint: str
+    ok: Optional[bool]
+    buckets: tuple = ()
+    reason: str = ""
+
 
 class CachedSparkSession(RefreshTiers):
     """Wraps a ``SparkSession`` with the incremental aggregate cache."""
@@ -119,6 +142,9 @@ class CachedSparkSession(RefreshTiers):
         #: session (the store bailed once; re-trying would redo the work
         #: just to bail again).
         self._hist_denied: set = set()
+        #: fingerprint → the plan pieces audit() needs to recompute sampled
+        #: buckets of a cached entry from the raw table (trust-but-verify)
+        self._audit_info: Dict[str, dict] = {}
 
     _RESULT_MEMO_MAX = 128
 
@@ -132,6 +158,170 @@ class CachedSparkSession(RefreshTiers):
             memo.popitem(last=False)
 
     # -- public API ---------------------------------------------------------
+
+    def audit(
+        self,
+        fingerprint: str,
+        buckets: int = 8,
+        rel_tol: float = 1e-6,
+        abs_tol: float = 1e-9,
+    ) -> "AuditReport":
+        """Trust-but-verify: recompute ``buckets`` sampled group buckets of
+        a cached aggregate entry from the RAW table and compare against the
+        finalized cached state, logging per-bucket equality through the
+        decision log.
+
+        The cache's append-only contract silently drops late data (a row
+        with ``ts < watermark`` arriving after the run is in neither the
+        state nor any future fresh scan — SURVEY §4.4.1, identical to the
+        reference). This is the production hook that makes the contract
+        CHECKABLE: a late-row divergence shows up as a bucket mismatch (the
+        recompute sees the row, the state doesn't). The demo's
+        cached-vs-uncached printout (reference ``examples/demo.rs:43-50``)
+        is the same oracle run by eyeball; this is its API form.
+
+        At 100 TB: ONE scan of the raw table, bounded by the entry's
+        predicate + ``ts < watermark`` (both pushed down) and the sampled
+        group keys (an IN-style pushed filter); only O(buckets) rows reach
+        the driver. The sampled keys are the first ``buckets`` groups in
+        key order — deterministic across calls.
+
+        Only aggregate entries planned by THIS session are auditable (the
+        recompute needs the compiled plan); raises ``KeyError`` otherwise.
+        Returns an :class:`AuditReport`; ``report.ok`` is True when every
+        sampled bucket matches (floats within rel/abs tolerance, everything
+        else exact, NaN == NaN).
+        """
+        import math
+
+        from .tiers import _push_time_bounds
+
+        info = self._audit_info.get(fingerprint)
+        if info is None:
+            raise KeyError(
+                "audit: fingerprint not planned by this session "
+                "(run the query through .sql() first)"
+            )
+        entry = self.config.cache.entry(fingerprint)
+        if not entry.occupied:
+            self.config.log.info(fingerprint, "audit: no cache entry")
+            return AuditReport(fingerprint, ok=None, buckets=(),
+                               reason="no cache entry")
+        wm_ns = entry.watermark_ns
+        state = entry.state_df(self.spark)
+        if state is None:  # in-memory backends have no file-backed form
+            tbl = entry.get_arrow()
+            if tbl is None:
+                self.config.log.info(fingerprint, "audit: state unreadable")
+                return AuditReport(fingerprint, ok=None, buckets=(),
+                                   reason="state unreadable")
+            state = arrow_to_spark(self.spark, tbl)
+        group_names = info["group_names"]
+        plans = info["plans"]
+        out_items = [p for p in plans if p.name != "__qc_having"]
+
+        # finalized view of the cached state (merge → finalize — state is
+        # stored compacted, but merging first is correct for any row count)
+        merged = (
+            state.groupBy(*[F.col(n) for n in group_names]).agg(
+                *[c.alias(n) for n, c in info["merge_aggs"].items()]
+            )
+            if group_names
+            else state.groupBy().agg(
+                *[c.alias(n) for n, c in info["merge_aggs"].items()]
+            )
+        )
+        fin_state = merged.select(
+            *[F.col(n) for n in group_names],
+            *[p.finalize.alias(p.name) for p in out_items],
+        )
+        if group_names:
+            fin_state = fin_state.orderBy(*[F.col(n) for n in group_names])
+        state_rows = fin_state.limit(buckets).collect()
+        if not state_rows:
+            self.config.log.info(fingerprint, "audit: state is empty")
+            return AuditReport(fingerprint, ok=True, buckets=(),
+                               reason="state is empty")
+
+        # recompute those buckets from the raw table, as-of the watermark
+        spec = info["spec"]
+        frames = {t: self.spark.table(t) for t in info["tables"]}
+        base = frames[info["tables"][0]]
+        for step in spec.join_steps:
+            if step.on is not None:
+                base = base.join(frames[step.table], to_column(step.on), step.how)
+            else:
+                base = base.crossJoin(frames[step.table])
+        if info["pred"] is not None:
+            base = base.filter(info["pred"])
+        ts_col = info["ts_col"]
+        base = _push_time_bounds(base, ts_col, f"{ts_col}_ns", None, wm_ns)
+        gexprs = [to_column(g.expr) for g in info["state_group"]]
+        if group_names:
+            key_cond = None
+            for r in state_rows:
+                conj = None
+                for g, ge in zip(group_names, gexprs):
+                    c = ge.eqNullSafe(F.lit(r[g]))
+                    conj = c if conj is None else (conj & c)
+                key_cond = conj if key_cond is None else (key_cond | conj)
+            base = base.filter(key_cond)
+            grouped = base.groupBy(
+                *[ge.alias(n) for n, ge in zip(group_names, gexprs)]
+            )
+        else:
+            grouped = base.groupBy()
+        recomputed = grouped.agg(
+            *[c.alias(n) for n, c in info["partial_aggs"].items()]
+        ).select(
+            *[F.col(n) for n in group_names],
+            *[p.finalize.alias(p.name) for p in out_items],
+        )
+        by_key = {
+            tuple(r[n] for n in group_names): r for r in recomputed.collect()
+        }
+
+        def _eq(a, b) -> bool:
+            if a is None or b is None:
+                return a is None and b is None
+            if isinstance(a, float) or isinstance(b, float):
+                fa, fb = float(a), float(b)
+                if math.isnan(fa) or math.isnan(fb):
+                    return math.isnan(fa) and math.isnan(fb)
+                return math.isclose(fa, fb, rel_tol=rel_tol, abs_tol=abs_tol)
+            return a == b
+
+        results = []
+        names = [p.name for p in out_items]
+        for r in state_rows:
+            key = tuple(r[n] for n in group_names)
+            want = by_key.get(key)
+            diffs = []
+            if want is None:
+                # the group exists in state but not in the raw recompute:
+                # e.g. every raw row of the group was deleted/rewritten —
+                # an append-only violation by definition
+                diffs = [(n, r[n], None) for n in names]
+            else:
+                for n in names:
+                    if not _eq(r[n], want[n]):
+                        diffs.append((n, r[n], want[n]))
+            ok = not diffs
+            results.append(AuditBucket(key=key, ok=ok, diffs=tuple(diffs)))
+            if ok:
+                self.config.log.info(fingerprint, f"audit: bucket {key} OK")
+            else:
+                self.config.log.warn(
+                    fingerprint,
+                    f"audit: bucket {key} DIVERGED "
+                    f"(state vs recompute): {diffs[:3]}",
+                )
+        all_ok = all(b.ok for b in results)
+        self.config.log.info(
+            fingerprint,
+            f"audit: {sum(b.ok for b in results)}/{len(results)} buckets OK",
+        )
+        return AuditReport(fingerprint, ok=all_ok, buckets=tuple(results))
 
     def sql(self, query: str) -> DataFrame:
         """Run ``query``; transparently incremental when cache-eligible."""
@@ -1631,6 +1821,23 @@ class CachedSparkSession(RefreshTiers):
             partial_aggs.update(p.partial)
             merge_aggs.update(p.merge)
         state_cols = group_names + list(partial_aggs.keys())
+
+        # trust-but-verify hook (``audit()``): remember what a bucket-level
+        # recompute of this entry needs. Columns are DataFrame-independent
+        # py4j handles, safe to reuse across runs within this session.
+        if len(self._audit_info) >= self._MEMO_MAX:
+            self._audit_info.clear()
+        self._audit_info[fingerprint] = {
+            "tables": tables,
+            "spec": spec,
+            "state_group": state_group,
+            "pred": pred,
+            "ts_col": ts_col,
+            "plans": plans,
+            "group_names": group_names,
+            "partial_aggs": partial_aggs,
+            "merge_aggs": merge_aggs,
+        }
 
         decision = Decision(
             sql=query, cached=True, fingerprint=fingerprint, now_ns=now_ns

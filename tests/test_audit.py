@@ -1,0 +1,119 @@
+"""``CachedSparkSession.audit`` — the trust-but-verify hook (r10 verdict
+item 5): recompute sampled group buckets from the raw table and compare
+against the finalized cached state through the decision log.
+
+The append-only contract silently drops late data (ts < watermark arriving
+after the run — SURVEY §4.4.1, same as the reference); audit() is how a
+production pipeline detects that divergence instead of trusting it away.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, log=None):
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.log import HistoryLog
+
+    cfg = QueryCacheConfig(
+        cache=MemoryQueryCache(),
+        default_temporal_column="ts",
+        log=log or HistoryLog(),
+        strict_errors=True,
+    )
+    return CachedSparkSession(spark, cfg)
+
+
+SQL = (
+    "SELECT event_type, count(*) AS n, round(sum(value), 2) AS s, "
+    "round(avg(value) + 1e-9, 4) AS av FROM events GROUP BY 1 ORDER BY 1"
+)
+
+
+def test_audit_clean_on_append_only(spark, qc_mem):
+    qc = _mk(spark)
+    qc.sql(SQL).collect()
+    fp = qc.last_decision.fingerprint
+    report = qc.audit(fp, buckets=5)
+    assert report.ok is True
+    assert len(report.buckets) == 5
+    msgs = qc.config.log.messages()
+    assert any("buckets OK" in m for m in msgs)
+    assert not any("DIVERGED" in m for m in msgs)
+
+
+def test_audit_detects_late_row_divergence(spark, qc_mem):
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    qc = _mk(spark)
+    try:
+        # run over the truncated view; the entry's watermark = cut
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+        qc.config.override_now_ns = cut_ns
+        qc.sql(SQL).collect()
+        fp = qc.last_decision.fingerprint
+        assert qc.audit(fp, buckets=5).ok is True
+
+        # INJECT late data: re-register the view with extra rows whose ts
+        # is BEFORE the watermark — the state never saw them and no fresh
+        # scan ever will (the append-only contract violation)
+        late = ev.filter(F.col("ts") < F.lit(cut)).limit(50)
+        ev.filter(F.col("ts") < F.lit(cut)).unionByName(
+            late
+        ).createOrReplaceTempView("events")
+        report = qc.audit(fp, buckets=5)
+        assert report.ok is False
+        bad = [b for b in report.buckets if not b.ok]
+        assert bad and any(d[0] == "n" for b in bad for d in b.diffs)
+        assert any("DIVERGED" in m for m in qc.config.log.messages())
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_audit_global_aggregate(spark, qc_mem):
+    qc = _mk(spark)
+    qc.sql(
+        "SELECT count(*) AS n, min(value) AS mn, max(value) AS mx FROM events"
+    ).collect()
+    fp = qc.last_decision.fingerprint
+    report = qc.audit(fp)
+    assert report.ok is True and len(report.buckets) == 1
+    assert report.buckets[0].key == ()
+
+
+def test_audit_unknown_fingerprint_raises(spark, qc_mem):
+    qc = _mk(spark)
+    with pytest.raises(KeyError, match="not planned"):
+        qc.audit("no-such-fingerprint")
+
+
+def test_audit_survives_refresh(spark, qc_mem):
+    """Audit after an incremental refresh checks the MERGED state."""
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    qc = _mk(spark)
+    try:
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+        qc.config.override_now_ns = cut_ns
+        qc.sql(SQL).collect()
+        fp = qc.last_decision.fingerprint
+        ev.createOrReplaceTempView("events")
+        qc.config.override_now_ns = mx + 10**9
+        qc.sql(SQL).collect()
+        assert qc.last_decision.cache_hit
+        assert qc.audit(fp, buckets=5).ok is True
+    finally:
+        ev.createOrReplaceTempView("events")
