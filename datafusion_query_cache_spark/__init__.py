@@ -27,13 +27,14 @@ and merges with the stored state. Non-eligible queries run unchanged via
 from .cache import MemoryQueryCache, ParquetQueryCache, QueryCache
 from .config import QueryCacheConfig
 from .log import HistoryLog, LogNoOp, LogStderr
-from .session import AuditBucket, AuditReport, CachedSparkSession, Decision
+from .session import AuditBucket, AuditReport, CachedSparkSession, Decision, DecisionTrace
 
 __all__ = [
     "CachedSparkSession",
     "Decision",
     "AuditReport",
     "AuditBucket",
+    "DecisionTrace",
     "QueryCacheConfig",
     "QueryCache",
     "MemoryQueryCache",

@@ -73,6 +73,52 @@ class AuditBucket:
 
 
 @_dataclass(frozen=True)
+class DecisionTrace:
+    """Result of :meth:`CachedSparkSession.explain` — the full decision
+    trace of one ``sql()`` call: the :class:`Decision` plus every decision-
+    log line the planner emitted while handling it (tier choice, watermark,
+    fresh-window bounds, narrowing-gate verdicts, template availability).
+    ``str(trace)`` renders the human-readable form; ``trace.df`` is the
+    planned result DataFrame (same object ``sql()`` would have returned)."""
+
+    decision: object
+    records: tuple = ()
+    df: Optional[DataFrame] = None
+
+    def __str__(self) -> str:
+        d = self.decision
+        lines = [
+            f"query:     {d.sql}",
+            f"cached:    {d.cached}"
+            + (f"  (reason: {d.reason})" if d.reason else ""),
+        ]
+        if d.fingerprint:
+            lines.append(f"fingerprint: {d.fingerprint}")
+        if d.cached:
+            lines.append(
+                f"hit:       {d.cache_hit}"
+                + ("  served-from-memo" if d.served_from_memo else "")
+            )
+            if d.refresh_tier:
+                lines.append(f"tier:      {d.refresh_tier}")
+            if d.watermark_ns is not None and d.now_ns is not None:
+                lines.append(
+                    f"fresh window: [{d.watermark_ns}, {d.now_ns}) ns"
+                )
+            if d.dynamic_lower is not None:
+                lines.append(f"dynamic lower: {d.dynamic_lower}")
+            fr = d.fresh_rows()
+            if fr is not None:
+                lines.append(f"fresh rows scanned: {fr}")
+            if d.semantic_donor:
+                lines.append(f"served from donor: {d.semantic_donor}")
+        if self.records:
+            lines.append("log:")
+            lines.extend(f"  [{r.level}] {r.message}" for r in self.records)
+        return "\n".join(lines)
+
+
+@_dataclass(frozen=True)
 class AuditReport:
     """Result of :meth:`CachedSparkSession.audit` — ``ok`` is True when
     every sampled bucket matched, None when there was nothing to audit."""
@@ -158,6 +204,43 @@ class CachedSparkSession(RefreshTiers):
             memo.popitem(last=False)
 
     # -- public API ---------------------------------------------------------
+
+    def explain(self, sql: str) -> "DecisionTrace":
+        """One-call decision trace: run the planning pipeline for ``sql``
+        exactly as :meth:`sql` would (including any warm refresh — this IS
+        the refresh trace, the analogue of the reference's ``EXPLAIN
+        ANALYZE`` demo, ``examples/demo.rs:52-63``) and return the
+        :class:`DecisionTrace`: tier chosen, fingerprint, watermark,
+        fresh-window bounds, narrowing-gate verdicts, and every decision-
+        log line emitted for this call. Answers "why wasn't this cached?"
+        self-serve; the 100×-scale plan review reads the same trace.
+
+        The session's configured log still receives every record (the
+        trace tees, it does not divert)."""
+        from .log import AbstractLog, HistoryLog
+
+        outer = self.config.log
+        tape = HistoryLog()
+
+        class _Tee(AbstractLog):
+            def info(self, fingerprint: str, message: str) -> None:
+                outer.info(fingerprint, message)
+                tape.info(fingerprint, message)
+
+            def warn(self, fingerprint: str, message: str) -> None:
+                outer.warn(fingerprint, message)
+                tape.warn(fingerprint, message)
+
+        self.config.log = _Tee()
+        try:
+            df = self.sql(sql)
+        finally:
+            self.config.log = outer
+        return DecisionTrace(
+            decision=self.last_decision,
+            records=tuple(tape.history()),
+            df=df,
+        )
 
     def audit(
         self,

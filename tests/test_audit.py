@@ -117,3 +117,24 @@ def test_audit_survives_refresh(spark, qc_mem):
         assert qc.audit(fp, buckets=5).ok is True
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# -- explain() ----------------------------------------------------------
+
+
+def test_explain_traces_cached_and_passthrough(spark, qc_mem):
+    qc = _mk(spark)
+    tr = qc.explain(SQL)
+    assert tr.decision.cached and tr.df is not None
+    s = str(tr)
+    assert "cached:    True" in s and "fingerprint:" in s and "log:" in s
+    # second call: hit trace carries the tier and fresh window
+    tr2 = qc.explain(SQL)
+    assert tr2.decision.cache_hit
+    assert "hit:       True" in str(tr2)
+    # passthrough trace names the reason
+    tr3 = qc.explain("SELECT e1.event_id FROM events e1 CROSS JOIN events e2 LIMIT 1")
+    assert not tr3.decision.cached
+    assert "reason:" in str(tr3)
+    # the session's own log still received the records (tee, not divert)
+    assert qc.config.log.messages()
