@@ -333,7 +333,16 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
         raise Unsupported(
             f"quantified comparison {node.get('comparison_type')}"
         )
-    _reject_foreign_qualifiers(node["subquery"])
+    if sq_type == "EXISTS":
+        try:
+            _reject_foreign_qualifiers(node["subquery"])
+        except Unsupported:
+            # the top-5 analyst spelling ``EXISTS (SELECT 1 FROM t2 WHERE
+            # t2.k = outer.k [AND stable])`` decorrelates to a DISTINCT-IN
+            # over the cached inner — see _decorrelate_exists
+            return _decorrelate_exists(node)
+    else:
+        _reject_foreign_qualifiers(node["subquery"])
     inner = _lower_select(node["subquery"]["node"])
     if not isinstance(inner, _AggSpec):
         raise Unsupported("subquery body is not a plain aggregate")
@@ -540,6 +549,165 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
         if isinstance(nd, AggCall):
             raise Unsupported("aggregate inside a window spec")
     return w
+
+
+def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
+    """``EXISTS (SELECT … FROM t2 [AS a] WHERE a.k = outer.k [AND
+    stable…])`` — exactly ONE correlated equality, everything else
+    inner-only — rewritten to the equivalent uncorrelated DISTINCT-IN:
+
+        coalesce(outer.k IN (SELECT DISTINCT k FROM t2 WHERE stable…),
+                 FALSE)
+
+    The coalesce reproduces EXISTS's two-valued logic exactly: the plain
+    IN fold yields NULL when outer.k is NULL or when the folded set
+    carried a NULL, but a correlated equality never matches NULL, so
+    EXISTS is FALSE there — coalesce(…, FALSE) maps both NULL cases to
+    FALSE and NOT above it stays exact. The DISTINCT inner rides the
+    SELECT DISTINCT cache machinery (key-set state, hidden count), so the
+    entry is shared with the standalone distinct query. The select list
+    is ignored (EXISTS semantics). Any other correlated shape — several
+    correlated conjuncts, non-equality correlation, GROUP BY/HAVING/
+    modifiers, derived-table source — stays passthrough."""
+    from .ir import Col as _Col, Func as _Func
+
+    sub = node["subquery"]["node"]
+    if sub.get("type") != "SELECT_NODE":
+        raise Unsupported("correlated EXISTS over a non-select body")
+    ft = sub.get("from_table") or {}
+    if ft.get("type") != "BASE_TABLE":
+        raise Unsupported("correlated EXISTS over a non-base table")
+    own = {
+        x.lower()
+        for x in (ft.get("table_name"), ft.get("alias"))
+        if x
+    }
+    if sub.get("group_expressions") or sub.get("having") is not None:
+        raise Unsupported("correlated EXISTS with GROUP BY/HAVING")
+    for gs in sub.get("group_sets") or []:
+        raise Unsupported("correlated EXISTS with grouping sets")
+    if sub.get("modifiers"):
+        raise Unsupported("correlated EXISTS with modifiers")
+    if sub.get("cte_map", {}).get("map"):
+        raise Unsupported("correlated EXISTS with CTEs")
+    wc = sub.get("where_clause")
+    if wc is None:
+        raise Unsupported("correlated EXISTS without a WHERE")
+
+    def conjuncts(n):
+        if (
+            n.get("class") == "CONJUNCTION"
+            and n.get("type") == "CONJUNCTION_AND"
+        ):
+            out = []
+            for c in n["children"]:
+                out.extend(conjuncts(c))
+            return out
+        return [n]
+
+    def side(n):  # "own" | "foreign" | None (not a qualified column ref)
+        if n.get("class") != "COLUMN_REF":
+            return None
+        names = n.get("column_names", [])
+        if len(names) < 2:
+            return None
+        return "own" if names[0].lower() in own else "foreign"
+
+    def assert_inner_only(n):
+        if isinstance(n, dict):
+            if n.get("class") == "COLUMN_REF":
+                names = n.get("column_names", [])
+                if len(names) > 1 and names[0].lower() not in own:
+                    raise Unsupported(
+                        "correlated EXISTS: outer reference outside the "
+                        "correlated equality"
+                    )
+            for v in n.values():
+                assert_inner_only(v)
+        elif isinstance(n, list):
+            for v in n:
+                assert_inner_only(v)
+
+    corr = None
+    rest = []
+    for c in conjuncts(wc):
+        if (
+            c.get("class") == "COMPARISON"
+            and c.get("type") == "COMPARE_EQUAL"
+        ):
+            sides = {side(c["left"]): c["left"], side(c["right"]): c["right"]}
+            if "own" in sides and "foreign" in sides:
+                if corr is not None:
+                    raise Unsupported(
+                        "correlated EXISTS: multiple correlated equalities"
+                    )
+                corr = (
+                    sides["own"]["column_names"][-1],
+                    sides["foreign"]["column_names"][-1],
+                )
+                continue
+        rest.append(c)
+    if corr is None:
+        raise Unsupported("correlated EXISTS: unsupported correlation shape")
+    for c in rest:
+        assert_inner_only(c)
+    inner_col, outer_col = corr
+
+    new_sub = dict(sub)
+    new_sub["select_list"] = [
+        {
+            "class": "COLUMN_REF",
+            "type": "COLUMN_REF",
+            "alias": "",
+            "column_names": [inner_col],
+        }
+    ]
+    new_sub["modifiers"] = [
+        {"type": "DISTINCT_MODIFIER", "distinct_on_targets": []}
+    ]
+    if not rest:
+        new_sub["where_clause"] = None
+    elif len(rest) == 1:
+        new_sub["where_clause"] = rest[0]
+    else:
+        cur = rest[0]
+        for c in rest[1:]:
+            cur = {
+                "class": "CONJUNCTION",
+                "type": "CONJUNCTION_AND",
+                "alias": "",
+                "children": [cur, c],
+            }
+        new_sub["where_clause"] = cur
+    _reject_foreign_qualifiers({"node": new_sub})
+    inner = _lower_select(new_sub)
+
+    from .ir import AggSpec as _AggSpec, InSubquery, Lit as _Lit
+
+    if not isinstance(inner, _AggSpec):
+        raise Unsupported("decorrelated EXISTS body is not an aggregate")
+    if (
+        inner.grouping_sets
+        or inner.join_steps
+        or inner.order_by
+        or inner.limit is not None
+        or len(inner.select_order) != 1
+    ):
+        raise Unsupported("decorrelated EXISTS body shape")
+    for e in [inner.predicate, inner.having]:
+        if e is not None and _contains_scalar_subq(e):
+            raise Unsupported("nested subquery in a subquery body")
+    canon_str = (
+        f"{inner.canon()}|sel={inner.select_order[0]}"
+        f"|having={inner.having.canon() if inner.having is not None else ''}"
+    )
+    return _Func(
+        "coalesce",
+        (
+            InSubquery(left=_Col(outer_col), canon_str=canon_str, spec=inner),
+            _Lit(False, "BOOLEAN"),
+        ),
+    )
 
 
 def _rows_frame(node: Dict[str, Any]):

@@ -76,9 +76,15 @@ def test_two_column_split_invariance(spark, agg, truth):
 
 
 def test_singleton_matches_partial(spark):
-    """singleton(row)-then-merge must equal partial-then-merge."""
-    agg = AggCall("corr", (Col("v"), Col("w")))
+    """singleton(row)-then-merge must equal partial-then-merge.
+
+    min_by is the two-column family that still carries a singleton form;
+    corr/covar moved to central co-moment state (r11), which deliberately
+    has NO singleton (the collect_list fold merge must see O(1) rows per
+    group) — their per-row path is covered by split-invariance above."""
+    agg = AggCall("min_by", (Col("v"), Col("w")))
     dec = decompose_agg(agg, "0")
+    assert dec.singleton is not None
     schema = "g int, v double, w double"
     df1 = spark.createDataFrame(pd.DataFrame(D1, columns=["g", "v", "w"]), schema)
     df2 = spark.createDataFrame(pd.DataFrame(D2, columns=["g", "v", "w"]), schema)
@@ -93,7 +99,7 @@ def test_singleton_matches_partial(spark):
         .agg(*[c.alias(n) for n, c in dec.merge.items()])
         .select("g", dec.finalize.alias("r"))
     )
-    truth = df1.unionByName(df2).groupBy("g").agg(F.corr("v", "w").alias("r"))
+    truth = df1.unionByName(df2).groupBy("g").agg(F.min_by("v", "w").alias("r"))
     got = {r["g"]: norm(r["r"]) for r in merged.collect()}
     want = {r["g"]: norm(r["r"]) for r in truth.collect()}
     for g in want:
@@ -101,3 +107,15 @@ def test_singleton_matches_partial(spark):
             assert got[g] == pytest.approx(want[g], rel=1e-9)
         else:
             assert got[g] == want[g]
+
+
+def test_corr_no_singleton_by_design():
+    """The central co-moment families must NOT grow a singleton form: with
+    one, the one-shuffle plan would feed one state row per raw fresh row
+    into the collect_list fold merge (unbounded arrays per group)."""
+    for fn in ("corr", "covar_samp", "covar_pop"):
+        dec = decompose_agg(AggCall(fn, (Col("v"), Col("w"))), "0")
+        assert dec.singleton is None
+    for fn in ("var_pop", "stddev_samp", "skewness", "kurtosis"):
+        dec = decompose_agg(AggCall(fn, (Col("v"),)), "0")
+        assert dec.singleton is None

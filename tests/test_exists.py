@@ -42,14 +42,56 @@ def test_parse_exists():
     assert inner.table == "events" and len(inner.group_by) == 1
 
 
-def test_parse_correlated_exists_rejected():
+def test_parse_correlated_exists_decorrelates():
+    """The top-5 analyst spelling decorrelates to a DISTINCT-IN wrapped in
+    coalesce(…, FALSE) — exact EXISTS two-valued logic."""
+    from datafusion_query_cache_spark.plans.ir import Func, InSubquery, Lit
+    from datafusion_query_cache_spark.plans.parser import (
+        parse_query,
+        scalar_subqueries,
+    )
+
+    s = parse_query(
+        "SELECT event_id FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id "
+        "AND o.o_totalprice > 100)"
+    )
+    subqs = scalar_subqueries(s)
+    assert len(subqs) == 1 and isinstance(subqs[0], InSubquery)
+    # the wrapper is coalesce(IN, FALSE)
+    wrap = [
+        n for n in s.predicate.walk()
+        if isinstance(n, Func) and n.name == "coalesce"
+    ]
+    assert wrap and isinstance(wrap[0].args[0], InSubquery)
+    assert isinstance(wrap[0].args[1], Lit) and wrap[0].args[1].value is False
+    inner = subqs[0].spec
+    assert inner.table == "orders"
+
+
+def test_parse_correlated_exists_rejected_shapes():
     from datafusion_query_cache_spark.plans.ir import Unsupported
     from datafusion_query_cache_spark.plans.parser import parse_query
 
-    with pytest.raises(Unsupported, match="correlated|qualified"):
+    # non-equality correlation
+    with pytest.raises(Unsupported, match="correlat"):
         parse_query(
             "SELECT event_id FROM events e WHERE EXISTS "
-            "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)"
+            "(SELECT 1 FROM orders o WHERE o.o_custkey > e.user_id)"
+        )
+    # two correlated equalities
+    with pytest.raises(Unsupported, match="correlat"):
+        parse_query(
+            "SELECT event_id FROM events e WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id "
+            "AND o.o_orderkey = e.event_id)"
+        )
+    # outer reference outside the correlated equality
+    with pytest.raises(Unsupported, match="correlat"):
+        parse_query(
+            "SELECT event_id FROM events e WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id "
+            "AND o.o_totalprice > e.value)"
         )
 
 
@@ -148,3 +190,41 @@ def test_having_variants_do_not_share_plans(spark, qc_mem):
         "HAVING count(*) > 100000000"
     ).count()
     assert a > 0 and b == 0
+
+
+def test_correlated_exists_matches_plain(spark, qc_mem):
+    sql = (
+        "SELECT e.event_id, e.value FROM events e WHERE e.value > 100 "
+        "AND EXISTS (SELECT 1 FROM events2 x "
+        "WHERE x.event_type = e.event_type AND x.value > 180) "
+        "ORDER BY e.event_id"
+    )
+    ev = spark.table("events")
+    ev.createOrReplaceTempView("events2")
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_correlated_not_exists_matches_plain(spark, qc_mem):
+    # NOT EXISTS with NULL-key rows: coalesce(IN, FALSE) keeps NOT exact
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, None, base), (2, "a", base), (3, "zz_unmatched", base)],
+        "id int, k string, ts timestamp",
+    ).createOrReplaceTempView("probe")
+    spark.createDataFrame(
+        [("a", base), (None, base)], "k string, ts timestamp"
+    ).createOrReplaceTempView("vals")
+    sql = (
+        "SELECT p.id FROM probe p WHERE NOT EXISTS "
+        "(SELECT 1 FROM vals v WHERE v.k = p.k) ORDER BY p.id"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    # NULL-key and unmatched probe rows survive NOT EXISTS (ids 1 and 3)
+    assert [r[0] for r in out.collect()] == [1, 3]

@@ -116,11 +116,13 @@ def test_dyn_template_pushes_or_of_ranges(spark, tmp_path):
             override_now_ns=now1,
         ),
     )
-    # corr has no Python merge mirror, so the nano/lite driver tiers
+    # min_by has no Python merge mirror, so the nano/lite driver tiers
     # reject and the FUSED TEMPLATE (this test's subject) must run
+    # (corr moved to the central co-moment state in r11: it now has a py
+    # mirror → lite, and its HOF merge is template-ineligible anyway)
     sql = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n, "
-        "round(corr(value, user_id), 2) AS cr "
+        "min_by(event_id, value) AS lo "
         "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
     )
     qc.sql(sql).collect()

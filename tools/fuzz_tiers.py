@@ -297,12 +297,18 @@ def gen_insubq_sql(rng: random.Random) -> str:
             f"WHERE {iconds} GROUP BY 1 HAVING count(*) > {k})",
             f"{neg}EXISTS (SELECT min(user_id) FROM events "
             f"WHERE {iconds} GROUP BY user_id HAVING count(*) > {k})",
+            # r11 correlated [NOT] EXISTS (single-equality spelling):
+            # decorrelates to coalesce(IN (SELECT DISTINCT …), FALSE);
+            # the outer alias `e` makes the correlation qualifier foreign
+            # to the inner's {events, __i} tables
+            f"{neg}EXISTS (SELECT 1 FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type)",
         ]
     )
     outer_pred = rng.choice(["value IS NOT NULL", "event_id >= 0"])
     order = " ORDER BY event_id" if rng.random() < 0.7 else ""
     return (
-        f"SELECT event_id, event_type, value FROM events "
+        f"SELECT event_id, event_type, value FROM events e "
         f"WHERE {outer_pred} AND {in_expr}{order}"
     )
 
