@@ -209,8 +209,9 @@ def window_column(e) -> Column:
     if e.order_by:
         w = w.orderBy(*[order_column(o) for o in e.order_by])
     if getattr(e, "frame", None) is not None:
-        lo, hi = e.frame
-        w = w.rowsBetween(
+        mode, lo, hi = e.frame
+        between = w.rowsBetween if mode == "rows" else w.rangeBetween
+        w = between(
             Window.unboundedPreceding if lo is None else lo,
             Window.unboundedFollowing if hi is None else hi,
         )

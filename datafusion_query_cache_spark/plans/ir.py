@@ -318,14 +318,17 @@ class WindowExpr(Expr):
     order_by: Tuple["OrderItem", ...] = ()
     offset: Optional[Expr] = None
     default: Optional[Expr] = None
-    #: explicit ROWS frame ``(lo, hi)`` in Spark rowsBetween encoding —
-    #: ints are offsets from the current row (negative = preceding),
-    #: ``None`` = unbounded on that side; the whole field ``None`` = the
-    #: shared default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW).
-    #: ROWS semantics are identical in DuckDB and Spark given the same
-    #: ORDER (ties make any engine's ROWS frames order-dependent — same
-    #: caveat as plain Spark).
-    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    #: explicit frame ``(mode, lo, hi)`` in Spark rows/rangeBetween
+    #: encoding — mode is "rows" or "range"; ints are offsets from the
+    #: current row (value) (negative = preceding), ``None`` = unbounded on
+    #: that side; the whole field ``None`` = the shared default frame
+    #: (RANGE UNBOUNDED PRECEDING .. CURRENT ROW). ROWS semantics are
+    #: identical in DuckDB and Spark given the same ORDER (ties make any
+    #: engine's ROWS frames order-dependent — same caveat as plain
+    #: Spark); RANGE frames are peer-inclusive and therefore
+    #: tie-independent, but require one NUMERIC order key (the session
+    #: type-checks and degrades to passthrough otherwise).
+    frame: Optional[Tuple[str, Optional[int], Optional[int]]] = None
 
     def children(self) -> Tuple[Expr, ...]:
         out = list(self.args) + list(self.partition_by)
@@ -348,7 +351,11 @@ class WindowExpr(Expr):
             extra += f",off={self.offset.canon()}"
         if self.default is not None:
             extra += f",def={self.default.canon()}"
-        f = "" if self.frame is None else f" rows[{self.frame[0]},{self.frame[1]}]"
+        f = (
+            ""
+            if self.frame is None
+            else f" {self.frame[0]}[{self.frame[1]},{self.frame[2]}]"
+        )
         return f"win:{self.fn}({a}{extra}) over(p[{p}] o[{o}]{f})"
 
 

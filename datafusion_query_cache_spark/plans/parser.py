@@ -536,6 +536,8 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
         raise Unsupported(f"offset/default on window {fn}")
     if frame is not None and not orders:
         raise Unsupported("explicit window frame without ORDER BY")
+    if frame is not None and frame[0] == "range" and len(orders) != 1:
+        raise Unsupported("RANGE frame requires exactly one ORDER BY key")
     w = WindowExpr(
         fn,
         args,
@@ -711,10 +713,11 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
 
 
 def _rows_frame(node: Dict[str, Any]):
-    """Lower an explicit ROWS frame to the Spark ``rowsBetween`` encoding
-    ``(lo, hi)`` (ints = offsets, negative = preceding; None = unbounded).
-    Anything but literal non-negative integer ROWS offsets — RANGE/GROUPS
-    frames, expression offsets — raises Unsupported (passthrough)."""
+    """Lower an explicit ROWS or RANGE frame to the Spark
+    ``rows/rangeBetween`` encoding ``(mode, lo, hi)`` (ints = offsets,
+    negative = preceding; None = unbounded). Anything but literal
+    non-negative integer offsets — GROUPS frames, expression/fractional
+    offsets, mixed-mode bounds — raises Unsupported (passthrough)."""
 
     def k(which: str):
         e = node.get(f"{which}_expr")
@@ -726,13 +729,18 @@ def _rows_frame(node: Dict[str, Any]):
             raise Unsupported("non-literal window frame offset")
         return lowered.value
 
+    modes = set()
+
     def bound(which: str):
         marker = node.get("start") if which == "lo" else node.get("end")
-        if marker == "CURRENT_ROW_ROWS":
+        for m, tag in (("rows", "_ROWS"), ("range", "_RANGE")):
+            if isinstance(marker, str) and marker.endswith(tag):
+                modes.add(m)
+        if marker in ("CURRENT_ROW_ROWS", "CURRENT_ROW_RANGE"):
             return 0
-        if marker == "EXPR_PRECEDING_ROWS":
+        if marker in ("EXPR_PRECEDING_ROWS", "EXPR_PRECEDING_RANGE"):
             return -k("start" if which == "lo" else "end")
-        if marker == "EXPR_FOLLOWING_ROWS":
+        if marker in ("EXPR_FOLLOWING_ROWS", "EXPR_FOLLOWING_RANGE"):
             return k("start" if which == "lo" else "end")
         if which == "lo" and marker == "UNBOUNDED_PRECEDING":
             return None
@@ -741,9 +749,12 @@ def _rows_frame(node: Dict[str, Any]):
         raise Unsupported(f"window frame bound {marker}")
 
     lo, hi = bound("lo"), bound("hi")
+    if len(modes) > 1:
+        raise Unsupported("mixed window frame modes")
     if lo is not None and hi is not None and lo > hi:
         raise Unsupported("empty window frame")
-    return (lo, hi)
+    # UNBOUNDED..UNBOUNDED carries no mode marker: whole-partition either way
+    return (modes.pop() if modes else "rows", lo, hi)
 
 
 def _contains_window(e: Expr) -> bool:

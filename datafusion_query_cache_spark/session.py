@@ -1556,6 +1556,32 @@ class CachedSparkSession(RefreshTiers):
         elif spec.items is not None:
             from .plans.ir import Col as _Col
 
+            # RANGE frames need one NUMERIC order key (Spark's RangeFrame
+            # rejects date/string keys at analysis) — type-check against
+            # the finalized frame and degrade to passthrough instead of
+            # letting the AnalysisException take the unexpected-error path
+            from .plans.ir import WindowExpr as _WinE
+            from pyspark.sql.types import NumericType as _NumT
+
+            dtypes_by_name = {f.name: f.dataType for f in df.schema.fields}
+            for it in spec.items:
+                for nd in it.expr.walk():
+                    if (
+                        isinstance(nd, _WinE)
+                        and nd.frame is not None
+                        and nd.frame[0] == "range"
+                    ):
+                        key = nd.order_by[0].expr
+                        kt = (
+                            dtypes_by_name.get(key.name)
+                            if isinstance(key, _Col)
+                            else None
+                        )
+                        if kt is None or not isinstance(kt, _NumT):
+                            raise Unsupported(
+                                "RANGE frame requires a numeric order key"
+                            )
+
             item_names = {i.name for i in spec.items}
             if spec.order_by and any(
                 isinstance(o.expr, _Col) and o.expr.name not in item_names

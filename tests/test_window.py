@@ -79,12 +79,24 @@ def test_parse_window_shape():
             "rank() OVER (ORDER BY event_type) AS r FROM events GROUP BY 1",
             "not in GROUP BY",
         ),
-        # RANGE frame with an expression bound → passthrough (only ROWS
-        # frames with literal offsets compile, round 11)
+        # GROUPS frame → passthrough (DuckDB's parser itself rejects it;
+        # Spark has no GROUPS mode either)
         (
-            f"SELECT dd, sum(n) OVER (ORDER BY n RANGE BETWEEN 2 PRECEDING "
+            f"SELECT dd, sum(n) OVER (ORDER BY n GROUPS BETWEEN 2 PRECEDING "
             f"AND CURRENT ROW) AS s FROM ({DAILY}) t",
-            "window frame bound",
+            "GROUPS mode",
+        ),
+        # fractional RANGE offset → passthrough (Spark rangeBetween is int)
+        (
+            f"SELECT dd, sum(n) OVER (ORDER BY n RANGE BETWEEN 2.5 PRECEDING "
+            f"AND CURRENT ROW) AS s FROM ({DAILY}) t",
+            "non-literal window frame offset",
+        ),
+        # RANGE with two order keys → passthrough
+        (
+            f"SELECT dd, sum(n) OVER (ORDER BY n, dd RANGE BETWEEN 2 "
+            f"PRECEDING AND CURRENT ROW) AS s FROM ({DAILY}) t",
+            "exactly one ORDER BY key",
         ),
         # explicit frame on a ranking function → passthrough (Spark's
         # analyzer rejects it)
@@ -193,7 +205,7 @@ def test_parse_rows_frame():
     )
     assert isinstance(s, SubquerySpec)
     w = s.items[1].expr
-    assert isinstance(w, WindowExpr) and w.frame == (-6, 0)
+    assert isinstance(w, WindowExpr) and w.frame == ("rows", -6, 0)
     # frame is part of the window's canonical form (distinct fingerprint
     # inputs for distinct frames), but the INNER fingerprint is unchanged
     assert "rows[-6,0]" in w.canon()
@@ -227,4 +239,47 @@ def test_window_frame_variants_match_plain(spark, qc_mem):
         f"FROM ({TYPE_DAILY}) t ORDER BY et, dd"
     )
     out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_parse_range_frame():
+    from datafusion_query_cache_spark.plans.ir import SubquerySpec, WindowExpr
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    s = parse_query(
+        f"SELECT dd, sum(n) OVER (ORDER BY n RANGE BETWEEN 5 PRECEDING "
+        f"AND CURRENT ROW) AS s FROM ({DAILY}) t"
+    )
+    assert isinstance(s, SubquerySpec)
+    w = s.items[1].expr
+    assert isinstance(w, WindowExpr) and w.frame == ("range", -5, 0)
+    assert "range[-5,0]" in w.canon()
+
+
+def test_window_range_frame_matches_plain(spark, qc_mem):
+    # RANGE frames are peer-inclusive (tie-independent) — value-banded
+    # running sums over the rollup's count column (BIGINT key)
+    sql = (
+        "SELECT et, dd, n, "
+        "CAST(sum(n) OVER (PARTITION BY et ORDER BY n RANGE BETWEEN 5 "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS near, "
+        "CAST(count(*) OVER (ORDER BY n RANGE BETWEEN 2 PRECEDING AND "
+        "2 FOLLOWING) AS BIGINT) AS band "
+        f"FROM ({TYPE_DAILY}) t ORDER BY et, dd"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_window_range_frame_non_numeric_key_passthrough(spark, qc_mem):
+    # dd is a DATE: Spark's RangeFrame rejects it — must degrade to
+    # passthrough (exact either way), not crash strict mode
+    sql = (
+        "SELECT dd, n, sum(n) OVER (ORDER BY dd RANGE BETWEEN 2 PRECEDING "
+        f"AND CURRENT ROW) AS s FROM ({DAILY}) t"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert not qc_mem.last_decision.cached
+    assert "numeric order key" in qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))

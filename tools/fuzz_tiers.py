@@ -203,6 +203,14 @@ def wrap_subquery(sql: str, rng: random.Random, gs, ags) -> str:
                     f"sum({rng.choice(ints)}) OVER ({part}ORDER BY {keys} "
                     f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW) AS wr"
                 )
+                # RANGE frames: value-banded, peer-inclusive (the most
+                # tie-robust frame mode) — order key must be a numeric
+                # metric, not the group keys
+                mi = rng.choice(ints)
+                cands.append(
+                    f"sum({mi}) OVER ({part}ORDER BY {mi} RANGE BETWEEN "
+                    f"{lo} PRECEDING AND {hi} FOLLOWING) AS wr"
+                )
             wfn = rng.choice(cands)
             sel = ", ".join(all_names)
             return (
