@@ -87,6 +87,16 @@ def main() -> None:
     for r in log.history():
         print(f"   [{r.level}] {r.message}")
 
+    print("\n== explain(): one-call decision trace (r11)")
+    print(qc.explain(SQL))
+
+    print("\n== audit(): trust-but-verify bucket recompute (r11)")
+    report = qc.audit(d.fingerprint, buckets=4)
+    print(
+        f"   {sum(b.ok for b in report.buckets)}/{len(report.buckets)} "
+        f"buckets match the raw recompute (ok={report.ok})"
+    )
+
 
 if __name__ == "__main__":
     main()
