@@ -264,12 +264,20 @@ class InSubquery(Expr):
     left: Expr
     canon_str: str
     spec: object = field(hash=False, compare=False, default=None, repr=False)
+    #: comparison operator: "=" is plain IN (folds to an IN-list);
+    #: >, >=, <, <=, != are quantified comparisons (x > ANY(S)) — DuckDB
+    #: canonicalizes ALL into NOT(negated-op ANY), so ANY covers both.
+    #: Non-= folds build an OR of direct comparisons over the distinct
+    #: value set, which reproduces SQL's three-valued quantifier
+    #: semantics with no special-casing (OR(TRUE, NULL)=TRUE,
+    #: OR(FALSE, NULL)=NULL; empty set → FALSE).
+    op: str = "="
 
     def children(self) -> Tuple[Expr, ...]:
         return (self.left,)
 
     def canon(self) -> str:
-        return f"insubq({self.left.canon()},{self.canon_str})"
+        return f"insubq({self.left.canon()},op={self.op},{self.canon_str})"
 
 
 @dataclass(frozen=True)

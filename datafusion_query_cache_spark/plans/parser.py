@@ -329,10 +329,13 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
     sq_type = node.get("subquery_type")
     if sq_type not in ("SCALAR", "ANY", "EXISTS"):
         raise Unsupported(f"subquery type {sq_type}")
-    if sq_type == "ANY" and node.get("comparison_type") != "COMPARE_EQUAL":
-        raise Unsupported(
-            f"quantified comparison {node.get('comparison_type')}"
-        )
+    any_op = "="
+    if sq_type == "ANY":
+        any_op = _COMPARE_OPS.get(node.get("comparison_type"))
+        if any_op is None or any_op.startswith("is_"):
+            raise Unsupported(
+                f"quantified comparison {node.get('comparison_type')}"
+            )
     if sq_type == "EXISTS":
         try:
             _reject_foreign_qualifiers(node["subquery"])
@@ -375,7 +378,7 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
     left = _expr(node["child"])
     if _contains_scalar_subq(left):
         raise Unsupported("subquery inside IN's left operand")
-    return InSubquery(left=left, canon_str=canon_str, spec=inner)
+    return InSubquery(left=left, canon_str=canon_str, spec=inner, op=any_op)
 
 
 def _contains_scalar_subq(e: Expr) -> bool:

@@ -1170,12 +1170,34 @@ class CachedSparkSession(RefreshTiers):
                         raise Unsupported(
                             f"IN subquery value type {type(v).__name__}"
                         )
+                folded: object
+                if getattr(sq, "op", "=") != "=":
+                    # quantified comparison x <op> ANY(S): an OR of direct
+                    # comparisons over the distinct set reproduces SQL's
+                    # three-valued semantics exactly — OR(TRUE, …)=TRUE,
+                    # OR(FALSE, NULL)=NULL, empty → FALSE; ONE NULL
+                    # comparand represents every NULL in S (OR-idempotent).
+                    # DuckDB spells ALL as NOT(negated-op ANY), and NOT
+                    # over this fold is exact.
+                    comps = [
+                        _BinOp(sq.op, sq.left, _Lit(v)) for v in nonnull
+                    ]
+                    if len(nonnull) != len(vals):
+                        comps.append(_BinOp(sq.op, sq.left, _Lit(None)))
+                    if not comps:
+                        folded = _Lit(False)
+                    else:
+                        folded = comps[0]
+                        for c in comps[1:]:
+                            folded = _BinOp("or", folded, c)
+                    resolved[sq] = folded
+                    inner_decisions.append(idec)
+                    continue
                 # exact SQL IN semantics: x IN (v…)       — plain IN-list
                 #   empty set        → FALSE (even for NULL x / NOT IN)
                 #   set had a NULL   → (x IN (v…)) OR NULL: TRUE on match,
                 #                      NULL otherwise — NOT above this node
                 #                      then propagates NULL exactly
-                folded: object
                 if not nonnull:
                     folded = _Lit(False)
                 else:

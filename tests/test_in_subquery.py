@@ -43,12 +43,6 @@ def test_parse_in_subquery():
 @pytest.mark.parametrize(
     "sql,msg",
     [
-        # quantified comparison other than IN (= ANY)
-        (
-            "SELECT event_id FROM events WHERE value > ANY "
-            "(SELECT value FROM events GROUP BY value HAVING count(*) > 1)",
-            "quantified comparison",
-        ),
         # qualified OUTER reference inside the body: correlated — lowering
         # standalone would silently re-bind it to the inner table
         (
@@ -305,3 +299,108 @@ def test_having_mixes_group_key_and_scalar(spark, qc_mem):
     out = qc_mem.sql(sql)
     assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+# -- quantified comparisons (r11): x <op> ANY / ALL ----------------------
+
+
+def test_parse_quantified_any():
+    from datafusion_query_cache_spark.plans.ir import FilterSpec, InSubquery, Not
+    from datafusion_query_cache_spark.plans.parser import (
+        parse_query,
+        scalar_subqueries,
+    )
+
+    s = parse_query(
+        "SELECT event_id FROM events WHERE user_id > ANY "
+        "(SELECT min(user_id) FROM events GROUP BY event_type)"
+    )
+    assert isinstance(s, FilterSpec)
+    (sq,) = scalar_subqueries(s)
+    assert isinstance(sq, InSubquery) and sq.op == ">"
+    # ALL arrives as NOT(negated-op ANY) — duckdb canonicalization
+    s2 = parse_query(
+        "SELECT event_id FROM events WHERE user_id > ALL "
+        "(SELECT max(user_id) FROM events GROUP BY event_type)"
+    )
+    (sq2,) = scalar_subqueries(s2)
+    assert sq2.op == "<="
+    assert any(isinstance(n, Not) for n in s2.predicate.walk())
+
+
+def _duck_rows(spark, sql, views):
+    """DuckDB oracle over the CURRENT content of the named Spark views —
+    Spark itself cannot parse `<op> ANY/ALL (subquery)` (this surface is
+    capability BEYOND passthrough), so the expected values come from
+    DuckDB, the engine whose quantifier semantics the fold reproduces."""
+    import duckdb
+
+    con = duckdb.connect()
+    for v in views:
+        con.register(v, spark.table(v).toPandas())
+    import math
+
+    out = []
+    for r in con.execute(sql).fetchall():
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def test_quantified_any_all_match_duckdb(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    for sql in [
+        "SELECT count(*) AS n FROM events WHERE user_id > ANY "
+        "(SELECT min(user_id) + 5 FROM events GROUP BY event_type)",
+        "SELECT count(*) AS n FROM events WHERE user_id >= ALL "
+        "(SELECT min(user_id) FROM events GROUP BY event_type)",
+        "SELECT count(*) AS n FROM events WHERE event_type <> ALL "
+        "(SELECT event_type FROM events GROUP BY 1 HAVING count(*) > 1000000)",
+        "SELECT count(*) AS n FROM events WHERE user_id < ANY "
+        "(SELECT max(user_id) FROM events GROUP BY event_type)",
+    ]:
+        out = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert rows_set(out) == _duck_rows(spark, sql, ["events"]), sql
+
+
+def test_quantified_two_run_incremental(spark, qc_mem):
+    sql = (
+        "SELECT count(*) AS n FROM events WHERE user_id > ANY "
+        "(SELECT min(user_id) + 5 FROM events GROUP BY event_type)"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == _duck_rows(spark, sql, ["events"])
+
+
+def test_quantified_null_semantics(spark, qc_mem):
+    """NULLs in the probe and the set: the OR/NOT fold must reproduce
+    SQL's three-valued quantifier logic exactly (DuckDB oracle)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 5, base), (2, None, base), (3, 100, base)],
+        "id int, x int, ts timestamp",
+    ).createOrReplaceTempView("qprobe")
+    spark.createDataFrame(
+        [(1, 10, base), (2, None, base)], "g int, v int, ts timestamp"
+    ).createOrReplaceTempView("qvals")
+    qc_mem.config.override_now_ns = None
+    for sql in [
+        # x > ANY {10, NULL}: 100→TRUE, 5→NULL(not FALSE), NULL→NULL
+        "SELECT id FROM qprobe WHERE x > ANY (SELECT max(v) FROM qvals "
+        "GROUP BY g) ORDER BY id",
+        # x > ALL {10, NULL} = NOT(x <= ANY): 100→NOT NULL→NULL, drops all
+        "SELECT id FROM qprobe WHERE x > ALL (SELECT max(v) FROM qvals "
+        "GROUP BY g) ORDER BY id",
+    ]:
+        out = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert rows_set(out) == _duck_rows(spark, sql, ["qprobe", "qvals"]), sql
