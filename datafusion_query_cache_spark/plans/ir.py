@@ -516,6 +516,12 @@ class SubquerySpec:
     #: plain O(state)-row joins each read; only the inner aggregate is
     #: cached. Dims are read fresh, so label changes show up immediately.
     join_steps: Tuple[JoinStep, ...] = ()
+    #: QUALIFY predicate (DuckDB extension; Spark has no QUALIFY, so this
+    #: surface is capability beyond passthrough): filters rows AFTER
+    #: window evaluation, before ORDER/LIMIT. May reference item aliases
+    #: and inline window expressions; replayed post-finalize like the
+    #: windows themselves.
+    qualify: Optional[Expr] = None
 
 
 @dataclass

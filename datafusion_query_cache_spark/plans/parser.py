@@ -454,6 +454,8 @@ def _spec_has_scalar_subq(spec) -> bool:
             exprs.append(spec.predicate)
         if spec.having is not None:
             exprs.append(spec.having)
+        if getattr(spec, "qualify", None) is not None:
+            exprs.append(spec.qualify)
         exprs.extend(js.on for js in spec.join_steps if js.on is not None)
         if any(_contains_scalar_subq(e) for e in exprs):
             return True
@@ -802,6 +804,10 @@ def _lower_select(node: Dict[str, Any]):
         return _lower_setop(node)
     if node.get("type") != "SELECT_NODE":
         raise Unsupported(f"statement {node.get('type')}")
+    if node.get("sample"):
+        # silently dropping a sample clause would aggregate the FULL table
+        # while claiming the sampled result (r11 silent-drop audit)
+        raise Unsupported("USING SAMPLE")
     ctes = node.get("cte_map", {}).get("map")
     if ctes:
         return _lower_cte(node, ctes)
@@ -818,6 +824,13 @@ def _lower_select(node: Dict[str, Any]):
         if leaf.get("type") == "SUBQUERY":
             return _lower_subquery(node)
 
+    if node.get("qualify") is not None:
+        # QUALIFY is supported only above a derived-table aggregate (the
+        # window-replay shape); silently dropping it anywhere would return
+        # unfiltered rows (r11 silent-drop audit). Spark itself has no
+        # QUALIFY, so the passthrough fails with Spark's parse error.
+        raise Unsupported("QUALIFY outside a derived-table window shape")
+
     # FROM: one base table, or a LEFT-DEEP tree of INNER/LEFT equi-joins
     # over base tables (the fact table first, carrying the temporal column).
     # Joins are kept as explicit steps so LEFT joins (fact rows preserved
@@ -832,6 +845,8 @@ def _lower_select(node: Dict[str, Any]):
         if t == "BASE_TABLE":
             if ft.get("schema_name"):
                 raise Unsupported("qualified table")
+            if ft.get("sample"):
+                raise Unsupported("TABLESAMPLE")
             tables.append(ft["table_name"])
             return
         if t == "JOIN":
@@ -1221,6 +1236,8 @@ def _lower_subquery(node: Dict[str, Any]):
                 raise Unsupported("non-left-deep join above a derived table")
             if right.get("schema_name"):
                 raise Unsupported("qualified table")
+            if right.get("sample"):
+                raise Unsupported("TABLESAMPLE")
             cond = j.get("condition")
             if cond is None and jt != "CROSS":
                 raise Unsupported("USING/NATURAL join above a derived table")
@@ -1236,6 +1253,8 @@ def _lower_subquery(node: Dict[str, Any]):
             )
     if ft.get("column_name_alias"):
         raise Unsupported("derived-table column aliases")
+    if ft.get("sample"):
+        raise Unsupported("TABLESAMPLE")
     inner = _lower_select(ft["subquery"]["node"])
     if _spec_has_scalar_subq(inner):
         # the session resolves scalar subqueries only at the top level
@@ -1348,12 +1367,21 @@ def _lower_subquery(node: Dict[str, Any]):
     if node.get("having") and not has_outer_agg:
         raise Unsupported("HAVING without aggregates above a derived table")
 
+    qual_node = node.get("qualify")
+    if qual_node is not None and has_outer_agg:
+        raise Unsupported("QUALIFY with an outer aggregation")
+
     if not has_outer_agg:
         for _n, e in raw_items:
             # window functions ARE allowed here: they evaluate post-finalize
             # over the derived table's O(state) finalized rows (the
             # reference's Window-above-rewritten-Aggregate shape)
             _check_inner_refs(e, "column")
+        inner_names = set(_branch_names(inner))
+        alias_names = (
+            set() if star else {n for n, _ in raw_items} - inner_names
+        )
+        used_alias = used_hidden = False
         for o in order_by:
             if _contains_agg(o.expr):
                 raise Unsupported("aggregate in ORDER BY above a derived table")
@@ -1362,7 +1390,53 @@ def _lower_subquery(node: Dict[str, Any]):
                     "window function in ORDER BY above a derived table"
                     " (alias it in the select list instead)"
                 )
+            # a bare Col naming a SELECT-item alias (e.g. the window's
+            # alias: ORDER BY rnk) resolves post-projection; inner-column
+            # refs resolve pre-projection (the hidden-sort-keys path). The
+            # two frames are different, so mixing an alias-only key with a
+            # hidden inner-only key in one ORDER BY stays passthrough.
+            if isinstance(o.expr, Col) and o.expr.name in alias_names:
+                used_alias = True
+                continue
+            if isinstance(o.expr, Col) and o.expr.name in inner_names:
+                item_names_ = {n for n, _ in raw_items}
+                if o.expr.name not in item_names_:
+                    used_hidden = True
+                continue
             _check_inner_refs(o.expr, "column")
+        if used_alias and used_hidden:
+            raise Unsupported(
+                "ORDER BY mixes a select-alias key with a hidden inner key"
+            )
+        qualify_expr = None
+        if qual_node is not None:
+            # QUALIFY (DuckDB extension; Spark has none — capability
+            # beyond passthrough): filters AFTER window evaluation. It is
+            # compiled over the post-projection frame, so every column it
+            # references — incl. inside its window specs — must be an
+            # item alias (or an inner output under SELECT *).
+            qualify_expr = _expr(qual_node)
+            if _contains_agg(qualify_expr):
+                raise Unsupported("aggregate in QUALIFY")
+            if _contains_scalar_subq(qualify_expr):
+                raise Unsupported("subquery in QUALIFY")
+            allowed = (
+                set(_branch_names(inner))
+                if star
+                else {n for n, _ in raw_items}
+            )
+            for nd in qualify_expr.walk():
+                if isinstance(nd, Col) and nd.name not in allowed:
+                    raise Unsupported(
+                        f"QUALIFY references {nd.name}, not a select output"
+                    )
+            # hidden sort keys order the PRE-projection frame; the qualify
+            # filter runs post-projection — refuse the combination rather
+            # than risk a sort/filter reorder
+            item_names = allowed
+            for o in order_by:
+                if isinstance(o.expr, Col) and o.expr.name not in item_names:
+                    raise Unsupported("QUALIFY with hidden sort keys")
         return SubquerySpec(
             inner=inner,
             items=None if star else tuple(SelectItem(n, e) for n, e in raw_items),
@@ -1370,6 +1444,7 @@ def _lower_subquery(node: Dict[str, Any]):
             order_by=tuple(order_by),
             limit=limit,
             join_steps=tuple(join_steps),
+            qualify=qualify_expr,
         )
 
     # outer AGGREGATION over the derived table (the two-level rollup):

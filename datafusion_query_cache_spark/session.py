@@ -1506,6 +1506,8 @@ class CachedSparkSession(RefreshTiers):
         outer_exprs.extend(i.expr for i in spec.aggregates)
         if spec.having is not None:
             outer_exprs.append(spec.having)
+        if getattr(spec, "qualify", None) is not None:
+            outer_exprs.append(spec.qualify)
         outer_exprs.extend(
             js.on for js in spec.join_steps if js.on is not None
         )
@@ -1586,8 +1588,11 @@ class CachedSparkSession(RefreshTiers):
             from pyspark.sql.types import NumericType as _NumT
 
             dtypes_by_name = {f.name: f.dataType for f in df.schema.fields}
-            for it in spec.items:
-                for nd in it.expr.walk():
+            guard_exprs = [it.expr for it in spec.items]
+            if getattr(spec, "qualify", None) is not None:
+                guard_exprs.append(spec.qualify)
+            for _ge in guard_exprs:
+                for nd in _ge.walk():
                     if (
                         isinstance(nd, _WinE)
                         and nd.frame is not None
@@ -1635,6 +1640,9 @@ class CachedSparkSession(RefreshTiers):
                         "ORDER BY expression with hidden sort keys"
                     )
 
+                if getattr(spec, "qualify", None) is not None:
+                    # parser refuses this combination; belt-and-braces
+                    raise Unsupported("QUALIFY with hidden sort keys")
                 df = df.orderBy(*[_okey(o) for o in spec.order_by])
                 df = df.select(
                     *[to_column(i.expr).alias(i.name) for i in spec.items]
@@ -1644,6 +1652,15 @@ class CachedSparkSession(RefreshTiers):
                 return df, decision
             df = df.select(
                 *[to_column(i.expr).alias(i.name) for i in spec.items]
+            )
+        if getattr(spec, "qualify", None) is not None:
+            # QUALIFY: filter AFTER window evaluation (Spark disallows
+            # window functions inside filter(), so compute the verdict as
+            # a hidden column over the post-projection frame, then drop)
+            df = (
+                df.withColumn("__qc_qual", to_column(spec.qualify))
+                .filter(F.col("__qc_qual"))
+                .drop("__qc_qual")
             )
         if spec.order_by:
             from .tiers import _order_col

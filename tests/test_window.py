@@ -283,3 +283,113 @@ def test_window_range_frame_non_numeric_key_passthrough(spark, qc_mem):
     assert not qc_mem.last_decision.cached
     assert "numeric order key" in qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+# -- QUALIFY (r11: DuckDB extension, capability beyond passthrough) ------
+
+
+def _duck_rows(spark, sql, views=("events",)):
+    """Spark has no QUALIFY — expected values come from DuckDB."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for v in views:
+        con.register(v, spark.table(v).toPandas())
+    out = []
+    for r in con.execute(sql).fetchall():
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def test_qualify_filters_window_output(spark, qc_mem):
+    sql = (
+        "SELECT et, dd, n, rank() OVER (PARTITION BY et ORDER BY n DESC, dd)"
+        f" AS rnk FROM ({TYPE_DAILY}) t QUALIFY rnk <= 3 ORDER BY et, dd"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == _duck_rows(spark, sql)
+
+
+def test_qualify_inline_window(spark, qc_mem):
+    # window inline in QUALIFY, not aliased in the select list
+    sql = (
+        f"SELECT dd, n FROM ({DAILY}) t "
+        "QUALIFY row_number() OVER (ORDER BY n DESC, dd) <= 5 ORDER BY dd"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == _duck_rows(spark, sql)
+
+
+def test_qualify_unsupported_shapes(spark, qc_mem):
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    # QUALIFY directly over an aggregate (no derived table)
+    with pytest.raises(Unsupported, match="QUALIFY"):
+        parse_query(
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+            "QUALIFY rank() OVER (ORDER BY count(*)) <= 2"
+        )
+    # QUALIFY above an outer re-aggregation
+    with pytest.raises(Unsupported, match="QUALIFY"):
+        parse_query(
+            f"SELECT et, sum(n) AS s FROM ({TYPE_DAILY}) t GROUP BY et "
+            "QUALIFY rank() OVER (ORDER BY sum(n)) <= 2"
+        )
+    # QUALIFY referencing a non-projected inner column
+    with pytest.raises(Unsupported, match="not a select output"):
+        parse_query(
+            f"SELECT dd FROM ({TYPE_DAILY}) t "
+            "QUALIFY row_number() OVER (ORDER BY n) <= 2"
+        )
+
+
+def test_tablesample_not_silently_dropped():
+    """r11 silent-drop audit: TABLESAMPLE/USING SAMPLE must degrade to
+    passthrough (where Spark's own parser rules apply), never aggregate
+    the full table while claiming the sampled result."""
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match="TABLESAMPLE|SAMPLE"):
+        parse_query(
+            "SELECT event_type, count(*) AS n FROM events "
+            "TABLESAMPLE BERNOULLI(10) GROUP BY 1"
+        )
+
+
+def test_order_by_window_alias_same_level(spark, qc_mem):
+    """ORDER BY the window's own alias (the natural spelling) resolves
+    post-projection — no extra derived level needed (r11)."""
+    sql = (
+        "SELECT dd, n, rank() OVER (ORDER BY n DESC, dd) AS rnk "
+        f"FROM ({DAILY}) t ORDER BY rnk"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    # order itself must match (rnk is unique: full tie-break)
+    assert [r["rnk"] for r in out.collect()] == sorted(
+        r["rnk"] for r in out.collect()
+    )
+
+
+def test_order_by_mixed_alias_and_hidden_key_passthrough(spark, qc_mem):
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match="mixes"):
+        parse_query(
+            "SELECT dd, rank() OVER (ORDER BY n DESC, dd) AS rnk "
+            f"FROM ({DAILY}) t ORDER BY rnk, n"
+        )
