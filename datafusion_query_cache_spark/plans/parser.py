@@ -255,6 +255,13 @@ def _expr(node: Dict[str, Any]) -> Expr:
                 distinct=False,
             )
         if name in AGG_FUNCTIONS:
+            ob = node.get("order_bys") or {}
+            if ob.get("orders"):
+                # ordered aggregate — array_agg(x ORDER BY y),
+                # string_agg(... ORDER BY ...): dropping the inner ORDER
+                # would return the list/string in arbitrary order while
+                # claiming the ordered result (r11 silent-drop audit)
+                raise Unsupported(f"ORDER BY inside aggregate {name}")
             fn = {"mean": "avg", "variance": "var_samp", "stddev": "stddev_samp",
                   "list": "array_agg"}.get(name, name)
             return AggCall(fn, args, distinct=bool(node.get("distinct")))
@@ -906,6 +913,12 @@ def _lower_select(node: Dict[str, Any]):
             if mod.get("offset") is not None:
                 raise Unsupported("offset")
         elif mt == "DISTINCT_MODIFIER":
+            if mod.get("distinct_on_targets"):
+                # DISTINCT ON (k): one arbitrary row per target group —
+                # treating it as plain DISTINCT over all outputs would
+                # return MORE rows (r11 silent-drop audit). Spark has no
+                # DISTINCT ON either; passthrough surfaces its parse error.
+                raise Unsupported("DISTINCT ON")
             distinct = True
         else:
             raise Unsupported(f"modifier {mt}")

@@ -143,3 +143,42 @@ def test_ir_json_roundtrip():
     back = ir_from_json(json.loads(blob))
     assert back == spec
     assert back.canon() == spec.canon()
+
+
+def test_silent_drop_audit_r11():
+    """Clauses the duckdb JSON carries that the lowering previously
+    IGNORED — each would have returned wrong results while claiming
+    cached. All must degrade to passthrough (Unsupported)."""
+    import pytest
+
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    cases = [
+        # QUALIFY outside the supported derived-table window shape
+        (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+            "QUALIFY rank() OVER (ORDER BY count(*)) <= 2",
+            "QUALIFY",
+        ),
+        # TABLESAMPLE on the base table (would aggregate the FULL table)
+        (
+            "SELECT event_type, count(*) AS n FROM events "
+            "TABLESAMPLE BERNOULLI(10) GROUP BY 1",
+            "TABLESAMPLE|SAMPLE",
+        ),
+        # DISTINCT ON: one row per target, not plain DISTINCT
+        (
+            "SELECT DISTINCT ON (event_type) event_type, value FROM events",
+            "DISTINCT ON",
+        ),
+        # ordered aggregate: the list order is part of the result
+        (
+            "SELECT event_type, array_agg(value ORDER BY event_id) AS vs "
+            "FROM events GROUP BY 1",
+            "ORDER BY inside aggregate",
+        ),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(Unsupported, match=msg):
+            parse_query(sql)
