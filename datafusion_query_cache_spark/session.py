@@ -444,6 +444,11 @@ class CachedSparkSession(RefreshTiers):
         except (Unsupported, NotDecomposable) as e:
             decision = Decision(sql=query, cached=False, reason=str(e))
             self.config.log.info("-", f"not cacheable: {e}")
+            # record BEFORE executing the passthrough: when the query is
+            # beyond Spark itself (QUALIFY, quantified ANY, DISTINCT ON),
+            # spark.sql raises, and last_decision must still say why the
+            # engine declined (observability survives the error)
+            self.last_decision = decision
             df = self.spark.sql(query)
         except StateCardinalityExceeded as e:
             # percentile-histogram or count(DISTINCT) set state would be

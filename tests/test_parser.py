@@ -182,3 +182,16 @@ def test_silent_drop_audit_r11():
     for sql, msg in cases:
         with pytest.raises(Unsupported, match=msg):
             parse_query(sql)
+
+
+def test_decision_recorded_before_failing_passthrough(spark, qc_mem):
+    """A query beyond Spark itself (DISTINCT ON) fails in the passthrough,
+    but last_decision must still carry the engine's reason."""
+    import pytest
+
+    with pytest.raises(Exception):
+        qc_mem.sql(
+            "SELECT DISTINCT ON (event_type) event_type, value FROM events"
+        ).collect()
+    d = qc_mem.last_decision
+    assert d is not None and not d.cached and "DISTINCT ON" in d.reason

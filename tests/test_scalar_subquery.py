@@ -100,14 +100,24 @@ def test_parse_scalar_subquery_unsupported(sql, msg):
         parse_query(sql)
 
 
-def test_parse_exists_stays_passthrough():
-    from datafusion_query_cache_spark.plans.ir import Unsupported
-    from datafusion_query_cache_spark.plans.parser import parse_query
+def test_parse_exists_handling():
+    """r11: the single-equality correlated EXISTS DECORRELATES (see
+    test_exists.py); other correlated shapes still stay passthrough."""
+    from datafusion_query_cache_spark.plans.ir import InSubquery, Unsupported
+    from datafusion_query_cache_spark.plans.parser import (
+        parse_query,
+        scalar_subqueries,
+    )
 
+    s = parse_query(
+        "SELECT event_id FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM events x WHERE x.event_id = e.event_id)"
+    )
+    assert isinstance(scalar_subqueries(s)[0], InSubquery)
     with pytest.raises(Unsupported):
         parse_query(
             "SELECT event_id FROM events e WHERE EXISTS "
-            "(SELECT 1 FROM events x WHERE x.event_id = e.event_id)"
+            "(SELECT 1 FROM events x WHERE x.event_id > e.event_id)"
         )
 
 
