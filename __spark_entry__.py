@@ -1204,6 +1204,53 @@ def _op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py):
+    md5-prefix thresholding — stable under repartition/append, exactly
+    reproducible by the DuckDB oracle expression."""
+    from datafusion_query_cache_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    _load(spark, sf_dir)
+    df = train_val_test_split(
+        spark.table("documents"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        df.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .orderBy("split")
+    )
+
+
+def _op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) sampling — nested across
+    fractions, exact vs the DuckDB threshold expression."""
+    from datafusion_query_cache_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    _load(spark, sf_dir)
+    df = stratified_sample(
+        spark.table("documents"), "lang", {"en": 0.5, "fr": 0.25},
+        "doc_id", default_fraction=0.1,
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 
@@ -1293,6 +1340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in rotation:
         if key not in q:
             q[key] = _pt_entry(key)
+    # r11 sampling operators: past the 50-row driver window by design (the
+    # window is full); still oracle-checked every round via
+    # tools/check_oracle.py, which runs ALL entries
+    q["op_split_assign"] = _op_split_assign
+    q["op_stratified_sample"] = _op_stratified_sample
     return q
 
 
@@ -1643,4 +1695,23 @@ def oracle_sql() -> dict[str, str]:
     )
     # op_minhash_pairs / op_simhash_pairs / op_lsh_cosine_topk: verified
     # against the exact-Jaccard / brute-force oracle above.
+    # r11 sampling operators: the EXACT md5-prefix threshold expressions
+    # (thresholds are exact binary fractions: 0.8→cccccccc, 0.9→e6666666,
+    # 0.5→80000000, 0.25→40000000, 0.1→19999999)
+    o["op_split_assign"] = (
+        "SELECT CASE "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' "
+        "THEN 'train' "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' "
+        "THEN 'val' ELSE 'test' END AS split, count(*) AS n, "
+        "min(doc_id) AS mn, max(doc_id) AS mx "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    )
+    o["op_stratified_sample"] = (
+        "SELECT lang, count(*) AS n, min(doc_id) AS mn, max(doc_id) AS mx "
+        "FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < "
+        "CASE lang WHEN 'en' THEN '80000000' WHEN 'fr' THEN '40000000' "
+        "ELSE '19999999' END GROUP BY 1 ORDER BY 1"
+    )
     return o
