@@ -156,6 +156,37 @@ def main() -> None:
     qc_dist_flow(timed_run=False)
     qc_dist_flow(timed_run=True)
 
+    # --- moving-average dashboard (r11: explicit ROWS frames) ----------------
+    # windows + frames replay post-finalize over O(state) rows: the warm
+    # refresh cost is the incremental rollup refresh; the frame itself adds
+    # a Window exec over ~30 state rows (plan-audited: ZERO FileScans on a
+    # hot read)
+    MA_SQL = (
+        "SELECT dd, n, round(avg(n) OVER (ORDER BY dd ROWS BETWEEN 6 "
+        "PRECEDING AND CURRENT ROW) + 1e-9, 2) AS ma7 FROM "
+        "(SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, count(*) AS n "
+        "FROM events GROUP BY 1) t ORDER BY dd"
+    )
+
+    def qc_ma_flow(timed_run: bool) -> None:
+        qcA = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-ma-")),
+                override_now_ns=cut_ns,
+            ),
+        )
+        qcA.sql(MA_SQL).collect()
+        if timed_run:
+            timed_warm("qc_ma_warm", qcA, MA_SQL, [mid_ns, mid2_ns, cut_ns + 10**17])
+        else:
+            qcA.config.override_now_ns = cut_ns + 10**17
+            qcA.sql(MA_SQL).collect()
+
+    qc_ma_flow(timed_run=False)
+    qc_ma_flow(timed_run=True)
+    timed("qc_ma_plain", lambda: spark.sql(MA_SQL).collect())
+
     # hot read: query re-runs with no new data (now unchanged) — state only
     qh = CachedSparkSession(
         spark,
