@@ -236,7 +236,16 @@ def window_column(e) -> Column:
         return getattr(F, fn)(to_column(e.args[0]), off, dflt).over(w)
     if fn in ("first_value", "last_value"):
         return (F.first if fn == "first_value" else F.last)(
-            to_column(e.args[0])
+            to_column(e.args[0]), ignorenulls=getattr(e, "ignore_nulls", False)
+        ).over(w)
+    if fn == "nth_value":
+        if len(e.args) != 2 or not isinstance(e.args[1], Lit) \
+                or not isinstance(e.args[1].value, int) or e.args[1].value < 1:
+            raise Unsupported("nth_value needs a positive literal n")
+        return F.nth_value(
+            to_column(e.args[0]),
+            e.args[1].value,
+            getattr(e, "ignore_nulls", False),
         ).over(w)
     if fn in ("sum", "avg", "min", "max", "count"):
         from ..plans.ir import Star as _Star

@@ -337,6 +337,9 @@ class WindowExpr(Expr):
     #: tie-independent, but require one NUMERIC order key (the session
     #: type-checks and degrades to passthrough otherwise).
     frame: Optional[Tuple[str, Optional[int], Optional[int]]] = None
+    #: IGNORE NULLS (first_value/last_value/nth_value only — Spark's
+    #: lag/lead lack the form in the Python API)
+    ignore_nulls: bool = False
 
     def children(self) -> Tuple[Expr, ...]:
         out = list(self.args) + list(self.partition_by)
@@ -364,7 +367,8 @@ class WindowExpr(Expr):
             if self.frame is None
             else f" {self.frame[0]}[{self.frame[1]},{self.frame[2]}]"
         )
-        return f"win:{self.fn}({a}{extra}) over(p[{p}] o[{o}]{f})"
+        inn = " ign" if self.ignore_nulls else ""
+        return f"win:{self.fn}({a}{extra}) over(p[{p}] o[{o}]{f}{inn})"
 
 
 @dataclass(frozen=True)

@@ -489,7 +489,7 @@ def _order_item(o: Dict[str, Any]) -> OrderItem:
 _WIN_RANKING = {
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
 }
-_WIN_VALUE = {"lag", "lead", "first_value", "last_value"}
+_WIN_VALUE = {"lag", "lead", "first_value", "last_value", "nth_value"}
 _WIN_AGG = {"sum", "avg", "mean", "min", "max", "count", "count_star"}
 
 
@@ -509,8 +509,10 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
     fn = (node.get("function_name") or "").lower()
     if node.get("filter_expr") is not None:
         raise Unsupported("window FILTER clause")
-    if node.get("ignore_nulls"):
-        raise Unsupported("window IGNORE NULLS")
+    ignore_nulls = bool(node.get("ignore_nulls"))
+    if ignore_nulls and fn not in ("first_value", "last_value", "nth_value"):
+        # Spark's lag/lead have no ignoreNulls form in the Python API
+        raise Unsupported(f"IGNORE NULLS on window {fn}")
     if node.get("distinct"):
         raise Unsupported("window DISTINCT")
     if node.get("exclude_clause", "NO_OTHER") != "NO_OTHER":
@@ -528,7 +530,9 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
         frame = _rows_frame(node)
     if fn not in _WIN_RANKING | _WIN_VALUE | _WIN_AGG:
         raise Unsupported(f"window function {fn}")
-    if frame is not None and fn not in _WIN_AGG | {"first_value", "last_value"}:
+    if frame is not None and fn not in _WIN_AGG | {
+        "first_value", "last_value", "nth_value"
+    }:
         # Spark's analyzer rejects explicit frames on ranking/offset fns
         raise Unsupported(f"explicit frame on window {fn}")
 
@@ -558,6 +562,7 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
         offset=_expr(off) if off is not None else None,
         default=_expr(dflt) if dflt is not None else None,
         frame=frame,
+        ignore_nulls=ignore_nulls,
     )
     for nd in w.walk():
         if isinstance(nd, AggCall):

@@ -393,3 +393,30 @@ def test_order_by_mixed_alias_and_hidden_key_passthrough(spark, qc_mem):
             "SELECT dd, rank() OVER (ORDER BY n DESC, dd) AS rnk "
             f"FROM ({DAILY}) t ORDER BY rnk, n"
         )
+
+
+def test_nth_value_and_ignore_nulls(spark, qc_mem):
+    # nth_value parses in both engines; the IGNORE NULLS spelling is
+    # duckdb-only syntax (Spark puts the clause outside the parens) —
+    # DuckDB oracle for both
+    sql = (
+        "SELECT et, dd, n, "
+        "nth_value(n, 2) OVER (PARTITION BY et ORDER BY dd) AS second_n, "
+        "first_value(n IGNORE NULLS) OVER (PARTITION BY et ORDER BY dd "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fnn "
+        f"FROM ({TYPE_DAILY}) t ORDER BY et, dd"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == _duck_rows(spark, sql)
+
+
+def test_ignore_nulls_on_lag_stays_passthrough():
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    with pytest.raises(Unsupported, match="IGNORE NULLS"):
+        parse_query(
+            f"SELECT dd, lag(n IGNORE NULLS) OVER (ORDER BY dd) AS p "
+            f"FROM ({DAILY}) t"
+        )
