@@ -242,6 +242,94 @@ class CachedSparkSession(RefreshTiers):
             df=df,
         )
 
+    def _audit_filter(self, fingerprint, info, entry, state, wm_ns, buckets):
+        """Audit a row-set (filter) entry: hash-bucket row counts of the
+        stored rows vs a bounded raw recompute. A late row (ts < watermark
+        arriving after the run) lands in exactly one bucket's count. For
+        maintained top-k entries the whole k-row set compares directly.
+        Both sides hash in SPARK, so the bucket function is engine-
+        consistent by construction."""
+        from .tiers import _push_time_bounds
+
+        spec = info["spec"]
+        out_names = info["out_names"]
+        state = state.select(
+            *[c for c in state.columns if not c.startswith("__qc")]
+        )
+        base = self.spark.table(info["tables"][0])
+        if info["pred"] is not None:
+            base = base.filter(info["pred"])
+        ts_col = info["ts_col"]
+        base = _push_time_bounds(base, ts_col, f"{ts_col}_ns", None, wm_ns)
+        if spec.items is not None:
+            base = base.select(
+                *[to_column(i.expr).alias(i.name) for i in spec.items]
+            )
+        else:
+            base = base.select(*state.columns)
+
+        if info["topk"]:
+            # maintained top-k: k rows — compare the sets directly
+            from .tiers import _order_col
+
+            cols = [
+                _order_col(o.expr.name, o)
+                for o in spec.order_by
+                if hasattr(o.expr, "name")
+            ]
+            want = base.orderBy(*cols).limit(spec.limit).collect()
+            got = state.collect()
+            ok = sorted(map(tuple, got), key=repr) == sorted(
+                map(tuple, want), key=repr
+            )
+            lvl = self.config.log.info if ok else self.config.log.warn
+            lvl(
+                fingerprint,
+                f"audit: top-k {'OK' if ok else 'DIVERGED'} "
+                f"({len(got)} state rows vs {len(want)} recomputed)",
+            )
+            return AuditReport(
+                fingerprint, ok=ok,
+                buckets=(AuditBucket(key=("topk",), ok=ok),),
+            )
+
+        bucket = F.pmod(
+            F.hash(*[F.col(c) for c in state.columns]), F.lit(buckets)
+        ).alias("__b")
+        s_counts = {
+            r["__b"]: r["n"]
+            for r in state.select(bucket)
+            .groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        r_counts = {
+            r["__b"]: r["n"]
+            for r in base.select(bucket)
+            .groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        results = []
+        for b in range(buckets):
+            sv, rv = s_counts.get(b, 0), r_counts.get(b, 0)
+            ok = sv == rv
+            results.append(
+                AuditBucket(
+                    key=(b,), ok=ok,
+                    diffs=() if ok else (("rows", sv, rv),),
+                )
+            )
+            if not ok:
+                self.config.log.warn(
+                    fingerprint,
+                    f"audit: bucket {b} DIVERGED (state {sv} rows vs "
+                    f"recompute {rv})",
+                )
+        all_ok = all(b.ok for b in results)
+        self.config.log.info(
+            fingerprint,
+            f"audit: {sum(b.ok for b in results)}/{buckets} row-set "
+            f"buckets OK",
+        )
+        return AuditReport(fingerprint, ok=all_ok, buckets=tuple(results))
+
     def audit(
         self,
         fingerprint: str,
@@ -299,6 +387,9 @@ class CachedSparkSession(RefreshTiers):
                 return AuditReport(fingerprint, ok=None, buckets=(),
                                    reason="state unreadable")
             state = arrow_to_spark(self.spark, tbl)
+        if info.get("kind") == "filter":
+            return self._audit_filter(fingerprint, info, entry, state,
+                                      wm_ns, buckets)
         group_names = info["group_names"]
         plans = info["plans"]
         out_items = [p for p in plans if p.name != "__qc_having"]
@@ -668,6 +759,20 @@ class CachedSparkSession(RefreshTiers):
         entry = cfg.cache.entry(fingerprint)
         pred = to_column(spec.predicate) if spec.predicate is not None else None
         shadow = f"{ts_col}_ns"
+
+        # trust-but-verify hook: audit() recomputes hash-bucket counts of
+        # the row set from the raw table (kind="filter")
+        if len(self._audit_info) >= self._MEMO_MAX:
+            self._audit_info.clear()
+        self._audit_info[fingerprint] = {
+            "kind": "filter",
+            "spec": spec,
+            "pred": pred,
+            "ts_col": ts_col,
+            "tables": [spec.table],
+            "out_names": out_names,
+            "topk": topk,
+        }
 
         # Non-top-k row-set state IS the result set — it grows with the data
         # (unlike aggregate state). Two guards (VERDICT r2 item 6):

@@ -138,3 +138,45 @@ def test_explain_traces_cached_and_passthrough(spark, qc_mem):
     assert "reason:" in str(tr3)
     # the session's own log still received the records (tee, not divert)
     assert qc.config.log.messages()
+
+
+def test_audit_filter_rowset(spark, qc_mem):
+    """Row-set (filter) entries audit via hash-bucket counts."""
+    import datetime as dt
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    qc = _mk(spark)
+    sql = "SELECT event_id, event_type, value FROM events WHERE value > 100"
+    try:
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+        qc.config.override_now_ns = cut_ns
+        qc.sql(sql).collect()
+        fp = qc.last_decision.fingerprint
+        assert qc.audit(fp).ok is True
+
+        # inject late matching rows → some bucket count diverges
+        late = ev.filter(
+            (F.col("ts") < F.lit(cut)) & (F.col("value") > 100)
+        ).limit(20)
+        ev.filter(F.col("ts") < F.lit(cut)).unionByName(late) \
+            .createOrReplaceTempView("events")
+        report = qc.audit(fp)
+        assert report.ok is False
+        assert any("DIVERGED" in m for m in qc.config.log.messages())
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_audit_filter_topk(spark, qc_mem):
+    qc = _mk(spark)
+    sql = (
+        "SELECT event_id, value FROM events WHERE event_type = 'click' "
+        "ORDER BY value DESC, event_id LIMIT 15"
+    )
+    qc.sql(sql).collect()
+    fp = qc.last_decision.fingerprint
+    report = qc.audit(fp)
+    assert report.ok is True and report.buckets[0].key == ("topk",)
