@@ -420,3 +420,43 @@ def test_ignore_nulls_on_lag_stays_passthrough():
             f"SELECT dd, lag(n IGNORE NULLS) OVER (ORDER BY dd) AS p "
             f"FROM ({DAILY}) t"
         )
+
+
+def test_moving_average_over_dynamic_bound(spark, qc_mem):
+    """The live-dashboard widget: a 7-day MA over a SLIDING 10-day rollup —
+    the dyn-bound inner refreshes incrementally (bucket-granular state),
+    the frame replays post-finalize."""
+    import datetime as dt
+
+    now1 = int(dt.datetime(2024, 1, 26, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    now2 = int(dt.datetime(2024, 1, 31, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    sql = (
+        "SELECT d, n, round(avg(n) OVER (ORDER BY d ROWS BETWEEN 6 "
+        "PRECEDING AND CURRENT ROW) + 1e-9, 2) AS ma7 FROM "
+        "(SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1) t "
+        "ORDER BY d"
+    )
+    qc_mem.config.override_now_ns = now1
+    qc_mem.sql(sql).collect()
+    assert qc_mem.last_decision.cached
+    qc_mem.config.override_now_ns = now2
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached and qc_mem.last_decision.cache_hit
+    bounded = sql.replace(
+        "ts > now() - INTERVAL 10 DAY",
+        "ts > TIMESTAMP '2024-01-21 00:00:00'",
+    )
+    assert rows_set(out) == rows_set(spark.sql(bounded))
+
+
+def test_named_window_clause(spark, qc_mem):
+    """WINDOW w AS (...): duckdb resolves the named spec at parse time, so
+    the lowering sees the inline form — no silent-drop risk."""
+    sql = (
+        "SELECT dd, n, rank() OVER w AS r FROM "
+        f"({DAILY}) t WINDOW w AS (ORDER BY n DESC, dd)"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == _duck_rows(spark, sql)
