@@ -109,3 +109,36 @@ def test_maintainer_feeds_hot_readers(spark, tmp_path):
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
     assert rows_set(got2) == rows_set(want2)
+
+
+def test_maintainer_keeps_filter_rowset_fresh(spark, tmp_path):
+    """The maintainer needs no special-casing for FILTER (row-set) queries:
+    qc.sql's own warm path appends each batch's matching rows. Reader sees
+    the full history row set as a hot read."""
+    from datafusion_query_cache_spark.streaming.maintain import CacheMaintainer
+
+    ev = spark.table("events")
+    mid = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    cache_dir = str(tmp_path / "fcache")
+    sql = "SELECT event_id, event_type, value FROM events_fm WHERE value > 100"
+    m = CacheMaintainer(
+        spark,
+        QueryCacheConfig(cache=ParquetQueryCache(cache_dir)),
+        [sql],
+        "events_fm",
+    )
+    # two time-ordered micro-batches (the documented append-only contract)
+    m.process_batch(ev.filter(F.col("ts_ns") <= mid), 1)
+    m.process_batch(ev.filter(F.col("ts_ns") > mid), 2)
+
+    reader = CachedSparkSession(
+        spark, QueryCacheConfig(cache=ParquetQueryCache(cache_dir))
+    )
+    ev.createOrReplaceTempView("events_fm")  # full history for the twin
+    out = reader.sql(sql)
+    d = reader.last_decision
+    assert d.cached and d.cache_hit and d.refresh_tier in ("rowset", "nano")
+    want = spark.sql(sql)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    )
