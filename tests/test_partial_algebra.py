@@ -258,3 +258,67 @@ def test_collect_set_singleton_equals_partial(spark):
     )
     key = lambda r: r["g"]
     assert sorted(got.collect(), key=key) == sorted(truth.collect(), key=key)
+
+
+def test_py_central_merge_mirrors_spark_fold(spark):
+    """The lite-tier Python mirror of the central-moment fold must agree
+    with the Spark-side collect_list+aggregate merge on random states
+    (order-sensitive fp ops aside — compare to 1e-9 relative)."""
+    import random
+
+    from datafusion_query_cache_spark.functions.partial import decompose_agg
+    from datafusion_query_cache_spark.plans.ir import AggCall, Col
+
+    rng = random.Random(20260815)
+    for fn, nargs in [("var_samp", 1), ("skewness", 1), ("kurtosis", 1),
+                      ("corr", 2)]:
+        args = (Col("v"),) if nargs == 1 else (Col("v"), Col("w"))
+        dec = decompose_agg(AggCall(fn, args), "0")
+        cols = list(dec.partial.keys())
+        # random plausible states: derive them from REAL partials over
+        # random data splits so they satisfy the moment invariants
+        data = [
+            (1, rng.uniform(-100, 100), rng.uniform(-5, 5))
+            for _ in range(400)
+        ] + [(2, rng.uniform(1e6, 1e6 + 10), rng.uniform(0, 1))
+             for _ in range(100)]
+        df = spark.createDataFrame(data, "g int, v double, w double")
+        halves = [df.filter(F.col("v") >= 0), df.filter(F.col("v") < 0)]
+        parts = [
+            h.groupBy("g").agg(*[c.alias(n) for n, c in dec.partial.items()])
+            for h in halves
+        ]
+        # Spark-side merge of the two state rows per group
+        merged = (
+            parts[0].unionByName(parts[1]).groupBy("g")
+            .agg(*[c.alias(n) for n, c in dec.merge.items()])
+        )
+        spark_rows = {r["g"]: {n: r[n] for n in cols} for r in merged.collect()}
+        # Python-side fold of the same two state rows
+        p0 = {r["g"]: {n: r[n] for n in cols} for r in parts[0].collect()}
+        p1 = {r["g"]: {n: r[n] for n in cols} for r in parts[1].collect()}
+        for g in spark_rows:
+            a, b = p0.get(g), p1.get(g)
+            py = dec.py_merge(a, b) if (a and b) else (a or b)
+            for n in cols:
+                sv, pv = spark_rows[g][n], py[n]
+                if sv is None or pv is None:
+                    assert sv == pv, (fn, g, n)
+                    continue
+                denom = max(abs(float(sv)), 1e-9)
+                assert abs(float(sv) - float(pv)) / denom < 1e-9 or \
+                    abs(float(sv) - float(pv)) < 1e-9, (fn, g, n, sv, pv)
+        # finalize mirrors too
+        fin_rows = merged.select("g", dec.finalize.alias("r")).collect()
+        for r in fin_rows:
+            a, b = p0.get(r["g"]), p1.get(r["g"])
+            py = dec.py_merge(a, b) if (a and b) else (a or b)
+            pf = dec.py_finalize(py)
+            sv = r["r"]
+            if sv is None or pf is None:
+                assert sv == pf, (fn, r["g"], sv, pf)
+            else:
+                denom = max(abs(float(sv)), 1e-9)
+                assert abs(float(sv) - float(pf)) / denom < 1e-7, (
+                    fn, r["g"], sv, pf,
+                )
