@@ -138,6 +138,11 @@ def _const_value(node: Dict[str, Any]) -> Lit:
     if v.get("is_null"):
         return Lit(None, tid)
     val = v.get("value")
+    if tid == "BOOLEAN":
+        # duckdb serializes boolean constants as 0/1 ints; an int literal
+        # breaks typed comparisons downstream ((pred) IS NOT FALSE
+        # compiled to `bool <=> 0` → AnalysisException, r11 find)
+        return Lit(bool(val), tid)
     ti = v["type"].get("type_info") or {}
     if v["type"]["id"] == "DECIMAL" and "scale" in ti:
         # duckdb serializes decimals as the UNSCALED integer (1.25 →

@@ -169,3 +169,23 @@ def test_date_part_bad_arity_degrades_not_typeerror():
         _date_part("year", F.col("ts"), F.col("extra"))  # three args
     with pytest.raises(Unsupported):
         _date_part("year", "ts_name")  # non-Column source
+
+
+def test_is_true_false_predicates_value_correct(spark, qc_mem):
+    """r11 find: duckdb serializes boolean CONSTANTS as 0/1 ints, so
+    `(pred) IS NOT FALSE` compiled to `bool <=> 0` — AnalysisException
+    under strict mode. The Lit now rebuilds the Python bool."""
+    qc_mem.config.override_now_ns = None
+    for sql in [
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE (value > 1) IS NOT FALSE GROUP BY 1 ORDER BY 1",
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE (value > 100) IS TRUE GROUP BY 1 ORDER BY 1",
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE (value > 100) IS FALSE GROUP BY 1 ORDER BY 1",
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE (value > 100) IS NOT TRUE GROUP BY 1 ORDER BY 1",
+    ]:
+        out = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert rows_set(out) == rows_set(spark.sql(sql)), sql

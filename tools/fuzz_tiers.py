@@ -76,6 +76,10 @@ PREDS = [
     "event_type IN ('click', 'view')",
     "(value > 10 OR event_type = 'click')",
     "value BETWEEN 5 AND 90",
+    # r11: boolean-literal vocabulary (duckdb serializes TRUE/FALSE
+    # constants as 0/1 ints — regression axis for the Lit(bool) fix)
+    "(value > 50) IS NOT FALSE",
+    "(value > 120) IS TRUE",
 ]
 WINDOWS = [
     None,
