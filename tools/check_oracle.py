@@ -103,6 +103,38 @@ def main():
             failures.append((name, f"SCHEMA: spark={cols} duck={sorted(ocols)}"))
             print(f"{name:24s} SCHEMA MISMATCH {cols} vs {sorted(ocols)}")
             continue
+        # dtype-class check: the driver's value hash is dtype-sensitive
+        # beyond int-width normalization — DuckDB widening a BIGINT sum to
+        # HUGEINT (decimal128) while Spark stays BIGINT hash-fails despite
+        # equal values (the qc_window_topn r10 lesson). Catch it here.
+        try:
+            duck_types = {
+                f.name: str(f.type) for f in con.execute(osql).arrow().schema
+            }
+            spark_types = dict(df.dtypes)
+
+            def _cls(t: str) -> str:
+                t = t.lower()
+                if "decimal" in t:
+                    return "decimal"
+                if any(x in t for x in ("int", "long", "short", "byte")):
+                    return "int"
+                if any(x in t for x in ("float", "double", "halffloat")):
+                    return "float"
+                return "other"
+
+            dmism = [
+                (c, duck_types[c], spark_types[c])
+                for c in spark_types
+                if c in duck_types
+                and _cls(duck_types[c]) != _cls(spark_types[c])
+            ]
+            if dmism:
+                failures.append((name, f"DTYPE-CLASS: {dmism}"))
+                print(f"{name:24s} DTYPE-CLASS MISMATCH {dmism}")
+                continue
+        except Exception:
+            pass  # arrow probe is best-effort; value compare still gates
         if len(got) != len(want):
             failures.append((name, f"ROWS: spark={len(got)} duck={len(want)}"))
             print(f"{name:24s} ROWCOUNT {len(got)} vs {len(want)}")
