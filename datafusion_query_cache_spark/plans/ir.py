@@ -281,6 +281,35 @@ class InSubquery(Expr):
 
 
 @dataclass(frozen=True)
+class CorrScalar(Expr):
+    """A correlated scalar subquery with a single correlated equality —
+    ``(SELECT agg(v) FROM t2 WHERE t2.k = outer.k [AND stable…])`` —
+    decorrelated to a broadcast LEFT JOIN against the cached grouped
+    rollup ``SELECT k, agg(v) FROM t2 [WHERE stable…] GROUP BY k``.
+
+    The per-key scalar becomes a joined column: absent keys join to NULL,
+    which is exactly the empty-correlated-scalar result for NULL-on-empty
+    aggregates (sum/avg/min/max/moment families); count-family aggregates
+    return 0 on empty, so the session wraps the joined column in
+    ``coalesce(…, 0)`` when ``count_like``. The inner rollup is O(groups)
+    rows — broadcast-sized by construction at any source scale."""
+
+    outer_key: Expr
+    canon_str: str
+    spec: object = field(hash=False, compare=False, default=None, repr=False)
+    count_like: bool = False
+
+    def children(self) -> Tuple[Expr, ...]:
+        return (self.outer_key,)
+
+    def canon(self) -> str:
+        return (
+            f"corrscalar({self.outer_key.canon()},{self.canon_str},"
+            f"cl={self.count_like})"
+        )
+
+
+@dataclass(frozen=True)
 class ExistsSubquery(Expr):
     """``[NOT] EXISTS (SELECT <one column> FROM … [GROUP BY …] [HAVING …])``
     used as a boolean in an outer predicate/HAVING — UNCORRELATED only

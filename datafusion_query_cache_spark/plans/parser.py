@@ -356,6 +356,14 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
             # t2.k = outer.k [AND stable])`` decorrelates to a DISTINCT-IN
             # over the cached inner — see _decorrelate_exists
             return _decorrelate_exists(node)
+    elif sq_type == "SCALAR":
+        try:
+            _reject_foreign_qualifiers(node["subquery"])
+        except Unsupported:
+            # per-key threshold spelling ``v > (SELECT agg(x) FROM t2
+            # WHERE t2.k = outer.k)`` decorrelates to a broadcast join
+            # against the cached grouped rollup — see _decorrelate_scalar
+            return _decorrelate_scalar(node)
     else:
         _reject_foreign_qualifiers(node["subquery"])
     inner = _lower_select(node["subquery"]["node"])
@@ -394,10 +402,10 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
 
 
 def _contains_scalar_subq(e: Expr) -> bool:
-    from .ir import ExistsSubquery, InSubquery, ScalarSubquery
+    from .ir import CorrScalar, ExistsSubquery, InSubquery, ScalarSubquery
 
     return any(
-        isinstance(n, (ScalarSubquery, InSubquery, ExistsSubquery))
+        isinstance(n, (ScalarSubquery, InSubquery, ExistsSubquery, CorrScalar))
         for n in e.walk()
     )
 
@@ -409,6 +417,7 @@ def scalar_subqueries(spec) -> list:
     first."""
     from .ir import (
         AggSpec,
+        CorrScalar,
         ExistsSubquery,
         FilterSpec,
         InSubquery,
@@ -427,8 +436,17 @@ def scalar_subqueries(spec) -> list:
             out.extend(
                 n
                 for n in e.walk()
-                if isinstance(n, (ScalarSubquery, InSubquery, ExistsSubquery))
+                if isinstance(
+                    n,
+                    (ScalarSubquery, InSubquery, ExistsSubquery, CorrScalar),
+                )
             )
+        # a correlated scalar in HAVING would be a per-group join against
+        # the rollup — unsupported; the session joins before aggregation
+        if having is not None and any(
+            isinstance(n, CorrScalar) for n in having.walk()
+        ):
+            raise Unsupported("correlated scalar in HAVING")
     return out
 
 
@@ -575,48 +593,35 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
     return w
 
 
-def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
-    """``EXISTS (SELECT … FROM t2 [AS a] WHERE a.k = outer.k [AND
-    stable…])`` — exactly ONE correlated equality, everything else
-    inner-only — rewritten to the equivalent uncorrelated DISTINCT-IN:
-
-        coalesce(outer.k IN (SELECT DISTINCT k FROM t2 WHERE stable…),
-                 FALSE)
-
-    The coalesce reproduces EXISTS's two-valued logic exactly: the plain
-    IN fold yields NULL when outer.k is NULL or when the folded set
-    carried a NULL, but a correlated equality never matches NULL, so
-    EXISTS is FALSE there — coalesce(…, FALSE) maps both NULL cases to
-    FALSE and NOT above it stays exact. The DISTINCT inner rides the
-    SELECT DISTINCT cache machinery (key-set state, hidden count), so the
-    entry is shared with the standalone distinct query. The select list
-    is ignored (EXISTS semantics). Any other correlated shape — several
-    correlated conjuncts, non-equality correlation, GROUP BY/HAVING/
-    modifiers, derived-table source — stays passthrough."""
-    from .ir import Col as _Col, Func as _Func
-
+def _split_single_correlation(node: Dict[str, Any]):
+    """Shared correlation analysis for the EXISTS and scalar
+    decorrelations: require a SELECT over one base table whose WHERE has
+    exactly ONE correlated equality conjunct ``own.col = foreign.col``
+    (either side) and otherwise inner-only references. Returns
+    ``(sub, inner_col, outer_col, rest_conjuncts)``; raises Unsupported
+    for every other correlated shape."""
     sub = node["subquery"]["node"]
     if sub.get("type") != "SELECT_NODE":
-        raise Unsupported("correlated EXISTS over a non-select body")
+        raise Unsupported("correlated subquery over a non-select body")
     ft = sub.get("from_table") or {}
     if ft.get("type") != "BASE_TABLE":
-        raise Unsupported("correlated EXISTS over a non-base table")
+        raise Unsupported("correlated subquery over a non-base table")
     own = {
         x.lower()
         for x in (ft.get("table_name"), ft.get("alias"))
         if x
     }
     if sub.get("group_expressions") or sub.get("having") is not None:
-        raise Unsupported("correlated EXISTS with GROUP BY/HAVING")
+        raise Unsupported("correlated subquery with GROUP BY/HAVING")
     for gs in sub.get("group_sets") or []:
-        raise Unsupported("correlated EXISTS with grouping sets")
+        raise Unsupported("correlated subquery with grouping sets")
     if sub.get("modifiers"):
-        raise Unsupported("correlated EXISTS with modifiers")
+        raise Unsupported("correlated subquery with modifiers")
     if sub.get("cte_map", {}).get("map"):
-        raise Unsupported("correlated EXISTS with CTEs")
+        raise Unsupported("correlated subquery with CTEs")
     wc = sub.get("where_clause")
     if wc is None:
-        raise Unsupported("correlated EXISTS without a WHERE")
+        raise Unsupported("correlated subquery without a WHERE")
 
     def conjuncts(n):
         if (
@@ -629,7 +634,7 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
             return out
         return [n]
 
-    def side(n):  # "own" | "foreign" | None (not a qualified column ref)
+    def side(n):
         if n.get("class") != "COLUMN_REF":
             return None
         names = n.get("column_names", [])
@@ -643,7 +648,7 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
                 names = n.get("column_names", [])
                 if len(names) > 1 and names[0].lower() not in own:
                     raise Unsupported(
-                        "correlated EXISTS: outer reference outside the "
+                        "correlated subquery: outer reference outside the "
                         "correlated equality"
                     )
             for v in n.values():
@@ -663,7 +668,7 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
             if "own" in sides and "foreign" in sides:
                 if corr is not None:
                     raise Unsupported(
-                        "correlated EXISTS: multiple correlated equalities"
+                        "correlated subquery: multiple correlated equalities"
                     )
                 corr = (
                     sides["own"]["column_names"][-1],
@@ -672,37 +677,128 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
                 continue
         rest.append(c)
     if corr is None:
-        raise Unsupported("correlated EXISTS: unsupported correlation shape")
+        raise Unsupported("correlated subquery: unsupported correlation shape")
     for c in rest:
         assert_inner_only(c)
-    inner_col, outer_col = corr
+    return sub, corr[0], corr[1], rest
+
+
+def _conj_json(rest):
+    if not rest:
+        return None
+    cur = rest[0]
+    for c in rest[1:]:
+        cur = {
+            "class": "CONJUNCTION",
+            "type": "CONJUNCTION_AND",
+            "alias": "",
+            "children": [cur, c],
+        }
+    return cur
+
+
+def _colref_json(name: str, alias: str = ""):
+    return {
+        "class": "COLUMN_REF",
+        "type": "COLUMN_REF",
+        "alias": alias,
+        "column_names": [name],
+    }
+
+
+def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
+    """``(SELECT agg(v) FROM t2 WHERE t2.k = outer.k [AND stable…])`` —
+    rewritten to a :class:`CorrScalar` over the cached grouped rollup
+    ``SELECT k AS qc_ck, agg(v) AS qc_cv FROM t2 [WHERE stable…] GROUP BY
+    k``; the session LEFT-JOINs the broadcast O(groups) rollup onto the
+    outer scan and the scalar becomes the joined column. Absent keys join
+    to NULL — the exact empty-correlated-scalar value for NULL-on-empty
+    aggregates; the count family (0 on empty) gets ``coalesce(…, 0)`` via
+    ``count_like``. Items whose expression merely CONTAINS a count (e.g.
+    ``count(*) + 1``) stay passthrough: the on-empty value of the
+    composite is not representable by a single coalesce."""
+    from .ir import AggCall as _AggCall, AggSpec as _AggSpec, Col as _Col
+    from .ir import CorrScalar
+
+    sub, inner_col, outer_col, rest = _split_single_correlation(node)
+    sel = sub.get("select_list", [])
+    if len(sel) != 1:
+        raise Unsupported("correlated scalar must select one expression")
+    item_expr = _expr(sel[0])
+    if not _contains_agg(item_expr):
+        raise Unsupported("correlated scalar body is not an aggregate")
+    count_fns = {"count", "count_star", "count_if", "approx_count_distinct"}
+    agg_calls = [n for n in item_expr.walk() if isinstance(n, _AggCall)]
+    count_like = False
+    if isinstance(item_expr, _AggCall):
+        count_like = item_expr.fn in count_fns
+    elif any(a.fn in count_fns for a in agg_calls):
+        raise Unsupported(
+            "correlated scalar: count inside a composite expression "
+            "(on-empty value not representable)"
+        )
+
+    item = dict(sel[0])
+    item["alias"] = "qc_cv"
+    new_sub = dict(sub)
+    # the key keeps its natural column name (aliasing a group key would
+    # diverge the item name from the state group name); the rollup is then
+    # spelled exactly like a handwritten one and shares its entry
+    new_sub["select_list"] = [_colref_json(inner_col), item]
+    new_sub["group_expressions"] = [_colref_json(inner_col)]
+    new_sub["where_clause"] = _conj_json(rest)
+    _reject_foreign_qualifiers({"node": new_sub})
+    inner = _lower_select(new_sub)
+    if not isinstance(inner, _AggSpec):
+        raise Unsupported("decorrelated scalar body is not an aggregate")
+    if (
+        inner.grouping_sets
+        or inner.join_steps
+        or inner.order_by
+        or inner.limit is not None
+    ):
+        raise Unsupported("decorrelated scalar body shape")
+    for e in [inner.predicate, inner.having]:
+        if e is not None and _contains_scalar_subq(e):
+            raise Unsupported("nested subquery in a subquery body")
+    canon_str = f"{inner.canon()}|ck={inner.select_order[0]}|cv=qc_cv"
+    return CorrScalar(
+        outer_key=_Col(outer_col),
+        canon_str=canon_str,
+        spec=inner,
+        count_like=count_like,
+    )
+
+
+def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
+    """``EXISTS (SELECT … FROM t2 [AS a] WHERE a.k = outer.k [AND
+    stable…])`` — exactly ONE correlated equality, everything else
+    inner-only — rewritten to the equivalent uncorrelated DISTINCT-IN:
+
+        coalesce(outer.k IN (SELECT DISTINCT k FROM t2 WHERE stable…),
+                 FALSE)
+
+    The coalesce reproduces EXISTS's two-valued logic exactly: the plain
+    IN fold yields NULL when outer.k is NULL or when the folded set
+    carried a NULL, but a correlated equality never matches NULL, so
+    EXISTS is FALSE there — coalesce(…, FALSE) maps both NULL cases to
+    FALSE and NOT above it stays exact. The DISTINCT inner rides the
+    SELECT DISTINCT cache machinery (key-set state, hidden count), so the
+    entry is shared with the standalone distinct query. The select list
+    is ignored (EXISTS semantics). Any other correlated shape — several
+    correlated conjuncts, non-equality correlation, GROUP BY/HAVING/
+    modifiers, derived-table source — stays passthrough
+    (``_split_single_correlation``)."""
+    from .ir import Col as _Col, Func as _Func
+
+    sub, inner_col, outer_col, rest = _split_single_correlation(node)
 
     new_sub = dict(sub)
-    new_sub["select_list"] = [
-        {
-            "class": "COLUMN_REF",
-            "type": "COLUMN_REF",
-            "alias": "",
-            "column_names": [inner_col],
-        }
-    ]
+    new_sub["select_list"] = [_colref_json(inner_col)]
     new_sub["modifiers"] = [
         {"type": "DISTINCT_MODIFIER", "distinct_on_targets": []}
     ]
-    if not rest:
-        new_sub["where_clause"] = None
-    elif len(rest) == 1:
-        new_sub["where_clause"] = rest[0]
-    else:
-        cur = rest[0]
-        for c in rest[1:]:
-            cur = {
-                "class": "CONJUNCTION",
-                "type": "CONJUNCTION_AND",
-                "alias": "",
-                "children": [cur, c],
-            }
-        new_sub["where_clause"] = cur
+    new_sub["where_clause"] = _conj_json(rest)
     _reject_foreign_qualifiers({"node": new_sub})
     inner = _lower_select(new_sub)
 

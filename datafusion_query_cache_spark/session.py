@@ -1230,6 +1230,7 @@ class CachedSparkSession(RefreshTiers):
         from .plans.ir import BinOp as _BinOp
         from .plans.ir import Col as _Col
         from .plans.ir import FilterSpec as _FilterSpec
+        from .plans.ir import CorrScalar as _CSQ
         from .plans.ir import ExistsSubquery as _EXQ
         from .plans.ir import InList as _InList
         from .plans.ir import InSubquery as _ISQ
@@ -1252,10 +1253,35 @@ class CachedSparkSession(RefreshTiers):
         # resolve each distinct inner aggregate through the cached pipeline
         resolved: Dict[object, object] = {}
         inner_decisions = []
+        corr_joins: list = []  # (join-key Column builder, renamed inner df)
         for sq in subqs:
             if sq in resolved:
                 continue
             idf, idec = self._plan_cached(query, sq.spec)
+            if isinstance(sq, _CSQ):
+                # correlated scalar → broadcast LEFT JOIN against the
+                # cached grouped rollup: the per-key scalar becomes the
+                # joined column. Absent keys join to NULL — exactly the
+                # empty-correlated-scalar value for NULL-on-empty
+                # aggregates; the count family (0 on empty) gets
+                # coalesce(…, 0). Inner state is O(groups) rows:
+                # broadcast-sized at any source scale.
+                i = len(corr_joins)
+                ck, cv = f"__qc_ck{i}", f"__qc_cv{i}"
+                key_name, val_name = sq.spec.select_order[0], sq.spec.select_order[1]
+                j = idf.select(
+                    F.col(key_name).alias(ck), F.col(val_name).alias(cv)
+                )
+                corr_joins.append((sq, j, ck))
+                from .plans.ir import Col as _IRCol
+                from .plans.ir import Func as _IRFunc
+
+                val: object = _IRCol(cv)
+                if sq.count_like:
+                    val = _IRFunc("coalesce", (val, _Lit(0)))
+                resolved[sq] = val
+                inner_decisions.append(idec)
+                continue
             if isinstance(sq, _ISQ):
                 cap = getattr(self.config, "in_subquery_max_values", 10_000)
                 # distinct BEFORE the cap: the fold only needs the value SET,
@@ -1338,7 +1364,7 @@ class CachedSparkSession(RefreshTiers):
         def _sub(n):
             return (
                 resolved.get(n, n)
-                if isinstance(n, (_SS, _ISQ, _EXQ))
+                if isinstance(n, (_SS, _ISQ, _EXQ, _CSQ))
                 else n
             )
 
@@ -1349,8 +1375,16 @@ class CachedSparkSession(RefreshTiers):
         )
 
         df = self.spark.table(spec.table)
+        orig_cols = list(df.columns)
+        for sq, j, ck in corr_joins:
+            df = df.join(
+                F.broadcast(j), to_column(sq.outer_key) == F.col(ck), "left"
+            )
         if new_pred is not None:
             df = df.filter(to_column(new_pred))
+        if corr_joins and isinstance(spec, _FilterSpec) and spec.items is None:
+            # SELECT *: project the helper join columns back out
+            df = df.select(*orig_cols)
 
         if isinstance(spec, _FilterSpec):
             if spec.items is not None:

@@ -274,3 +274,72 @@ def test_select_scalar_fingerprint_is_scalar_free(spark, qc_mem):
     ).collect()
     d = qc_mem.last_decision
     assert d.cached and d.cache_hit
+
+
+# -- correlated scalars (r11): decorrelated to broadcast rollup joins ----
+
+
+def test_correlated_scalar_per_key_threshold(spark, qc_mem):
+    """Rows above their own group's average — the per-key threshold
+    spelling, decorrelated to a broadcast LEFT JOIN against the cached
+    grouped rollup."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    sql = (
+        "SELECT e.event_id, e.value FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE x.event_type = e.event_type) ORDER BY e.event_id"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_correlated_scalar_count_empty_group_is_zero(spark, qc_mem):
+    """count(*) over an empty correlated set is 0, not NULL — the absent
+    key joins to NULL and the count family gets coalesce(…, 0)."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    sql = (
+        "SELECT count(*) AS n FROM events e WHERE "
+        "(SELECT count(*) FROM events_cs x "
+        "WHERE x.event_type = e.event_type AND x.value > 1e9) = 0"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    assert out.collect()[0][0] > 0  # every group's filtered count is 0
+
+
+def test_correlated_scalar_two_run_incremental(spark, qc_mem):
+    spark.table("events").createOrReplaceTempView("events_cs")
+    # the INNER rollup is over events_cs (static between runs); the outer
+    # events view advances — the rollup entry still serves incrementally
+    sql = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE x.event_type = e.event_type) GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_correlated_scalar_unsupported_shapes_passthrough(spark, qc_mem):
+    """Composite count expressions and multi-correlation stay passthrough
+    — and plain Spark answers them natively (unlike QUALIFY)."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    for sql in [
+        # count inside a composite: on-empty value not representable
+        "SELECT count(*) AS n FROM events e WHERE "
+        "(SELECT count(*) + 1 FROM events_cs x "
+        "WHERE x.event_type = e.event_type) > 1",
+        # a second correlated (non-equality) conjunct
+        "SELECT count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT max(x.value) FROM events_cs x "
+        "WHERE x.user_id = e.user_id AND x.event_id <> e.event_id)",
+    ]:
+        out = qc_mem.sql(sql)
+        assert not qc_mem.last_decision.cached
+        assert rows_set(out) == rows_set(spark.sql(sql)), sql

@@ -315,6 +315,13 @@ def gen_insubq_sql(rng: random.Random) -> str:
             # to the inner's {events, __i} tables
             f"{neg}EXISTS (SELECT 1 FROM events __i WHERE {iconds} "
             f"AND __i.event_type = e.event_type)",
+            # r11 correlated SCALAR (per-key threshold): decorrelates to a
+            # broadcast join against the cached grouped rollup. EXACT
+            # inner values only (min/max of ints — no re-association)
+            f"user_id >= (SELECT min(user_id) FROM events __i "
+            f"WHERE {iconds} AND __i.event_type = e.event_type)",
+            f"user_id < (SELECT max(user_id) + 1 FROM events __i "
+            f"WHERE {iconds} AND __i.event_type = e.event_type)",
         ]
     )
     outer_pred = rng.choice(["value IS NOT NULL", "event_id >= 0"])
