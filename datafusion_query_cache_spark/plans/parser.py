@@ -738,6 +738,10 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
             "(on-empty value not representable)"
         )
 
+    if inner_col.lower() == "qc_cv":
+        # the value item is aliased qc_cv; a key column of the same name
+        # would make the rollup's output ambiguous
+        raise Unsupported("correlated scalar key named qc_cv")
     item = dict(sel[0])
     item["alias"] = "qc_cv"
     new_sub = dict(sub)
