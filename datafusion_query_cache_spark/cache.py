@@ -191,6 +191,17 @@ class CacheEntry(ABC):
     #: distributed-path caveat as ``hist_cap``.
     set_cap: Optional[int] = None
 
+    #: Set by the session when the cached state's group keys include a
+    #: temporal bucket (the ``date_trunc`` group-by output, or the
+    #: ``__qc_bucket`` column dynamic-bound state is kept at): the bucket
+    #: column's name in the state schema. File-backed stores use it to lay
+    #: BIG state (past the driver-collect cap) out ``partitionBy(bucket)``
+    #: — one write task per live bucket instead of a single-task
+    #: ``coalesce(1)``, and temporally-bounded warm reads (dynamic bounds,
+    #: bucket-coarsening donors) prune whole bucket directories. ``None``
+    #: = no temporal key in the state; backends ignore it.
+    bucket_col: Optional[str] = None
+
     @property
     @abstractmethod
     def occupied(self) -> bool: ...
@@ -576,11 +587,20 @@ class _ParquetEntry(CacheEntry):
         as one table (CONFLICTING_DIRECTORY_STRUCTURES). Partition pruning
         still applies inside every part's read."""
         rd = spark.read.schema(sch) if sch is not None else spark.read
+
+        def one(p: str) -> DataFrame:
+            df = rd.parquet(p)
+            # hive-partitioned parts surface partition columns LAST even
+            # under an explicit schema — restore the state-schema order
+            if sch is not None and df.columns != sch.fieldNames():
+                df = df.select(*sch.fieldNames())
+            return df
+
         if len(paths) == 1:
-            return rd.parquet(paths[0])
-        out = rd.parquet(paths[0])
+            return one(paths[0])
+        out = one(paths[0])
         for p in paths[1:]:
-            out = out.unionByName(rd.parquet(p))
+            out = out.unionByName(one(p))
         return out
 
     def _touch_access(self) -> None:
@@ -764,10 +784,46 @@ class _ParquetEntry(CacheEntry):
             except Exception:
                 result = None
         if result is None:
-            # distributed write; single partition per the reference's
-            # CoalescePartitions-before-store (``src/aggregate.rs:510-527``)
-            state.coalesce(1).write.mode("overwrite").parquet(path)
-            result = spark.read.parquet(path)
+            # Distributed write — the 100 TB path. When the state carries a
+            # temporal bucket key, lay it out partitionBy(bucket): one write
+            # task per live bucket (the filter row-set precedent at
+            # :meth:`append`), and temporally-bounded warm reads prune whole
+            # bucket directories. Otherwise fall back to the reference's
+            # CoalescePartitions-before-store shape
+            # (``src/aggregate.rs:510-527``) — a single part file.
+            bcol = self.bucket_col
+            if bcol and bcol in state.columns:
+                from pyspark.sql import functions as _F
+
+                (
+                    state.repartition(_F.col(bcol))
+                    .write.mode("overwrite")
+                    .partitionBy(bcol)
+                    .parquet(path)
+                )
+            else:
+                state.coalesce(1).write.mode("overwrite").parquet(path)
+            # row count from parquet footers (local metadata read, no Spark
+            # job): recording it keeps the NEXT refresh off the driver-collect
+            # attempt — without it, prev_rows=None would re-collect the whole
+            # big state through the driver before bailing to this path again.
+            try:
+                import pyarrow.dataset as _ds
+
+                n_rows = _ds.dataset(
+                    path,
+                    format="parquet",
+                    ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+                ).count_rows()
+            except Exception:
+                n_rows = None
+            # schema-pinned read: a hive-partitioned layout would otherwise
+            # re-infer the bucket column's type from directory strings; the
+            # select restores state-column order (partition columns surface
+            # last even under an explicit schema)
+            result = spark.read.schema(state.schema).parquet(path)
+            if result.columns != state.schema.fieldNames():
+                result = result.select(*state.schema.fieldNames())
         self._swap_meta(watermark_ns, txid, state.schema.json(), n_rows)
         return result
 

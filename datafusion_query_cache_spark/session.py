@@ -2062,6 +2062,14 @@ class CachedSparkSession(RefreshTiers):
 
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
+        # temporal bucket key in the state schema (the date_trunc group-by
+        # output, or the __qc_bucket column dynamic-bound state is kept at):
+        # file-backed stores lay BIG state (past the driver-collect cap) out
+        # partitionBy(bucket) — one write task per live bucket instead of the
+        # coalesce(1) single-task store, and temporally-bounded warm reads
+        # prune whole bucket directories.
+        if tgb is not None or dyn_bound is not None:
+            entry.bucket_col = bucket_name
         # dynamic-bound evaluation (value, bucket, epochs) — computed at
         # most once per query, and ONLY by the classic dyn assembly below
         # (the fused template renders the bound as SQL and never evaluates

@@ -1,0 +1,153 @@
+"""Big-aggregate-state store-back: partitionBy(bucket) layout.
+
+When the state exceeds the driver-collect cap AND the session armed
+``entry.bucket_col`` (a temporal bucket among the group keys), the
+distributed fallback must write the state hive-partitioned on the bucket —
+one write task per live bucket instead of a single-task ``coalesce(1)``
+(the filter row-set precedent, ``cache.py`` ``append``) — and warm reads
+with a bucket bound must prune whole directories.
+
+Reference analog: ``CacheUpdateAggregateExec`` collects state into one
+partition (``src/aggregate.rs:510-527``) — fine for its in-memory cache,
+a scale-killer for 100 TB-cardinality state; this is the Spark-first
+replacement.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+def _bucket_dirs(cache_root: str) -> list[str]:
+    """All hive partition directories under any state dir of the cache."""
+    out = []
+    for r, dirs, _f in os.walk(cache_root):
+        out.extend(d for d in dirs if "=" in d)
+    return out
+
+
+def test_big_state_partitioned_by_bucket(spark, tmp_path, monkeypatch):
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-bucketed")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(1000).select(
+        F.to_timestamp(
+            F.lit(base) + F.make_interval(days=F.col("id") % 7)
+        ).alias("b"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    stored = entry.put(123, df, spark)
+    assert stored.count() == 1000
+    # hive layout: one directory per live bucket value
+    dirs = _bucket_dirs(str(tmp_path / "c"))
+    assert len(dirs) == 7, dirs
+    assert all(d.startswith("b=") for d in dirs)
+    # footer-derived row count recorded → next put skips the driver collect
+    e2 = cache.entry("fp-bucketed")
+    assert e2._meta.get("rows") == 1000
+    # schema-pinned read restores column order and the bucket's type
+    back = e2.get(spark)
+    assert back.columns == ["b", "k", "v"]
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        f.dataType.simpleString() for f in df.schema.fields
+    ]
+    assert rows_set(back) == rows_set(df)
+
+
+def test_big_state_bucket_read_prunes(spark, tmp_path, monkeypatch):
+    """A bucket-bounded read of partitioned state prunes directories:
+    the scan's PartitionFilters carry the bound and fewer files are read."""
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-pruned")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(700).select(
+        F.to_timestamp(
+            F.lit(base) + F.make_interval(days=F.col("id") % 7)
+        ).alias("b"),
+        F.col("id").alias("k"),
+    )
+    entry.put(5, df, spark)
+    state = cache.entry("fp-pruned").get(spark)
+    cut = base + dt.timedelta(days=5)
+    bounded = state.filter(F.col("b") >= F.lit(cut))
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the bound landed in PartitionFilters (directory pruning), not only in
+    # the data filter
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "b" in pf and ("2024" in pf or "isnotnull" in pf), pf
+    assert bounded.count() == 200  # days 5,6 → 100 rows each
+
+
+def test_big_state_no_bucket_still_single_part(spark, tmp_path, monkeypatch):
+    """Without a temporal bucket the distributed fallback keeps the
+    reference's single-part layout — and now records the row count."""
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 10)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-flat")
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    entry.put(9, df, spark)
+    assert not _bucket_dirs(str(tmp_path / "c"))
+    e2 = cache.entry("fp-flat")
+    assert e2._meta.get("rows") == 50
+    assert rows_set(e2.get(spark)) == rows_set(df)
+
+
+def test_end_to_end_big_state_incremental(spark, tmp_path, monkeypatch):
+    """Two-run incremental over the events table with the cap forced low:
+    the state takes the partitioned distributed path and the warm answer
+    still matches plain Spark exactly."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        HistoryLog,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.cache import _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 3)
+    ev = spark.table("events")
+    mid = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    # clean day-boundary cut: exact in ns, so view filter ≡ watermark
+    cut = mid.replace(hour=0, minute=0, second=0, microsecond=0)
+    cut_ns = int(cut.replace(tzinfo=dt.timezone.utc).timestamp()) * 10**9
+    sql = (
+        "SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, "
+        "sum(value) AS sv FROM events_big GROUP BY 1, 2"
+    )
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(str(tmp_path / "qc")),
+        default_temporal_column="ts",
+        override_now_ns=cut_ns,
+        log=HistoryLog(),
+    )
+    qc = CachedSparkSession(spark, cfg)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events_big")
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    # the state went through the partitioned distributed path
+    assert _bucket_dirs(str(tmp_path / "qc")), "expected hive bucket dirs"
+    ev.createOrReplaceTempView("events_big")
+    qc.config.override_now_ns = cut_ns + 10**18
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    spark.catalog.dropTempView("events_big")
