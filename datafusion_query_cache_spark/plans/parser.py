@@ -451,18 +451,27 @@ def scalar_subqueries(spec) -> list:
 
 
 def select_scalar_subqueries(spec) -> list:
-    """The ScalarSubquery nodes in a TOP-LEVEL AggSpec's SELECT items —
-    the share-of-total shape (``count(*) / (SELECT count(*) FROM t)``).
-    The session folds these post-finalize so the outer aggregate's
-    fingerprint stays scalar-free (``_plan_select_scalars``)."""
-    from .ir import AggSpec, ScalarSubquery
+    """The ScalarSubquery/CorrScalar nodes in a TOP-LEVEL AggSpec's or
+    FilterSpec's SELECT items — the share-of-total shape
+    (``count(*) / (SELECT count(*) FROM t)``) and the per-key ratio shape
+    (``v / (SELECT avg(v) FROM t WHERE t.k = o.k)``). The session folds
+    the uncorrelated ones post-finalize and joins the correlated ones as
+    broadcast rollups (``_plan_select_scalars`` for aggregate outers,
+    ``_plan_scalar_outer`` for filter outers)."""
+    from .ir import AggSpec, CorrScalar, FilterSpec, ScalarSubquery
 
-    if not isinstance(spec, AggSpec):
+    if isinstance(spec, AggSpec):
+        items = spec.aggregates
+    elif isinstance(spec, FilterSpec):
+        items = spec.items or ()
+    else:
         return []
     out: list = []
-    for i in spec.aggregates:
+    for i in items:
         out.extend(
-            n for n in i.expr.walk() if isinstance(n, ScalarSubquery)
+            n
+            for n in i.expr.walk()
+            if isinstance(n, (ScalarSubquery, CorrScalar))
         )
     return out
 
@@ -1122,11 +1131,17 @@ def _lower_select(node: Dict[str, Any]):
             # the whole state at read time with topk/limit tiers disabled —
             # supported only above a derived-table aggregate (SubquerySpec)
             raise Unsupported("window function over a filter query")
-        if any(_contains_scalar_subq(e) for _, e in raw_items) or any(
-            _contains_scalar_subq(o.expr) for o in order_by
-        ):
-            # scalar subqueries resolve only in predicates/HAVING
-            raise Unsupported("scalar subquery outside WHERE/HAVING")
+        if any(_contains_scalar_subq(o.expr) for o in order_by):
+            # subqueries resolve in predicates/HAVING/select items only
+            raise Unsupported("scalar subquery in ORDER BY")
+        from .ir import ExistsSubquery as _ExistsSQ, InSubquery as _InSQ
+
+        for _, e in raw_items:
+            for n in e.walk():
+                if isinstance(n, (_InSQ, _ExistsSQ)):
+                    # IN/EXISTS produce booleans for predicates; in the
+                    # select list they stay passthrough
+                    raise Unsupported("IN/EXISTS subquery in the select list")
         return FilterSpec(
             table=table,
             predicate=predicate,

@@ -516,7 +516,9 @@ class CachedSparkSession(RefreshTiers):
 
             subqs = scalar_subqueries(spec)
             sel_subqs = select_scalar_subqueries(spec)
-            if subqs:
+            if subqs or (sel_subqs and isinstance(spec, FilterSpec)):
+                # predicate/HAVING subqueries, or select-item scalars on a
+                # non-aggregate outer (the outer runs plain either way)
                 df, decision = self._plan_scalar_outer(
                     spec, query, subqs + sel_subqs
                 )
@@ -1245,6 +1247,16 @@ class CachedSparkSession(RefreshTiers):
                 raise Unsupported(
                     "grouping sets / joins above a scalar subquery"
                 )
+            # a correlated SELECT-item scalar on this plain path would put
+            # the joined column unaggregated inside agg() — only the
+            # cached _plan_select_scalars assembly (no predicate
+            # subqueries) supports that shape
+            for i in spec.aggregates:
+                if any(isinstance(n, _CSQ) for n in i.expr.walk()):
+                    raise Unsupported(
+                        "correlated select-item scalar alongside "
+                        "predicate subqueries"
+                    )
 
         _OK_TYPES = (
             bool, int, float, str, _dec.Decimal, _dt.date, _dt.datetime
@@ -1409,8 +1421,13 @@ class CachedSparkSession(RefreshTiers):
                 ocols = [
                     _order_col(_out_name(o.expr), o) for o in spec.order_by
                 ]
+                # select-item subqueries fold here too (literal for
+                # uncorrelated, joined column for correlated)
                 df = df.select(
-                    *[to_column(i.expr).alias(i.name) for i in spec.items]
+                    *[
+                        to_column(_transform(i.expr, _sub)).alias(i.name)
+                        for i in spec.items
+                    ]
                 )
                 if ocols:
                     df = df.orderBy(*ocols)
@@ -1451,7 +1468,7 @@ class CachedSparkSession(RefreshTiers):
         base = inner_decisions[0]
         kinds = [
             k
-            for k, t in (("scalar", _SS), ("IN", _ISQ))
+            for k, t in (("scalar", _SS), ("IN", _ISQ), ("correlated", _CSQ))
             if any(isinstance(s, t) for s in resolved)
         ]
         decision = Decision(
@@ -1501,12 +1518,65 @@ class CachedSparkSession(RefreshTiers):
                 "subqueries"
             )
 
-        # resolve each distinct scalar through the cached pipeline
-        # (plan-time 1-row collects — bounded by construction)
-        resolved: Dict[object, _Lit] = {}
+        from .plans.ir import CorrScalar as _CSQ
+        from .plans.ir import Func as _IRFunc
+
+        # a correlated scalar INSIDE an aggregate argument is per-row, not
+        # per-group — the post-finalize join can't reproduce it (Spark
+        # itself refuses the shape: SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_
+        # AGGREGATE_FUNCTION)
+        for i in spec.aggregates:
+            for n in i.expr.walk():
+                if isinstance(n, _AggCall) and any(
+                    isinstance(c, _CSQ) for c in n.walk()
+                ):
+                    raise Unsupported(
+                        "correlated scalar inside an aggregate argument"
+                    )
+
+        # resolve each distinct scalar through the cached pipeline:
+        # uncorrelated → plan-time 1-row collect, folded as a literal;
+        # correlated → the cached O(groups) rollup, broadcast-LEFT-JOINed
+        # onto the finalized outer on its group key post-finalize (exact:
+        # the correlation key must BE a group key, so the per-row scalar is
+        # constant within each outer group). The reference's bottom-up rule
+        # caches this inner Aggregate the same way (src/aggregate.rs:74-76).
+        resolved: Dict[object, object] = {}
         hits = []
+        corr_joins: list = []  # (renamed rollup df, outer group name, ck)
+        group_by_name = {g.name: g for g in spec.group_by}
         for sq in sel_subqs:
             if sq in resolved:
+                continue
+            if isinstance(sq, _CSQ):
+                key = sq.outer_key
+                g = None
+                if isinstance(key, _Col):
+                    g = group_by_name.get(key.name)
+                if g is None:
+                    for cand in spec.group_by:
+                        if cand.expr == key:
+                            g = cand
+                            break
+                if g is None:
+                    raise Unsupported(
+                        "correlated select-item scalar: correlation key is "
+                        "not a group key"
+                    )
+                idf, idec = self._plan_cached(query, sq.spec)
+                i = len(corr_joins)
+                ck, cv = f"__qc_ck{i}", f"__qc_cv{i}"
+                key_name = sq.spec.select_order[0]
+                val_name = sq.spec.select_order[1]
+                j = idf.select(
+                    F.col(key_name).alias(ck), F.col(val_name).alias(cv)
+                )
+                corr_joins.append((j, g.name, ck))
+                val: object = _Col(cv)
+                if sq.count_like:
+                    val = _IRFunc("coalesce", (val, _Lit(0)))
+                resolved[sq] = val
+                hits.append(idec.cache_hit)
                 continue
             idf, idec = self._plan_cached(query, sq.spec)
             rows = idf.collect()
@@ -1530,7 +1600,7 @@ class CachedSparkSession(RefreshTiers):
         group_names = {g.name for g in spec.group_by}
 
         def _repl(n):
-            if isinstance(n, _SS):
+            if isinstance(n, (_SS, _CSQ)):
                 return resolved[n]
             if isinstance(n, _AggCall):
                 h = hidden.get(n)
@@ -1547,7 +1617,9 @@ class CachedSparkSession(RefreshTiers):
                 outer_items.append(_SelectItem(name, _Col(name)))
                 continue
             item = by_name[name]
-            if not any(isinstance(n, _SS) for n in item.expr.walk()):
+            if not any(
+                isinstance(n, (_SS, _CSQ)) for n in item.expr.walk()
+            ):
                 # scalar-free item: keep the WHOLE finalize expression in
                 # the inner aggregate under its own name
                 inner_aggs.append(item)
@@ -1614,20 +1686,29 @@ class CachedSparkSession(RefreshTiers):
             order_by=tuple(new_order),
             limit=spec.limit,
         )
-        df, dec = self._plan_subquery(sub, query)
+        df, dec = self._plan_subquery(sub, query, corr_joins=corr_joins)
+        what = (
+            "correlated select scalars joined post-finalize"
+            if corr_joins
+            else "select-list scalar subqueries folded post-finalize"
+        )
         return df, dataclasses.replace(
             dec,
             sql=query,
-            reason=(
-                (dec.reason + "; " if dec.reason else "")
-                + "select-list scalar subqueries folded post-finalize"
-            ),
+            reason=((dec.reason + "; " if dec.reason else "") + what),
             cache_hit=dec.cache_hit and all(hits),
         )
 
-    def _plan_subquery(self, spec, query: str):
+    def _plan_subquery(self, spec, query: str, corr_joins=None):
         """Aggregate inside a derived table: cache the INNER aggregate,
         replay the outer shape post-finalize.
+
+        ``corr_joins`` (from ``_plan_select_scalars``): decorrelated
+        SELECT-item scalar rollups — ``(rollup_df, outer_group_name,
+        key_alias)`` triples broadcast-LEFT-JOINed onto the finalized
+        inner before the outer projection; the projection then computes
+        the item expressions from the joined ``__qc_cv{i}`` columns and
+        drops the helpers.
 
         The reference's bottom-up rule rewrites Aggregate nodes wherever
         they sit in the plan (``src/aggregate.rs:74-76``, ``README.md:124``);
@@ -1694,6 +1775,10 @@ class CachedSparkSession(RefreshTiers):
             df, decision = self._plan_subquery(spec.inner, query)
         else:
             df, decision = self._plan_cached(query, spec.inner)
+        for j, gname, ck in corr_joins or ():
+            # O(groups) build side by construction — explicit broadcast;
+            # NULL outer keys never match (correlated equality semantics)
+            df = df.join(F.broadcast(j), F.col(gname) == F.col(ck), "left")
         for js in spec.join_steps:
             # O(state) rows on the left; dims read fresh each query (label
             # changes show immediately). AQE picks broadcast for small dims.

@@ -72,11 +72,11 @@ def test_parse_scalar_subquery():
             "(SELECT avg(value) FROM events GROUP BY event_type)",
             "one global aggregate",
         ),
-        # in the select list: unsupported position
+        # in ORDER BY: unsupported position
         (
-            "SELECT event_id, (SELECT count(*) FROM events) AS total "
-            "FROM events",
-            "outside WHERE/HAVING",
+            "SELECT event_id FROM events "
+            "ORDER BY (SELECT count(*) FROM events)",
+            "scalar subquery in ORDER BY",
         ),
         # nested scalar subqueries
         (
@@ -343,3 +343,169 @@ def test_correlated_scalar_unsupported_shapes_passthrough(spark, qc_mem):
         out = qc_mem.sql(sql)
         assert not qc_mem.last_decision.cached
         assert rows_set(out) == rows_set(spark.sql(sql)), sql
+
+
+# -- correlated scalars in the SELECT list (r12) -------------------------
+
+
+def _duck_rows(sql):
+    """DuckDB oracle rows for shapes plain Spark cannot run (the
+    correlated-scalar-next-to-an-aggregate select item)."""
+    import duckdb
+
+    con = duckdb.connect()
+    import os
+
+    sf = os.environ.get("QC_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    out = []
+    for r in con.sql(sql).fetchall():
+        out.append(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        )
+    return sorted(out, key=repr)
+
+
+def _round_rows(df):
+    out = []
+    for r in df.collect():
+        out.append(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        )
+    return sorted(out, key=repr)
+
+
+def test_select_corr_scalar_agg_outer_beyond_passthrough(spark, qc_mem):
+    """``sum(v) / (SELECT avg(v) WHERE k = o.k)`` next to GROUP BY k —
+    plain Spark REFUSES this shape (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_
+    AGGREGATE_FUNCTION); the engine answers it from the cached rollup.
+    Oracle: DuckDB."""
+    sql = (
+        "SELECT event_type, sum(value) / (SELECT avg(value) FROM events e2 "
+        "WHERE e2.event_type = o.event_type) AS ratio "
+        "FROM events o GROUP BY 1"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert "correlated select scalars" in qc_mem.last_decision.reason
+    assert _round_rows(out) == _duck_rows(sql)
+    # plain Spark really cannot answer it (the beyond-passthrough claim)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql(sql).collect()
+
+
+def test_select_corr_scalar_count_absent_key_is_zero(spark, qc_mem):
+    """count over a correlated set that is empty for some keys → 0 via
+    coalesce, not NULL (absent rollup keys join to NULL)."""
+    sql = (
+        "SELECT event_type, count(*) AS n, "
+        "(SELECT count(*) FROM events e2 WHERE "
+        "e2.event_type = o.event_type AND e2.value > 1e9) AS big "
+        "FROM events o GROUP BY 1"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    rows = out.collect()
+    assert rows and all(r["big"] == 0 for r in rows)
+    assert _round_rows(out) == _duck_rows(sql)
+
+
+def test_select_corr_scalar_two_run_incremental(spark, qc_mem):
+    spark.table("events").createOrReplaceTempView("events_cs")
+    sql = (
+        "SELECT event_type, sum(value) AS sv, "
+        "(SELECT avg(value) FROM events_cs e2 "
+        "WHERE e2.event_type = o.event_type) AS base "
+        "FROM events o GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert "correlated select scalars" in qc_mem.last_decision.reason
+    import duckdb, os
+
+    con = duckdb.connect()
+    sf = os.environ.get("QC_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    con.sql("CREATE VIEW events_cs AS SELECT * FROM events")
+    exp = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in con.sql(sql).fetchall()
+    )
+    got = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in out.collect()
+    )
+    assert got == exp
+
+
+def test_select_corr_scalar_filter_outer_matches_plain(spark, qc_mem):
+    """Row-level ratio: FilterSpec outer runs plain, the inner rollup is
+    cached and broadcast-joined."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    sql = (
+        "SELECT event_id, value / (SELECT avg(value) FROM events_cs e2 "
+        "WHERE e2.event_type = o.event_type) AS share FROM events o"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_select_uncorr_scalar_filter_outer_matches_plain(spark, qc_mem):
+    """Uncorrelated select-item scalar on a non-aggregate outer — folded
+    as a plan-time literal (newly admitted by the r12 parser change)."""
+    sql = (
+        "SELECT event_id, value - (SELECT avg(value) FROM events) AS dev "
+        "FROM events WHERE value > 100 ORDER BY event_id LIMIT 20"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
+
+
+def test_select_corr_scalar_unsupported_shapes(spark, qc_mem):
+    """Shapes the decorrelation must refuse (passthrough, or Spark's own
+    error for shapes Spark also refuses)."""
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+
+    qc_mem.config.override_now_ns = None
+    # correlation key is NOT a group key → Unsupported inside the planner
+    sql_not_group = (
+        "SELECT user_id, (SELECT avg(value) FROM events e2 "
+        "WHERE e2.event_type = o.event_type) AS base "
+        "FROM events o GROUP BY 1"
+    )
+    # correlated scalar INSIDE an aggregate argument → per-row semantics
+    sql_inside_agg = (
+        "SELECT event_type, sum(value / (SELECT avg(value) FROM events e2 "
+        "WHERE e2.event_type = o.event_type)) AS s "
+        "FROM events o GROUP BY 1"
+    )
+    # mixed: correlated select item + predicate subquery → plain path
+    # refuses (joined column would sit unaggregated inside agg())
+    sql_mixed = (
+        "SELECT event_type, (SELECT avg(value) FROM events e2 "
+        "WHERE e2.event_type = o.event_type) AS base, count(*) AS n "
+        "FROM events o WHERE value > (SELECT avg(value) FROM events) "
+        "GROUP BY 1"
+    )
+    for sql in (sql_not_group, sql_inside_agg, sql_mixed):
+        try:
+            qc_mem.sql(sql)
+            assert not qc_mem.last_decision.cached, sql
+        except Exception:
+            # strict-mode rigs surface the passthrough AnalysisException
+            # for shapes Spark itself refuses — either way, not cached
+            assert not qc_mem.last_decision.cached, sql

@@ -355,6 +355,40 @@ def gen_selscalar_sql(rng: random.Random) -> str:
     )
 
 
+def gen_corrsel_sql(rng: random.Random) -> str:
+    """Select-item correlated scalar on a non-aggregate outer (r12): the
+    inner rollup is cached and broadcast-LEFT-JOINed; the outer runs plain
+    and UNBOUNDED. Shape invariant: exactly ONE `` WHERE `` — the
+    inner's — so the twin surgery's first-WHERE bound hits the inner
+    alone (no outer WHERE is generated). EXACT inner values only (int
+    min/max, count). The AggSpec-outer spelling is NOT fuzzable against
+    plain Spark (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION);
+    it is pinned by the DuckDB-oracled tests in test_scalar_subquery.py
+    and the qc ledger instead."""
+    ipred = rng.choice([p for p in PREDS if p])
+    iwin = rng.choice(WINDOWS)
+    iconds = " AND ".join(c for c in (ipred, iwin) if c)
+    item = rng.choice(
+        [
+            f"(SELECT min(user_id) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type) AS basev",
+            f"(SELECT max(user_id) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type) AS basev",
+            # count over a possibly-empty correlated set: coalesce(…, 0)
+            f"(SELECT count(*) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type) AS basev",
+            # uncorrelated select-item scalar on the filter outer
+            f"user_id - (SELECT max(user_id) FROM events "
+            f"WHERE {iconds}) AS basev",
+        ]
+    )
+    order = " ORDER BY event_id" if rng.random() < 0.8 else ""
+    return (
+        f"SELECT event_id, event_type, user_id, {item} "
+        f"FROM events e{order}"
+    )
+
+
 def gen_distinct_sql(rng: random.Random) -> str:
     """SELECT DISTINCT (r10): lowers to a group-by whose state is the key
     set + a hidden count item dropped at finalize. Exact-valued key
@@ -495,6 +529,7 @@ def main() -> int:
         insubq_mode = 0.60 <= mode_p < 0.66
         selscalar_mode = 0.66 <= mode_p < 0.71
         distinct_mode = 0.71 <= mode_p < 0.75
+        corrsel_mode = 0.75 <= mode_p < 0.79
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
@@ -507,6 +542,8 @@ def main() -> int:
             sql = gen_selscalar_sql(rng)
         elif distinct_mode:
             sql = gen_distinct_sql(rng)
+        elif corrsel_mode:
+            sql = gen_corrsel_sql(rng)
         elif dimjoin_mode:
             sql = gen_dimjoin_sql(rng)
         elif union_mode:
@@ -579,6 +616,7 @@ def main() -> int:
             and not insubq_mode
             and not selscalar_mode
             and not distinct_mode
+            and not corrsel_mode
             and not dimjoin_mode
         ):
             gb_clause = f"GROUP BY {gb}"
