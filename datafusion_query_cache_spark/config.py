@@ -88,6 +88,22 @@ class QueryCacheConfig:
     #: query (passthrough) rather than store a runaway state. ``None`` =
     #: unlimited.
     percentile_max_distinct: Optional[int] = 100_000
+    #: Opt-in: cache ``approx_percentile``/``percentile_approx`` with a
+    #: MERGEABLE log-binned quantile sketch (DDSketch-style relative-error
+    #: binning over the existing RLE-histogram state machinery): state is
+    #: O(log-gamma bins) per group — bounded regardless of value
+    #: cardinality, the scale path past ``percentile_max_distinct``. OFF
+    #: by default because the sketch's estimates differ from Spark's own
+    #: KLL-based percentile_approx (same precedent as the HLL
+    #: approx-distinct path: band-checked against the exact quantile, not
+    #: value-equal to the engine's native approximation).
+    approx_percentile_sketch: bool = False
+    #: Relative-error bound for the quantile sketch's log-gamma binning:
+    #: every stored representative is within ``eps`` of the raw value
+    #: (|v| ≥ 1e-12; smaller magnitudes collapse to 0). Changing it
+    #: changes the bin layout, so it participates in the fingerprint —
+    #: entries never mix bins from different eps.
+    approx_percentile_eps: float = 0.01
     #: Distinct-value cap per group for the exact ``count(DISTINCT x)``
     #: set state (``functions/partial.py``): the state materializes each
     #: group's full distinct set, so a high-cardinality column (user ids,

@@ -359,8 +359,16 @@ def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
     return None
 
 
-def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
+def decompose_agg(
+    agg: AggCall, tag: str, schema=None, approx_eps=None
+) -> Decomposition:
     """Decompose one aggregate call. ``tag`` makes state names unique.
+
+    ``approx_eps`` (from ``config.approx_percentile_eps`` when
+    ``config.approx_percentile_sketch`` is on, else None) enables the
+    mergeable log-binned quantile sketch for ``approx_percentile`` /
+    ``percentile_approx``; when None those stay NotDecomposable
+    (passthrough — Spark answers them natively).
 
     ``schema`` (optional source StructType) enables typed handling of
     decimal inputs: the reference inherits decimal partial states from
@@ -887,7 +895,10 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             singleton={vn: v, kn: k},
         )
 
-    if fn in ("median", "percentile", "percentile_cont"):
+    if fn in (
+        "median", "percentile", "percentile_cont",
+        "approx_percentile", "percentile_approx",
+    ):
         # Exact percentile with MERGEABLE state — beyond the reference
         # (DataFusion abandons exact percentiles). State is a value-sorted
         # counted multiset ``array<struct<v:double, c:long>>``; partial and
@@ -903,12 +914,22 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
         # expression captured in a lambda body is re-evaluated per element.
         # Every lambda below references ONLY its bound variables; scalars
         # needed inside the finalize walk travel in the fold's init struct.
+        approx = fn in ("approx_percentile", "percentile_approx")
+        if approx and approx_eps is None:
+            raise NotDecomposable(
+                "approx percentile caching is opt-in "
+                "(config.approx_percentile_sketch)"
+            )
         if fn == "median":
             if len(agg.args) != 1:
                 raise NotDecomposable("median takes one argument")
             pv = 0.5
         else:
-            if len(agg.args) != 2:
+            # approx forms take an optional literal accuracy 3rd arg —
+            # accepted and ignored (the sketch's eps is config-set so all
+            # spellings share one bin layout / one entry)
+            nargs = (2, 3) if approx else (2,)
+            if len(agg.args) not in nargs:
                 raise NotDecomposable(f"{fn} requires (value, fraction)")
             import decimal
 
@@ -920,8 +941,33 @@ def decompose_agg(agg: AggCall, tag: str, schema=None) -> Decomposition:
             pv = float(frac.value)
             if not (0.0 <= pv <= 1.0):
                 raise NotDecomposable(f"{fn} fraction out of [0,1]")
+            if len(agg.args) == 3 and not isinstance(agg.args[2], Lit):
+                raise NotDecomposable(f"{fn} accuracy must be a literal")
         nm = s("hist")
         a = arg0().cast("double")
+        if approx:
+            # DDSketch-style log-gamma quantization (public algorithm —
+            # Masson et al., VLDB'19): bin i = ceil(log_gamma |v|),
+            # representative = geometric bin midpoint gamma^(i-1/2) →
+            # |rep - v| / |v| ≤ eps for |v| ≥ 1e-12; smaller magnitudes
+            # collapse to 0. The quantized values then ride the SAME
+            # RLE-histogram state as exact percentiles, but the store-time
+            # compaction collapses every bin to one entry — state is
+            # O(bins) per group, bounded regardless of value cardinality.
+            import math as _math
+
+            eps = float(approx_eps)
+            if not (0.0 < eps < 0.5):
+                raise NotDecomposable("approx_percentile_eps out of (0, 0.5)")
+            lng = _math.log((1.0 + eps) / (1.0 - eps))
+            mag = F.abs(a)
+            bin_i = F.ceil(F.log(mag) / F.lit(lng)).cast("double")
+            rep = F.exp((bin_i - F.lit(0.5)) * F.lit(lng))
+            a = (
+                F.when(mag < F.lit(1e-12), F.lit(0.0))
+                .when(a > F.lit(0.0), rep)
+                .otherwise(-rep)
+            )  # NULL propagates: mag NULL → both whens NULL → -rep is NULL
 
         one_entry = F.when(
             a.isNotNull(),
@@ -1278,7 +1324,9 @@ def _has_agg(e: Expr) -> bool:
     return any(isinstance(n, AggCall) for n in e.walk())
 
 
-def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
+def plan_items(
+    items: Tuple[SelectItem, ...], schema=None, approx_eps=None
+) -> List[ItemPlan]:
     """Build per-item plans; identical AggCalls share state columns."""
     plans: List[ItemPlan] = []
     seen: Dict[str, Tuple[AggCall, Decomposition]] = {}
@@ -1295,7 +1343,7 @@ def plan_items(items: Tuple[SelectItem, ...], schema=None) -> List[ItemPlan]:
                 dec = seen[key][1]
                 plan.decs.append((a, dec))
             else:
-                dec = decompose_agg(a, str(counter), schema)
+                dec = decompose_agg(a, str(counter), schema, approx_eps)
                 counter += 1
                 seen[key] = (a, dec)
                 plan.partial.update(dec.partial)

@@ -78,6 +78,9 @@ AGG_FUNCTIONS = {
     "quantile",
     "percentile",
     "percentile_cont",
+    "approx_percentile",
+    "percentile_approx",
+    "approx_quantile",
     "bool_and",
     "bool_or",
     "bit_and",
@@ -268,7 +271,12 @@ def _expr(node: Dict[str, Any]) -> Expr:
                 # claiming the ordered result (r11 silent-drop audit)
                 raise Unsupported(f"ORDER BY inside aggregate {name}")
             fn = {"mean": "avg", "variance": "var_samp", "stddev": "stddev_samp",
-                  "list": "array_agg"}.get(name, name)
+                  "list": "array_agg",
+                  # one IR spelling for every approx-quantile alias
+                  # (Spark: approx_percentile/percentile_approx; DuckDB:
+                  # approx_quantile) — one sketch entry serves all three
+                  "percentile_approx": "approx_percentile",
+                  "approx_quantile": "approx_percentile"}.get(name, name)
             return AggCall(fn, args, distinct=bool(node.get("distinct")))
         return Func(name, args)
 
@@ -1171,7 +1179,16 @@ def _lower_select(node: Dict[str, Any]):
                     grouped_exprs.append(e)
                     break
             else:
-                group_items.append(SelectItem(g.name, g))
+                # a select item may ALIAS this grouped column
+                # (``SELECT k AS a … GROUP BY k``): name the group output
+                # by the alias so the finalize's select-by-name resolves
+                # (same naming GROUP BY 1 positional produces)
+                for name, e in raw_items:
+                    if e == g:
+                        group_items.append(SelectItem(name, e))
+                        break
+                else:
+                    group_items.append(SelectItem(g.name, g))
                 grouped_exprs.append(g)
             continue
         # expression group-by: find matching select item for the name
@@ -1217,8 +1234,14 @@ def _lower_select(node: Dict[str, Any]):
             # query is rejected by the session: no state to cache)
             agg_items.append(SelectItem(name, e))
         else:
-            if e in grouped_exprs or name in group_names:
+            if name in group_names:
                 continue  # already a group output
+            if e in grouped_exprs:
+                # a SECOND alias of an already-named group output
+                # (``SELECT k, k AS a … GROUP BY k``): no state column
+                # carries this name — silently dropping it would lose an
+                # output column
+                raise Unsupported(f"duplicate alias {name} of a group key")
             raise Unsupported(f"non-aggregate select item {name} not in GROUP BY")
     having = node.get("having")
     having_expr = _expr(having) if having is not None else None

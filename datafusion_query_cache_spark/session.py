@@ -1972,6 +1972,24 @@ class CachedSparkSession(RefreshTiers):
             raise Unsupported("more than one temporal group-by bucket")
 
         ts_col = tgb.column if tgb else cfg.default_temporal_column
+        if tgb is None and dyn_bound is None:
+            # no temporal group-by or dynamic bound names the column: fall
+            # back to a CONFIGURED temporal column that exists on the fact
+            # table when the default doesn't (e.g. CUBE over lineitem with
+            # l_shipdate in extra_temporal_columns) — deterministic pick
+            # (sorted) when several qualify
+            try:
+                fact_cols = set(
+                    self.spark.table((spec.tables or (spec.table,))[0]).columns
+                )
+            except Exception:
+                fact_cols = set()
+            if ts_col not in fact_cols:
+                alts = sorted(
+                    c for c in cfg.temporal_columns if c in fact_cols
+                )
+                if alts:
+                    ts_col = alts[0]
         if dyn_bound is not None and tgb is not None and tgb.column != dyn_bound.column:
             raise Unsupported("dynamic bound on a different column than the bucket")
         if dyn_bound is not None:
@@ -2108,14 +2126,20 @@ class CachedSparkSession(RefreshTiers):
         # differing only in the HAVING expression must NOT share plans
         # (r11 find: a query with two EXISTS inners differing only in the
         # HAVING literal folded both to the first's verdict).
+        apx_eps = (
+            cfg.approx_percentile_eps
+            if getattr(cfg, "approx_percentile_sketch", False)
+            else None
+        )
         pkey = (
             spec.canon(),
             spec.having.canon() if spec.having is not None else "",
             base_schema.simpleString(),
+            apx_eps,
         )
         plans = self._plan_cache.get(pkey)
         if plans is None:
-            plans = plan_items(tuple(plan_inputs), base_schema)
+            plans = plan_items(tuple(plan_inputs), base_schema, apx_eps)
             if len(self._plan_cache) >= self._MEMO_MAX:
                 self._plan_cache.clear()
             self._plan_cache[pkey] = plans
@@ -2144,6 +2168,12 @@ class CachedSparkSession(RefreshTiers):
             f"{'|dynamic_state=' + bucket_gran if dyn_bound is not None else ''}"
             f"|schema={base_schema.simpleString()}"
         )
+        if apx_eps is not None and (
+            "approx_percentile(" in ag + hav or "percentile_approx(" in ag + hav
+        ):
+            # sketch bin layout is a function of eps — entries never mix
+            # bins quantized at different accuracies
+            fingerprint += f"|apx_eps={apx_eps}"
 
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
