@@ -297,6 +297,15 @@ class CacheEntry(ABC):
         the identity). Returns False when unsupported."""
         return False
 
+    def invalidate(self) -> bool:
+        """Drop this entry's state + watermark so the next query plans a
+        full-recompute miss. The self-healing hook: ``audit()`` calls it
+        under ``config.audit_heal='invalidate'`` when a sampled bucket
+        diverges (late data / append-only violation), closing the same
+        loop the corruption self-heal has for unreadable state. Returns
+        False when the backend doesn't support invalidation."""
+        return False
+
     def append(
         self,
         watermark_ns: int,
@@ -369,6 +378,11 @@ class _MemoryEntry(CacheEntry):
         )
         self._cache._store_put(self._fp, (watermark_ns, tbl, schema))
         return arrow_to_spark(spark, tbl, schema=schema)
+
+    def invalidate(self) -> bool:
+        with self._cache._lock:
+            self._cache._store.pop(self._fp, None)
+        return True
 
     def put_split(
         self,
@@ -706,6 +720,21 @@ class _ParquetEntry(CacheEntry):
         if self._meta is None:
             return None
         return self.get(spark)
+
+    def invalidate(self) -> bool:
+        """Atomic: unlink meta.json first (readers instantly see vacant),
+        then best-effort remove the state dirs."""
+        if self._meta is None:
+            return True
+        try:
+            os.unlink(os.path.join(self._dir, "meta.json"))
+        except OSError:
+            return False
+        for p in self._meta.get("parts") or [self._meta.get("state", "")]:
+            if p:
+                shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
+        self._meta = None
+        return True
 
     def state_parquet_paths(self) -> Optional[List[str]]:
         """Absolute parquet dirs holding the current state (None when

@@ -104,6 +104,14 @@ class QueryCacheConfig:
     #: changes the bin layout, so it participates in the fingerprint —
     #: entries never mix bins from different eps.
     approx_percentile_eps: float = 0.01
+    #: Self-healing policy when :meth:`CachedSparkSession.audit` finds a
+    #: diverged bucket (late data / append-only violation — SURVEY §4.4.1):
+    #: ``"off"`` (default) reports only; ``"invalidate"`` additionally
+    #: drops the entry's state + watermark so the NEXT query plans a full
+    #: recompute and stores fresh state — closing the loop the corruption
+    #: self-heal already has for unreadable state. Logged through the
+    #: decision log either way.
+    audit_heal: str = "off"
     #: Distinct-value cap per group for the exact ``count(DISTINCT x)``
     #: set state (``functions/partial.py``): the state materializes each
     #: group's full distinct set, so a high-cardinality column (user ids,

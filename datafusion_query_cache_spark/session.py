@@ -388,8 +388,9 @@ class CachedSparkSession(RefreshTiers):
                                    reason="state unreadable")
             state = arrow_to_spark(self.spark, tbl)
         if info.get("kind") == "filter":
-            return self._audit_filter(fingerprint, info, entry, state,
-                                      wm_ns, buckets)
+            report = self._audit_filter(fingerprint, info, entry, state,
+                                        wm_ns, buckets)
+            return self._audit_maybe_heal(fingerprint, entry, report)
         group_names = info["group_names"]
         plans = info["plans"]
         out_items = [p for p in plans if p.name != "__qc_having"]
@@ -495,7 +496,38 @@ class CachedSparkSession(RefreshTiers):
             fingerprint,
             f"audit: {sum(b.ok for b in results)}/{len(results)} buckets OK",
         )
-        return AuditReport(fingerprint, ok=all_ok, buckets=tuple(results))
+        return self._audit_maybe_heal(
+            fingerprint,
+            entry,
+            AuditReport(fingerprint, ok=all_ok, buckets=tuple(results)),
+        )
+
+    def _audit_maybe_heal(self, fingerprint, entry, report):
+        """Apply ``config.audit_heal`` to a finished audit: under
+        ``'invalidate'``, a diverged report drops the entry's state +
+        watermark (and this session's result memos for it) so the NEXT
+        query plans a full recompute and stores fresh state — the same
+        loop the corruption self-heal has for unreadable state."""
+        if report.ok is not False:
+            return report
+        policy = getattr(self.config, "audit_heal", "off")
+        if policy != "invalidate":
+            return report
+        healed = entry.invalidate()
+        for key in [k for k in self._result_memo if k[0] == fingerprint]:
+            self._result_memo.pop(key, None)
+        if healed:
+            self.config.log.warn(
+                fingerprint,
+                "audit: diverged — entry INVALIDATED (audit_heal); next "
+                "query recomputes from the raw table",
+            )
+        else:
+            self.config.log.warn(
+                fingerprint,
+                "audit: diverged — backend does not support invalidation",
+            )
+        return report
 
     def sql(self, query: str) -> DataFrame:
         """Run ``query``; transparently incremental when cache-eligible."""

@@ -180,3 +180,130 @@ def test_audit_filter_topk(spark, qc_mem):
     fp = qc.last_decision.fingerprint
     report = qc.audit(fp)
     assert report.ok is True and report.buckets[0].key == ("topk",)
+
+
+# -- audit_heal='invalidate' (r12, VERDICT item 5) ------------------------
+
+
+def _heal_session(spark, cache):
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.log import HistoryLog
+
+    return CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=cache,
+            default_temporal_column="ts",
+            log=HistoryLog(),
+            strict_errors=True,
+            audit_heal="invalidate",
+        ),
+    )
+
+
+@pytest.mark.parametrize("backend", ["memory", "parquet"])
+def test_audit_heal_invalidates_and_recomputes(spark, tmp_path, backend):
+    """Late row injected → audit detects AND invalidates the entry → the
+    next query is a full-recompute MISS whose result matches plain Spark
+    on the now-diverged data, and the stored state is fresh."""
+    from datafusion_query_cache_spark import MemoryQueryCache, ParquetQueryCache
+    from tests.conftest import rows_set
+
+    cache = (
+        MemoryQueryCache()
+        if backend == "memory"
+        else ParquetQueryCache(str(tmp_path / "heal"))
+    )
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    qc = _heal_session(spark, cache)
+    try:
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+        qc.config.override_now_ns = cut_ns
+        qc.sql(SQL).collect()
+        fp = qc.last_decision.fingerprint
+        assert qc.audit(fp, buckets=5).ok is True  # clean: no heal
+
+        # inject LATE rows (ts < watermark): append-only violation
+        late = ev.filter(F.col("ts") < F.lit(cut)).limit(50)
+        ev.filter(F.col("ts") < F.lit(cut)).unionByName(
+            late
+        ).createOrReplaceTempView("events")
+        report = qc.audit(fp, buckets=5)
+        assert report.ok is False
+        assert any("INVALIDATED" in m for m in qc.config.log.messages())
+        # entry is gone
+        assert not qc.config.cache.entry(fp).occupied
+
+        # next query: full-recompute MISS, result ≡ plain on diverged data
+        qc.config.override_now_ns = cut_ns + 10**9
+        got = qc.sql(SQL)
+        d = qc.last_decision
+        assert d.cached and not d.cache_hit and d.fingerprint == fp
+        assert rows_set(got) == rows_set(spark.sql(SQL))
+        # and the fresh entry audits clean again
+        assert qc.audit(fp, buckets=5).ok is True
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_audit_heal_off_by_default(spark, qc_mem):
+    """Default policy reports only — the entry survives a divergence."""
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    qc = _mk(spark)
+    try:
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+        qc.config.override_now_ns = cut_ns
+        qc.sql(SQL).collect()
+        fp = qc.last_decision.fingerprint
+        late = ev.filter(F.col("ts") < F.lit(cut)).limit(50)
+        ev.filter(F.col("ts") < F.lit(cut)).unionByName(
+            late
+        ).createOrReplaceTempView("events")
+        assert qc.audit(fp, buckets=5).ok is False
+        assert qc.config.cache.entry(fp).occupied  # NOT healed
+        assert not any("INVALIDATED" in m for m in qc.config.log.messages())
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_audit_heal_filter_rowset(spark, tmp_path):
+    """Heal applies to row-set (filter) entries too."""
+    from datafusion_query_cache_spark import ParquetQueryCache
+    from tests.conftest import rows_set
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    fsql = (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type = 'click'"
+    )
+    qc = _heal_session(spark, ParquetQueryCache(str(tmp_path / "fheal")))
+    try:
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+        qc.config.override_now_ns = cut_ns
+        qc.sql(fsql).collect()
+        fp = qc.last_decision.fingerprint
+        assert qc.audit(fp).ok is True
+        late = ev.filter(F.col("ts") < F.lit(cut)).limit(200)
+        ev.filter(F.col("ts") < F.lit(cut)).unionByName(
+            late
+        ).createOrReplaceTempView("events")
+        assert qc.audit(fp).ok is False
+        assert not qc.config.cache.entry(fp).occupied
+        qc.config.override_now_ns = cut_ns + 10**9
+        got = qc.sql(fsql)
+        assert qc.last_decision.cached and not qc.last_decision.cache_hit
+        assert rows_set(got) == rows_set(spark.sql(fsql))
+    finally:
+        ev.createOrReplaceTempView("events")
