@@ -270,6 +270,37 @@ _QC_SQLS = {
         "FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, "
         "count(*) AS n FROM {v} GROUP BY 1) t ORDER BY dd"
     ),
+    # CUBE served from the FINEST cached state (r12 verdict item 3):
+    # every grouping set — including the two single-key subtotals and the
+    # grand total ROLLUP never produces — is a re-aggregation of the ONE
+    # finest entry (shared with qc_rollup's shape and the plain finest
+    # GROUP BY); grouping() flags are reconstructed per set as typed
+    # literals. Oracle override below casts DuckDB's BIGINT grouping()
+    # to Spark's TINYINT (the qc_rollup precedent).
+    "qc_cube": (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "grouping(event_type) AS ge, grouping(d) AS gd, "
+        "count(*) AS n, round(sum(value), 2) AS s FROM {v} "
+        "GROUP BY CUBE (event_type, d) "
+        "ORDER BY ge, gd, event_type NULLS FIRST, d NULLS FIRST"
+    ),
+    # Correlated scalar subqueries in the SELECT list (r12 verdict item
+    # 2), both families in one row: next to an aggregate with GROUP BY —
+    # a shape plain Spark REFUSES outright
+    # (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION), answered
+    # here by broadcast-LEFT-JOINing the cached O(groups) rollup onto the
+    # finalized outer — and a count over a sometimes-empty correlated set
+    # (absent keys join to NULL; the count family gets coalesce(…, 0)).
+    # round(+1e-9) on the ratio: the only float column; everything else
+    # is exact. DuckDB runs the query natively as the oracle.
+    "qc_corr_select": (
+        "SELECT event_type, round(sum(value), 2) AS sv, "
+        "round(sum(value) / (SELECT avg(value) FROM {v} e2 "
+        "WHERE e2.event_type = o.event_type) + 1e-9, 4) AS ratio, "
+        "(SELECT count(*) FROM {v} e3 "
+        "WHERE e3.event_type = o.event_type AND e3.value > 1e9) AS big "
+        "FROM {v} o GROUP BY 1 ORDER BY 1"
+    ),
 }
 
 
@@ -1312,11 +1343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r5 VERDICT item 5; widened 1 → 3 slots per r8 item 4). All 15 are
     # additionally re-verified off-ledger each round via
     # tools/check_oracle.py.
+    # r12: two new graded qc rows (qc_cube, qc_corr_select) take the
+    # window slots the 3-wide rotation used — the ledger window now holds
+    # 49 graded operator rows + ONE pt slot. The rotation therefore drops
+    # to stride 1, reordered so the six rows with no driver-ledger
+    # evidence yet (r9-r11 accredited the other nine) come first: from
+    # rnd=11 the slot walks pt_join_revenue, pt_window_top_orders,
+    # pt_exists_semi, … one per round.
     rotation = [
-        "pt_json_extract", "pt_tpch_q1", "pt_tpch_q3", "pt_join_revenue",
-        "pt_window_top_orders", "pt_exists_semi", "pt_rollup", "pt_topk",
-        "pt_setops", "pt_anti_join", "pt_except", "pt_conditional_agg",
+        "pt_join_revenue", "pt_window_top_orders", "pt_exists_semi",
+        "pt_rollup", "pt_topk", "pt_setops",
+        "pt_anti_join", "pt_except", "pt_conditional_agg",
         "pt_cube", "pt_ntile", "pt_distinct_agg",
+        "pt_json_extract", "pt_tpch_q1", "pt_tpch_q3",
     ]
     import glob as _glob
     import os as _os
@@ -1327,9 +1366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "CORRECTNESS_r*.json")
         )
     )
-    n_slots = 3
+    n_slots = 1
     spares = [
-        rotation[(rnd * n_slots + i) % len(rotation)] for i in range(n_slots)
+        rotation[(rnd - 11 + i) % len(rotation)] for i in range(n_slots)
     ]
 
     def _pt_entry(key):
@@ -1419,6 +1458,16 @@ def oracle_sql() -> dict[str, str]:
         "array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',') AS us, "
         "count(DISTINCT user_id) AS du, "
         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    # duckdb grouping() returns BIGINT; Spark's is TINYINT (qc_rollup
+    # precedent) — and count(*) in the CUBE's big column is exact BIGINT
+    o["qc_cube"] = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "CAST(grouping(event_type) AS TINYINT) AS ge, "
+        "CAST(grouping(d) AS TINYINT) AS gd, "
+        "count(*) AS n, round(sum(value), 2) AS s FROM events "
+        "GROUP BY CUBE (event_type, d) "
+        "ORDER BY ge, gd, event_type NULLS FIRST, d NULLS FIRST"
     )
     # duckdb grouping() returns BIGINT; Spark's is TINYINT
     o["qc_rollup"] = (
