@@ -658,6 +658,63 @@ def main() -> None:
         [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
     )
 
+    # --- high-cardinality state at x1000: the partitioned store-back ---------
+    # (day, event_id % 24989) grouping → ~775k state rows (31 days × 25k
+    # keys; PRIME modulus — 25000 divides the replica stride 100M, which
+    # would collapse every replica onto one key), past DRIVER_COLLECT_MAX_ROWS: the store-back takes the r12
+    # partitionBy(day) distributed write (one task per live day instead of
+    # a single-task coalesce(1)), and the dyn warm read serves full buckets
+    # from state with the day bound PRUNED to bucket directories: the
+    # 5-day window reads ~4 of ~30 day dirs — the read is O(window), not
+    # O(history), exactly the 100 TB payoff of the layout. Top-100 keeps
+    # the collect O(1) so the timing measures the refresh + pruned merge,
+    # not driver row transfer.
+    HC_SQL = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, "
+        "event_id % 24989 AS k, count(*) AS n FROM events_x1000 "
+        "WHERE ts > now() - INTERVAL 5 DAY GROUP BY 1, 2 "
+        "ORDER BY n DESC, dd, k LIMIT 100"
+    )
+
+    def hicard_flow(timed_run: bool) -> None:
+        qh = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-hc-")),
+                default_temporal_column="ts",
+                temporal_partition_columns={"ts": "d"},
+                override_now_ns=cut_ns,
+            ),
+        )
+        qh.sql(HC_SQL).collect()  # miss: ~775k-row state, partitioned write
+        nows = [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1]
+        if timed_run:
+            timed_warm("qc_hicard_warm", qh, HC_SQL, nows)
+        else:
+            for now_ns in nows:
+                qh.config.override_now_ns = now_ns
+                qh.sql(HC_SQL).collect()
+
+    hicard_flow(timed_run=False)
+    hicard_flow(timed_run=True)
+
+    def hicard_plain_sql(now_ns: int) -> str:
+        lo = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=(now_ns - 5 * DAY_NS_) // 1000
+        )
+        return (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, "
+            "event_id % 24989 AS k, count(*) AS n FROM events_x1000 "
+            f"WHERE ts > TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S.%f}' "
+            "GROUP BY 1, 2 ORDER BY n DESC, dd, k LIMIT 100"
+        )
+
+    timed_plain_advancing(
+        "qc_hicard_plain",
+        hicard_plain_sql,
+        [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)

@@ -306,6 +306,16 @@ class CacheEntry(ABC):
         False when the backend doesn't support invalidation."""
         return False
 
+    def put_bucket_tail(
+        self, watermark_ns: int, merged: DataFrame, lo_value, spark: SparkSession
+    ) -> Optional[DataFrame]:
+        """Incremental big-state store-back: persist only the merged tail
+        (buckets ``>= lo_value``) as a new layer over the existing
+        bucket-partitioned state. Returns the full layered state, or None
+        when unsupported/inapplicable — the caller must fall back to
+        :meth:`put`. File-backed stores override."""
+        return None
+
     def append(
         self,
         watermark_ns: int,
@@ -591,7 +601,11 @@ class _ParquetEntry(CacheEntry):
         return self._meta["watermark_ns"] if self._meta else None
 
     def _state_paths(self) -> List[str]:
-        parts = self._meta.get("parts") or [self._meta["state"]]
+        parts = (
+            self._meta.get("bparts")
+            or self._meta.get("parts")
+            or [self._meta["state"]]
+        )
         return [os.path.join(self._dir, p) for p in parts]
 
     def _read_paths(self, spark: SparkSession, paths: List[str], sch=None) -> DataFrame:
@@ -637,9 +651,58 @@ class _ParquetEntry(CacheEntry):
             except OSError:
                 pass  # advisory only: never fail a read over a touch
 
+    def _bucket_lo_value(self, iso: Optional[str]):
+        """Parse a serialized layer bound back to the bucket column's
+        Python type (DATE vs TIMESTAMP per the state schema) so the layer
+        filter compares without casts — casts on the partition column
+        would defeat directory pruning."""
+        if iso is None:
+            return None
+        import datetime as _dt
+
+        try:
+            sch = json.loads(self._meta["schema"])
+            bcol = self._meta.get("bucket_col")
+            dtype = next(
+                (f["type"] for f in sch["fields"] if f["name"] == bcol), ""
+            )
+        except Exception:
+            dtype = ""
+        if dtype == "date":
+            return _dt.date.fromisoformat(iso[:10])
+        return _dt.datetime.fromisoformat(iso)
+
+    def _layered_state(self, spark: SparkSession) -> DataFrame:
+        """Layered bucket-partitioned state (``bparts``): layer *i* serves
+        buckets in ``[lo_i, lo_{i+1})`` (first layer unbounded below, last
+        unbounded above) — newer layers shadow older ones bucket-wise, so
+        an incremental refresh writes only the changed-bucket tail
+        (:meth:`put_bucket_tail`) and this read reconstructs the full
+        state with every range filter landing in PartitionFilters."""
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import StructType
+
+        sch = StructType.fromJson(json.loads(self._meta["schema"]))
+        bcol = self._meta["bucket_col"]
+        parts = self._meta["bparts"]
+        los = [self._bucket_lo_value(x) for x in self._meta["bparts_lo"]]
+        out = None
+        for i, p in enumerate(parts):
+            df = self._read_paths(spark, [os.path.join(self._dir, p)], sch)
+            lo = los[i]
+            hi = los[i + 1] if i + 1 < len(los) else None
+            if lo is not None:
+                df = df.filter(_F.col(bcol) >= _F.lit(lo))
+            if hi is not None:
+                df = df.filter(_F.col(bcol) < _F.lit(hi))
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def get(self, spark: SparkSession) -> DataFrame:
         # schema from meta.json → no parquet-footer inference at plan time
         self._touch_access()
+        if self._meta is not None and self._meta.get("bparts"):
+            return self._layered_state(spark)
         try:
             from pyspark.sql.types import StructType
 
@@ -730,7 +793,11 @@ class _ParquetEntry(CacheEntry):
             os.unlink(os.path.join(self._dir, "meta.json"))
         except OSError:
             return False
-        for p in self._meta.get("parts") or [self._meta.get("state", "")]:
+        for p in (
+            self._meta.get("bparts")
+            or self._meta.get("parts")
+            or [self._meta.get("state", "")]
+        ):
             if p:
                 shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
         self._meta = None
@@ -856,6 +923,174 @@ class _ParquetEntry(CacheEntry):
         self._swap_meta(watermark_ns, txid, state.schema.json(), n_rows)
         return result
 
+    #: Layer cap for the incremental bucket-tail store: past this many
+    #: layers the caller's full put compacts the state back to one
+    #: partitioned dir (read fan-in and shadowed-row garbage stay bounded
+    #: — the append path's COMPACT_AT precedent).
+    BPARTS_COMPACT_AT = 16
+
+    def put_bucket_tail(
+        self, watermark_ns: int, merged: DataFrame, lo_value, spark: SparkSession
+    ) -> Optional[DataFrame]:
+        """Incremental store-back for BIG bucket-partitioned aggregate
+        state: persist only the merged TAIL (buckets ``>= lo_value`` — the
+        fresh window's buckets, since every fresh row has ``ts >= wm`` and
+        bucket truncation is monotone) as a new layer; earlier layers keep
+        serving the untouched buckets below it via ranged, partition-pruned
+        reads (:meth:`_layered_state`). Turns the warm refresh's write from
+        O(full state) to O(changed buckets) — the LSM-style move that makes
+        huge-cardinality standing dashboards viable at 100 TB.
+
+        Returns the full (layered) state DataFrame, or None when
+        inapplicable — small/unknown state, no bucket, non-temporal bucket
+        type, or the layer cap reached (the caller's full put then
+        compacts). The reference has no analogue: its store always rewrites
+        the whole entry (``src/cache.rs:109-114``)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as _F
+
+        bcol = self.bucket_col or (self._meta or {}).get("bucket_col")
+        if not bcol or bcol not in merged.columns:
+            return None
+        if lo_value is None or not isinstance(lo_value, (_dt.datetime, _dt.date)):
+            return None
+        meta = self._meta
+        prev_rows = (meta or {}).get("rows")
+        if (
+            meta is None
+            or prev_rows is None
+            or prev_rows <= self.DRIVER_COLLECT_MAX_ROWS
+        ):
+            return None  # small state: the driver-side full paths win
+        if meta.get("bucket_col") not in (None, bcol):
+            return None  # layout written for a different bucket
+        old_parts = meta.get("bparts")
+        old_los = meta.get("bparts_lo")
+        if old_parts is None:
+            if "state" not in meta or meta.get("parts"):
+                return None  # row-set parts layout: not bucket-ranged
+            old_parts, old_los = [meta["state"]], [None]
+        if len(old_parts) + 1 > self.BPARTS_COMPACT_AT:
+            return None  # compaction due: caller rewrites via put()
+        # normalize the bound to the state column's type (date vs ts)
+        try:
+            from pyspark.sql.types import DateType, StructType, TimestampType
+
+            sch = StructType.fromJson(json.loads(meta["schema"]))
+            bt = next(f.dataType for f in sch.fields if f.name == bcol)
+            if isinstance(bt, DateType):
+                lo_value = (
+                    lo_value.date()
+                    if isinstance(lo_value, _dt.datetime)
+                    else lo_value
+                )
+            elif isinstance(bt, TimestampType):
+                if not isinstance(lo_value, _dt.datetime):
+                    lo_value = _dt.datetime(
+                        lo_value.year, lo_value.month, lo_value.day
+                    )
+            else:
+                return None  # non-temporal bucket type: stay on full put
+        except StopIteration:
+            return None
+        except Exception:
+            return None
+        os.makedirs(self._dir, exist_ok=True)
+        txid = f"bpart-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._dir, txid)
+        (
+            merged.filter(_F.col(bcol) >= _F.lit(lo_value))
+            .repartition(_F.col(bcol))
+            .write.mode("overwrite")
+            .partitionBy(bcol)
+            .parquet(path)
+        )
+        lo_iso = (
+            lo_value.isoformat(sep=" ")
+            if isinstance(lo_value, _dt.datetime)
+            else lo_value.isoformat()
+        )
+        # drop layers fully shadowed by the new bound (their whole range
+        # is >= lo); cap the rest at lo implicitly via layer ordering
+        parts: List[str] = []
+        los: List[Optional[str]] = []
+        dropped: List[str] = []
+        for p, l in zip(old_parts, old_los):
+            if l is not None and self._bucket_lo_value(l) >= lo_value:
+                dropped.append(p)
+                continue
+            parts.append(p)
+            los.append(l)
+        parts.append(txid)
+        los.append(lo_iso)
+        # live row count: per-layer footer counts restricted to each
+        # layer's range (partition-field filters — a local metadata-plus-
+        # stats read, no Spark job). pyarrow infers hive partition values
+        # as STRINGS; ISO renderings compare lexicographically in time
+        # order, so string-typed fields get the serialized bounds and
+        # real-typed fields (data-column layers) get the Python values.
+        # Falls back to the previous count on any surprise.
+        n_rows: Optional[int] = prev_rows
+        try:
+            import pyarrow.dataset as _ds
+            import pyarrow.compute as _pc
+            import pyarrow as _pa
+
+            total = 0
+            for i, p in enumerate(parts):
+                try:
+                    dset = _ds.dataset(
+                        os.path.join(self._dir, p),
+                        format="parquet",
+                        partitioning="hive",
+                        ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+                    )
+                    dset.schema.field(bcol)
+                except Exception:
+                    dset = _ds.dataset(
+                        os.path.join(self._dir, p),
+                        format="parquet",
+                        ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+                    )
+                as_str = _pa.types.is_string(dset.schema.field(bcol).type)
+
+                def bound(iso):
+                    return iso if as_str else self._bucket_lo_value(iso)
+
+                flt = None
+                lo_i = bound(los[i]) if los[i] is not None else None
+                hi_i = (
+                    bound(los[i + 1]) if i + 1 < len(los) else None
+                )
+                if lo_i is not None:
+                    flt = _pc.field(bcol) >= lo_i
+                if hi_i is not None:
+                    c = _pc.field(bcol) < hi_i
+                    flt = c if flt is None else (flt & c)
+                total += dset.count_rows(filter=flt)
+            n_rows = total
+        except Exception:
+            pass
+        new_meta = {
+            "fingerprint": self._fp,
+            "watermark_ns": watermark_ns,
+            "bparts": parts,
+            "bparts_lo": los,
+            "bucket_col": bcol,
+            "schema": meta["schema"],
+            "rows": n_rows,
+            "written_at": time.time(),
+        }
+        tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, os.path.join(self._dir, "meta.json"))  # atomic swap
+        self._meta = new_meta
+        for p in dropped:
+            shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
+        return self.get(spark)
+
     def _swap_meta(
         self, watermark_ns: int, txid: str, schema_json: str, n_rows: Optional[int]
     ) -> None:
@@ -867,6 +1102,10 @@ class _ParquetEntry(CacheEntry):
             "rows": n_rows,
             "written_at": time.time(),
         }
+        if self.bucket_col:
+            # recorded so the layered tail store (put_bucket_tail) and its
+            # ranged read know the bucket column without re-arming
+            meta["bucket_col"] = self.bucket_col
         tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -874,7 +1113,9 @@ class _ParquetEntry(CacheEntry):
         os.replace(tmp, os.path.join(self._dir, "meta.json"))  # atomic swap
         self._meta = meta
         if old:
-            for p in old.get("parts") or [old.get("state", "")]:
+            for p in (
+                old.get("bparts") or old.get("parts") or [old.get("state", "")]
+            ):
                 if p and p != txid:
                     shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
 
@@ -939,14 +1180,20 @@ class _ParquetEntry(CacheEntry):
         return True
 
     def advance_watermark(self, watermark_ns: int) -> bool:
-        if self._meta is None or "state" not in self._meta:
+        if self._meta is None or not (
+            "state" in self._meta or "bparts" in self._meta or "parts" in self._meta
+        ):
             return False
-        self._swap_meta(
-            watermark_ns,
-            self._meta["state"],
-            self._meta["schema"],
-            self._meta.get("rows"),
-        )
+        # state content is provably unchanged: rewrite meta only,
+        # preserving whatever layout (single state / parts / bparts) holds
+        meta = dict(self._meta)
+        meta["watermark_ns"] = watermark_ns
+        meta["written_at"] = time.time()
+        tmp = os.path.join(self._dir, f".meta-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self._dir, "meta.json"))
+        self._meta = meta
         return True
 
     def append(

@@ -2711,11 +2711,59 @@ class CachedSparkSession(RefreshTiers):
         # (hot reads — empty refresh window — skip the store entirely.)
         if merged is not None:
             self.last_refresh_df = merged
-        stored = (
-            hot_state
-            if merged is None
-            else entry.put(store_wm_ns, merged, self.spark)
-        )
+        stored = None
+        if (
+            merged is not None
+            and decision.cache_hit
+            and decision.semantic_donor is None
+            and entry.bucket_col
+            and decision.watermark_ns is not None
+        ):
+            # big-state warm refresh on this entry's own watermark: store
+            # only the changed-bucket TAIL as a new layer (fresh rows have
+            # ts >= wm, so only buckets >= trunc(wm) changed) — the write
+            # is O(changed buckets), not O(full state). Inapplicable cases
+            # (small state, layer cap reached → compaction) return None
+            # and the full put below runs.
+            try:
+                rows0 = entry.state_rows()
+                cap0 = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
+                if rows0 is not None and rows0 > cap0:
+                    # truncate the OLD watermark to the bucket JVM-side
+                    # (session-timezone calendar semantics, matching how
+                    # the state buckets themselves were computed)
+                    lo_val = (
+                        self.spark.range(1)
+                        .select(
+                            F.date_trunc(
+                                bucket_gran,
+                                F.timestamp_micros(
+                                    F.lit(decision.watermark_ns // 1000)
+                                ),
+                            ).alias("b")
+                        )
+                        .collect()[0]["b"]
+                    )
+                    stored = entry.put_bucket_tail(
+                        store_wm_ns, merged, lo_val, self.spark
+                    )
+                    if stored is not None:
+                        cfg.log.info(
+                            fingerprint,
+                            f"store-back: bucket-tail layer >= {lo_val} "
+                            "(O(changed buckets) write)",
+                        )
+            except Exception as e:
+                cfg.log.warn(
+                    fingerprint, f"bucket-tail store failed ({e}); full store"
+                )
+                stored = None
+        if stored is None:
+            stored = (
+                hot_state
+                if merged is None
+                else entry.put(store_wm_ns, merged, self.spark)
+            )
 
         if spec.grouping_sets:
             # ROLLUP/CUBE/GROUPING SETS: state is kept at the FINEST

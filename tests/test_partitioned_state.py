@@ -151,3 +151,165 @@ def test_end_to_end_big_state_incremental(spark, tmp_path, monkeypatch):
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
     spark.catalog.dropTempView("events_big")
+
+
+# -- layered bucket-tail store (r12): O(changed buckets) warm writes -------
+
+
+def test_bucket_tail_layers_and_reads_exact(spark, tmp_path, monkeypatch):
+    """Direct put_bucket_tail flow: full partitioned put, then two tail
+    layers; the layered read must reconstruct exactly the latest merged
+    state, shadowed layers must not double-count, and fully-shadowed
+    layers are dropped."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-layered")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+
+    def state(n_days, mult):
+        # k = id % 37 (coprime with n_days): every (day, k) pair occurs —
+        # 370 live groups, independent of the day
+        return spark.range(n_days * 200).select(
+            F.to_timestamp(
+                F.lit(base) + F.make_interval(days=F.col("id") % n_days)
+            ).alias("b"),
+            (F.col("id") % 37).alias("k"),
+            (F.lit(mult) * (F.col("id") % 37 + 1)).alias("n"),
+        ).groupBy("b", "k").agg(F.sum("n").alias("n"))
+
+    s0 = state(10, 1)
+    entry.put(1, s0, spark)
+    assert cache.entry("fp-layered")._meta.get("bucket_col") == "b"
+
+    # tail layer: days >= 8 rewritten with mult=2 values
+    e2 = cache.entry("fp-layered")
+    e2.bucket_col = "b"
+    merged = state(10, 2)  # pretend the merge doubled every count
+    lo = base + dt.timedelta(days=8)
+    out = e2.put_bucket_tail(2, merged, lo, spark)
+    assert out is not None
+    m = e2._meta
+    assert len(m["bparts"]) == 2 and m["bparts_lo"][0] is None
+    got = {(r["b"], r["k"]): r["n"] for r in e2.get(spark).collect()}
+    exp = {
+        (r["b"], r["k"]): (2 * r["n"] if r["b"] >= lo else r["n"])
+        for r in state(10, 1).collect()
+    }
+    assert got == exp
+    # rows metadata stays at the LIVE count (no shadowed rows double-counted)
+    assert m["rows"] == 370  # 10 days × 37 keys
+
+    # second tail at a LOWER bound shadows the first tail entirely
+    merged3 = state(10, 3)
+    lo2 = base + dt.timedelta(days=7)
+    out2 = e2.put_bucket_tail(3, merged3, lo2, spark)
+    assert out2 is not None
+    m2 = e2._meta
+    assert len(m2["bparts"]) == 2  # old tail dropped (fully shadowed)
+    got2 = {(r["b"], r["k"]): r["n"] for r in e2.get(spark).collect()}
+    exp2 = {
+        (r["b"], r["k"]): (3 * r["n"] if r["b"] >= lo2 else r["n"])
+        for r in state(10, 1).collect()
+    }
+    assert got2 == exp2
+    # a fresh entry object reads the same layered state (durability)
+    e3 = cache.entry("fp-layered")
+    assert e3.watermark_ns == 3
+    got3 = {(r["b"], r["k"]): r["n"] for r in e3.get(spark).collect()}
+    assert got3 == exp2
+
+
+def test_bucket_tail_read_prunes_layers(spark, tmp_path, monkeypatch):
+    """A bucket-bounded read of layered state prunes directories in EVERY
+    layer (PartitionFilters carry both the layer range and the query
+    bound)."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 50)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-lp")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(600).select(
+        F.to_timestamp(
+            F.lit(base) + F.make_interval(days=F.col("id") % 6)
+        ).alias("b"),
+        F.col("id").alias("k"),
+    )
+    entry.put(1, df, spark)
+    e2 = cache.entry("fp-lp")
+    e2.bucket_col = "b"
+    assert e2.put_bucket_tail(
+        2, df, base + dt.timedelta(days=4), spark
+    ) is not None
+    bounded = e2.get(spark).filter(
+        F.col("b") >= F.lit(base + dt.timedelta(days=5))
+    )
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters") >= 2
+    assert bounded.count() == 100  # day 5 only
+
+
+def test_bucket_tail_end_to_end_dyn(spark, tmp_path, monkeypatch):
+    """Dynamic sliding-window query with big state: warm refreshes take
+    the bucket-tail store (log line), results stay ≡ plain at every pinned
+    now, and layers accumulate then compact through the full-put cap."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        HistoryLog,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.cache import _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 3)
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    sql = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, event_type, "
+        "count(*) AS n FROM events WHERE ts > now() - INTERVAL 9 DAY "
+        "GROUP BY 1, 2"
+    )
+    log = HistoryLog()
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(str(tmp_path / "dyn")),
+            default_temporal_column="ts",
+            log=log,
+            override_now_ns=mx - 3 * day,
+        ),
+    )
+    qc.sql(sql).collect()  # miss
+    for i, now in enumerate([mx - 2 * day, mx - 3 * day // 2, mx + 1]):
+        qc.config.override_now_ns = now
+        got = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+        lo = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=(now - 9 * day) // 1000
+        )
+        # ceil to µs: flooring would exclude a µs-aligned row AT ts == now-1ns
+        hi = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=-(-now // 1000)
+        )
+        plain = spark.sql(
+            sql.replace(
+                "now() - INTERVAL 9 DAY",
+                f"TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S.%f}' "
+                f"AND ts < TIMESTAMP '{hi:%Y-%m-%d %H:%M:%S.%f}'",
+            )
+        )
+        from tests.conftest import rows_set
+
+        assert rows_set(got) == rows_set(plain), f"refresh {i}"
+    assert any("bucket-tail layer" in m for m in log.messages())

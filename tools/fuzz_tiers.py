@@ -513,6 +513,9 @@ def main() -> int:
     ).createOrReplaceTempView("fz_seg")
 
     rng = random.Random(SEED)
+    from datafusion_query_cache_spark.cache import _ParquetEntry
+
+    _cap0 = _ParquetEntry.DRIVER_COLLECT_MAX_ROWS  # restored per trial
     mx_ns = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
     day = 24 * 3600 * 1_000_000_000
 
@@ -674,6 +677,15 @@ def main() -> int:
             MemoryQueryCache()
             if rng.random() < 0.3
             else ParquetQueryCache(tempfile.mkdtemp(prefix="qc-fuzz-"))
+        )
+        # big-state axis (r12): force the distributed partitioned store +
+        # layered bucket-tail refresh (put/put_bucket_tail) under every
+        # query shape and the corruption axis, by dropping the driver-
+        # collect cap — every multi-row state becomes "big"
+        _ParquetEntry.DRIVER_COLLECT_MAX_ROWS = (
+            5
+            if isinstance(cache, ParquetQueryCache) and rng.random() < 0.15
+            else _cap0
         )
         qc = CachedSparkSession(
             spark,
