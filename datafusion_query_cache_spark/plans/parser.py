@@ -610,6 +610,24 @@ def _window_expr(node: Dict[str, Any]) -> Expr:
     return w
 
 
+def _reject_volatile_items(exprs, where: str) -> None:
+    """Refuse volatile functions (now()/current_timestamp/random/…)
+    anywhere in cached OUTPUT positions — select items, group keys, order
+    keys. A volatile value inside an aggregate argument would be FROZEN
+    into the stored partial state at run-1's now and merged stale forever
+    after (found live: ``sum(CASE WHEN ts > now() - 5d THEN v END)``
+    cached run-1 state whose "recent" window never advanced — silent
+    wrong answers on every warm read). Predicates are exempt: the
+    DynamicLowerBound classifier owns now() there."""
+    from .classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+
+    vol = VOLATILE_FNS | VOLATILE_TIME_FNS
+    for e in exprs:
+        for n in e.walk():
+            if isinstance(n, Func) and n.name.lower() in vol:
+                raise Unsupported(f"volatile function {n.name} in {where}")
+
+
 def _split_single_correlation(node: Dict[str, Any]):
     """Shared correlation analysis for the EXISTS and scalar
     decorrelations: require a SELECT over one base table whose WHERE has
@@ -1142,6 +1160,12 @@ def _lower_select(node: Dict[str, Any]):
         if any(_contains_scalar_subq(o.expr) for o in order_by):
             # subqueries resolve in predicates/HAVING/select items only
             raise Unsupported("scalar subquery in ORDER BY")
+        # row-set state would freeze volatile values (now(), random())
+        # at store time — stale on every later read
+        _reject_volatile_items(
+            [e for _, e in raw_items] + [o.expr for o in order_by],
+            "filter-query select/order items",
+        )
         from .ir import ExistsSubquery as _ExistsSQ, InSubquery as _InSQ
 
         for _, e in raw_items:
@@ -1273,6 +1297,11 @@ def _lower_select(node: Dict[str, Any]):
     ):
         if _contains_window(e):
             raise Unsupported("window function in an aggregate query")
+    _reject_volatile_items(
+        [s.expr for s in group_items + agg_items]
+        + [o.expr for o in order_by],
+        "select/group/order items",
+    )
     for e in (
         [s.expr for s in group_items]
         + [o.expr for o in order_by]

@@ -90,3 +90,65 @@ def test_non_temporal_column_not_matched():
     item = SelectItem("h", Func("date_trunc", (Lit("hour", "VARCHAR"), Col("other"))))
     m, ok = find_temporal_group_by(gb(item,), TS, frozenset({"date_trunc"}))
     assert ok and m is None
+
+
+# -- volatile functions in cached OUTPUT positions (r12 wrong-answer fix) --
+
+
+def test_volatile_in_select_items_refused(spark, qc_mem):
+    """A volatile value inside an aggregate argument would be FROZEN into
+    the stored partial state at run-1's now and merged stale forever
+    (found live: the 'recent sum' dashboard below returned NULLs on warm
+    reads). Every volatile output position must refuse to cache;
+    passthrough answers stay correct because plain Spark re-evaluates
+    now() per run."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    q = (
+        "SELECT event_type, round(sum(CASE WHEN ts > now() - INTERVAL 5 DAY "
+        "THEN value END), 2) AS s FROM events GROUP BY 1 ORDER BY 1"
+    )
+    qc_mem.config.override_now_ns = mx - 10 * day
+    qc_mem.sql(q).collect()
+    assert not qc_mem.last_decision.cached
+    assert "volatile function now" in qc_mem.last_decision.reason
+    # and therefore the second run (advanced now) is CORRECT
+    qc_mem.config.override_now_ns = None
+    got = {r[0]: r[1] for r in qc_mem.sql(q).collect()}
+    exp = {r[0]: r[1] for r in spark.sql(q).collect()}
+    assert got == exp
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # volatile in a filter-query select item (row-set state)
+        "SELECT event_id, now() AS t FROM events WHERE value > 10",
+        # volatile order key
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+        "ORDER BY random()",
+        # volatile group key
+        "SELECT current_date() AS d, count(*) AS n FROM events GROUP BY 1",
+    ],
+)
+def test_volatile_positions_refused(qc_mem, sql):
+    qc_mem.config.override_now_ns = None
+    qc_mem.sql(sql).collect()
+    assert not qc_mem.last_decision.cached
+    assert "volatile function" in qc_mem.last_decision.reason
+
+
+def test_dynamic_bound_predicate_still_cached(spark, qc_mem):
+    """The guard must NOT touch predicates — now() there is the dynamic
+    lower bound the classifier owns."""
+    qc_mem.config.override_now_ns = None
+    qc_mem.sql(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events WHERE ts > now() - INTERVAL 10 DAY GROUP BY 1"
+    ).collect()
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
