@@ -238,8 +238,13 @@ def _expr(node: Dict[str, Any]) -> Expr:
     if cls == "FUNCTION":
         name = node["function_name"].lower()
         args = tuple(_expr(c) for c in node.get("children", []))
-        if node.get("filter"):
-            raise Unsupported("FILTER clause on aggregate")
+        fcond = (
+            _expr(node["filter"]) if node.get("filter") is not None else None
+        )
+        if fcond is not None and not (
+            name in AGG_FUNCTIONS or name in ("count_star", "count_if")
+        ):
+            raise Unsupported(f"FILTER clause on non-aggregate {name}")
         if node.get("is_operator"):
             if name == "-" and len(args) == 1:
                 return Neg(args[0])
@@ -250,19 +255,54 @@ def _expr(node: Dict[str, Any]) -> Expr:
                 return BinOp(mapped, args[0], args[1])
             return Func(mapped, args)
         if name == "count_star":
+            if fcond is not None:
+                # count(*) FILTER (WHERE c) ≡ count(CASE WHEN c THEN 1 END)
+                return AggCall(
+                    "count", (Case(whens=((fcond, Lit(1)),)),), distinct=False
+                )
             return AggCall("count", (Star(),), distinct=False)
         if name == "count_if":
             # count_if(p) ≡ count(CASE WHEN p THEN 1 END): counts TRUE rows
             # (NULL/FALSE uncounted), 0 on empty input — rides the existing
-            # mergeable count state
+            # mergeable count state. A FILTER clause ANDs into the same CASE.
             if len(args) != 1:
                 raise Unsupported("count_if arity")
+            p = args[0] if fcond is None else BinOp("and", fcond, args[0])
             return AggCall(
                 "count",
-                (Case(whens=((args[0], Lit(1)),)),),
+                (Case(whens=((p, Lit(1)),)),),
                 distinct=False,
             )
         if name in AGG_FUNCTIONS:
+            if fcond is not None:
+                # agg(x) FILTER (WHERE c) ≡ agg(CASE WHEN c THEN x END) for
+                # every null-IGNORING aggregate — the CASE yields NULL on
+                # excluded rows, which the aggregate then skips, so the
+                # rewrite rides the existing mergeable states unchanged.
+                # Pair aggregates (corr, min_by/max_by, …) wrap EVERY
+                # argument: leaving the ordering key live would let an
+                # excluded row win the argmin/argmax with a NULL value.
+                # Parameter positions (percentile fraction, string_agg
+                # separator, approx accuracy) must stay literal, so
+                # single-value aggregates wrap only arg0. first/last refuse:
+                # the session's rewrite orders them by a DEFAULT temporal
+                # key the filter can't null out.
+                if name in ("first", "last", "arbitrary"):
+                    raise Unsupported(f"FILTER on {name}")
+                wrap_all = name in (
+                    "corr", "covar_samp", "covar_pop",
+                    "min_by", "max_by", "arg_min", "arg_max",
+                )
+
+                def _w(a):
+                    return Case(whens=((fcond, a),))
+
+                if not args:
+                    raise Unsupported(f"FILTER on zero-argument {name}")
+                if wrap_all:
+                    args = tuple(_w(a) for a in args)
+                else:
+                    args = (_w(args[0]),) + args[1:]
             ob = node.get("order_bys") or {}
             if ob.get("orders"):
                 # ordered aggregate — array_agg(x ORDER BY y),

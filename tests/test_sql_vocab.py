@@ -189,3 +189,68 @@ def test_is_true_false_predicates_value_correct(spark, qc_mem):
         out = qc_mem.sql(sql)
         assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
         assert rows_set(out) == rows_set(spark.sql(sql)), sql
+
+
+# -- FILTER (WHERE …) aggregates (r12) -------------------------------------
+
+
+def _two_run_events(qc, spark, sql):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+    qc.config.override_now_ns = cut_ns
+    try:
+        qc.sql(sql).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        ev.createOrReplaceTempView("events")
+        qc.config.override_now_ns = mx + 10**9
+        out = qc.sql(sql)
+        assert qc.last_decision.cache_hit
+        return out
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_filter_clause_aggregates_cached(spark, qc_mem):
+    """agg(x) FILTER (WHERE c) rewrites to agg(CASE WHEN c THEN x END) and
+    rides the existing mergeable states — the conditional-aggregation
+    dashboard (pt_conditional_agg's sugar form), incrementally exact."""
+    sql = (
+        "SELECT event_type, count(*) FILTER (WHERE value > 50) AS big, "
+        "round(sum(value) FILTER (WHERE value > 50), 2) AS bs, "
+        "round(avg(value) FILTER (WHERE value <= 50) + 1e-9, 2) AS sa, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_filter_clause_pair_and_distinct_aggs(spark, qc_mem):
+    """Pair aggregates wrap EVERY argument (an excluded row must not win
+    the argmax with a NULL value); count(DISTINCT)/count_if compose."""
+    sql = (
+        "SELECT event_type, "
+        "max_by(event_id, value) FILTER (WHERE value < 90) AS mb, "
+        "count(DISTINCT user_id) FILTER (WHERE value > 20) AS du, "
+        "count_if(value > 70) FILTER (WHERE user_id % 2 = 0) AS ci "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_filter_clause_refusals(spark, qc_mem):
+    """first/last refuse (the default temporal ordering key can't be
+    nulled out); non-aggregate FILTER refuses (invalid in Spark too)."""
+    qc_mem.config.override_now_ns = None
+    qc_mem.sql(
+        "SELECT first(value) FILTER (WHERE value > 50) AS f FROM events"
+    ).collect()
+    assert not qc_mem.last_decision.cached
+    assert "FILTER on first" in qc_mem.last_decision.reason

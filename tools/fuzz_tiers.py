@@ -67,6 +67,12 @@ AGGS = [
     "count_if(value > 50) AS ci",
     "sum(DISTINCT user_id) AS sdu",
     "round(skewness(value) + 1e-9, 3) AS skw",
+    # r12: FILTER clauses rewrite onto the existing states
+    # (agg(CASE WHEN c THEN x END)) — EXACT outputs only
+    "count(*) FILTER (WHERE value > 40) AS fcn",
+    "min(user_id) FILTER (WHERE event_type <> 'view') AS fmn",
+    "max_by(user_id, value) FILTER (WHERE value < 95) AS fxb",
+    "count(DISTINCT event_type) FILTER (WHERE user_id % 3 = 0) AS fde",
 ]
 PREDS = [
     None,
@@ -575,7 +581,7 @@ def main() -> int:
             # min/max/counts/bit/bool/argmin preserve exact input values.
             exact = {
                 "n", "nv", "mn", "mx", "de", "bo", "br", "mb", "xb",
-                "ci", "sdu",
+                "ci", "sdu", "fcn", "fmn", "fxb", "fde",
             }
             names = {a.split(" AS ")[-1] for a in u_ags}
             # EXCEPT/INTERSECT (r10) compare branch VALUES like UNION
@@ -753,6 +759,11 @@ def main() -> int:
             lit = f"TIMESTAMP '{lit_dt.isoformat(sep=' ')}'"
             if qc.last_decision.cached:
                 s = sql.replace("now()", lit)
+                # the twin surgeries below target the TABLE's WHERE by
+                # string position — mask aggregate FILTER (WHERE …)
+                # clauses so the as-of bound never lands inside one
+                # (which would leave the table scan unbounded)
+                s = s.replace("FILTER (WHERE ", "FILTER (\x00")
                 if scalar_mode or insubq_mode:
                     # only the INNER scalar aggregate is watermark-bounded;
                     # the plain outer scans the live table unbounded (the
@@ -779,6 +790,7 @@ def main() -> int:
                     s = s.replace(" GROUP BY", f" WHERE ts < {lit} GROUP BY", 1)
             else:
                 s = sql
+            s = s.replace("FILTER (\x00", "FILTER (WHERE ")  # unmask
             p_rows = sorted(
                 (tuple(r) for r in spark.sql(s).collect()), key=repr
             )
