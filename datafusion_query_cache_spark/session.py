@@ -194,12 +194,20 @@ class CachedSparkSession(RefreshTiers):
 
     _RESULT_MEMO_MAX = 128
 
-    def _memo_result(self, fingerprint: str, wm_ns: Optional[int], df: DataFrame):
+    def _memo_result(
+        self, fingerprint: str, wm_ns: Optional[int], df: DataFrame, post=None
+    ):
+        """Memoize a finalized result. ``post`` is the POST-FINALIZE shape
+        (select order, ORDER BY, LIMIT) — the fingerprint deliberately
+        excludes it (those clauses sit above the cached state and share
+        the entry), so it must key the memo separately: without it,
+        ``… LIMIT 2`` hot-served its 2 rows to a later ``… LIMIT 4`` /
+        ``… ORDER BY 1 DESC`` of the same fingerprint (r12 find)."""
         if not self.config.result_memo or wm_ns is None:
             return
         memo = self._result_memo
-        memo[(fingerprint, wm_ns)] = df
-        memo.move_to_end((fingerprint, wm_ns))
+        memo[(fingerprint, wm_ns, post)] = df
+        memo.move_to_end((fingerprint, wm_ns, post))
         while len(memo) > self._RESULT_MEMO_MAX:
             memo.popitem(last=False)
 
@@ -2207,6 +2215,17 @@ class CachedSparkSession(RefreshTiers):
             # bins quantized at different accuracies
             fingerprint += f"|apx_eps={apx_eps}"
 
+        # post-finalize shape for the result-memo key: the fingerprint
+        # deliberately excludes select order / ORDER BY / LIMIT (they sit
+        # above the cached state), so the memo must carry them itself
+        post_key = (
+            spec.select_order,
+            tuple(
+                (o.expr.canon(), o.desc, o.nulls_first)
+                for o in spec.order_by
+            ),
+            spec.limit,
+        )
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
         # temporal bucket key in the state schema (the date_trunc group-by
@@ -2453,11 +2472,15 @@ class CachedSparkSession(RefreshTiers):
                     # memo) — the memo key carries (state watermark, now),
                     # which determines the bound exactly
                     memo = self._result_memo.get(
-                        (fingerprint, ("dyn", entry.watermark_ns, now_ns))
+                        (
+                            fingerprint,
+                            ("dyn", entry.watermark_ns, now_ns),
+                            post_key,
+                        )
                     )
                 else:
                     memo = self._result_memo.get(
-                        (fingerprint, entry.watermark_ns)
+                        (fingerprint, entry.watermark_ns, post_key)
                     )
                 if memo is not None:
                     # this session already finalized a result at this exact
@@ -2600,7 +2623,7 @@ class CachedSparkSession(RefreshTiers):
                         f"cache hit: incremental refresh from watermark {wm_ns}",
                     )
                     # entry watermark is now now_ns: memo for hot re-reads
-                    self._memo_result(fingerprint, memo_key, res)
+                    self._memo_result(fingerprint, memo_key, res, post_key)
                     return res, decision
             scan_hi, store_wm_ns = data_scan_wm(wm_ns)
             merged, obs = self._warm_merge(
@@ -2701,6 +2724,7 @@ class CachedSparkSession(RefreshTiers):
                     fingerprint,
                     store_wm_ns if merged is not None else decision.watermark_ns,
                     fused,
+                    post_key,
                 )
                 return fused, decision
 

@@ -102,3 +102,25 @@ def test_memo_disabled_by_config(spark, qc):
     d = qc.last_decision
     assert d.cache_hit and not d.served_from_memo
     assert rows_set(again) == rows_set(first)
+
+
+def test_memo_keyed_by_post_shape(spark, qc_mem):
+    """Queries sharing a fingerprint (same state entry) but differing in
+    ORDER BY / LIMIT / select order must NOT share a memoized result —
+    r12 find: at a pinned now, `LIMIT 2` hot-served its 2 rows to a later
+    `LIMIT 4`, and DESC got the ASC rows."""
+    from pyspark.sql import functions as F
+
+    mx = int(spark.table("events").agg(F.max("ts_ns")).collect()[0][0])
+    qc_mem.config.override_now_ns = mx + 10**9
+    base = "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    a = qc_mem.sql(base + " LIMIT 2")
+    assert a.count() == 2
+    b = qc_mem.sql(base + " LIMIT 4")
+    assert b.count() == 4  # was 2 before the fix
+    c = qc_mem.sql(base + " DESC LIMIT 2")
+    rows = [r[0] for r in c.collect()]
+    assert rows == sorted(rows, reverse=True), rows
+    # and a TRUE repeat still hot-serves from the memo
+    qc_mem.sql(base + " LIMIT 2").collect()
+    assert qc_mem.last_decision.served_from_memo
