@@ -430,6 +430,9 @@ class AggSpec:
     select_order: Tuple[str, ...] = ()  # output column order by name
     order_by: Tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
+    #: LIMIT … OFFSET n — post-finalize like limit (not in the
+    #: fingerprint: pagination pages share one state entry)
+    offset: Optional[int] = None
     having: Optional[Expr] = None
     #: all source tables (fact first, then joined dims)
     tables: Tuple[str, ...] = ()

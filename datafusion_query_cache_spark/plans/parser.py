@@ -1072,9 +1072,10 @@ def _lower_select(node: Dict[str, Any]):
         raise Unsupported("self-join")  # column references would be ambiguous
     table = tables[0]
 
-    # modifiers: order / limit / distinct
+    # modifiers: order / limit / offset / distinct
     order_by: List[OrderItem] = []
     limit: Optional[int] = None
+    offset: Optional[int] = None
     distinct = False
     for mod in node.get("modifiers", []):
         mt = mod.get("type")
@@ -1096,7 +1097,12 @@ def _lower_select(node: Dict[str, Any]):
                     raise Unsupported("non-literal limit")
                 limit = lv.value
             if mod.get("offset") is not None:
-                raise Unsupported("offset")
+                # pagination: post-finalize like LIMIT — supported on the
+                # plain aggregate shape only (guards at each other return)
+                ov = _expr(mod["offset"])
+                if not isinstance(ov, Lit) or not isinstance(ov.value, int):
+                    raise Unsupported("non-literal offset")
+                offset = ov.value
         elif mt == "DISTINCT_MODIFIER":
             if mod.get("distinct_on_targets"):
                 # DISTINCT ON (k): one arbitrary row per target group —
@@ -1154,6 +1160,8 @@ def _lower_select(node: Dict[str, Any]):
             raise Unsupported("DISTINCT over window functions")
         if len(tables) > 1 or join_steps:
             raise Unsupported("DISTINCT caching is single-table")
+        if offset is not None:
+            raise Unsupported("OFFSET on SELECT DISTINCT")
         return AggSpec(
             table=table,
             tables=tuple(tables),
@@ -1206,6 +1214,10 @@ def _lower_select(node: Dict[str, Any]):
             [e for _, e in raw_items] + [o.expr for o in order_by],
             "filter-query select/order items",
         )
+        if offset is not None:
+            # the top-k tier's state IS the limited row set — an offset
+            # would need limit+offset rows stored; keep passthrough
+            raise Unsupported("OFFSET on a filter query")
         from .ir import ExistsSubquery as _ExistsSQ, InSubquery as _InSQ
 
         for _, e in raw_items:
@@ -1401,6 +1413,8 @@ def _lower_select(node: Dict[str, Any]):
 
     if hidden_ord and (grouping_sets or grouping_fn_items):
         raise Unsupported("hidden sort aggregate with grouping sets")
+    if offset is not None and hidden_ord:
+        raise Unsupported("OFFSET with hidden sort keys")
 
     inner = AggSpec(
         table=table,
@@ -1413,6 +1427,7 @@ def _lower_select(node: Dict[str, Any]):
         + tuple(s.name for s in hidden_ord),
         order_by=() if hidden_ord else tuple(outer_order),
         limit=None if hidden_ord else limit,
+        offset=offset,
         having=having_expr,
         grouping_sets=grouping_sets,
         grouping_fn_items=tuple(grouping_fn_items),

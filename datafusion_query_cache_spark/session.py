@@ -1557,6 +1557,9 @@ class CachedSparkSession(RefreshTiers):
                 "grouping sets / star joins with select-list scalar "
                 "subqueries"
             )
+        if spec.offset is not None:
+            # the SubquerySpec wrapper below has no offset slot
+            raise Unsupported("OFFSET with select-list scalar subqueries")
 
         from .plans.ir import CorrScalar as _CSQ
         from .plans.ir import Func as _IRFunc
@@ -2225,6 +2228,7 @@ class CachedSparkSession(RefreshTiers):
                 for o in spec.order_by
             ),
             spec.limit,
+            spec.offset,
         )
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
@@ -2514,6 +2518,7 @@ class CachedSparkSession(RefreshTiers):
             if (
                 state_is_local
                 and not spec.grouping_sets
+                and spec.offset is None  # pagination: classic path only
                 and not cfg.salt_buckets  # salted program is classic-only
                 # data-watermark mode needs the max-ts job the template
                 # doesn't carry: classic path only
@@ -2706,7 +2711,7 @@ class CachedSparkSession(RefreshTiers):
         # table (no second scan) and the result is finished driver-side —
         # including the ORDER BY, which as a Spark global sort on a local
         # relation would cost a range-partitioner sampling pass + shuffle.
-        if not spec.grouping_sets and dyn_bound is None:
+        if not spec.grouping_sets and dyn_bound is None and spec.offset is None:
             fused = self._finalize_fused(
                 entry,
                 merged,

@@ -1994,6 +1994,9 @@ class RefreshTiers:
                 name = self._resolve_order_name(o.expr, spec)
                 sort_cols.append(_order_col(name, o))
             out = out.orderBy(*sort_cols)
+        if getattr(spec, "offset", None):
+            # SQL LIMIT n OFFSET o: skip o then take n
+            out = out.offset(spec.offset)
         if spec.limit is not None:
             out = out.limit(spec.limit)
         return out

@@ -254,3 +254,40 @@ def test_filter_clause_refusals(spark, qc_mem):
     ).collect()
     assert not qc_mem.last_decision.cached
     assert "FILTER on first" in qc_mem.last_decision.reason
+
+
+# -- LIMIT ... OFFSET (r12 pagination) --------------------------------------
+
+
+def test_offset_pagination_cached(spark, qc_mem):
+    """LIMIT n OFFSET o on an aggregate: post-finalize like LIMIT, all
+    pages share ONE state entry, each page exact vs plain Spark."""
+    q = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1 LIMIT 5 OFFSET 3"
+    )
+    out = _two_run_events(qc_mem, spark, q)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(q).collect()
+    ]
+    fp1 = qc_mem.last_decision.fingerprint
+    q2 = q.replace("OFFSET 3", "OFFSET 8")
+    got2 = qc_mem.sql(q2)
+    assert qc_mem.last_decision.cache_hit
+    assert qc_mem.last_decision.fingerprint == fp1  # pages share the entry
+    assert [tuple(r) for r in got2.collect()] == [
+        tuple(r) for r in spark.sql(q2).collect()
+    ]
+
+
+def test_offset_refusals(qc_mem):
+    qc_mem.config.override_now_ns = None
+    for sql, msg in [
+        ("SELECT event_id FROM events ORDER BY 1 LIMIT 5 OFFSET 2",
+         "OFFSET on a filter query"),
+        ("SELECT DISTINCT event_type FROM events ORDER BY 1 LIMIT 3 OFFSET 1",
+         "OFFSET on SELECT DISTINCT"),
+    ]:
+        qc_mem.sql(sql).collect()
+        assert not qc_mem.last_decision.cached
+        assert msg in qc_mem.last_decision.reason
