@@ -1237,6 +1237,17 @@ def _lower_select(node: Dict[str, Any]):
     # group expressions; resolve positional (GROUP BY 1) and alias refs
     group_items: List[SelectItem] = []
     grouped_exprs: List[Expr] = []
+    if (
+        node.get("aggregate_handling") == "FORCE_AGGREGATES"
+        and not node.get("group_expressions")
+    ):
+        # GROUP BY ALL (duckdb marker: FORCE_AGGREGATES with no explicit
+        # groups; Spark 3.4+ accepts the same syntax in passthrough):
+        # every select item without an aggregate is a group key
+        for nme, e in raw_items:
+            if not _contains_agg(e) and not _contains_window(e):
+                group_items.append(SelectItem(nme, e))
+                grouped_exprs.append(e)
     for ge in node.get("group_expressions", []):
         g = _expr(ge)
         if isinstance(g, Lit) and isinstance(g.value, int):

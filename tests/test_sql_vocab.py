@@ -291,3 +291,21 @@ def test_offset_refusals(qc_mem):
         qc_mem.sql(sql).collect()
         assert not qc_mem.last_decision.cached
         assert msg in qc_mem.last_decision.reason
+
+
+def test_group_by_all_cached(spark, qc_mem):
+    """GROUP BY ALL (duckdb FORCE_AGGREGATES marker; Spark 3.4+ accepts the
+    syntax natively in passthrough): every non-aggregate select item is a
+    group key — incrementally exact, temporal buckets included."""
+    sql = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n, round(sum(value), 2) AS s FROM events "
+        "GROUP BY ALL ORDER BY 1, 2"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    # and it shares the entry with the explicit GROUP BY 1, 2 spelling
+    fp = qc_mem.last_decision.fingerprint
+    qc_mem.sql(sql.replace("GROUP BY ALL", "GROUP BY 1, 2")).collect()
+    assert qc_mem.last_decision.cache_hit
+    assert qc_mem.last_decision.fingerprint == fp
