@@ -1317,6 +1317,28 @@ def _rewrite_with_finalize(e: Expr, fin_map: Dict[AggCall, Column]) -> Column:
     if isinstance(e, Neg):
         return -_rewrite_with_finalize(e.child, fin_map)
 
+    if isinstance(e, Case):
+        # CASE over aggregates (e.g. the PIVOT presence guard: CASE WHEN
+        # count(matching) > 0 THEN cell END) — compile each branch,
+        # substituting finalizes wherever an aggregate appears
+        def _leg(x):
+            return (
+                _rewrite_with_finalize(x, fin_map)
+                if _has_agg(x)
+                else to_column(x)
+            )
+
+        col = None
+        for c, v in e.whens:
+            col = (
+                F.when(_leg(c), _leg(v))
+                if col is None
+                else col.when(_leg(c), _leg(v))
+            )
+        if e.otherwise is not None:
+            col = col.otherwise(_leg(e.otherwise))
+        return col
+
     return to_column(e)
 
 

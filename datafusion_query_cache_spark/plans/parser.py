@@ -135,6 +135,44 @@ def _type_id(t: Dict[str, Any]) -> str:
     return tid
 
 
+def _apply_agg_filter(agg: AggCall, cond: "Expr") -> AggCall:
+    """``agg(x) FILTER (WHERE c)`` ≡ ``agg(CASE WHEN c THEN x END)`` for
+    every null-IGNORING aggregate — the CASE yields NULL on excluded rows,
+    which the aggregate then skips, so the rewrite rides the existing
+    mergeable states unchanged. Shared by the FILTER-clause lowering and
+    the PIVOT cell construction. Pair aggregates wrap EVERY argument
+    (leaving the ordering key live would let an excluded row win the
+    argmin/argmax with a NULL value); parameter positions (percentile
+    fraction, separators, accuracies) stay literal, so single-value
+    aggregates wrap only arg0. first/last refuse: the session's rewrite
+    orders them by a DEFAULT temporal key the filter can't null out."""
+    fn = agg.fn.lower()
+    if fn in ("first", "last", "arbitrary"):
+        raise Unsupported(f"FILTER on {fn}")
+    args = agg.args
+    if args and isinstance(args[0], Star):
+        # count(*) FILTER (WHERE c) ≡ count(CASE WHEN c THEN 1 END)
+        return AggCall(
+            "count", (Case(whens=((cond, Lit(1)),)),), agg.distinct
+        )
+    if not args:
+        raise Unsupported(f"FILTER on zero-argument {fn}")
+    wrap_all = fn in (
+        "corr", "covar_samp", "covar_pop",
+        "min_by", "max_by", "arg_min", "arg_max",
+    )
+
+    def _w(a):
+        return Case(whens=((cond, a),))
+
+    new_args = (
+        tuple(_w(a) for a in args)
+        if wrap_all
+        else (_w(args[0]),) + tuple(args[1:])
+    )
+    return AggCall(agg.fn, new_args, agg.distinct)
+
+
 def _const_value(node: Dict[str, Any]) -> Lit:
     v = node["value"]
     tid = _type_id(v["type"])
@@ -255,54 +293,22 @@ def _expr(node: Dict[str, Any]) -> Expr:
                 return BinOp(mapped, args[0], args[1])
             return Func(mapped, args)
         if name == "count_star":
-            if fcond is not None:
-                # count(*) FILTER (WHERE c) ≡ count(CASE WHEN c THEN 1 END)
-                return AggCall(
-                    "count", (Case(whens=((fcond, Lit(1)),)),), distinct=False
-                )
-            return AggCall("count", (Star(),), distinct=False)
+            out = AggCall("count", (Star(),), distinct=False)
+            return _apply_agg_filter(out, fcond) if fcond is not None else out
         if name == "count_if":
             # count_if(p) ≡ count(CASE WHEN p THEN 1 END): counts TRUE rows
             # (NULL/FALSE uncounted), 0 on empty input — rides the existing
-            # mergeable count state. A FILTER clause ANDs into the same CASE.
+            # mergeable count state. A FILTER clause wraps the same CASE
+            # (nested CASE ≡ AND: NULL/FALSE either way is uncounted).
             if len(args) != 1:
                 raise Unsupported("count_if arity")
-            p = args[0] if fcond is None else BinOp("and", fcond, args[0])
-            return AggCall(
+            out = AggCall(
                 "count",
-                (Case(whens=((p, Lit(1)),)),),
+                (Case(whens=((args[0], Lit(1)),)),),
                 distinct=False,
             )
+            return _apply_agg_filter(out, fcond) if fcond is not None else out
         if name in AGG_FUNCTIONS:
-            if fcond is not None:
-                # agg(x) FILTER (WHERE c) ≡ agg(CASE WHEN c THEN x END) for
-                # every null-IGNORING aggregate — the CASE yields NULL on
-                # excluded rows, which the aggregate then skips, so the
-                # rewrite rides the existing mergeable states unchanged.
-                # Pair aggregates (corr, min_by/max_by, …) wrap EVERY
-                # argument: leaving the ordering key live would let an
-                # excluded row win the argmin/argmax with a NULL value.
-                # Parameter positions (percentile fraction, string_agg
-                # separator, approx accuracy) must stay literal, so
-                # single-value aggregates wrap only arg0. first/last refuse:
-                # the session's rewrite orders them by a DEFAULT temporal
-                # key the filter can't null out.
-                if name in ("first", "last", "arbitrary"):
-                    raise Unsupported(f"FILTER on {name}")
-                wrap_all = name in (
-                    "corr", "covar_samp", "covar_pop",
-                    "min_by", "max_by", "arg_min", "arg_max",
-                )
-
-                def _w(a):
-                    return Case(whens=((fcond, a),))
-
-                if not args:
-                    raise Unsupported(f"FILTER on zero-argument {name}")
-                if wrap_all:
-                    args = tuple(_w(a) for a in args)
-                else:
-                    args = (_w(args[0]),) + args[1:]
             ob = node.get("order_bys") or {}
             if ob.get("orders"):
                 # ordered aggregate — array_agg(x ORDER BY y),
@@ -317,7 +323,8 @@ def _expr(node: Dict[str, Any]) -> Expr:
                   # approx_quantile) — one sketch entry serves all three
                   "percentile_approx": "approx_percentile",
                   "approx_quantile": "approx_percentile"}.get(name, name)
-            return AggCall(fn, args, distinct=bool(node.get("distinct")))
+            out = AggCall(fn, args, distinct=bool(node.get("distinct")))
+            return _apply_agg_filter(out, fcond) if fcond is not None else out
         return Func(name, args)
 
     if cls == "WINDOW":
@@ -972,6 +979,257 @@ def parse_agg_query(sql: str) -> AggSpec:
     return spec
 
 
+def _lower_pivot(node: Dict[str, Any]):
+    """``SELECT * FROM (<projection>) PIVOT (agg [AS a], … FOR col IN
+    (v1 [AS n1], …)) [ORDER BY] [LIMIT]`` — rewritten to the equivalent
+    grouped CASE aggregation over the source, so the pivot rides the
+    existing mergeable states (one cell per (IN value, aggregate), each an
+    ``agg FILTER (WHERE col = v)`` via :func:`_apply_agg_filter`).
+
+    Naming matches Spark's PIVOT output exactly: implicit group keys =
+    source columns neither pivoted nor consumed by an aggregate; a single
+    aggregate names cells by the IN value alone (its alias is ignored,
+    Spark behavior); multiple aggregates name ``{value}_{alias}`` and
+    require aliases. Count-family cells get a presence guard
+    (``CASE WHEN count(matching) > 0 THEN …``): Spark's pivot yields NULL
+    for a missing (group, value) combination where the plain CASE rewrite
+    would say 0.
+
+    Supported: one pivot column (a bare source column), scalar string/int
+    IN values, a single-base-table projection source with no grouping or
+    modifiers. Everything else (UNPIVOT, multi-column pivots, star
+    entries, derived sources) stays passthrough — Spark runs them
+    natively."""
+    from .ir import AggSpec
+
+    sel_list = node.get("select_list", [])
+    if not (
+        len(sel_list) == 1
+        and sel_list[0].get("class") == "STAR"
+        and not sel_list[0].get("expr")
+        and not sel_list[0].get("exclude_list")
+        and not sel_list[0].get("replace_list")
+    ):
+        raise Unsupported("PIVOT outer must be SELECT *")
+    if (
+        node.get("where_clause") is not None
+        or node.get("having") is not None
+        or node.get("qualify") is not None
+        or node.get("group_expressions")
+        or node.get("sample")
+    ):
+        raise Unsupported("clauses on the PIVOT outer")
+
+    pv = node["from_table"]
+    if (
+        pv.get("unpivot_names")
+        or pv.get("include_nulls")
+        or pv.get("groups")
+        or pv.get("sample")
+    ):
+        raise Unsupported("UNPIVOT / PIVOT extras")
+    pivots = pv.get("pivots") or []
+    if len(pivots) != 1:
+        raise Unsupported("multi-column PIVOT")
+    p0 = pivots[0]
+    if p0.get("unpivot_names"):
+        raise Unsupported("UNPIVOT")
+    pexprs = p0.get("pivot_expressions") or []
+    if len(pexprs) != 1:
+        raise Unsupported("compound pivot expression")
+    pcol = _expr(pexprs[0])
+    if not isinstance(pcol, Col):
+        raise Unsupported("pivot expression must be a column")
+
+    entries: List[Tuple[str, Lit]] = []
+    for ent in p0.get("entries") or []:
+        if ent.get("star_expr") is not None or len(ent.get("values") or []) != 1:
+            raise Unsupported("PIVOT entry shape")
+        lit = _const_value({"value": ent["values"][0]})
+        if (
+            lit.value is None
+            or isinstance(lit.value, bool)
+            or not isinstance(lit.value, (str, int))
+        ):
+            raise Unsupported("PIVOT entry value must be a string/int literal")
+        entries.append((ent.get("alias") or str(lit.value), lit))
+    if not entries:
+        raise Unsupported("empty PIVOT IN list")
+    if len({n for n, _ in entries}) != len(entries):
+        raise Unsupported("duplicate PIVOT entry names")
+
+    aggs: List[Tuple[str, Expr]] = []
+    for a in pv.get("aggregates") or []:
+        e = _expr(a)
+        if (
+            not _contains_agg(e)
+            or _contains_window(e)
+            or _contains_scalar_subq(e)
+        ):
+            raise Unsupported("PIVOT aggregate shape")
+        # every column ref must sit INSIDE an aggregate (Spark requires
+        # it too — a bare column here would be an unaggregated output)
+        inside: set = set()
+        for n in e.walk():
+            if isinstance(n, AggCall):
+                for m in n.walk():
+                    if isinstance(m, Col):
+                        inside.add(id(m))
+        for n in e.walk():
+            if isinstance(n, Col) and id(n) not in inside:
+                raise Unsupported("non-aggregated column in PIVOT aggregate")
+        aggs.append((a.get("alias") or "", e))
+    if not aggs:
+        raise Unsupported("PIVOT without aggregates")
+    if len(aggs) > 1 and any(not al for al, _ in aggs):
+        raise Unsupported("multi-aggregate PIVOT needs aliases")
+
+    src = pv.get("source") or {}
+    if src.get("type") != "SUBQUERY":
+        raise Unsupported("PIVOT source must be a derived projection")
+    sub = src["subquery"]["node"]
+    if sub.get("type") != "SELECT_NODE":
+        raise Unsupported("PIVOT source shape")
+    if (
+        sub.get("modifiers")
+        or sub.get("group_expressions")
+        or sub.get("group_sets")
+        or sub.get("having") is not None
+        or sub.get("qualify") is not None
+        or sub.get("sample")
+        or (sub.get("cte_map", {}) or {}).get("map")
+    ):
+        raise Unsupported("PIVOT source with modifiers/grouping")
+    ft = sub.get("from_table") or {}
+    if ft.get("type") != "BASE_TABLE" or ft.get("schema_name") or ft.get("sample"):
+        raise Unsupported("PIVOT source must scan one base table")
+    table = ft["table_name"]
+
+    items: List[Tuple[str, Expr]] = []
+    for i, s in enumerate(sub.get("select_list") or []):
+        if s.get("class") == "STAR":
+            raise Unsupported("PIVOT source SELECT *")
+        e = _expr(s)
+        alias = s.get("alias") or (e.name if isinstance(e, Col) else f"col{i}")
+        if alias.startswith("__qc"):
+            raise Unsupported(f"alias {alias} uses reserved __qc prefix")
+        if _contains_agg(e) or _contains_window(e) or _contains_scalar_subq(e):
+            raise Unsupported("PIVOT source item shape")
+        items.append((alias, e))
+    _reject_volatile_items([e for _, e in items], "PIVOT source items")
+    by_name = dict(items)
+    if len(by_name) != len(items):
+        raise Unsupported("duplicate source projection names")
+    if pcol.name not in by_name:
+        raise Unsupported("pivot column not in the source projection")
+    pivot_expr = by_name[pcol.name]
+
+    # inline source expressions into the aggregate args (the AggSpec reads
+    # the base table directly) and track which source columns an aggregate
+    # consumes — those are excluded from the implicit group keys
+    consumed: set = set()
+
+    def _inline(n):
+        if isinstance(n, Col):
+            if n.name not in by_name:
+                raise Unsupported(
+                    f"PIVOT aggregate references unknown column {n.name}"
+                )
+            consumed.add(n.name)
+            return by_name[n.name]
+        return n
+
+    from .ir import transform as _transform
+
+    # inline source projections into the cell expressions (every Col is
+    # inside an aggregate — validated above — so a blanket inline is exact)
+    aggs2: List[Tuple[str, Expr]] = []
+    for al, e in aggs:
+        aggs2.append((al, _transform(e, _inline)))
+
+    group_items = [
+        SelectItem(n, e)
+        for n, e in items
+        if n != pcol.name and n not in consumed
+    ]
+
+    count_family = {"count", "approx_count_distinct"}
+    agg_items: List[SelectItem] = []
+    for vname, lit in entries:
+        cond = BinOp("=", pivot_expr, lit)
+
+        def _wrap(n):
+            return (
+                _apply_agg_filter(n, cond) if isinstance(n, AggCall) else n
+            )
+
+        for al, e in aggs2:
+            cell: Expr = _transform(e, _wrap)
+            if any(
+                isinstance(n, AggCall) and n.fn.lower() in count_family
+                for n in e.walk()
+            ):
+                # Spark pivot: a missing (group, value) combination is
+                # NULL, while count over the CASE says 0 — guard on the
+                # matching-row count (same count state, deduped)
+                presence = AggCall(
+                    "count", (Case(whens=((cond, Lit(1)),)),), False
+                )
+                cell = Case(whens=((BinOp(">", presence, Lit(0)), cell),))
+            name = vname if len(aggs2) == 1 else f"{vname}_{al}"
+            agg_items.append(SelectItem(name, cell))
+    if len({i.name for i in agg_items}) != len(agg_items):
+        raise Unsupported("duplicate PIVOT output names")
+
+    # outer modifiers: ORDER BY / LIMIT / OFFSET replay post-finalize
+    order_by: List[OrderItem] = []
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    for mod in node.get("modifiers", []):
+        mt = mod.get("type")
+        if mt == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                desc = o.get("type") == "DESCENDING"
+                nf = None
+                no = o.get("null_order")
+                if no == "NULLS_FIRST":
+                    nf = True
+                elif no == "NULLS_LAST":
+                    nf = False
+                order_by.append(OrderItem(_expr(o["expression"]), desc, nf))
+        elif mt == "LIMIT_MODIFIER":
+            lim = mod.get("limit")
+            if lim is not None:
+                lv = _expr(lim)
+                if not isinstance(lv, Lit) or not isinstance(lv.value, int):
+                    raise Unsupported("non-literal limit")
+                limit = lv.value
+            if mod.get("offset") is not None:
+                ov = _expr(mod["offset"])
+                if not isinstance(ov, Lit) or not isinstance(ov.value, int):
+                    raise Unsupported("non-literal offset")
+                offset = ov.value
+        else:
+            raise Unsupported(f"PIVOT outer modifier {mt}")
+
+    where = sub.get("where_clause")
+    return AggSpec(
+        table=table,
+        tables=(table,),
+        join_steps=(),
+        predicate=_expr(where) if where is not None else None,
+        group_by=tuple(group_items),
+        aggregates=tuple(agg_items),
+        select_order=tuple(
+            [g.name for g in group_items] + [i.name for i in agg_items]
+        ),
+        order_by=tuple(order_by),
+        limit=limit,
+        offset=offset,
+        having=None,
+    )
+
+
 def parse_query(sql: str):
     """Parse ``sql`` into an :class:`AggSpec`, :class:`FilterSpec`, or
     :class:`SubquerySpec`.
@@ -1005,6 +1263,8 @@ def _lower_select(node: Dict[str, Any]):
         return _lower_cte(node, ctes)
 
     ft0 = node.get("from_table") or {}
+    if ft0.get("type") == "PIVOT" and not ft0.get("unpivot_names"):
+        return _lower_pivot(node)
     if ft0.get("type") == "SUBQUERY":
         return _lower_subquery(node)
     if ft0.get("type") == "JOIN":

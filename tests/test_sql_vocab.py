@@ -309,3 +309,71 @@ def test_group_by_all_cached(spark, qc_mem):
     qc_mem.sql(sql.replace("GROUP BY ALL", "GROUP BY 1, 2")).collect()
     assert qc_mem.last_decision.cache_hit
     assert qc_mem.last_decision.fingerprint == fp
+
+
+# -- PIVOT (r12) -------------------------------------------------------------
+
+
+def test_pivot_cached_multi_agg(spark, qc_mem):
+    """SELECT * FROM (...) PIVOT (...) rewritten to the grouped CASE
+    aggregation: Spark-exact column naming ({value}_{alias} for multi-agg,
+    value alias honored), incrementally exact."""
+    sql = (
+        "SELECT * FROM (SELECT event_type, CAST(date_trunc('day', ts) AS "
+        "DATE) AS dd, value FROM events) "
+        "PIVOT (count(*) AS n, round(sum(value), 2) AS s "
+        "FOR event_type IN ('click', 'view' AS vw)) ORDER BY dd"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    pl = spark.sql(sql)
+    assert out.columns == pl.columns == [
+        "dd", "click_n", "click_s", "vw_n", "vw_s"
+    ]
+    assert rows_set(out) == rows_set(pl)
+
+
+def test_pivot_missing_combo_is_null(spark, qc_mem):
+    """Spark pivot yields NULL for a missing (group, value) combination —
+    the count cells carry a presence guard (plain CASE would say 0).
+    Synthetic view with a known-missing (b, 'y') combo."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            ("a", "x", dt.datetime(2024, 1, 1)),
+            ("a", "y", dt.datetime(2024, 1, 2)),
+            ("b", "x", dt.datetime(2024, 1, 3)),
+        ],
+        "g string, p string, ts timestamp",
+    ).createOrReplaceTempView("qc_pivot_null")
+    sql = (
+        "SELECT * FROM (SELECT g, p FROM qc_pivot_null) "
+        "PIVOT (count(*) FOR p IN ('x', 'y')) ORDER BY g"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    got = [tuple(r) for r in out.collect()]
+    exp = [tuple(r) for r in spark.sql(sql).collect()]
+    assert got == exp
+    assert got == [("a", 1, 1), ("b", 1, None)]  # the guard fires
+    spark.catalog.dropTempView("qc_pivot_null")
+
+
+def test_pivot_shares_source_predicate_and_refusals(spark, qc_mem):
+    qc_mem.config.override_now_ns = None
+    # UNPIVOT stays passthrough
+    qc_mem.sql(
+        "SELECT * FROM (SELECT event_type, count(*) AS a, count(value) AS b "
+        "FROM events GROUP BY 1) UNPIVOT (v FOR k IN (a, b))"
+    ).collect()
+    assert not qc_mem.last_decision.cached
+    # multi-agg without aliases refuses (Spark generates opaque names)
+    try:
+        qc_mem.sql(
+            "SELECT * FROM (SELECT event_type, value FROM events) "
+            "PIVOT (count(*), sum(value) FOR event_type IN ('click'))"
+        ).collect()
+    except Exception:
+        pass
+    assert not qc_mem.last_decision.cached
