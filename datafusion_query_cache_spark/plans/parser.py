@@ -1230,6 +1230,134 @@ def _lower_pivot(node: Dict[str, Any]):
     )
 
 
+def _lower_unpivot(node: Dict[str, Any]):
+    """``SELECT * FROM (<cacheable>) UNPIVOT [INCLUDE NULLS] (v FOR k IN
+    (c1 [AS n1], …)) [ORDER BY] [LIMIT]`` — the melt: lowered to a UNION
+    ALL of one SubquerySpec branch per unpivoted column
+    (``SELECT <kept>, '<name>' AS k, <ci> AS v FROM (inner) [WHERE ci IS
+    NOT NULL]``), all branches sharing the ONE cached inner entry (branch
+    2+ is a cache hit). Spark semantics pinned: kept columns keep source
+    order then k then v; NULL cells drop unless INCLUDE NULLS; entry
+    aliases rename the key value. Mixed-type value columns may fail the
+    positional union at plan time — the session degrades those to
+    passthrough, where Spark's native UNPIVOT applies its own coercion."""
+    from .ir import UnionSpec
+
+    sel_list = node.get("select_list", [])
+    if not (
+        len(sel_list) == 1
+        and sel_list[0].get("class") == "STAR"
+        and not sel_list[0].get("expr")
+        and not sel_list[0].get("exclude_list")
+        and not sel_list[0].get("replace_list")
+    ):
+        raise Unsupported("UNPIVOT outer must be SELECT *")
+    if (
+        node.get("where_clause") is not None
+        or node.get("having") is not None
+        or node.get("qualify") is not None
+        or node.get("group_expressions")
+        or node.get("sample")
+    ):
+        raise Unsupported("clauses on the UNPIVOT outer")
+
+    pv = node["from_table"]
+    if pv.get("groups") or pv.get("sample") or pv.get("aggregates"):
+        raise Unsupported("UNPIVOT extras")
+    vnames = pv.get("unpivot_names") or []
+    pivots = pv.get("pivots") or []
+    if len(vnames) != 1 or len(pivots) != 1:
+        raise Unsupported("multi-column UNPIVOT")
+    p0 = pivots[0]
+    knames = p0.get("unpivot_names") or []
+    if len(knames) != 1 or p0.get("pivot_expressions"):
+        raise Unsupported("UNPIVOT key shape")
+    vcol, kcol = vnames[0], knames[0]
+    cols: List[Tuple[str, str]] = []  # (source column, key value)
+    for ent in p0.get("entries") or []:
+        if ent.get("star_expr") is not None or len(ent.get("values") or []) != 1:
+            raise Unsupported("UNPIVOT entry shape")
+        lit = _const_value({"value": ent["values"][0]})
+        if not isinstance(lit.value, str):
+            raise Unsupported("UNPIVOT entry must name a column")
+        cols.append((lit.value, ent.get("alias") or lit.value))
+    if not cols:
+        raise Unsupported("empty UNPIVOT IN list")
+
+    src = pv.get("source") or {}
+    if src.get("type") != "SUBQUERY":
+        raise Unsupported("UNPIVOT source must be a derived table")
+    inner = _lower_select(src["subquery"]["node"])
+    if _spec_has_scalar_subq(inner):
+        raise Unsupported("subquery inside an UNPIVOT source")
+    names = _branch_names(inner)
+    unpivoted = {c for c, _ in cols}
+    missing = unpivoted - set(names)
+    if missing:
+        raise Unsupported(f"UNPIVOT of unknown columns {sorted(missing)}")
+    kept = [n for n in names if n not in unpivoted]
+    if kcol in kept or vcol in kept:
+        raise Unsupported("UNPIVOT key/value name collides with a kept column")
+
+    include_nulls = bool(pv.get("include_nulls"))
+    from .ir import SubquerySpec as _SubquerySpec
+
+    branches = []
+    for cname, kval in cols:
+        branches.append(
+            _SubquerySpec(
+                inner=inner,
+                items=tuple(
+                    [SelectItem(n, Col(n)) for n in kept]
+                    + [
+                        SelectItem(kcol, Lit(kval, "VARCHAR")),
+                        SelectItem(vcol, Col(cname)),
+                    ]
+                ),
+                predicate=(
+                    None
+                    if include_nulls
+                    else IsNull(Col(cname), negated=True)
+                ),
+            )
+        )
+
+    # outer modifiers: ORDER BY / LIMIT (UnionSpec has no offset slot)
+    order_by: List[OrderItem] = []
+    limit: Optional[int] = None
+    for mod in node.get("modifiers", []):
+        mt = mod.get("type")
+        if mt == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                desc = o.get("type") == "DESCENDING"
+                nf = None
+                no = o.get("null_order")
+                if no == "NULLS_FIRST":
+                    nf = True
+                elif no == "NULLS_LAST":
+                    nf = False
+                order_by.append(OrderItem(_expr(o["expression"]), desc, nf))
+        elif mt == "LIMIT_MODIFIER":
+            lim = mod.get("limit")
+            if lim is not None:
+                lv = _expr(lim)
+                if not isinstance(lv, Lit) or not isinstance(lv.value, int):
+                    raise Unsupported("non-literal limit")
+                limit = lv.value
+            if mod.get("offset") is not None:
+                raise Unsupported("OFFSET on UNPIVOT")
+        else:
+            raise Unsupported(f"UNPIVOT outer modifier {mt}")
+
+    return UnionSpec(
+        branches=tuple(branches),
+        all=True,
+        order_by=tuple(order_by),
+        limit=limit,
+        op="union",
+    )
+
+
 def parse_query(sql: str):
     """Parse ``sql`` into an :class:`AggSpec`, :class:`FilterSpec`, or
     :class:`SubquerySpec`.
@@ -1263,7 +1391,9 @@ def _lower_select(node: Dict[str, Any]):
         return _lower_cte(node, ctes)
 
     ft0 = node.get("from_table") or {}
-    if ft0.get("type") == "PIVOT" and not ft0.get("unpivot_names"):
+    if ft0.get("type") == "PIVOT":
+        if ft0.get("unpivot_names"):
+            return _lower_unpivot(node)
         return _lower_pivot(node)
     if ft0.get("type") == "SUBQUERY":
         return _lower_subquery(node)

@@ -362,12 +362,6 @@ def test_pivot_missing_combo_is_null(spark, qc_mem):
 
 def test_pivot_shares_source_predicate_and_refusals(spark, qc_mem):
     qc_mem.config.override_now_ns = None
-    # UNPIVOT stays passthrough
-    qc_mem.sql(
-        "SELECT * FROM (SELECT event_type, count(*) AS a, count(value) AS b "
-        "FROM events GROUP BY 1) UNPIVOT (v FOR k IN (a, b))"
-    ).collect()
-    assert not qc_mem.last_decision.cached
     # multi-agg without aliases refuses (Spark generates opaque names)
     try:
         qc_mem.sql(
@@ -377,3 +371,40 @@ def test_pivot_shares_source_predicate_and_refusals(spark, qc_mem):
     except Exception:
         pass
     assert not qc_mem.last_decision.cached
+
+
+# -- UNPIVOT (r12) -----------------------------------------------------------
+
+
+def test_unpivot_cached_over_shared_inner(spark, qc_mem):
+    """UNPIVOT over a derived aggregate: lowered to a UNION ALL of branches
+    sharing ONE cached inner entry — NULL cells dropped (Spark default),
+    entry aliases rename the key value, kept columns keep source order."""
+    sql = (
+        "SELECT * FROM (SELECT event_type, count(*) AS a, count(value) AS b "
+        "FROM events GROUP BY 1) UNPIVOT (v FOR k IN (a, b AS bee)) "
+        "ORDER BY event_type, k"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert "union of 2 cached branches" in qc_mem.last_decision.reason
+    pl = spark.sql(sql)
+    assert out.columns == pl.columns == ["event_type", "k", "v"]
+    assert rows_set(out) == rows_set(pl)
+
+
+def test_unpivot_null_semantics(spark, qc_mem):
+    """Default drops NULL cells; INCLUDE NULLS keeps them — both exact."""
+    qc_mem.config.override_now_ns = None
+    base = (
+        "SELECT * FROM (SELECT event_type, "
+        "round(sum(value) FILTER (WHERE value > 1e9), 2) AS hi, "
+        "round(sum(value), 2) AS all_v FROM events GROUP BY 1) "
+        "UNPIVOT {inc}(amount FOR bucket IN (hi, all_v)) "
+        "ORDER BY event_type, bucket"
+    )
+    for inc, n_exp in (("", 5), ("INCLUDE NULLS ", 10)):
+        sql = base.format(inc=inc)
+        out = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert rows_set(out) == rows_set(spark.sql(sql))
+        assert out.count() == n_exp
