@@ -108,9 +108,13 @@ _QC_SQLS = {
     # plain-column + temporal bucket group-by
     # CAST(... AS DATE): DuckDB's date_trunc('day') yields DATE while
     # Spark's yields TIMESTAMP — the cast makes both engines emit DATE.
+    # r12 adds a FILTER (WHERE …) aggregate (rewritten onto the count
+    # state via agg(CASE WHEN c THEN x END)) — the conditional-agg
+    # dashboard shape, identical syntax in both engines.
     "qc_type_daily": (
         "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
         "round(sum(value), 2) AS s, "
+        "count(*) FILTER (WHERE value > 50) AS big, "
         "count(value) AS c FROM {v} GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     # EXACT median + p90/p10 via ONE mergeable RLE-histogram state
