@@ -664,15 +664,16 @@ def main() -> None:
     # would collapse every replica onto one key), past DRIVER_COLLECT_MAX_ROWS: the store-back takes the r12
     # partitionBy(day) distributed write (one task per live day instead of
     # a single-task coalesce(1)), and the dyn warm read serves full buckets
-    # from state with the day bound PRUNED to bucket directories: the
-    # 5-day window reads ~4 of ~30 day dirs — the read is O(window), not
-    # O(history), exactly the 100 TB payoff of the layout. Top-100 keeps
-    # the collect O(1) so the timing measures the refresh + pruned merge,
-    # not driver row transfer.
+    # from state with the day bound PRUNED to bucket directories. The
+    # 25-day window is the structural case: plain rescans ~80M source
+    # rows per run while the warm refresh reads ~625k pruned STATE rows
+    # + the fresh tail + one boundary day — the gap grows with both the
+    # window and the history. Top-100 keeps the collect O(1) so the
+    # timing measures the refresh + pruned merge, not driver transfer.
     HC_SQL = (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, "
         "event_id % 24989 AS k, count(*) AS n FROM events_x1000 "
-        "WHERE ts > now() - INTERVAL 5 DAY GROUP BY 1, 2 "
+        "WHERE ts > now() - INTERVAL 25 DAY GROUP BY 1, 2 "
         "ORDER BY n DESC, dd, k LIMIT 100"
     )
 
@@ -700,7 +701,7 @@ def main() -> None:
 
     def hicard_plain_sql(now_ns: int) -> str:
         lo = dt.datetime(1970, 1, 1) + dt.timedelta(
-            microseconds=(now_ns - 5 * DAY_NS_) // 1000
+            microseconds=(now_ns - 25 * DAY_NS_) // 1000
         )
         return (
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS dd, "
