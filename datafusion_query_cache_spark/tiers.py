@@ -611,9 +611,19 @@ class RefreshTiers:
             if "__QC_LO_D__" in sql:
                 import datetime as _dt
 
+                # ±1-day widening: these dates derive from the instant in
+                # naive UTC while the partition column's dates were
+                # materialized in SOME session timezone (possibly a
+                # different one) — any fixed-offset skew moves a date by at
+                # most one day, so the widened bounds never exclude a
+                # qualifying partition (pruning is an optimization; the
+                # exact ts bounds still filter rows). Found live: a
+                # Chicago-tz session over a UTC-built partition layout
+                # dropped a boundary-bucket row (r12 vanilla fuzz).
                 epoch = _dt.datetime(1970, 1, 1)
-                lo_d = (epoch + _dt.timedelta(microseconds=wm_ns // 1000)).date()
-                hi_d = (epoch + _dt.timedelta(microseconds=now_ns // 1000)).date()
+                one = _dt.timedelta(days=1)
+                lo_d = (epoch + _dt.timedelta(microseconds=wm_ns // 1000)).date() - one
+                hi_d = (epoch + _dt.timedelta(microseconds=now_ns // 1000)).date() + one
                 sql = sql.replace("__QC_LO_D__", lo_d.isoformat())
                 sql = sql.replace("__QC_HI_D__", hi_d.isoformat())
             sql = self._bind_state_source(tpl, entry, cached_state, sql)
@@ -715,9 +725,14 @@ class RefreshTiers:
         sql = sql.replace(f"__QC_{p}LO_USC__", str(-(-lo_ns // 1000)))
         sql = sql.replace(f"__QC_{p}HI_USC__", str(-(-hi_ns // 1000)))
         if f"__QC_{p}LO_D__" in sql:
+            # ±1-day widening: UTC-naive dates vs a partition column whose
+            # dates were materialized in SOME session tz — skew moves a
+            # date by at most one day, so widened bounds never exclude a
+            # qualifying partition (the exact ts bounds still filter rows)
             epoch = _dt.datetime(1970, 1, 1)
-            lo_d = (epoch + _dt.timedelta(microseconds=lo_ns // 1000)).date()
-            hi_d = (epoch + _dt.timedelta(microseconds=hi_ns // 1000)).date()
+            one = _dt.timedelta(days=1)
+            lo_d = (epoch + _dt.timedelta(microseconds=lo_ns // 1000)).date() - one
+            hi_d = (epoch + _dt.timedelta(microseconds=hi_ns // 1000)).date() + one
             sql = sql.replace(f"__QC_{p}LO_D__", lo_d.isoformat())
             sql = sql.replace(f"__QC_{p}HI_D__", hi_d.isoformat())
         return sql
@@ -894,11 +909,17 @@ class RefreshTiers:
         if part_col:
             # partition-pruning disjunct: each range's date bounds, OR'd —
             # all leaves are plain comparisons, so the OR stays prunable
+            # boundary-leg dates: session-tz CASTs, still widened ±1 day —
+            # the partition column's dates may have been materialized under
+            # a DIFFERENT session timezone than this query's (found live:
+            # a Chicago session over a UTC-built layout dropped a
+            # boundary-bucket row, r12 vanilla fuzz); the exact ts bounds
+            # still filter rows, so widening only costs ≤2 extra partitions
             inner_conds.append(
                 f"(({q(part_col)} >= DATE'__QC_FLO_D__' AND "
                 f"{q(part_col)} <= DATE'__QC_FHI_D__') OR "
-                f"({q(part_col)} >= CAST({low_ts} AS DATE) AND "
-                f"{q(part_col)} <= CAST(timestamp_micros({bhi_us}) AS DATE)))"
+                f"({q(part_col)} >= date_sub(CAST({low_ts} AS DATE), 1) AND "
+                f"{q(part_col)} <= date_add(CAST(timestamp_micros({bhi_us}) AS DATE), 1)))"
             )
         qif, qib = q("__qc_if"), q("__qc_ib")
         inner_sql = (

@@ -179,3 +179,29 @@ def test_dyn_lite_pushes_or_of_ranges(spark, tmp_path):
     assert ors, f"OR-of-ranges not pushed to any scan: {pushed}"
     # the pushed-filter print truncates; the Or-of-And on ts is the pin
     assert any("Or(And(" in s and "ts" in s for s in ors), ors
+
+
+def test_template_date_bounds_survive_tz_skew(spark, tmp_path):
+    """r12 vanilla-fuzz find: the dyn template's partition-date pruning
+    bounds derived dates in naive UTC (tokens) / the current session tz
+    (boundary-leg CASTs), but a partition layout may have been
+    materialized under a DIFFERENT session timezone — a Chicago-tz
+    session over this repo's UTC-built date partitions dropped a
+    boundary-bucket row (silent undercount). All date bounds are now
+    widened ±1 day, which is sound under any fixed-offset skew; the
+    exact ts bounds still filter rows. This test mirrors the failing
+    scenario inside the UTC session by checking the rendered SQL bounds
+    directly."""
+    from datafusion_query_cache_spark.tiers import RefreshTiers
+
+    sub = RefreshTiers._sub_time_tokens  # staticmethod
+    # 2024-01-28 05:26 UTC .. 2024-01-30 00:00 UTC
+    lo_ns = 1706419576320708000
+    hi_ns = 1706572800000000000
+    sql = sub(
+        "d >= DATE'__QC_FLO_D__' AND d <= DATE'__QC_FHI_D__'",
+        "F", lo_ns, hi_ns,
+    )
+    # UTC dates are Jan 28 / Jan 30; the widened bounds must be Jan 27 /
+    # Jan 31 so a session-tz date one day behind/ahead is never pruned
+    assert "DATE'2024-01-27'" in sql and "DATE'2024-01-31'" in sql, sql
