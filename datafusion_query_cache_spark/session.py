@@ -194,6 +194,18 @@ class CachedSparkSession(RefreshTiers):
 
     _RESULT_MEMO_MAX = 128
 
+    def _session_tz(self) -> str:
+        """The session timezone, part of every fingerprint: bucket values
+        (date_trunc/to_date) are tz-dependent, so two sessions with
+        different ``spark.sql.session.timeZone`` sharing one durable cache
+        must NOT share entries — a Chicago session hitting UTC-built state
+        silently returned UTC-bucketed answers (r12 find). Refetched per
+        plan (the conf is runtime-mutable); one tiny py4j call."""
+        try:
+            return self.spark.conf.get("spark.sql.session.timeZone") or "?"
+        except Exception:
+            return "?"
+
     def _memo_result(
         self, fingerprint: str, wm_ns: Optional[int], df: DataFrame, post=None
     ):
@@ -796,6 +808,7 @@ class CachedSparkSession(RefreshTiers):
         topk = spec.limit is not None
         fingerprint = (
             f"{spec.canon()}|ts={ts_col}|schema={base.schema.simpleString()}"
+            f"|tz={self._session_tz()}"
         )
         now_ns = self._now_ns()
         entry = cfg.cache.entry(fingerprint)
@@ -2210,6 +2223,7 @@ class CachedSparkSession(RefreshTiers):
             f"{hav}|ts={ts_col}"
             f"{'|dynamic_state=' + bucket_gran if dyn_bound is not None else ''}"
             f"|schema={base_schema.simpleString()}"
+            f"|tz={self._session_tz()}"
         )
         if apx_eps is not None and (
             "approx_percentile(" in ag + hav or "percentile_approx(" in ag + hav

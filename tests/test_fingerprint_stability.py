@@ -58,3 +58,77 @@ def test_fingerprint_normalizes_conjunct_order(spark, qc):
     qc.sql(b)
     fp_b = qc.last_decision.fingerprint
     assert fp_a == fp_b
+
+
+def test_fingerprint_includes_session_timezone(spark, tmp_path):
+    """r12 find: bucket values (date_trunc/to_date) are session-timezone
+    dependent — a Chicago session hitting UTC-built cached state silently
+    returned UTC-bucketed answers from a shared durable cache. The session
+    timezone is now part of every fingerprint: cross-tz sessions get
+    separate entries; same-tz sessions keep sharing."""
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    day = 24 * 3600 * 10**9
+    cdir = str(tmp_path / "tzshare")
+    SQL = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        qc = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(cdir),
+                default_temporal_column="ts",
+                override_now_ns=mx - 2 * day,
+            ),
+        )
+        qc.sql(SQL).collect()
+        fp_utc = qc.last_decision.fingerprint
+        assert f"|tz={tz0}" in fp_utc
+
+        spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+        qc2 = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(cdir),
+                default_temporal_column="ts",
+                override_now_ns=mx + 10**9,
+            ),
+        )
+        got = [tuple(r) for r in qc2.sql(SQL).collect()]
+        assert not qc2.last_decision.cache_hit  # separate entry, not UTC's
+        assert qc2.last_decision.fingerprint != fp_utc
+        plain = [
+            tuple(r)
+            for r in spark.sql(
+                SQL.replace(
+                    "FROM events",
+                    f"FROM events WHERE ts < "
+                    f"timestamp_micros({-(-(mx + 10**9) // 1000)})",
+                )
+            ).collect()
+        ]
+        assert got == plain  # Chicago-bucketed, not UTC-bucketed
+        # a SAME-tz session keeps sharing the (Chicago) entry
+        qc3 = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(cdir),
+                default_temporal_column="ts",
+                override_now_ns=mx + 2 * 10**9,
+            ),
+        )
+        qc3.sql(SQL).collect()
+        assert qc3.last_decision.cache_hit
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
