@@ -811,11 +811,21 @@ class _ParquetEntry(CacheEntry):
         replacing each time anyway."""
         if self._meta is None:
             return None
+        # layered state: raw path concat would double-count shadowed
+        # buckets — callers must go through get() (range-filtered union)
+        if self._meta.get("bparts"):
+            return None
         self._touch_access()
         return self._state_paths()
 
     def get_arrow(self):
         if self._meta is None:
+            return None
+        # layered (bparts) state must only ever be read through
+        # _layered_state's range-filtered union: a raw concat of layer dirs
+        # would double-count buckets shadowed by newer layers. Explicit
+        # invariant, not an assumption about the (best-effort) row count.
+        if self._meta.get("bparts"):
             return None
         rows = self._meta.get("rows")
         if rows is None or rows > self.DRIVER_COLLECT_MAX_ROWS:

@@ -20,6 +20,18 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import duckdb
 
+
+def _df_offset_available() -> bool:
+    """``DataFrame.offset`` exists from PySpark 3.5 (classic). On older
+    runtimes LIMIT … OFFSET must refuse at parse time (→ passthrough)
+    instead of raising AttributeError at finalize time."""
+    try:
+        from pyspark.sql import DataFrame as _DF
+
+        return hasattr(_DF, "offset")
+    except Exception:  # pragma: no cover - pyspark always importable here
+        return True
+
 from .ir import (
     AggCall,
     AggSpec,
@@ -1208,6 +1220,8 @@ def _lower_pivot(node: Dict[str, Any]):
                 ov = _expr(mod["offset"])
                 if not isinstance(ov, Lit) or not isinstance(ov.value, int):
                     raise Unsupported("non-literal offset")
+                if not _df_offset_available():
+                    raise Unsupported("OFFSET needs DataFrame.offset (pyspark>=3.5)")
                 offset = ov.value
         else:
             raise Unsupported(f"PIVOT outer modifier {mt}")
@@ -1492,6 +1506,8 @@ def _lower_select(node: Dict[str, Any]):
                 ov = _expr(mod["offset"])
                 if not isinstance(ov, Lit) or not isinstance(ov.value, int):
                     raise Unsupported("non-literal offset")
+                if not _df_offset_available():
+                    raise Unsupported("OFFSET needs DataFrame.offset (pyspark>=3.5)")
                 offset = ov.value
         elif mt == "DISTINCT_MODIFIER":
             if mod.get("distinct_on_targets"):

@@ -2710,7 +2710,18 @@ class CachedSparkSession(RefreshTiers):
                 cfg.cache.put_tag(
                     fingerprint,
                     "agg_spec",
-                    _json.dumps({"spec": ir_to_json(spec), "ts_col": ts_col}),
+                    _json.dumps(
+                        {
+                            "spec": ir_to_json(spec),
+                            "ts_col": ts_col,
+                            # bucket values (date_trunc) are tz-dependent:
+                            # a donor built under another session timezone
+                            # must never be re-truncated here (same class
+                            # as the r12 |tz= fingerprint fix, applied to
+                            # the coarsening-donor path)
+                            "tz": self._session_tz(),
+                        }
+                    ),
                 )
             except Exception:
                 pass
@@ -3247,9 +3258,16 @@ class CachedSparkSession(RefreshTiers):
                 data = _json.loads(blob)
                 dspec = ir_from_json(data["spec"])
                 d_ts = data.get("ts_col")
+                d_tz = data.get("tz")
             except Exception:
                 continue
             if d_ts != ts_col or dspec.table != spec.table:
+                continue
+            # a donor built under a different session timezone has
+            # tz-dependent bucket values: re-truncating them here would be
+            # correct in neither timezone. Tags written before the tz field
+            # existed (d_tz None) are refused for the same reason.
+            if d_tz != self._session_tz():
                 continue
             if dspec.grouping_sets:
                 continue

@@ -121,3 +121,93 @@ def test_coarsen_donor_with_data_watermark_mode(spark, tmp_path):
     # and the stored watermark is data-derived (max+1), not the far clock
     ent = cfg.cache.entry(d.fingerprint)
     assert cut < ent.watermark_ns < far_future
+
+
+def test_donor_refused_across_session_timezones(spark, tmp_path):
+    """A finer-bucket donor built under a DIFFERENT session timezone must
+    be refused: bucket values are tz-dependent, so re-truncating UTC-built
+    hour starts in a Chicago session yields buckets correct in neither tz
+    (the r12 |tz= fingerprint fix, applied to the coarsening-donor path)."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    ev = spark.table("events")
+    cut = _cut(spark)
+    cdir = str(tmp_path / "qc-cz-tz")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        qc1 = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(cdir),
+                default_temporal_column="ts",
+                override_now_ns=cut,
+            ),
+        )
+        ev.filter(F.col("ts_ns") < F.lit(cut)).createOrReplaceTempView(
+            "events_cz"
+        )
+        qc1.sql(HOURLY).collect()  # donor built in the ambient (UTC) tz
+
+        spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+        ev.createOrReplaceTempView("events_cz")
+        qc2 = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(cdir),
+                default_temporal_column="ts",
+                override_now_ns=cut + 10**18,
+            ),
+        )
+        got = qc2.sql(DAILY)
+        assert qc2.last_decision.semantic_donor is None
+        # Chicago-correct day buckets, computed from the raw table
+        assert rows_set(got) == rows_set(
+            spark.sql(DAILY.replace("events_cz", "events"))
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+        ev.createOrReplaceTempView("events_cz")
+
+
+def test_donor_shared_across_sessions_same_tz(spark, tmp_path):
+    """Positive control for the tz guard: a NEW session object sharing the
+    durable cache under the SAME timezone still gets the coarsening donor."""
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    ev = spark.table("events")
+    cut = _cut(spark)
+    cdir = str(tmp_path / "qc-cz-same")
+    qc1 = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cdir),
+            default_temporal_column="ts",
+            override_now_ns=cut,
+        ),
+    )
+    ev.filter(F.col("ts_ns") < F.lit(cut)).createOrReplaceTempView("events_cz")
+    qc1.sql(HOURLY).collect()
+
+    ev.createOrReplaceTempView("events_cz")
+    qc2 = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cdir),
+            default_temporal_column="ts",
+            override_now_ns=cut + 10**18,
+        ),
+    )
+    got = qc2.sql(DAILY)
+    d = qc2.last_decision
+    assert d.cache_hit and d.semantic_donor is not None
+    assert rows_set(got) == rows_set(
+        spark.sql(DAILY.replace("events_cz", "events"))
+    )

@@ -313,3 +313,53 @@ def test_bucket_tail_end_to_end_dyn(spark, tmp_path, monkeypatch):
 
         assert rows_set(got) == rows_set(plain), f"refresh {i}"
     assert any("bucket-tail layer" in m for m in log.messages())
+
+
+def test_layered_state_never_driver_collected(spark, tmp_path, monkeypatch):
+    """Explicit invariant (not a row-count assumption): layered (bparts)
+    state must only be readable through the range-filtered layered union —
+    get_arrow()/state_parquet_paths() raw-concat layer dirs and would
+    double-count buckets shadowed by newer layers."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-guard")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+
+    def state(mult):
+        return (
+            spark.range(2000)
+            .select(
+                F.to_timestamp(
+                    F.lit(base) + F.make_interval(days=F.col("id") % 10)
+                ).alias("b"),
+                (F.col("id") % 37).alias("k"),
+                (F.lit(mult) * (F.col("id") % 37 + 1)).alias("n"),
+            )
+            .groupBy("b", "k")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    entry.put(1, state(1), spark)
+    e2 = cache.entry("fp-guard")
+    e2.bucket_col = "b"
+    assert (
+        e2.put_bucket_tail(2, state(2), base + dt.timedelta(days=8), spark)
+        is not None
+    )
+    assert e2._meta.get("bparts")
+    # even with a tiny rows value the guards refuse driver-side raw reads
+    assert e2.get_arrow() is None
+    assert e2.state_parquet_paths() is None
+    # the layered read remains exact
+    got = {(r["b"], r["k"]): r["n"] for r in e2.get(spark).collect()}
+    lo = base + dt.timedelta(days=8)
+    exp = {
+        (r["b"], r["k"]): (2 * r["n"] if r["b"] >= lo else r["n"])
+        for r in state(1).collect()
+    }
+    assert got == exp

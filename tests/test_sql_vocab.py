@@ -408,3 +408,22 @@ def test_unpivot_null_semantics(spark, qc_mem):
         assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
         assert rows_set(out) == rows_set(spark.sql(sql))
         assert out.count() == n_exp
+
+
+def test_offset_refused_without_dataframe_offset(spark, qc_mem, monkeypatch):
+    """pyspark<3.5 has no DataFrame.offset: LIMIT … OFFSET must refuse at
+    parse time (→ passthrough, still correct) instead of raising
+    AttributeError at finalize time."""
+    import datafusion_query_cache_spark.plans.parser as parser_mod
+
+    monkeypatch.setattr(parser_mod, "_df_offset_available", lambda: False)
+    q = (
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1 LIMIT 5 OFFSET 3"
+    )
+    out = qc_mem.sql(q)
+    assert not qc_mem.last_decision.cached
+    assert "pyspark>=3.5" in qc_mem.last_decision.reason
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(q).collect()
+    ]
