@@ -716,6 +716,40 @@ def main() -> None:
         [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
     )
 
+    # --- layer-cap amortization proof: refreshes PAST the compaction cap ----
+    # BPARTS_COMPACT_AT lowered to 4 so 8 refreshes cross the cap repeatedly
+    # at bench cost (DRIVER_COLLECT_MAX_ROWS stays real — every refresh is a
+    # genuine layered big-state store over the ~775k-row x1000 state). Flat
+    # per-refresh times (max ≈ mean) prove the full-rewrite cliff is gone:
+    # at the cap the refresh pair-merges two small tail layers inline
+    # instead of rewriting the O(full state) entry inside a user query.
+    from datafusion_query_cache_spark.cache import _ParquetEntry as _PE
+
+    _cap0 = _PE.BPARTS_COMPACT_AT
+    try:
+        _PE.BPARTS_COMPACT_AT = 4
+        qcap = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-cap-")),
+                default_temporal_column="ts",
+                temporal_partition_columns={"ts": "d"},
+                override_now_ns=cut_ns,
+            ),
+        )
+        qcap.sql(HC_SQL).collect()  # populating miss at the p95 cut
+        per = []
+        span = hi_ns - cut_ns
+        for i in range(1, 9):
+            qcap.config.override_now_ns = cut_ns + i * span // 8 + 1
+            t0 = time.perf_counter()
+            qcap.sql(HC_SQL).collect()
+            per.append(time.perf_counter() - t0)
+        timings["qc_hicard_cap_mean"] = round(sum(per) / len(per), 3)
+        timings["qc_hicard_cap_max"] = round(max(per), 3)
+    finally:
+        _PE.BPARTS_COMPACT_AT = _cap0
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)

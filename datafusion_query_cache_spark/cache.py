@@ -981,8 +981,6 @@ class _ParquetEntry(CacheEntry):
             if "state" not in meta or meta.get("parts"):
                 return None  # row-set parts layout: not bucket-ranged
             old_parts, old_los = [meta["state"]], [None]
-        if len(old_parts) + 1 > self.BPARTS_COMPACT_AT:
-            return None  # compaction due: caller rewrites via put()
         # normalize the bound to the state column's type (date vs ts)
         try:
             from pyspark.sql.types import DateType, StructType, TimestampType
@@ -1006,6 +1004,31 @@ class _ParquetEntry(CacheEntry):
             return None
         except Exception:
             return None
+        lo_iso = (
+            lo_value.isoformat(sep=" ")
+            if isinstance(lo_value, _dt.datetime)
+            else lo_value.isoformat()
+        )
+        # drop layers fully shadowed by the new bound (their whole range
+        # is >= lo; metadata-only, BEFORE the cap decision); cap the rest
+        # at lo implicitly via layer ordering
+        surv: List[Tuple[str, Optional[str]]] = []
+        dropped: List[str] = []
+        for p, l in zip(old_parts, old_los):
+            if l is not None and self._bucket_lo_value(l) >= lo_value:
+                dropped.append(p)
+                continue
+            surv.append((p, l))
+        # amortized compaction: at the layer cap, fold ONE adjacent pair of
+        # tail layers into a single ranged layer inside this refresh —
+        # bounded extra work instead of the r12 full-rewrite cliff (the
+        # 16th refresh paid an O(full state) put() inline in a user query)
+        if len(surv) + 1 > self.BPARTS_COMPACT_AT:
+            folded = self._merge_layer_pair(surv, lo_iso, bcol, spark)
+            if folded is None:
+                return None  # no mergeable pair: caller's full put compacts
+            surv, merged_away = folded
+            dropped.extend(merged_away)
         os.makedirs(self._dir, exist_ok=True)
         txid = f"bpart-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
@@ -1016,22 +1039,8 @@ class _ParquetEntry(CacheEntry):
             .partitionBy(bcol)
             .parquet(path)
         )
-        lo_iso = (
-            lo_value.isoformat(sep=" ")
-            if isinstance(lo_value, _dt.datetime)
-            else lo_value.isoformat()
-        )
-        # drop layers fully shadowed by the new bound (their whole range
-        # is >= lo); cap the rest at lo implicitly via layer ordering
-        parts: List[str] = []
-        los: List[Optional[str]] = []
-        dropped: List[str] = []
-        for p, l in zip(old_parts, old_los):
-            if l is not None and self._bucket_lo_value(l) >= lo_value:
-                dropped.append(p)
-                continue
-            parts.append(p)
-            los.append(l)
+        parts: List[str] = [p for p, _ in surv]
+        los: List[Optional[str]] = [l for _, l in surv]
         parts.append(txid)
         los.append(lo_iso)
         # live row count: per-layer footer counts restricted to each
@@ -1043,42 +1052,10 @@ class _ParquetEntry(CacheEntry):
         # Falls back to the previous count on any surprise.
         n_rows: Optional[int] = prev_rows
         try:
-            import pyarrow.dataset as _ds
-            import pyarrow.compute as _pc
-            import pyarrow as _pa
-
             total = 0
             for i, p in enumerate(parts):
-                try:
-                    dset = _ds.dataset(
-                        os.path.join(self._dir, p),
-                        format="parquet",
-                        partitioning="hive",
-                        ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
-                    )
-                    dset.schema.field(bcol)
-                except Exception:
-                    dset = _ds.dataset(
-                        os.path.join(self._dir, p),
-                        format="parquet",
-                        ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
-                    )
-                as_str = _pa.types.is_string(dset.schema.field(bcol).type)
-
-                def bound(iso):
-                    return iso if as_str else self._bucket_lo_value(iso)
-
-                flt = None
-                lo_i = bound(los[i]) if los[i] is not None else None
-                hi_i = (
-                    bound(los[i + 1]) if i + 1 < len(los) else None
-                )
-                if lo_i is not None:
-                    flt = _pc.field(bcol) >= lo_i
-                if hi_i is not None:
-                    c = _pc.field(bcol) < hi_i
-                    flt = c if flt is None else (flt & c)
-                total += dset.count_rows(filter=flt)
+                hi_i = los[i + 1] if i + 1 < len(los) else None
+                total += self._layer_count(p, bcol, los[i], hi_i)
             n_rows = total
         except Exception:
             pass
@@ -1100,6 +1077,114 @@ class _ParquetEntry(CacheEntry):
         for p in dropped:
             shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
         return self.get(spark)
+
+    def _layer_count(self, part: str, bcol: str, lo_iso, hi_iso) -> int:
+        """Footer row count of one layer dir restricted to ``[lo, hi)`` —
+        a local metadata+stats read, no Spark job. pyarrow infers hive
+        partition values as STRINGS; ISO renderings compare
+        lexicographically in time order, so string-typed fields get the
+        serialized bounds and real-typed fields the Python values."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _ds
+
+        path = os.path.join(self._dir, part)
+        kw = dict(
+            format="parquet",
+            ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+        )
+        try:
+            dset = _ds.dataset(path, partitioning="hive", **kw)
+            dset.schema.field(bcol)
+        except Exception:
+            dset = _ds.dataset(path, **kw)
+        as_str = _pa.types.is_string(dset.schema.field(bcol).type)
+
+        def bound(iso):
+            return iso if as_str else self._bucket_lo_value(iso)
+
+        flt = None
+        if lo_iso is not None:
+            flt = _pc.field(bcol) >= bound(lo_iso)
+        if hi_iso is not None:
+            c = _pc.field(bcol) < bound(hi_iso)
+            flt = c if flt is None else (flt & c)
+        return dset.count_rows(filter=flt)
+
+    def _merge_layer_pair(self, surv, new_lo_iso, bcol, spark):
+        """Amortized layered-store compaction: fold ONE adjacent pair of
+        tail layers into a single ranged layer, keeping the layer count at
+        the cap with bounded extra work per refresh — never the unbounded
+        base layer (index 0), whose rewrite would be the O(full state)
+        latency cliff this replaces. Picks the pair with the smallest
+        combined live row count (footer counts; falls back to the last
+        pair). Returns ``(new survivors, dirs to delete)`` or None when no
+        pair qualifies (fewer than 3 layers)."""
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import StructType
+
+        if len(surv) < 3:
+            return None
+        parts = [p for p, _ in surv]
+        los = [l for _, l in surv]
+        # effective hi of layer i is layer i+1's lo; the last old layer is
+        # capped by the NEW tail's bound (appended in the same meta swap)
+        his = los[1:] + [new_lo_iso]
+        try:
+            counts = [
+                self._layer_count(p, bcol, los[i], his[i])
+                for i, p in enumerate(parts)
+            ]
+            best = min(
+                range(1, len(parts) - 1), key=lambda i: counts[i] + counts[i + 1]
+            )
+        except Exception:
+            best = len(parts) - 2
+        sch = StructType.fromJson(json.loads(self._meta["schema"]))
+
+        def ranged(i: int) -> DataFrame:
+            df = self._read_paths(
+                spark, [os.path.join(self._dir, parts[i])], sch
+            )
+            lo = self._bucket_lo_value(los[i])
+            hi = self._bucket_lo_value(his[i])
+            if lo is not None:
+                df = df.filter(_F.col(bcol) >= _F.lit(lo))
+            if hi is not None:
+                df = df.filter(_F.col(bcol) < _F.lit(hi))
+            return df
+
+        os.makedirs(self._dir, exist_ok=True)
+        mtx = f"bpart-{uuid.uuid4().hex[:12]}"
+        (
+            ranged(best)
+            .unionByName(ranged(best + 1))
+            .repartition(_F.col(bcol))
+            .write.mode("overwrite")
+            .partitionBy(bcol)
+            .parquet(os.path.join(self._dir, mtx))
+        )
+        merged_away = [parts[best], parts[best + 1]]
+        out = surv[:best] + [(mtx, los[best])] + surv[best + 2 :]
+        return out, merged_away
+
+    def layer_count(self) -> int:
+        """Number of layers of a layered (``bparts``) state — 0 when vacant
+        or unlayered. The maintainer's compaction gate."""
+        return len((self._meta or {}).get("bparts") or ())
+
+    def compact(self, spark: SparkSession) -> bool:
+        """Fold a layered (``bparts``) state back into ONE partitioned dir
+        — the maintainer-facing FULL compaction, for running off the user
+        query path (e.g. per maintainer micro-batch). Returns False when
+        the entry is vacant or not layered."""
+        meta = self._meta
+        if meta is None or not meta.get("bparts"):
+            return False
+        self.bucket_col = meta.get("bucket_col") or self.bucket_col
+        state = self.get(spark)
+        self.put(meta["watermark_ns"], state, spark)
+        return True
 
     def _swap_meta(
         self, watermark_ns: int, txid: str, schema_json: str, n_rows: Optional[int]

@@ -57,11 +57,17 @@ class CacheMaintainer:
         queries: Sequence[str],
         table_name: str,
         ts_col: Optional[str] = None,
+        compact_at: Optional[int] = None,
     ) -> None:
         self.config = config
         self.queries = list(queries)
         self.table_name = table_name
         self.ts_col = ts_col or config.default_temporal_column
+        #: fold a maintained entry's layered big state back into one dir
+        #: whenever its layer count reaches this — full compaction runs
+        #: HERE, off every reader's query path (the inline warm path only
+        #: ever pair-merges; see _ParquetEntry._merge_layer_pair)
+        self.compact_at = compact_at
         self._qc: Optional[CachedSparkSession] = None
 
     def _session_for(self, batch_df: DataFrame) -> CachedSparkSession:
@@ -98,8 +104,28 @@ class CacheMaintainer:
                 # materializes the (tiny, driver-local) finalize so the
                 # store-back is durable before the batch commits.
                 qc.sql(sql).collect()
+                if self.compact_at:
+                    self._maybe_compact(qc, batch_df.sparkSession)
         finally:
             cfg.override_now_ns = prev_now
+
+    def _maybe_compact(self, qc: CachedSparkSession, sess: SparkSession) -> None:
+        """Full-compact the entry the query just refreshed once its layered
+        state reaches ``compact_at`` layers — the O(full state) rewrite runs
+        in this maintainer batch, never inline in a reader's query."""
+        try:
+            fp = qc.last_decision.fingerprint
+            if not fp:
+                return
+            ent = self.config.cache.entry(fp)
+            if (
+                getattr(ent, "layer_count", None)
+                and ent.layer_count() >= self.compact_at
+            ):
+                ent.compact(sess)
+                self.config.log.info(fp, "maintainer: compacted layered state")
+        except Exception as e:  # advisory: never fail the batch over upkeep
+            self.config.log.warn("maintainer", f"compaction skipped ({e})")
 
 
 def maintain_aggregate_cache(
@@ -112,6 +138,7 @@ def maintain_aggregate_cache(
     available_now: bool = True,
     processing_time: Optional[str] = None,
     ts_col: Optional[str] = None,
+    compact_at: Optional[int] = None,
 ):
     """Start the maintainer stream; returns the ``StreamingQuery``.
 
@@ -119,7 +146,7 @@ def maintain_aggregate_cache(
     the incremental-batch deployment; pass ``processing_time`` (e.g.
     ``"30 seconds"``) for a standing maintainer instead.
     """
-    m = CacheMaintainer(spark, config, queries, table_name, ts_col)
+    m = CacheMaintainer(spark, config, queries, table_name, ts_col, compact_at)
     writer = (
         stream.writeStream.foreachBatch(m.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -363,3 +363,100 @@ def test_layered_state_never_driver_collected(spark, tmp_path, monkeypatch):
         for r in state(1).collect()
     }
     assert got == exp
+
+
+def _mk_state(spark, base, mult, n_days=10):
+    return (
+        spark.range(n_days * 200)
+        .select(
+            F.to_timestamp(
+                F.lit(base) + F.make_interval(days=F.col("id") % n_days)
+            ).alias("b"),
+            (F.col("id") % 37).alias("k"),
+            (F.lit(mult) * (F.col("id") % 37 + 1)).alias("n"),
+        )
+        .groupBy("b", "k")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def test_layer_cap_amortized_no_full_rewrite(spark, tmp_path, monkeypatch):
+    """Past the layer cap the refresh must pair-merge tail layers inline —
+    NEVER fall back to the O(full state) put() cliff: every tail store
+    succeeds, the layer count stays at the cap, the BASE layer dir is never
+    rewritten, at most 2 new dirs appear per refresh (tail + one merged
+    pair), and the layered read stays exact throughout."""
+    import os as _os
+
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    monkeypatch.setattr(_ParquetEntry, "BPARTS_COMPACT_AT", 4)
+    cdir = tmp_path / "c"
+    cache = ParquetQueryCache(str(cdir))
+    entry = cache.entry("fp-amortized")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+    entry.put(1, _mk_state(spark, base, 1), spark)
+    edir = next(p for p in cdir.iterdir() if p.is_dir())
+    base_layer = cache.entry("fp-amortized")._meta["state"]
+
+    mult = 1
+    for step in range(2, 12):  # 10 refreshes ≫ cap=4
+        e = cache.entry("fp-amortized")
+        e.bucket_col = "b"
+        mult = step
+        lo = base + dt.timedelta(days=6 + (step % 3))  # wobbling tail bound
+        before = {p.name for p in edir.iterdir() if p.is_dir()}
+        out = e.put_bucket_tail(step, _mk_state(spark, base, mult), lo, spark)
+        assert out is not None, f"refresh {step} fell back to full put"
+        after = {p.name for p in edir.iterdir() if p.is_dir()}
+        assert len(after - before) <= 2  # tail + at most one pair merge
+        m = e._meta
+        assert len(m["bparts"]) <= 4
+        assert m["bparts"][0] == base_layer  # base never rewritten
+    # exactness: replay the bound history driver-side — below each bound the
+    # values of the most recent refresh that covered the bucket survive
+    vals = {}
+    for r in _mk_state(spark, base, 1).collect():
+        vals[(r["b"], r["k"])] = r["n"]
+    state = dict(vals)
+    for step in range(2, 12):
+        lo = base + dt.timedelta(days=6 + (step % 3))
+        for r in _mk_state(spark, base, step).collect():
+            if r["b"] >= lo:
+                state[(r["b"], r["k"])] = r["n"]
+    e = cache.entry("fp-amortized")
+    got = {(r["b"], r["k"]): r["n"] for r in e.get(spark).collect()}
+    assert got == state
+
+
+def test_compact_folds_layered_state(spark, tmp_path, monkeypatch):
+    """entry.compact(): the maintainer-facing full compaction folds a
+    layered state back to ONE partitioned dir, preserving watermark, rows
+    and values; no-op on unlayered entries."""
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-compact")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+    entry.put(1, _mk_state(spark, base, 1), spark)
+    e2 = cache.entry("fp-compact")
+    e2.bucket_col = "b"
+    lo = base + dt.timedelta(days=8)
+    assert e2.put_bucket_tail(2, _mk_state(spark, base, 2), lo, spark) is not None
+    assert e2.layer_count() == 2
+    exp = {(r["b"], r["k"]): r["n"] for r in e2.get(spark).collect()}
+
+    assert e2.compact(spark) is True
+    assert e2.layer_count() == 0 and e2._meta.get("bparts") is None
+    assert e2.watermark_ns == 2
+    got = {(r["b"], r["k"]): r["n"] for r in e2.get(spark).collect()}
+    assert got == exp
+    # durability: a fresh entry object reads the compacted state
+    e3 = cache.entry("fp-compact")
+    got3 = {(r["b"], r["k"]): r["n"] for r in e3.get(spark).collect()}
+    assert got3 == exp
+    assert e3.compact(spark) is False  # unlayered: no-op

@@ -142,3 +142,83 @@ def test_maintainer_keeps_filter_rowset_fresh(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_maintainer_compacts_layered_entries(spark, tmp_path, monkeypatch):
+    """compact_at: the maintainer folds layered big state back into one
+    dir once the layer count reaches the gate — the O(full state) rewrite
+    runs in the maintainer batch, never inline in a reader's query."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark.cache import _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cache_dir = str(tmp_path / "cache")
+    ev = spark.table("events")
+    cuts = [
+        int(x)
+        for x in ev.approxQuantile("ts_ns", [0.4, 0.6, 0.8], 0.0)
+    ]
+    sql = (
+        "SELECT event_id % 997 AS k, date_trunc('hour', ts) AS h, "
+        "count(*) AS n FROM events_m GROUP BY 1, 2"
+    )
+    cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(cache_dir), default_temporal_column="ts"
+    )
+
+    def arrive(lo, hi):
+        df = ev.filter(
+            (F.col("ts_ns") >= F.lit(lo)) & (F.col("ts_ns") < F.lit(hi))
+        ).select("event_id", "event_type", "value", F.col("ts_ns").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run(compact_at=None):
+        stream = parquet_stream(spark, src, ns_timestamp_columns=["ts"])
+        q = maintain_aggregate_cache(
+            stream, spark, cfg, [sql], "events_m", ckpt,
+            available_now=True, compact_at=compact_at,
+        )
+        q.awaitTermination(120)
+
+    arrive(0, cuts[0])
+    run()  # populating miss (big state, partitioned write)
+    arrive(cuts[0], cuts[1])
+    run()  # warm fold → one tail layer
+    import json
+
+    d = next(e for e in os.listdir(cache_dir) if not e.startswith("."))
+    with open(os.path.join(cache_dir, d, "meta.json")) as f:
+        fp = json.load(f)["fingerprint"]
+    ent = cfg.cache.entry(fp)
+    assert ent.layer_count() >= 2  # layered after the incremental fold
+
+    arrive(cuts[1], cuts[2])
+    run(compact_at=2)  # gate reached → maintainer compacts after the fold
+    ent = cfg.cache.entry(fp)
+    assert ent.layer_count() == 0  # folded back to ONE partitioned dir
+
+    # the compacted entry still answers exactly (reader shares the cache;
+    # same ns→(µs ts, raw shadow) normalization the stream applies, so the
+    # reader's fingerprint matches the maintainer's)
+    reader_cfg = QueryCacheConfig(
+        cache=ParquetQueryCache(cache_dir), default_temporal_column="ts"
+    )
+    reader = CachedSparkSession(spark, reader_cfg)
+    (
+        spark.read.parquet(src)
+        .withColumn("ts_ns", F.col("ts"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .createOrReplaceTempView("events_m")
+    )
+    wm = max(e.watermark_ns for e in reader_cfg.cache.entries())
+    reader_cfg.override_now_ns = wm  # read as-of the maintained frontier
+    got = reader.sql(sql)
+    assert reader.last_decision.cache_hit
+    assert rows_set(got) == rows_set(
+        spark.sql(
+            sql.replace("FROM events_m", f"FROM events WHERE ts_ns < {cuts[2]}")
+        )
+    )
