@@ -16,9 +16,22 @@ from __future__ import annotations
 
 import decimal
 import json
+import re as _re
 from typing import Any, Dict, List, Optional, Tuple
 
 import duckdb
+
+
+def _base_table_name(ft: Dict[str, Any]) -> str:
+    """``[catalog.]schema.table`` → the dot-joined qualified name, which
+    Spark's session catalog resolves natively (``spark.table('db.t')`` /
+    ``spark.table('cat.db.t')``); bare names stay bare. The qualified
+    SPELLING is part of the spec canon and so the fingerprint —
+    ``default.events`` and ``events`` get separate entries even when they
+    resolve to one table (conservative: never shares state across names
+    whose equivalence we cannot see from the AST)."""
+    parts = (ft.get("catalog_name"), ft.get("schema_name"), ft["table_name"])
+    return ".".join(p for p in parts if p)
 
 
 def _df_offset_available() -> bool:
@@ -126,8 +139,29 @@ _OPERATOR_FUNCS = {
 }
 
 
+#: Spark SQL spellings → duckdb-parseable equivalents, OUTSIDE string
+#: literals: backtick identifier quoting → double quotes, and the schema
+#: name ``default`` (unreserved in Spark, where it is the stock database;
+#: reserved in duckdb) double-quoted when used as a dotted qualifier.
+_DUCKDBIFY_RE = _re.compile(
+    r"('(?:[^']|'')*')"  # single-quoted string (with '' escapes): untouched
+    r"|`([^`]+)`"  # backtick-quoted identifier
+    r"|\b([Dd][Ee][Ff][Aa][Uu][Ll][Tt])\b(?=\s*\.)"  # default-as-qualifier
+)
+
+
+def _duckdbify(sql: str) -> str:
+    def repl(m):
+        if m.group(1) is not None:
+            return m.group(1)
+        ident = m.group(2) if m.group(2) is not None else m.group(3)
+        return '"' + ident.replace('"', '""') + '"'
+
+    return _DUCKDBIFY_RE.sub(repl, sql)
+
+
 def _parse_json_ast(sql: str) -> Dict[str, Any]:
-    esc = sql.replace("'", "''")
+    esc = _duckdbify(sql).replace("'", "''")
     raw = duckdb.execute(f"select json_serialize_sql('{esc}')").fetchone()[0]
     doc = json.loads(raw)
     if doc.get("error"):
@@ -363,6 +397,7 @@ def _reject_foreign_qualifiers(sub_json: Dict[str, Any]) -> None:
         if isinstance(n, dict):
             if n.get("type") in ("BASE_TABLE",):
                 own.add(n.get("table_name", "").lower())
+                own.add(_base_table_name(n).lower())
                 alias = n.get("alias") or ""
                 if alias:
                     own.add(alias.lower())
@@ -702,7 +737,7 @@ def _split_single_correlation(node: Dict[str, Any]):
         raise Unsupported("correlated subquery over a non-base table")
     own = {
         x.lower()
-        for x in (ft.get("table_name"), ft.get("alias"))
+        for x in (ft.get("table_name"), _base_table_name(ft), ft.get("alias"))
         if x
     }
     if sub.get("group_expressions") or sub.get("having") is not None:
@@ -1113,9 +1148,9 @@ def _lower_pivot(node: Dict[str, Any]):
     ):
         raise Unsupported("PIVOT source with modifiers/grouping")
     ft = sub.get("from_table") or {}
-    if ft.get("type") != "BASE_TABLE" or ft.get("schema_name") or ft.get("sample"):
+    if ft.get("type") != "BASE_TABLE" or ft.get("sample"):
         raise Unsupported("PIVOT source must scan one base table")
-    table = ft["table_name"]
+    table = _base_table_name(ft)
 
     items: List[Tuple[str, Expr]] = []
     for i, s in enumerate(sub.get("select_list") or []):
@@ -1439,11 +1474,9 @@ def _lower_select(node: Dict[str, Any]):
     def walk_from(ft: Dict[str, Any]) -> None:
         t = ft.get("type")
         if t == "BASE_TABLE":
-            if ft.get("schema_name"):
-                raise Unsupported("qualified table")
             if ft.get("sample"):
                 raise Unsupported("TABLESAMPLE")
-            tables.append(ft["table_name"])
+            tables.append(_base_table_name(ft))
             return
         if t == "JOIN":
             jt = ft.get("join_type")
@@ -1453,15 +1486,13 @@ def _lower_select(node: Dict[str, Any]):
             right = ft.get("right") or {}
             if right.get("type") != "BASE_TABLE":
                 raise Unsupported("non-left-deep join tree")
-            if right.get("schema_name"):
-                raise Unsupported("qualified table")
-            tables.append(right["table_name"])
+            tables.append(_base_table_name(right))
             cond = ft.get("condition")
             if cond is None and jt != "CROSS":
                 raise Unsupported("USING/NATURAL join")
             join_steps.append(
                 JoinStep(
-                    right["table_name"],
+                    _base_table_name(right),
                     _expr(cond) if cond is not None else None,
                     "left" if jt == "LEFT" else "inner",
                 )
@@ -1896,14 +1927,12 @@ def _lower_subquery(node: Dict[str, Any]):
             right = j.get("right") or {}
             if right.get("type") != "BASE_TABLE":
                 raise Unsupported("non-left-deep join above a derived table")
-            if right.get("schema_name"):
-                raise Unsupported("qualified table")
             if right.get("sample"):
                 raise Unsupported("TABLESAMPLE")
             cond = j.get("condition")
             if cond is None and jt != "CROSS":
                 raise Unsupported("USING/NATURAL join above a derived table")
-            t = right["table_name"]
+            t = _base_table_name(right)
             if t in dim_tables:
                 raise Unsupported("duplicate dim table above a derived table")
             join_steps.append(

@@ -510,6 +510,14 @@ def main() -> int:
         )
     register_parquet_view(spark, "events_part", part_path)
 
+    # catalog-qualified managed twin (r13): identical rows under
+    # default.events_fz — qualified spellings must parse, cache, and
+    # answer exactly like the bare view
+    if not spark.catalog.tableExists("default.events_fz"):
+        spark.table("events").write.mode("overwrite").saveAsTable(
+            "default.events_fz"
+        )
+
     # small static dim for the star-join mode
     spark.range(50).select(
         F.col("id").alias("bucket_id"),
@@ -679,6 +687,10 @@ def main() -> int:
         if not join_mode and rng.random() < 0.2 and "FROM events " in sql:
             sql = sql.replace("FROM events ", "FROM events_part ")
             kw["temporal_partition_columns"] = {"ts": "d"}
+        # 10%: catalog-qualified spelling of the same table (r13) — the
+        # qualified name must ride the cached path with exact answers
+        elif not join_mode and rng.random() < 0.10 and "FROM events " in sql:
+            sql = sql.replace("FROM events ", "FROM default.events_fz ")
         cache = (
             MemoryQueryCache()
             if rng.random() < 0.3
