@@ -294,17 +294,23 @@ class CorrScalar(Expr):
     ``coalesce(…, 0)`` when ``count_like``. The inner rollup is O(groups)
     rows — broadcast-sized by construction at any source scale."""
 
-    outer_key: Expr
-    canon_str: str
+    #: outer-side key expressions, one per correlated equality (r13:
+    #: k conjunctive equalities → composite-key rollup + broadcast join)
+    outer_keys: Tuple[Expr, ...] = ()
+    #: inner rollup key NAME per equality, parallel to ``outer_keys``
+    #: (may repeat when several outer keys equate to one inner column)
+    inner_keys: Tuple[str, ...] = ()
+    canon_str: str = ""
     spec: object = field(hash=False, compare=False, default=None, repr=False)
     count_like: bool = False
 
     def children(self) -> Tuple[Expr, ...]:
-        return (self.outer_key,)
+        return self.outer_keys
 
     def canon(self) -> str:
+        keys = ",".join(k.canon() for k in self.outer_keys)
         return (
-            f"corrscalar({self.outer_key.canon()},{self.canon_str},"
+            f"corrscalar(({keys}),{self.canon_str},"
             f"cl={self.count_like})"
         )
 

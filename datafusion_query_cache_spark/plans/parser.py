@@ -396,11 +396,18 @@ def _reject_foreign_qualifiers(sub_json: Dict[str, Any]) -> None:
     def _tables(n) -> None:
         if isinstance(n, dict):
             if n.get("type") in ("BASE_TABLE",):
-                own.add(n.get("table_name", "").lower())
-                own.add(_base_table_name(n).lower())
                 alias = n.get("alias") or ""
                 if alias:
+                    # SQL alias HIDING: ``FROM t e2`` removes the name
+                    # ``t`` from the inner scope — ``t.x`` then binds to
+                    # an OUTER ``t`` (a correlated ref). Treating it as
+                    # inner-own silently re-bound the outer column and
+                    # folded a correlated scalar as a global one
+                    # (r13 wrong-answer find, self-correlated spelling)
                     own.add(alias.lower())
+                else:
+                    own.add(n.get("table_name", "").lower())
+                    own.add(_base_table_name(n).lower())
             for v in n.values():
                 _tables(v)
         elif isinstance(n, list):
@@ -722,24 +729,36 @@ def _reject_volatile_items(exprs, where: str) -> None:
                 raise Unsupported(f"volatile function {n.name} in {where}")
 
 
-def _split_single_correlation(node: Dict[str, Any]):
+def _split_correlation(node: Dict[str, Any]):
     """Shared correlation analysis for the EXISTS and scalar
     decorrelations: require a SELECT over one base table whose WHERE has
-    exactly ONE correlated equality conjunct ``own.col = foreign.col``
-    (either side) and otherwise inner-only references. Returns
-    ``(sub, inner_col, outer_col, rest_conjuncts)``; raises Unsupported
-    for every other correlated shape."""
+    one or more correlated equality conjuncts ``own_expr = foreign_expr``
+    (either side; each side may be a column or a pure expression over ONE
+    scope) and otherwise inner-only references. Returns
+    ``(sub, [(own_json, foreign_json), …], rest_conjuncts)`` with the raw
+    AST of each side; raises Unsupported for every other correlated
+    shape. Multi-equality (r13): k conjunctive equalities become a
+    composite-key rollup — the same bottom-up cache-any-inner-Aggregate
+    rule (``src/aggregate.rs:74-76``), now over a composite key."""
     sub = node["subquery"]["node"]
     if sub.get("type") != "SELECT_NODE":
         raise Unsupported("correlated subquery over a non-select body")
     ft = sub.get("from_table") or {}
     if ft.get("type") != "BASE_TABLE":
         raise Unsupported("correlated subquery over a non-base table")
-    own = {
-        x.lower()
-        for x in (ft.get("table_name"), _base_table_name(ft), ft.get("alias"))
-        if x
-    }
+    # SQL alias hiding: an alias REPLACES the table name in the inner
+    # scope, so a bare ``t.x`` with inner ``FROM t e2`` is an OUTER ref
+    # (r13 wrong-answer find — misclassifying it as inner-own folded the
+    # correlated scalar as a global one)
+    own = (
+        {ft["alias"].lower()}
+        if ft.get("alias")
+        else {
+            x.lower()
+            for x in (ft.get("table_name"), _base_table_name(ft))
+            if x
+        }
+    )
     if sub.get("group_expressions") or sub.get("having") is not None:
         raise Unsupported("correlated subquery with GROUP BY/HAVING")
     for gs in sub.get("group_sets") or []:
@@ -764,12 +783,45 @@ def _split_single_correlation(node: Dict[str, Any]):
         return [n]
 
     def side(n):
-        if n.get("class") != "COLUMN_REF":
+        """Classify one comparison operand by the scope of its column
+        refs: "own" = every ref inner-side (unqualified refs bind
+        inner-first — the binding we produce), "foreign" = every ref
+        outer-qualified, None = no columns (a constant) or a nested
+        subquery. A side mixing scopes has no single-scope rollup key."""
+        quals: List[str] = []
+        unqual = 0
+        subq = False
+
+        def walk(x):
+            nonlocal unqual, subq
+            if isinstance(x, dict):
+                if x.get("class") == "COLUMN_REF":
+                    names = x.get("column_names", [])
+                    if len(names) >= 2:
+                        quals.append(names[0].lower())
+                    else:
+                        unqual += 1
+                    return
+                if x.get("class") == "SUBQUERY":
+                    subq = True
+                    return
+                for v in x.values():
+                    walk(v)
+            elif isinstance(x, list):
+                for v in x:
+                    walk(v)
+
+        walk(n)
+        if subq or (not quals and not unqual):
             return None
-        names = n.get("column_names", [])
-        if len(names) < 2:
-            return None
-        return "own" if names[0].lower() in own else "foreign"
+        foreign = [q for q in quals if q not in own]
+        if not foreign:
+            return "own"
+        if len(foreign) == len(quals) and unqual == 0:
+            return "foreign"
+        raise Unsupported(
+            "correlated equality side mixing inner and outer references"
+        )
 
     def assert_inner_only(n):
         if isinstance(n, dict):
@@ -786,30 +838,25 @@ def _split_single_correlation(node: Dict[str, Any]):
             for v in n:
                 assert_inner_only(v)
 
-    corr = None
+    pairs: List[Tuple[Dict[str, Any], Dict[str, Any]]] = []
     rest = []
     for c in conjuncts(wc):
         if (
             c.get("class") == "COMPARISON"
             and c.get("type") == "COMPARE_EQUAL"
         ):
-            sides = {side(c["left"]): c["left"], side(c["right"]): c["right"]}
-            if "own" in sides and "foreign" in sides:
-                if corr is not None:
-                    raise Unsupported(
-                        "correlated subquery: multiple correlated equalities"
-                    )
-                corr = (
-                    sides["own"]["column_names"][-1],
-                    sides["foreign"]["column_names"][-1],
-                )
+            ls, rs = side(c["left"]), side(c["right"])
+            if {ls, rs} == {"own", "foreign"}:
+                own_j = c["left"] if ls == "own" else c["right"]
+                for_j = c["right"] if ls == "own" else c["left"]
+                pairs.append((own_j, for_j))
                 continue
         rest.append(c)
-    if corr is None:
+    if not pairs:
         raise Unsupported("correlated subquery: unsupported correlation shape")
     for c in rest:
         assert_inner_only(c)
-    return sub, corr[0], corr[1], rest
+    return sub, pairs, rest
 
 
 def _conj_json(rest):
@@ -835,6 +882,67 @@ def _colref_json(name: str, alias: str = ""):
     }
 
 
+def _corr_key_plan(pairs):
+    """Composite rollup keys from raw ``(own_json, foreign_json)`` pairs:
+    bare inner columns keep their natural names (the rollup stays spelled
+    like a handwritten one and shares its entry); expression keys get
+    generated ``qc_k{i}`` aliases. Returns ``(key_items, inner_keys,
+    outer_keys, pair_canons)`` — key_items unique as
+    ``[(name, own_json, is_bare_column)]``, the rest parallel to pairs."""
+    key_items: List[Tuple[str, Dict[str, Any], bool]] = []
+    seen: Dict[str, str] = {}
+    inner_keys: List[str] = []
+    outer_keys: List[Expr] = []
+    canons: List[str] = []
+    for own_j, for_j in pairs:
+        own_ir = _expr(own_j)
+        out_ir = _expr(for_j)
+        if _contains_agg(own_ir) or _contains_window(own_ir):
+            raise Unsupported("aggregate/window in a correlated key")
+        if _contains_agg(out_ir) or _contains_window(out_ir):
+            raise Unsupported("aggregate/window in a correlated key")
+        kc = own_ir.canon()
+        name = seen.get(kc)
+        if name is None:
+            name = (
+                own_ir.name
+                if isinstance(own_ir, Col)
+                else f"qc_k{len(key_items)}"
+            )
+            seen[kc] = name
+            key_items.append((name, own_j, isinstance(own_ir, Col)))
+        inner_keys.append(name)
+        outer_keys.append(out_ir)
+        canons.append(f"{kc}={out_ir.canon()}")
+    names = [n for n, _, _ in key_items]
+    low = [n.lower() for n in names]
+    if len(set(low)) != len(low) or "qc_cv" in low:
+        # a generated qc_k alias colliding with a natural key name (or a
+        # key named like the value item) would make the rollup ambiguous
+        raise Unsupported("correlated key name collision")
+    return key_items, inner_keys, outer_keys, canons
+
+
+def _corr_rollup_sub(sub, key_items, rest, value_item):
+    """The rollup subquery AST: ``SELECT keys…, <value AS qc_cv> FROM t2
+    [WHERE rest…] GROUP BY keys…`` — shared by the scalar and EXISTS
+    decorrelations."""
+    sel_list = []
+    group_exprs = []
+    for name, oj, bare in key_items:
+        kj = dict(oj)
+        if not bare:
+            kj["alias"] = name
+        sel_list.append(kj)
+        group_exprs.append(dict(oj))
+    new_sub = dict(sub)
+    new_sub["select_list"] = sel_list + [value_item]
+    new_sub["group_expressions"] = group_exprs
+    new_sub["where_clause"] = _conj_json(rest)
+    new_sub["modifiers"] = []
+    return new_sub
+
+
 def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
     """``(SELECT agg(v) FROM t2 WHERE t2.k = outer.k [AND stable…])`` —
     rewritten to a :class:`CorrScalar` over the cached grouped rollup
@@ -849,7 +957,7 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
     from .ir import AggCall as _AggCall, AggSpec as _AggSpec, Col as _Col
     from .ir import CorrScalar
 
-    sub, inner_col, outer_col, rest = _split_single_correlation(node)
+    sub, pairs, rest = _split_correlation(node)
     sel = sub.get("select_list", [])
     if len(sel) != 1:
         raise Unsupported("correlated scalar must select one expression")
@@ -867,19 +975,10 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
             "(on-empty value not representable)"
         )
 
-    if inner_col.lower() == "qc_cv":
-        # the value item is aliased qc_cv; a key column of the same name
-        # would make the rollup's output ambiguous
-        raise Unsupported("correlated scalar key named qc_cv")
+    key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs)
     item = dict(sel[0])
     item["alias"] = "qc_cv"
-    new_sub = dict(sub)
-    # the key keeps its natural column name (aliasing a group key would
-    # diverge the item name from the state group name); the rollup is then
-    # spelled exactly like a handwritten one and shares its entry
-    new_sub["select_list"] = [_colref_json(inner_col), item]
-    new_sub["group_expressions"] = [_colref_json(inner_col)]
-    new_sub["where_clause"] = _conj_json(rest)
+    new_sub = _corr_rollup_sub(sub, key_items, rest, item)
     _reject_foreign_qualifiers({"node": new_sub})
     inner = _lower_select(new_sub)
     if not isinstance(inner, _AggSpec):
@@ -894,9 +993,10 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
     for e in [inner.predicate, inner.having]:
         if e is not None and _contains_scalar_subq(e):
             raise Unsupported("nested subquery in a subquery body")
-    canon_str = f"{inner.canon()}|ck={inner.select_order[0]}|cv=qc_cv"
+    canon_str = f"{inner.canon()}|ck={','.join(canons)}|cv=qc_cv"
     return CorrScalar(
-        outer_key=_Col(outer_col),
+        outer_keys=tuple(outer_keys),
+        inner_keys=tuple(inner_keys),
         canon_str=canon_str,
         spec=inner,
         count_like=count_like,
@@ -918,13 +1018,23 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
     FALSE and NOT above it stays exact. The DISTINCT inner rides the
     SELECT DISTINCT cache machinery (key-set state, hidden count), so the
     entry is shared with the standalone distinct query. The select list
-    is ignored (EXISTS semantics). Any other correlated shape — several
-    correlated conjuncts, non-equality correlation, GROUP BY/HAVING/
+    is ignored (EXISTS semantics). Multi-equality correlation (r13):
+    ``EXISTS ≡ coalesce(count(*)-per-composite-key > 0, FALSE)`` — a
+    CorrScalar over the cached ``GROUP BY k1, …, kk`` count rollup,
+    broadcast-joined by the session (count_like → absent keys coalesce to
+    0 → FALSE, exactly EXISTS on the empty correlated set). Any other
+    correlated shape — non-equality correlation, GROUP BY/HAVING/
     modifiers, derived-table source — stays passthrough
-    (``_split_single_correlation``)."""
+    (``_split_correlation``)."""
     from .ir import Col as _Col, Func as _Func
 
-    sub, inner_col, outer_col, rest = _split_single_correlation(node)
+    sub, pairs, rest = _split_correlation(node)
+    own0 = _expr(pairs[0][0]) if len(pairs) == 1 else None
+    if len(pairs) > 1 or not isinstance(own0, Col):
+        # composite or expression-keyed: the count-rollup CorrScalar path
+        return _decorrelate_exists_multi(sub, pairs, rest)
+    inner_col = own0.name
+    outer_expr = _expr(pairs[0][1])
 
     new_sub = dict(sub)
     new_sub["select_list"] = [_colref_json(inner_col)]
@@ -957,9 +1067,68 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
     return _Func(
         "coalesce",
         (
-            InSubquery(left=_Col(outer_col), canon_str=canon_str, spec=inner),
+            InSubquery(left=outer_expr, canon_str=canon_str, spec=inner),
             _Lit(False, "BOOLEAN"),
         ),
+    )
+
+
+def _decorrelate_exists_multi(sub, pairs, rest) -> Expr:
+    """k-equality correlated EXISTS → ``coalesce(cnt > 0, FALSE)`` where
+    ``cnt`` is a :class:`CorrScalar` over the cached composite-key count
+    rollup ``SELECT k1, …, kk, count(*) AS qc_cv GROUP BY k1, …, kk``.
+    Plain Spark answers this shape too (as a semi join), but here the
+    rollup state refreshes O(new) instead of rescanning t2 per query."""
+    from .ir import (
+        AggSpec as _AggSpec,
+        BinOp as _BinOp,
+        Col as _Col,
+        CorrScalar,
+        Func as _Func,
+        Lit as _Lit,
+    )
+
+    key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs)
+    count_item = {
+        "class": "FUNCTION",
+        "type": "FUNCTION",
+        "alias": "qc_cv",
+        "function_name": "count_star",
+        "schema": "",
+        "children": [],
+        "filter": None,
+        "order_bys": {"type": "ORDER_MODIFIER", "orders": []},
+        "distinct": False,
+        "is_operator": False,
+        "export_state": False,
+        "catalog": "",
+    }
+    new_sub = _corr_rollup_sub(sub, key_items, rest, count_item)
+    _reject_foreign_qualifiers({"node": new_sub})
+    inner = _lower_select(new_sub)
+    if not isinstance(inner, _AggSpec):
+        raise Unsupported("decorrelated EXISTS body is not an aggregate")
+    if (
+        inner.grouping_sets
+        or inner.join_steps
+        or inner.order_by
+        or inner.limit is not None
+    ):
+        raise Unsupported("decorrelated EXISTS body shape")
+    for e in [inner.predicate, inner.having]:
+        if e is not None and _contains_scalar_subq(e):
+            raise Unsupported("nested subquery in a subquery body")
+    canon_str = f"{inner.canon()}|ck={','.join(canons)}|cv=qc_cv"
+    cnt = CorrScalar(
+        outer_keys=tuple(outer_keys),
+        inner_keys=tuple(inner_keys),
+        canon_str=canon_str,
+        spec=inner,
+        count_like=True,
+    )
+    return _Func(
+        "coalesce",
+        (_BinOp(">", cnt, _Lit(0)), _Lit(False, "BOOLEAN")),
     )
 
 

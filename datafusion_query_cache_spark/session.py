@@ -1332,12 +1332,19 @@ class CachedSparkSession(RefreshTiers):
                 # coalesce(…, 0). Inner state is O(groups) rows:
                 # broadcast-sized at any source scale.
                 i = len(corr_joins)
-                ck, cv = f"__qc_ck{i}", f"__qc_cv{i}"
-                key_name, val_name = sq.spec.select_order[0], sq.spec.select_order[1]
+                cv = f"__qc_cv{i}"
+                val_name = sq.spec.select_order[-1]
+                uniq = list(dict.fromkeys(sq.inner_keys))
+                alias = {kn: f"__qc_ck{i}_{n}" for n, kn in enumerate(uniq)}
                 j = idf.select(
-                    F.col(key_name).alias(ck), F.col(val_name).alias(cv)
+                    *[F.col(kn).alias(alias[kn]) for kn in uniq],
+                    F.col(val_name).alias(cv),
                 )
-                corr_joins.append((sq, j, ck))
+                cond = None
+                for ok, ikn in zip(sq.outer_keys, sq.inner_keys):
+                    c = to_column(ok) == F.col(alias[ikn])
+                    cond = c if cond is None else (cond & c)
+                corr_joins.append((j, cond))
                 from .plans.ir import Col as _IRCol
                 from .plans.ir import Func as _IRFunc
 
@@ -1441,10 +1448,8 @@ class CachedSparkSession(RefreshTiers):
 
         df = self.spark.table(spec.table)
         orig_cols = list(df.columns)
-        for sq, j, ck in corr_joins:
-            df = df.join(
-                F.broadcast(j), to_column(sq.outer_key) == F.col(ck), "left"
-            )
+        for j, cond in corr_joins:
+            df = df.join(F.broadcast(j), cond, "left")
         if new_pred is not None:
             df = df.filter(to_column(new_pred))
         if corr_joins and isinstance(spec, _FilterSpec) and spec.items is None:
@@ -1605,29 +1610,41 @@ class CachedSparkSession(RefreshTiers):
             if sq in resolved:
                 continue
             if isinstance(sq, _CSQ):
-                key = sq.outer_key
-                g = None
-                if isinstance(key, _Col):
-                    g = group_by_name.get(key.name)
-                if g is None:
-                    for cand in spec.group_by:
-                        if cand.expr == key:
-                            g = cand
-                            break
-                if g is None:
-                    raise Unsupported(
-                        "correlated select-item scalar: correlation key is "
-                        "not a group key"
-                    )
+                gnames = []
+                for key in sq.outer_keys:
+                    g = None
+                    if isinstance(key, _Col):
+                        g = group_by_name.get(key.name)
+                    if g is None:
+                        for cand in spec.group_by:
+                            if cand.expr == key:
+                                g = cand
+                                break
+                    if g is None:
+                        raise Unsupported(
+                            "correlated select-item scalar: correlation key "
+                            "is not a group key"
+                        )
+                    gnames.append(g.name)
                 idf, idec = self._plan_cached(query, sq.spec)
                 i = len(corr_joins)
-                ck, cv = f"__qc_ck{i}", f"__qc_cv{i}"
-                key_name = sq.spec.select_order[0]
-                val_name = sq.spec.select_order[1]
+                cv = f"__qc_cv{i}"
+                val_name = sq.spec.select_order[-1]
+                uniq = list(dict.fromkeys(sq.inner_keys))
+                alias = {kn: f"__qc_ck{i}_{n}" for n, kn in enumerate(uniq)}
                 j = idf.select(
-                    F.col(key_name).alias(ck), F.col(val_name).alias(cv)
+                    *[F.col(kn).alias(alias[kn]) for kn in uniq],
+                    F.col(val_name).alias(cv),
                 )
-                corr_joins.append((j, g.name, ck))
+                corr_joins.append(
+                    (
+                        j,
+                        tuple(
+                            (gn, alias[ikn])
+                            for gn, ikn in zip(gnames, sq.inner_keys)
+                        ),
+                    )
+                )
                 val: object = _Col(cv)
                 if sq.count_like:
                     val = _IRFunc("coalesce", (val, _Lit(0)))
@@ -1831,10 +1848,14 @@ class CachedSparkSession(RefreshTiers):
             df, decision = self._plan_subquery(spec.inner, query)
         else:
             df, decision = self._plan_cached(query, spec.inner)
-        for j, gname, ck in corr_joins or ():
+        for j, key_pairs in corr_joins or ():
             # O(groups) build side by construction — explicit broadcast;
             # NULL outer keys never match (correlated equality semantics)
-            df = df.join(F.broadcast(j), F.col(gname) == F.col(ck), "left")
+            cond = None
+            for gname, ck in key_pairs:
+                c = F.col(gname) == F.col(ck)
+                cond = c if cond is None else (cond & c)
+            df = df.join(F.broadcast(j), cond, "left")
         for js in spec.join_steps:
             # O(state) rows on the left; dims read fresh each query (label
             # changes show immediately). AQE picks broadcast for small dims.

@@ -79,13 +79,17 @@ def test_parse_correlated_exists_rejected_shapes():
             "SELECT event_id FROM events e WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey > e.user_id)"
         )
-    # two correlated equalities
-    with pytest.raises(Unsupported, match="correlat"):
-        parse_query(
-            "SELECT event_id FROM events e WHERE EXISTS "
-            "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id "
-            "AND o.o_orderkey = e.event_id)"
-        )
+    # two correlated equalities: SUPPORTED since r13 (composite-key count
+    # rollup); must lower to a CorrScalar-based predicate, not refuse
+    from datafusion_query_cache_spark.plans.ir import CorrScalar
+
+    spec = parse_query(
+        "SELECT event_id FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id "
+        "AND o.o_orderkey = e.event_id)"
+    )
+    cs = [n for n in spec.predicate.walk() if isinstance(n, CorrScalar)]
+    assert len(cs) == 1 and len(cs[0].outer_keys) == 2 and cs[0].count_like
     # outer reference outside the correlated equality
     with pytest.raises(Unsupported, match="correlat"):
         parse_query(

@@ -509,3 +509,76 @@ def test_select_corr_scalar_unsupported_shapes(spark, qc_mem):
             # strict-mode rigs surface the passthrough AnalysisException
             # for shapes Spark itself refuses — either way, not cached
             assert not qc_mem.last_decision.cached, sql
+
+
+# -- multi-equality correlation (r13) ------------------------------------
+
+
+def test_corr_scalar_two_keys_select_list(spark, qc_mem):
+    """SELECT-list correlated scalar with TWO conjunctive equalities →
+    composite-key rollup broadcast-joined onto the finalized outer.
+    Plain Spark REFUSES this spelling next to GROUP BY — oracle is the
+    equivalent handwritten join."""
+    sql = (
+        "SELECT event_type, user_id % 7 AS ub, sum(value) AS s, "
+        "sum(value) / (SELECT avg(e2.value) FROM events e2 "
+        "WHERE e2.event_type = events.event_type "
+        "AND e2.user_id % 7 = events.user_id % 7) AS ratio "
+        "FROM events GROUP BY 1, 2"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    twin = (
+        "SELECT a.event_type, a.ub, a.s, a.s / b.av AS ratio FROM "
+        "(SELECT event_type, user_id % 7 AS ub, sum(value) AS s "
+        " FROM events GROUP BY 1, 2) a LEFT JOIN "
+        "(SELECT event_type, user_id % 7 AS ub, avg(value) AS av "
+        " FROM events GROUP BY 1, 2) b "
+        "ON a.event_type = b.event_type AND a.ub = b.ub"
+    )
+    assert rows_set(out) == rows_set(spark.sql(twin))
+
+
+def test_corr_scalar_two_keys_predicate(spark, qc_mem):
+    """Predicate-position correlated scalar with two equalities: the
+    composite rollup joins onto the raw scan pre-filter; plain Spark
+    answers the same SQL — direct twin."""
+    sql = (
+        "SELECT event_id, value FROM events e "
+        "WHERE value > 2 * (SELECT avg(e2.value) FROM events e2 "
+        "WHERE e2.event_type = e.event_type AND e2.user_id = e.user_id) "
+        "ORDER BY event_id"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
+
+
+def test_corr_exists_two_keys(spark, qc_mem):
+    """Two-equality correlated EXISTS → composite-key count rollup,
+    coalesce(cnt > 0, FALSE). Plain Spark answers the same SQL."""
+    sql = (
+        "SELECT event_id, value FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM events e2 WHERE e2.event_type = e.event_type "
+        "AND e2.user_id = e.user_id AND e2.value > 180) "
+        "ORDER BY event_id"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
+
+
+def test_corr_not_exists_two_keys(spark, qc_mem):
+    """NOT above the two-key EXISTS fold stays exact (two-valued logic:
+    coalesce maps NULL-key and empty-set cases to FALSE before the NOT)."""
+    sql = (
+        "SELECT event_id FROM events e WHERE NOT EXISTS "
+        "(SELECT 1 FROM events e2 WHERE e2.event_type = e.event_type "
+        "AND e2.user_id = e.user_id AND e2.value > 180) "
+        "ORDER BY event_id"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]

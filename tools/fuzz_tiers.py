@@ -383,6 +383,13 @@ def gen_corrsel_sql(rng: random.Random) -> str:
             # count over a possibly-empty correlated set: coalesce(…, 0)
             f"(SELECT count(*) FROM events __i WHERE {iconds} "
             f"AND __i.event_type = e.event_type) AS basev",
+            # TWO correlated equalities (r13): composite-key rollup
+            f"(SELECT max(value) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type "
+            f"AND __i.user_id % 5 = e.user_id % 5) AS basev",
+            f"(SELECT count(*) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type "
+            f"AND __i.user_id % 3 = e.user_id % 3) AS basev",
             # uncorrelated select-item scalar on the filter outer
             f"user_id - (SELECT max(user_id) FROM events "
             f"WHERE {iconds}) AS basev",
@@ -514,6 +521,14 @@ def main() -> int:
     # default.events_fz — qualified spellings must parse, cache, and
     # answer exactly like the bare view
     if not spark.catalog.tableExists("default.events_fz"):
+        # a previous run's warehouse dir may survive without its metastore
+        # row (derby db is per-cwd) — clear the stale location first
+        import shutil as _sh
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        _sh.rmtree(_os.path.join(wh, "events_fz"), ignore_errors=True)
         spark.table("events").write.mode("overwrite").saveAsTable(
             "default.events_fz"
         )
