@@ -305,6 +305,34 @@ _QC_SQLS = {
         "WHERE e3.event_type = o.event_type AND e3.value > 1e9) AS big "
         "FROM {v} o GROUP BY 1 ORDER BY 1"
     ),
+    # Multi-equality correlated decorrelation (r13, r12 verdict item 3):
+    # TWO conjunctive correlated equalities → ONE composite-key rollup
+    # entry, broadcast-LEFT-JOINed onto the finalized outer. Both families
+    # in one row: the avg ratio (NULL never occurs — every outer group
+    # exists in its own rollup) and a count over a sometimes-empty
+    # correlated subset (absent keys coalesce to 0). DuckDB runs the query
+    # natively as the oracle; plain Spark still REFUSES the spelling
+    # (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION).
+    "qc_corr_multi": (
+        "SELECT event_type, user_id, round(sum(value), 2) AS sv, "
+        "round(sum(value) / (SELECT avg(value) FROM {v} e2 "
+        "WHERE e2.event_type = o.event_type AND e2.user_id = o.user_id) "
+        "+ 1e-9, 4) AS ratio, "
+        "(SELECT count(*) FROM {v} e3 WHERE e3.event_type = o.event_type "
+        "AND e3.user_id = o.user_id AND e3.value > 180) AS big "
+        "FROM {v} o GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    # Set-operation caching over aggregates (r12 verdict item 4): EXCEPT of
+    # two independently-cached branch entries, replayed over finalized
+    # O(state) results — branch 2 differs only in the key filter, so the
+    # EXCEPT keeps exactly the filtered-out key's row. Exact INT values
+    # (count); both branches refresh incrementally between the two runs.
+    "qc_except_agg": (
+        "SELECT event_type, count(*) AS n FROM {v} WHERE value > 100 "
+        "GROUP BY 1 EXCEPT "
+        "SELECT event_type, count(*) AS n FROM {v} "
+        "WHERE value > 100 AND event_type <> 'click' GROUP BY 1 ORDER BY 1"
+    ),
 }
 
 
@@ -1333,8 +1361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_incr_ann": _op_incr_ann,
             "op_stream_maintain": _op_stream_maintain,
             "op_stream_dedup": _op_stream_dedup,
-            "op_term_freq": _op_term_freq,
-            "op_bigram_freq": _op_bigram_freq,
             "op_tfidf": _op_tfidf,
         }
     )
@@ -1354,6 +1380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence yet (r9-r11 accredited the other nine) come first: from
     # rnd=11 the slot walks pt_join_revenue, pt_window_top_orders,
     # pt_exists_semi, … one per round.
+    # r13: two NEW graded rows again (qc_corr_multi — composite-key
+    # correlated decorrelation; qc_except_agg — set-op caching). To keep
+    # the ONE pt rotation slot alive, two long-accredited graded rows
+    # (op_term_freq, op_bigram_freq — driver-green since r8; same
+    # machinery as op_tfidf which stays in-window) move PAST the window
+    # into the check_oracle-verified tail (OFF_WINDOW_GRADED in
+    # tests/test_entry_ledger.py).
     rotation = [
         "pt_join_revenue", "pt_window_top_orders", "pt_exists_semi",
         "pt_rollup", "pt_topk", "pt_setops",
@@ -1388,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, which runs ALL entries
     q["op_split_assign"] = _op_split_assign
     q["op_stratified_sample"] = _op_stratified_sample
+    # r13: displaced to the off-window tail (see the rotation comment)
+    q["op_term_freq"] = _op_term_freq
+    q["op_bigram_freq"] = _op_bigram_freq
     return q
 
 

@@ -750,31 +750,48 @@ class _ParquetEntry(CacheEntry):
         try:
             import pyarrow.parquet as pq
 
-            files: List[str] = []
+            files: Dict[str, List[int]] = {}
             for p in self._state_paths():
                 for r, _d, fs in os.walk(p):
-                    files.extend(
-                        os.path.join(r, f)
-                        for f in fs
-                        if f.endswith(".parquet")
-                    )
-            if len(files) > max_files:
-                mark = os.path.join(self._dir, ".verified")
-                try:
-                    if time.time() - os.path.getmtime(mark) < 60.0:
-                        return True
-                except OSError:
-                    pass
-                files = sorted(files, key=os.path.getmtime, reverse=True)[
-                    :max_files
-                ]
-                try:
-                    with open(mark, "w"):
-                        pass
-                except OSError:
-                    pass
-            for f in files:
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            fp = os.path.join(r, f)
+                            st = os.stat(fp)
+                            files[fp] = [st.st_size, st.st_mtime_ns]
+            if len(files) <= max_files:
+                for f in files:
+                    pq.read_metadata(f)
+                return True
+            # big state (the 100 TB row-set / hour-bucketed layouts):
+            # footer-reading every file per query is too hot. Footer-check
+            # each file ONCE, then stat-compare against a manifest sidecar
+            # — any size/mtime change (vandalism, torn write) re-checks
+            # just that file's footer. Replaces the r10 time-window skip,
+            # which could serve a part corrupted within the last 60 s
+            # (caught by the r13 corruption fuzz on hour-bucketed state).
+            man_path = os.path.join(self._dir, ".manifest.json")
+            try:
+                with open(man_path) as fh:
+                    man = json.load(fh)
+            except Exception:
+                man = None
+            key = ",".join(
+                sorted(os.path.basename(p) for p in self._state_paths())
+            )
+            if man is not None and man.get("key") == key:
+                prev = man.get("files", {})
+                if any(f not in files for f in prev):
+                    return False  # state file vanished underneath us
+                changed = [f for f, st in files.items() if prev.get(f) != st]
+            else:
+                changed = list(files)
+            for f in changed:
                 pq.read_metadata(f)
+            if changed or man is None or man.get("key") != key:
+                tmp = man_path + f".{uuid.uuid4().hex[:6]}.tmp"
+                with open(tmp, "w") as fh:
+                    json.dump({"key": key, "files": files}, fh)
+                os.replace(tmp, man_path)
             return True
         except Exception:
             return False

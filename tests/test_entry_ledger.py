@@ -17,8 +17,16 @@ ROWS_ONLY_ALLOWED = {"qc_approx_distinct"}
 # Graded entries deliberately PAST the window: the 50 slots are full, and
 # these are accredited every round via tools/check_oracle.py (which runs
 # ALL entries) instead of the driver ledger. Adding here requires a
-# matching oracle_sql() entry — enforced below.
-OFF_WINDOW_GRADED = {"op_split_assign", "op_stratified_sample"}
+# matching oracle_sql() entry — enforced below. r13 moved op_term_freq /
+# op_bigram_freq here (driver-green since r8, same machinery as the
+# in-window op_tfidf) to make window room for qc_corr_multi /
+# qc_except_agg without squeezing out the pt rotation slot.
+OFF_WINDOW_GRADED = {
+    "op_split_assign",
+    "op_stratified_sample",
+    "op_term_freq",
+    "op_bigram_freq",
+}
 
 
 def _load_entry_module():

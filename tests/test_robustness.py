@@ -198,3 +198,63 @@ def test_engine_error_degrades_to_passthrough(spark, qc):
     assert qc.last_decision.cached is False
     assert "engine error" in qc.last_decision.reason
     assert "injected planner fault" in qc.last_decision.reason
+
+
+def test_big_state_corruption_detected_immediately(spark, tmp_path, monkeypatch):
+    """Past the verify file cap, corruption must be caught on the NEXT
+    read — the old 60s time-window skip could serve a part vandalized
+    moments after a verification (r13 corruption-fuzz find on
+    hour-bucketed state). The manifest sidecar stat-compares every file
+    per verify, footer-checking only changed ones."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.cache import _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 5)
+    ev = spark.table("events")
+    cut = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    cdir = str(tmp_path / "c")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cdir),
+            default_temporal_column="ts",
+            override_now_ns=cut,
+        ),
+    )
+    # hour buckets → way past the 64-file verify cap
+    sql = (
+        "SELECT date_trunc('hour', ts) AS h, count(*) AS n "
+        "FROM events GROUP BY 1"
+    )
+    qc.sql(sql).collect()
+    # a verification pass happens on this hit, writing the manifest
+    qc.config.override_now_ns = cut + 1
+    qc.sql(sql).collect()
+    files = [
+        f
+        for f in glob.glob(os.path.join(cdir, "**", "*.parquet"), recursive=True)
+    ]
+    assert len(files) > 64
+    with open(files[len(files) // 2], "wb") as fh:
+        fh.write(b"\x00CORRUPT")
+    # IMMEDIATELY after (well inside the old 60s window): must self-heal
+    qc.config.override_now_ns = cut + 2
+    got = qc.sql(sql)
+    rows = {tuple(r) for r in got.collect()}
+    exp = {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events "
+            f"WHERE ts_ns < {cut + 2} GROUP BY 1"
+        ).collect()
+    }
+    assert rows == exp
