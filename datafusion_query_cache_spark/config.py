@@ -88,16 +88,20 @@ class QueryCacheConfig:
     #: query (passthrough) rather than store a runaway state. ``None`` =
     #: unlimited.
     percentile_max_distinct: Optional[int] = 100_000
-    #: Opt-in: cache ``approx_percentile``/``percentile_approx`` with a
-    #: MERGEABLE log-binned quantile sketch (DDSketch-style relative-error
-    #: binning over the existing RLE-histogram state machinery): state is
+    #: Cache ``approx_percentile``/``percentile_approx`` with a MERGEABLE
+    #: log-binned quantile sketch (DDSketch-style relative-error binning
+    #: over the existing RLE-histogram state machinery): state is
     #: O(log-gamma bins) per group — bounded regardless of value
-    #: cardinality, the scale path past ``percentile_max_distinct``. OFF
-    #: by default because the sketch's estimates differ from Spark's own
-    #: KLL-based percentile_approx (same precedent as the HLL
-    #: approx-distinct path: band-checked against the exact quantile, not
-    #: value-equal to the engine's native approximation).
-    approx_percentile_sketch: bool = False
+    #: cardinality, the scale path past ``percentile_max_distinct``. ON by
+    #: default since r13: the user already asked for "approx", and the
+    #: off default silently degraded percentile dashboards to passthrough
+    #: at the histogram cardinality cap. The sketch's estimates differ
+    #: from Spark's own KLL-based percentile_approx (same precedent as
+    #: the HLL approx-distinct path: band-checked against the exact
+    #: quantile, within ``3·eps`` relative error); set False to keep
+    #: Spark's native estimates via passthrough. Exact ``median``/
+    #: ``percentile`` are unaffected (RLE-histogram path).
+    approx_percentile_sketch: bool = True
     #: Relative-error bound for the quantile sketch's log-gamma binning:
     #: every stored representative is within ``eps`` of the raw value
     #: (|v| ≥ 1e-12; smaller magnitudes collapse to 0). Changing it

@@ -917,8 +917,8 @@ def decompose_agg(
         approx = fn in ("approx_percentile", "percentile_approx")
         if approx and approx_eps is None:
             raise NotDecomposable(
-                "approx percentile caching is opt-in "
-                "(config.approx_percentile_sketch)"
+                "approx percentile sketch disabled "
+                "(config.approx_percentile_sketch=False)"
             )
         if fn == "median":
             if len(agg.args) != 1:
@@ -1029,7 +1029,13 @@ def decompose_agg(
                     lambda e: e["v"].isNotNull(),
                 )
             },
-            histogram_states=[nm],
+            # the sketch's log-gamma bins are O(log range / eps) by
+            # construction — bounded regardless of value cardinality — so
+            # the percentile_max_distinct cap applies only to EXACT
+            # histogram cells (the cap exists to stop unbounded exact
+            # state; arming it for the sketch re-created the passthrough
+            # degradation the sketch exists to avoid)
+            histogram_states=[] if approx else [nm],
         )
 
     if fn == "product":

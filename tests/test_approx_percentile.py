@@ -4,8 +4,9 @@
 log-gamma binning (public algorithm — Masson et al., VLDB'19) over the
 existing RLE-histogram state machinery: state is O(bins) per group —
 bounded regardless of value cardinality, the scale path past
-``percentile_max_distinct``. Opt-in (``config.approx_percentile_sketch``)
-because the sketch's estimates differ from Spark's native KLL — the same
+``percentile_max_distinct``. Default-ON since r13 (disable via
+``config.approx_percentile_sketch=False``); the sketch's estimates differ
+from Spark's native KLL — the same
 precedent as the HLL approx-distinct path: band-checked against the EXACT
 quantile, plus exact merge-determinism (incremental ≡ single-pass sketch).
 """
@@ -41,11 +42,16 @@ def _mk(spark, **kw):
     )
 
 
-def test_sketch_is_opt_in(spark):
+def test_sketch_default_on_and_disableable(spark):
+    # r13: ON by default — the default config caches approx percentiles
     qc = _mk(spark)
     qc.sql(SQL).collect()
-    assert not qc.last_decision.cached
-    assert "opt-in" in qc.last_decision.reason
+    assert qc.last_decision.cached, qc.last_decision.reason
+    # explicit opt-out restores Spark-native estimates via passthrough
+    qc_off = _mk(spark, approx_percentile_sketch=False)
+    qc_off.sql(SQL).collect()
+    assert not qc_off.last_decision.cached
+    assert "disabled" in qc_off.last_decision.reason
 
 
 def test_sketch_two_run_band_and_determinism(spark):
@@ -231,3 +237,41 @@ def test_sketch_split_invariance_property(spark):
                 ), (merged, ex)
 
     check()
+
+
+def test_cap_exceeding_served_from_sketch_by_default(spark):
+    """The r12 verdict's silent degradation: past percentile_max_distinct
+    the DEFAULT config must serve approx_percentile from sketch state
+    (bounded bins), not passthrough — band property preserved."""
+    import datetime as dt
+
+    ev = spark.table("events")
+    mx = int(ev.agg(F.max("ts_ns")).collect()[0][0])
+    cut_ns = (mx - 2 * 24 * 3600 * 10**9) // 1000 * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_ns // 1000)
+    # cap of 1: ANY value cardinality exceeds it — exact percentile would
+    # refuse; the sketch must still cache
+    qc = _mk(spark, percentile_max_distinct=1, override_now_ns=cut_ns)
+    ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView("events")
+    try:
+        qc.sql(SQL).collect()
+        assert qc.last_decision.cached, qc.last_decision.reason
+        ev.createOrReplaceTempView("events")
+        qc.config.override_now_ns = mx + 10**9
+        got = {r["event_type"]: r for r in qc.sql(SQL).collect()}
+        assert qc.last_decision.cache_hit
+        exact = {
+            r["event_type"]: r
+            for r in spark.sql(
+                "SELECT event_type, percentile(value, 0.9) AS p90, "
+                "percentile(value, 0.5) AS med, count(*) AS n "
+                "FROM events GROUP BY 1"
+            ).collect()
+        }
+        eps = 0.01
+        for k, r in exact.items():
+            assert got[k]["n"] == r["n"]
+            for c in ("p90", "med"):
+                assert abs(got[k][c] - r[c]) <= 3 * eps * abs(r[c]) + 1e-9
+    finally:
+        ev.createOrReplaceTempView("events")
