@@ -1211,11 +1211,12 @@ def _lower_pivot(node: Dict[str, Any]):
     for a missing (group, value) combination where the plain CASE rewrite
     would say 0.
 
-    Supported: one pivot column (a bare source column), scalar string/int
-    IN values, a single-base-table projection source with no grouping or
-    modifiers. Everything else (UNPIVOT, multi-column pivots, star
-    entries, derived sources) stays passthrough — Spark runs them
-    natively."""
+    Supported: one or more pivot columns (bare source columns; r13 adds
+    the multi-column ``FOR (a, b) IN (('x', 1), …)`` form with Spark's
+    ``{v1, v2}`` cell naming), scalar string/int IN values, a
+    single-base-table projection source with no grouping or modifiers.
+    Everything else (UNPIVOT, star entries, derived sources) stays
+    passthrough — Spark runs them natively."""
     from .ir import AggSpec
 
     sel_list = node.get("select_list", [])
@@ -1251,24 +1252,43 @@ def _lower_pivot(node: Dict[str, Any]):
     if p0.get("unpivot_names"):
         raise Unsupported("UNPIVOT")
     pexprs = p0.get("pivot_expressions") or []
-    if len(pexprs) != 1:
-        raise Unsupported("compound pivot expression")
-    pcol = _expr(pexprs[0])
-    if not isinstance(pcol, Col):
-        raise Unsupported("pivot expression must be a column")
+    if not pexprs:
+        raise Unsupported("empty pivot expression")
+    pcols: List[Col] = []
+    for pe in pexprs:
+        c = _expr(pe)
+        if not isinstance(c, Col):
+            raise Unsupported("pivot expression must be a column")
+        pcols.append(c)
 
-    entries: List[Tuple[str, Lit]] = []
+    # r13: k pivot columns — ``FOR (a, b) IN (('x', 1) [AS n], …)``. Each
+    # entry carries one literal per pivot column; the cell predicate is
+    # the conjunction. Unaliased multi-column cells take Spark's exact
+    # ``{v1, v2}`` naming.
+    entries: List[Tuple[str, Tuple[Lit, ...]]] = []
     for ent in p0.get("entries") or []:
-        if ent.get("star_expr") is not None or len(ent.get("values") or []) != 1:
+        vals = ent.get("values") or []
+        if ent.get("star_expr") is not None or len(vals) != len(pcols):
             raise Unsupported("PIVOT entry shape")
-        lit = _const_value({"value": ent["values"][0]})
-        if (
-            lit.value is None
-            or isinstance(lit.value, bool)
-            or not isinstance(lit.value, (str, int))
-        ):
-            raise Unsupported("PIVOT entry value must be a string/int literal")
-        entries.append((ent.get("alias") or str(lit.value), lit))
+        lits: List[Lit] = []
+        for v in vals:
+            lit = _const_value({"value": v})
+            if (
+                lit.value is None
+                or isinstance(lit.value, bool)
+                or not isinstance(lit.value, (str, int))
+            ):
+                raise Unsupported(
+                    "PIVOT entry value must be a string/int literal"
+                )
+            lits.append(lit)
+        if ent.get("alias"):
+            nm = ent["alias"]
+        elif len(lits) == 1:
+            nm = str(lits[0].value)
+        else:
+            nm = "{" + ", ".join(str(l.value) for l in lits) + "}"
+        entries.append((nm, tuple(lits)))
     if not entries:
         raise Unsupported("empty PIVOT IN list")
     if len({n for n, _ in entries}) != len(entries):
@@ -1336,9 +1356,13 @@ def _lower_pivot(node: Dict[str, Any]):
     by_name = dict(items)
     if len(by_name) != len(items):
         raise Unsupported("duplicate source projection names")
-    if pcol.name not in by_name:
-        raise Unsupported("pivot column not in the source projection")
-    pivot_expr = by_name[pcol.name]
+    pnames = [c.name for c in pcols]
+    if len(set(pnames)) != len(pnames):
+        raise Unsupported("duplicate pivot columns")
+    for pn in pnames:
+        if pn not in by_name:
+            raise Unsupported("pivot column not in the source projection")
+    pivot_exprs = [by_name[pn] for pn in pnames]
 
     # inline source expressions into the aggregate args (the AggSpec reads
     # the base table directly) and track which source columns an aggregate
@@ -1366,13 +1390,15 @@ def _lower_pivot(node: Dict[str, Any]):
     group_items = [
         SelectItem(n, e)
         for n, e in items
-        if n != pcol.name and n not in consumed
+        if n not in pnames and n not in consumed
     ]
 
     count_family = {"count", "approx_count_distinct"}
     agg_items: List[SelectItem] = []
-    for vname, lit in entries:
-        cond = BinOp("=", pivot_expr, lit)
+    for vname, lits in entries:
+        cond: Expr = BinOp("=", pivot_exprs[0], lits[0])
+        for pe, lit in zip(pivot_exprs[1:], lits[1:]):
+            cond = BinOp("and", cond, BinOp("=", pe, lit))
 
         def _wrap(n):
             return (

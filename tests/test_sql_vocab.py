@@ -427,3 +427,35 @@ def test_offset_refused_without_dataframe_offset(spark, qc_mem, monkeypatch):
     assert [tuple(r) for r in out.collect()] == [
         tuple(r) for r in spark.sql(q).collect()
     ]
+
+
+def test_pivot_multi_column_cached(spark, qc_mem):
+    """r13: k-column PIVOT — FOR (a, b) IN (('x', 1) [AS n], …) rides the
+    same grouped-CASE rewrite; unaliased cells take Spark's exact
+    '{v1, v2}' naming, count cells keep the presence guard."""
+    q = (
+        "SELECT * FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "event_type, user_id % 2 AS par, value FROM events) "
+        "PIVOT (round(sum(value),2) FOR (event_type, par) IN "
+        "(('click', 0), ('view', 1) AS v1, ('error', 0) AS e0)) ORDER BY d"
+    )
+    out = _two_run_events(qc_mem, spark, q)
+    assert out.columns == spark.sql(q).columns == ["d", "{click, 0}", "v1", "e0"]
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(q).collect()
+    ]
+
+
+def test_pivot_multi_column_multi_agg(spark, qc_mem):
+    q = (
+        "SELECT * FROM (SELECT event_type, user_id % 2 AS par, value "
+        "FROM events) "
+        "PIVOT (round(sum(value),2) AS s, count(value) AS c "
+        "FOR (event_type, par) IN (('click', 0), ('view', 1) AS v1))"
+    )
+    out = qc_mem.sql(q)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert out.columns == spark.sql(q).columns
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
