@@ -415,6 +415,16 @@ def test_layer_cap_amortized_no_full_rewrite(spark, tmp_path, monkeypatch):
         m = e._meta
         assert len(m["bparts"]) <= 4
         assert m["bparts"][0] == base_layer  # base never rewritten
+        # the r12 cliff bound: rows WRITTEN this refresh stay well under
+        # the O(full state) rewrite (370 live rows) — changed-bucket tail
+        # (≤4 days × 37 keys) plus one small-pair merge quantum
+        import pyarrow.dataset as _ds
+
+        written = sum(
+            _ds.dataset(str(edir / d), format="parquet").count_rows()
+            for d in (after - before)
+        )
+        assert written <= 300, f"refresh {step} wrote {written} rows"
     # exactness: replay the bound history driver-side — below each bound the
     # values of the most recent refresh that covered the bucket survive
     vals = {}
