@@ -34,6 +34,46 @@ def _base_table_name(ft: Dict[str, Any]) -> str:
     return ".".join(p for p in parts if p)
 
 
+#: Stack of visible relation names (lowercased table names / aliases) for
+#: the SELECT scope currently being lowered — lets COLUMN_REF lowering
+#: tell a TABLE qualifier (dropped) from a STRUCT column root (kept as a
+#: dotted field path). Single-threaded per parse; pushed by
+#: _lower_select and the decorrelation key lowering.
+_SCOPE: List[set] = []
+
+
+def _visible_names(ft: Dict[str, Any]) -> set:
+    """Lowercased relation names visible in a FROM tree: an alias REPLACES
+    the table name it binds (SQL alias hiding)."""
+    out: set = set()
+
+    def walk(n) -> None:
+        if not isinstance(n, dict):
+            return
+        t = n.get("type")
+        if t == "BASE_TABLE":
+            alias = n.get("alias") or ""
+            if alias:
+                out.add(alias.lower())
+            else:
+                if n.get("table_name"):
+                    out.add(n["table_name"].lower())
+                out.add(_base_table_name(n).lower())
+            return
+        if t == "JOIN":
+            walk(n.get("left"))
+            walk(n.get("right"))
+            return
+        if t in ("SUBQUERY", "PIVOT"):
+            alias = n.get("alias") or ""
+            if alias:
+                out.add(alias.lower())
+            return
+
+    walk(ft)
+    return out
+
+
 def _df_offset_available() -> bool:
     """``DataFrame.offset`` exists from PySpark 3.5 (classic). On older
     runtimes LIMIT … OFFSET must refuse at parse time (→ passthrough)
@@ -260,7 +300,20 @@ def _expr(node: Dict[str, Any]) -> Expr:
             "today",
         ):
             return Func(names[0].lower(), ())
-        return Col(names[-1])  # drop qualifier — single-table shape only
+        if len(names) >= 2 and _SCOPE:
+            # scope-aware resolution (r13): a leading segment naming a
+            # visible relation is a TABLE qualifier (dropped); any other
+            # multi-part ref is a STRUCT field path rooted at a column —
+            # kept dotted, which both F.col() and Spark SQL resolve as
+            # nested-field access. Dropping it blindly built plans over a
+            # nonexistent bare column (loud failure under strict_errors).
+            rest = (
+                list(names[1:])
+                if names[0].lower() in _SCOPE[-1]
+                else list(names)
+            )
+            return Col(".".join(rest))
+        return Col(names[-1])  # no scope info: drop qualifier (legacy)
 
     if cls == "COMPARISON":
         op = _COMPARE_OPS.get(typ)
@@ -882,7 +935,7 @@ def _colref_json(name: str, alias: str = ""):
     }
 
 
-def _corr_key_plan(pairs):
+def _corr_key_plan(pairs, sub):
     """Composite rollup keys from raw ``(own_json, foreign_json)`` pairs:
     bare inner columns keep their natural names (the rollup stays spelled
     like a handwritten one and shares its entry); expression keys get
@@ -891,11 +944,16 @@ def _corr_key_plan(pairs):
     ``[(name, own_json, is_bare_column)]``, the rest parallel to pairs."""
     key_items: List[Tuple[str, Dict[str, Any], bool]] = []
     seen: Dict[str, str] = {}
+    inner_vis = _visible_names(sub.get("from_table") or {})
     inner_keys: List[str] = []
     outer_keys: List[Expr] = []
     canons: List[str] = []
     for own_j, for_j in pairs:
-        own_ir = _expr(own_j)
+        _SCOPE.append(inner_vis)
+        try:
+            own_ir = _expr(own_j)
+        finally:
+            _SCOPE.pop()
         out_ir = _expr(for_j)
         if _contains_agg(own_ir) or _contains_window(own_ir):
             raise Unsupported("aggregate/window in a correlated key")
@@ -975,7 +1033,7 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
             "(on-empty value not representable)"
         )
 
-    key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs)
+    key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs, sub)
     item = dict(sel[0])
     item["alias"] = "qc_cv"
     new_sub = _corr_rollup_sub(sub, key_items, rest, item)
@@ -1029,7 +1087,16 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
     from .ir import Col as _Col, Func as _Func
 
     sub, pairs, rest = _split_correlation(node)
-    own0 = _expr(pairs[0][0]) if len(pairs) == 1 else None
+    own0 = None
+    if len(pairs) == 1:
+        # the own side lowers under the INNER scope (its qualifier is the
+        # inner alias — under the outer scope it would read as a struct
+        # field path)
+        _SCOPE.append(_visible_names(sub.get("from_table") or {}))
+        try:
+            own0 = _expr(pairs[0][0])
+        finally:
+            _SCOPE.pop()
     if len(pairs) > 1 or not isinstance(own0, Col):
         # composite or expression-keyed: the count-rollup CorrScalar path
         return _decorrelate_exists_multi(sub, pairs, rest)
@@ -1088,7 +1155,7 @@ def _decorrelate_exists_multi(sub, pairs, rest) -> Expr:
         Lit as _Lit,
     )
 
-    key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs)
+    key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs, sub)
     count_item = {
         "class": "FUNCTION",
         "type": "FUNCTION",
@@ -1346,7 +1413,9 @@ def _lower_pivot(node: Dict[str, Any]):
         if s.get("class") == "STAR":
             raise Unsupported("PIVOT source SELECT *")
         e = _expr(s)
-        alias = s.get("alias") or (e.name if isinstance(e, Col) else f"col{i}")
+        alias = s.get("alias") or (
+            e.name.rsplit(".", 1)[-1] if isinstance(e, Col) else f"col{i}"
+        )
         if alias.startswith("__qc"):
             raise Unsupported(f"alias {alias} uses reserved __qc prefix")
         if _contains_agg(e) or _contains_window(e) or _contains_scalar_subq(e):
@@ -1657,6 +1726,16 @@ def _lower_select(node: Dict[str, Any]):
         # QUALIFY, so the passthrough fails with Spark's parse error.
         raise Unsupported("QUALIFY outside a derived-table window shape")
 
+    _SCOPE.append(_visible_names(node.get("from_table") or {}))
+    try:
+        return _lower_select_from(node)
+    finally:
+        _SCOPE.pop()
+
+
+def _lower_select_from(node: Dict[str, Any]):
+    from .ir import FilterSpec
+
     # FROM: one base table, or a LEFT-DEEP tree of INNER/LEFT equi-joins
     # over base tables (the fact table first, carrying the temporal column).
     # Joins are kept as explicit steps so LEFT joins (fact rows preserved
@@ -1763,7 +1842,9 @@ def _lower_select(node: Dict[str, Any]):
             alias = sel.get("alias") or ""
             if not alias:
                 if isinstance(e, Col):
-                    alias = e.name
+                    # Spark names an unaliased field ref by its LAST path
+                    # segment (SELECT meta.t -> column `t`)
+                    alias = e.name.rsplit(".", 1)[-1]
                 else:
                     alias = f"col{i}"
             if alias.startswith("__qc"):
@@ -2202,7 +2283,11 @@ def _lower_subquery(node: Dict[str, Any]):
             e = _expr(sel)
             alias = sel.get("alias") or ""
             if not alias:
-                alias = e.name if isinstance(e, Col) else f"col{i}"
+                alias = (
+                    e.name.rsplit(".", 1)[-1]
+                    if isinstance(e, Col)
+                    else f"col{i}"
+                )
             if alias.startswith("__qc"):
                 raise Unsupported(f"alias {alias} uses reserved __qc prefix")
             raw_items.append((alias, e))

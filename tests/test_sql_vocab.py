@@ -459,3 +459,39 @@ def test_pivot_multi_column_multi_agg(spark, qc_mem):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, spark.sql(q).collect())
     )
+
+
+# -- struct-field references (r13) -------------------------------------------
+
+
+def test_struct_field_group_by_cached(spark, qc_mem):
+    """meta.t group keys: a multi-part ref whose root is NOT a visible
+    relation is a struct FIELD PATH (kept dotted), not a table qualifier.
+    Before r13 the qualifier was dropped blindly, building a plan over a
+    nonexistent bare column (loud failure under strict_errors,
+    passthrough otherwise)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    ev.withColumn(
+        "meta",
+        F.struct(
+            F.col("event_type").alias("t"), (F.col("user_id") % 3).alias("b")
+        ),
+    ).createOrReplaceTempView("ev_struct")
+    for q in [
+        "SELECT meta.t AS t, count(*) AS n FROM ev_struct GROUP BY 1 ORDER BY 1",
+        # unaliased: output named by the LAST path segment, Spark behavior
+        "SELECT meta.t, meta.b, round(sum(value),2) AS s FROM ev_struct "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+        # 3-part: table alias stripped, field path kept
+        "SELECT e.meta.t AS t, count(*) AS n FROM ev_struct e "
+        "WHERE e.meta.b = 1 GROUP BY 1 ORDER BY 1",
+    ]:
+        got = qc_mem.sql(q)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        plain = spark.sql(q)
+        assert got.columns == plain.columns
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in plain.collect()
+        ]
