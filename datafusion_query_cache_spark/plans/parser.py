@@ -2600,13 +2600,15 @@ def _lower_setop(node: Dict[str, Any]):
 
     def lower_branch(n: Dict[str, Any]) -> None:
         if n.get("type") == "SET_OPERATION_NODE":
-            # nested set-op leg (chained `a EXCEPT b EXCEPT c` arrives
-            # left-nested; non-flattenable UNION mixes too): _lower_select
-            # would lower it to a nested UnionSpec, which the planner's
-            # binary set-op assembly cannot take as a branch — refuse
-            # explicitly so it degrades to passthrough instead of relying
-            # on a downstream accident.
-            raise Unsupported("nested set operation branch")
+            # nested set-op leg (r13): chained `a EXCEPT b EXCEPT c`
+            # arrives left-nested, mixed UNION/INTERSECT trees too — lower
+            # recursively to a nested UnionSpec branch; the planner's
+            # assembly recurses the same way. SQL evaluates set ops
+            # left-associatively, which the parse tree already encodes.
+            if n.get("modifiers"):
+                raise Unsupported("modifiers on a nested set operation")
+            branches.append(_lower_setop(n))
+            return
         b = _lower_select(n)
         if _spec_has_scalar_subq(b):
             # the session resolves scalar subqueries only at the top level
@@ -2687,8 +2689,11 @@ def _lower_setop(node: Dict[str, Any]):
 
 def _branch_names(spec) -> List[str]:
     """Output column names of a lowered branch, in output order."""
-    from .ir import AggSpec, FilterSpec, SubquerySpec
+    from .ir import AggSpec, FilterSpec, SubquerySpec, UnionSpec
 
+    if isinstance(spec, UnionSpec):
+        # nested set operation: positional — first leaf names the output
+        return _branch_names(spec.branches[0])
     if isinstance(spec, AggSpec):
         return list(spec.select_order)
     if isinstance(spec, SubquerySpec):

@@ -1205,7 +1205,7 @@ class CachedSparkSession(RefreshTiers):
         the planners refuse aborts the whole union to passthrough (the
         Unsupported propagates to ``sql()``'s fallback), so semantics are
         always exact."""
-        from .plans.ir import FilterSpec, SubquerySpec
+        from .plans.ir import FilterSpec, SubquerySpec, UnionSpec as _US
         from .tiers import _order_col
 
         dfs = []
@@ -1215,6 +1215,10 @@ class CachedSparkSession(RefreshTiers):
                 df, d = self._plan_filter(b, query)
             elif isinstance(b, SubquerySpec):
                 df, d = self._plan_subquery(b, query)
+            elif isinstance(b, _US):
+                # nested set operation (r13): left-nested chains / mixed
+                # trees — recurse; every leaf still owns its cache entry
+                df, d = self._plan_union(b, query)
             else:
                 df, d = self._plan_cached(query, b)
             dfs.append(df)

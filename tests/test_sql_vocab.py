@@ -495,3 +495,43 @@ def test_struct_field_group_by_cached(spark, qc_mem):
         assert [tuple(r) for r in got.collect()] == [
             tuple(r) for r in plain.collect()
         ]
+
+
+# -- nested set operations (r13) ----------------------------------------------
+
+
+def test_nested_set_operations_cached(spark, qc_mem):
+    """Chained / mixed set-operation trees: every LEAF owns its cache
+    entry; the tree replays over finalized results (left-associative,
+    INTERSECT binding tighter — both parsers agree)."""
+    B = (
+        "SELECT event_type AS k, count(*) AS n FROM events "
+        "WHERE value > {v} GROUP BY 1"
+    )
+    for sql in [
+        f"{B.format(v=0)} EXCEPT {B.format(v=100)} EXCEPT {B.format(v=200)}",
+        f"{B.format(v=0)} INTERSECT {B.format(v=1)} UNION {B.format(v=400)} "
+        "ORDER BY 1, 2",
+        f"({B.format(v=0)} UNION ALL {B.format(v=1)}) EXCEPT ALL "
+        f"{B.format(v=2)}",
+    ]:
+        got = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, spark.sql(sql).collect())
+        )
+
+
+def test_nested_set_operation_two_run(spark, qc_mem):
+    B = (
+        "SELECT event_type AS k, count(*) AS n FROM events "
+        "WHERE value > {v} GROUP BY 1"
+    )
+    sql = (
+        f"{B.format(v=0)} EXCEPT {B.format(v=150)} EXCEPT {B.format(v=300)} "
+        "ORDER BY 1"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]

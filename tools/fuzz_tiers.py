@@ -533,6 +533,14 @@ def main() -> int:
             "default.events_fz"
         )
 
+    # struct twin (r13): meta.t mirrors event_type for the field-path axis
+    spark.table("events").withColumn(
+        "meta",
+        F.struct(
+            F.col("event_type").alias("t"), (F.col("user_id") % 5).alias("b")
+        ),
+    ).createOrReplaceTempView("events_st")
+
     # small static dim for the star-join mode
     spark.range(50).select(
         F.col("id").alias("bucket_id"),
@@ -618,6 +626,20 @@ def main() -> int:
                 else " UNION ALL "
             )
             sql = _branch(p1) + kind + _branch(p2)
+            # 25%: nested chain (r13) — a third leg on a left-nested tree;
+            # distinct-style legs keep the exact-output restriction
+            if rng.random() < 0.25:
+                rest = [p for p in PREDS if p and p not in (p1, p2)]
+                if rest:
+                    kind2 = (
+                        rng.choice(
+                            [" UNION ALL ", " UNION ", " EXCEPT ",
+                             " INTERSECT "]
+                        )
+                        if names <= exact and kind.strip() != "UNION ALL"
+                        else " UNION ALL "
+                    )
+                    sql = sql + kind2 + _branch(rng.choice(rest))
         gs = rng.sample(GROUPS, rng.randint(1, 2))
         ags = rng.sample(AGGS, rng.randint(1, 4))
         pred = rng.choice(PREDS)
@@ -706,6 +728,18 @@ def main() -> int:
         # qualified name must ride the cached path with exact answers
         elif not join_mode and rng.random() < 0.10 and "FROM events " in sql:
             sql = sql.replace("FROM events ", "FROM default.events_fz ")
+        # 10%: struct-field spelling (r13) — meta.t ≡ event_type on the
+        # struct twin; scope-aware field-path resolution must keep every
+        # answer identical (plain Spark runs the same rewritten SQL)
+        elif (
+            not join_mode
+            and rng.random() < 0.10
+            and "FROM events " in sql
+            and "event_type" in sql
+        ):
+            sql = sql.replace("FROM events ", "FROM events_st ").replace(
+                "event_type", "meta.t"
+            )
         cache = (
             MemoryQueryCache()
             if rng.random() < 0.3
