@@ -531,9 +531,10 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
     inner = _lower_select(node["subquery"]["node"])
     if not isinstance(inner, _AggSpec):
         raise Unsupported("subquery body is not a plain aggregate")
+    # joined bodies allowed since r13: the inner plans through the same
+    # cached star-join pipeline as a top-level joined aggregate
     if (
         inner.grouping_sets
-        or inner.join_steps
         or inner.order_by
         or inner.limit is not None
         or len(inner.select_order) != 1
@@ -550,6 +551,10 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
             f"{inner.aggregates[0].expr.canon()}"
             f"|{canon_predicate(inner.predicate)}"
         )
+        if inner.join_steps:
+            canon_str += (
+                f"|joins={';'.join(j.canon() for j in inner.join_steps)}"
+            )
         return ScalarSubquery(canon_str=canon_str, spec=inner)
     canon_str = (
         f"{inner.canon()}|sel={inner.select_order[0]}"
@@ -1871,14 +1876,14 @@ def _lower_select_from(node: Dict[str, Any]):
             raise Unsupported("DISTINCT over aggregates/subqueries")
         if any(_contains_window(e) for _, e in raw_items):
             raise Unsupported("DISTINCT over window functions")
-        if len(tables) > 1 or join_steps:
-            raise Unsupported("DISTINCT caching is single-table")
         if offset is not None:
             raise Unsupported("OFFSET on SELECT DISTINCT")
+        # joined DISTINCT allowed since r13: the key-set state rides the
+        # same cached star-join pipeline as a joined GROUP BY
         return AggSpec(
             table=table,
             tables=tuple(tables),
-            join_steps=(),
+            join_steps=tuple(join_steps),
             predicate=predicate,
             group_by=tuple(SelectItem(n, e) for n, e in raw_items),
             aggregates=(

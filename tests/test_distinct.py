@@ -77,3 +77,24 @@ def test_in_body_may_be_distinct(spark, qc_mem):
     )
     out = _two_run(qc_mem, spark, sql)
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_joined_distinct_two_run(spark, qc_mem):
+    """r13: SELECT DISTINCT over a star join — the key-set state rides the
+    cached join pipeline (fact carries the temporal column; dims join
+    before aggregation like any joined GROUP BY)."""
+    from pyspark.sql import functions as F
+
+    spark.table("events").select(
+        F.col("event_type").alias("t_type")
+    ).distinct().withColumn("t_weight", F.length("t_type") % 3).createOrReplaceTempView(
+        "etype_dim2"
+    )
+    sql = (
+        "SELECT DISTINCT t_weight, user_id % 5 AS ub FROM events "
+        "JOIN etype_dim2 ON event_type = t_type ORDER BY 1, 2"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]

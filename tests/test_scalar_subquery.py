@@ -582,3 +582,43 @@ def test_corr_not_exists_two_keys(spark, qc_mem):
     assert [tuple(r) for r in out.collect()] == [
         tuple(r) for r in spark.sql(sql).collect()
     ]
+
+
+def test_scalar_subquery_over_joined_inner(spark, qc_mem):
+    """r13: joined subquery bodies — the inner star-join aggregate plans
+    through the same cached pipeline as a top-level joined aggregate."""
+    from pyspark.sql import functions as F
+
+    spark.table("events").select(
+        F.col("event_type").alias("t_type")
+    ).distinct().withColumn(
+        "t_weight", (F.length("t_type") % 3).cast("long")
+    ).createOrReplaceTempView("etype_dim3")
+    sql = (
+        "SELECT event_id, value FROM events WHERE value > 2 * "
+        "(SELECT avg(value) FROM events JOIN etype_dim3 ON "
+        "event_type = t_type WHERE t_weight = 1) ORDER BY event_id"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
+
+
+def test_in_subquery_over_joined_distinct(spark, qc_mem):
+    from pyspark.sql import functions as F
+
+    spark.table("events").select(
+        F.col("event_type").alias("t_type")
+    ).distinct().withColumn(
+        "t_weight", (F.length("t_type") % 3).cast("long")
+    ).createOrReplaceTempView("etype_dim3")
+    sql = (
+        "SELECT event_type, count(*) AS n FROM events WHERE event_type IN "
+        "(SELECT DISTINCT t_type FROM events JOIN etype_dim3 ON "
+        "event_type = t_type WHERE t_weight = 1) GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]

@@ -456,9 +456,9 @@ def test_intersect_cached_branches(spark, qc_mem):
     assert "intersect of 2 cached branches" in qc_mem.last_decision.reason
 
 
-def test_chained_except_stays_passthrough(spark, qc_mem):
-    """a EXCEPT b EXCEPT c arrives left-nested; the nested set-op branch
-    is refused and the whole query runs plain — exact either way."""
+def test_chained_except_cached(spark, qc_mem):
+    """a EXCEPT b EXCEPT c arrives left-nested; r13 lowers the nested
+    branch recursively — every leaf owns its cache entry, exact replay."""
     qc_mem.config.override_now_ns = None
     sql = (
         "SELECT event_type FROM events GROUP BY 1 HAVING count(*) > 5 "
@@ -467,5 +467,5 @@ def test_chained_except_stays_passthrough(spark, qc_mem):
         "GROUP BY 1 HAVING count(*) > 200"
     )
     out = qc_mem.sql(sql)
-    assert not qc_mem.last_decision.cached
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))
