@@ -344,6 +344,31 @@ def _mk_qc(key: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# Linear-regression family (r13): rides the central co-moment state (same
+# as corr/covar). OFF-window — oracle-checked every round via
+# tools/check_oracle.py. regr_count casts to BIGINT in the oracle (duckdb
+# returns uint32, Spark bigint).
+_REGR_SQL = (
+    "SELECT event_type, {rc} AS rc, "
+    "round(regr_avgx(value, user_id) + 1e-9, 4) AS ax, "
+    "round(regr_avgy(value, user_id) + 1e-9, 4) AS ay, "
+    "round(regr_slope(value, user_id) + 1e-9, 6) AS sl, "
+    "round(regr_intercept(value, user_id) + 1e-9, 4) AS ic, "
+    "round(regr_r2(value, user_id) + 1e-9, 6) AS r2, "
+    "round(regr_sxy(value, user_id) + 1e-9, 2) AS sxy "
+    "FROM {v} GROUP BY 1 ORDER BY 1"
+)
+
+
+def _qc_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        _REGR_SQL.format(v="events_qc_regr", rc="regr_count(value, user_id)"),
+        "events_qc_regr",
+    )
+
+
 # Dynamic lower bounds (beyond-reference: the reference hard-errors on these,
 # src/aggregate.rs:191-193). Two runs with a MOVING pinned now: run 1 builds
 # state as-of Jan 26, run 2 slides the window to now = Jan 31 (past max ts,
@@ -1424,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13: displaced to the off-window tail (see the rotation comment)
     q["op_term_freq"] = _op_term_freq
     q["op_bigram_freq"] = _op_bigram_freq
+    # r13: new off-window graded surfaces (window full; check_oracle runs all)
+    q["qc_regr"] = _qc_regr
     return q
 
 
@@ -1517,6 +1544,9 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n, round(sum(value), 2) AS s FROM events "
         "GROUP BY ROLLUP (event_type, d) "
         "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
+    )
+    o["qc_regr"] = _REGR_SQL.format(
+        v="events", rc="CAST(regr_count(value, user_id) AS BIGINT)"
     )
     for key, (_spark_sql, duck_sql) in _QC_DYN_SQLS.items():
         o[key] = duck_sql

@@ -876,6 +876,101 @@ def decompose_agg(
             py_finalize=_corr_fin,
         )
 
+    if fn in (
+        "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+        "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
+    ):
+        # linear-regression family (r13) on the SAME central co-moment
+        # state as corr/covar: n, x̄, ȳ, C2=Σ(x−x̄)(y−ȳ), M2x, M2y.
+        # Argument order is regr_F(y, x) — y dependent, x independent —
+        # identical in Spark and DuckDB. regr_sxx/syy/sxy are M2x/M2y/C2;
+        # slope = C2/M2x; intercept = ȳ − slope·x̄; r² per the SQL
+        # standard: NULL when M2x=0, 1 when M2y=0, else C2²/(M2x·M2y).
+        if len(agg.args) != 2:
+            raise NotDecomposable(f"{fn} requires two arguments")
+        y = to_column(agg.args[0]).cast("double")  # dependent
+        x = to_column(agg.args[1]).cast("double")  # independent
+        valid = x.isNotNull() & y.isNotNull()
+        vx = F.when(valid, x)
+        vy = F.when(valid, y)
+        n, mxn, myn, c2n, m2xn, m2yn = (
+            s("cnt"), s("mx"), s("my"), s("c2"), s("m2x"), s("m2y")
+        )
+        fields = [
+            ("n", n), ("mx", mxn), ("my", myn),
+            ("c2", c2n), ("m2x", m2xn), ("m2y", m2yn),
+        ]
+        cN, cMX, cMY = F.col(n), F.col(mxn), F.col(myn)
+        cC2, cM2X, cM2Y = F.col(c2n), F.col(m2xn), F.col(m2yn)
+        if fn == "regr_count":
+            fin = cN  # 0 on an empty pair set (standard), never NULL
+        elif fn == "regr_avgx":
+            fin = F.when(cN > 0, cMX)
+        elif fn == "regr_avgy":
+            fin = F.when(cN > 0, cMY)
+        elif fn == "regr_sxx":
+            fin = F.when(cN > 0, cM2X)
+        elif fn == "regr_syy":
+            fin = F.when(cN > 0, cM2Y)
+        elif fn == "regr_sxy":
+            fin = F.when(cN > 0, cC2)
+        elif fn == "regr_slope":
+            fin = F.when((cN > 0) & (cM2X != 0), cC2 / cM2X)
+        elif fn == "regr_intercept":
+            fin = F.when(
+                (cN > 0) & (cM2X != 0), cMY - (cC2 / cM2X) * cMX
+            )
+        else:  # regr_r2
+            fin = F.when(
+                (cN > 0) & (cM2X != 0),
+                F.when(cM2Y == F.lit(0.0), F.lit(1.0)).otherwise(
+                    (cC2 * cC2) / (cM2X * cM2Y)
+                ),
+            )
+
+        def _regr_fin(st, _fn=fn):
+            c = st[n] or 0
+            if _fn == "regr_count":
+                return c
+            if not c:
+                return None
+            if _fn == "regr_avgx":
+                return st[mxn]
+            if _fn == "regr_avgy":
+                return st[myn]
+            if _fn == "regr_sxx":
+                return st[m2xn]
+            if _fn == "regr_syy":
+                return st[m2yn]
+            if _fn == "regr_sxy":
+                return st[c2n]
+            if st[m2xn] == 0:
+                return None
+            slope = st[c2n] / st[m2xn]
+            if _fn == "regr_slope":
+                return slope
+            if _fn == "regr_intercept":
+                return st[myn] - slope * st[mxn]
+            if st[m2yn] == 0:
+                return 1.0
+            return (st[c2n] * st[c2n]) / (st[m2xn] * st[m2yn])
+
+        pair_cnt = F.count(F.when(valid, 1))
+        return Decomposition(
+            partial={
+                n: pair_cnt,
+                mxn: F.coalesce(F.avg(vx), F.lit(0.0)),
+                myn: F.coalesce(F.avg(vy), F.lit(0.0)),
+                c2n: F.coalesce(F.covar_pop(x, y) * pair_cnt, F.lit(0.0)),
+                m2xn: F.coalesce(F.var_pop(vx) * pair_cnt, F.lit(0.0)),
+                m2yn: F.coalesce(F.var_pop(vy) * pair_cnt, F.lit(0.0)),
+            },
+            merge=_central_merge_exprs(fields),
+            finalize=fin,
+            py_merge=_py_central_merge(fields),
+            py_finalize=_regr_fin,
+        )
+
     if fn in ("min_by", "max_by", "arg_min", "arg_max"):
         # first/last-by-timestamp machinery (SURVEY §4.3 row 8): state is the
         # argmin/argmax pair (value at extreme key, extreme key); merges by

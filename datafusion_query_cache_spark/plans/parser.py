@@ -132,6 +132,15 @@ AGG_FUNCTIONS = {
     "corr",
     "covar_samp",
     "covar_pop",
+    "regr_slope",
+    "regr_intercept",
+    "regr_r2",
+    "regr_count",
+    "regr_avgx",
+    "regr_avgy",
+    "regr_sxx",
+    "regr_syy",
+    "regr_sxy",
     "skewness",
     "kurtosis",
     "list",
@@ -245,6 +254,8 @@ def _apply_agg_filter(agg: AggCall, cond: "Expr") -> AggCall:
         raise Unsupported(f"FILTER on zero-argument {fn}")
     wrap_all = fn in (
         "corr", "covar_samp", "covar_pop",
+        "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+        "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
         "min_by", "max_by", "arg_min", "arg_max",
     )
 

@@ -26,6 +26,7 @@ OFF_WINDOW_GRADED = {
     "op_stratified_sample",
     "op_term_freq",
     "op_bigram_freq",
+    "qc_regr",
 }
 
 

@@ -535,3 +535,87 @@ def test_nested_set_operation_two_run(spark, qc_mem):
     assert [tuple(r) for r in out.collect()] == [
         tuple(r) for r in spark.sql(sql).collect()
     ]
+
+
+# -- linear-regression aggregates (r13) ---------------------------------------
+
+
+def test_regr_family_matches_plain(spark, qc_mem):
+    """regr_* on the central co-moment state (same as corr/covar):
+    incremental two-run ≡ plain Spark, rounding absorbing the low-order
+    re-association bit."""
+    sql = (
+        "SELECT event_type, regr_count(value, user_id) AS rc, "
+        "round(regr_avgx(value, user_id) + 1e-9, 4) AS ax, "
+        "round(regr_avgy(value, user_id) + 1e-9, 4) AS ay, "
+        "round(regr_slope(value, user_id) + 1e-9, 6) AS sl, "
+        "round(regr_intercept(value, user_id) + 1e-9, 4) AS ic, "
+        "round(regr_r2(value, user_id) + 1e-9, 6) AS r2, "
+        "round(regr_sxy(value, user_id) + 1e-9, 2) AS sxy "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_regr_edge_groups_match_plain(spark):
+    """Constant-x (undefined slope → NULL), single pair, and no-valid-pair
+    groups must reproduce Spark exactly, incrementally."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+
+    base, later = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    h1 = [
+        ("c", 1.0, 2.0, base), ("c", 1.0, 5.0, base), ("s", 3.0, 4.0, base),
+        ("n", None, 9.0, base), ("n", 4.0, None, base), ("g", 1.0, 2.0, base),
+    ]
+    h2 = [("g", 2.0, 4.1, later), ("g", 3.0, 5.9, later), ("c", 1.0, 7.0, later)]
+    sch = "g string, x double, y double, ts timestamp"
+    sql = (
+        "SELECT g, regr_count(y, x) AS rc, regr_avgx(y, x) AS ax, "
+        "regr_avgy(y, x) AS ay, regr_sxx(y, x) AS sxx, regr_syy(y, x) AS syy, "
+        "regr_sxy(y, x) AS sxy, regr_slope(y, x) AS sl, "
+        "regr_intercept(y, x) AS ic, regr_r2(y, x) AS r2 "
+        "FROM rg GROUP BY 1 ORDER BY 1"
+    )
+    spark.createDataFrame(h1, sch).createOrReplaceTempView("rg")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=MemoryQueryCache(),
+            default_temporal_column="ts",
+            strict_errors=True,
+            override_now_ns=int(
+                base.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9
+            )
+            + 1,
+        ),
+    )
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached
+    spark.createDataFrame(h1 + h2, sch).createOrReplaceTempView("rg")
+    qc.config.override_now_ns = (
+        int(later.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9) + 10**9
+    )
+    got = [tuple(r) for r in qc.sql(sql).collect()]
+    assert qc.last_decision.cache_hit
+    import math
+
+    exp = [tuple(r) for r in spark.sql(sql).collect()]
+
+    def close(a, b):
+        if a is None or b is None:
+            return a is b
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return abs(a - b) <= 1e-9 * (1 + abs(b))
+        return a == b
+
+    assert len(got) == len(exp)
+    assert all(all(close(x, y) for x, y in zip(g, e)) for g, e in zip(got, exp))
