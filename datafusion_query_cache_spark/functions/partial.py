@@ -503,15 +503,36 @@ def decompose_agg(
             set_states=[nm],
         )
 
+    if fn == "count" and agg.distinct and len(agg.args) > 1:
+        # count(DISTINCT a, b) — distinct TUPLES (r13): set state over
+        # structs, rows with ANY NULL component excluded (SQL semantics);
+        # same union merge / cardinality finalize as the single-arg form.
+        if any(isinstance(a_, Star) for a_ in agg.args):
+            raise NotDecomposable("count(DISTINCT) with *")
+        cols = [to_column(a_) for a_ in agg.args]
+        valid = cols[0].isNotNull()
+        for c in cols[1:]:
+            valid = valid & c.isNotNull()
+        tup = F.struct(*[c.alias(f"f{i}") for i, c in enumerate(cols)])
+        gated = F.when(valid, tup)
+        nm = s("dset")
+        return Decomposition(
+            partial={nm: F.collect_set(gated)},
+            merge={nm: F.array_distinct(F.flatten(F.collect_list(F.col(nm))))},
+            finalize=F.coalesce(
+                F.array_size(F.col(nm)), F.lit(0)
+            ).cast("long"),
+            singleton={nm: F.filter(F.array(gated), lambda x: x.isNotNull())},
+            set_states=[nm],
+        )
+
     if fn == "count" and agg.distinct:
         # EXACT distinct count, mergeable: set state (same machinery as
         # collect_set — union merge), finalize = cardinality. State is
         # O(distinct values) per group; for unbounded-cardinality columns
         # prefer approx_count_distinct (HLL state is constant-size).
         if len(agg.args) != 1 or isinstance(agg.args[0], Star):
-            # count(DISTINCT a, b) counts distinct TUPLES — the single-set
-            # state below would be wrong
-            raise NotDecomposable("count(DISTINCT) over multiple args")
+            raise NotDecomposable("count(DISTINCT) over aggregate args")
         nm = s("dset")
         a = arg0()
 

@@ -619,3 +619,48 @@ def test_regr_edge_groups_match_plain(spark):
 
     assert len(got) == len(exp)
     assert all(all(close(x, y) for x, y in zip(g, e)) for g, e in zip(got, exp))
+
+
+def test_count_distinct_tuples_cached(spark, qc_mem):
+    """count(DISTINCT a, b) — distinct TUPLES on a struct set state; rows
+    with ANY NULL component excluded (SQL semantics)."""
+    sql = (
+        "SELECT event_type, count(DISTINCT user_id, value > 100) AS d2, "
+        "count(DISTINCT user_id % 7, user_id % 3) AS d3, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run_events(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_count_distinct_tuples_null_component(spark):
+    import datetime as dt
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        QueryCacheConfig,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 1, "x", base), ("a", 1, "x", base), ("a", 1, None, base),
+        ("a", None, "x", base), ("b", 2, "y", base),
+    ]
+    spark.createDataFrame(
+        rows, "g string, u int, v string, ts timestamp"
+    ).createOrReplaceTempView("cd2")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=MemoryQueryCache(),
+            default_temporal_column="ts",
+            strict_errors=True,
+        ),
+    )
+    sql = "SELECT g, count(DISTINCT u, v) AS d FROM cd2 GROUP BY 1 ORDER BY 1"
+    got = [tuple(r) for r in qc.sql(sql).collect()]
+    assert qc.last_decision.cached
+    assert got == [tuple(r) for r in spark.sql(sql).collect()] == [
+        ("a", 1), ("b", 1)
+    ]
