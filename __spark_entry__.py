@@ -369,6 +369,26 @@ def _qc_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Direct QUALIFY on an aggregate (r13): desugared to the derived
+# window-replay shape. Beyond passthrough — Spark cannot parse QUALIFY;
+# DuckDB runs the identical SQL as the oracle. OFF-window.
+_QUALIFY_SQL = (
+    "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+    "count(*) AS n FROM {v} GROUP BY 1, 2 "
+    "QUALIFY rank() OVER (PARTITION BY event_type ORDER BY n DESC, d) <= 3 "
+    "ORDER BY event_type, d"
+)
+
+
+def _qc_qualify_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        _QUALIFY_SQL.format(v="events_qc_qd"),
+        "events_qc_qd",
+    )
+
+
 # Dynamic lower bounds (beyond-reference: the reference hard-errors on these,
 # src/aggregate.rs:191-193). Two runs with a MOVING pinned now: run 1 builds
 # state as-of Jan 26, run 2 slides the window to now = Jan 31 (past max ts,
@@ -1451,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_bigram_freq"] = _op_bigram_freq
     # r13: new off-window graded surfaces (window full; check_oracle runs all)
     q["qc_regr"] = _qc_regr
+    q["qc_qualify_direct"] = _qc_qualify_direct
     return q
 
 
@@ -1545,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY ROLLUP (event_type, d) "
         "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
     )
+    o["qc_qualify_direct"] = _QUALIFY_SQL.format(v="events")
     o["qc_regr"] = _REGR_SQL.format(
         v="events", rc="CAST(regr_count(value, user_id) AS BIGINT)"
     )

@@ -1736,17 +1736,95 @@ def _lower_select(node: Dict[str, Any]):
             return _lower_subquery(node)
 
     if node.get("qualify") is not None:
-        # QUALIFY is supported only above a derived-table aggregate (the
-        # window-replay shape); silently dropping it anywhere would return
-        # unfiltered rows (r11 silent-drop audit). Spark itself has no
-        # QUALIFY, so the passthrough fails with Spark's parse error.
-        raise Unsupported("QUALIFY outside a derived-table window shape")
+        # QUALIFY directly on an aggregate (r13): desugar to the
+        # derived-table window-replay shape — cache the bare aggregate,
+        # evaluate the window filter over its finalized O(state) rows.
+        # Silently dropping it anywhere would return unfiltered rows
+        # (r11 silent-drop audit); Spark itself has no QUALIFY, so any
+        # refusal fails loudly in the passthrough parse.
+        return _lower_direct_qualify(node)
 
     _SCOPE.append(_visible_names(node.get("from_table") or {}))
     try:
         return _lower_select_from(node)
     finally:
         _SCOPE.pop()
+
+
+def _lower_direct_qualify(node: Dict[str, Any]):
+    """``SELECT k, agg(...) AS a FROM t [WHERE] GROUP BY k [HAVING]
+    QUALIFY <window predicate> [ORDER BY] [LIMIT]`` ≡ the derived form
+    ``SELECT * FROM (<aggregate>) QUALIFY …`` — lower the bare aggregate
+    (modifiers and QUALIFY stripped), wrap it in a SubquerySpec whose
+    identity projection carries the QUALIFY filter and outer ORDER/LIMIT.
+    The QUALIFY expression may reference only select outputs (incl.
+    inside its window specs) — same visibility rule as the derived
+    shape."""
+    from .ir import AggSpec as _AggSpec, SubquerySpec as _SubquerySpec
+
+    inner_json = dict(node)
+    inner_json["qualify"] = None
+    inner_json["modifiers"] = []
+    inner = _lower_select(inner_json)
+    if not isinstance(inner, _AggSpec) or inner.grouping_sets:
+        raise Unsupported("QUALIFY outside an aggregate shape")
+
+    qualify_expr = _expr(node["qualify"])
+    if _contains_agg(qualify_expr):
+        raise Unsupported("aggregate in QUALIFY")
+    if _contains_scalar_subq(qualify_expr):
+        raise Unsupported("subquery in QUALIFY")
+    allowed = set(inner.select_order)
+    for nd in qualify_expr.walk():
+        if isinstance(nd, Col) and nd.name not in allowed:
+            raise Unsupported(
+                f"QUALIFY references {nd.name}, not a select output"
+            )
+
+    order_by: List[OrderItem] = []
+    limit: Optional[int] = None
+    names = list(inner.select_order)
+    for mod in node.get("modifiers", []):
+        mt = mod.get("type")
+        if mt == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                desc = o.get("type") == "DESCENDING"
+                nf = None
+                no = o.get("null_order")
+                if no == "NULLS_FIRST":
+                    nf = True
+                elif no == "NULLS_LAST":
+                    nf = False
+                e = _expr(o["expression"])
+                if isinstance(e, Lit) and isinstance(e.value, int):
+                    if not (1 <= e.value <= len(names)):
+                        raise Unsupported("order-by position out of range")
+                    e = Col(names[e.value - 1])
+                if not (isinstance(e, Col) and e.name in allowed):
+                    raise Unsupported(
+                        "ORDER BY not an output column (QUALIFY path)"
+                    )
+                order_by.append(OrderItem(e, desc, nf))
+        elif mt == "LIMIT_MODIFIER":
+            lim = mod.get("limit")
+            if lim is not None:
+                lv = _expr(lim)
+                if not isinstance(lv, Lit) or not isinstance(lv.value, int):
+                    raise Unsupported("non-literal limit")
+                limit = lv.value
+            if mod.get("offset") is not None:
+                raise Unsupported("OFFSET with QUALIFY")
+        else:
+            raise Unsupported(f"modifier {mt} with QUALIFY")
+
+    return _SubquerySpec(
+        inner=inner,
+        items=tuple(SelectItem(n, Col(n)) for n in names),
+        predicate=None,
+        order_by=tuple(order_by),
+        limit=limit,
+        qualify=qualify_expr,
+    )
 
 
 def _lower_select_from(node: Dict[str, Any]):

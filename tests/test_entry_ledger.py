@@ -27,6 +27,7 @@ OFF_WINDOW_GRADED = {
     "op_term_freq",
     "op_bigram_freq",
     "qc_regr",
+    "qc_qualify_direct",
 }
 
 

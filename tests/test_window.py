@@ -334,8 +334,10 @@ def test_qualify_unsupported_shapes(spark, qc_mem):
     from datafusion_query_cache_spark.plans.ir import Unsupported
     from datafusion_query_cache_spark.plans.parser import parse_query
 
-    # QUALIFY directly over an aggregate (no derived table)
-    with pytest.raises(Unsupported, match="QUALIFY"):
+    # direct QUALIFY is supported since r13 when it references outputs;
+    # an aggregate inside its window spec still refuses (restate the
+    # aggregate through its alias instead: ORDER BY n)
+    with pytest.raises(Unsupported, match="aggregate|QUALIFY"):
         parse_query(
             "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
             "QUALIFY rank() OVER (ORDER BY count(*)) <= 2"
@@ -460,3 +462,63 @@ def test_named_window_clause(spark, qc_mem):
     out = _two_run(qc_mem, spark, sql)
     assert qc_mem.last_decision.cached
     assert rows_set(out) == _duck_rows(spark, sql)
+
+
+def test_direct_qualify_cached(spark, qc_mem):
+    """r13: QUALIFY directly on an aggregate — desugared to the derived
+    window-replay shape (cached aggregate + post-finalize window filter).
+    Spark cannot parse QUALIFY, so the oracle is DuckDB."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    ev = spark.table("events")
+    cut = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    sql = (
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "count(*) AS n FROM events GROUP BY 1, 2 "
+        "QUALIFY rank() OVER (PARTITION BY event_type ORDER BY n DESC, d) <= 3 "
+        "ORDER BY event_type, d"
+    )
+    qc_mem.config.override_now_ns = cut
+    ev.filter(F.col("ts_ns") < F.lit(cut)).createOrReplaceTempView("events")
+    try:
+        qc_mem.sql(sql).collect()
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        ev.createOrReplaceTempView("events")
+        qc_mem.config.override_now_ns = cut + 10**18
+        got = [tuple(r) for r in qc_mem.sql(sql).collect()]
+        assert qc_mem.last_decision.cache_hit
+    finally:
+        ev.createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == exp
+
+
+def test_direct_qualify_refusals(qc_mem):
+    qc_mem.config.override_now_ns = None
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    import pytest
+
+    # QUALIFY referencing a non-output column
+    with pytest.raises(Unsupported, match="QUALIFY"):
+        parse_query(
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+            "QUALIFY rank() OVER (ORDER BY value) <= 2"
+        )
+    # aggregate inside QUALIFY
+    with pytest.raises(Unsupported, match="QUALIFY|aggregate"):
+        parse_query(
+            "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
+            "QUALIFY count(*) > 2"
+        )
