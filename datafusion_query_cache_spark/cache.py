@@ -1147,6 +1147,7 @@ class _ParquetEntry(CacheEntry):
         # effective hi of layer i is layer i+1's lo; the last old layer is
         # capped by the NEW tail's bound (appended in the same meta swap)
         his = los[1:] + [new_lo_iso]
+        small = False
         try:
             counts = [
                 self._layer_count(p, bcol, los[i], his[i])
@@ -1154,6 +1155,9 @@ class _ParquetEntry(CacheEntry):
             ]
             best = min(
                 range(1, len(parts) - 1), key=lambda i: counts[i] + counts[i + 1]
+            )
+            small = (
+                counts[best] + counts[best + 1] <= self.DRIVER_COLLECT_MAX_ROWS
             )
         except Exception:
             best = len(parts) - 2
@@ -1173,11 +1177,18 @@ class _ParquetEntry(CacheEntry):
 
         os.makedirs(self._dir, exist_ok=True)
         mtx = f"bpart-{uuid.uuid4().hex[:12]}"
+        merged_pair = ranged(best).unionByName(ranged(best + 1))
+        # tail layers are usually tiny: below the driver-collect bound a
+        # single write task beats a per-bucket shuffle (partitionBy still
+        # splits the output into per-bucket dirs for pruned reads); big
+        # pairs keep the distributed one-task-per-bucket layout
+        merged_pair = (
+            merged_pair.coalesce(1)
+            if small
+            else merged_pair.repartition(_F.col(bcol))
+        )
         (
-            ranged(best)
-            .unionByName(ranged(best + 1))
-            .repartition(_F.col(bcol))
-            .write.mode("overwrite")
+            merged_pair.write.mode("overwrite")
             .partitionBy(bcol)
             .parquet(os.path.join(self._dir, mtx))
         )
