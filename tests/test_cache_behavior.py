@@ -157,11 +157,11 @@ def test_exact_distinct_cached_single_arg_only(qc, spark):
     df = qc.sql("SELECT count(DISTINCT user_id) AS u FROM events")
     assert qc.last_decision.cached
     assert df.collect()[0]["u"] > 0
-    # …but distinct TUPLE counting has no single-set state: passthrough
+    # …and distinct TUPLE counting caches on a struct set state (r13)
     df2 = qc.sql(
         "SELECT count(DISTINCT user_id, event_type) AS u FROM events"
     )
-    assert not qc.last_decision.cached
+    assert qc.last_decision.cached
     assert df2.collect()[0]["u"] > 0
     # sum/avg(DISTINCT plain col) cache on the same set state since r10…
     qc.sql("SELECT sum(DISTINCT value) AS s FROM events").collect()
