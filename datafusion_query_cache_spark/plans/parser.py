@@ -978,13 +978,14 @@ def _corr_key_plan(pairs, sub):
         kc = own_ir.canon()
         name = seen.get(kc)
         if name is None:
-            name = (
-                own_ir.name
-                if isinstance(own_ir, Col)
-                else f"qc_k{len(key_items)}"
-            )
+            # a dotted Col is a struct FIELD PATH (`meta.t`): its
+            # unaliased rollup output would be named by the LAST segment
+            # (Spark naming), so the full path cannot serve as the join
+            # key name — alias it like an expression key instead
+            bare = isinstance(own_ir, Col) and "." not in own_ir.name
+            name = own_ir.name if bare else f"qc_k{len(key_items)}"
             seen[kc] = name
-            key_items.append((name, own_j, isinstance(own_ir, Col)))
+            key_items.append((name, own_j, bare))
         inner_keys.append(name)
         outer_keys.append(out_ir)
         canons.append(f"{kc}={out_ir.canon()}")
@@ -1425,10 +1426,18 @@ def _lower_pivot(node: Dict[str, Any]):
     table = _base_table_name(ft)
 
     items: List[Tuple[str, Expr]] = []
+    # the source items lower under the SOURCE's own scope — without the
+    # push a struct field path (`meta.t AS t`) would fall to the legacy
+    # qualifier-dropping branch and come out as a nonexistent bare column
+    src_scope = _visible_names(ft)
     for i, s in enumerate(sub.get("select_list") or []):
         if s.get("class") == "STAR":
             raise Unsupported("PIVOT source SELECT *")
-        e = _expr(s)
+        _SCOPE.append(src_scope)
+        try:
+            e = _expr(s)
+        finally:
+            _SCOPE.pop()
         alias = s.get("alias") or (
             e.name.rsplit(".", 1)[-1] if isinstance(e, Col) else f"col{i}"
         )
@@ -1542,11 +1551,19 @@ def _lower_pivot(node: Dict[str, Any]):
             raise Unsupported(f"PIVOT outer modifier {mt}")
 
     where = sub.get("where_clause")
+    if where is not None:
+        _SCOPE.append(src_scope)
+        try:
+            where_ir = _expr(where)
+        finally:
+            _SCOPE.pop()
+    else:
+        where_ir = None
     return AggSpec(
         table=table,
         tables=(table,),
         join_steps=(),
-        predicate=_expr(where) if where is not None else None,
+        predicate=where_ir,
         group_by=tuple(group_items),
         aggregates=tuple(agg_items),
         select_order=tuple(

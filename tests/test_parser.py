@@ -155,11 +155,13 @@ def test_silent_drop_audit_r11():
     from datafusion_query_cache_spark.plans.parser import parse_query
 
     cases = [
-        # QUALIFY outside the supported derived-table window shape
+        # direct QUALIFY lowers since r13, but only over select OUTPUTS —
+        # a raw aggregate call inside the window spec still refuses
+        # (restate through the alias: ORDER BY n)
         (
             "SELECT event_type, count(*) AS n FROM events GROUP BY 1 "
             "QUALIFY rank() OVER (ORDER BY count(*)) <= 2",
-            "QUALIFY",
+            "aggregate inside a window spec",
         ),
         # TABLESAMPLE on the base table (would aggregate the FULL table)
         (

@@ -497,6 +497,61 @@ def test_struct_field_group_by_cached(spark, qc_mem):
         ]
 
 
+def test_struct_field_correlated_key_cached(spark, qc_mem):
+    """A correlated equality whose inner side is a struct FIELD PATH
+    (``i.meta.t = o.meta.t``): the rollup's unaliased output is named by
+    the LAST segment (Spark naming), so the dotted path cannot serve as
+    the join-key name — it must take a generated ``qc_k`` alias like an
+    expression key (r13 cross-feature probe find: the assembly selected
+    ``F.col('meta.t')`` off a frame whose column was ``t``)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    ev.withColumn(
+        "meta",
+        F.struct(
+            F.col("event_type").alias("t"), (F.col("user_id") % 3).alias("b")
+        ),
+    ).createOrReplaceTempView("ev_struct_ck")
+    q = (
+        "SELECT event_type, count(*) AS n FROM ev_struct_ck o WHERE value > "
+        "(SELECT avg(value) FROM ev_struct_ck i WHERE i.meta.t = o.meta.t "
+        "AND i.user_id % 3 = o.user_id % 3) GROUP BY event_type ORDER BY 1"
+    )
+    got = qc_mem.sql(q)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    plain = spark.sql(q)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_pivot_source_struct_field_cached(spark, qc_mem):
+    """PIVOT whose derived-projection items include a struct field path:
+    the source items must lower under the SOURCE's scope — without the
+    push ``meta.t AS t`` fell to the legacy qualifier-dropping branch
+    and the cell predicates referenced a nonexistent bare column (r13
+    cross-feature probe find)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    ev.withColumn(
+        "meta", F.struct(F.col("event_type").alias("t"))
+    ).createOrReplaceTempView("ev_struct_pv")
+    q = (
+        "SELECT * FROM (SELECT meta.t AS t, user_id % 2 AS par, value "
+        "FROM ev_struct_pv) PIVOT (count(*) AS c, round(sum(value), 3) AS s "
+        "FOR (t, par) IN (('view', 0) AS v0, ('click', 1) AS c1))"
+    )
+    got = qc_mem.sql(q)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    plain = spark.sql(q)
+    assert got.columns == plain.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 # -- nested set operations (r13) ----------------------------------------------
 
 

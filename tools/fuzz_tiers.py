@@ -461,6 +461,17 @@ def _close(a, b):
     return a == b
 
 
+def _norm_row(r):
+    """Canonicalize signed zeros: repr(-0.0) != repr(0.0) makes the
+    repr-keyed sort pair duplicate-key UNION ALL rows crosswise when a
+    near-zero rounded float lands on opposite sides of 0 (seed
+    20260816101 trial 73: skewness ±0.000 → -0.0 vs 0.0, numerically
+    _close but sorted apart)."""
+    return tuple(
+        0.0 if (isinstance(v, float) and v == 0.0) else v for v in r
+    )
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -804,7 +815,7 @@ def main() -> int:
             qc.config.override_now_ns = now_ns
             try:
                 got = qc.sql(sql)
-                g_rows = sorted((tuple(r) for r in got.collect()), key=repr)
+                g_rows = sorted((_norm_row(r) for r in got.collect()), key=repr)
             except Exception as e:  # noqa: BLE001 — report, keep fuzzing
                 failures.append((trial, i, sql, f"ENGINE ERROR {e}"))
                 break
@@ -853,7 +864,7 @@ def main() -> int:
                 s = sql
             s = s.replace("FILTER (\x00", "FILTER (WHERE ")  # unmask
             p_rows = sorted(
-                (tuple(r) for r in spark.sql(s).collect()), key=repr
+                (_norm_row(r) for r in spark.sql(s).collect()), key=repr
             )
             ok = len(g_rows) == len(p_rows) and all(
                 all(_close(a, b) for a, b in zip(gr, pr))
