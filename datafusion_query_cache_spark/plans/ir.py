@@ -593,6 +593,8 @@ class UnionSpec:
     limit: Optional[int] = None
     #: "union" (n-ary) | "except" | "intersect" (binary)
     op: str = "union"
+    #: LIMIT … OFFSET over the set operation (post-finalize pagination)
+    offset: Optional[int] = None
 
 
 class Unsupported(Exception):

@@ -2757,6 +2757,7 @@ def _lower_setop(node: Dict[str, Any]):
 
     order_by: List[OrderItem] = []
     limit: Optional[int] = None
+    offset: Optional[int] = None
     for mod in node.get("modifiers", []):
         mt = mod.get("type")
         if mt == "ORDER_MODIFIER":
@@ -2785,7 +2786,14 @@ def _lower_setop(node: Dict[str, Any]):
                     raise Unsupported("non-literal limit")
                 limit = lv.value
             if mod.get("offset") is not None:
-                raise Unsupported("offset")
+                ov = _expr(mod["offset"])
+                if not isinstance(ov, Lit) or not isinstance(ov.value, int):
+                    raise Unsupported("non-literal offset")
+                if not _df_offset_available():
+                    raise Unsupported(
+                        "OFFSET needs DataFrame.offset (pyspark>=3.5)"
+                    )
+                offset = ov.value
         else:
             raise Unsupported(f"modifier {mt} over a set operation")
 
@@ -2795,6 +2803,7 @@ def _lower_setop(node: Dict[str, Any]):
         order_by=tuple(order_by),
         limit=limit,
         op=setop.lower(),
+        offset=offset,
     )
 
 

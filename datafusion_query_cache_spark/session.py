@@ -1248,6 +1248,8 @@ class CachedSparkSession(RefreshTiers):
             out = out.orderBy(
                 *[_order_col(o.expr.name, o) for o in spec.order_by]
             )
+        if getattr(spec, "offset", None):
+            out = out.offset(spec.offset)
         if spec.limit is not None:
             out = out.limit(spec.limit)
         decision = Decision(

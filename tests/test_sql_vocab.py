@@ -555,6 +555,22 @@ def test_pivot_source_struct_field_cached(spark, qc_mem):
 # -- nested set operations (r13) ----------------------------------------------
 
 
+def test_setop_limit_offset_cached(spark, qc_mem):
+    """LIMIT … OFFSET pagination over a set operation replays
+    post-finalize on O(state) rows (r13; previously Unsupported)."""
+    q = (
+        "SELECT event_type AS k, count(*) AS n FROM events WHERE value > 0 "
+        "GROUP BY 1 UNION ALL "
+        "SELECT event_type AS k, count(*) AS n FROM events WHERE value <= 0 "
+        "GROUP BY 1 ORDER BY k, n LIMIT 3 OFFSET 2"
+    )
+    got = qc_mem.sql(q)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in spark.sql(q).collect()
+    ]
+
+
 def test_nested_set_operations_cached(spark, qc_mem):
     """Chained / mixed set-operation trees: every LEAF owns its cache
     entry; the tree replays over finalized results (left-associative,
