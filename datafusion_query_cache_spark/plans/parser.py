@@ -2688,7 +2688,7 @@ def _lower_cte(node: Dict[str, Any], ctes: List[Dict[str, Any]]):
     raise Unsupported("CTE not the head of the FROM clause")
 
 
-def _lower_setop(node: Dict[str, Any]):
+def _lower_setop(node: Dict[str, Any], cte_defs=None):
     """Lower ``a UNION [ALL] b [UNION [ALL] c ...] [ORDER BY] [LIMIT]``
     (n-ary) or the binary ``a EXCEPT|INTERSECT [ALL] b`` into a
     :class:`UnionSpec` of independently-cacheable branches.
@@ -2703,8 +2703,18 @@ def _lower_setop(node: Dict[str, Any]):
     setop = node.get("setop_type")
     if setop not in ("UNION", "EXCEPT", "INTERSECT"):
         raise Unsupported(f"set operation {setop}")
-    if node.get("cte_map", {}).get("map"):
-        raise Unsupported("CTE over a set operation")
+    ctes = node.get("cte_map", {}).get("map")
+    if ctes:
+        # WITH over a set operation (r13): inline each CTE reference into
+        # every branch as a derived table — same treatment `_lower_cte`
+        # gives a plain SELECT (bodies may reference EARLIER ctes)
+        defs: Dict[str, Dict[str, Any]] = dict(cte_defs or {})
+        for cte in ctes:
+            v = cte["value"]
+            if v.get("aliases"):
+                raise Unsupported("CTE column aliases")
+            defs[cte["key"]] = _subst_cte_from(v["query"]["node"], defs)
+        cte_defs = defs
     want_all = bool(node.get("setop_all"))
 
     branches: List[object] = []
@@ -2718,8 +2728,10 @@ def _lower_setop(node: Dict[str, Any]):
             # left-associatively, which the parse tree already encodes.
             if n.get("modifiers"):
                 raise Unsupported("modifiers on a nested set operation")
-            branches.append(_lower_setop(n))
+            branches.append(_lower_setop(n, cte_defs))
             return
+        if cte_defs and not (n.get("cte_map", {}) or {}).get("map"):
+            n = _subst_cte_from(n, cte_defs)
         b = _lower_select(n)
         if _spec_has_scalar_subq(b):
             # the session resolves scalar subqueries only at the top level

@@ -571,6 +571,26 @@ def test_setop_limit_offset_cached(spark, qc_mem):
     ]
 
 
+def test_cte_over_set_operation_cached(spark, qc_mem):
+    """WITH over a UNION/EXCEPT: the CTE inlines into every branch as a
+    derived table (r13; previously Unsupported)."""
+    for q in [
+        # both branches read the CTE
+        "WITH base AS (SELECT event_type AS k, count(*) AS n FROM events "
+        "GROUP BY 1) SELECT k, n FROM base WHERE n > 1 UNION ALL "
+        "SELECT k, n FROM base WHERE n <= 1 ORDER BY k, n",
+        # mixed: one branch reads the CTE, one aggregates directly
+        "WITH hi AS (SELECT event_type AS k, count(*) AS n FROM events "
+        "WHERE value > 50 GROUP BY 1) SELECT k, n FROM hi EXCEPT "
+        "SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1",
+    ]:
+        got = qc_mem.sql(q)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, spark.sql(q).collect())
+        )
+
+
 def test_nested_set_operations_cached(spark, qc_mem):
     """Chained / mixed set-operation trees: every LEAF owns its cache
     entry; the tree replays over finalized results (left-associative,
