@@ -73,6 +73,11 @@ AGGS = [
     "min(user_id) FILTER (WHERE event_type <> 'view') AS fmn",
     "max_by(user_id, value) FILTER (WHERE value < 95) AS fxb",
     "count(DISTINCT event_type) FILTER (WHERE user_id % 3 = 0) AS fde",
+    # r13: regr_* family (central co-moment state; slope rounded like
+    # avr/skw) and multi-arg exact distinct (struct set state)
+    "regr_count(value, user_id) AS rgc",
+    "round(regr_slope(value, user_id) + 1e-9, 3) AS rgs",
+    "count(DISTINCT user_id, event_type) AS dt2",
 ]
 PREDS = [
     None,
@@ -623,7 +628,7 @@ def main() -> int:
             # min/max/counts/bit/bool/argmin preserve exact input values.
             exact = {
                 "n", "nv", "mn", "mx", "de", "bo", "br", "mb", "xb",
-                "ci", "sdu", "fcn", "fmn", "fxb", "fde",
+                "ci", "sdu", "fcn", "fmn", "fxb", "fde", "rgc", "dt2",
             }
             names = {a.split(" AS ")[-1] for a in u_ags}
             # EXCEPT/INTERSECT (r10) compare branch VALUES like UNION
