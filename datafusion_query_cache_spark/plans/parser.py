@@ -1742,7 +1742,16 @@ def _lower_select(node: Dict[str, Any]):
             return _lower_unpivot(node)
         return _lower_pivot(node)
     if ft0.get("type") == "SUBQUERY":
-        return _lower_subquery(node)
+        # the outer items must lower under the OUTER's scope: with the
+        # caller's (often empty) scope a struct path like `meta.t` above
+        # the derived table fell to the legacy qualifier-dropping branch,
+        # resolved to the inner's `t` output and ANSWERED a query plain
+        # Spark rejects (r13 sf0.01 sweep find)
+        _SCOPE.append(_visible_names(ft0))
+        try:
+            return _lower_subquery(node)
+        finally:
+            _SCOPE.pop()
     if ft0.get("type") == "JOIN":
         # a derived table at the head of a join spine: SELECT ... FROM
         # (<aggregate>) x JOIN dim ON ... — lower via the subquery path
@@ -1750,7 +1759,11 @@ def _lower_select(node: Dict[str, Any]):
         while isinstance(leaf, dict) and leaf.get("type") == "JOIN":
             leaf = leaf.get("left") or {}
         if leaf.get("type") == "SUBQUERY":
-            return _lower_subquery(node)
+            _SCOPE.append(_visible_names(ft0))
+            try:
+                return _lower_subquery(node)
+            finally:
+                _SCOPE.pop()
 
     if node.get("qualify") is not None:
         # QUALIFY directly on an aggregate (r13): desugar to the

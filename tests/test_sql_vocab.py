@@ -526,6 +526,45 @@ def test_struct_field_correlated_key_cached(spark, qc_mem):
     ]
 
 
+def test_struct_path_above_derived_table_refuses(spark, qc_mem):
+    """`meta.t` ABOVE a derived table is invalid SQL (the derived output
+    is named `t`): the outer items must lower under the OUTER scope so
+    the ref stays a struct path and the inner-output check refuses it —
+    with the caller's empty scope it fell to legacy qualifier-dropping,
+    resolved to `t`, and ANSWERED a query plain Spark rejects (r13
+    sf0.01 sweep find)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    ev = spark.table("events")
+    ev.withColumn(
+        "meta", F.struct(F.col("event_type").alias("t"))
+    ).createOrReplaceTempView("ev_struct_ot")
+    bad = (
+        "SELECT h, meta.t, nv FROM (SELECT date_trunc('hour', ts) AS h, "
+        "meta.t, count(value) AS nv FROM ev_struct_ot GROUP BY 1, 2) __f "
+        "WHERE nv >= 0"
+    )
+    with pytest.raises(AnalysisException):
+        qc_mem.sql(bad).collect()
+    assert not qc_mem.last_decision.cached
+    assert "not produced by the derived table" in qc_mem.last_decision.reason
+    # the valid spellings (alias-qualified / bare) still cache and match
+    for q in [
+        "SELECT x.h, x.t, x.nv FROM (SELECT date_trunc('hour', ts) AS h, "
+        "meta.t, count(value) AS nv FROM ev_struct_ot GROUP BY 1, 2) x "
+        "ORDER BY 1, 2",
+        "SELECT h, t, nv FROM (SELECT date_trunc('hour', ts) AS h, meta.t, "
+        "count(value) AS nv FROM ev_struct_ot GROUP BY 1, 2) x ORDER BY 1, 2",
+    ]:
+        got = qc_mem.sql(q)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in spark.sql(q).collect()
+        ]
+
+
 def test_pivot_source_struct_field_cached(spark, qc_mem):
     """PIVOT whose derived-projection items include a struct field path:
     the source items must lower under the SOURCE's scope — without the

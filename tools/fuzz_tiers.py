@@ -746,12 +746,17 @@ def main() -> int:
             sql = sql.replace("FROM events ", "FROM default.events_fz ")
         # 10%: struct-field spelling (r13) — meta.t ≡ event_type on the
         # struct twin; scope-aware field-path resolution must keep every
-        # answer identical (plain Spark runs the same rewritten SQL)
+        # answer identical (plain Spark runs the same rewritten SQL).
+        # Unwrapped queries only: the blanket replace would also rewrite
+        # a wrapped query's OUTER projection, where `meta.t` above the
+        # derived table is invalid SQL (both engines now refuse it — the
+        # engine via the outer-scope check, Spark at analysis).
         elif (
             not join_mode
             and rng.random() < 0.10
             and "FROM events " in sql
             and "event_type" in sql
+            and "FROM (" not in sql
         ):
             sql = sql.replace("FROM events ", "FROM events_st ").replace(
                 "event_type", "meta.t"
