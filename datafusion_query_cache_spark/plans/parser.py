@@ -1668,9 +1668,11 @@ def _lower_unpivot(node: Dict[str, Any]):
             )
         )
 
-    # outer modifiers: ORDER BY / LIMIT (UnionSpec has no offset slot)
+    # outer modifiers: ORDER BY / LIMIT [OFFSET]
+    out_names = kept + [kcol, vcol]
     order_by: List[OrderItem] = []
     limit: Optional[int] = None
+    offset: Optional[int] = None
     for mod in node.get("modifiers", []):
         mt = mod.get("type")
         if mt == "ORDER_MODIFIER":
@@ -1682,7 +1684,19 @@ def _lower_unpivot(node: Dict[str, Any]):
                     nf = True
                 elif no == "NULLS_LAST":
                     nf = False
-                order_by.append(OrderItem(_expr(o["expression"]), desc, nf))
+                e = _expr(o["expression"])
+                if isinstance(e, Lit) and isinstance(e.value, int):
+                    if not 1 <= e.value <= len(out_names):
+                        raise Unsupported("UNPIVOT order position out of range")
+                    e = Col(out_names[e.value - 1])
+                elif not (isinstance(e, Col) and e.name in out_names):
+                    # a dotted/unknown ref here would otherwise slip
+                    # through the legacy qualifier-drop (same class as
+                    # the derived-table outer-scope fix)
+                    raise Unsupported(
+                        "UNPIVOT ORDER BY must be an output column"
+                    )
+                order_by.append(OrderItem(e, desc, nf))
         elif mt == "LIMIT_MODIFIER":
             lim = mod.get("limit")
             if lim is not None:
@@ -1691,7 +1705,14 @@ def _lower_unpivot(node: Dict[str, Any]):
                     raise Unsupported("non-literal limit")
                 limit = lv.value
             if mod.get("offset") is not None:
-                raise Unsupported("OFFSET on UNPIVOT")
+                ov = _expr(mod["offset"])
+                if not isinstance(ov, Lit) or not isinstance(ov.value, int):
+                    raise Unsupported("non-literal offset")
+                if not _df_offset_available():
+                    raise Unsupported(
+                        "OFFSET needs DataFrame.offset (pyspark>=3.5)"
+                    )
+                offset = ov.value
         else:
             raise Unsupported(f"UNPIVOT outer modifier {mt}")
 
@@ -1701,6 +1722,7 @@ def _lower_unpivot(node: Dict[str, Any]):
         order_by=tuple(order_by),
         limit=limit,
         op="union",
+        offset=offset,
     )
 
 
@@ -1738,9 +1760,16 @@ def _lower_select(node: Dict[str, Any]):
 
     ft0 = node.get("from_table") or {}
     if ft0.get("type") == "PIVOT":
-        if ft0.get("unpivot_names"):
-            return _lower_unpivot(node)
-        return _lower_pivot(node)
+        # outer modifiers lower under the OUTER's scope (same class as
+        # the derived-table outer-scope fix: with the caller's empty
+        # scope a dotted ORDER BY ref fell to legacy qualifier-dropping)
+        _SCOPE.append(_visible_names(ft0))
+        try:
+            if ft0.get("unpivot_names"):
+                return _lower_unpivot(node)
+            return _lower_pivot(node)
+        finally:
+            _SCOPE.pop()
     if ft0.get("type") == "SUBQUERY":
         # the outer items must lower under the OUTER's scope: with the
         # caller's (often empty) scope a struct path like `meta.t` above

@@ -392,6 +392,33 @@ def test_unpivot_cached_over_shared_inner(spark, qc_mem):
     assert rows_set(out) == rows_set(pl)
 
 
+def test_unpivot_order_validation_and_offset(spark, qc_mem):
+    """UNPIVOT outer ORDER BY is restricted to output columns/positions
+    (a dotted ref previously slipped through legacy qualifier-dropping);
+    LIMIT … OFFSET paginates the unioned branches (r13)."""
+    from datafusion_query_cache_spark.plans.ir import Unsupported
+    from datafusion_query_cache_spark.plans.parser import parse_query
+
+    import pytest
+
+    with pytest.raises(Unsupported, match="output column"):
+        parse_query(
+            "SELECT * FROM (SELECT event_type, count(*) AS a, "
+            "count(value) AS b FROM events GROUP BY 1) "
+            "UNPIVOT (v FOR k IN (a, b)) ORDER BY x.k"
+        )
+    sql = (
+        "SELECT * FROM (SELECT event_type, count(*) AS a, count(value) AS b "
+        "FROM events GROUP BY 1) UNPIVOT (v FOR k IN (a, b)) "
+        "ORDER BY 1, 2 LIMIT 4 OFFSET 3"
+    )
+    got = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
+
+
 def test_unpivot_null_semantics(spark, qc_mem):
     """Default drops NULL cells; INCLUDE NULLS keeps them — both exact."""
     qc_mem.config.override_now_ns = None
