@@ -2823,7 +2823,16 @@ def _lower_setop(node: Dict[str, Any], cte_defs=None):
                     nf = True
                 elif no == "NULLS_LAST":
                     nf = False
-                e = _expr(o["expression"])
+                oj = o["expression"]
+                if (
+                    oj.get("class") == "COLUMN_REF"
+                    and len(oj.get("column_names", [])) >= 2
+                ):
+                    # set-op outputs are unqualified; a qualified ref here
+                    # would silently drop its qualifier (empty scope) and
+                    # accept SQL plain Spark rejects
+                    raise Unsupported("union ORDER BY must be an output column")
+                e = _expr(oj)
                 if isinstance(e, Lit) and isinstance(e.value, int):
                     # UNION ORDER BY is positional against the output
                     if not 1 <= e.value <= len(names):
