@@ -1049,13 +1049,35 @@ class _ParquetEntry(CacheEntry):
         os.makedirs(self._dir, exist_ok=True)
         txid = f"bpart-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self._dir, txid)
-        (
-            merged.filter(_F.col(bcol) >= _F.lit(lo_value))
-            .repartition(_F.col(bcol))
-            .write.mode("overwrite")
-            .partitionBy(bcol)
-            .parquet(path)
-        )
+        tail = merged.filter(_F.col(bcol) >= _F.lit(lo_value))
+        # small tail → driver-side Arrow write: the tail layer of a warm
+        # refresh is O(changed buckets) rows even when the FULL state is
+        # huge, and a toArrow collect + local hive-partitioned write skips
+        # the Spark write job's shuffle + task-commit overhead (~0.6s/query
+        # at sf0.1 hicard, the dominant warm cost). Estimate the tail from
+        # footer counts: only the LAST surviving layer can hold live rows
+        # >= lo (earlier layers' ranges are capped below it), so one local
+        # metadata read bounds the old tail; new buckets add the same
+        # order. Anything over the estimate cap — or any surprise — falls
+        # back to the distributed partitionBy write (the 100 TB path).
+        wrote = False
+        try:
+            est = (
+                self._layer_count(surv[-1][0], bcol, lo_iso, None)
+                if surv
+                else 0
+            )
+            if est <= self.DRIVER_COLLECT_MAX_ROWS // 2:
+                wrote = self._write_tail_driver(tail, bcol, path)
+        except Exception:
+            wrote = False
+        if not wrote:
+            (
+                tail.repartition(_F.col(bcol))
+                .write.mode("overwrite")
+                .partitionBy(bcol)
+                .parquet(path)
+            )
         parts: List[str] = [p for p, _ in surv]
         los: List[Optional[str]] = [l for _, l in surv]
         parts.append(txid)
@@ -1094,6 +1116,36 @@ class _ParquetEntry(CacheEntry):
         for p in dropped:
             shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
         return self.get(spark)
+
+    def _write_tail_driver(self, tail: DataFrame, bcol: str, path: str) -> bool:
+        """Collect a SMALL tail layer through the driver and write it as a
+        hive-partitioned parquet dir locally (one file per bucket), matching
+        the layout of the distributed ``partitionBy`` write byte-for-byte at
+        the reader: :meth:`_read_paths` supplies the state schema explicitly,
+        so Spark casts the ``bcol=...`` dir names back to the declared
+        bucket type either way. Applies the same histogram/set state caps as
+        the driver-side full :meth:`put`. Returns False (caller falls back
+        to the distributed write) on any surprise."""
+        import pyarrow.dataset as _ds
+
+        tbl = _check_set_arrow(
+            _compact_hist_arrow(tail.toArrow(), self.hist_cap, self._fp),
+            self.set_cap,
+            self._fp,
+        )
+        os.makedirs(path, exist_ok=True)  # empty tail → empty (valid) layer
+        if tbl.num_rows:
+            _ds.write_dataset(
+                tbl,
+                path,
+                format="parquet",
+                partitioning=_ds.partitioning(
+                    tbl.schema.empty_table().select([bcol]).schema,
+                    flavor="hive",
+                ),
+                existing_data_behavior="overwrite_or_ignore",
+            )
+        return True
 
     def _layer_count(self, part: str, bcol: str, lo_iso, hi_iso) -> int:
         """Footer row count of one layer dir restricted to ``[lo, hi)`` —

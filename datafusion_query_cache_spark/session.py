@@ -2959,32 +2959,58 @@ class CachedSparkSession(RefreshTiers):
                 f.name: _relax2(f.dataType) for f in stored.schema.fields
             }
             singletons2: Dict[str, Column] = {}
-            use_singleton2 = all(p.singleton is not None for p in plans)
-            if use_singleton2:
-                for p in plans:
-                    singletons2.update(p.singleton)
-                boundary_state = braw.select(
-                    *[
-                        to_column(g.expr).cast(dtypes2[g.name]).alias(g.name)
-                        for g in state_group
-                    ],
-                    *[c.cast(dtypes2[n]).alias(n) for n, c in singletons2.items()],
-                )
-            else:
+            if tgb is not None:
+                # the query groups on the bucket itself (no synthetic
+                # bucket): `full` (buckets > boundary, from compacted state)
+                # and the boundary recompute are KEY-DISJOINT and each
+                # key-complete, so the merge groupBy below would be an
+                # identity — skip it. The O(state) rows then flow straight
+                # to finalize/TakeOrdered with NO shuffle; only the single
+                # boundary bucket's partials shuffle (map-side combined).
+                # At 100 TB state this is the difference between shuffling
+                # the whole standing state per warm query and shuffling one
+                # bucket.
                 boundary_state = braw.groupBy(*group_partial).agg(
                     *[c.alias(n) for n, c in partial_aggs.items()]
                 )
-            unioned2 = full.unionByName(boundary_state)
-            # collapse the synthetic bucket for queries that didn't group on it
-            result_groups = [g.name for g in spec.group_by]
-            stored = unioned2.groupBy(*[F.col(n) for n in result_groups]).agg(
-                *[c.alias(n) for n, c in merge_aggs.items()]
-            )
-            cfg.log.info(
-                fingerprint,
-                f"dynamic bound: full buckets > {boundary}, boundary bucket "
-                f"recomputed from raw rows >= {lower}",
-            )
+                stored = full.unionByName(boundary_state)
+                cfg.log.info(
+                    fingerprint,
+                    f"dynamic bound: full buckets > {boundary} served "
+                    f"merge-free (bucket is a group key), boundary bucket "
+                    f"recomputed from raw rows >= {lower}",
+                )
+            else:
+                use_singleton2 = all(p.singleton is not None for p in plans)
+                if use_singleton2:
+                    for p in plans:
+                        singletons2.update(p.singleton)
+                    boundary_state = braw.select(
+                        *[
+                            to_column(g.expr).cast(dtypes2[g.name]).alias(g.name)
+                            for g in state_group
+                        ],
+                        *[
+                            c.cast(dtypes2[n]).alias(n)
+                            for n, c in singletons2.items()
+                        ],
+                    )
+                else:
+                    boundary_state = braw.groupBy(*group_partial).agg(
+                        *[c.alias(n) for n, c in partial_aggs.items()]
+                    )
+                unioned2 = full.unionByName(boundary_state)
+                # collapse the synthetic bucket for queries that didn't
+                # group on it
+                result_groups = [g.name for g in spec.group_by]
+                stored = unioned2.groupBy(*[F.col(n) for n in result_groups]).agg(
+                    *[c.alias(n) for n, c in merge_aggs.items()]
+                )
+                cfg.log.info(
+                    fingerprint,
+                    f"dynamic bound: full buckets > {boundary}, boundary "
+                    f"bucket recomputed from raw rows >= {lower}",
+                )
 
         final_select: List[Column] = []
         fin_by_name = {p.name: p.finalize for p in plans}
