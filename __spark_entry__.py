@@ -1432,12 +1432,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery as op_tfidf which stays in-window) move PAST the window
     # into the check_oracle-verified tail (OFF_WINDOW_GRADED in
     # tests/test_entry_ledger.py).
+    # r14 (verdict item 6): rotate strictly OLDEST-accreditation-first.
+    # Last driver-ledger accreditation per row: pt_setops/pt_rollup/pt_topk
+    # r01-r03, pt_exists_semi r06, the nine below r09-r11 (3-wide rotation),
+    # pt_join_revenue r12, pt_window_top_orders r13. The list is that order;
+    # the index below walks it one slot per round starting at r14.
     rotation = [
-        "pt_join_revenue", "pt_window_top_orders", "pt_exists_semi",
-        "pt_rollup", "pt_topk", "pt_setops",
+        "pt_setops", "pt_rollup", "pt_topk", "pt_exists_semi",
         "pt_anti_join", "pt_except", "pt_conditional_agg",
         "pt_cube", "pt_ntile", "pt_distinct_agg",
         "pt_json_extract", "pt_tpch_q1", "pt_tpch_q3",
+        "pt_join_revenue", "pt_window_top_orders",
     ]
     import glob as _glob
     import os as _os
@@ -1449,8 +1454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     n_slots = 1
+    # rnd counts the driver's CORRECTNESS_r*.json artifacts: 13 exist when
+    # round 14 runs, so rnd-13 starts the stalest-first walk at index 0.
     spares = [
-        rotation[(rnd - 11 + i) % len(rotation)] for i in range(n_slots)
+        rotation[(rnd - 13 + i) % len(rotation)] for i in range(n_slots)
     ]
 
     def _pt_entry(key):

@@ -476,16 +476,39 @@ def main() -> None:
     )
 
     # the fair baseline for the incremental row: the FULL batch pipeline
-    # (candidates + exact verify) the ingest replaces
-    timed(
+    # (candidates + exact verify) the ingest replaces. MEDIAN of 3 for both
+    # rows of the pair — single runs put the committed O(new) < batch ratio
+    # at the mercy of one noisy scheduler hiccup (it drifted past the 0.45x
+    # gate in two driver rounds on noise alone; best-of-3 quiet-machine
+    # reruns were 0.35-0.40x each time).
+    def timed_median(key: str, fn, setup=None, runs: int = 3) -> None:
+        els = []
+        for _ in range(runs):
+            arg = setup() if setup is not None else None
+            t0 = time.perf_counter()
+            fn(arg) if setup is not None else fn()
+            els.append(time.perf_counter() - t0)
+        timings[key] = round(sorted(els)[len(els) // 2], 3)
+
+    timed_median(
         "op_dedup_batch_full",
         lambda: minhash_dedup_pairs(docs, threshold=0.8).count(),
-        runs=1,
     )
     d_cut = int(docs.approxQuantile("doc_id", [0.9], 0.0)[0])
-    mh_idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-bench-mh-"), threshold=0.8)
-    mh_idx.update(docs.filter(F.col("doc_id") <= F.lit(d_cut)))  # standing index
-    timed("op_incr_dedup_update", lambda: mh_idx.update(docs).count(), runs=1)
+    docs_head = docs.filter(F.col("doc_id") <= F.lit(d_cut))
+
+    def fresh_mh_index():
+        # a genuine ingest needs a FRESH standing index per run (a repeat
+        # update on the same index finds nothing new and measures nothing)
+        idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-bench-mh-"), threshold=0.8)
+        idx.update(docs_head)
+        return idx
+
+    timed_median(
+        "op_incr_dedup_update",
+        lambda idx: idx.update(docs).count(),
+        setup=fresh_mh_index,
+    )
 
     e_cut = int(emb.approxQuantile("vec_id", [0.9], 0.0)[0])
     ivf_idx = IVFIndex(tempfile.mkdtemp(prefix="qc-bench-ivf-"), k_cells=8, train_iters=2)
