@@ -369,6 +369,27 @@ def _qc_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_right_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT + USING on the cached star-join path (r14): ``dim RIGHT JOIN
+    fact USING (k)`` is normalized at parse time to ``fact LEFT JOIN dim``
+    with a name-list join that merges the key column — the two handwritten
+    BI spellings the engine previously passed through. The dim is a renamed
+    projection of ``customer`` registered as a view; the oracle inlines the
+    same projection as a subquery over the base table."""
+    _load(spark, sf_dir)
+    spark.sql(
+        "SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer"
+    ).createOrReplaceTempView("cust_seg_ru")
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
+        "FROM cust_seg_ru RIGHT JOIN events_qc_ru USING (user_id) "
+        "GROUP BY 1 ORDER BY 1",
+        "events_qc_ru",
+    )
+
+
 # Direct QUALIFY on an aggregate (r13): desugared to the derived
 # window-replay shape. Beyond passthrough — Spark cannot parse QUALIFY;
 # DuckDB runs the identical SQL as the oracle. OFF-window.
@@ -1479,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13: new off-window graded surfaces (window full; check_oracle runs all)
     q["qc_regr"] = _qc_regr
     q["qc_qualify_direct"] = _qc_qualify_direct
+    # r14: RIGHT/USING join normalization onto the cached path (off-window)
+    q["qc_right_using"] = _qc_right_using
     return q
 
 
@@ -1574,6 +1597,12 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
     )
     o["qc_qualify_direct"] = _QUALIFY_SQL.format(v="events")
+    o["qc_right_using"] = (
+        "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
+        "FROM (SELECT c_custkey AS user_id, c_mktsegment AS segment "
+        "FROM customer) d RIGHT JOIN events USING (user_id) "
+        "GROUP BY 1 ORDER BY 1"
+    )
     o["qc_regr"] = _REGR_SQL.format(
         v="events", rc="CAST(regr_count(value, user_id) AS BIGINT)"
     )

@@ -408,13 +408,19 @@ class WindowExpr(Expr):
 
 @dataclass(frozen=True)
 class JoinStep:
-    """One step of a left-deep join tree: ``... JOIN table ON cond``."""
+    """One step of a left-deep join tree: ``... JOIN table ON cond`` or
+    ``... JOIN table USING (cols)`` (``using`` non-empty, ``on`` None —
+    the session joins by name-list, which merges the key columns exactly
+    like SQL USING)."""
 
     table: str
-    on: Optional[Expr]  # None for CROSS
+    on: Optional[Expr]  # None for CROSS / USING
     how: str  # "inner" | "left"
+    using: Tuple[str, ...] = ()
 
     def canon(self) -> str:
+        if self.using:
+            return f"{self.how}({self.table} using {','.join(self.using)})"
         c = self.on.canon() if self.on is not None else "true"
         return f"{self.how}({self.table} on {c})"
 

@@ -1907,6 +1907,26 @@ def _lower_select_from(node: Dict[str, Any]):
             return
         if t == "JOIN":
             jt = ft.get("join_type")
+            if ft.get("ref_type") == "NATURAL":
+                # NATURAL needs schema knowledge the parser doesn't have;
+                # passthrough keeps Spark's own resolution authoritative
+                raise Unsupported("NATURAL join")
+            if jt == "RIGHT":
+                # A RIGHT JOIN B ON c ≡ B LEFT JOIN A ON c. Only sound here
+                # when both operands are base tables (a composite left side
+                # can't be re-anchored into a left-deep step chain). After
+                # the swap the PRESERVED table is tables[0]; the ts-on-fact
+                # check then refuses the dim-preserved spelling (whose
+                # NULL-extended rows are not incrementally maintainable).
+                left = ft.get("left") or {}
+                right = ft.get("right") or {}
+                if (
+                    left.get("type") != "BASE_TABLE"
+                    or right.get("type") != "BASE_TABLE"
+                ):
+                    raise Unsupported("RIGHT join over a join tree")
+                ft = {**ft, "join_type": "LEFT", "left": right, "right": left}
+                jt = "LEFT"
             if jt not in ("INNER", "LEFT", "CROSS"):
                 raise Unsupported(f"join type {jt}")
             walk_from(ft["left"])
@@ -1915,13 +1935,15 @@ def _lower_select_from(node: Dict[str, Any]):
                 raise Unsupported("non-left-deep join tree")
             tables.append(_base_table_name(right))
             cond = ft.get("condition")
-            if cond is None and jt != "CROSS":
+            using = tuple(ft.get("using_columns") or ())
+            if cond is None and not using and jt != "CROSS":
                 raise Unsupported("USING/NATURAL join")
             join_steps.append(
                 JoinStep(
                     _base_table_name(right),
                     _expr(cond) if cond is not None else None,
                     "left" if jt == "LEFT" else "inner",
+                    using=using,
                 )
             )
             return
@@ -2359,8 +2381,13 @@ def _lower_subquery(node: Dict[str, Any]):
             if right.get("sample"):
                 raise Unsupported("TABLESAMPLE")
             cond = j.get("condition")
+            using = ()
+            if j.get("ref_type") == "NATURAL":
+                raise Unsupported("NATURAL join above a derived table")
             if cond is None and jt != "CROSS":
-                raise Unsupported("USING/NATURAL join above a derived table")
+                using = tuple(j.get("using_columns") or ())
+                if not using:
+                    raise Unsupported("USING/NATURAL join above a derived table")
             t = _base_table_name(right)
             if t in dim_tables:
                 raise Unsupported("duplicate dim table above a derived table")
@@ -2369,6 +2396,7 @@ def _lower_subquery(node: Dict[str, Any]):
                     t,
                     _expr(cond) if cond is not None else None,
                     "left" if jt == "LEFT" else "inner",
+                    using=using,
                 )
             )
     if ft.get("column_name_alias"):

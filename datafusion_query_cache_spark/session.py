@@ -443,7 +443,9 @@ class CachedSparkSession(RefreshTiers):
         frames = {t: self.spark.table(t) for t in info["tables"]}
         base = frames[info["tables"][0]]
         for step in spec.join_steps:
-            if step.on is not None:
+            if step.using:
+                base = base.join(frames[step.table], list(step.using), step.how)
+            elif step.on is not None:
                 base = base.join(frames[step.table], to_column(step.on), step.how)
             else:
                 base = base.crossJoin(frames[step.table])
@@ -1837,7 +1839,14 @@ class CachedSparkSession(RefreshTiers):
             for js in spec.join_steps:
                 fr = self.spark.table(js.table)
                 dim_frames[js.table] = fr
+                for u in js.using:
+                    if u not in fr.columns:
+                        raise Unsupported(
+                            f"USING column {u} missing from {js.table}"
+                        )
                 for c in fr.columns:
+                    if c in js.using:
+                        continue  # USING keys merge into one output column
                     if c in seen_cols:
                         raise Unsupported(
                             f"ambiguous column {c} (in {seen_cols[c]} and"
@@ -1865,7 +1874,9 @@ class CachedSparkSession(RefreshTiers):
         for js in spec.join_steps:
             # O(state) rows on the left; dims read fresh each query (label
             # changes show immediately). AQE picks broadcast for small dims.
-            if js.on is not None:
+            if js.using:
+                df = df.join(dim_frames[js.table], list(js.using), js.how)
+            elif js.on is not None:
                 df = df.join(dim_frames[js.table], to_column(js.on), js.how)
             else:
                 df = df.crossJoin(dim_frames[js.table])
@@ -2132,10 +2143,24 @@ class CachedSparkSession(RefreshTiers):
         # assumption TimescaleDB continuous aggregates make for joins.
         tables = list(spec.tables or (spec.table,))
         frames = {t: self.spark.table(t) for t in tables}
+        # USING joins deliberately share the key columns: they merge into
+        # ONE output column (Spark's name-list join), so they're excluded
+        # from the dim side of the ambiguity check and the joined schema.
+        using_by_table = {
+            js.table: set(js.using) for js in spec.join_steps if js.using
+        }
+        for js in spec.join_steps:
+            for u in js.using:
+                if u not in frames[js.table].columns:
+                    raise Unsupported(
+                        f"USING column {u} missing from {js.table}"
+                    )
         if len(frames) > 1:
             seen_cols: Dict[str, str] = {}
             for t in tables:
                 for c in frames[t].columns:
+                    if c in using_by_table.get(t, ()):
+                        continue  # merges into the left side's column
                     if c in seen_cols:
                         raise Unsupported(
                             f"ambiguous column {c} (in {seen_cols[c]} and {t})"
@@ -2160,7 +2185,12 @@ class CachedSparkSession(RefreshTiers):
         from pyspark.sql.types import StructType as _StructType
 
         base_schema = _StructType(
-            [f for t in tables for f in frames[t].schema.fields]
+            [
+                f
+                for t in tables
+                for f in frames[t].schema.fields
+                if f.name not in using_by_table.get(t, ())
+            ]
         )
         base_cols = {f.name for f in base_schema.fields}
         _base_built: List[DataFrame] = []
@@ -2169,12 +2199,20 @@ class CachedSparkSession(RefreshTiers):
             if not _base_built:
                 b = frames[tables[0]]
                 for step in spec.join_steps:
-                    if step.on is not None:
+                    if step.using:
+                        b = b.join(
+                            frames[step.table], list(step.using), step.how
+                        )
+                    elif step.on is not None:
                         b = b.join(
                             frames[step.table], to_column(step.on), step.how
                         )
                     else:
                         b = b.crossJoin(frames[step.table])
+                if using_by_table:
+                    # Spark's name-list join moves the merged key columns
+                    # to the FRONT — restore the declared-schema order
+                    b = b.select(*[f.name for f in base_schema.fields])
                 _base_built.append(b)
             return _base_built[0]
 

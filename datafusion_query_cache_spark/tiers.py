@@ -260,7 +260,11 @@ class RefreshTiers:
         # refresh contract as the DataFrame path)
         from_sql = q(tables[0])
         for step in spec.join_steps:
-            if step.on is None:
+            if step.using:
+                kw = "LEFT JOIN" if step.how == "left" else "JOIN"
+                cols = ", ".join(q(u) for u in step.using)
+                from_sql += f" {kw} {q(step.table)} USING ({cols})"
+            elif step.on is None:
                 from_sql += f" CROSS JOIN {q(step.table)}"
             else:
                 kw = "LEFT JOIN" if step.how == "left" else "JOIN"

@@ -133,3 +133,139 @@ def test_left_join_aggregate_cached(spark, qc, split):
     # the NULL-segment group must be present (holes in the dim)
     assert any(r["segment"] is None for r in got.collect())
     spark.catalog.dropTempView("user_seg_holes")
+
+
+def test_right_join_normalized_and_cached(spark, qc, split):
+    """dim RIGHT JOIN fact ≡ fact LEFT JOIN dim (operand swap at parse
+    time): cacheable, two-run exact, and served from the SAME entry as the
+    LEFT spelling (identical fingerprint after normalization)."""
+    run1, run2, cut_ns = split
+    left_sql = (
+        "SELECT s.segment, count(*) AS n, round(sum(e.value), 2) AS sv "
+        "FROM events_j e LEFT JOIN user_seg s "
+        "ON e.user_id % 100 = s.bucket_id GROUP BY 1 ORDER BY 1"
+    )
+    right_sql = (
+        "SELECT s.segment, count(*) AS n, round(sum(e.value), 2) AS sv "
+        "FROM user_seg s RIGHT JOIN events_j e "
+        "ON e.user_id % 100 = s.bucket_id GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(left_sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert not qc.last_decision.cache_hit
+    fp_left = qc.last_decision.fingerprint
+
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(right_sql)
+    # the RIGHT spelling lands on the LEFT spelling's entry — a warm HIT
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert qc.last_decision.fingerprint == fp_left
+    assert rows_set(got) == rows_set(spark.sql(right_sql))
+
+
+def test_right_join_dim_preserved_passthrough(spark, qc, split):
+    """fact RIGHT JOIN dim preserves the DIM side: its NULL-extended rows
+    retract when a fresh fact row matches — not incrementally maintainable,
+    so the swap-normalized form (dim first) must refuse and pass through."""
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns
+    df = qc.sql(
+        "SELECT count(*) AS n FROM events_j e RIGHT JOIN user_seg s "
+        "ON e.user_id % 100 = s.bucket_id"
+    )
+    assert not qc.last_decision.cached
+    assert df.collect()[0]["n"] > 0
+
+
+@pytest.fixture()
+def using_dim(spark):
+    # USING requires the SAME column name on both sides: key the dim by
+    # user_id directly (events.user_id % nothing — plain equality)
+    spark.range(40).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias("segment"),
+    ).createOrReplaceTempView("user_seg_u")
+    yield
+    spark.catalog.dropTempView("user_seg_u")
+
+
+def test_using_join_cached(spark, qc, split, using_dim):
+    """JOIN ... USING (k): the key columns merge into ONE output column
+    (Spark name-list join) — cacheable, two-run exact vs plain Spark."""
+    run1, run2, cut_ns = split
+    sql = (
+        "SELECT segment, date_trunc('day', ts) AS d, count(*) AS n, "
+        "round(sum(value), 2) AS sv "
+        "FROM events_j JOIN user_seg_u USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_left_using_join_cached_with_merged_key(spark, qc, split):
+    """LEFT ... USING: unmatched fact rows keep the merged key from the
+    fact side and NULL dims; the merged key is selectable unqualified."""
+    run1, run2, cut_ns = split
+    # a 2-row dim guarantees holes → NULL-segment groups must survive
+    spark.range(2).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg"), F.col("id").cast("string")).alias("segment"),
+    ).createOrReplaceTempView("user_seg_u")
+    sql = (
+        "SELECT user_id % 10 AS ub, segment, count(*) AS n "
+        "FROM events_j LEFT JOIN user_seg_u USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    # NULL-segment groups exist (the 2-row dim guarantees holes)
+    assert any(r["segment"] is None for r in got.collect())
+    spark.catalog.dropTempView("user_seg_u")
+
+
+def test_right_using_join_cached(spark, qc, split, using_dim):
+    """dim RIGHT JOIN fact USING (k): swap + USING compose."""
+    run1, run2, cut_ns = split
+    sql = (
+        "SELECT segment, count(*) AS n "
+        "FROM user_seg_u RIGHT JOIN events_j USING (user_id) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_natural_join_passthrough(spark, qc, split, using_dim):
+    run1, run2, cut_ns = split
+    run2()
+    df = qc.sql(
+        "SELECT count(*) AS n FROM events_j NATURAL JOIN user_seg_u"
+    )
+    assert not qc.last_decision.cached
+    assert "NATURAL" in (qc.last_decision.reason or "")

@@ -72,7 +72,11 @@ def test_distinct_flag():
     [
         "SELECT * FROM events",  # no aggregate
         "SELECT value FROM events",  # non-agg select
-        "SELECT count(*) FROM events e RIGHT JOIN orders o ON true",  # right join
+        # RIGHT over a composite left side can't re-anchor into a
+        # left-deep chain (plain two-table RIGHT now swap-normalizes)
+        "SELECT count(*) FROM events e JOIN part p ON e.event_id = p.p_partkey "
+        "RIGHT JOIN orders o ON true",
+        "SELECT count(*) FROM events e FULL JOIN orders o ON true",  # full join
         "SELECT count(*) FROM events e JOIN events e2 ON true",  # self-join
         "SELECT count(*) FROM (SELECT 1)",  # subquery
         "WITH x AS (SELECT 1) SELECT count(*) FROM x",  # CTE
