@@ -369,6 +369,28 @@ def _qc_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped correlated-subquery body (r14): the body GROUPs BY its own
+# correlation key (pinned by the equality, so the group is a no-op and the
+# rollup entry is the ungrouped spelling's) and filters it with HAVING.
+# Spark refuses correlated scalars in aggregate context — DuckDB oracles
+# the identical SQL.
+_CORR_GROUPED_SQL = (
+    "SELECT event_type, round(sum(value) / (SELECT avg(value) FROM {v} e2 "
+    "WHERE e2.event_type = e.event_type GROUP BY e2.event_type "
+    "HAVING count(*) > 5), 4) AS rel "
+    "FROM {v} e GROUP BY 1 ORDER BY 1"
+)
+
+
+def _qc_corr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        _CORR_GROUPED_SQL.format(v="events_qc_cg"),
+        "events_qc_cg",
+    )
+
+
 def _qc_right_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT + USING on the cached star-join path (r14): ``dim RIGHT JOIN
     fact USING (k)`` is normalized at parse time to ``fact LEFT JOIN dim``
@@ -1502,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_qualify_direct"] = _qc_qualify_direct
     # r14: RIGHT/USING join normalization onto the cached path (off-window)
     q["qc_right_using"] = _qc_right_using
+    # r14: grouped correlated-subquery body with HAVING (off-window)
+    q["qc_corr_grouped"] = _qc_corr_grouped
     return q
 
 
@@ -1597,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY event_type NULLS FIRST, d NULLS FIRST"
     )
     o["qc_qualify_direct"] = _QUALIFY_SQL.format(v="events")
+    o["qc_corr_grouped"] = _CORR_GROUPED_SQL.format(v="events")
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
         "FROM (SELECT c_custkey AS user_id, c_mktsegment AS segment "

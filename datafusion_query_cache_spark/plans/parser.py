@@ -828,9 +828,21 @@ def _split_correlation(node: Dict[str, Any]):
             if x
         }
     )
-    if sub.get("group_expressions") or sub.get("having") is not None:
-        raise Unsupported("correlated subquery with GROUP BY/HAVING")
-    for gs in sub.get("group_sets") or []:
+    # GROUP BY in the body is allowed when every group key is one of the
+    # correlation keys (validated below, after the pairs are known): the
+    # correlated equalities PIN those keys per outer row, so grouping by
+    # them (or any subset) yields exactly one group over exactly the same
+    # row set — the body stays scalar and the rollup entry is the same one
+    # the ungrouped spelling uses. Grouping beyond the correlation keys
+    # could return several rows per outer row; that stays passthrough so
+    # plain Spark's own multi-row error remains authoritative. HAVING is
+    # allowed with inner-only references (it rides the rollup's AggSpec
+    # .having — keys whose group fails it vanish from the rollup).
+    raw_sets = sub.get("group_sets") or []
+    n_groups = len(sub.get("group_expressions") or [])
+    if raw_sets and not (
+        len(raw_sets) == 1 and sorted(raw_sets[0]) == list(range(n_groups))
+    ):
         raise Unsupported("correlated subquery with grouping sets")
     if sub.get("modifiers"):
         raise Unsupported("correlated subquery with modifiers")
@@ -925,6 +937,26 @@ def _split_correlation(node: Dict[str, Any]):
         raise Unsupported("correlated subquery: unsupported correlation shape")
     for c in rest:
         assert_inner_only(c)
+    ges = sub.get("group_expressions") or []
+    if ges:
+        inner_vis = _visible_names(sub.get("from_table") or {})
+
+        def inner_canon(j) -> str:
+            _SCOPE.append(inner_vis)
+            try:
+                return _expr(j).canon()
+            finally:
+                _SCOPE.pop()
+
+        own_canons = {inner_canon(oj) for oj, _ in pairs}
+        for ge in ges:
+            if inner_canon(ge) not in own_canons:
+                raise Unsupported(
+                    "correlated subquery grouped beyond its correlation keys"
+                )
+    hv = sub.get("having")
+    if hv is not None:
+        assert_inner_only(hv)
     return sub, pairs, rest
 
 
@@ -1013,6 +1045,9 @@ def _corr_rollup_sub(sub, key_items, rest, value_item):
     new_sub = dict(sub)
     new_sub["select_list"] = sel_list + [value_item]
     new_sub["group_expressions"] = group_exprs
+    # a grouped body carries its own group_sets (e.g. [[0]]); the rollup's
+    # key set has a different arity — rewrite them as the plain full set
+    new_sub["group_sets"] = [list(range(len(group_exprs)))]
     new_sub["where_clause"] = _conj_json(rest)
     new_sub["modifiers"] = []
     return new_sub
@@ -1049,6 +1084,12 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
             "correlated scalar: count inside a composite expression "
             "(on-empty value not representable)"
         )
+    if sub.get("group_expressions") or sub.get("having") is not None:
+        # a GROUPED (or HAVING-filtered) body yields zero ROWS on an empty
+        # / filtered-out correlated set — the scalar is NULL there, never
+        # the ungrouped count-on-empty 0 — so the absent-key join must NOT
+        # coalesce
+        count_like = False
 
     key_items, inner_keys, outer_keys, canons = _corr_key_plan(pairs, sub)
     item = dict(sel[0])
@@ -1068,7 +1109,13 @@ def _decorrelate_scalar(node: Dict[str, Any]) -> Expr:
     for e in [inner.predicate, inner.having]:
         if e is not None and _contains_scalar_subq(e):
             raise Unsupported("nested subquery in a subquery body")
-    canon_str = f"{inner.canon()}|ck={','.join(canons)}|cv=qc_cv"
+    # spec.canon() deliberately excludes HAVING — append it here so two
+    # bodies differing only in the HAVING never fold to one CorrScalar
+    # (the r11 EXISTS-fold class)
+    hv_c = inner.having.canon() if inner.having is not None else ""
+    canon_str = (
+        f"{inner.canon()}|ck={','.join(canons)}|cv=qc_cv|having={hv_c}"
+    )
     return CorrScalar(
         outer_keys=tuple(outer_keys),
         inner_keys=tuple(inner_keys),
@@ -1114,8 +1161,14 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
             own0 = _expr(pairs[0][0])
         finally:
             _SCOPE.pop()
-    if len(pairs) > 1 or not isinstance(own0, Col):
-        # composite or expression-keyed: the count-rollup CorrScalar path
+    if (
+        len(pairs) > 1
+        or not isinstance(own0, Col)
+        or sub.get("having") is not None
+    ):
+        # composite / expression-keyed / HAVING-filtered: the count-rollup
+        # CorrScalar path (with HAVING, a key is present iff its one group
+        # passes it — count>0 with coalesce(...,FALSE) is exactly EXISTS)
         return _decorrelate_exists_multi(sub, pairs, rest)
     inner_col = own0.name
     outer_expr = _expr(pairs[0][1])
@@ -1125,6 +1178,11 @@ def _decorrelate_exists(node: Dict[str, Any]) -> Expr:
     new_sub["modifiers"] = [
         {"type": "DISTINCT_MODIFIER", "distinct_on_targets": []}
     ]
+    # a grouped body (keys ⊆ correlation keys, validated upstream) has ≥1
+    # group iff ≥1 row matches — EXISTS over it equals EXISTS over rows,
+    # so the DISTINCT-IN fold just drops the GROUP BY
+    new_sub["group_expressions"] = []
+    new_sub["group_sets"] = []
     new_sub["where_clause"] = _conj_json(rest)
     _reject_foreign_qualifiers({"node": new_sub})
     inner = _lower_select(new_sub)
@@ -1202,7 +1260,10 @@ def _decorrelate_exists_multi(sub, pairs, rest) -> Expr:
     for e in [inner.predicate, inner.having]:
         if e is not None and _contains_scalar_subq(e):
             raise Unsupported("nested subquery in a subquery body")
-    canon_str = f"{inner.canon()}|ck={','.join(canons)}|cv=qc_cv"
+    hv_c = inner.having.canon() if inner.having is not None else ""
+    canon_str = (
+        f"{inner.canon()}|ck={','.join(canons)}|cv=qc_cv|having={hv_c}"
+    )
     cnt = CorrScalar(
         outer_keys=tuple(outer_keys),
         inner_keys=tuple(inner_keys),

@@ -622,3 +622,183 @@ def test_in_subquery_over_joined_distinct(spark, qc_mem):
     assert [tuple(r) for r in out.collect()] == [
         tuple(r) for r in spark.sql(sql).collect()
     ]
+
+
+# -- grouped correlated bodies (r14): GROUP BY on correlation keys -------
+
+
+def test_corr_grouped_body_shares_ungrouped_entry(spark, qc_mem):
+    """A body grouped ON its correlation key is the SAME rollup (the
+    equality pins the key, so the group is a no-op): both spellings must
+    land on one entry, and results match plain Spark."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    ungrouped = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE x.event_type = e.event_type) GROUP BY 1 ORDER BY 1"
+    )
+    grouped = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE x.event_type = e.event_type GROUP BY x.event_type) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    qc_mem.sql(ungrouped).collect()
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    hist0 = set(qc_mem.config.cache._store)
+    out = qc_mem.sql(grouped)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    # no NEW rollup entry: the grouped spelling reused the ungrouped one
+    assert set(qc_mem.config.cache._store) == hist0
+    assert rows_set(out) == rows_set(spark.sql(grouped))
+
+
+def test_corr_grouped_body_different_grain_two_run(spark, qc_mem):
+    """Predicate spelling, body grouped at a DIFFERENT grain (day) than
+    the outer (event_type): two-run incremental, exact vs plain Spark."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    sql = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE date_trunc('day', x.ts) = date_trunc('day', e.ts) "
+        "GROUP BY date_trunc('day', x.ts)) GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_corr_grouped_select_list_spelling(spark, qc_mem):
+    """SELECT-list spelling with a grouped body — beyond passthrough
+    (Spark refuses correlated scalars in aggregate context); DuckDB is the
+    oracle."""
+    import duckdb
+
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, round(sum(value) / (SELECT avg(value) "
+        "FROM events_cs e2 WHERE e2.event_type = e.event_type "
+        "GROUP BY e2.event_type), 4) AS rel "
+        "FROM events e GROUP BY 1 ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    got = [(r[0], float(r[1])) for r in out.collect()]
+    con = duckdb.connect()
+    pdf = spark.table("events").toPandas()
+    con.register("events", pdf)
+    exp = [
+        (r[0], float(r[1]))
+        for r in con.execute(
+            sql.replace("events_cs", "events")
+        ).fetchall()
+    ]
+    assert len(got) == len(exp)
+    assert all(
+        a[0] == b[0] and abs(a[1] - b[1]) < 1e-9
+        for a, b in zip(sorted(got), sorted(exp))
+    )
+
+
+def test_corr_grouped_count_empty_is_null_not_zero(spark, qc_mem):
+    """THE semantic distinction: a GROUPED count body yields zero ROWS on
+    an empty correlated set (scalar NULL), while the ungrouped body yields
+    count=0. Both must match plain Spark exactly."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    # per-type rare predicate: some types have qualifying rows, the NULL/0
+    # distinction appears for those without any
+    hi = spark.sql(
+        "SELECT max(value) AS m FROM events WHERE event_type = "
+        "(SELECT min(event_type) FROM events)"
+    ).collect()[0]["m"]
+    ungrouped = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE "
+        "(SELECT count(*) FROM events_cs x WHERE "
+        f"x.event_type = e.event_type AND x.value >= {hi}) = 0 "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    grouped = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE "
+        "(SELECT count(*) FROM events_cs x WHERE "
+        f"x.event_type = e.event_type AND x.value >= {hi} "
+        "GROUP BY x.event_type) = 0 "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    got_u = qc_mem.sql(ungrouped)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(got_u) == rows_set(spark.sql(ungrouped))
+    got_g = qc_mem.sql(grouped)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(got_g) == rows_set(spark.sql(grouped))
+    # the grouped spelling filters NULL (absent groups), the ungrouped
+    # keeps count=0 rows — the two row sets must actually DIFFER here
+    assert rows_set(got_u) != rows_set(got_g)
+
+
+def test_corr_body_having_two_run(spark, qc_mem):
+    """HAVING in the body rides the rollup's finalize filter; keys whose
+    group fails it vanish → scalar NULL, exactly plain Spark."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    sql = (
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE x.event_type = e.event_type GROUP BY x.event_type "
+        "HAVING count(*) > 10) GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_corr_body_having_distinct_entries(spark, qc_mem):
+    """Two bodies differing ONLY in the HAVING literal must not fold to
+    one CorrScalar (the r11 EXISTS-fold class, scalar edition)."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    t = (
+        "SELECT count(*) AS n FROM events e WHERE e.value > "
+        "(SELECT avg(x.value) FROM events_cs x "
+        "WHERE x.event_type = e.event_type GROUP BY x.event_type "
+        "HAVING count(*) > {lit})"
+    )
+    a = qc_mem.sql(t.format(lit=10)).collect()[0]["n"]
+    b = qc_mem.sql(t.format(lit=10**9)).collect()[0]["n"]
+    ea = spark.sql(t.format(lit=10)).collect()[0]["n"]
+    eb = spark.sql(t.format(lit=10**9)).collect()[0]["n"]
+    assert (a, b) == (ea, eb)
+    assert b == 0  # impossible HAVING → every scalar NULL → no matches
+
+
+def test_corr_exists_grouped_and_having(spark, qc_mem):
+    """EXISTS over a grouped body ≡ EXISTS over rows (no HAVING); with
+    HAVING it rides the count rollup whose keys exist iff the group
+    passes — both exact vs plain Spark."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    for sql in [
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM events_cs x WHERE x.user_id = e.user_id "
+        "AND x.value > 4.9 GROUP BY x.user_id) GROUP BY 1 ORDER BY 1",
+        "SELECT e.event_type, count(*) AS n FROM events e WHERE EXISTS "
+        "(SELECT 1 FROM events_cs x WHERE x.user_id = e.user_id "
+        "GROUP BY x.user_id HAVING avg(x.value) > 2.5) "
+        "GROUP BY 1 ORDER BY 1",
+    ]:
+        out = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert rows_set(out) == rows_set(spark.sql(sql)), sql
+
+
+def test_corr_grouped_beyond_keys_passthrough(spark, qc_mem):
+    """Grouping beyond the correlation keys can return several rows per
+    outer row — refuse, so plain Spark's own error stays authoritative."""
+    spark.table("events").createOrReplaceTempView("events_cs")
+    qc_mem.config.override_now_ns = None
+    with pytest.raises(Exception, match="MORE_THAN_ONE|TOO_MANY_ROWS"):
+        qc_mem.sql(
+            "SELECT count(*) AS n FROM events e WHERE e.value > "
+            "(SELECT avg(x.value) FROM events_cs x "
+            "WHERE x.user_id = e.user_id GROUP BY x.event_type)"
+        ).collect()
+    assert not qc_mem.last_decision.cached
