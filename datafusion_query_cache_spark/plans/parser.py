@@ -1832,6 +1832,12 @@ def _lower_select(node: Dict[str, Any]):
         finally:
             _SCOPE.pop()
     if ft0.get("type") == "SUBQUERY":
+        # a derived PROJECTION source (no aggregate) inlines into the
+        # outer query — the rewritten single-table plan then caches
+        # through the normal pipeline (r14)
+        inlined = _inline_derived_projection(node, ft0)
+        if inlined is not None:
+            return _lower_select(inlined)
         # the outer items must lower under the OUTER's scope: with the
         # caller's (often empty) scope a struct path like `meta.t` above
         # the derived table fell to the legacy qualifier-dropping branch,
@@ -2403,6 +2409,158 @@ def _lower_select_from(node: Dict[str, Any]):
         order_by=tuple(outer_order),
         limit=limit,
     )
+
+
+def _inline_derived_projection(node: Dict[str, Any], ft: Dict[str, Any]):
+    """Inline ``FROM (SELECT <projection> FROM src [WHERE p]) t`` into the
+    outer query (classic projection push-up): outer references to the
+    derived outputs substitute the inner item expressions, the inner WHERE
+    ANDs into the outer's, and the source becomes ``src`` directly — the
+    EXISTING single-table cached pipeline then plans the rewritten query
+    (the reference's bottom-up rule gets this for free by matching the
+    Aggregate wherever it sits, ``src/aggregate.rs:74-76``).
+
+    Returns the rewritten outer node, or None when the inner is not a
+    plain projection (aggregates/windows/DISTINCT/modifiers keep today's
+    derived-aggregate path). Raises Unsupported (→ passthrough) for ref
+    shapes the substitution can't prove sound: struct paths / foreign
+    qualifiers above the derived table (the r13 conservative rule) and
+    nested subqueries in the outer (their inner-first scope would capture
+    substituted names)."""
+    import copy as _copy
+
+    if ft.get("column_name_alias") or ft.get("sample"):
+        return None
+    inner = (ft.get("subquery") or {}).get("node") or {}
+    if inner.get("type") != "SELECT_NODE":
+        return None
+    if (
+        inner.get("group_expressions")
+        or inner.get("group_sets")
+        or inner.get("having") is not None
+        or inner.get("qualify") is not None
+        or inner.get("modifiers")
+        or inner.get("cte_map", {}).get("map")
+        or inner.get("sample")
+    ):
+        return None
+    src = inner.get("from_table") or {}
+    if src.get("type") not in ("BASE_TABLE", "SUBQUERY"):
+        return None  # joins/pivots below: keep the derived-aggregate path
+
+    def has_cls(x, classes) -> bool:
+        if isinstance(x, dict):
+            if x.get("class") in classes:
+                return True
+            return any(has_cls(v, classes) for v in x.values())
+        if isinstance(x, list):
+            return any(has_cls(v, classes) for v in x)
+        return False
+
+    sel = inner.get("select_list", [])
+    star = (
+        len(sel) == 1
+        and sel[0].get("class") == "STAR"
+        and not sel[0].get("expr")
+        and not sel[0].get("exclude_list")
+        and not sel[0].get("replace_list")
+    )
+    mapping: Optional[Dict[str, Dict[str, Any]]] = None
+    if not star:
+        mapping = {}
+        for item in sel:
+            if item.get("class") == "STAR":
+                return None  # mixed star + items
+            if has_cls(item, {"WINDOW", "SUBQUERY"}) or _json_has_agg(item):
+                return None  # not a pure projection
+            alias = item.get("alias") or ""
+            if not alias and item.get("class") == "COLUMN_REF":
+                alias = (item.get("column_names") or [""])[-1]
+            if not alias:
+                return None  # unaliased expression: output name unknowable
+            if alias.lower() in mapping:
+                raise Unsupported("duplicate derived output name")
+            mapping[alias.lower()] = item
+
+    dalias = (ft.get("alias") or "").lower()
+    outer_fields = (
+        "select_list",
+        "where_clause",
+        "group_expressions",
+        "having",
+        "qualify",
+        "modifiers",
+    )
+    for fld in outer_fields:
+        if has_cls(node.get(fld), {"SUBQUERY"}):
+            raise Unsupported(
+                "subquery above an inlined derived projection"
+            )
+
+    def subst(x):
+        if isinstance(x, dict):
+            if x.get("class") == "COLUMN_REF":
+                names = list(x.get("column_names") or [])
+                if len(names) >= 2 and names[0].lower() == dalias and dalias:
+                    names = names[1:]
+                if len(names) >= 2:
+                    # struct path / foreign qualifier above the derived
+                    # table: plain Spark rejects the qualifier spelling —
+                    # stay conservative (r13 rule) and pass through
+                    raise Unsupported(
+                        "qualified reference above an inlined derived "
+                        "projection"
+                    )
+                nm = names[0].lower() if names else ""
+                if mapping is None:
+                    out = dict(x)
+                    out["column_names"] = names
+                    return out
+                if nm not in mapping:
+                    raise Unsupported(
+                        f"unknown derived output {names[0] if names else ''}"
+                    )
+                rep = _copy.deepcopy(mapping[nm])
+                # keep the REFERENCED name as the output name: `SELECT g
+                # FROM (SELECT a AS g ...)` must surface column `g`, not
+                # the substituted expression's natural name
+                rep["alias"] = x.get("alias") or names[0]
+                return rep
+            return {k: subst(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [subst(v) for v in x]
+        return x
+
+    new_node = dict(node)
+    for fld in outer_fields:
+        if node.get(fld) is not None:
+            new_node[fld] = subst(_copy.deepcopy(node[fld]))
+    iw = inner.get("where_clause")
+    if iw is not None:
+        ow = new_node.get("where_clause")
+        new_node["where_clause"] = (
+            _copy.deepcopy(iw)
+            if ow is None
+            else {
+                "class": "CONJUNCTION",
+                "type": "CONJUNCTION_AND",
+                "alias": "",
+                "children": [_copy.deepcopy(iw), ow],
+            }
+        )
+    new_node["from_table"] = _copy.deepcopy(src)
+    return new_node
+
+
+def _json_has_agg(item) -> bool:
+    """Aggregate-call detector over a raw duckdb expression JSON: lower a
+    COPY and walk the IR (the lowering is scope-free for this purpose —
+    any failure counts as 'has an aggregate' to stay conservative)."""
+    try:
+        e = _expr(item)
+    except Exception:
+        return True
+    return _contains_agg(e) or _contains_window(e)
 
 
 def _lower_subquery(node: Dict[str, Any]):

@@ -77,7 +77,10 @@ def test_parse_subquery_shape():
             "GROUP BY above",
         ),
         (
-            "SELECT event_id FROM (SELECT event_id, value FROM events) t",
+            # a LIMIT inner can't inline (row multiplicity) and isn't an
+            # aggregate either — keeps the old derived-path refusal
+            "SELECT event_id FROM (SELECT event_id, value FROM events "
+            "LIMIT 5) t",
             "not a plain aggregate",
         ),
     ],
@@ -469,3 +472,100 @@ def test_chained_except_cached(spark, qc_mem):
     out = qc_mem.sql(sql)
     assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
     assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+# -- derived PROJECTION inlining (r14): FROM (SELECT <proj>) t -----------
+
+
+def test_derived_projection_inlined_and_cached(spark, qc_mem):
+    """Aggregate over a filtered derived projection: the projection
+    inlines into the outer (push-up) and the rewritten single-table
+    aggregate caches through the normal pipeline — two-run exact."""
+    sql = (
+        "SELECT t.g, count(*) AS n, round(sum(t.x), 2) AS sx FROM "
+        "(SELECT event_type AS g, value * 2 AS x, ts FROM events "
+        "WHERE value > 1) t GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_derived_projection_shares_inlined_entry(spark, qc_mem):
+    """The inlined spelling and the direct single-table spelling are the
+    same plan — they must share ONE cache entry."""
+    qc_mem.config.override_now_ns = None
+    direct = (
+        "SELECT event_type AS g, count(*) AS n FROM events "
+        "WHERE value > 1 GROUP BY 1 ORDER BY 1"
+    )
+    derived = (
+        "SELECT g, count(*) AS n FROM "
+        "(SELECT event_type AS g, ts FROM events WHERE value > 1) t "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    qc_mem.sql(direct).collect()
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    entries0 = set(qc_mem.config.cache._store)
+    out = qc_mem.sql(derived)
+    assert qc_mem.last_decision.cached and qc_mem.last_decision.cache_hit
+    assert set(qc_mem.config.cache._store) == entries0
+    assert rows_set(out) == rows_set(spark.sql(derived))
+
+
+def test_derived_star_projection_inlined(spark, qc_mem):
+    sql = (
+        "SELECT event_type, count(*) AS n FROM "
+        "(SELECT * FROM events WHERE value > 2) t GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_derived_projection_nested_two_levels(spark, qc_mem):
+    sql = (
+        "SELECT g, count(*) AS n FROM (SELECT g, x FROM "
+        "(SELECT event_type AS g, value AS x, ts FROM events "
+        "WHERE value > 1) u WHERE x < 4) t GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_derived_projection_renamed_temporal(spark, qc_mem):
+    """The temporal column flows through a RENAME in the projection: the
+    substituted outer date_trunc sees the real column."""
+    sql = (
+        "SELECT date_trunc('day', e_ts) AS d, count(*) AS n FROM "
+        "(SELECT ts AS e_ts, value FROM events) t GROUP BY 1 ORDER BY 1"
+    )
+    out = _two_run(qc_mem, spark, sql)
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_derived_projection_refusals(spark, qc_mem):
+    """Soundness edges: a ref qualified by the INNER table alias is
+    invalid SQL (hidden by the wrapper) — must pass through so Spark's own
+    error stays authoritative; volatile inner items never cache; DISTINCT
+    inners keep the old derived path (multiplicity changes)."""
+    qc_mem.config.override_now_ns = None
+    with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        qc_mem.sql(
+            "SELECT b.value, count(*) AS n FROM "
+            "(SELECT value FROM events b) t GROUP BY 1"
+        ).collect()
+    assert not qc_mem.last_decision.cached
+    qc_mem.sql(
+        "SELECT r, count(*) AS n FROM "
+        "(SELECT rand() AS r, ts FROM events) t GROUP BY 1"
+    ).collect()
+    assert not qc_mem.last_decision.cached
+    # DISTINCT inners do NOT inline (multiplicity changes) — but they DO
+    # ride the derived-AGGREGATE path (key-set state, re-agg above), exact
+    sql = (
+        "SELECT event_type, count(*) AS n FROM "
+        "(SELECT DISTINCT event_type, user_id FROM events) t "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    got = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached
+    assert rows_set(got) == rows_set(spark.sql(sql))

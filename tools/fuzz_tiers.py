@@ -761,6 +761,24 @@ def main() -> int:
             sql = sql.replace("FROM events ", "FROM events_st ").replace(
                 "event_type", "meta.t"
             )
+        # 10%: derived-PROJECTION source (r14) — wrap the source in a
+        # column-complete projection (tautological inner filter half the
+        # time): the engine must INLINE it and produce answers identical
+        # to the direct spelling; plain Spark runs the same rewritten SQL
+        elif (
+            not join_mode
+            and rng.random() < 0.10
+            and "FROM events " in sql
+            and "FROM (" not in sql
+        ):
+            tr = rng.choice(
+                ["", "WHERE coalesce(value, 0) > -1e18 "]
+            )
+            sql = sql.replace(
+                "FROM events ",
+                "FROM (SELECT event_id, ts, user_id, event_type, value, "
+                f"props FROM events {tr}) t ",
+            )
         cache = (
             MemoryQueryCache()
             if rng.random() < 0.3
