@@ -2020,7 +2020,17 @@ def _lower_select_from(node: Dict[str, Any]):
     if not tables:
         raise Unsupported("no base table")
     if len(set(tables)) != len(tables):
-        raise Unsupported("self-join")  # column references would be ambiguous
+        # Explicit refusal (r14, considered and rejected — not merely an
+        # alias-resolution gap): in a self-join BOTH operands advance with
+        # fresh data, so the incremental delta is
+        #   Δ(A⋈A) = ΔA⋈A_old + A_old⋈ΔA + ΔA⋈ΔA
+        # and the union-merge seam (cached state ∪ partial over fresh
+        # rows) can only express old⋈old + fresh⋈fresh — the cross terms
+        # need fresh rows joined against the FULL history, violating the
+        # O(fresh) refresh contract (star-join rule: fact append-only,
+        # every other side STATIC). r13's alias scopes could resolve the
+        # column ambiguity, but no sound refresh exists on this seam.
+        raise Unsupported("self-join (delta needs old x new cross terms)")
     table = tables[0]
 
     # modifiers: order / limit / offset / distinct

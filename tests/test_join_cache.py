@@ -269,3 +269,25 @@ def test_natural_join_passthrough(spark, qc, split, using_dim):
     )
     assert not qc.last_decision.cached
     assert "NATURAL" in (qc.last_decision.reason or "")
+
+
+def test_self_join_refusal_is_explicit_and_exact(spark, qc, split):
+    """Self-joins stay passthrough BY DESIGN (r14 verdict item 4,
+    considered): both operands advance with fresh data, so the delta
+    Δ(A⋈A) = ΔA⋈A_old + A_old⋈ΔA + ΔA⋈ΔA needs fresh rows joined against
+    the FULL history — the union-merge seam (state ∪ fresh partial) can't
+    express the cross terms, alias scopes or not. The classic
+    sessionless-pair shape must pass through with Spark-exact answers and
+    the reason must name the cross-term contract, not mere ambiguity."""
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns
+    sql = (
+        "SELECT count(*) AS n FROM events_j e1 JOIN events_j e2 "
+        "ON e1.user_id = e2.user_id AND e1.ts < e2.ts"
+    )
+    df = qc.sql(sql)
+    assert not qc.last_decision.cached
+    assert "self-join" in qc.last_decision.reason
+    assert "cross terms" in qc.last_decision.reason
+    assert df.collect()[0]["n"] == spark.sql(sql).collect()[0]["n"]
