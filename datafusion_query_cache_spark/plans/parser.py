@@ -1578,7 +1578,12 @@ def _lower_pivot(node: Dict[str, Any]):
     if len({i.name for i in agg_items}) != len(agg_items):
         raise Unsupported("duplicate PIVOT output names")
 
-    # outer modifiers: ORDER BY / LIMIT / OFFSET replay post-finalize
+    # outer modifiers: ORDER BY / LIMIT / OFFSET replay post-finalize.
+    # ORDER BY gets the same parse-time validation as UNPIVOT/set-ops:
+    # positional refs resolve against the output list, anything that is
+    # not an output column refuses early (consistent reason + timing; a
+    # dotted ref would otherwise only surface at replay)
+    out_names = [g.name for g in group_items] + [i.name for i in agg_items]
     order_by: List[OrderItem] = []
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -1593,7 +1598,16 @@ def _lower_pivot(node: Dict[str, Any]):
                     nf = True
                 elif no == "NULLS_LAST":
                     nf = False
-                order_by.append(OrderItem(_expr(o["expression"]), desc, nf))
+                e = _expr(o["expression"])
+                if isinstance(e, Lit) and isinstance(e.value, int):
+                    if not 1 <= e.value <= len(out_names):
+                        raise Unsupported("PIVOT order position out of range")
+                    e = Col(out_names[e.value - 1])
+                elif not (isinstance(e, Col) and e.name in out_names):
+                    raise Unsupported(
+                        "PIVOT ORDER BY must be an output column"
+                    )
+                order_by.append(OrderItem(e, desc, nf))
         elif mt == "LIMIT_MODIFIER":
             lim = mod.get("limit")
             if lim is not None:
@@ -2930,7 +2944,9 @@ def _subst_cte_from(n: Dict[str, Any], defs: Dict[str, Dict[str, Any]]):
     def _as_subquery(ft: Dict[str, Any]) -> Dict[str, Any]:
         return {
             "type": "SUBQUERY",
-            "alias": ft["table_name"],
+            # keep a branch-side alias (``FROM base b``) so alias-qualified
+            # refs like ``b.k`` still resolve under the new scope push
+            "alias": ft.get("alias") or ft["table_name"],
             "column_name_alias": [],
             "subquery": {"node": defs[ft["table_name"]]},
         }
@@ -3029,7 +3045,23 @@ def _lower_setop(node: Dict[str, Any], cte_defs=None):
                 raise Unsupported("modifiers on a nested set operation")
             branches.append(_lower_setop(n, cte_defs))
             return
-        if cte_defs and not (n.get("cte_map", {}) or {}).get("map"):
+        own = (n.get("cte_map", {}) or {}).get("map")
+        if cte_defs and own:
+            # a branch carrying its own nested WITH must still see the
+            # OUTER defs — skipping substitution here let an outer-CTE
+            # reference resolve against the catalog (silent wrong answer
+            # when a real table shares the CTE name). Branch-local names
+            # shadow outer ones; branch bodies may reference outer ctes.
+            defs2 = dict(cte_defs)
+            for cte in own:
+                v = cte["value"]
+                if v.get("aliases"):
+                    raise Unsupported("CTE column aliases")
+                defs2[cte["key"]] = _subst_cte_from(v["query"]["node"], defs2)
+            n = dict(n)
+            n["cte_map"] = {"map": []}
+            n = _subst_cte_from(n, defs2)
+        elif cte_defs:
             n = _subst_cte_from(n, cte_defs)
         b = _lower_select(n)
         if _spec_has_scalar_subq(b):

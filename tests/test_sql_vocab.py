@@ -821,3 +821,68 @@ def test_count_distinct_tuples_null_component(spark):
     assert got == [tuple(r) for r in spark.sql(sql).collect()] == [
         ("a", 1), ("b", 1)
     ]
+
+
+def test_setop_branch_nested_with_sees_outer_ctes(spark, qc_mem):
+    """A set-operation branch carrying its OWN nested WITH must still see
+    the outer CTE defs (r14 advice): an outer-CTE reference inside that
+    branch previously resolved against the catalog — a silent wrong
+    answer when a REAL table shares the CTE name. The decoy view here
+    must be shadowed by the CTE, exactly like plain Spark scopes it."""
+    spark.sql(
+        "SELECT event_id, 'WRONG' AS event_type, value, ts "
+        "FROM events LIMIT 10"
+    ).createOrReplaceTempView("base_c")
+    try:
+        sql = (
+            "WITH base_c AS (SELECT event_type, value, ts FROM events "
+            "WHERE value > 1) "
+            "SELECT event_type, count(*) AS n FROM base_c GROUP BY 1 "
+            "UNION ALL "
+            "(WITH own AS (SELECT event_type, value FROM base_c "
+            "WHERE value > 50) "
+            "SELECT event_type, count(*) AS n FROM own GROUP BY 1)"
+        )
+        qc_mem.config.override_now_ns = None
+        out = qc_mem.sql(sql)
+        assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+        assert rows_set(out) == rows_set(spark.sql(sql))
+        assert not any(r["event_type"] == "WRONG" for r in out.collect())
+    finally:
+        spark.catalog.dropTempView("base_c")
+
+
+def test_cte_reference_with_branch_alias_caches(spark, qc_mem):
+    """``FROM r b`` with ``b.k`` refs: the inlined derived table keeps the
+    branch-side alias so alias-qualified references still cache (r14
+    advice — previously a correct-but-uncached refusal)."""
+    sql = (
+        "WITH r AS (SELECT event_type, value, ts FROM events "
+        "WHERE value > 1) "
+        "SELECT b.event_type, count(*) AS n FROM r b GROUP BY 1 ORDER BY 1"
+    )
+    qc_mem.config.override_now_ns = None
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_pivot_order_by_validated_at_parse_time(spark, qc_mem):
+    """PIVOT outer ORDER BY rides the same parse-time validation as
+    UNPIVOT (r14 advice): positional refs resolve against the output
+    list; non-output refs refuse early → passthrough → Spark's loud
+    error."""
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT * FROM (SELECT event_type, user_id % 3 AS ub, value "
+        "FROM events) PIVOT (round(sum(value), 2) FOR ub IN (0, 1, 2)) "
+        "ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        qc_mem.sql(sql.replace("ORDER BY 1", "ORDER BY x.bogus")).collect()
+    assert not qc_mem.last_decision.cached
