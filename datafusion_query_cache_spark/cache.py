@@ -738,60 +738,78 @@ class _ParquetEntry(CacheEntry):
 
         A parquet file's footer (magic + metadata length) is the last
         thing written; truncation or head-vandalism both break it, so
-        ``pq.read_metadata`` failing ⇔ the scan would fail. Cost: one
-        ~1 KB tail read per file, so the walk is capped — up to
-        ``max_files`` files are checked per call (newest parts first:
-        later writes are likelier victims of a torn write). Beyond the
-        cap — the 100 TB row-set — verification is rate-limited to once
-        per 60 s per entry via the ``.verified`` sidecar, trading
-        detection latency for zero per-query overhead."""
+        ``pq.read_metadata`` failing ⇔ the scan would fail. Small states
+        (≤ ``max_files`` files) footer-check everything per call. Big
+        states (the 100 TB row-set / hour-bucketed layouts) verify
+        PER LAYER against a digest sidecar inside each layer dir:
+
+        * per verify: one stat walk (unavoidable floor for immediate
+          in-place-vandalism detection) + one tiny ``.digest`` read per
+          layer — no big JSON, no footer reads when nothing changed;
+        * per refresh: layer dirs are immutable once written, so only the
+          NEW tail layer footer-checks (the r13 entry-level manifest
+          keyed on the layer SET and re-footer-checked the WHOLE state
+          after every refresh — an O(full state) tail read per warm query
+          that compounds at scale);
+        * on a digest mismatch: the layer's ``.manifest.json`` name list
+          distinguishes vandalism/vanish (→ False, self-heal) from
+          benign growth (→ footer-check just that layer's files).
+        """
         if self._meta is None:
             return True
         try:
+            import hashlib
+
             import pyarrow.parquet as pq
 
-            files: Dict[str, List[int]] = {}
-            for p in self._state_paths():
+            paths = self._state_paths()
+            per_layer: List[Tuple[str, Dict[str, List[int]]]] = []
+            total = 0
+            for p in paths:
+                files: Dict[str, List[int]] = {}
+                cut = len(p.rstrip(os.sep)) + 1
                 for r, _d, fs in os.walk(p):
                     for f in fs:
                         if f.endswith(".parquet"):
                             fp = os.path.join(r, f)
                             st = os.stat(fp)
-                            files[fp] = [st.st_size, st.st_mtime_ns]
-            if len(files) <= max_files:
-                for f in files:
-                    pq.read_metadata(f)
+                            files[fp[cut:]] = [st.st_size, st.st_mtime_ns]
+                per_layer.append((p, files))
+                total += len(files)
+            if total <= max_files:
+                for p, files in per_layer:
+                    for rel in files:
+                        pq.read_metadata(os.path.join(p, rel))
                 return True
-            # big state (the 100 TB row-set / hour-bucketed layouts):
-            # footer-reading every file per query is too hot. Footer-check
-            # each file ONCE, then stat-compare against a manifest sidecar
-            # — any size/mtime change (vandalism, torn write) re-checks
-            # just that file's footer. Replaces the r10 time-window skip,
-            # which could serve a part corrupted within the last 60 s
-            # (caught by the r13 corruption fuzz on hour-bucketed state).
-            man_path = os.path.join(self._dir, ".manifest.json")
-            try:
-                with open(man_path) as fh:
-                    man = json.load(fh)
-            except Exception:
-                man = None
-            key = ",".join(
-                sorted(os.path.basename(p) for p in self._state_paths())
-            )
-            if man is not None and man.get("key") == key:
-                prev = man.get("files", {})
-                if any(f not in files for f in prev):
+            for p, files in per_layer:
+                digest = hashlib.sha256(
+                    json.dumps(sorted(files.items())).encode()
+                ).hexdigest()
+                dpath = os.path.join(p, ".digest")
+                try:
+                    with open(dpath) as fh:
+                        if fh.read().strip() == digest:
+                            continue  # unchanged since its footer check
+                except OSError:
+                    pass
+                man_path = os.path.join(p, ".manifest.json")
+                try:
+                    with open(man_path) as fh:
+                        prev_names = set(json.load(fh).get("files", ()))
+                except Exception:
+                    prev_names = None
+                if prev_names is not None and not prev_names <= set(files):
                     return False  # state file vanished underneath us
-                changed = [f for f, st in files.items() if prev.get(f) != st]
-            else:
-                changed = list(files)
-            for f in changed:
-                pq.read_metadata(f)
-            if changed or man is None or man.get("key") != key:
+                for rel in files:
+                    pq.read_metadata(os.path.join(p, rel))
                 tmp = man_path + f".{uuid.uuid4().hex[:6]}.tmp"
                 with open(tmp, "w") as fh:
-                    json.dump({"key": key, "files": files}, fh)
+                    json.dump({"files": sorted(files)}, fh)
                 os.replace(tmp, man_path)
+                tmp = dpath + f".{uuid.uuid4().hex[:6]}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(digest)
+                os.replace(tmp, dpath)
             return True
         except Exception:
             return False

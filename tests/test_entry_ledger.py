@@ -28,6 +28,9 @@ OFF_WINDOW_GRADED = {
     "op_bigram_freq",
     "qc_regr",
     "qc_qualify_direct",
+    # r14 off-window oracle rows (window full; check_oracle runs all)
+    "qc_right_using",
+    "qc_corr_grouped",
 }
 
 
