@@ -152,15 +152,19 @@ def minhash_signatures(
         .bitwiseAND(F.lit((1 << 30) - 1))
         .alias("__h"),
     )
+    # one F.expr per aggregate (not nested Column builders): the 64
+    # min-aggregates are plan-construction-bound otherwise (~7 py4j round
+    # trips each ≈ 0.5s of driver chatter per call — measured r14); the
+    # parsed SQL lowers to the identical Catalyst expressions
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"__m{i}")
+            F.expr(f"min(pmod(__h * {a}L + {b}L, {p}L)) AS __m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
+    arr = ", ".join(f"__m{i}" for i in range(num_hashes))
     return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+        F.col(id_col), F.expr(f"array({arr})").alias("minhash")
     )
 
 

@@ -329,14 +329,6 @@ class MinHashIndex:
         self._fence()
         wm = self.watermark_id
         new = corpus if wm is None else corpus.filter(F.col(self.id_col) > F.lit(wm))
-        # ONE cheap stats job (id column only — no signature work): the
-        # watermark to store and the driver-tier gate
-        stats = new.agg(
-            F.max(self.id_col).alias("hi"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
-        hi, n_new = stats["hi"], int(stats["n"] or 0)
-        if hi is None:
-            return self.pairs(spark)  # nothing new: state already answers
 
         meta = self._meta or {}
         compact = len(meta.get("sig_parts", [])) + 1 > self.COMPACT_AT
@@ -348,13 +340,32 @@ class MinHashIndex:
             n_idx is not None
             and self._sig_bytes(n_idx) <= self.DRIVER_INDEX_MAX_BYTES
         )
-        if (
-            self._sig_bytes(n_new) <= self.DRIVER_INGEST_MAX_BYTES
-            and small
-            and not compact
-            and not migrate
-        ):
-            return self._ingest_driver(spark, corpus, new, int(hi), n_new)
+        if small and not compact and not migrate:
+            # OPTIMISTIC driver tier: compute signatures + band hashes for
+            # up to cap+1 new rows in ONE job and gate on the collected
+            # row count — fusing the old separate max/count stats job into
+            # the signature job (one fewer Spark job per steady-state
+            # ingest; the stats job alone was ~0.2s of the O(new) path).
+            cap_n = self.DRIVER_INGEST_MAX_BYTES // (self.num_hashes * 8)
+            tbl = self._sig_band_arrow(new.limit(cap_n + 1))
+            if tbl.num_rows == 0:
+                return self.pairs(spark)  # nothing new: state answers
+            if tbl.num_rows <= cap_n:
+                ids = tbl.column(self.id_col)
+                import pyarrow.compute as _pc
+
+                hi = _pc.max(ids).as_py()
+                return self._ingest_driver(
+                    spark, corpus, tbl, int(hi), tbl.num_rows
+                )
+            # over the driver cap: fall through to the distributed tier
+            # (rare — re-runs the stats job below on the full delta)
+        stats = new.agg(
+            F.max(self.id_col).alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        hi, n_new = stats["hi"], int(stats["n"] or 0)
+        if hi is None:
+            return self.pairs(spark)  # nothing new: state already answers
         return self._ingest_distributed(spark, corpus, new, int(hi), n_new)
 
     def _gen_pairs(
@@ -469,26 +480,10 @@ class MinHashIndex:
         for p in dead:
             shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
 
-    def _ingest_driver(
-        self,
-        spark: SparkSession,
-        corpus: DataFrame,
-        new: DataFrame,
-        hi: int,
-        n_new: int,
-    ) -> DataFrame:
-        """Driver-tier ingest (size-gated): signatures + band hashes from
-        ONE Spark job (bit-identical hashes to the distributed path);
-        banding explode, count folding, skew cap, candidate merge, the
-        signature-estimate pre-filter, exact character-shingle
-        verification, and all part writes run driver-side. The only other
-        Spark job fetches the candidate members' texts. Semantics equal
-        the distributed path — ``test_incremental_dedup.py`` pins
-        incremental ≡ batch across both tiers."""
-        import numpy as np
-        import pandas as pd
-        import pyarrow.parquet as pq
-
+    def _sig_band_arrow(self, new: DataFrame):
+        """Signatures + band hashes for the delta in ONE Spark job,
+        collected through Arrow (bit-identical hashes to the distributed
+        path)."""
         rows = self.rows
         sig_band = minhash_signatures(
             new, self.text_col, self.id_col, self.num_hashes, self.shingle_k
@@ -502,7 +497,28 @@ class MinHashIndex:
                 ),
             ).alias("__bands"),
         )
-        tbl = sig_band.toArrow()
+        return sig_band.toArrow()
+
+    def _ingest_driver(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        tbl,
+        hi: int,
+        n_new: int,
+    ) -> DataFrame:
+        """Driver-tier ingest (size-gated): takes the delta's pre-collected
+        signature/band Arrow table (:meth:`_sig_band_arrow`); banding
+        explode, count folding, skew cap, candidate merge, the
+        signature-estimate pre-filter, exact character-shingle
+        verification, and all part writes run driver-side. The only other
+        Spark job fetches the candidate members' texts. Semantics equal
+        the distributed path — ``test_incremental_dedup.py`` pins
+        incremental ≡ batch across both tiers."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
         pdf = tbl.to_pandas()
         ids = pdf[self.id_col].to_numpy()
         band_mat = (

@@ -774,10 +774,13 @@ def main() -> int:
             tr = rng.choice(
                 ["", "WHERE coalesce(value, 0) > -1e18 "]
             )
+            # NO alias on the wrapper: the original spelling may already
+            # carry one right after "FROM events " (`FROM events e`,
+            # `FROM events __i`) and `(...) t e` is a syntax error
             sql = sql.replace(
                 "FROM events ",
                 "FROM (SELECT event_id, ts, user_id, event_type, value, "
-                f"props FROM events {tr}) t ",
+                f"props FROM events {tr}) ",
             )
         cache = (
             MemoryQueryCache()
