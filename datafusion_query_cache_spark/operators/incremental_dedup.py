@@ -288,7 +288,37 @@ class MinHashIndex:
         Equals the single-shot batch pair set over the ingested corpus,
         EXCEPT for buckets that crossed ``max_bucket`` across ingests —
         pairs verified while the bucket was under the cap are retained
-        (superset; see the module docstring's cap caveat)."""
+        (superset; see the module docstring's cap caveat).
+
+        Tiny pair sets (≤ ``DRIVER_PAIRS_MAX_BYTES`` on disk — near-dup
+        pairs are a vanishing fraction of any real corpus) return as a
+        driver-read LocalRelation instead of a parquet scan job; big sets
+        take the distributed read."""
+        parts = self._parts("pair_parts")
+        if not parts:
+            return spark.createDataFrame([], _PAIR_SCHEMA)
+        try:
+            fps, total = [], 0
+            for p in parts:
+                for r, _d, fs in os.walk(p):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            fp = os.path.join(r, f)
+                            total += os.path.getsize(fp)
+                            fps.append(fp)
+            if total <= self.DRIVER_PAIRS_MAX_BYTES:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                from ..cache import arrow_to_spark, dense_arrow
+
+                tabs = [pq.read_table(f) for f in fps]
+                tbl = (
+                    pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+                )
+                return arrow_to_spark(spark, dense_arrow(tbl), _PAIR_SCHEMA)
+        except Exception:
+            pass
         got = self._read(spark, "pair_parts", _PAIR_SCHEMA)
         if got is None:
             return spark.createDataFrame([], _PAIR_SCHEMA)
@@ -309,6 +339,9 @@ class MinHashIndex:
     #: hashes the budgets admit ~100k-doc ingests / ~2M-doc indexes.
     DRIVER_INGEST_MAX_BYTES = 48 << 20
     DRIVER_INDEX_MAX_BYTES = 1 << 30
+    #: pair sets at or under this ON-DISK size return as a LocalRelation
+    #: (driver pyarrow read — no Spark scan job); larger sets scan
+    DRIVER_PAIRS_MAX_BYTES = 8 << 20
     COMPACT_AT = 16
 
     def _sig_bytes(self, docs: int) -> int:
