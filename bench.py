@@ -490,25 +490,33 @@ def main() -> None:
             els.append(time.perf_counter() - t0)
         timings[key] = round(sorted(els)[len(els) // 2], 3)
 
+    minhash_dedup_pairs(docs, threshold=0.8).count()  # untimed JIT warmup
     timed_median(
         "op_dedup_batch_full",
         lambda: minhash_dedup_pairs(docs, threshold=0.8).count(),
     )
-    d_cut = int(docs.approxQuantile("doc_id", [0.9], 0.0)[0])
-    docs_head = docs.filter(F.col("doc_id") <= F.lit(d_cut))
-
-    def fresh_mh_index():
-        # a genuine ingest needs a FRESH standing index per run (a repeat
-        # update on the same index finds nothing new and measures nothing)
-        idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-bench-mh-"), threshold=0.8)
-        idx.update(docs_head)
-        return idx
-
-    timed_median(
-        "op_incr_dedup_update",
-        lambda idx: idx.update(docs).count(),
-        setup=fresh_mh_index,
-    )
+    # steady-state ingest protocol (mirrors timed_warm's advancing nows):
+    # ONE standing index at the 0.7 cut, then three genuine ADVANCING 10%
+    # ingests — median of the three. A fresh standing index per run made
+    # the row hostage to that build's JIT state; a repeat update on the
+    # same cut would find nothing new and measure nothing.
+    cuts = [
+        int(docs.approxQuantile("doc_id", [q], 0.0)[0])
+        for q in (0.7, 0.8, 0.9)
+    ]
+    mh_idx = MinHashIndex(tempfile.mkdtemp(prefix="qc-bench-mh-"), threshold=0.8)
+    mh_idx.update(docs.filter(F.col("doc_id") <= F.lit(cuts[0])))
+    steps = [
+        docs.filter(F.col("doc_id") <= F.lit(cuts[1])),
+        docs.filter(F.col("doc_id") <= F.lit(cuts[2])),
+        docs,
+    ]
+    els = []
+    for sub in steps:
+        t0 = time.perf_counter()
+        mh_idx.update(sub).count()
+        els.append(time.perf_counter() - t0)
+    timings["op_incr_dedup_update"] = round(sorted(els)[1], 3)
 
     e_cut = int(emb.approxQuantile("vec_id", [0.9], 0.0)[0])
     ivf_idx = IVFIndex(tempfile.mkdtemp(prefix="qc-bench-ivf-"), k_cells=8, train_iters=2)
