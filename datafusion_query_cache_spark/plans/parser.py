@@ -553,6 +553,14 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
         raise Unsupported("subquery must be a one-column aggregate")
     for e in [inner.predicate, inner.having]:
         if e is not None and _contains_scalar_subq(e):
+            # Explicit refusal (r14, considered and rejected): the MIDDLE
+            # level of a nested-subquery chain filters its rows by a
+            # MOVING scalar (the innermost refreshes between runs), so its
+            # accumulated state would mix rows admitted under different
+            # thresholds — unsound on the union-merge seam — while an
+            # UNCACHED middle rescans the source every query, which is
+            # exactly what passthrough already does with zero added
+            # machinery. Only a top-level fold has a sound seam.
             raise Unsupported("nested subquery in a subquery body")
     if sq_type == "SCALAR":
         if inner.group_by or inner.having is not None:
