@@ -42,10 +42,27 @@ def _base_table_name(ft: Dict[str, Any]) -> str:
 _SCOPE: List[set] = []
 
 
-def _visible_names(ft: Dict[str, Any]) -> set:
+class _ScopeSet(set):
+    """Visible relation names, plus the table names an alias HID.
+
+    A ref qualified by a hidden name (``FROM events e … events.value``)
+    is INVALID SQL — but lowering it as a struct path would resolve
+    through the DataFrame's internal qualifier (``F.col("events.value")``
+    matches the base relation regardless of the SQL alias) and silently
+    ANSWER it. Tracking the hidden names lets COLUMN_REF lowering refuse
+    instead (→ passthrough → Spark's own loud error; r14 probe find —
+    the r13 alias-hiding class, top-level edition)."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.hidden: set = set()
+
+
+def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
     """Lowercased relation names visible in a FROM tree: an alias REPLACES
-    the table name it binds (SQL alias hiding)."""
-    out: set = set()
+    the table name it binds (SQL alias hiding; the replaced names are
+    recorded on ``.hidden``)."""
+    out = _ScopeSet()
 
     def walk(n) -> None:
         if not isinstance(n, dict):
@@ -55,6 +72,9 @@ def _visible_names(ft: Dict[str, Any]) -> set:
             alias = n.get("alias") or ""
             if alias:
                 out.add(alias.lower())
+                if n.get("table_name"):
+                    out.hidden.add(n["table_name"].lower())
+                out.hidden.add(_base_table_name(n).lower())
             else:
                 if n.get("table_name"):
                     out.add(n["table_name"].lower())
@@ -71,6 +91,7 @@ def _visible_names(ft: Dict[str, Any]) -> set:
             return
 
     walk(ft)
+    out.hidden -= set(out)  # a name visible via another relation stays
     return out
 
 
@@ -318,11 +339,18 @@ def _expr(node: Dict[str, Any]) -> Expr:
             # kept dotted, which both F.col() and Spark SQL resolve as
             # nested-field access. Dropping it blindly built plans over a
             # nonexistent bare column (loud failure under strict_errors).
-            rest = (
-                list(names[1:])
-                if names[0].lower() in _SCOPE[-1]
-                else list(names)
-            )
+            head = names[0].lower()
+            if head in getattr(_SCOPE[-1], "hidden", ()):
+                # qualified by a table name an alias HID: invalid SQL —
+                # refusing keeps Spark's own error authoritative (lowering
+                # it as a struct path would silently answer it: F.col's
+                # dotted form resolves through the DataFrame's internal
+                # qualifier, alias or not)
+                raise Unsupported(
+                    f"reference {'.'.join(names)} qualified by an "
+                    f"alias-hidden table name"
+                )
+            rest = list(names[1:]) if head in _SCOPE[-1] else list(names)
             return Col(".".join(rest))
         return Col(names[-1])  # no scope info: drop qualifier (legacy)
 
@@ -2497,6 +2525,95 @@ def _inline_derived_projection(node: Dict[str, Any], ft: Dict[str, Any]):
         and not sel[0].get("exclude_list")
         and not sel[0].get("replace_list")
     )
+    if star and not (ft.get("alias") and src.get("alias")):
+        # pure de-sugaring: ``FROM (SELECT * FROM src [WHERE p]) [a]`` ≡
+        # ``FROM src [a] [WHERE p]`` — the visible scope is IDENTICAL
+        # (star exposes every source column, the alias carries over), so
+        # NO reference rewriting is needed anywhere, outer subqueries and
+        # struct paths included. Refused only when BOTH the wrapper and
+        # the source carry aliases (the source's alias is hidden outside
+        # the subquery but referenced by the inner WHERE — re-aliasing
+        # would break it).
+        import copy as _copy
+
+        def _has_multipart(x) -> bool:
+            if isinstance(x, dict):
+                if (
+                    x.get("class") == "COLUMN_REF"
+                    and len(x.get("column_names") or []) >= 2
+                ):
+                    return True
+                return any(_has_multipart(v) for v in x.values())
+            if isinstance(x, list):
+                return any(_has_multipart(v) for v in x)
+            return False
+
+        if ft.get("alias") and _has_multipart(inner.get("where_clause")):
+            # re-aliasing the source would break inner refs qualified by
+            # the SOURCE's name (`WHERE src.x ...`); ambiguous with struct
+            # paths at parse time — keep the old derived path
+            return None
+        if not ft.get("alias"):
+            # the rewrite exposes the SOURCE's name(s) in the outer scope;
+            # an outer ref like `src.x` was INVALID above the anonymous
+            # wrapper and must not start resolving (the r13 invented-
+            # semantics class) — refuse when any outer multi-part ref's
+            # head collides with an exposed name
+            exposed = {
+                x.lower()
+                for x in (
+                    src.get("alias"),
+                    src.get("table_name"),
+                    _base_table_name(src)
+                    if src.get("type") == "BASE_TABLE"
+                    else None,
+                )
+                if x
+            }
+
+            def _head_hits(x) -> bool:
+                if isinstance(x, dict):
+                    names = x.get("column_names") or []
+                    if (
+                        x.get("class") == "COLUMN_REF"
+                        and len(names) >= 2
+                        and names[0].lower() in exposed
+                    ):
+                        return True
+                    return any(_head_hits(v) for v in x.values())
+                if isinstance(x, list):
+                    return any(_head_hits(v) for v in x)
+                return False
+
+            for fld in (
+                "select_list",
+                "where_clause",
+                "group_expressions",
+                "having",
+                "qualify",
+                "modifiers",
+            ):
+                if _head_hits(node.get(fld)):
+                    return None
+        new_src = _copy.deepcopy(src)
+        if ft.get("alias"):
+            new_src["alias"] = ft["alias"]
+        new_node = dict(node)
+        new_node["from_table"] = new_src
+        iw = inner.get("where_clause")
+        if iw is not None:
+            ow = new_node.get("where_clause")
+            new_node["where_clause"] = (
+                _copy.deepcopy(iw)
+                if ow is None
+                else {
+                    "class": "CONJUNCTION",
+                    "type": "CONJUNCTION_AND",
+                    "alias": "",
+                    "children": [_copy.deepcopy(iw), ow],
+                }
+            )
+        return new_node
     mapping: Optional[Dict[str, Dict[str, Any]]] = None
     if not star:
         mapping = {}

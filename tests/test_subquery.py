@@ -569,3 +569,41 @@ def test_derived_projection_refusals(spark, qc_mem):
     got = qc_mem.sql(sql)
     assert qc_mem.last_decision.cached
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_derived_star_desugar_with_outer_subquery(spark, qc_mem):
+    """(SELECT * FROM t WHERE p) e is a pure de-sugaring — the visible
+    scope is identical — so even outer CORRELATED subqueries survive the
+    inline (r14 second half). Exact vs plain Spark."""
+    qc_mem.config.override_now_ns = None
+    sql = (
+        "SELECT event_type, count(*) AS n FROM "
+        "(SELECT * FROM events WHERE value > 0) e "
+        "WHERE value > (SELECT avg(value) FROM events e2 "
+        "WHERE e2.event_type = e.event_type GROUP BY e2.event_type) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    out = qc_mem.sql(sql)
+    assert qc_mem.last_decision.cached, qc_mem.last_decision.reason
+    assert rows_set(out) == rows_set(spark.sql(sql))
+
+
+def test_derived_star_desugar_leniency_guards(spark, qc_mem):
+    """The de-sugaring must NOT make originally-invalid spellings start
+    resolving (the r13 invented-semantics class): a source-name-qualified
+    outer ref above an ANONYMOUS star wrapper is invalid SQL and must
+    surface Spark's own error."""
+    qc_mem.config.override_now_ns = None
+    with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        qc_mem.sql(
+            "SELECT events.value, count(*) AS n FROM "
+            "(SELECT * FROM events) GROUP BY 1"
+        ).collect()
+    assert not qc_mem.last_decision.cached
+    # aliased wrapper + source-qualified ref: also invalid, also loud
+    with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        qc_mem.sql(
+            "SELECT events.value, count(*) AS n FROM "
+            "(SELECT * FROM events) e GROUP BY 1"
+        ).collect()
+    assert not qc_mem.last_decision.cached

@@ -135,7 +135,9 @@ J_AGGS = [
 
 
 def gen_join_sql(rng: random.Random) -> str:
-    """Star-join aggregate: append-only fact (events) ⋈ static dim."""
+    """Star-join aggregate: append-only fact (events) ⋈ static dim.
+    25% spell the join RIGHT (dim first, fact preserved — r14 swap
+    normalization must land on the same entry and answers)."""
     gs = rng.sample(J_GROUPS, rng.randint(1, 2))
     ags = rng.sample(J_AGGS, rng.randint(1, 2))
     pred = rng.choice([None, "e.value > 5", "s.segment != 'seg0'"])
@@ -143,9 +145,13 @@ def gen_join_sql(rng: random.Random) -> str:
     conds = [c for c in (pred, win) if c]
     where = f" WHERE {' AND '.join(conds)}" if conds else ""
     gb = ", ".join(str(i + 1) for i in range(len(gs)))
+    frm = (
+        "FROM fz_seg s RIGHT JOIN events e ON e.user_id % 50 = s.bucket_id"
+        if rng.random() < 0.25
+        else "FROM events e JOIN fz_seg s ON e.user_id % 50 = s.bucket_id"
+    )
     return (
-        f"SELECT {', '.join(gs + ags)} FROM events e "
-        f"JOIN fz_seg s ON e.user_id % 50 = s.bucket_id{where} "
+        f"SELECT {', '.join(gs + ags)} {frm}{where} "
         f"GROUP BY {gb} ORDER BY {gb}"
     )
 
