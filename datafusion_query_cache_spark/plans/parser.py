@@ -2045,6 +2045,12 @@ def _lower_select_from(node: Dict[str, Any]):
                 ft = {**ft, "join_type": "LEFT", "left": right, "right": left}
                 jt = "LEFT"
             if jt not in ("INNER", "LEFT", "CROSS"):
+                # FULL OUTER: explicit refusal (considered r14) — the
+                # dim-preserved half NULL-extends dim rows with no fact
+                # match, and those rows RETRACT when a fresh fact row
+                # arrives; retraction has no expression on the union-merge
+                # seam (same argument as the dim-preserved RIGHT case,
+                # which the swap normalization surfaces via ts-on-fact)
                 raise Unsupported(f"join type {jt}")
             walk_from(ft["left"])
             right = ft.get("right") or {}

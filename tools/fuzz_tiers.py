@@ -767,6 +767,18 @@ def main() -> int:
             sql = sql.replace("FROM events ", "FROM events_st ").replace(
                 "event_type", "meta.t"
             )
+        # 10%: alias spelling (r14 leniency-class regression axis) — a
+        # bare alias with unqualified refs is semantically identical, must
+        # cache, and (fingerprint excludes the alias) shares the
+        # unaliased spelling's entry; the alias-HIDDEN table name must
+        # never start resolving
+        elif (
+            not join_mode
+            and rng.random() < 0.10
+            and "FROM events " in sql
+            and "FROM (" not in sql
+        ):
+            sql = sql.replace("FROM events ", "FROM events qe ")
         # 10%: derived-PROJECTION source (r14) — wrap the source in a
         # column-complete projection (tautological inner filter half the
         # time): the engine must INLINE it and produce answers identical
