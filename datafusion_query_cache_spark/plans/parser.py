@@ -56,6 +56,11 @@ class _ScopeSet(set):
     def __init__(self, *a):
         super().__init__(*a)
         self.hidden: set = set()
+        #: USING-join key names: a SIDE-QUALIFIED ref to one (``u.k``)
+        #: is NOT the merged column — under LEFT USING the right side is
+        #: NULL on unmatched rows — so qualified access must refuse
+        #: (qualifier-dropping would silently serve the merged value)
+        self.using_keys: set = set()
 
 
 def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
@@ -81,6 +86,9 @@ def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
                 out.add(_base_table_name(n).lower())
             return
         if t == "JOIN":
+            out.using_keys |= {
+                c.lower() for c in (n.get("using_columns") or ())
+            }
             walk(n.get("left"))
             walk(n.get("right"))
             return
@@ -349,6 +357,19 @@ def _expr(node: Dict[str, Any]) -> Expr:
                 raise Unsupported(
                     f"reference {'.'.join(names)} qualified by an "
                     f"alias-hidden table name"
+                )
+            if (
+                head in _SCOPE[-1]
+                and len(names) >= 2
+                and names[1].lower()
+                in getattr(_SCOPE[-1], "using_keys", ())
+            ):
+                # side-qualified USING key (`u.k` / `e.k`): NOT the merged
+                # column — under LEFT USING the right side is NULL on
+                # unmatched rows; dropping the qualifier would silently
+                # serve the merged value (r14 probe find, wrong answer)
+                raise Unsupported(
+                    f"side-qualified USING column {'.'.join(names)}"
                 )
             rest = list(names[1:]) if head in _SCOPE[-1] else list(names)
             return Col(".".join(rest))

@@ -291,3 +291,42 @@ def test_self_join_refusal_is_explicit_and_exact(spark, qc, split):
     assert "self-join" in qc.last_decision.reason
     assert "cross terms" in qc.last_decision.reason
     assert df.collect()[0]["n"] == spark.sql(sql).collect()[0]["n"]
+
+
+def test_side_qualified_using_key_passthrough(spark, qc):
+    """`u.k` / `e.k` after a USING join is NOT the merged column — under
+    LEFT USING the right side is NULL on unmatched rows. Qualified access
+    must pass through so Spark's side-sensitive semantics stay exact
+    (r14 probe find: qualifier-dropping silently served the merged value
+    — count(u.user_id) returned the full row count instead of the
+    matched count)."""
+    spark.range(2).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("seg"),
+    ).createOrReplaceTempView("dim_small")
+    try:
+        for sql in [
+            "SELECT count(u.user_id) AS nu, count(*) AS n FROM events e "
+            "LEFT JOIN dim_small u USING (user_id)",
+            "SELECT u.user_id AS uu, count(*) AS n FROM events e "
+            "LEFT JOIN dim_small u USING (user_id) GROUP BY 1 ORDER BY 1",
+            # left-qualified equals the merged value under LEFT — but the
+            # refusal is deliberately side-blind (conservative)
+            "SELECT count(e.user_id) AS ne FROM events e "
+            "LEFT JOIN dim_small u USING (user_id)",
+        ]:
+            got = qc.sql(sql)
+            assert not qc.last_decision.cached, sql
+            assert [tuple(r) for r in got.collect()] == [
+                tuple(r) for r in spark.sql(sql).collect()
+            ], sql
+        # the MERGED (unqualified) column keeps caching
+        sql = (
+            "SELECT user_id % 2 AS b, count(*) AS n FROM events "
+            "JOIN dim_small USING (user_id) GROUP BY 1 ORDER BY 1"
+        )
+        got = qc.sql(sql)
+        assert qc.last_decision.cached, qc.last_decision.reason
+        assert rows_set(got) == rows_set(spark.sql(sql))
+    finally:
+        spark.catalog.dropTempView("dim_small")
