@@ -1,0 +1,167 @@
+"""Rejection-parity fuzzer: the engine must never INVENT semantics.
+
+For every generated spelling we run plain Spark and the engine on the
+same view and require:
+
+* Spark ANSWERS  → engine answers THE SAME ROWS (cached or passthrough);
+* Spark REFUSES  → engine raises too (its own refusal must surface
+  Spark's analysis error via passthrough, never rows).
+
+The generator mixes VALID queries with systematic INVALIDATING mutations
+of the reference-resolution surface — the exact class three rounds of
+wrong answers came from (alias hiding, scope leaks, side-qualified USING
+keys, struct paths above derived tables):
+
+  - refs qualified by an alias-HIDDEN table name (``FROM events e`` +
+    ``events.value``)
+  - refs qualified by a DERIVED-hidden inner alias/table
+  - side-qualified USING keys (valid SQL, side-sensitive semantics — the
+    engine must match Spark exactly, cached or not)
+  - struct-path spellings above derived tables
+  - qualifiers naming NO relation at all
+
+Usage: python tools/fuzz_reject.py [trials] [seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+SF_DIR = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        MemoryQueryCache,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.sources.tables import (
+        get_session,
+        register_testdata,
+    )
+
+    spark = get_session(app="qc-fuzz-reject", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_testdata(spark, SF_DIR)
+    spark.sql(
+        "SELECT DISTINCT user_id, concat('s', user_id % 4) AS segment "
+        "FROM events"
+    ).createOrReplaceTempView("rj_seg")
+
+    rng = random.Random(SEED)
+    aggs = ["count(*) AS n", "round(sum(value), 2) AS sv", "min(value) AS mn"]
+    # (qualifier, column) candidates per shape; {A} = alias slot
+    shapes = [
+        # plain table, alias {A}: hidden-name + bogus qualifiers
+        lambda q: (
+            f"SELECT {q}.event_type AS g, {{ag}} FROM events {{A}} "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT event_type AS g, {{ag}} FROM events {{A}} "
+            f"WHERE {q}.value > 2 GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT event_type AS g, {{ag}} FROM events {{A}} "
+            f"GROUP BY 1 ORDER BY {q}.event_type"
+        ),
+        # star wrapper: inner names must not leak out
+        lambda q: (
+            f"SELECT {q}.event_type AS g, {{ag}} FROM "
+            f"(SELECT * FROM events) {{A}} GROUP BY 1 ORDER BY 1"
+        ),
+        # derived aggregate: struct-ish dotted refs above it
+        lambda q: (
+            f"SELECT {q}.n AS nn FROM (SELECT event_type, count(*) AS n "
+            f"FROM events GROUP BY 1) {{A}} ORDER BY 1"
+        ),
+        # USING join: side-qualified keys (VALID SQL — exactness matters)
+        lambda q: (
+            f"SELECT {q}.user_id AS uu, {{ag}} FROM events e "
+            f"LEFT JOIN rj_seg u USING (user_id) GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment, count({q}.user_id) AS nq FROM events e "
+            f"LEFT JOIN rj_seg u USING (user_id) GROUP BY 1 ORDER BY 1"
+        ),
+    ]
+    quals = ["events", "e", "t", "u", "x", "rj_seg"]
+    aliases = ["", "e", "t", "u"]
+
+    failures = []
+    answered_invalid = 0
+    refused_valid = 0
+    for trial in range(TRIALS):
+        shape = rng.choice(shapes)
+        q = rng.choice(quals)
+        a = rng.choice(aliases)
+        sql = shape(q).format(ag=rng.choice(aggs), A=a).replace("  ", " ")
+
+        sp_rows = None
+        sp_err = None
+        try:
+            sp_rows = sorted(tuple(r) for r in spark.sql(sql).collect())
+        except Exception as ex:  # noqa: BLE001
+            sp_err = str(ex)[:80]
+
+        cache = (
+            MemoryQueryCache()
+            if rng.random() < 0.5
+            else ParquetQueryCache(tempfile.mkdtemp(prefix="qc-rj-"))
+        )
+        qc = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=cache,
+                default_temporal_column="ts",
+                strict_errors=True,
+            ),
+        )
+        en_rows = None
+        en_err = None
+        try:
+            en_rows = sorted(tuple(r) for r in qc.sql(sql).collect())
+        except Exception as ex:  # noqa: BLE001
+            en_err = str(ex)[:80]
+
+        if sp_err is None and en_err is None:
+            if sp_rows != en_rows:
+                failures.append((trial, sql, "VALUE MISMATCH"))
+        elif sp_err is not None and en_err is None:
+            answered_invalid += 1
+            failures.append(
+                (trial, sql, f"engine ANSWERED invalid SQL (spark: {sp_err})")
+            )
+        elif sp_err is None and en_err is not None:
+            refused_valid += 1
+            failures.append(
+                (trial, sql, f"engine ERRORED on valid SQL: {en_err}")
+            )
+        if (trial + 1) % 20 == 0:
+            print(f"[{trial + 1}/{TRIALS}] failures={len(failures)}", flush=True)
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES "
+              f"(answered-invalid={answered_invalid}, "
+              f"refused-valid={refused_valid})")
+        for t, s, r in failures[:10]:
+            print(f"  trial {t}: {r}\n    {s[:160]}")
+        return 1
+    print(f"ALL OK ({TRIALS} trials — rejection parity holds)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
