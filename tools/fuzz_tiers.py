@@ -404,6 +404,20 @@ def gen_corrsel_sql(rng: random.Random) -> str:
             # uncorrelated select-item scalar on the filter outer
             f"user_id - (SELECT max(user_id) FROM events "
             f"WHERE {iconds}) AS basev",
+            # GROUPED body on its correlation key (r14): same rollup
+            # entry as the ungrouped spelling; the group is a no-op
+            f"(SELECT min(user_id) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type "
+            f"GROUP BY __i.event_type) AS basev",
+            # grouped + HAVING (r14): keys whose group fails it vanish
+            # from the rollup → scalar NULL, exactly plain Spark; and a
+            # GROUPED count is NULL on the filtered-out key, never 0
+            f"(SELECT count(*) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type "
+            f"GROUP BY __i.event_type HAVING count(*) > 3) AS basev",
+            f"(SELECT max(user_id) FROM events __i WHERE {iconds} "
+            f"AND __i.event_type = e.event_type "
+            f"GROUP BY __i.event_type HAVING min(value) >= 0) AS basev",
         ]
     )
     order = " ORDER BY event_id" if rng.random() < 0.8 else ""
