@@ -258,3 +258,63 @@ def test_big_state_corruption_detected_immediately(spark, tmp_path, monkeypatch)
         ).collect()
     }
     assert rows == exp
+
+
+def test_layered_verify_rechecks_only_changed_layers(spark, tmp_path, monkeypatch):
+    """Per-layer digest verification (r14): layer dirs are immutable, so a
+    warm refresh must footer-check ONLY its new tail layer — the r13
+    entry-level manifest re-footer-checked the WHOLE state after every
+    refresh (its key was the layer set), an O(full state) tail-read per
+    warm query. Counted via a pq.read_metadata spy: the second refresh's
+    footer reads must be far fewer than the total file count, while a
+    vandalized old layer still gets caught on the next read."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+    from datafusion_query_cache_spark.cache import _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 5)
+    ev = spark.table("events")
+    lo = int(ev.approxQuantile("ts_ns", [0.4], 0.0)[0])
+    mid = int(ev.approxQuantile("ts_ns", [0.7], 0.0)[0])
+    cdir = str(tmp_path / "c")
+    qc = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cdir),
+            default_temporal_column="ts",
+            override_now_ns=lo,
+        ),
+    )
+    sql = (
+        "SELECT date_trunc('hour', ts) AS h, count(*) AS n "
+        "FROM events GROUP BY 1"
+    )
+    qc.sql(sql).collect()  # miss: base layer
+    qc.config.override_now_ns = mid
+    qc.sql(sql).collect()  # first warm: digests written for all layers
+
+    calls = []
+    real = pq.read_metadata
+
+    def spy(path, *a, **k):
+        calls.append(str(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(pq, "read_metadata", spy)
+    qc.config.override_now_ns = mid + 1
+    qc.sql(sql).collect()  # second warm refresh
+    nfiles = len(
+        glob.glob(os.path.join(cdir, "**", "*.parquet"), recursive=True)
+    )
+    assert nfiles > 64  # the big-state path is the one under test
+    # only the refresh's OWN new layer(s) footer-check — not the base
+    assert 0 < len(calls) < nfiles / 2, (len(calls), nfiles)
