@@ -95,6 +95,26 @@ def main() -> int:
             f"SELECT segment, count({q}.user_id) AS nq FROM events e "
             f"LEFT JOIN rj_seg u USING (user_id) GROUP BY 1 ORDER BY 1"
         ),
+        # outer modifiers above PIVOT / set operations (the r13 scope
+        # surfaces): dotted refs must behave exactly like plain Spark
+        lambda q: (
+            "SELECT * FROM (SELECT event_type, user_id % 2 AS ub, value "
+            "FROM events) PIVOT (count(*) FOR ub IN (0, 1)) "
+            f"ORDER BY {q}.event_type"
+        ),
+        lambda q: (
+            f"SELECT event_type AS g, {{ag}} FROM events WHERE value > 2 "
+            "GROUP BY 1 UNION ALL "
+            f"SELECT event_type AS g, {{ag}} FROM events WHERE value <= 2 "
+            f"GROUP BY 1 ORDER BY {q}.g"
+        ),
+        # CTE shadowing a real view name: the CTE must win, like Spark
+        lambda q: (
+            f"WITH rj_seg AS (SELECT event_type, value FROM events "
+            f"WHERE value > 1) "
+            f"SELECT event_type AS g, {{ag}} FROM rj_seg GROUP BY 1 "
+            f"ORDER BY 1"
+        ),
     ]
     quals = ["events", "e", "t", "u", "x", "rj_seg"]
     aliases = ["", "e", "t", "u"]
