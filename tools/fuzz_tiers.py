@@ -792,7 +792,16 @@ def main() -> int:
             and "FROM events " in sql
             and "FROM (" not in sql
         ):
-            sql = sql.replace("FROM events ", "FROM events qe ")
+            # only where a clause keyword follows — the subquery shapes
+            # already alias their tables (`FROM events e`) and a second
+            # alias is a syntax error
+            import re as _re
+
+            sql = _re.sub(
+                r"FROM events (?=(WHERE|GROUP|ORDER|PIVOT)\b)",
+                "FROM events qe ",
+                sql,
+            )
         # 10%: derived-PROJECTION source (r14) — wrap the source in a
         # column-complete projection (tautological inner filter half the
         # time): the engine must INLINE it and produce answers identical
