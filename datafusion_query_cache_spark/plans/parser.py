@@ -1920,6 +1920,10 @@ def _lower_select(node: Dict[str, Any]):
         finally:
             _SCOPE.pop()
     if ft0.get("type") == "JOIN":
+        # a STAR-projection leaf de-sugars into the plain star-join path
+        inlined = _inline_star_join_leaf(node, ft0)
+        if inlined is not None:
+            return _lower_select(inlined)
         # a derived table at the head of a join spine: SELECT ... FROM
         # (<aggregate>) x JOIN dim ON ... — lower via the subquery path
         leaf = ft0
@@ -2496,6 +2500,136 @@ def _lower_select_from(node: Dict[str, Any]):
         order_by=tuple(outer_order),
         limit=limit,
     )
+
+
+def _inline_star_join_leaf(node: Dict[str, Any], ft0: Dict[str, Any]):
+    """De-sugar a STAR-projection leaf at the head of a join spine:
+    ``FROM (SELECT * FROM src [WHERE p]) [a] JOIN dim …`` ≡
+    ``FROM src [a] JOIN dim … [WHERE p ∧ …]`` — the visible scope is
+    identical (star exposes every source column, the alias carries over),
+    and pulling ``p`` above the join commutes because every join here
+    preserves the FACT side (p references only fact columns, which a
+    LEFT/INNER/CROSS join passes through unchanged). The rewritten node
+    then rides the plain star-join path. Returns None when inapplicable;
+    same leniency guards as the sole-source star de-sugaring, extended to
+    the spine's join conditions."""
+    import copy as _copy
+
+    spine: List[Dict[str, Any]] = []
+    cur = ft0
+    while isinstance(cur, dict) and cur.get("type") == "JOIN":
+        spine.append(cur)
+        cur = cur.get("left") or {}
+    ft = cur
+    if not isinstance(ft, dict) or ft.get("type") != "SUBQUERY":
+        return None
+    if ft.get("column_name_alias") or ft.get("sample"):
+        return None
+    inner = (ft.get("subquery") or {}).get("node") or {}
+    if inner.get("type") != "SELECT_NODE":
+        return None
+    if (
+        inner.get("group_expressions")
+        or inner.get("group_sets")
+        or inner.get("having") is not None
+        or inner.get("qualify") is not None
+        or inner.get("modifiers")
+        or inner.get("cte_map", {}).get("map")
+        or inner.get("sample")
+    ):
+        return None
+    src = inner.get("from_table") or {}
+    if src.get("type") != "BASE_TABLE":
+        return None
+    sel = inner.get("select_list", [])
+    if not (
+        len(sel) == 1
+        and sel[0].get("class") == "STAR"
+        and not sel[0].get("expr")
+        and not sel[0].get("exclude_list")
+        and not sel[0].get("replace_list")
+    ):
+        return None
+    if ft.get("alias") and src.get("alias"):
+        return None  # re-aliasing would break inner src-qualified refs
+
+    def _multipart(x) -> bool:
+        if isinstance(x, dict):
+            if (
+                x.get("class") == "COLUMN_REF"
+                and len(x.get("column_names") or []) >= 2
+            ):
+                return True
+            return any(_multipart(v) for v in x.values())
+        if isinstance(x, list):
+            return any(_multipart(v) for v in x)
+        return False
+
+    if ft.get("alias") and _multipart(inner.get("where_clause")):
+        return None
+    if not ft.get("alias"):
+        exposed = {
+            x.lower()
+            for x in (
+                src.get("alias"),
+                src.get("table_name"),
+                _base_table_name(src),
+            )
+            if x
+        }
+
+        def _hits(x) -> bool:
+            if isinstance(x, dict):
+                names = x.get("column_names") or []
+                if (
+                    x.get("class") == "COLUMN_REF"
+                    and len(names) >= 2
+                    and names[0].lower() in exposed
+                ):
+                    return True
+                return any(_hits(v) for v in x.values())
+            if isinstance(x, list):
+                return any(_hits(v) for v in x)
+            return False
+
+        scan = [
+            node.get(f)
+            for f in (
+                "select_list",
+                "where_clause",
+                "group_expressions",
+                "having",
+                "qualify",
+                "modifiers",
+            )
+        ] + [j.get("condition") for j in spine]
+        if any(_hits(x) for x in scan):
+            return None  # originally-invalid qualifier would start resolving
+
+    new_leaf = _copy.deepcopy(src)
+    if ft.get("alias"):
+        new_leaf["alias"] = ft["alias"]
+    rebuilt: Dict[str, Any] = new_leaf
+    for j in reversed(spine):
+        j2 = _copy.deepcopy(j)
+        j2["left"] = rebuilt
+        rebuilt = j2
+    new_node = dict(node)
+    new_node["from_table"] = rebuilt
+    iw = inner.get("where_clause")
+    if iw is not None:
+        ow = new_node.get("where_clause")
+        new_node["where_clause"] = (
+            _copy.deepcopy(iw)
+            if ow is None
+            else {
+                "class": "CONJUNCTION",
+                "type": "CONJUNCTION_AND",
+                "alias": "",
+                "children": [_copy.deepcopy(iw), ow],
+            }
+        )
+    return new_node
 
 
 def _inline_derived_projection(node: Dict[str, Any], ft: Dict[str, Any]):

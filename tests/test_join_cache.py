@@ -330,3 +330,48 @@ def test_side_qualified_using_key_passthrough(spark, qc):
         assert rows_set(got) == rows_set(spark.sql(sql))
     finally:
         spark.catalog.dropTempView("dim_small")
+
+
+def test_star_leaf_join_desugar(spark, qc, split):
+    """A STAR-projection leaf under a join spine de-sugars into the plain
+    star-join path (r14): identical visible scope, and the pulled-up
+    inner WHERE commutes with fact-preserved joins. Two-run exact; the
+    spelling shares the unwrapped query's entry."""
+    run1, run2, cut_ns = split
+    wrapped = (
+        "SELECT s.segment, count(*) AS n, round(sum(e.value), 2) AS sv "
+        "FROM (SELECT * FROM events_j WHERE value > 0) e "
+        "JOIN user_seg s ON e.user_id % 100 = s.bucket_id "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    direct = (
+        "SELECT s.segment, count(*) AS n, round(sum(e.value), 2) AS sv "
+        "FROM events_j e JOIN user_seg s ON e.user_id % 100 = s.bucket_id "
+        "WHERE value > 0 GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(direct).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    fp = qc.last_decision.fingerprint
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(wrapped)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert qc.last_decision.fingerprint == fp
+    assert rows_set(got) == rows_set(spark.sql(wrapped))
+
+
+def test_star_leaf_join_guards(spark, qc, split):
+    """The de-sugaring must not resolve originally-invalid source-name
+    qualifiers hidden by an anonymous wrapper (join-condition edition)."""
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns
+    with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        qc.sql(
+            "SELECT s.segment, count(*) AS n FROM (SELECT * FROM events_j) "
+            "JOIN user_seg s ON events_j.user_id % 100 = s.bucket_id "
+            "GROUP BY 1"
+        ).collect()
+    assert not qc.last_decision.cached
