@@ -369,6 +369,45 @@ def _qc_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benchmark decontamination (r14): per-document k-shingle overlap against
+# a benchmark corpus — the standard pre-training eval-leak check. The
+# benchmark here is a deterministic slice of `documents` so DuckDB can
+# replicate it; the operator's benchmark side is a broadcast membership
+# join, doc shingles are scan-side (the minhash shingler). OFF-window.
+def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    return contamination_scores(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        k=8,
+    ).orderBy("doc_id")
+
+
+_CONTAMINATION_ORACLE = """
+WITH bench AS (
+  SELECT DISTINCT substring(d.text, CAST(i AS INT), 8) AS sh
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(length(d.text) - 7, 1))) AS t(i)
+  WHERE d.doc_id % 7 = 0),
+dsh AS (
+  SELECT d.doc_id, substring(d.text, CAST(i AS INT), 8) AS sh
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(length(d.text) - 7, 1))) AS t(i)
+  WHERE d.doc_id % 7 <> 0 GROUP BY 1, 2)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       round(CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1
+                      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
+FROM dsh GROUP BY 1 ORDER BY 1
+"""
+
+
 # Grouped correlated-subquery body (r14): the body GROUPs BY its own
 # correlation key (pinned by the equality, so the group is a no-op and the
 # rollup entry is the ungrouped spelling's) and filters it with HAVING.
@@ -1526,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_right_using"] = _qc_right_using
     # r14: grouped correlated-subquery body with HAVING (off-window)
     q["qc_corr_grouped"] = _qc_corr_grouped
+    # r14: benchmark decontamination (off-window)
+    q["op_contamination"] = _op_contamination
     return q
 
 
@@ -1622,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["qc_qualify_direct"] = _QUALIFY_SQL.format(v="events")
     o["qc_corr_grouped"] = _CORR_GROUPED_SQL.format(v="events")
+    o["op_contamination"] = _CONTAMINATION_ORACLE
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
         "FROM (SELECT c_custkey AS user_id, c_mktsegment AS segment "

@@ -232,3 +232,80 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hashed: bool = False,
+) -> DataFrame:
+    """Training-data DECONTAMINATION: per-document overlap of character
+    k-shingles against a benchmark corpus — the standard pre-training
+    check that eval data did not leak into the training set. Returns
+    ``(id, n_shingles, n_contaminated, contamination)`` where
+    ``contamination = matched / distinct shingles``.
+
+    Plan shape (the 100 TB story): the benchmark's DISTINCT shingle set is
+    tiny relative to the corpus and enters a LEFT SEMI-style membership
+    join as the build side (AQE broadcasts it); document shingles are
+    produced SCAN-SIDE via explode(sequence)/substring — exactly the
+    minhash shingler — and de-duplicated per doc with a map-side-combined
+    groupBy. No all-pairs anywhere; cost is one pass over the corpus plus
+    one over the benchmark.
+
+    ``hashed=True`` joins on xxhash64(shingle) instead of the raw string —
+    8-byte shuffle keys instead of text at scale. Counts are identical
+    modulo 64-bit collisions (~1e-9 at 1e5 distinct shingles); the exact
+    string join is the default so the DuckDB oracle can replicate values
+    bit-for-bit.
+    """
+    def shingles(df: DataFrame, keep_id: bool):
+        cols = [F.col(id_col)] if keep_id else []
+        out = df.select(
+            *cols,
+            F.col(text_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1)
+                    ),
+                )
+            ).alias("__i"),
+        ).select(
+            *cols,
+            F.col(text_col).substr(F.col("__i"), F.lit(k)).alias("sh"),
+        )
+        if hashed:
+            out = out.select(*cols, F.xxhash64("sh").alias("sh"))
+        return out
+
+    bench = shingles(benchmark, keep_id=False).distinct()
+    dsh = shingles(docs, keep_id=True).groupBy(id_col, "sh").agg(
+        F.lit(1).alias("__one")
+    )
+    joined = dsh.join(
+        bench.withColumn("__hit", F.lit(1)), "sh", "left"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )

@@ -31,6 +31,7 @@ OFF_WINDOW_GRADED = {
     # r14 off-window oracle rows (window full; check_oracle runs all)
     "qc_right_using",
     "qc_corr_grouped",
+    "op_contamination",
 }
 
 

@@ -55,3 +55,84 @@ def test_tfidf_topk_shape_and_determinism(spark, docs):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, tfidf_top_terms(docs, k=3).collect()))
     assert a == b
+
+
+def test_contamination_scores_exact_and_hashed(spark):
+    """Decontamination: per-doc shingle overlap against a benchmark —
+    the hashed (8-byte-key) variant must agree with the exact string
+    join; membership semantics pinned on a hand corpus."""
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "zzzzqqqqwwwweeee totally novel"),
+            (3, "the quick brown cat sits"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in contamination_scores(docs, bench, k=8).collect()
+    }
+    goth = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in contamination_scores(docs, bench, k=8, hashed=True).collect()
+    }
+    assert got == goth
+    # doc 1 shares a long prefix with the benchmark → heavy overlap;
+    # doc 2 shares nothing
+    assert got[1][1] > got[3][1] > 0
+    assert got[2][1] == 0
+    # ratio column bounded
+    for r in contamination_scores(docs, bench, k=8).collect():
+        assert 0.0 <= r.contamination <= 1.0
+
+
+def test_contamination_scores_matches_duckdb(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from datafusion_query_cache_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    docs = spark.table("documents")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in contamination_scores(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+WITH bench AS (
+  SELECT DISTINCT substring(d.text, CAST(i AS INT), 8) AS sh
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(length(d.text) - 7, 1))) AS t(i)
+  WHERE d.doc_id % 7 = 0),
+dsh AS (
+  SELECT d.doc_id, substring(d.text, CAST(i AS INT), 8) AS sh
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(length(d.text) - 7, 1))) AS t(i)
+  WHERE d.doc_id % 7 <> 0 GROUP BY 1, 2)
+SELECT doc_id, COUNT(*) AS ns,
+       CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS nc
+FROM dsh GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == exp
