@@ -408,6 +408,41 @@ FROM dsh GROUP BY 1 ORDER BY 1
 """
 
 
+# Word-repetition / boilerplate signals (r14): the Gopher/C4-style filter
+# features a pre-training pipeline applies before quality scoring.
+# OFF-window.
+def _op_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_query_cache_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    _load(spark, sf_dir)
+    return repetition_features(spark.table("documents")).orderBy("doc_id")
+
+
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+ws AS (
+  SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS dw FROM w),
+g AS (
+  SELECT doc_id, array_to_string(
+           list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+       FROM gc GROUP BY 1)
+SELECT ws.doc_id, ws.nw AS n_words,
+       round(1.0 - CAST(dw AS DOUBLE) / nw, 6) AS dup_word_ratio,
+       round(coalesce(CAST(top AS DOUBLE) / tot, 0.0), 6) AS top_ngram_ratio,
+       round(coalesce(CAST(dup AS DOUBLE) / tot, 0.0), 6) AS dup_ngram_ratio
+FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id ORDER BY 1
+"""
+
+
 # Grouped correlated-subquery body (r14): the body GROUPs BY its own
 # correlation key (pinned by the equality, so the group is a no-op and the
 # rollup entry is the ungrouped spelling's) and filters it with HAVING.
@@ -1567,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_corr_grouped"] = _qc_corr_grouped
     # r14: benchmark decontamination (off-window)
     q["op_contamination"] = _op_contamination
+    # r14: word-repetition / boilerplate signals (off-window)
+    q["op_repetition"] = _op_repetition
     return q
 
 
@@ -1664,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
     o["qc_qualify_direct"] = _QUALIFY_SQL.format(v="events")
     o["qc_corr_grouped"] = _CORR_GROUPED_SQL.format(v="events")
     o["op_contamination"] = _CONTAMINATION_ORACLE
+    o["op_repetition"] = _REPETITION_ORACLE
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
         "FROM (SELECT c_custkey AS user_id, c_mktsegment AS segment "

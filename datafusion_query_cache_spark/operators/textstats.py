@@ -309,3 +309,89 @@ def contamination_scores(
             ).alias("contamination"),
         )
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document REPETITION signals (the Gopher/C4-style boilerplate
+    filters a pre-training pipeline applies before quality scoring):
+
+    * ``dup_word_ratio``      — 1 − distinct words / total words;
+    * ``top_ngram_ratio``     — occurrences of the single most frequent
+      word ``n``-gram / total ``n``-gram occurrences;
+    * ``dup_ngram_ratio``     — fraction of ``n``-gram occurrences whose
+      gram occurs more than once.
+
+    Everything is built-ins: words from one split, ``n``-grams sliced
+    scan-side from the word array (no UDFs), one map-side-combined
+    groupBy per grain. Ties in the top gram don't matter — the metric is
+    the COUNT, not the gram."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+    ).select(
+        id_col,
+        "__w",
+        F.size("__w").alias("__nw"),
+    )
+    word_stats = base.select(
+        id_col,
+        F.col("__nw").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("__dw"),
+    )
+    grams = base.filter(F.col("__nw") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nw") - F.lit(n - 1)),
+                lambda i: F.array_join(
+                    F.slice(F.col("__w"), i, n), " "
+                ),
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    gstat = gc.groupBy(id_col).agg(
+        F.sum("c").alias("__tot"),
+        F.max("c").alias("__top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "__dup"
+        ),
+    )
+    return (
+        word_stats.join(gstat, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.lit(1.0)
+                    - F.col("__dw").cast("double")
+                    / F.col("n_words").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.coalesce(
+                    F.col("__top").cast("double")
+                    / F.col("__tot").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_ngram_ratio"),
+            F.round(
+                F.coalesce(
+                    F.col("__dup").cast("double")
+                    / F.col("__tot").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_ngram_ratio"),
+        )
+    )

@@ -32,6 +32,7 @@ OFF_WINDOW_GRADED = {
     "qc_right_using",
     "qc_corr_grouped",
     "op_contamination",
+    "op_repetition",
 }
 
 

@@ -136,3 +136,28 @@ FROM dsh GROUP BY 1"""
         ).fetchall()
     }
     assert got == exp
+
+
+def test_repetition_features_hand_corpus(spark):
+    """Gopher-style repetition metrics pinned on a hand corpus."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 6 words, 2 distinct; 'a b' ×3 of 5
+            (2, "one two three four"),  # all unique
+            (3, "x"),                   # single word: no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_features(docs).collect()}
+    assert got[1]["n_words"] == 6
+    # the operator rounds to 6 decimals
+    assert abs(got[1]["dup_word_ratio"] - (1 - 2 / 6)) < 1e-6
+    assert abs(got[1]["top_ngram_ratio"] - 3 / 5) < 1e-6
+    assert abs(got[1]["dup_ngram_ratio"] - 1.0) < 1e-6  # both grams repeat
+    assert got[2]["dup_word_ratio"] == 0.0
+    assert got[2]["dup_ngram_ratio"] == 0.0
+    assert got[3]["top_ngram_ratio"] == 0.0  # no grams at all
