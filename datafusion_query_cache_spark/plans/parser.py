@@ -2528,6 +2528,25 @@ def _inline_star_join_leaf(node: Dict[str, Any], ft0: Dict[str, Any]):
     inner = (ft.get("subquery") or {}).get("node") or {}
     if inner.get("type") != "SELECT_NODE":
         return None
+    if inner.get("where_clause") is not None:
+        # Pulling the inner WHERE above the spine is only sound when the
+        # subquery is the PRESERVED side of every spine join: a
+        # LEFT/INNER/CROSS join passes its left (fact) rows through
+        # unchanged, so filtering before or after commutes. Under a RIGHT
+        # spine the subquery is the NON-preserved side — the original
+        # query keeps dim rows with no passing match (NULL-extended),
+        # while the hoisted filter above the swapped LEFT join drops
+        # them (wrong answer class, r15 advice). FULL/NATURAL would be
+        # refused downstream, but refuse the rewrite here so semantics
+        # never depend on a later guard. Pure star de-sugaring (no inner
+        # WHERE) stays allowed: the downstream RIGHT→LEFT swap / NATURAL
+        # refusal handles those spines correctly.
+        for j in spine:
+            if (
+                j.get("join_type") not in ("INNER", "LEFT", "CROSS")
+                or j.get("ref_type") == "NATURAL"
+            ):
+                return None
     if (
         inner.get("group_expressions")
         or inner.get("group_sets")

@@ -375,3 +375,47 @@ def test_star_leaf_join_guards(spark, qc, split):
             "GROUP BY 1"
         ).collect()
     assert not qc.last_decision.cached
+
+
+def test_star_leaf_right_spine_where_not_hoisted(spark, qc, split):
+    """r15 advice (high): a RIGHT spine makes the star wrapper the
+    NON-preserved side, so pulling its inner WHERE above the (swapped)
+    join would drop dim rows the original RIGHT join preserves with
+    NULLs. The inlining must refuse; the query passes through and
+    value-matches plain Spark — including the NULL-extended seg rows."""
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns
+    sql = (
+        "SELECT s.segment, count(e.user_id) AS n "
+        "FROM (SELECT * FROM events_j WHERE value > 1e12) e "
+        "RIGHT JOIN user_seg s ON e.user_id % 100 = s.bucket_id "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    got = qc.sql(sql)
+    assert not qc.last_decision.cached, qc.last_decision.reason
+    expect = spark.sql(sql)
+    assert rows_set(got) == rows_set(expect)
+    # the filter passes no events rows, so every segment survives with n=0
+    assert {r["n"] for r in got.collect()} == {0}
+
+
+def test_star_leaf_right_spine_pure_desugar_still_cached(spark, qc, split):
+    """Without an inner WHERE there is nothing to hoist: the pure star
+    de-sugar stays allowed and the downstream RIGHT→LEFT swap plans it
+    on the cached path (fact-preserved after the swap)."""
+    run1, run2, cut_ns = split
+    sql = (
+        "SELECT s.segment, count(*) AS n "
+        "FROM (SELECT * FROM user_seg) s RIGHT JOIN events_j e "
+        "ON e.user_id % 100 = s.bucket_id GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
