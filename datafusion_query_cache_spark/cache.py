@@ -1085,8 +1085,14 @@ class _ParquetEntry(CacheEntry):
                 if surv
                 else 0
             )
-            if est <= self.DRIVER_COLLECT_MAX_ROWS // 2:
-                wrote = self._write_tail_driver(tail, bcol, path)
+            cap = self.DRIVER_COLLECT_MAX_ROWS // 2
+            if est <= cap:
+                # the estimate sees OLD state only (fresh-delta bucket
+                # cardinality is unknown here) — a burst refresh after a
+                # long gap can dwarf it, so the write itself re-bounds
+                # the ACTUAL collect via limit(cap+1) and aborts to the
+                # distributed path when the tail outgrows the cap
+                wrote = self._write_tail_driver(tail, bcol, path, cap)
         except Exception:
             wrote = False
         if not wrote:
@@ -1135,7 +1141,9 @@ class _ParquetEntry(CacheEntry):
             shutil.rmtree(os.path.join(self._dir, p), ignore_errors=True)
         return self.get(spark)
 
-    def _write_tail_driver(self, tail: DataFrame, bcol: str, path: str) -> bool:
+    def _write_tail_driver(
+        self, tail: DataFrame, bcol: str, path: str, cap: int
+    ) -> bool:
         """Collect a SMALL tail layer through the driver and write it as a
         hive-partitioned parquet dir locally (one file per bucket), matching
         the layout of the distributed ``partitionBy`` write byte-for-byte at
@@ -1143,11 +1151,23 @@ class _ParquetEntry(CacheEntry):
         so Spark casts the ``bcol=...`` dir names back to the declared
         bucket type either way. Applies the same histogram/set state caps as
         the driver-side full :meth:`put`. Returns False (caller falls back
-        to the distributed write) on any surprise."""
+        to the distributed write) on any surprise.
+
+        The collect is bounded by the ACTUAL tail, not the caller's
+        estimate: ``limit(cap + 1)`` caps what ever reaches the driver
+        (CollectLimit short-circuits — Spark stops producing once the
+        limit fills), and ``num_rows > cap`` detects the overflow row and
+        aborts to the distributed write. An estimate-only gate could let
+        a burst refresh (first query after a long ingest gap) collect an
+        unbounded Arrow table and OOM the driver with no exception for
+        the fallback to catch (r15 advice)."""
         import pyarrow.dataset as _ds
 
+        tbl = tail.limit(cap + 1).toArrow()
+        if tbl.num_rows > cap:
+            return False  # tail outgrew the estimate: distributed write
         tbl = _check_set_arrow(
-            _compact_hist_arrow(tail.toArrow(), self.hist_cap, self._fp),
+            _compact_hist_arrow(tbl, self.hist_cap, self._fp),
             self.set_cap,
             self._fp,
         )

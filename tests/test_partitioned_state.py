@@ -470,3 +470,81 @@ def test_compact_folds_layered_state(spark, tmp_path, monkeypatch):
     got3 = {(r["b"], r["k"]): r["n"] for r in e3.get(spark).collect()}
     assert got3 == exp
     assert e3.compact(spark) is False  # unlayered: no-op
+
+
+def test_bucket_tail_burst_aborts_to_distributed_write(
+    spark, tmp_path, monkeypatch
+):
+    """r15: the driver small-tail gate estimates from OLD state only; a
+    burst refresh (tiny old tail, huge fresh delta) must not collect the
+    whole tail onto the driver. The write bounds the ACTUAL collect via
+    limit(cap+1), aborts past the cap, and the distributed partitionBy
+    write takes over — layered state stays exact either way."""
+    import datetime as dt
+
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 100)
+    calls: list[tuple[int, bool]] = []
+    orig = _ParquetEntry._write_tail_driver
+
+    def spy(self, tail, bcol, path, cap):
+        got = orig(self, tail, bcol, path, cap)
+        calls.append((cap, got))
+        return got
+
+    monkeypatch.setattr(_ParquetEntry, "_write_tail_driver", spy)
+
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-burst")
+    entry.bucket_col = "b"
+    base = dt.datetime(2024, 1, 1)
+
+    def day(i):
+        return F.to_timestamp(F.lit(base) + F.make_interval(days=F.lit(i)))
+
+    def state(tail_keys: int):
+        head = spark.range(8 * 37).select(
+            F.to_timestamp(
+                F.lit(base) + F.make_interval(days=F.col("id") % 8)
+            ).alias("b"),
+            (F.col("id") % 37).alias("k"),
+            (F.col("id") % 37 + 1).alias("n"),
+        )
+        tail = spark.range(2 * tail_keys).select(
+            F.to_timestamp(
+                F.lit(base) + F.make_interval(days=F.lit(8) + F.col("id") % 2)
+            ).alias("b"),
+            (F.col("id") % tail_keys + 1000).alias("k"),
+            F.lit(7).cast("long").alias("n"),
+        )
+        return head.unionByName(tail)
+
+    # old state: 296 head rows + 2 tail rows (> cap_rows=100 → big-state
+    # path armed; old-tail estimate = 2 ≤ 50 → driver write attempted)
+    entry.put(1, state(tail_keys=1), spark)
+    assert cache.entry("fp-burst")._meta.get("bucket_col") == "b"
+
+    e2 = cache.entry("fp-burst")
+    e2.bucket_col = "b"
+    burst = state(tail_keys=300)  # actual tail: 600 rows >> cap 50
+    lo = base + dt.timedelta(days=8)
+    out = e2.put_bucket_tail(2, burst, lo, spark)
+    assert out is not None
+    # the driver write was attempted (est=2 passed the gate) but must
+    # have aborted on the actual row count — no unbounded toArrow
+    assert calls and calls[-1] == (50, False), calls
+    # the distributed write produced the layer; layered read is exact
+    got = rows_set(e2.get(spark))
+    assert got == rows_set(burst)
+    # durability: a fresh entry reads the same
+    e3 = cache.entry("fp-burst")
+    assert rows_set(e3.get(spark)) == got
+
+    # a SMALL tail still takes the driver fast path (returns True)
+    e3.bucket_col = "b"
+    small = state(tail_keys=3)
+    out2 = e3.put_bucket_tail(3, small, lo, spark)
+    assert out2 is not None
+    assert calls[-1] == (50, True), calls
+    assert rows_set(e3.get(spark)) == rows_set(small)
