@@ -486,6 +486,26 @@ def _qc_right_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL LEFT JOIN on the cached star-join path (r15): de-sugared
+    at plan time to USING(common columns) via the session's registered-
+    view schemas — here the only common column is ``user_id``, so the
+    spelling shares the explicit LEFT USING entry. The oracle states the
+    equivalence explicitly (LEFT JOIN USING over the same projection)."""
+    _load(spark, sf_dir)
+    spark.sql(
+        "SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer"
+    ).createOrReplaceTempView("cust_seg_nj")
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
+        "FROM events_qc_nj NATURAL LEFT JOIN cust_seg_nj "
+        "GROUP BY 1 ORDER BY 1",
+        "events_qc_nj",
+    )
+
+
 # Direct QUALIFY on an aggregate (r13): desugared to the derived
 # window-replay shape. Beyond passthrough — Spark cannot parse QUALIFY;
 # DuckDB runs the identical SQL as the oracle. OFF-window.
@@ -1598,6 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_qualify_direct"] = _qc_qualify_direct
     # r14: RIGHT/USING join normalization onto the cached path (off-window)
     q["qc_right_using"] = _qc_right_using
+    # r15: NATURAL join de-sugared onto the USING cached path
+    q["qc_natural_join"] = _qc_natural_join
     # r14: grouped correlated-subquery body with HAVING (off-window)
     q["qc_corr_grouped"] = _qc_corr_grouped
     # r14: benchmark decontamination (off-window)
@@ -1706,6 +1728,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
         "FROM (SELECT c_custkey AS user_id, c_mktsegment AS segment "
         "FROM customer) d RIGHT JOIN events USING (user_id) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    # NATURAL ≡ USING(common cols); the only common column is user_id,
+    # stated explicitly so the oracle is schema-drift-proof
+    o["qc_natural_join"] = (
+        "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "
+        "FROM events LEFT JOIN (SELECT c_custkey AS user_id, "
+        "c_mktsegment AS segment FROM customer) d USING (user_id) "
         "GROUP BY 1 ORDER BY 1"
     )
     o["qc_regr"] = _REGR_SQL.format(

@@ -41,6 +41,12 @@ def _base_table_name(ft: Dict[str, Any]) -> str:
 #: _lower_select and the decorrelation key lowering.
 _SCOPE: List[set] = []
 
+#: Active schema lookup (``name -> list[str] | None``) for the duration
+#: of one parse_query call — lets _visible_names record per-relation
+#: column sets so qualified refs can be membership-checked against the
+#: relation they name. Stack-shaped for reentrancy; top may be None.
+_SCHEMA_LOOKUP: List = []
+
 
 class _ScopeSet(set):
     """Visible relation names, plus the table names an alias HID.
@@ -61,6 +67,14 @@ class _ScopeSet(set):
         #: NULL on unmatched rows — so qualified access must refuse
         #: (qualifier-dropping would silently serve the merged value)
         self.using_keys: set = set()
+        #: per-relation column sets (lowercased), where KNOWN (base
+        #: tables resolved via the session's schema lookup). Qualified
+        #: refs must name a column OF the qualifying relation — plain
+        #: qualifier-dropping answered ``rj_seg.value`` with the OTHER
+        #: side's column when Spark refuses (r15 fuzz find). Absent
+        #: entry → membership unknown → legacy leniency-free drop only
+        #: for names that do resolve downstream.
+        self.cols: Dict[str, set] = {}
 
 
 def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
@@ -74,16 +88,25 @@ def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
             return
         t = n.get("type")
         if t == "BASE_TABLE":
+            lookup = _SCHEMA_LOOKUP[-1] if _SCHEMA_LOOKUP else None
+            known = lookup(_base_table_name(n)) if lookup else None
+            colset = {c.lower() for c in known} if known else None
             alias = n.get("alias") or ""
             if alias:
                 out.add(alias.lower())
+                if colset is not None:
+                    out.cols[alias.lower()] = colset
                 if n.get("table_name"):
                     out.hidden.add(n["table_name"].lower())
                 out.hidden.add(_base_table_name(n).lower())
             else:
                 if n.get("table_name"):
                     out.add(n["table_name"].lower())
+                    if colset is not None:
+                        out.cols[n["table_name"].lower()] = colset
                 out.add(_base_table_name(n).lower())
+                if colset is not None:
+                    out.cols[_base_table_name(n).lower()] = colset
             return
         if t == "JOIN":
             out.using_keys |= {
@@ -371,6 +394,18 @@ def _expr(node: Dict[str, Any]) -> Expr:
                 raise Unsupported(
                     f"side-qualified USING column {'.'.join(names)}"
                 )
+            if head in _SCOPE[-1]:
+                known = getattr(_SCOPE[-1], "cols", {}).get(head)
+                if known is not None and names[1].lower() not in known:
+                    # a table qualifier scopes resolution to THAT
+                    # relation: `rj_seg.value` when value is only on the
+                    # other join side is invalid SQL — plain qualifier-
+                    # dropping would serve the other side's column
+                    # (r15 fuzz find; refuse → Spark's error stays
+                    # authoritative)
+                    raise Unsupported(
+                        f"column {names[1]} not in relation {head}"
+                    )
             rest = list(names[1:]) if head in _SCOPE[-1] else list(names)
             return Col(".".join(rest))
         return Col(names[-1])  # no scope info: drop qualifier (legacy)
@@ -1858,7 +1893,7 @@ def _lower_unpivot(node: Dict[str, Any]):
     )
 
 
-def parse_query(sql: str):
+def parse_query(sql: str, schema_lookup=None):
     """Parse ``sql`` into an :class:`AggSpec`, :class:`FilterSpec`, or
     :class:`SubquerySpec`.
 
@@ -1869,9 +1904,83 @@ def parse_query(sql: str):
     derived tables — ``SELECT ... FROM (<aggregate>) x [WHERE] [ORDER BY]
     [LIMIT]`` (the reference's bottom-up rule caches aggregates inside
     subqueries for free, ``src/aggregate.rs:74-76``).
+
+    ``schema_lookup`` (``name -> list[str] | None``, typically the
+    session's registered-view columns) enables NATURAL-join de-sugaring
+    onto the USING path; without it NATURAL joins stay Unsupported
+    (passthrough). Because the de-sugar reads CURRENT schemas, callers
+    must not memoize specs for SQL containing NATURAL joins.
     """
     node = _parse_json_ast(sql)
-    return _lower_select(node)
+    _SCHEMA_LOOKUP.append(schema_lookup)
+    try:
+        if schema_lookup is not None:
+            _desugar_natural_joins(node, schema_lookup)
+        return _lower_select(node)
+    finally:
+        _SCHEMA_LOOKUP.pop()
+
+
+def _desugar_natural_joins(node, schema_lookup) -> None:
+    """Rewrite every resolvable NATURAL join in ``node`` (in place) into
+    the equivalent explicit USING join: ``A NATURAL [kind] JOIN B`` ≡
+    ``A [kind] JOIN B USING (<common columns, left order>)`` — the SQL
+    definition, and what Spark's own analyzer does. The parser alone
+    cannot know the common columns; the session's registered-view schemas
+    can (r14 verdict item: NATURAL 'needs schema knowledge at parse time'
+    — the session HAS it at plan time).
+
+    Everything downstream then rides the r14 USING machinery unchanged:
+    ``_visible_names``'s side-qualified-key refusal (a NATURAL key is a
+    USING key), the RIGHT→LEFT swap, entry sharing with the explicit
+    USING/ON spellings, and the star-leaf WHERE pull-up guard.
+
+    Unresolvable shapes (unknown table, subquery operand, no common
+    columns — the degenerate cross product) are left as NATURAL and hit
+    the lowering's explicit Unsupported → passthrough, so Spark's own
+    resolution stays authoritative.
+    """
+
+    def vis_cols(n) -> Optional[List[str]]:
+        if not isinstance(n, dict):
+            return None
+        t = n.get("type")
+        if t == "BASE_TABLE":
+            cols = schema_lookup(_base_table_name(n))
+            return [c.lower() for c in cols] if cols else None
+        if t == "JOIN":
+            if n.get("ref_type") == "NATURAL":
+                return None  # child did not desugar: give up upward
+            left = vis_cols(n.get("left") or {})
+            right = vis_cols(n.get("right") or {})
+            if left is None or right is None:
+                return None
+            u = {c.lower() for c in (n.get("using_columns") or ())}
+            return left + [c for c in right if c not in u]
+        return None  # SUBQUERY/PIVOT/...: schema unknown here
+
+    def walk(n) -> None:
+        if isinstance(n, list):
+            for v in n:
+                walk(v)
+            return
+        if not isinstance(n, dict):
+            return
+        for v in n.values():
+            walk(v)  # bottom-up: children first
+        if n.get("type") == "JOIN" and n.get("ref_type") == "NATURAL":
+            left = vis_cols(n.get("left") or {})
+            right = vis_cols(n.get("right") or {})
+            if left is None or right is None:
+                return
+            rset = set(right)
+            common = [c for c in left if c in rset]
+            if not common or len(common) != len(set(common)):
+                return  # cross product / ambiguous left dup: passthrough
+            n["using_columns"] = common
+            n["ref_type"] = "REGULAR"
+
+    walk(node)
 
 
 def _lower_select(node: Dict[str, Any]):
@@ -2083,7 +2192,13 @@ def _lower_select_from(node: Dict[str, Any]):
                 raise Unsupported("non-left-deep join tree")
             tables.append(_base_table_name(right))
             cond = ft.get("condition")
-            using = tuple(ft.get("using_columns") or ())
+            # lowercase-normalize USING keys: Spark resolves them
+            # case-insensitively, so spelling case must neither refuse
+            # (session membership checks) nor split cache entries
+            # (fingerprint canon) — mirrors _visible_names (r15 advice)
+            using = tuple(
+                c.lower() for c in (ft.get("using_columns") or ())
+            )
             if cond is None and not using and jt != "CROSS":
                 raise Unsupported("USING/NATURAL join")
             join_steps.append(
@@ -2933,7 +3048,9 @@ def _lower_subquery(node: Dict[str, Any]):
             if j.get("ref_type") == "NATURAL":
                 raise Unsupported("NATURAL join above a derived table")
             if cond is None and jt != "CROSS":
-                using = tuple(j.get("using_columns") or ())
+                using = tuple(
+                    c.lower() for c in (j.get("using_columns") or ())
+                )
                 if not using:
                     raise Unsupported("USING/NATURAL join above a derived table")
             t = _base_table_name(right)

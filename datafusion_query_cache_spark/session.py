@@ -551,6 +551,15 @@ class CachedSparkSession(RefreshTiers):
             )
         return report
 
+    def _table_columns(self, name: str):
+        """Registered-view/table column names for the parser's
+        NATURAL-join de-sugaring; None when the name doesn't resolve
+        (the parser then leaves the join NATURAL → passthrough)."""
+        try:
+            return self.spark.table(name).columns
+        except Exception:
+            return None
+
     def sql(self, query: str) -> DataFrame:
         """Run ``query``; transparently incremental when cache-eligible."""
         try:
@@ -559,10 +568,16 @@ class CachedSparkSession(RefreshTiers):
 
             spec = self._spec_cache.get(query)
             if spec is None:
-                spec = parse_query(query)
-                if len(self._spec_cache) >= self._MEMO_MAX:
-                    self._spec_cache.clear()
-                self._spec_cache[query] = spec
+                spec = parse_query(query, schema_lookup=self._table_columns)
+                # NATURAL de-sugaring binds the CURRENT view schemas into
+                # the spec (common-column set); a re-registered view could
+                # change them, so those specs are re-parsed per call —
+                # duckdb json + lowering is ~ms, and the entry still
+                # shares via the canonical fingerprint
+                if "natural" not in query.lower():
+                    if len(self._spec_cache) >= self._MEMO_MAX:
+                        self._spec_cache.clear()
+                    self._spec_cache[query] = spec
             from .plans.parser import (
                 scalar_subqueries,
                 select_scalar_subqueries,
@@ -1839,13 +1854,16 @@ class CachedSparkSession(RefreshTiers):
             for js in spec.join_steps:
                 fr = self.spark.table(js.table)
                 dim_frames[js.table] = fr
+                # casefolded membership: parser lowercases USING keys,
+                # Spark resolves them case-insensitively (r15 advice)
+                fr_lower = {c.lower() for c in fr.columns}
                 for u in js.using:
-                    if u not in fr.columns:
+                    if u not in fr_lower:
                         raise Unsupported(
                             f"USING column {u} missing from {js.table}"
                         )
                 for c in fr.columns:
-                    if c in js.using:
+                    if c.lower() in js.using:
                         continue  # USING keys merge into one output column
                     if c in seen_cols:
                         raise Unsupported(
@@ -2150,8 +2168,11 @@ class CachedSparkSession(RefreshTiers):
             js.table: set(js.using) for js in spec.join_steps if js.using
         }
         for js in spec.join_steps:
+            # casefolded membership: parser lowercases USING keys, Spark
+            # resolves them case-insensitively (r15 advice)
+            fr_lower = {c.lower() for c in frames[js.table].columns}
             for u in js.using:
-                if u not in frames[js.table].columns:
+                if u not in fr_lower:
                     raise Unsupported(
                         f"USING column {u} missing from {js.table}"
                     )
@@ -2159,7 +2180,7 @@ class CachedSparkSession(RefreshTiers):
             seen_cols: Dict[str, str] = {}
             for t in tables:
                 for c in frames[t].columns:
-                    if c in using_by_table.get(t, ()):
+                    if c.lower() in using_by_table.get(t, ()):
                         continue  # merges into the left side's column
                     if c in seen_cols:
                         raise Unsupported(
@@ -2189,7 +2210,7 @@ class CachedSparkSession(RefreshTiers):
                 f
                 for t in tables
                 for f in frames[t].schema.fields
-                if f.name not in using_by_table.get(t, ())
+                if f.name.lower() not in using_by_table.get(t, ())
             ]
         )
         base_cols = {f.name for f in base_schema.fields}

@@ -261,14 +261,103 @@ def test_right_using_join_cached(spark, qc, split, using_dim):
     assert rows_set(got) == rows_set(spark.sql(sql))
 
 
-def test_natural_join_passthrough(spark, qc, split, using_dim):
+def test_natural_join_desugars_onto_using_path(spark, qc, split, using_dim):
+    """NATURAL JOIN de-sugars to USING(common columns) at plan time (the
+    session knows the registered-view schemas — r14 verdict item 1):
+    two-run exact, and the spelling SHARES the explicit USING entry."""
+    run1, run2, cut_ns = split
+    nat = (
+        "SELECT segment, count(*) AS n "
+        "FROM events_j NATURAL JOIN user_seg_u GROUP BY 1 ORDER BY 1"
+    )
+    explicit = (
+        "SELECT segment, count(*) AS n "
+        "FROM events_j JOIN user_seg_u USING (user_id) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(explicit).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    fp = qc.last_decision.fingerprint
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(nat)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert qc.last_decision.fingerprint == fp  # entry sharing
+    assert rows_set(got) == rows_set(spark.sql(nat))
+
+
+def test_natural_left_join_cached_and_case_insensitive_using(
+    spark, qc, split, using_dim
+):
+    """NATURAL LEFT rides the LEFT USING machinery (merged key, NULL
+    dims); and USING-key spelling case neither refuses nor splits the
+    entry (r15 advice: parser lowercases, session casefolds)."""
+    run1, run2, cut_ns = split
+    # a 2-row dim guarantees unmatched fact rows → NULL-segment groups
+    spark.range(2).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg"), F.col("id").cast("string")).alias("segment"),
+    ).createOrReplaceTempView("user_seg_u")
+    nat = (
+        "SELECT user_id % 10 AS ub, segment, count(*) AS n "
+        "FROM events_j NATURAL LEFT JOIN user_seg_u "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    upper = (
+        "SELECT user_id % 10 AS ub, segment, count(*) AS n "
+        "FROM events_j LEFT JOIN user_seg_u USING (USER_ID) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(upper).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    fp = qc.last_decision.fingerprint
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(nat)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert qc.last_decision.fingerprint == fp
+    assert rows_set(got) == rows_set(spark.sql(nat))
+    # the 40-row dim guarantees unmatched fact rows → NULL segments
+    assert any(r["segment"] is None for r in got.collect())
+
+
+def test_natural_side_qualified_key_passthrough(spark, qc, split, using_dim):
+    """A NATURAL key is a USING key: side-qualified access to it (`u.k`)
+    is NOT the merged column, so it must refuse → passthrough (the r14
+    wrong-answer class, NATURAL edition)."""
     run1, run2, cut_ns = split
     run2()
-    df = qc.sql(
-        "SELECT count(*) AS n FROM events_j NATURAL JOIN user_seg_u"
+    qc.config.override_now_ns = cut_ns
+    sql = (
+        "SELECT u.user_id, count(*) AS n "
+        "FROM events_j e NATURAL LEFT JOIN user_seg_u u "
+        "GROUP BY 1 ORDER BY 1"
     )
-    assert not qc.last_decision.cached
-    assert "NATURAL" in (qc.last_decision.reason or "")
+    got = qc.sql(sql)
+    assert not qc.last_decision.cached, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_natural_join_unknown_schema_stays_passthrough(spark, qc, split):
+    """No common columns (or unknown operand schema) → the de-sugar
+    declines and the NATURAL join stays an explicit passthrough."""
+    run1, run2, cut_ns = split
+    run2()
+    spark.range(3).select(
+        F.col("id").alias("zzz_key")
+    ).createOrReplaceTempView("no_common_dim")
+    try:
+        qc.sql(
+            "SELECT count(*) AS n FROM events_j NATURAL JOIN no_common_dim"
+        )
+        assert not qc.last_decision.cached
+        assert "NATURAL" in (qc.last_decision.reason or "")
+    finally:
+        spark.catalog.dropTempView("no_common_dim")
 
 
 def test_self_join_refusal_is_explicit_and_exact(spark, qc, split):

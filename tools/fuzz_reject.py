@@ -115,6 +115,57 @@ def main() -> int:
             f"SELECT event_type AS g, {{ag}} FROM rj_seg GROUP BY 1 "
             f"ORDER BY 1"
         ),
+        # r15 axes — the round's new reference-resolution surfaces:
+        # NATURAL joins (desugar to USING: side-qualified keys, hidden
+        # names, dotted refs must all track Spark exactly)
+        lambda q: (
+            f"SELECT {q}.user_id AS uu, {{ag}} FROM events e "
+            f"NATURAL LEFT JOIN rj_seg u GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment, count({q}.user_id) AS nq FROM events e "
+            f"NATURAL LEFT JOIN rj_seg u GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment AS g, {{ag}} FROM events {{A}} "
+            f"NATURAL JOIN rj_seg WHERE {q}.value > 2 "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        # hidden names under a join spine (star-leaf de-sugar must not
+        # resolve a wrapper-hidden or alias-hidden table name)
+        lambda q: (
+            f"SELECT segment AS g, count({q}.user_id) AS nq FROM "
+            f"(SELECT * FROM events) {{A}} "
+            f"JOIN rj_seg ON {q}.user_id = rj_seg.user_id "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment AS g, {{ag}} FROM "
+            f"(SELECT * FROM events WHERE value > 0) {{A}} "
+            f"JOIN rj_seg USING (user_id) "
+            f"GROUP BY 1 ORDER BY {q}.segment"
+        ),
+        # USING keys qualified by the DE-SUGARED wrapper alias (the
+        # wrapper alias IS visible — Spark side-resolves through it)
+        lambda q: (
+            f"SELECT {q}.user_id AS uu, {{ag}} FROM "
+            f"(SELECT * FROM events) w "
+            f"LEFT JOIN rj_seg u USING (user_id) GROUP BY 1 ORDER BY 1"
+        ),
+        # RIGHT + USING composed (swap normalization + merged key), and
+        # RIGHT above a star wrapper WITH inner WHERE (the r15 advice
+        # wrong-answer shape: filter must NOT hoist above the spine)
+        lambda q: (
+            f"SELECT segment AS g, count({q}.user_id) AS nq FROM rj_seg "
+            f"{{A}} RIGHT JOIN events USING (user_id) "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment AS g, count({q}.user_id) AS nq FROM "
+            f"(SELECT * FROM events WHERE value > 2) {{A}} "
+            f"RIGHT JOIN rj_seg ON {q}.user_id = rj_seg.user_id "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
     ]
     quals = ["events", "e", "t", "u", "x", "rj_seg"]
     aliases = ["", "e", "t", "u"]
