@@ -374,6 +374,48 @@ def _qc_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # benchmark here is a deterministic slice of `documents` so DuckDB can
 # replicate it; the operator's benchmark side is a broadcast membership
 # join, doc shingles are scan-side (the minhash shingler). OFF-window.
+def _op_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph) exact dedup (r15): testdata documents are
+    single-paragraph, so both sides derive the SAME synthetic
+    multi-paragraph corpus — each doc gets a second paragraph shared by
+    ~1/50th of the corpus (doc_id % 50), the cross-document boilerplate
+    shape C4/RefinedWeb line-dedup removes."""
+    from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT d.doc_id, concat(d.text, chr(10), r.text) AS text "
+        "FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50"
+    )
+    return paragraph_dedup(corpus).orderBy("doc_id")
+
+
+_PARA_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT d.doc_id, d.text || chr(10) || r.text AS text
+  FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras
+), kept AS (
+  SELECT doc_id, pos, para FROM ranked WHERE rn = 1
+)
+SELECT c.doc_id,
+       coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text,
+       len(string_split(c.text, chr(10))) AS n_paras,
+       count(k.para) AS n_kept
+FROM corpus c LEFT JOIN kept k USING (doc_id)
+GROUP BY c.doc_id, c.text
+ORDER BY c.doc_id
+"""
+
+
 def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_query_cache_spark.operators.textstats import (
         contamination_scores,
@@ -1624,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_corr_grouped"] = _qc_corr_grouped
     # r14: benchmark decontamination (off-window)
     q["op_contamination"] = _op_contamination
+    # r15: sub-document (paragraph) exact dedup
+    q["op_para_dedup"] = _op_para_dedup
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -1723,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
     o["qc_qualify_direct"] = _QUALIFY_SQL.format(v="events")
     o["qc_corr_grouped"] = _CORR_GROUPED_SQL.format(v="events")
     o["op_contamination"] = _CONTAMINATION_ORACLE
+    o["op_para_dedup"] = _PARA_DEDUP_ORACLE
     o["op_repetition"] = _REPETITION_ORACLE
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "

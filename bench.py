@@ -522,6 +522,17 @@ def main() -> None:
             els.append(time.perf_counter() - t0)
         timings[key] = round(sorted(els)[len(els) // 2], 3)
 
+    # sub-document (paragraph) exact dedup (r15): digest-only shuffles,
+    # scan-side reassembly — text never rides a dedup exchange
+    from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
+
+    timed(
+        "op_para_dedup",
+        lambda: paragraph_dedup(docs, sep=" ").agg(
+            F.sum("n_kept")
+        ).collect(),
+    )
+
     minhash_dedup_pairs(docs, threshold=0.8).count()  # untimed JIT warmup
     timed_median(
         "op_dedup_batch_full",

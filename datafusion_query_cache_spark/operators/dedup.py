@@ -107,6 +107,78 @@ def exact_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-level exact sub-document dedup (C4 / RefinedWeb style):
+    remove every paragraph whose exact text already appeared EARLIER in
+    the corpus, then reassemble each document from its surviving
+    paragraphs in original order.
+
+    Keep policy (design note): "first" = the occurrence with the smallest
+    ``(id, pos)`` — deterministic, order-insensitive to partitioning, and
+    the policy C4 uses ("keep one of every three-sentence span"). A
+    document whose every paragraph first appeared elsewhere stays in the
+    corpus with empty text (``n_kept = 0``) — dropping it is a separate
+    filter decision the caller owns. ``min_chars`` exempts short
+    paragraphs (headings, list bullets) from dedup entirely — production
+    line-dedup pipelines only dedup lines long enough to be boilerplate.
+
+    Returns ``(id_col, text_col [reassembled], n_paras, n_kept)``.
+
+    Scale shape (100 TB): document TEXT never rides a dedup shuffle. The
+    winner decision shuffles ONLY 16-byte md5 digests + (id, pos) (with
+    map-side combine), folds to a per-doc keep-position set (a second
+    tiny (id, int-array) shuffle), and the reassembly is SCAN-SIDE: the
+    keep-set joins back on ``id_col`` and an index-aware ``F.filter``
+    over ``split(text)`` rebuilds each doc in place — original order for
+    free, no explode-join-collect round trip for the text. No Python
+    UDFs; everything is built-in expressions inside whole-stage codegen.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    did = F.col(id_col)
+    arr = F.split(F.col(text_col), pat)
+    paras = df.select(did, F.posexplode(arr).alias("pos", "para"))
+    eligible = (
+        paras if min_chars <= 0 else paras.filter(F.length("para") >= min_chars)
+    )
+    # winner per exact paragraph (min (id, pos)), folded to a per-doc
+    # keep-position set — 16-byte digest shuffle, then an (id, ints) one
+    keep_pos = (
+        eligible.select(
+            F.unhex(F.md5("para")).alias("h"),
+            F.struct(id_col, "pos").alias("w"),
+        )
+        .groupBy("h")
+        .agg(F.min("w").alias("w"))
+        .groupBy(F.col(f"w.{id_col}").alias(id_col))
+        .agg(F.collect_set(F.col("w.pos")).alias("__keep_pos"))
+    )
+    kp = F.coalesce(F.col("__keep_pos"), F.array().cast("array<int>"))
+    if min_chars > 0:
+        # exempt paragraphs are decided scan-side: no (id, pos) rows for
+        # them ever exist, they are simply always kept here
+        kept_arr = F.filter(
+            arr,
+            lambda x, i: F.array_contains(kp, i)
+            | (F.length(x) < F.lit(min_chars)),
+        )
+    else:
+        kept_arr = F.filter(arr, lambda x, i: F.array_contains(kp, i))
+    return df.join(keep_pos, [id_col], "left").select(
+        did,
+        F.array_join(kept_arr, sep).alias(text_col),
+        F.size(arr).cast("long").alias("n_paras"),
+        F.size(kept_arr).cast("long").alias("n_kept"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -199,3 +199,62 @@ def test_banding_tradeoff_and_candidate_metric(spark, docs, exact_pairs):
     missed16 = high - cand16
     assert not missed16, f"default banding missed J>=0.8 pairs: {sorted(missed16)}"
     assert len(high & cand8) / len(high) >= 0.5
+
+
+def test_paragraph_dedup_hand_corpus(spark):
+    """Pin the keep-first-(doc_id, pos) policy on a hand corpus: the
+    FIRST occurrence of each exact paragraph survives, later copies are
+    removed, docs reassemble in original paragraph order, and a doc that
+    loses everything stays with empty text."""
+    from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),        # beta already in doc 1 → removed
+        (3, "alpha\nbeta"),        # both seen → empty doc survives
+        (4, "epsilon\nepsilon"),   # in-doc dup: keep pos 0, drop pos 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == {
+        1: ("alpha\nbeta\ngamma", 3, 3),
+        2: ("delta", 2, 1),
+        3: ("", 2, 0),
+        4: ("epsilon", 2, 1),
+    }
+
+
+def test_paragraph_dedup_min_chars_exempts_short(spark):
+    """min_chars: short paragraphs (headings/bullets) are exempt — kept
+    everywhere, never deduped."""
+    from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "##\nlong paragraph one"),
+        (2, "##\nlong paragraph one"),  # '##' exempt; long para deduped
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in paragraph_dedup(df, min_chars=5).collect()
+    }
+    assert got == {
+        1: ("##\nlong paragraph one", 2),
+        2: ("##", 1),
+    }
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """The dedup decision must shuffle digests, not text: the winner
+    aggregation's exchange carries (h, w) only, and partial aggregation
+    (map-side combine) sits below it."""
+    from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = paragraph_dedup(docs, sep=" ")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan[:2000]
+    assert out.count() == docs.count()
