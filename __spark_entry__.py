@@ -450,6 +450,31 @@ FROM dsh GROUP BY 1 ORDER BY 1
 """
 
 
+def _op_incr_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental contamination (r15): a standing ContaminationIndex
+    driven through two advancing DOC ingests and two advancing BENCHMARK
+    releases must end exactly equal to the one-shot batch op (the same
+    oracle SQL as op_contamination). n_shingles arrives with the doc
+    ingest row; later benchmark releases append disjoint increments."""
+    import tempfile as _tf
+
+    from datafusion_query_cache_spark.operators.incremental_contamination import (
+        ContaminationIndex,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") % 7 != 0)
+    bench = spark.table("documents").filter(F.col("doc_id") % 7 == 0)
+    dids = sorted(r[0] for r in docs.select("doc_id").collect())
+    bids = sorted(r[0] for r in bench.select("doc_id").collect())
+    idx = ContaminationIndex(_tf.mkdtemp(prefix="qc-entry-ct-"), k=8)
+    idx.update(
+        docs=docs.filter(F.col("doc_id") <= dids[len(dids) // 2]),
+        benchmark=bench.filter(F.col("doc_id") <= bids[len(bids) // 2]),
+    )
+    return idx.update(docs=docs, benchmark=bench).orderBy("doc_id")
+
+
 # Word-repetition / boilerplate signals (r14): the Gopher/C4-style filter
 # features a pre-training pipeline applies before quality scoring.
 # OFF-window.
@@ -1668,6 +1693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_contamination"] = _op_contamination
     # r15: sub-document (paragraph) exact dedup
     q["op_para_dedup"] = _op_para_dedup
+    # r15: incremental contamination index (two advancing ingests == batch)
+    q["op_incr_contamination"] = _op_incr_contamination
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -1768,6 +1795,8 @@ def oracle_sql() -> dict[str, str]:
     o["qc_corr_grouped"] = _CORR_GROUPED_SQL.format(v="events")
     o["op_contamination"] = _CONTAMINATION_ORACLE
     o["op_para_dedup"] = _PARA_DEDUP_ORACLE
+    # the incremental index must end exactly at the batch result: same oracle
+    o["op_incr_contamination"] = _CONTAMINATION_ORACLE
     o["op_repetition"] = _REPETITION_ORACLE
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "

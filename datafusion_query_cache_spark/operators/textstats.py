@@ -234,6 +234,40 @@ def tfidf_top_terms(
     )
 
 
+def char_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    hashed: bool,
+    keep_id: bool,
+) -> DataFrame:
+    """Character ``k``-shingles, produced SCAN-SIDE (explode(sequence) +
+    substring — the minhash shingler): one ``sh`` column, plus ``id_col``
+    when ``keep_id``. Shared by the batch decontamination op and the
+    incremental :class:`~..operators.incremental_contamination.
+    ContaminationIndex` so both sides use bit-identical arithmetic."""
+    cols = [F.col(id_col)] if keep_id else []
+    out = df.select(
+        *cols,
+        F.col(text_col),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1)
+                ),
+            )
+        ).alias("__i"),
+    ).select(
+        *cols,
+        F.col(text_col).substr(F.col("__i"), F.lit(k)).alias("sh"),
+    )
+    if hashed:
+        out = out.select(*cols, F.xxhash64("sh").alias("sh"))
+    return out
+
+
 def contamination_scores(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -263,25 +297,7 @@ def contamination_scores(
     bit-for-bit.
     """
     def shingles(df: DataFrame, keep_id: bool):
-        cols = [F.col(id_col)] if keep_id else []
-        out = df.select(
-            *cols,
-            F.col(text_col),
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1)
-                    ),
-                )
-            ).alias("__i"),
-        ).select(
-            *cols,
-            F.col(text_col).substr(F.col("__i"), F.lit(k)).alias("sh"),
-        )
-        if hashed:
-            out = out.select(*cols, F.xxhash64("sh").alias("sh"))
-        return out
+        return char_shingles(df, text_col, id_col, k, hashed, keep_id)
 
     bench = shingles(benchmark, keep_id=False).distinct()
     dsh = shingles(docs, keep_id=True).groupBy(id_col, "sh").agg(
