@@ -33,6 +33,10 @@ OFF_WINDOW_GRADED = {
     "qc_corr_grouped",
     "op_contamination",
     "op_repetition",
+    # r15 off-window oracle rows (same rationale)
+    "qc_natural_join",
+    "op_para_dedup",
+    "op_incr_contamination",
 }
 
 
