@@ -1939,7 +1939,26 @@ def _desugar_natural_joins(node, schema_lookup) -> None:
     columns — the degenerate cross product) are left as NATURAL and hit
     the lowering's explicit Unsupported → passthrough, so Spark's own
     resolution stays authoritative.
+
+    CTE guard: a CTE can SHADOW a registered view's name with a
+    different column set, and the lookup here sees only the catalog —
+    de-sugaring against the view's schema would derive the wrong key
+    set (wrong join keys = the wrong-answer class, not a refusal). Any
+    statement carrying a CTE map keeps its NATURAL joins un-desugared
+    (→ passthrough).
     """
+
+    def has_cte(n) -> bool:
+        if isinstance(n, dict):
+            if n.get("cte_map", {}).get("map"):
+                return True
+            return any(has_cte(v) for v in n.values())
+        if isinstance(n, list):
+            return any(has_cte(v) for v in n)
+        return False
+
+    if has_cte(node):
+        return
 
     def vis_cols(n) -> Optional[List[str]]:
         if not isinstance(n, dict):

@@ -508,3 +508,22 @@ def test_star_leaf_right_spine_pure_desugar_still_cached(spark, qc, split):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_natural_join_cte_shadow_stays_passthrough(spark, qc, split, using_dim):
+    """A CTE can shadow a registered view's name with a DIFFERENT column
+    set; the NATURAL de-sugar sees only the catalog, so any statement
+    carrying a CTE map keeps its NATURAL joins un-desugared (wrong key
+    set = wrong answers, not a refusal). Value-exact via passthrough."""
+    run1, run2, cut_ns = split
+    run2()
+    qc.config.override_now_ns = cut_ns
+    sql = (
+        "WITH events_j AS (SELECT user_id, value FROM events_j "
+        "WHERE value > 1) "
+        "SELECT segment, count(*) AS n FROM events_j "
+        "NATURAL JOIN user_seg_u GROUP BY 1 ORDER BY 1"
+    )
+    got = qc.sql(sql)
+    assert not qc.last_decision.cached
+    assert rows_set(got) == rows_set(spark.sql(sql))

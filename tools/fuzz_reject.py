@@ -166,6 +166,14 @@ def main() -> int:
             f"RIGHT JOIN rj_seg ON {q}.user_id = rj_seg.user_id "
             f"GROUP BY 1 ORDER BY 1"
         ),
+        # CTE shadowing a view name under a NATURAL join: the de-sugar
+        # must not resolve keys against the shadowed catalog schema
+        lambda q: (
+            f"WITH events AS (SELECT user_id, value FROM events "
+            f"WHERE value > 1) "
+            f"SELECT segment AS g, {{ag}} FROM events NATURAL JOIN rj_seg "
+            f"GROUP BY 1 ORDER BY {q}.segment"
+        ),
     ]
     quals = ["events", "e", "t", "u", "x", "rj_seg"]
     aliases = ["", "e", "t", "u"]
