@@ -450,6 +450,38 @@ FROM dsh GROUP BY 1 ORDER BY 1
 """
 
 
+def _op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (r15): whole-doc token-budget assignment by the
+    exclusive prefix sum in doc_id order — computed with the two-phase
+    distributed prefix sum (value-derived buckets, O(buckets) driver
+    fold), never a global single-partition window. The oracle is the
+    one-window SQL definition."""
+    from datafusion_query_cache_spark.operators.packing import pack_sequences
+
+    _load(spark, sf_dir)
+    return pack_sequences(spark.table("documents"), budget=512).orderBy(
+        "doc_id"
+    )
+
+
+_PACK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(before / 512) AS BIGINT) AS seq_id,
+       CAST(before % 512 AS BIGINT) AS seq_pos
+FROM c ORDER BY doc_id
+"""
+
+
 def _op_incr_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental contamination (r15): a standing ContaminationIndex
     driven through two advancing DOC ingests and two advancing BENCHMARK
@@ -1695,6 +1727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_para_dedup"] = _op_para_dedup
     # r15: incremental contamination index (two advancing ingests == batch)
     q["op_incr_contamination"] = _op_incr_contamination
+    # r15: sequence packing (distributed prefix sum)
+    q["op_pack_sequences"] = _op_pack_sequences
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -1797,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_para_dedup"] = _PARA_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle
     o["op_incr_contamination"] = _CONTAMINATION_ORACLE
+    o["op_pack_sequences"] = _PACK_ORACLE
     o["op_repetition"] = _REPETITION_ORACLE
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "

@@ -522,6 +522,16 @@ def main() -> None:
             els.append(time.perf_counter() - t0)
         timings[key] = round(sorted(els)[len(els) // 2], 3)
 
+    # sequence packing (r15): two-phase distributed prefix sum
+    from datafusion_query_cache_spark.operators.packing import pack_sequences
+
+    timed(
+        "op_pack_sequences",
+        lambda: pack_sequences(docs, budget=512).agg(
+            F.max("seq_id")
+        ).collect(),
+    )
+
     # sub-document (paragraph) exact dedup (r15): digest-only shuffles,
     # scan-side reassembly — text never rides a dedup exchange
     from datafusion_query_cache_spark.operators.dedup import paragraph_dedup

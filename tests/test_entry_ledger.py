@@ -37,6 +37,7 @@ OFF_WINDOW_GRADED = {
     "qc_natural_join",
     "op_para_dedup",
     "op_incr_contamination",
+    "op_pack_sequences",
 }
 
 
