@@ -450,6 +450,24 @@ FROM dsh GROUP BY 1 ORDER BY 1
 """
 
 
+def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER aggregate on the cached path (r15 composite plan):
+    cached state-spelled LEFT half + cached monotone matched-dim-set +
+    an O(dim) anti side recomputed per query — the retraction the
+    union-merge seam cannot express lives entirely in the anti side.
+    Two-run incremental; the oracle is the identical SQL in DuckDB."""
+    _load(spark, sf_dir)
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
+        "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "
+        "FROM events_qc_fo FULL JOIN customer "
+        "ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+        "events_qc_fo",
+    )
+
+
 def _op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (r15): whole-doc token-budget assignment by the
     exclusive prefix sum in doc_id order — computed with the two-phase
@@ -1729,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_incr_contamination"] = _op_incr_contamination
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
+    # r15: FULL OUTER on the cached path (composite plan)
+    q["qc_full_outer"] = _qc_full_outer
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -1832,6 +1852,12 @@ def oracle_sql() -> dict[str, str]:
     # the incremental index must end exactly at the batch result: same oracle
     o["op_incr_contamination"] = _CONTAMINATION_ORACLE
     o["op_pack_sequences"] = _PACK_ORACLE
+    o["qc_full_outer"] = (
+        "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
+        "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "
+        "FROM events FULL JOIN customer ON user_id = c_custkey "
+        "GROUP BY 1 ORDER BY 1"
+    )
     o["op_repetition"] = _REPETITION_ORACLE
     o["qc_right_using"] = (
         "SELECT segment, count(*) AS n, round(sum(value), 2) AS sv "

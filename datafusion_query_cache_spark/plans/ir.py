@@ -415,7 +415,7 @@ class JoinStep:
 
     table: str
     on: Optional[Expr]  # None for CROSS / USING
-    how: str  # "inner" | "left"
+    how: str  # "inner" | "left" | "full" (composite-planned, r15)
     using: Tuple[str, ...] = ()
 
     def canon(self) -> str:

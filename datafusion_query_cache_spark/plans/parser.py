@@ -2197,13 +2197,38 @@ def _lower_select_from(node: Dict[str, Any]):
                     raise Unsupported("RIGHT join over a join tree")
                 ft = {**ft, "join_type": "LEFT", "left": right, "right": left}
                 jt = "LEFT"
+            if jt == "FULL":
+                # FULL OUTER (r15): accepted for the 2-base-table ON shape.
+                # The union-merge seam still cannot maintain it directly
+                # (dim-side NULL-extended rows RETRACT on fresh matches —
+                # the r14 refusal argument stands), so the session plans
+                # it as a COMPOSITE of maintainable pieces instead:
+                # cached state-spelled LEFT part + cached matched-dim-set
+                # (monotone: matches never unmatch under append-only
+                # facts) + an O(dim) anti side recomputed per query.
+                left = ft.get("left") or {}
+                right0 = ft.get("right") or {}
+                if (
+                    left.get("type") != "BASE_TABLE"
+                    or right0.get("type") != "BASE_TABLE"
+                    or ft.get("condition") is None
+                    or ft.get("using_columns")
+                    or join_steps
+                ):
+                    raise Unsupported(
+                        "FULL join (only a single base-table ON join caches)"
+                    )
+                walk_from(left)
+                tables.append(_base_table_name(right0))
+                join_steps.append(
+                    JoinStep(
+                        _base_table_name(right0),
+                        _expr(ft["condition"]),
+                        "full",
+                    )
+                )
+                return
             if jt not in ("INNER", "LEFT", "CROSS"):
-                # FULL OUTER: explicit refusal (considered r14) — the
-                # dim-preserved half NULL-extends dim rows with no fact
-                # match, and those rows RETRACT when a fresh fact row
-                # arrives; retraction has no expression on the union-merge
-                # seam (same argument as the dim-preserved RIGHT case,
-                # which the swap normalization surfaces via ts-on-fact)
                 raise Unsupported(f"join type {jt}")
             walk_from(ft["left"])
             right = ft.get("right") or {}

@@ -2036,10 +2036,263 @@ class CachedSparkSession(RefreshTiers):
             df = df.limit(spec.limit)
         return df, decision
 
+    #: aggregate functions whose finalized value IS a mergeable state
+    #: (count/sum/min/max), or decomposes into such (avg → sum+count) —
+    #: the FULL-OUTER composite's supported vocabulary
+    _FULL_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+    def _plan_full_outer(self, query: str, spec: AggSpec):
+        """FULL OUTER aggregate as a composite of maintainable pieces.
+
+        The union-merge seam cannot maintain FULL OUTER directly: the
+        dim-preserved half NULL-extends dim rows with no fact match, and
+        those rows RETRACT when a fresh fact row matches (the r14 refusal).
+        But the answer decomposes into pieces that ARE maintainable under
+        the star contract (fact append-only, dim static):
+
+        * ``A``   — the fact-preserved LEFT half, cached as a STATE-SPELLED
+          aggregate (count/sum/min/max — finalize ≡ state for these; avg is
+          decomposed into sum+count): the normal O(new) warm path.
+        * ``M``   — the matched-dim-row set, cached as ``GROUP BY dim.*``
+          over the INNER join: MONOTONE (matches never unmatch when facts
+          only append), so it too is a plain O(new) incremental aggregate.
+        * ``anti`` — dim rows with NO fact match = ``dim LEFT ANTI M``
+          (null-safe on every dim column; equal dim rows share match
+          status, and left_anti preserves multiplicity). O(dim) per query,
+          recomputed fresh — this is the piece that retracts, so it is
+          never stored.
+
+        answer = finalize(merge(A, partial-states(anti with NULL fact
+        columns))). The WHERE applies inside A (post-join, the engine's
+        normal placement) and over the NULL-extended anti rows here —
+        matched-ness itself is join-level, BEFORE the WHERE, so ``M``
+        carries no predicate (a dim row whose every joined row the WHERE
+        kills contributes nothing from either side, exactly like SQL).
+
+        Unsupported shapes raise (→ passthrough): multiple joins,
+        grouping sets, HAVING, DISTINCT aggregates, non-decomposable
+        aggregate functions.
+        """
+        from functools import reduce as _reduce
+
+        from .functions.compile import to_column
+        from .plans.ir import AggCall, BinOp, Col, JoinStep, Lit
+        from .plans.ir import AggSpec as _AggSpec
+        from .plans.ir import SelectItem, Star, transform
+
+        cfg = self.config
+        if len(spec.join_steps) != 1:
+            raise Unsupported("FULL join composes only as the sole join")
+        if spec.grouping_sets or spec.grouping_fn_items:
+            raise Unsupported("FULL join with grouping sets")
+        if spec.having is not None:
+            raise Unsupported("FULL join with HAVING")
+
+        ts_col = cfg.default_temporal_column
+        t0, t1 = spec.tables
+        cols0 = set(self.spark.table(t0).columns)
+        cols1 = set(self.spark.table(t1).columns)
+        if ts_col in cols0 and ts_col in cols1:
+            raise Unsupported("temporal column on both FULL sides")
+        if ts_col in cols0:
+            fact, dim = t0, t1
+        elif ts_col in cols1:
+            # FULL commutes: re-anchor on the temporal side
+            fact, dim = t1, t0
+        else:
+            raise Unsupported(
+                f"temporal column {ts_col} on neither FULL side"
+            )
+        cond = spec.join_steps[0].on
+
+        # rewrite output aggregates onto state columns
+        state_items: List[SelectItem] = []
+        state_of: Dict[object, object] = {}
+
+        def _add_state(call: AggCall) -> str:
+            nm = f"__qcfo{len(state_items)}"
+            state_items.append(SelectItem(nm, call))
+            return nm
+
+        def _repl(node):
+            if not isinstance(node, AggCall):
+                return node
+            if node in state_of:
+                return state_of[node]
+            if node.distinct:
+                raise Unsupported("FULL join with DISTINCT aggregate")
+            fn = node.fn.lower()
+            if fn in self._FULL_MERGE:
+                out = Col(_add_state(node))
+            elif fn == "avg":
+                s = Col(_add_state(AggCall("sum", node.args)))
+                c = Col(_add_state(AggCall("count", node.args)))
+                out = BinOp("/", s, c)
+            else:
+                raise Unsupported(f"FULL join with aggregate {fn}")
+            state_of[node] = out
+            return out
+
+        out_aggs = [
+            SelectItem(it.name, transform(it.expr, _repl))
+            for it in spec.aggregates
+        ]
+
+        g_names = [it.name for it in spec.group_by]
+        s_names = [s.name for s in state_items]
+        left_spec = _AggSpec(
+            table=fact,
+            predicate=spec.predicate,
+            group_by=spec.group_by,
+            aggregates=tuple(state_items),
+            select_order=tuple(g_names) + tuple(s_names),
+            tables=(fact, dim),
+            join_steps=(JoinStep(dim, cond, "left"),),
+        )
+        dim_cols = self.spark.table(dim).columns
+        matched_spec = _AggSpec(
+            table=fact,
+            predicate=None,  # matched-ness is join-level, pre-WHERE
+            group_by=tuple(SelectItem(c, Col(c)) for c in dim_cols),
+            aggregates=(SelectItem("__qcm", AggCall("count", (Star(),))),),
+            select_order=tuple(dim_cols) + ("__qcm",),
+            tables=(fact, dim),
+            join_steps=(JoinStep(dim, cond, "inner"),),
+        )
+
+        dfA, decA = self._plan_cached(f"{query} /*qc:full-left*/", left_spec)
+        dfM, decM = self._plan_cached(
+            f"{query} /*qc:full-matched*/", matched_spec
+        )
+
+        # anti side: dim rows never matched (null-safe on EVERY dim column
+        # — equal rows share match status; left_anti keeps multiplicity)
+        dim_df = self.spark.table(dim)
+        a = dim_df.alias("__qc_d")
+        b = dfM.select(*dim_cols).alias("__qc_m")
+        anti_cond = _reduce(
+            lambda x, y: x & y,
+            [
+                F.col(f"__qc_d.{c}").eqNullSafe(F.col(f"__qc_m.{c}"))
+                for c in dim_cols
+            ],
+        )
+        anti = a.join(b, anti_cond, "left_anti")
+        fact_fields = self.spark.table(fact).schema.fields
+        anti_base = anti.select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fact_fields],
+            *[F.col(c) for c in dim_cols],
+        )
+        if spec.predicate is not None:
+            pred = self._pin_now(spec.predicate, self._now_ns())
+            anti_base = anti_base.filter(to_column(pred))
+
+        def _agg_col(call: AggCall):
+            fn = call.fn.lower()
+            if fn == "count" and (
+                not call.args or isinstance(call.args[0], Star)
+            ):
+                return F.count(F.lit(1))
+            arg = to_column(call.args[0])
+            return {
+                "count": F.count,
+                "sum": F.sum,
+                "min": F.min,
+                "max": F.max,
+            }[fn](arg)
+
+        anti_states = anti_base.groupBy(
+            *[to_column(it.expr).alias(it.name) for it in spec.group_by]
+        ).agg(*[_agg_col(si.expr).alias(si.name) for si in state_items])
+
+        merge_exprs = []
+        for si in state_items:
+            fn = si.expr.fn.lower()
+            m = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}[
+                fn
+            ](F.col(si.name))
+            if fn == "count":
+                m = F.coalesce(m, F.lit(0)).cast("long")
+            merge_exprs.append(m.alias(si.name))
+        unioned = dfA.select(*g_names, *s_names).unionByName(
+            anti_states.select(*g_names, *s_names)
+        )
+        merged = unioned.groupBy(*[F.col(n) for n in g_names]).agg(
+            *merge_exprs
+        )
+
+        agg_by_name = {it.name: it for it in out_aggs}
+        out_cols = []
+        for name in spec.select_order:
+            if name in agg_by_name:
+                out_cols.append(
+                    to_column(agg_by_name[name].expr).alias(name)
+                )
+            else:
+                out_cols.append(F.col(name))
+        df = merged.select(*out_cols)
+
+        if spec.order_by:
+            by_expr = {it.expr: it.name for it in spec.group_by}
+            by_expr.update({it.expr: it.name for it in spec.aggregates})
+            cols = []
+            for o in spec.order_by:
+                e = o.expr
+                if isinstance(e, Lit) and isinstance(e.value, int):
+                    nm = spec.select_order[e.value - 1]
+                elif isinstance(e, Col) and e.name in spec.select_order:
+                    nm = e.name
+                elif e in by_expr:
+                    nm = by_expr[e]
+                else:
+                    raise Unsupported("FULL join ORDER BY expression")
+                c = F.col(nm)
+                if o.desc:
+                    c = (
+                        c.desc_nulls_first()
+                        if o.nulls_first
+                        else c.desc_nulls_last()
+                        if o.nulls_first is not None
+                        else c.desc()
+                    )
+                else:
+                    c = (
+                        c.asc_nulls_first()
+                        if o.nulls_first
+                        else c.asc_nulls_last()
+                        if o.nulls_first is not None
+                        else c.asc()
+                    )
+                cols.append(c)
+            df = df.orderBy(*cols)
+        if spec.offset is not None:
+            df = df.offset(spec.offset)
+        if spec.limit is not None:
+            df = df.limit(spec.limit)
+
+        decision = Decision(
+            sql=query,
+            cached=bool(decA.cached and decM.cached),
+            cache_hit=bool(decA.cache_hit and decM.cache_hit),
+            fingerprint=decA.fingerprint,
+            watermark_ns=decA.watermark_ns,
+            now_ns=decA.now_ns,
+            refresh_tier="full_outer",
+        )
+        cfg.log.info(
+            decA.fingerprint or "-",
+            "full-outer composite: cached LEFT states + cached matched-dim "
+            "set + O(dim) anti side",
+        )
+        return df, decision
+
     def _plan_cached(self, query: str, spec: Optional[AggSpec] = None):
         cfg = self.config
         if spec is None:
             spec = parse_agg_query(query)
+
+        if any(js.how == "full" for js in spec.join_steps):
+            return self._plan_full_outer(query, spec)
 
         if spec.having is not None:
             # HAVING sits above the aggregate, so it never affects cached

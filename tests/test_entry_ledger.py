@@ -38,6 +38,7 @@ OFF_WINDOW_GRADED = {
     "op_para_dedup",
     "op_incr_contamination",
     "op_pack_sequences",
+    "qc_full_outer",
 }
 
 

@@ -1,0 +1,179 @@
+"""FULL OUTER aggregates on the cached path (r15 composite plan).
+
+The union-merge seam cannot maintain FULL OUTER directly (dim-side
+NULL-extended rows retract on fresh matches — the r14 refusal), so the
+session composes maintainable pieces: cached state-spelled LEFT half +
+cached monotone matched-dim-set + an O(dim) anti side recomputed per
+query. These tests pin exactness vs plain Spark — including the
+retraction case the seam itself cannot express."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def split(spark):
+    ev = spark.table("events")
+    cut_us = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0]) // 1000
+    cut_ns = cut_us * 1000
+    cut = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cut_us)
+
+    def run1():
+        ev.filter(F.col("ts") < F.lit(cut)).createOrReplaceTempView(
+            "events_fo"
+        )
+
+    def run2():
+        ev.createOrReplaceTempView("events_fo")
+
+    yield run1, run2, cut_ns, cut
+    spark.catalog.dropTempView("events_fo")
+
+
+@pytest.fixture()
+def fo_dim(spark):
+    # uid-keyed dim with holes on BOTH sides: uids 900+ never match,
+    # and plenty of fact uids have no dim row
+    spark.range(200).select(
+        (F.col("id") + 900).alias("uid"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+            "segment"
+        ),
+    ).unionByName(
+        spark.range(20).select(
+            F.col("id").alias("uid"),
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+                "segment"
+            ),
+        )
+    ).createOrReplaceTempView("fo_dim")
+    yield
+    spark.catalog.dropTempView("fo_dim")
+
+
+FO_SQL = (
+    "SELECT segment, count(ts) AS nf, count(*) AS n, "
+    "round(sum(value), 2) AS sv, round(avg(value), 2) AS av "
+    "FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+def test_full_outer_two_run_exact(spark, qc, split, fo_dim):
+    run1, run2, cut_ns, _cut = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FO_SQL).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(FO_SQL)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(FO_SQL))
+    # the never-matched dim rows contribute NULL-fact rows: every
+    # segment has 40 uid>=900 dim rows, so n exceeds count(ts) by >= 40
+    assert all(r["n"] >= r["nf"] + 40 for r in got.collect())
+
+
+def test_full_outer_retraction_on_late_match(spark, qc, split):
+    """THE case the union-merge seam cannot express: a dim row matched
+    only by second-half facts is NULL-extended in run 1 and must lose
+    that extension (retract) on the warm run-2 read."""
+    run1, run2, cut_ns, cut = split
+    ev = spark.table("events")
+    h1 = [
+        int(r[0])
+        for r in ev.filter(F.col("ts") < F.lit(cut))
+        .select("event_id")
+        .limit(5)
+        .collect()
+    ]
+    h2 = [
+        int(r[0])
+        for r in ev.filter(F.col("ts") >= F.lit(cut))
+        .select("event_id")
+        .limit(5)
+        .collect()
+    ]
+    rows = (
+        [(e, "early") for e in h1]
+        + [(e, "late") for e in h2]
+        + [(88880001, "never"), (88880002, "never")]
+    )
+    spark.createDataFrame(rows, "eid long, segment string").createOrReplaceTempView(
+        "fo_dim_r"
+    )
+    sql = (
+        "SELECT segment, count(ts) AS nf, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim_r ON event_id = eid GROUP BY 1 ORDER BY 1"
+    )
+    try:
+        run1()
+        qc.config.override_now_ns = cut_ns
+        r1 = {r["segment"]: (r["nf"], r["n"]) for r in qc.sql(sql).collect()}
+        assert r1["late"] == (0, 5)  # NULL-extended: not matched yet
+        run2()
+        qc.config.override_now_ns = cut_ns + 10**17
+        got = qc.sql(sql)
+        assert qc.last_decision.cache_hit, qc.last_decision.reason
+        r2 = {r["segment"]: (r["nf"], r["n"]) for r in got.collect()}
+        assert r2["late"] == (5, 5)  # retracted: matched by fresh facts
+        assert r2["never"] == (0, 2)  # still NULL-extended
+        assert rows_set(got) == rows_set(spark.sql(sql))
+    finally:
+        spark.catalog.dropTempView("fo_dim_r")
+
+
+def test_full_outer_where_and_global(spark, qc, split, fo_dim):
+    """WHERE applies post-join over NULL-extended rows too, and the
+    global (no GROUP BY) shape merges to one row."""
+    run1, run2, cut_ns, _cut = split
+    run2()
+    # now PAST max(ts): the engine's as-of bound must not cut the data
+    # the plain twin sees
+    qc.config.override_now_ns = cut_ns + 10**17
+    for sql in (
+        "SELECT segment, count(*) AS n FROM events_fo FULL JOIN fo_dim "
+        "ON user_id = uid WHERE value > 2 GROUP BY 1 ORDER BY 1",
+        "SELECT count(*) AS n, count(value) AS nv, min(value) AS mn "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid",
+        "SELECT segment, round(avg(value), 2) AS av FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 "
+        "ORDER BY 2 DESC NULLS LAST LIMIT 3",
+    ):
+        got = qc.sql(sql)
+        assert qc.last_decision.cached, qc.last_decision.reason
+        assert [tuple(map(repr, r)) for r in got.collect()] == [
+            tuple(map(repr, r)) for r in spark.sql(sql).collect()
+        ] or rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
+    """Shapes past the composite's vocabulary refuse → passthrough with
+    Spark-exact answers."""
+    run2 = split[1]
+    run2()
+    qc.config.override_now_ns = split[2] + 10**17
+    for sql in (
+        # DISTINCT aggregate
+        "SELECT segment, count(DISTINCT user_id) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
+        # non-decomposable aggregate
+        "SELECT segment, percentile(value, 0.5) AS p FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
+        # second join above the FULL
+        "SELECT n_name, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid "
+        "JOIN nation ON uid % 25 = n_nationkey GROUP BY 1 ORDER BY 1",
+    ):
+        got = qc.sql(sql)
+        assert not qc.last_decision.cached, sql
+        assert rows_set(got) == rows_set(spark.sql(sql))

@@ -92,18 +92,27 @@ def test_ambiguous_join_columns_passthrough(spark, qc):
     assert "self-join" in qc.last_decision.reason
 
 
-def test_right_and_full_join_passthrough(qc, spark):
+def test_right_join_nonbase_passthrough(qc, spark):
     df = qc.sql(
         "SELECT count(*) AS n FROM events e RIGHT JOIN orders o "
         "ON e.user_id = o.o_custkey"
     )
     assert not qc.last_decision.cached
     assert df.collect()[0]["n"] > 0
-    qc.sql(
+    # FULL OUTER caches as the r15 composite plan (left states +
+    # matched set + anti side) — exactness pinned in test_full_outer.py;
+    # here pin only that the decision is now a cached one
+    got = qc.sql(
         "SELECT count(*) AS n FROM events e FULL OUTER JOIN orders o "
         "ON e.user_id = o.o_custkey"
     )
-    assert not qc.last_decision.cached
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    plain = spark.sql(
+        "SELECT count(*) AS n FROM events e FULL OUTER JOIN orders o "
+        "ON e.user_id = o.o_custkey"
+    )
+    assert got.collect()[0]["n"] == plain.collect()[0]["n"]
 
 
 def test_left_join_aggregate_cached(spark, qc, split):

@@ -58,6 +58,12 @@ def main() -> int:
         "SELECT DISTINCT user_id, concat('s', user_id % 4) AS segment "
         "FROM events"
     ).createOrReplaceTempView("rj_seg")
+    # disjoint-named dim for FULL OUTER axes (same-named keys hit the
+    # standing ambiguity refusal, which is parity-trivial)
+    spark.sql(
+        "SELECT DISTINCT user_id + 2 AS uid, concat('d', user_id % 3) "
+        "AS dseg FROM events"
+    ).createOrReplaceTempView("rj_dim")
 
     rng = random.Random(SEED)
     aggs = ["count(*) AS n", "round(sum(value), 2) AS sv", "min(value) AS mn"]
@@ -173,6 +179,17 @@ def main() -> int:
             f"WHERE value > 1) "
             f"SELECT segment AS g, {{ag}} FROM events NATURAL JOIN rj_seg "
             f"GROUP BY 1 ORDER BY {q}.segment"
+        ),
+        # FULL OUTER composite (r15): valid spellings must value-match
+        # plain Spark (retractions included); qualified mutations refuse
+        lambda q: (
+            f"SELECT dseg AS g, count({q}.value) AS nq FROM events "
+            f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT dseg AS g, {{ag}} FROM events {{A}} "
+            f"FULL OUTER JOIN rj_dim ON user_id = uid "
+            f"WHERE {q}.value > 2 GROUP BY 1 ORDER BY 1"
         ),
     ]
     quals = ["events", "e", "t", "u", "x", "rj_seg"]
