@@ -2208,23 +2208,28 @@ def _lower_select_from(node: Dict[str, Any]):
                 # facts) + an O(dim) anti side recomputed per query.
                 left = ft.get("left") or {}
                 right0 = ft.get("right") or {}
+                f_using = tuple(
+                    c.lower() for c in (ft.get("using_columns") or ())
+                )
+                f_cond = ft.get("condition")
                 if (
                     left.get("type") != "BASE_TABLE"
                     or right0.get("type") != "BASE_TABLE"
-                    or ft.get("condition") is None
-                    or ft.get("using_columns")
+                    or (f_cond is None) == (not f_using)  # exactly one form
                     or join_steps
                 ):
                     raise Unsupported(
-                        "FULL join (only a single base-table ON join caches)"
+                        "FULL join (only a single base-table ON/USING "
+                        "join caches)"
                     )
                 walk_from(left)
                 tables.append(_base_table_name(right0))
                 join_steps.append(
                     JoinStep(
                         _base_table_name(right0),
-                        _expr(ft["condition"]),
+                        _expr(f_cond) if f_cond is not None else None,
                         "full",
+                        using=f_using,
                     )
                 )
                 return

@@ -2104,6 +2104,13 @@ class CachedSparkSession(RefreshTiers):
                 f"temporal column {ts_col} on neither FULL side"
             )
         cond = spec.join_steps[0].on
+        using = spec.join_steps[0].using
+        # USING spelling: the output key is the MERGED column; on anti
+        # rows the fact side is NULL, so merged key ≡ the dim's value —
+        # the anti frame simply omits the fact-side key columns and the
+        # dim's carry the merged name
+        if using and cond is not None:
+            raise Unsupported("FULL join with both ON and USING")
 
         # rewrite output aggregates onto state columns
         state_items: List[SelectItem] = []
@@ -2147,7 +2154,7 @@ class CachedSparkSession(RefreshTiers):
             aggregates=tuple(state_items),
             select_order=tuple(g_names) + tuple(s_names),
             tables=(fact, dim),
-            join_steps=(JoinStep(dim, cond, "left"),),
+            join_steps=(JoinStep(dim, cond, "left", using=using),),
         )
         dim_cols = self.spark.table(dim).columns
         matched_spec = _AggSpec(
@@ -2157,7 +2164,7 @@ class CachedSparkSession(RefreshTiers):
             aggregates=(SelectItem("__qcm", AggCall("count", (Star(),))),),
             select_order=tuple(dim_cols) + ("__qcm",),
             tables=(fact, dim),
-            join_steps=(JoinStep(dim, cond, "inner"),),
+            join_steps=(JoinStep(dim, cond, "inner", using=using),),
         )
 
         dfA, decA = self._plan_cached(f"{query} /*qc:full-left*/", left_spec)
@@ -2178,7 +2185,13 @@ class CachedSparkSession(RefreshTiers):
             ],
         )
         anti = a.join(b, anti_cond, "left_anti")
-        fact_fields = self.spark.table(fact).schema.fields
+        fact_fields = [
+            f
+            for f in self.spark.table(fact).schema.fields
+            # USING keys merge: the dim's columns carry the merged name
+            # (fact side is NULL on anti rows, coalesce ≡ dim value)
+            if f.name.lower() not in set(using)
+        ]
         anti_base = anti.select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in fact_fields],
             *[F.col(c) for c in dim_cols],

@@ -177,3 +177,67 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
         got = qc.sql(sql)
         assert not qc.last_decision.cached, sql
         assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+@pytest.fixture()
+def fo_dimu(spark):
+    # SAME-named key: the USING spelling merges it
+    spark.range(200).select(
+        (F.col("id") + 900).alias("user_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+            "segment"
+        ),
+    ).unionByName(
+        spark.range(20).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+                "segment"
+            ),
+        )
+    ).createOrReplaceTempView("fo_dimu")
+    yield
+    spark.catalog.dropTempView("fo_dimu")
+
+
+def test_full_using_two_run_exact_and_merged_key(spark, qc, split, fo_dimu):
+    """FULL ... USING merges the key column: on anti rows the fact side
+    is NULL so the merged key IS the dim's value — group-by-merged-key
+    must be exact, two-run, including NATURAL FULL (de-sugars here)."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT user_id % 7 AS ub, segment, count(ts) AS nf, count(*) AS n "
+        "FROM events_fo FULL JOIN fo_dimu USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    nat = (
+        "SELECT segment, count(*) AS n FROM events_fo "
+        "NATURAL FULL JOIN fo_dimu GROUP BY 1 ORDER BY 1"
+    )
+    got2 = qc.sql(nat)
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert rows_set(got2) == rows_set(spark.sql(nat))
+
+
+def test_full_using_side_qualified_key_passthrough(spark, qc, split, fo_dimu):
+    """`u.k` / `e.k` after FULL USING is a SIDE's column (NULL on the
+    other side's unmatched rows), not the merged one — refuse →
+    passthrough, Spark-exact (the r14 wrong-answer class, FULL edition)."""
+    run2 = split[1]
+    run2()
+    qc.config.override_now_ns = split[2] + 10**17
+    sql = (
+        "SELECT u.user_id AS uu, count(*) AS n FROM events_fo e "
+        "FULL JOIN fo_dimu u USING (user_id) GROUP BY 1 ORDER BY 1"
+    )
+    got = qc.sql(sql)
+    assert not qc.last_decision.cached
+    assert rows_set(got) == rows_set(spark.sql(sql))

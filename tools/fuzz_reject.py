@@ -191,6 +191,19 @@ def main() -> int:
             f"FULL OUTER JOIN rj_dim ON user_id = uid "
             f"WHERE {q}.value > 2 GROUP BY 1 ORDER BY 1"
         ),
+        # FULL USING: merged key + side-qualified mutations
+        lambda q: (
+            f"SELECT {q}.user_id AS uu, {{ag}} FROM events e "
+            f"FULL JOIN rj_seg u USING (user_id) GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment AS g, count({q}.user_id) AS nq FROM events e "
+            f"FULL JOIN rj_seg u USING (user_id) GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment AS g, {{ag}} FROM events "
+            f"NATURAL FULL JOIN rj_seg GROUP BY 1 ORDER BY {q}.segment"
+        ),
     ]
     quals = ["events", "e", "t", "u", "x", "rj_seg"]
     aliases = ["", "e", "t", "u"]
