@@ -760,6 +760,40 @@ def main() -> None:
     timed_warm("qc_x1000_warm", qz, XK_SQL, [hi_ns - DAY_NS, hi_ns + 1])
     timed("qc_x1000_plain", lambda: spark.sql(XK_SQL).collect())
 
+    # FULL OUTER composite at x1000 (r15): plain re-joins the whole
+    # corpus per run; the composite's warm cost is two O(new) cached
+    # refreshes (LEFT states + matched set) + an O(dim) anti join. At
+    # sf0.1 the pair sits at a ~5-job floor (~3x plain, measured and
+    # disclosed in COVERAGE) so it is benched HERE, where the design
+    # separates from the floor.
+    FO_XK_SQL = (
+        "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
+        "round(sum(value), 2) AS sv FROM events_x1000 "
+        "FULL JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"
+    )
+    def fo_xk_flow(timed_run: bool) -> None:
+        qf = CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-bench-fo-")),
+                default_temporal_column="ts",
+                temporal_partition_columns={"ts": "d"},
+                override_now_ns=cut_ns,
+            ),
+        )
+        qf.sql(FO_XK_SQL).collect()
+        if timed_run:
+            timed_warm(
+                "qc_fo_x1000_warm", qf, FO_XK_SQL, [hi_ns - DAY_NS, hi_ns + 1]
+            )
+        else:
+            qf.config.override_now_ns = hi_ns + 1
+            qf.sql(FO_XK_SQL).collect()
+
+    fo_xk_flow(timed_run=False)
+    fo_xk_flow(timed_run=True)
+    timed("qc_fo_x1000_plain", lambda: spark.sql(FO_XK_SQL).collect())
+
     # dynamic sliding window at x1000: the dyn path's crossover. Warm reads
     # full buckets from state, recomputes only the boundary bucket (one
     # pruned date partition) and scans the fresh tail in ONE OR-range scan;
