@@ -468,6 +468,25 @@ def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ... USING (r15): the merged key column — the dim's value on
+    anti rows (fact side NULL, coalesce semantics) — as a group key,
+    two-run incremental. The dim renames c_custkey to the fact's key
+    name so USING applies; the oracle inlines the same projection."""
+    _load(spark, sf_dir)
+    spark.sql(
+        "SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer"
+    ).createOrReplaceTempView("cust_seg_fu")
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT user_id % 7 AS ub, segment, count(ts) AS nf, count(*) AS n "
+        "FROM events_qc_fu FULL JOIN cust_seg_fu USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+        "events_qc_fu",
+    )
+
+
 def _op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (r15): whole-doc token-budget assignment by the
     exclusive prefix sum in doc_id order — computed with the two-phase
@@ -1749,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: FULL OUTER on the cached path (composite plan)
     q["qc_full_outer"] = _qc_full_outer
+    q["qc_full_using"] = _qc_full_using
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -1857,6 +1877,12 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "
         "FROM events FULL JOIN customer ON user_id = c_custkey "
         "GROUP BY 1 ORDER BY 1"
+    )
+    o["qc_full_using"] = (
+        "SELECT user_id % 7 AS ub, segment, count(ts) AS nf, count(*) AS n "
+        "FROM events FULL JOIN (SELECT c_custkey AS user_id, c_mktsegment "
+        "AS segment FROM customer) d USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
     )
     o["op_repetition"] = _REPETITION_ORACLE
     o["qc_right_using"] = (

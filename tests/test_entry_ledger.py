@@ -39,6 +39,7 @@ OFF_WINDOW_GRADED = {
     "op_incr_contamination",
     "op_pack_sequences",
     "qc_full_outer",
+    "qc_full_using",
 }
 
 
