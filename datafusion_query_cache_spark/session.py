@@ -2086,7 +2086,17 @@ class CachedSparkSession(RefreshTiers):
         if spec.grouping_sets or spec.grouping_fn_items:
             raise Unsupported("FULL join with grouping sets")
         if spec.having is not None:
-            raise Unsupported("FULL join with HAVING")
+            # HAVING filters the MERGED frame (post-merge, pre-select);
+            # its aggregates rewrite onto the same state columns. Only
+            # volatile scalars make it uncacheable (normal-path rule).
+            from .plans.classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+            from .plans.ir import Func as _Func
+
+            for n in spec.having.walk():
+                if isinstance(n, _Func) and n.name.lower() in (
+                    VOLATILE_FNS | VOLATILE_TIME_FNS
+                ):
+                    raise Unsupported("volatile function in HAVING")
 
         ts_col = cfg.default_temporal_column
         t0, t1 = spec.tables
@@ -2144,6 +2154,11 @@ class CachedSparkSession(RefreshTiers):
             SelectItem(it.name, transform(it.expr, _repl))
             for it in spec.aggregates
         ]
+        having_expr = (
+            transform(spec.having, _repl)
+            if spec.having is not None
+            else None
+        )  # before left_spec freezes state_items
 
         g_names = [it.name for it in spec.group_by]
         s_names = [s.name for s in state_items]
@@ -2233,6 +2248,8 @@ class CachedSparkSession(RefreshTiers):
         merged = unioned.groupBy(*[F.col(n) for n in g_names]).agg(
             *merge_exprs
         )
+        if having_expr is not None:
+            merged = merged.filter(to_column(having_expr))
 
         agg_by_name = {it.name: it for it in out_aggs}
         out_cols = []

@@ -241,3 +241,31 @@ def test_full_using_side_qualified_key_passthrough(spark, qc, split, fo_dimu):
     got = qc.sql(sql)
     assert not qc.last_decision.cached
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_having(spark, qc, split, fo_dim):
+    """HAVING filters the merged frame: its aggregates rewrite onto the
+    same state columns; two-run exact vs plain Spark."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, count(*) AS n, round(avg(value), 2) AS av "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 HAVING count(ts) > 50 AND avg(value) > 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    # volatile HAVING must refuse → passthrough
+    vol = (
+        "SELECT segment, count(*) AS n FROM events_fo FULL JOIN fo_dim "
+        "ON user_id = uid GROUP BY 1 "
+        "HAVING count(*) > rand() * 10 ORDER BY 1"
+    )
+    qc.sql(vol)
+    assert not qc.last_decision.cached
