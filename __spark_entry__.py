@@ -519,6 +519,30 @@ FROM c ORDER BY doc_id
 """
 
 
+def _op_incr_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup (r15): a standing ParagraphDedupIndex
+    driven through two ascending ingests must emit exactly the batch
+    operator's output (same oracle as op_para_dedup) — keep-first is
+    monotone under ascending ids, so emitted parts are immutable."""
+    import tempfile as _tf
+
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        ParagraphDedupIndex,
+    )
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT d.doc_id, concat(d.text, chr(10), r.text) AS text "
+        "FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50"
+    )
+    ids = sorted(r[0] for r in corpus.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    idx = ParagraphDedupIndex(_tf.mkdtemp(prefix="qc-entry-pd-"))
+    idx.update(corpus.filter(F.col("doc_id") <= cut))
+    idx.update(corpus)
+    return idx.output(spark).orderBy("doc_id")
+
+
 def _op_incr_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental contamination (r15): a standing ContaminationIndex
     driven through two advancing DOC ingests and two advancing BENCHMARK
@@ -1764,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_para_dedup"] = _op_para_dedup
     # r15: incremental contamination index (two advancing ingests == batch)
     q["op_incr_contamination"] = _op_incr_contamination
+    # r15: incremental paragraph dedup (ascending ingests == batch)
+    q["op_incr_para_dedup"] = _op_incr_para_dedup
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: FULL OUTER on the cached path (composite plan)
@@ -1869,6 +1895,8 @@ def oracle_sql() -> dict[str, str]:
     o["qc_corr_grouped"] = _CORR_GROUPED_SQL.format(v="events")
     o["op_contamination"] = _CONTAMINATION_ORACLE
     o["op_para_dedup"] = _PARA_DEDUP_ORACLE
+    # the incremental index must emit exactly the batch output: same oracle
+    o["op_incr_para_dedup"] = _PARA_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle
     o["op_incr_contamination"] = _CONTAMINATION_ORACLE
     o["op_pack_sequences"] = _PACK_ORACLE

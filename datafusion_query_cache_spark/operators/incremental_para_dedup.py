@@ -1,0 +1,224 @@
+"""Incremental paragraph-level exact dedup: a durable claimed-digest index.
+
+The batch op (``dedup.paragraph_dedup``) recomputes winners over the whole
+corpus per run. A standing ingest pipeline only ever APPENDS documents with
+higher ids, and the keep-first-(doc_id, pos) policy makes the problem
+monotone: a paragraph's first occurrence lives in the EARLIEST batch that
+contains it, so the outputs of already-ingested documents NEVER change.
+The incremental state is therefore just the set of claimed paragraph
+digests (16 bytes each) plus the emitted output rows:
+
+* ``update(corpus)`` dedups ONLY the rows above the id watermark — batch
+  keep-first within the delta, minus digests already claimed by earlier
+  ingests (an anti-join against the stored 16-byte set; never text) —
+  writes the new docs' reassembled rows as an output part, appends the
+  newly claimed digests, and advances the watermark.
+* ``output()`` is the union of the emitted parts: the pipeline's product,
+  immutable per part.
+
+Invariant (test/oracle contract): after any ascending sequence of
+``update()`` calls covering corpus C, ``output()`` equals the single-shot
+``paragraph_dedup(C)`` with the same parameters.
+
+Durability/concurrency: parquet parts + atomic ``meta.json`` swap, SINGLE
+writer fenced by a commit token (same contract as
+:class:`~.incremental_dedup.MinHashIndex`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .incremental_dedup import ConcurrentIndexWriter
+
+
+class ParagraphDedupIndex:
+    """Durable incremental paragraph-dedup index at ``path``."""
+
+    def __init__(
+        self,
+        path: str,
+        sep: str = "\n",
+        min_chars: int = 0,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.path = path
+        self.sep = sep
+        self.min_chars = min_chars
+        self.text_col = text_col
+        self.id_col = id_col
+        os.makedirs(path, exist_ok=True)
+        self._meta: Optional[dict] = None
+        mp = os.path.join(path, "meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                self._meta = json.load(f)
+            params = self._meta.get("params", {})
+            mine = self._params()
+            if params != mine:
+                raise ValueError(
+                    f"index at {path} was built with {params}, not {mine}"
+                )
+        self._token: Optional[str] = (self._meta or {}).get("token")
+
+    def _params(self) -> dict:
+        return {"sep": self.sep, "min_chars": self.min_chars}
+
+    def _fence(self) -> None:
+        mp = os.path.join(self.path, "meta.json")
+        if not os.path.exists(mp):
+            return
+        try:
+            with open(mp) as f:
+                disk_token = json.load(f).get("token")
+        except (json.JSONDecodeError, OSError):
+            return
+        if disk_token != self._token:
+            raise ConcurrentIndexWriter(
+                f"index at {self.path}: meta was committed by another "
+                "writer since this instance loaded it; reload() and "
+                "re-run the ingest"
+            )
+
+    def reload(self) -> None:
+        self._meta = None
+        mp = os.path.join(self.path, "meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                self._meta = json.load(f)
+        self._token = (self._meta or {}).get("token")
+
+    def _swap_meta(self, meta: dict) -> None:
+        self._fence()
+        meta["params"] = self._params()
+        meta["token"] = uuid.uuid4().hex
+        meta["written_at"] = time.time()
+        tmp = os.path.join(self.path, f".meta-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, "meta.json"))
+        self._meta = meta
+        self._token = meta["token"]
+
+    @property
+    def watermark_id(self) -> Optional[int]:
+        return (self._meta or {}).get("watermark_id")
+
+    def _parts(self, kind: str) -> List[str]:
+        if not self._meta:
+            return []
+        return [os.path.join(self.path, p) for p in self._meta.get(kind, [])]
+
+    def _read(
+        self, spark: SparkSession, kind: str, schema: str
+    ) -> Optional[DataFrame]:
+        parts = self._parts(kind)
+        if not parts:
+            return None
+        rd = spark.read.schema(schema)
+        out = rd.parquet(parts[0])
+        for p in parts[1:]:
+            out = out.unionByName(rd.parquet(p))
+        return out
+
+    def _out_schema(self) -> str:
+        return (
+            f"{self.id_col} long, {self.text_col} string, "
+            "n_paras long, n_kept long"
+        )
+
+    def claimed(self, spark: SparkSession) -> Optional[DataFrame]:
+        """The stored claimed-digest set (16-byte md5 per paragraph)."""
+        return self._read(spark, "seen_parts", "h binary")
+
+    def output(self, spark: SparkSession) -> DataFrame:
+        """The deduped corpus emitted so far (union of immutable parts)."""
+        got = self._read(spark, "out_parts", self._out_schema())
+        if got is None:
+            return spark.createDataFrame([], self._out_schema())
+        return got
+
+    def update(self, corpus: DataFrame) -> DataFrame:
+        """Ingest every corpus row with ``id > watermark``: dedup the
+        delta against the claimed set + itself (keep-first), emit the new
+        docs' reassembled rows, claim their winning digests, advance the
+        watermark. Returns the NEW docs' output rows."""
+        import re as _re
+
+        spark = corpus.sparkSession
+        self._fence()
+        meta = dict(self._meta or {})
+        wm = meta.get("watermark_id")
+        fresh = (
+            corpus
+            if wm is None
+            else corpus.filter(F.col(self.id_col) > F.lit(wm))
+        )
+        hi = fresh.agg(F.max(self.id_col).alias("hi")).collect()[0]["hi"]
+        if hi is None:
+            return self.output(spark).limit(0)  # nothing new
+
+        pat = _re.escape(self.sep)
+        did = F.col(self.id_col)
+        arr = F.split(F.col(self.text_col), pat)
+        paras = fresh.select(
+            did, F.posexplode(arr).alias("pos", "para")
+        )
+        eligible = (
+            paras
+            if self.min_chars <= 0
+            else paras.filter(F.length("para") >= self.min_chars)
+        )
+        # batch winner rule within the delta …
+        winners = (
+            eligible.select(
+                F.unhex(F.md5("para")).alias("h"),
+                F.struct(self.id_col, "pos").alias("w"),
+            )
+            .groupBy("h")
+            .agg(F.min("w").alias("w"))
+        )
+        # … minus digests claimed by EARLIER ingests (ascending ids ⇒ the
+        # stored claim is the global first occurrence) — a 16-byte
+        # anti-join, no text
+        seen = self.claimed(spark)
+        if seen is not None:
+            winners = winners.join(seen, ["h"], "left_anti")
+        keep_pos = winners.groupBy(
+            F.col(f"w.{self.id_col}").alias(self.id_col)
+        ).agg(F.collect_set(F.col("w.pos")).alias("__keep_pos"))
+        kp = F.coalesce(F.col("__keep_pos"), F.array().cast("array<int>"))
+        if self.min_chars > 0:
+            kept_arr = F.filter(
+                arr,
+                lambda x, i: F.array_contains(kp, i)
+                | (F.length(x) < F.lit(self.min_chars)),
+            )
+        else:
+            kept_arr = F.filter(arr, lambda x, i: F.array_contains(kp, i))
+        out_rows = fresh.join(keep_pos, [self.id_col], "left").select(
+            did,
+            F.array_join(kept_arr, self.sep).alias(self.text_col),
+            F.size(arr).cast("long").alias("n_paras"),
+            F.size(kept_arr).cast("long").alias("n_kept"),
+        )
+
+        oname = f"out-{uuid.uuid4().hex[:12]}"
+        out_rows.write.parquet(os.path.join(self.path, oname))
+        sname = f"seen-{uuid.uuid4().hex[:12]}"
+        winners.select("h").write.parquet(os.path.join(self.path, sname))
+        meta["out_parts"] = meta.get("out_parts", []) + [oname]
+        meta["seen_parts"] = meta.get("seen_parts", []) + [sname]
+        meta["watermark_id"] = int(hi)
+        self._swap_meta(meta)
+        return spark.read.schema(self._out_schema()).parquet(
+            os.path.join(self.path, oname)
+        )

@@ -40,6 +40,7 @@ OFF_WINDOW_GRADED = {
     "op_pack_sequences",
     "qc_full_outer",
     "qc_full_using",
+    "op_incr_para_dedup",
 }
 
 
