@@ -269,3 +269,35 @@ def test_full_outer_having(spark, qc, split, fo_dim):
     )
     qc.sql(vol)
     assert not qc.last_decision.cached
+
+
+def test_full_outer_dup_dim_rows_and_null_keys(spark, qc, split):
+    """Multiset + NULL semantics: duplicate matched dim rows double the
+    fact rows, duplicate UNMATCHED rows NULL-extend once each (left_anti
+    preserves multiplicity), NULL join keys never match and always
+    NULL-extend — all exactly like plain Spark."""
+    run2 = split[1]
+    run2()
+    qc.config.override_now_ns = split[2] + 10**17
+    rows = [
+        (1, "a"), (1, "a"),          # duplicate MATCHED dim rows
+        (2, None),                    # NULL non-key column
+        (None, "z"), (None, "z"),     # duplicate NULL-key rows (never match)
+        (999001, "u"), (999001, "u"), # duplicate unmatched rows
+        (3, "b"),
+    ]
+    spark.createDataFrame(rows, "uid long, seg string").createOrReplaceTempView(
+        "fo_adv"
+    )
+    try:
+        for sql in (
+            "SELECT seg, count(ts) AS nf, count(*) AS n FROM events_fo "
+            "FULL JOIN fo_adv ON user_id = uid GROUP BY 1 ORDER BY 1",
+            "SELECT uid, count(*) AS n FROM events_fo "
+            "FULL JOIN fo_adv ON user_id = uid GROUP BY 1 ORDER BY 1",
+        ):
+            got = qc.sql(sql)
+            assert qc.last_decision.cached, qc.last_decision.reason
+            assert rows_set(got) == rows_set(spark.sql(sql))
+    finally:
+        spark.catalog.dropTempView("fo_adv")
