@@ -487,6 +487,43 @@ def _qc_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-context rarity signal (r15): fraction of each doc's bigrams
+    that are corpus-hapax — CCNet-style quality scoring without an
+    external LM; outputs are counts + one IEEE-exact division, so the
+    oracle replicates bit-for-bit (no libm log parity risk)."""
+    from datafusion_query_cache_spark.operators.textstats import bigram_rarity
+
+    _load(spark, sf_dir)
+    return bigram_rarity(spark.table("documents")).orderBy("doc_id")
+
+
+_BIGRAM_RARITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
+), cf AS (
+  SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+), sc AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN cf.n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM bg b JOIN cf USING (bigram) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       coalesce(sc.n_rare, 0) AS n_rare,
+       CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+            THEN round(CAST(sc.n_rare AS DOUBLE) / sc.n_bigrams, 6)
+            ELSE 0.0 END AS rare_ratio
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+"""
+
+
 def _op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (r15): whole-doc token-budget assignment by the
     exclusive prefix sum in doc_id order — computed with the two-phase
@@ -1792,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_incr_para_dedup"] = _op_incr_para_dedup
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
+    # r15: corpus-context bigram rarity (CCNet-style quality proxy)
+    q["op_bigram_rarity"] = _op_bigram_rarity
     # r15: FULL OUTER on the cached path (composite plan)
     q["qc_full_outer"] = _qc_full_outer
     q["qc_full_using"] = _qc_full_using
@@ -1900,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
     # the incremental index must end exactly at the batch result: same oracle
     o["op_incr_contamination"] = _CONTAMINATION_ORACLE
     o["op_pack_sequences"] = _PACK_ORACLE
+    o["op_bigram_rarity"] = _BIGRAM_RARITY_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
         "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "

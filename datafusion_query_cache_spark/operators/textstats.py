@@ -192,6 +192,71 @@ def bigram_frequencies(
     return bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
 
 
+def bigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-CONTEXT quality signal (the CCNet idea without an external
+    LM): per document, the fraction of its bigrams that are RARE in the
+    whole corpus (corpus frequency ≤ ``max_count`` — default hapax).
+    Gibberish and heavily unique documents score high; boilerplate scores
+    near zero. Complements the per-doc ``repetition_features`` (which see
+    only the document itself).
+
+    Returns ``(id, n_bigrams, n_rare, rare_ratio)``. All outputs are
+    integer counts or one IEEE-exact division — bit-replicable in the SQL
+    oracle (no libm log whose last ULP could differ across engines).
+
+    Plan shape: bigrams form array-side (the ``bigram_frequencies``
+    slice-zip — no position self-join); the corpus frequency table
+    shuffles (bigram, count) pairs after map-side combine; the doc-side
+    probe is one equi-join on the bigram string keyed the same way, then
+    a per-doc fold. Same tokenization as ``term_frequencies`` /
+    ``bigram_frequencies`` (lowercase whitespace split, empties dropped).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+    )
+    doc_bg = df.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(
+        id_col, F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram")
+    )
+    corpus = bigram_frequencies(df, text_col)
+    joined = doc_bg.join(corpus, ["bigram"])  # every doc bigram exists
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum((F.col("n") <= F.lit(max_count)).cast("long"))
+        .cast("long")
+        .alias("n_rare"),
+    )
+    base = df.select(id_col)
+    return base.join(scored, [id_col], "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_rare").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rare_ratio"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

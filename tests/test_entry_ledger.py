@@ -41,6 +41,7 @@ OFF_WINDOW_GRADED = {
     "qc_full_outer",
     "qc_full_using",
     "op_incr_para_dedup",
+    "op_bigram_rarity",
 }
 
 

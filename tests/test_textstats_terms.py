@@ -161,3 +161,27 @@ def test_repetition_features_hand_corpus(spark):
     assert got[2]["dup_word_ratio"] == 0.0
     assert got[2]["dup_ngram_ratio"] == 0.0
     assert got[3]["top_ngram_ratio"] == 0.0  # no grams at all
+
+
+def test_bigram_rarity_hand_corpus(spark):
+    """Pin the rarity semantics: a bigram shared by two docs is not
+    rare, hapax bigrams are, degenerate docs (0-1 tokens) score 0."""
+    from datafusion_query_cache_spark.operators.textstats import bigram_rarity
+
+    rows = [
+        (1, "the cat sat"),   # "the cat" x2 in corpus, "cat sat" hapax
+        (2, "the cat ran"),
+        (3, "zz"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_rare"], r["rare_ratio"])
+        for r in bigram_rarity(df).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (0, 0, 0.0),
+        4: (0, 0, 0.0),
+    }
