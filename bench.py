@@ -532,6 +532,15 @@ def main() -> None:
         ).collect(),
     )
 
+    # corpus-context bigram rarity (r15): one (bigram,count) shuffle +
+    # one equi-join probe
+    from datafusion_query_cache_spark.operators.textstats import bigram_rarity
+
+    timed(
+        "op_bigram_rarity",
+        lambda: bigram_rarity(docs).agg(F.sum("n_rare")).collect(),
+    )
+
     # sub-document (paragraph) exact dedup (r15): digest-only shuffles,
     # scan-side reassembly — text never rides a dedup exchange
     from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
