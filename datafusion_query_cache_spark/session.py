@@ -2099,6 +2099,8 @@ class CachedSparkSession(RefreshTiers):
                     raise Unsupported("volatile function in HAVING")
 
         ts_col = cfg.default_temporal_column
+        if len(spec.tables or ()) != 2:
+            raise Unsupported("FULL join needs exactly two base tables")
         t0, t1 = spec.tables
         cols0 = set(self.spark.table(t0).columns)
         cols1 = set(self.spark.table(t1).columns)
