@@ -301,3 +301,22 @@ def test_full_outer_dup_dim_rows_and_null_keys(spark, qc, split):
             assert rows_set(got) == rows_set(spark.sql(sql))
     finally:
         spark.catalog.dropTempView("fo_adv")
+
+
+def test_full_outer_under_derived_and_window(spark, qc, split, fo_dim):
+    """The subquery path plans a derived FULL aggregate via the same
+    composite — outer filters and window replay ride it for free."""
+    run2 = split[1]
+    run2()
+    qc.config.override_now_ns = split[2] + 10**17
+    for sql in (
+        "SELECT segment, n FROM (SELECT segment, count(*) AS n "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid GROUP BY 1) x "
+        "WHERE n > 10 ORDER BY 1",
+        "SELECT segment, n, rank() OVER (ORDER BY n DESC, segment) AS r "
+        "FROM (SELECT segment, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1) x ORDER BY 3",
+    ):
+        got = qc.sql(sql)
+        assert qc.last_decision.cached, qc.last_decision.reason
+        assert rows_set(got) == rows_set(spark.sql(sql))
