@@ -487,6 +487,55 @@ def _qc_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (r15): the testdata docs carry no PII, so both sides
+    derive the SAME synthetic corpus — every third doc gains an email and
+    an IP, every fifth a phone-shaped run. Patterns are restricted to
+    Java-regex/RE2-identical syntax, so the oracle replicates the
+    redacted TEXT bit-for-bit, not just the counts."""
+    from datafusion_query_cache_spark.operators.textstats import redact_pii
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT doc_id, concat(text, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat(' user', doc_id, "
+        "'@mail.com ip 10.0.', doc_id % 256, '.7') ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN concat(' +1 415 555 ', "
+        "1000 + doc_id % 9000) ELSE '' END) AS text FROM documents"
+    )
+    return redact_pii(corpus).orderBy("doc_id")
+
+
+# NOTE: the raw column is named `raw0`, NOT `text` - DuckDB's lateral
+# column aliases bind a later `text` reference to the redacted ALIAS
+# defined earlier in the same SELECT (found by this row's first
+# check_oracle run; Spark has no lateral aliases, so the engine side
+# always read the source column).
+_PII_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id ||
+      '@mail.com ip 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' +1 415 555 ' ||
+      (1000 + doc_id % 9000) ELSE '' END AS raw0
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(raw0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'),
+    '\+?\d[\d -]{7,}\d', '<PII>', 'g') AS text,
+  CAST(len(regexp_extract_all(raw0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(raw0,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(raw0,
+    '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone
+FROM corpus ORDER BY doc_id
+"""
+
+
 def _op_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-context rarity signal (r15): fraction of each doc's bigrams
     that are corpus-hapax — CCNet-style quality scoring without an
@@ -1831,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: corpus-context bigram rarity (CCNet-style quality proxy)
     q["op_bigram_rarity"] = _op_bigram_rarity
+    # r15: PII scrubbing (scan-side regex, cross-engine-identical patterns)
+    q["op_redact_pii"] = _op_redact_pii
     # r15: FULL OUTER on the cached path (composite plan)
     q["qc_full_outer"] = _qc_full_outer
     q["qc_full_using"] = _qc_full_using
@@ -1940,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_incr_contamination"] = _CONTAMINATION_ORACLE
     o["op_pack_sequences"] = _PACK_ORACLE
     o["op_bigram_rarity"] = _BIGRAM_RARITY_ORACLE
+    o["op_redact_pii"] = _PII_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
         "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "

@@ -42,6 +42,7 @@ OFF_WINDOW_GRADED = {
     "qc_full_using",
     "op_incr_para_dedup",
     "op_bigram_rarity",
+    "op_redact_pii",
 }
 
 

@@ -185,3 +185,29 @@ def test_bigram_rarity_hand_corpus(spark):
         3: (0, 0, 0.0),
         4: (0, 0, 0.0),
     }
+
+
+def test_redact_pii_hand_corpus(spark):
+    """Pin the redaction + counting semantics (counts on the ORIGINAL
+    text per category; sequential redaction email -> ipv4 -> phone)."""
+    from datafusion_query_cache_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 192.168.1.1 now"),
+        (2, "call +1 415 555 1212 or 4155551212 ok"),
+        (3, "no pii here"),
+        (4, "edge a@b.io. and 999.999.999.999 and 1.2.3.4x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in redact_pii(df).collect()
+    }
+    assert got == {
+        1: ("contact <PII> or <PII> now", 1, 1, 0),
+        2: ("call <PII> or <PII> ok", 0, 0, 2),
+        3: ("no pii here", 0, 0, 0),
+        # naive ipv4 (no octet range check, the C4 convention): 999.999...
+        # IS a match; 1.2.3.4x is not (no word boundary before x)
+        4: ("edge <PII>. and <PII> and 1.2.3.4x", 1, 1, 0),
+    }
