@@ -532,6 +532,16 @@ def main() -> None:
         ).collect(),
     )
 
+    # PII redaction (r15): pure scan-side map stage
+    from datafusion_query_cache_spark.operators.textstats import redact_pii
+
+    timed(
+        "op_redact_pii",
+        lambda: redact_pii(docs).agg(
+            F.sum("n_email"), F.sum(F.length("text"))
+        ).collect(),
+    )
+
     # corpus-context bigram rarity (r15): one (bigram,count) shuffle +
     # one equi-join probe
     from datafusion_query_cache_spark.operators.textstats import bigram_rarity
