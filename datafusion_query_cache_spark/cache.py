@@ -63,6 +63,12 @@ class StateCardinalityExceeded(RuntimeError):
         self.distinct = distinct
 
 
+class _DriverPutOverflow(Exception):
+    """Internal: a bounded first-put collect found more state rows than
+    the driver cap — the caller's except falls to the distributed
+    store."""
+
+
 class HistogramCardinalityExceeded(StateCardinalityExceeded):
     """Exact median/percentile RLE-histogram cell over
     ``config.percentile_max_distinct``."""
@@ -906,8 +912,27 @@ class _ParquetEntry(CacheEntry):
             try:
                 import pyarrow.parquet as pq
 
+                if prev_rows is None:
+                    # FIRST put: the state's group cardinality is unknown,
+                    # so bound the ACTUAL collect like the tail write
+                    # (r15) — a giant-cardinality cold aggregate must
+                    # spill to the distributed store, not OOM the driver.
+                    # Safe to limit here: a first put is always the COLD
+                    # path, which carries no Observation that truncation
+                    # could corrupt (observations ride warm merges only).
+                    raw = state.limit(
+                        self.DRIVER_COLLECT_MAX_ROWS + 1
+                    ).toArrow()
+                    if raw.num_rows > self.DRIVER_COLLECT_MAX_ROWS:
+                        raise _DriverPutOverflow()
+                else:
+                    # refresh of a KNOWN-small state (prev_rows <= cap):
+                    # the plan may carry the fresh-rows Observation, which
+                    # a limit could truncate — keep the unbounded collect,
+                    # bounded in practice by prev_rows + the fresh window
+                    raw = state.toArrow()
                 tbl = _check_set_arrow(
-                    _compact_hist_arrow(state.toArrow(), self.hist_cap, self._fp),
+                    _compact_hist_arrow(raw, self.hist_cap, self._fp),
                     self.set_cap, self._fp,
                 )
                 n_rows = tbl.num_rows

@@ -548,3 +548,26 @@ def test_bucket_tail_burst_aborts_to_distributed_write(
     assert out2 is not None
     assert calls[-1] == (50, True), calls
     assert rows_set(e3.get(spark)) == rows_set(small)
+
+
+def test_first_put_bounded_collect_spills(spark, tmp_path, monkeypatch):
+    """r15: a FIRST put of a giant-cardinality state must not collect
+    unbounded through the driver — the bounded collect detects the
+    overflow row and spills to the distributed store; values exact."""
+    from datafusion_query_cache_spark.cache import ParquetQueryCache, _ParquetEntry
+
+    monkeypatch.setattr(_ParquetEntry, "DRIVER_COLLECT_MAX_ROWS", 50)
+    collected = []
+    orig = type(spark.range(1)).toArrow
+
+    cache = ParquetQueryCache(str(tmp_path / "c"))
+    entry = cache.entry("fp-firstput")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    stored = entry.put(7, df, spark)
+    assert stored.count() == 500
+    # spilled to the distributed single-part layout, rows recorded
+    e2 = cache.entry("fp-firstput")
+    assert e2._meta.get("rows") == 500
+    assert rows_set(e2.get(spark)) == rows_set(df)
