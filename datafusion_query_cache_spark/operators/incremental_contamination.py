@@ -351,13 +351,22 @@ class ContaminationIndex:
                 if wm is None
                 else benchmark.filter(F.col(self.bench_id_col) > F.lit(wm))
             )
+            # the driver tier works on a LOCAL meta copy and its effects
+            # are adopted only when every write succeeded: a mid-tier
+            # failure must leave the distributed fallback a PRISTINE meta
+            # (a half-appended bench part would anti-join the delta to
+            # empty and silently drop the release's per-doc increments;
+            # a half-appended docsh part would double-count — r15 ADVICE)
             done = False
+            m2 = dict(meta)
             try:
-                done, ch = self._ingest_bench_driver(spark, meta, fresh)
-                changed = changed or ch
+                done, ch = self._ingest_bench_driver(spark, m2, fresh)
             except Exception:
                 done = False
-            if not done:
+            if done:
+                meta = m2
+                changed = changed or ch
+            else:
                 changed = self._ingest_bench_distributed(
                     spark, meta, fresh
                 ) or changed
@@ -370,12 +379,15 @@ class ContaminationIndex:
                 else docs.filter(F.col(self.id_col) > F.lit(wm))
             )
             done = False
+            m2 = dict(meta)  # same atomic-adopt discipline as the bench tier
             try:
-                done, ch = self._ingest_docs_driver(spark, meta, fresh)
-                changed = changed or ch
+                done, ch = self._ingest_docs_driver(spark, m2, fresh)
             except Exception:
                 done = False
-            if not done:
+            if done:
+                meta = m2
+                changed = changed or ch
+            else:
                 changed = self._ingest_docs_distributed(
                     spark, meta, fresh
                 ) or changed

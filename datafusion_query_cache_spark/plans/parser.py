@@ -47,6 +47,15 @@ _SCOPE: List[set] = []
 #: relation they name. Stack-shaped for reentrancy; top may be None.
 _SCHEMA_LOOKUP: List = []
 
+#: Lowercased CTE names declared ANYWHERE in the current statement
+#: (stack-shaped, parallel to _SCHEMA_LOOKUP). duckdb emits CTE
+#: references as BASE_TABLE nodes, so a CTE shadowing a registered
+#: view's name would otherwise be membership-checked against the VIEW's
+#: column set (r15 ADVICE): spurious refusals when the CTE has extra
+#: columns, silently inert when the schemas overlap. For these names
+#: membership is UNKNOWN — _visible_names leaves ``cols`` unpopulated.
+_CTE_SHADOW: List[set] = []
+
 
 class _ScopeSet(set):
     """Visible relation names, plus the table names an alias HID.
@@ -89,7 +98,16 @@ def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
         t = n.get("type")
         if t == "BASE_TABLE":
             lookup = _SCHEMA_LOOKUP[-1] if _SCHEMA_LOOKUP else None
-            known = lookup(_base_table_name(n)) if lookup else None
+            base = _base_table_name(n)
+            if (
+                _CTE_SHADOW
+                and base.lower() in _CTE_SHADOW[-1]
+            ):
+                # a CTE declared in this statement shadows the name: the
+                # catalog's column set is the WRONG relation — membership
+                # unknown (cols unpopulated → legacy drop-only handling)
+                lookup = None
+            known = lookup(base) if lookup else None
             colset = {c.lower() for c in known} if known else None
             alias = n.get("alias") or ""
             if alias:
@@ -1913,12 +1931,39 @@ def parse_query(sql: str, schema_lookup=None):
     """
     node = _parse_json_ast(sql)
     _SCHEMA_LOOKUP.append(schema_lookup)
+    _CTE_SHADOW.append(_collect_cte_names(node))
     try:
         if schema_lookup is not None:
             _desugar_natural_joins(node, schema_lookup)
         return _lower_select(node)
     finally:
+        _CTE_SHADOW.pop()
         _SCHEMA_LOOKUP.pop()
+
+
+def _collect_cte_names(node) -> set:
+    """Every CTE name declared anywhere in the statement (lowercased) —
+    the over-broad-but-safe shadow set for _visible_names' membership
+    check (skipping a check degrades to the legacy leniency-free drop,
+    never to a wrong answer)."""
+    names: set = set()
+
+    def walk(n) -> None:
+        if isinstance(n, list):
+            for v in n:
+                walk(v)
+            return
+        if not isinstance(n, dict):
+            return
+        for cte in (n.get("cte_map", {}) or {}).get("map") or ():
+            k = cte.get("key")
+            if k:
+                names.add(k.lower())
+        for v in n.values():
+            walk(v)
+
+    walk(node)
+    return names
 
 
 def _desugar_natural_joins(node, schema_lookup) -> None:

@@ -161,6 +161,10 @@ class CachedSparkSession(RefreshTiers):
         # placeholders, so a standing query pays a single JVM parse instead
         # of ~600 py4j round-trips of DataFrame program rebuilding.
         self._tpl_cache: Dict[tuple, Optional[dict]] = {}
+        #: composite planners (FULL OUTER) pin ONE evaluation instant here
+        #: so every sub-plan and the fresh anti side agree on now() —
+        #: otherwise the halves could disagree near bound edges
+        self._now_pin: Optional[int] = None
         # re-entrant scope state for _refresh_confs (see its docstring)
         import threading as _threading
 
@@ -551,6 +555,12 @@ class CachedSparkSession(RefreshTiers):
             )
         return report
 
+    def _cols_sig(self, name: str):
+        """Current column tuple of ``name`` (None if unresolvable) — the
+        revalidation signature for schema-consulting spec memo entries."""
+        cols = self._table_columns(name)
+        return tuple(cols) if cols is not None else None
+
     def _table_columns(self, name: str):
         """Registered-view/table column names for the parser's
         NATURAL-join de-sugaring; None when the name doesn't resolve
@@ -566,18 +576,40 @@ class CachedSparkSession(RefreshTiers):
             from .plans.ir import FilterSpec, SubquerySpec, UnionSpec
             from .plans.parser import parse_query
 
-            spec = self._spec_cache.get(query)
+            # The parse binds CURRENT view schemas into the spec wherever
+            # it consults the catalog (NATURAL de-sugaring's common-column
+            # set, the qualified-ref membership check's per-relation column
+            # sets). A re-registered view with a different column set would
+            # make a memoized spec stale — and a stale membership set can
+            # flip a refusal into a silent wrong answer (r15 ADVICE). So
+            # the memo RECORDS which schemas the parse consulted and
+            # revalidates them on every hit; schema-independent parses
+            # (consulted empty — the overwhelming majority) validate for
+            # free. This also drops the old over-broad "natural" substring
+            # guard: only parses that actually touched schemas pay.
+            spec = None
+            memo = self._spec_cache.get(query)
+            if memo is not None:
+                m_spec, consulted = memo
+                if all(
+                    self._cols_sig(t) == sig
+                    for t, sig in consulted.items()
+                ):
+                    spec = m_spec
             if spec is None:
-                spec = parse_query(query, schema_lookup=self._table_columns)
-                # NATURAL de-sugaring binds the CURRENT view schemas into
-                # the spec (common-column set); a re-registered view could
-                # change them, so those specs are re-parsed per call —
-                # duckdb json + lowering is ~ms, and the entry still
-                # shares via the canonical fingerprint
-                if "natural" not in query.lower():
-                    if len(self._spec_cache) >= self._MEMO_MAX:
-                        self._spec_cache.clear()
-                    self._spec_cache[query] = spec
+                consulted: Dict[str, object] = {}
+
+                def _lookup(name: str):
+                    cols = self._table_columns(name)
+                    consulted[name] = (
+                        tuple(cols) if cols is not None else None
+                    )
+                    return cols
+
+                spec = parse_query(query, schema_lookup=_lookup)
+                if len(self._spec_cache) >= self._MEMO_MAX:
+                    self._spec_cache.clear()
+                self._spec_cache[query] = (spec, dict(consulted))
             from .plans.parser import (
                 scalar_subqueries,
                 select_scalar_subqueries,
@@ -654,6 +686,8 @@ class CachedSparkSession(RefreshTiers):
         # (``src/aggregate.rs:375-382``) — captured once per query, plan time.
         if self.config.override_now_ns is not None:
             return self.config.override_now_ns
+        if self._now_pin is not None:
+            return self._now_pin
         return time.time_ns()
 
     def _pin_now(self, rhs_expr, now_ns: int):
@@ -2042,6 +2076,20 @@ class CachedSparkSession(RefreshTiers):
     _FULL_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
     def _plan_full_outer(self, query: str, spec: AggSpec):
+        """Pin ONE evaluation instant across the whole FULL composite.
+
+        The A/M sub-plans capture now() inside their own ``_plan_cached``
+        and the anti side pins now() for its WHERE; without a shared pin
+        the halves could evaluate a now()-dependent predicate at two
+        different instants and disagree near bound edges."""
+        prev_pin = self._now_pin
+        self._now_pin = self._now_ns()
+        try:
+            return self._plan_full_outer_pinned(query, spec)
+        finally:
+            self._now_pin = prev_pin
+
+    def _plan_full_outer_pinned(self, query: str, spec: AggSpec):
         """FULL OUTER aggregate as a composite of maintainable pieces.
 
         The union-merge seam cannot maintain FULL OUTER directly: the
@@ -2271,6 +2319,11 @@ class CachedSparkSession(RefreshTiers):
             for o in spec.order_by:
                 e = o.expr
                 if isinstance(e, Lit) and isinstance(e.value, int):
+                    if not 1 <= e.value <= len(spec.select_order):
+                        # mirror the sibling planners: out-of-range
+                        # ordinals pass through so Spark's
+                        # ORDER_BY_POS_OUT_OF_RANGE stays authoritative
+                        raise Unsupported("order-by position out of range")
                     nm = spec.select_order[e.value - 1]
                 elif isinstance(e, Col) and e.name in spec.select_order:
                     nm = e.name
