@@ -927,10 +927,23 @@ class _ParquetEntry(CacheEntry):
                         raise _DriverPutOverflow()
                 else:
                     # refresh of a KNOWN-small state (prev_rows <= cap):
-                    # the plan may carry the fresh-rows Observation, which
-                    # a limit could truncate — keep the unbounded collect,
-                    # bounded in practice by prev_rows + the fresh window
-                    raw = state.toArrow()
+                    # bound the ACTUAL collect all the same — a refresh
+                    # window that explodes group cardinality (small prev
+                    # state, 50M-group burst) must spill to the
+                    # distributed store, not OOM the driver (r15 verdict,
+                    # last burst-class member). The limit is SAFE for the
+                    # fresh-rows Observation riding the plan: the observe
+                    # sits BELOW the warm merge's groupBy (a pipeline
+                    # breaker), so the map stage — scan + CollectMetrics —
+                    # always runs to completion and the metric reports the
+                    # full fresh count regardless of how few OUTPUT groups
+                    # the limit retains (verified empirically: limit(101)
+                    # over a 50k-group aggregate still observes all rows).
+                    raw = state.limit(
+                        self.DRIVER_COLLECT_MAX_ROWS + 1
+                    ).toArrow()
+                    if raw.num_rows > self.DRIVER_COLLECT_MAX_ROWS:
+                        raise _DriverPutOverflow()
                 tbl = _check_set_arrow(
                     _compact_hist_arrow(raw, self.hist_cap, self._fp),
                     self.set_cap, self._fp,
@@ -1371,7 +1384,12 @@ class _ParquetEntry(CacheEntry):
             return None  # known-big state: stay on the distributed path
         import pyarrow.parquet as pq
 
-        tbl = augmented.toArrow()  # the ONE job over the data
+        # the ONE job over the data — bounded: a cardinality burst must
+        # overflow to the caller's re-plan, not materialize driver-side
+        # first. Safe for the Observation (see :meth:`put`): the observe
+        # sits below the merge's groupBy, so the map stage always
+        # completes and the metric is the full fresh count.
+        tbl = augmented.limit(self.DRIVER_COLLECT_MAX_ROWS + 1).toArrow()
         if tbl.num_rows > self.DRIVER_COLLECT_MAX_ROWS:
             return None  # state outgrew the driver path; caller re-plans
         fresh_rows = fresh_rows_cb() if fresh_rows_cb is not None else None

@@ -631,11 +631,20 @@ class RefreshTiers:
                 sql = sql.replace("__QC_LO_D__", lo_d.isoformat())
                 sql = sql.replace("__QC_HI_D__", hi_d.isoformat())
             sql = self._bind_state_source(tpl, entry, cached_state, sql)
+            # bound the collect: a refresh window that explodes group
+            # cardinality (small prev state, huge fresh burst) must fall
+            # back to the classic program — whose store spills to the
+            # distributed path — not materialize driver-side first. The
+            # LIMIT cannot under-count the rider sum on the admitted path
+            # (overflow ⇒ fall back, the truncated table is discarded),
+            # and the observe-under-limit argument from ``cache.put``
+            # doesn't even arise (the rider rides the rows themselves).
+            cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
             with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 aug_fields = list(df.schema.fields)
-                tbl = df.toArrow()  # the ONE job over the data
+                tbl = df.limit(cap + 1).toArrow()  # the ONE job
         except Exception as e:
             # poison this template (wrong render, unregistered function,
             # ...) and fall back to the classic DataFrame program
@@ -643,6 +652,14 @@ class RefreshTiers:
             self.config.log.warn(
                 decision.fingerprint or "",
                 f"sql-template warm path failed ({e}); falling back",
+            )
+            return None
+        if tbl.num_rows > cap:
+            # transient burst, NOT a template defect: no poisoning — the
+            # classic program re-runs this refresh and stores distributed
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"template refresh grew past {cap} groups; classic fallback",
             )
             return None
 
@@ -1153,16 +1170,27 @@ class RefreshTiers:
             sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
             sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
             sql = self._bind_state_source(tpl, entry, cached_state, sql)
+            # burst bound — same contract as the static template: a
+            # cardinality explosion falls back to the classic program
+            # (bounded store, distributed spill), never materializes
+            # driver-side first
+            cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
             with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 aug_fields = list(df.schema.fields)
-                tbl = df.toArrow()  # the ONE job over the data
+                tbl = df.limit(cap + 1).toArrow()  # the ONE job
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(
                 decision.fingerprint or "",
                 f"dyn sql-template warm path failed ({e}); falling back",
+            )
+            return None
+        if tbl.num_rows > cap:
+            self.config.log.warn(
+                decision.fingerprint or "",
+                f"dyn template refresh grew past {cap} rows; classic fallback",
             )
             return None
 
@@ -1456,7 +1484,17 @@ class RefreshTiers:
             with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
-                scan = df.toArrow().to_pylist()
+                # burst bound (same contract as the template tiers):
+                # overflow falls through to the next tier, no poisoning
+                cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
+                scan_tbl = df.limit(cap + 1).toArrow()
+            if scan_tbl.num_rows > cap:
+                self.config.log.warn(
+                    decision.fingerprint or "",
+                    f"lite refresh grew past {cap} rows; next tier",
+                )
+                return None
+            scan = scan_tbl.to_pylist()
 
             state = self._load_driver_state(tpl, entry, cached_state)
             gnames = tpl["group_names"]
@@ -1973,7 +2011,17 @@ class RefreshTiers:
             with self._refresh_confs(spec):
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
-                scan = df.toArrow().to_pylist()
+                # burst bound (same contract as the template tiers):
+                # overflow falls through to the next tier, no poisoning
+                cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
+                scan_tbl = df.limit(cap + 1).toArrow()
+            if scan_tbl.num_rows > cap:
+                self.config.log.warn(
+                    decision.fingerprint or "",
+                    f"lite refresh grew past {cap} rows; next tier",
+                )
+                return None
+            scan = scan_tbl.to_pylist()
 
             state = self._load_driver_state(tpl, entry, cached_state)
             gnames = tpl["group_names"]
