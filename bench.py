@@ -47,29 +47,40 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(key: str, fn, runs: int = 2) -> None:
+    def timed(key: str, fn, runs: int = 2, jobs: bool = False) -> None:
         """Steady-state timing: best of ``runs`` — the first execution of a
         plan shape pays whole-stage-codegen compilation (~1-3s for the
         64-aggregate sketch operators), which a standing pipeline pays once,
-        not per query."""
+        not per query. ``jobs=True`` additionally records the Spark-job
+        count of the final run (structural, noise-free denominator for the
+        ratio gates — see the job-floor analysis beside timed_median)."""
         best = None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
-            fn()
+            if jobs and i == runs - 1:
+                _count_jobs(key, fn)
+            else:
+                fn()
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
         timings[key] = round(best, 3)
 
-    def timed_warm(key: str, qc, sql: str, nows) -> None:
+    def timed_warm(key: str, qc, sql: str, nows, jobs: bool = False) -> None:
         """Best of several ADVANCING warm refreshes: each gets a later
         ``now`` so every run is a genuine incremental refresh (a repeat at
         the same ``now`` would hit the zero-fresh hot path and measure
-        nothing). Mirrors a standing dashboard's steady state."""
+        nothing). Mirrors a standing dashboard's steady state. ``jobs=True``
+        records the Spark-job count of the LAST refresh (the refresh
+        program's job count is structural — identical across nows)."""
         best = None
-        for now_ns in nows:
+        for i, now_ns in enumerate(nows):
             qc.config.override_now_ns = now_ns
+            call = lambda: qc.sql(sql).collect()
             t0 = time.perf_counter()
-            qc.sql(sql).collect()
+            if jobs and i == len(nows) - 1:
+                _count_jobs(key, call)
+            else:
+                call()
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
         timings[key] = round(best, 3)
@@ -308,7 +319,7 @@ def main() -> None:
     dyn_flow(timed_run=False)
     dyn_flow(timed_run=True)
 
-    def timed_plain_advancing(key: str, sql_of_now, nows) -> None:
+    def timed_plain_advancing(key: str, sql_of_now, nows, jobs: bool = False) -> None:
         """Plain twin of ``timed_warm`` for dynamic (now()-relative)
         queries: best over the SAME advancing nows the warm path was
         measured at, each rendered as a fresh literal. A fixed-literal
@@ -318,9 +329,13 @@ def main() -> None:
         refresh). Symmetric treatment: both sides pay fresh-plan cost per
         refresh; static plains (no now()) keep fixed text, faithfully."""
         best = None
-        for now_ns in nows:
+        for i, now_ns in enumerate(nows):
+            call = lambda: spark.sql(sql_of_now(now_ns)).collect()
             t0 = time.perf_counter()
-            spark.sql(sql_of_now(now_ns)).collect()
+            if jobs and i == len(nows) - 1:
+                _count_jobs(key, call)
+            else:
+                call()
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
         timings[key] = round(best, 3)
@@ -542,13 +557,20 @@ def main() -> None:
         ).collect(),
     )
 
-    # corpus-context bigram rarity (r15): one (bigram,count) shuffle +
-    # one equi-join probe
+    # corpus-context bigram rarity — r16 single-pass window shape: the
+    # r15 plan tokenized the corpus TWICE (frequency branch + probe
+    # branch; Catalyst column pruning blocked exchange reuse) and paid a
+    # join. Now one scan → explode → exchange(key) → count() OVER
+    # (PARTITION BY key) → per-doc fold; jobs drop with the removed
+    # branch (recorded in "jobs"). The string-keyed default keeps the
+    # oracle bit-exact; hashed=True (xxhash64, 8-byte keys) is the 100 TB
+    # shuffle-bytes path, value-identical modulo 1e-9 collisions.
     from datafusion_query_cache_spark.operators.textstats import bigram_rarity
 
     timed(
         "op_bigram_rarity",
         lambda: bigram_rarity(docs).agg(F.sum("n_rare")).collect(),
+        jobs=True,
     )
 
     # sub-document (paragraph) exact dedup (r15): digest-only shuffles,
@@ -776,8 +798,8 @@ def main() -> None:
         ),
     )
     qz.sql(XK_SQL).collect()  # miss: state over all but the last two days
-    timed_warm("qc_x1000_warm", qz, XK_SQL, [hi_ns - DAY_NS, hi_ns + 1])
-    timed("qc_x1000_plain", lambda: spark.sql(XK_SQL).collect())
+    timed_warm("qc_x1000_warm", qz, XK_SQL, [hi_ns - DAY_NS, hi_ns + 1], jobs=True)
+    timed("qc_x1000_plain", lambda: spark.sql(XK_SQL).collect(), jobs=True)
 
     # FULL OUTER composite at x1000 (r15): plain re-joins the whole
     # corpus per run; the composite's warm cost is two O(new) cached
@@ -803,7 +825,8 @@ def main() -> None:
         qf.sql(FO_XK_SQL).collect()
         if timed_run:
             timed_warm(
-                "qc_fo_x1000_warm", qf, FO_XK_SQL, [hi_ns - DAY_NS, hi_ns + 1]
+                "qc_fo_x1000_warm", qf, FO_XK_SQL, [hi_ns - DAY_NS, hi_ns + 1],
+                jobs=True,
             )
         else:
             qf.config.override_now_ns = hi_ns + 1
@@ -811,7 +834,7 @@ def main() -> None:
 
     fo_xk_flow(timed_run=False)
     fo_xk_flow(timed_run=True)
-    timed("qc_fo_x1000_plain", lambda: spark.sql(FO_XK_SQL).collect())
+    timed("qc_fo_x1000_plain", lambda: spark.sql(FO_XK_SQL).collect(), jobs=True)
 
     # dynamic sliding window at x1000: the dyn path's crossover. Warm reads
     # full buckets from state, recomputes only the boundary bucket (one
@@ -837,7 +860,7 @@ def main() -> None:
         qzd.sql(DYN_XK_SQL).collect()  # miss: state over all but the tail
         nows = [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1]
         if timed_run:
-            timed_warm("qc_dyn_x1000_warm", qzd, DYN_XK_SQL, nows)
+            timed_warm("qc_dyn_x1000_warm", qzd, DYN_XK_SQL, nows, jobs=True)
         else:
             for now_ns in nows:
                 qzd.config.override_now_ns = now_ns
@@ -853,6 +876,7 @@ def main() -> None:
         "qc_dyn_x1000_plain",
         dyn_plain_sql("events_x1000", 25, "dd"),
         [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
+        jobs=True,
     )
 
     # --- high-cardinality state at x1000: the partitioned store-back ---------
@@ -887,7 +911,7 @@ def main() -> None:
         qh.sql(HC_SQL).collect()  # miss: ~775k-row state, partitioned write
         nows = [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1]
         if timed_run:
-            timed_warm("qc_hicard_warm", qh, HC_SQL, nows)
+            timed_warm("qc_hicard_warm", qh, HC_SQL, nows, jobs=True)
         else:
             for now_ns in nows:
                 qh.config.override_now_ns = now_ns
@@ -911,6 +935,7 @@ def main() -> None:
         "qc_hicard_plain",
         hicard_plain_sql,
         [hi_ns - 3 * DAY_NS // 2, hi_ns - DAY_NS, hi_ns + 1],
+        jobs=True,
     )
 
     # --- layer-cap amortization proof: refreshes PAST the compaction cap ----
@@ -953,6 +978,63 @@ def main() -> None:
     except ValueError:
         sf_num = sf
     total = round(sum(timings.values()), 3)
+
+    # --- COMMITTED RATIO GATES, job-count-backed (r15 verdict item 2) ----
+    # Each gate is checked INSIDE the artifact so a pass needs no
+    # COVERAGE explanation. Thresholds are set from the measured
+    # Spark-JOB-COUNT floors ("jobs" below), not from solo best-case
+    # runs:
+    # * qc_hicard: the warm refresh is SIX small jobs (pruned state
+    #   read + fresh tail + boundary day + store layers) vs plain's TWO
+    #   big scans. At sf0.1 each job carries ~0.1-0.2s fixed
+    #   scheduler/codegen cost, so warm's wall has a ~0.9s floor while
+    #   plain's 100M-row scan is only ~2.3s — the ratio bottoms out
+    #   near 0.4 HERE and keeps falling with scale (warm is O(new),
+    #   plain O(history)). Gate 0.65x: clears the floor's noise band
+    #   (driver artifacts r14/r15: 0.45/0.53; solo runs 0.32-0.46)
+    #   while still failing on any structural regression (a full
+    #   rescan would push the ratio past 1).
+    # * qc_fo_x1000 / qc_x1000 / qc_dyn_x1000: the x1000 rows are where
+    #   data cost exceeds job cost, so the O(new)-vs-O(history) gap is
+    #   structural — gate 0.5x with headroom (measured 0.23-0.26).
+    # * dedup/contam: unchanged r15 gates (0.55x wall + jobs(ingest) <=
+    #   jobs(batch); contam <= 2.5x wall at the shared 3-job floor).
+    def _gate(num: str, den: str, max_ratio: float) -> dict:
+        r = (
+            round(timings[num] / timings[den], 3)
+            if timings.get(den)
+            else None
+        )
+        out = {
+            "ratio": r,
+            "max": max_ratio,
+            "pass": bool(r is not None and r <= max_ratio),
+        }
+        for k in (num, den):
+            if k in jobcounts:
+                out.setdefault("jobs", {})[k] = jobcounts[k]
+        return out
+
+    gates = {
+        "qc_hicard_warm/qc_hicard_plain": _gate(
+            "qc_hicard_warm", "qc_hicard_plain", 0.65
+        ),
+        "qc_fo_x1000_warm/qc_fo_x1000_plain": _gate(
+            "qc_fo_x1000_warm", "qc_fo_x1000_plain", 0.5
+        ),
+        "qc_x1000_warm/qc_x1000_plain": _gate(
+            "qc_x1000_warm", "qc_x1000_plain", 0.5
+        ),
+        "qc_dyn_x1000_warm/qc_dyn_x1000_plain": _gate(
+            "qc_dyn_x1000_warm", "qc_dyn_x1000_plain", 0.5
+        ),
+        "op_incr_dedup_update/op_dedup_batch_full": _gate(
+            "op_incr_dedup_update", "op_dedup_batch_full", 0.55
+        ),
+        "op_incr_contam_update/op_contam_batch": _gate(
+            "op_incr_contam_update", "op_contam_batch", 2.5
+        ),
+    }
     print(
         json.dumps(
             {
@@ -966,6 +1048,9 @@ def main() -> None:
                 # op_incr_dedup_update/op_dedup_batch_full <= 0.55x —
                 # see the job-floor analysis beside timed_median.
                 "jobs": jobcounts,
+                # committed, artifact-internal ratio gates (see the floor
+                # analysis above _gate): every entry must report pass=true
+                "gates": gates,
                 "sf": sf_num,
             }
         )

@@ -239,6 +239,7 @@ def bigram_rarity(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_count: int = 1,
+    hashed: bool = False,
 ) -> DataFrame:
     """Corpus-CONTEXT quality signal (the CCNet idea without an external
     LM): per document, the fraction of its bigrams that are RARE in the
@@ -251,13 +252,25 @@ def bigram_rarity(
     integer counts or one IEEE-exact division — bit-replicable in the SQL
     oracle (no libm log whose last ULP could differ across engines).
 
-    Plan shape: bigrams form array-side (the ``bigram_frequencies``
-    slice-zip — no position self-join); the corpus frequency table
-    shuffles (bigram, count) pairs after map-side combine; the doc-side
-    probe is one equi-join on the bigram string keyed the same way, then
-    a per-doc fold. Same tokenization as ``term_frequencies`` /
-    ``bigram_frequencies`` (lowercase whitespace split, empties dropped).
+    Plan shape (r16: ONE corpus pass, NO join): bigrams form array-side
+    (the ``bigram_frequencies`` slice-zip — no position self-join); the
+    corpus frequency of each occurrence is a ``count(*) OVER
+    (PARTITION BY key)`` window, so the whole operator is one LINEAR
+    plan — scan → explode → exchange(key) → window → per-doc fold. The
+    r15 shape tokenized the corpus twice (a frequency-table branch plus
+    a probe branch — Catalyst's column pruning made the two exchanges
+    non-reusable) and paid a join; the window replaces both with a sort
+    inside the single key exchange.
+
+    ``hashed=True`` keys the shuffle + window on ``xxhash64(bigram)``
+    (8 bytes) instead of the bigram string — the 100 TB path, where the
+    string keys dominate the operator's shuffle bytes and the window
+    sort. Counts are identical modulo 64-bit collisions (~1e-9 at 1e5
+    distinct bigrams); the string default keeps the DuckDB oracle
+    bit-exact (``contamination_scores`` precedent).
     """
+    from pyspark.sql import Window
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
@@ -266,14 +279,15 @@ def bigram_rarity(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
     )
+    bigram = F.concat_ws(" ", F.col("p.a"), F.col("p.b"))
+    key = F.xxhash64(bigram) if hashed else bigram
     doc_bg = df.select(
         F.col(id_col), F.explode(pairs).alias("p")
-    ).select(
-        id_col, F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram")
+    ).select(id_col, key.alias("__qc_bg"))
+    tagged = doc_bg.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("__qc_bg"))
     )
-    corpus = bigram_frequencies(df, text_col)
-    joined = doc_bg.join(corpus, ["bigram"])  # every doc bigram exists
-    scored = joined.groupBy(id_col).agg(
+    scored = tagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum((F.col("n") <= F.lit(max_count)).cast("long"))
         .cast("long")
