@@ -416,6 +416,91 @@ ORDER BY c.doc_id
 """
 
 
+def _op_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at sliding 12-token-window grain (r16; Lee
+    et al. 2022 span removal, ``operators/dedup.py substring_dedup``).
+    Same synthetic boilerplate corpus as op_para_dedup (a trailing span
+    shared by ~1/50th of the corpus), but joined with ' ' so the shared
+    region does NOT align to a paragraph boundary — the grain this
+    operator exists for. Window 12 (not 50) so sf0.01's short documents
+    actually carry colliding spans."""
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT d.doc_id, concat(d.text, ' ', r.text) AS text "
+        "FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50"
+    )
+    return substring_dedup(corpus, window=12).orderBy("doc_id")
+
+
+def _op_incr_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup (r16): a standing SubstringDedupIndex
+    driven through two ascending ingests must emit exactly the batch
+    operator's output (same oracle as op_substr_dedup) — the claimed
+    window-hash frontier is monotone under ascending ids."""
+    import tempfile as _tf
+
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+    )
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT d.doc_id, concat(d.text, ' ', r.text) AS text "
+        "FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50"
+    )
+    ids = sorted(r[0] for r in corpus.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    idx = SubstringDedupIndex(_tf.mkdtemp(prefix="qc-entry-sd-"), window=12)
+    idx.update(corpus.filter(F.col("doc_id") <= cut))
+    idx.update(corpus)
+    return idx.output(spark).orderBy("doc_id")
+
+
+_SUBSTR_DEDUP_ORACLE = r"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text || ' ' || r.text AS text
+  FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50
+), toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM corpus
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 12 AS INT)], ' ') AS w
+  FROM toks, UNNEST(generate_series(0, len(tk) - 12)) AS g(i)
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+  FROM occ
+), rm AS (
+  SELECT DISTINCT r.doc_id, CAST(u.j AS INT) AS idx
+  FROM ranked r, UNNEST(generate_series(r.pos, r.pos + 11)) AS u(j)
+  WHERE r.rn > 1
+), tokens AS (
+  SELECT doc_id,
+         unnest(tk) AS tok,
+         generate_subscripts(tk, 1) - 1 AS idx
+  FROM toks
+), kept AS (
+  SELECT t.doc_id, t.tok, t.idx
+  FROM tokens t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.idx = t.idx
+  WHERE rm.idx IS NULL
+)
+SELECT c.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS text,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(count(k.tok) AS BIGINT) AS n_kept
+FROM corpus c
+JOIN toks t USING (doc_id)
+LEFT JOIN kept k ON k.doc_id = c.doc_id
+GROUP BY c.doc_id, t.tk
+ORDER BY c.doc_id
+"""
+
+
 def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_query_cache_spark.operators.textstats import (
         contamination_scores,
@@ -1876,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_incr_contamination"] = _op_incr_contamination
     # r15: incremental paragraph dedup (ascending ingests == batch)
     q["op_incr_para_dedup"] = _op_incr_para_dedup
+    # r16: exact substring dedup at sliding-window grain + its index
+    q["op_substr_dedup"] = _op_substr_dedup
+    q["op_incr_substr_dedup"] = _op_incr_substr_dedup
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: corpus-context bigram rarity (CCNet-style quality proxy)
@@ -1987,6 +2075,9 @@ def oracle_sql() -> dict[str, str]:
     o["op_para_dedup"] = _PARA_DEDUP_ORACLE
     # the incremental index must emit exactly the batch output: same oracle
     o["op_incr_para_dedup"] = _PARA_DEDUP_ORACLE
+    o["op_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
+    # ascending ingests == batch: same oracle
+    o["op_incr_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle
     o["op_incr_contamination"] = _CONTAMINATION_ORACLE
     o["op_pack_sequences"] = _PACK_ORACLE

@@ -584,6 +584,19 @@ def main() -> None:
         ).collect(),
     )
 
+    # exact substring dedup at sliding 12-token-window grain (r16): one
+    # 8-byte-hash key exchange + window min (the single-pass shape), an
+    # (id, ints) span fold, scan-side trim — window TEXT never shuffles
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+
+    timed(
+        "op_substr_dedup",
+        lambda: substring_dedup(docs, window=12).agg(
+            F.sum("n_kept")
+        ).collect(),
+        jobs=True,
+    )
+
     minhash_dedup_pairs(docs, threshold=0.8).count()  # untimed JIT warmup
     timed_median(
         "op_dedup_batch_full",

@@ -179,6 +179,84 @@ def paragraph_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Exact SUBSTRING dedup at sliding-window grain (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb): every exact ``window``-token span that already appeared
+    earlier in the corpus is REMOVED — only its first occurrence's text
+    survives. Finer than :func:`paragraph_dedup` (boilerplate that never
+    aligns to paragraph boundaries) and coarser than near-dup.
+
+    Semantics (the oracle-pinned contract):
+
+    * tokens = whitespace split, empties dropped (the ``textstats``
+      tokenization, case-preserving); reassembly joins with single
+      spaces, so inter-token whitespace is normalized.
+    * occurrences = every start position ``0 <= p <= n_tokens - window``
+      (docs shorter than ``window`` are untouched);
+    * winner per distinct window text = min ``(id, pos)`` — the
+      keep-first policy of :func:`paragraph_dedup`, deterministic and
+      partitioning-insensitive;
+    * every LOSING occurrence removes its full span ``[p, p+window)``;
+      a token survives iff NO losing span covers it (spans union —
+      a loser overlapping a winner still trims the overlap, exactly the
+      span-removal rule of the reference pipelines).
+
+    Returns ``(id, text [reassembled], n_tokens, n_kept)``.
+
+    Scale shape (100 TB): window TEXT never rides a shuffle. Each
+    occurrence hashes scan-side (``xxhash64`` over the sliced token
+    span → 8 bytes); the winner decision is ``min(struct(id,pos)) OVER
+    (PARTITION BY h)`` — ONE key exchange, no frequency-table branch or
+    join-back (the single-pass window shape of ``bigram_rarity``); loser
+    positions fold to a per-doc int array (an (id, ints) shuffle), and
+    trimming is scan-side ``F.filter`` over the token array. No UDFs.
+    """
+    from pyspark.sql import Window as _W
+
+    W = int(window)
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    nt = F.size(toks)
+    starts = F.when(
+        nt >= W, F.sequence(F.lit(0), nt - F.lit(W))
+    ).otherwise(F.array().cast("array<int>"))
+    occ = df.select(
+        F.col(id_col), toks.alias("__tk"), F.explode(starts).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("__tk"), F.col("pos") + 1, W))
+        ).alias("h"),
+    )
+    wmin = F.min(F.struct(id_col, "pos")).over(_W.partitionBy("h"))
+    losers = occ.withColumn("__w", wmin).filter(
+        (F.col(id_col) != F.col(f"__w.{id_col}"))
+        | (F.col("pos") != F.col("__w.pos"))
+    )
+    rm = losers.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
+    rm_arr = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept_arr = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            rm_arr, lambda s: (s <= i) & (i < s + F.lit(W))
+        ),
+    )
+    return df.join(rm, [id_col], "left").select(
+        F.col(id_col),
+        F.array_join(kept_arr, " ").alias(text_col),
+        nt.cast("long").alias("n_tokens"),
+        F.size(kept_arr).cast("long").alias("n_kept"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

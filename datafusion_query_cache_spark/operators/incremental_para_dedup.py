@@ -39,22 +39,14 @@ from pyspark.sql import functions as F
 from .incremental_dedup import ConcurrentIndexWriter
 
 
-class ParagraphDedupIndex:
-    """Durable incremental paragraph-dedup index at ``path``."""
+class _ClaimedDigestIndex:
+    """Shared durable-index plumbing for claimed-digest dedup frontiers
+    (paragraph and substring grain): parquet parts + atomic ``meta.json``
+    swap, single-writer commit-token fence, id watermark. Subclasses
+    define ``_params()`` and the ingest program."""
 
-    def __init__(
-        self,
-        path: str,
-        sep: str = "\n",
-        min_chars: int = 0,
-        text_col: str = "text",
-        id_col: str = "doc_id",
-    ) -> None:
+    def __init__(self, path: str) -> None:
         self.path = path
-        self.sep = sep
-        self.min_chars = min_chars
-        self.text_col = text_col
-        self.id_col = id_col
         os.makedirs(path, exist_ok=True)
         self._meta: Optional[dict] = None
         mp = os.path.join(path, "meta.json")
@@ -69,8 +61,8 @@ class ParagraphDedupIndex:
                 )
         self._token: Optional[str] = (self._meta or {}).get("token")
 
-    def _params(self) -> dict:
-        return {"sep": self.sep, "min_chars": self.min_chars}
+    def _params(self) -> dict:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def _fence(self) -> None:
         mp = os.path.join(self.path, "meta.json")
@@ -129,15 +121,15 @@ class ParagraphDedupIndex:
             out = out.unionByName(rd.parquet(p))
         return out
 
-    def _out_schema(self) -> str:
-        return (
-            f"{self.id_col} long, {self.text_col} string, "
-            "n_paras long, n_kept long"
-        )
+    #: schema of one stored claimed digest (subclasses override)
+    _SEEN_SCHEMA = "h binary"
+
+    def _out_schema(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def claimed(self, spark: SparkSession) -> Optional[DataFrame]:
-        """The stored claimed-digest set (16-byte md5 per paragraph)."""
-        return self._read(spark, "seen_parts", "h binary")
+        """The stored claimed-digest set."""
+        return self._read(spark, "seen_parts", self._SEEN_SCHEMA)
 
     def output(self, spark: SparkSession) -> DataFrame:
         """The deduped corpus emitted so far (union of immutable parts)."""
@@ -145,6 +137,35 @@ class ParagraphDedupIndex:
         if got is None:
             return spark.createDataFrame([], self._out_schema())
         return got
+
+
+class ParagraphDedupIndex(_ClaimedDigestIndex):
+    """Durable incremental paragraph-dedup index at ``path``."""
+
+    _SEEN_SCHEMA = "h binary"  # 16-byte md5 per paragraph
+
+    def __init__(
+        self,
+        path: str,
+        sep: str = "\n",
+        min_chars: int = 0,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.sep = sep
+        self.min_chars = min_chars
+        self.text_col = text_col
+        self.id_col = id_col
+        super().__init__(path)
+
+    def _params(self) -> dict:
+        return {"sep": self.sep, "min_chars": self.min_chars}
+
+    def _out_schema(self) -> str:
+        return (
+            f"{self.id_col} long, {self.text_col} string, "
+            "n_paras long, n_kept long"
+        )
 
     def update(self, corpus: DataFrame) -> DataFrame:
         """Ingest every corpus row with ``id > watermark``: dedup the
@@ -215,6 +236,133 @@ class ParagraphDedupIndex:
         out_rows.write.parquet(os.path.join(self.path, oname))
         sname = f"seen-{uuid.uuid4().hex[:12]}"
         winners.select("h").write.parquet(os.path.join(self.path, sname))
+        meta["out_parts"] = meta.get("out_parts", []) + [oname]
+        meta["seen_parts"] = meta.get("seen_parts", []) + [sname]
+        meta["watermark_id"] = int(hi)
+        self._swap_meta(meta)
+        return spark.read.schema(self._out_schema()).parquet(
+            os.path.join(self.path, oname)
+        )
+
+class SubstringDedupIndex(_ClaimedDigestIndex):
+    """Durable incremental SUBSTRING-grain dedup index (the sliding
+    ``window``-token grain of :func:`~.dedup.substring_dedup`).
+
+    Same monotonicity argument as the paragraph grain: keep-first
+    ``(id, pos)`` means a window's global first occurrence lives in the
+    EARLIEST ascending-id ingest that contains it, so already-emitted
+    documents never change. The frontier state is the claimed set of
+    8-byte window hashes; a delta occurrence loses iff its hash is
+    already claimed OR it is not the delta's own within-batch winner.
+
+    Invariant (pinned by test): after any ascending sequence of
+    ``update()`` calls covering corpus C, ``output()`` ==
+    ``substring_dedup(C, window=w)``.
+    """
+
+    _SEEN_SCHEMA = "h long"  # 8-byte xxhash64 per window span
+
+    def __init__(
+        self,
+        path: str,
+        window: int = 50,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.window = int(window)
+        self.text_col = text_col
+        self.id_col = id_col
+        super().__init__(path)
+
+    def _params(self) -> dict:
+        return {"window": self.window}
+
+    def _out_schema(self) -> str:
+        return (
+            f"{self.id_col} long, {self.text_col} string, "
+            "n_tokens long, n_kept long"
+        )
+
+    def update(self, corpus: DataFrame) -> DataFrame:
+        """Ingest every corpus row with ``id > watermark``: trim the
+        delta's losing spans (vs the claimed set + within-delta
+        keep-first), emit the new docs' reassembled rows, claim the
+        delta's fresh window hashes, advance the watermark. Returns the
+        NEW docs' output rows."""
+        from pyspark.sql import Window as _W
+
+        spark = corpus.sparkSession
+        self._fence()
+        meta = dict(self._meta or {})
+        wm = meta.get("watermark_id")
+        fresh = (
+            corpus
+            if wm is None
+            else corpus.filter(F.col(self.id_col) > F.lit(wm))
+        )
+        hi = fresh.agg(F.max(self.id_col).alias("hi")).collect()[0]["hi"]
+        if hi is None:
+            return self.output(spark).limit(0)  # nothing new
+
+        Wn = self.window
+        toks = F.filter(
+            F.split(F.col(self.text_col), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+        nt = F.size(toks)
+        starts = F.when(
+            nt >= Wn, F.sequence(F.lit(0), nt - F.lit(Wn))
+        ).otherwise(F.array().cast("array<int>"))
+        occ = fresh.select(
+            F.col(self.id_col),
+            toks.alias("__tk"),
+            F.explode(starts).alias("pos"),
+        ).select(
+            self.id_col,
+            "pos",
+            F.xxhash64(
+                F.concat_ws(
+                    " ", F.slice(F.col("__tk"), F.col("pos") + 1, Wn)
+                )
+            ).alias("h"),
+        )
+        seen = self.claimed(spark)
+        if seen is not None:
+            occ = occ.join(
+                seen.withColumn("__cl", F.lit(1)), ["h"], "left"
+            )
+        else:
+            occ = occ.withColumn("__cl", F.lit(None).cast("int"))
+        wmin = F.min(F.struct(self.id_col, "pos")).over(_W.partitionBy("h"))
+        tagged = occ.withColumn("__w", wmin)
+        losers = tagged.filter(
+            F.col("__cl").isNotNull()
+            | (F.col(self.id_col) != F.col(f"__w.{self.id_col}"))
+            | (F.col("pos") != F.col("__w.pos"))
+        )
+        rm = losers.groupBy(self.id_col).agg(
+            F.collect_set("pos").alias("__rm")
+        )
+        rm_arr = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+        kept_arr = F.filter(
+            toks,
+            lambda x, i: ~F.exists(
+                rm_arr, lambda s: (s <= i) & (i < s + F.lit(Wn))
+            ),
+        )
+        out_rows = fresh.join(rm, [self.id_col], "left").select(
+            F.col(self.id_col),
+            F.array_join(kept_arr, " ").alias(self.text_col),
+            nt.cast("long").alias("n_tokens"),
+            F.size(kept_arr).cast("long").alias("n_kept"),
+        )
+        # fresh claims: the delta's distinct hashes not already claimed
+        claims = tagged.filter(F.col("__cl").isNull()).select("h").distinct()
+
+        oname = f"out-{uuid.uuid4().hex[:12]}"
+        out_rows.write.parquet(os.path.join(self.path, oname))
+        sname = f"seen-{uuid.uuid4().hex[:12]}"
+        claims.write.parquet(os.path.join(self.path, sname))
         meta["out_parts"] = meta.get("out_parts", []) + [oname]
         meta["seen_parts"] = meta.get("seen_parts", []) + [sname]
         meta["watermark_id"] = int(hi)

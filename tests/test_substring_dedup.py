@@ -1,0 +1,132 @@
+"""Exact substring dedup at sliding-window grain (Lee et al. 2022 /
+RefinedWeb span removal), batch + incremental.
+
+Batch contract: winner per distinct window text = min (id, pos); every
+losing occurrence removes its full token span; a token survives iff no
+losing span covers it. Incremental contract (metamorphic, the
+paragraph-index invariant): any ascending sequence of updates covering
+corpus C yields output == substring_dedup(C)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set
+
+W = 12
+
+
+@pytest.fixture()
+def corpus(spark):
+    # each doc gets a trailing span shared by ~1/50th of the corpus —
+    # long real-text spans so 12-token windows actually collide
+    return spark.sql(
+        "SELECT d.doc_id, concat(d.text, ' ', r.text) AS text "
+        "FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50"
+    )
+
+
+def _batch(corpus, window=W):
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(corpus, window=window)
+
+
+def test_semantics_handmade(spark):
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e z"),  # interior span loses to doc 1
+        (3, "a b c d e f g h"),  # exact duplicate -> fully removed
+        (4, "q r s"),            # shorter than the window: untouched
+        (5, ""),
+        (6, "a  b   c d e f g h"),  # whitespace variant normalizes -> dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(df, window=4).collect()
+    }
+    assert got[1] == ("a b c d e f g h", 8, 8)
+    assert got[2] == ("x y z", 8, 3)  # spans [2,6) and [3,7) removed
+    assert got[3] == ("", 8, 0)
+    assert got[4] == ("q r s", 3, 3)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 8, 0)
+
+
+def test_keep_first_is_partitioning_insensitive(spark, corpus):
+    a = rows_set(_batch(corpus))
+    b = rows_set(_batch(corpus.repartition(17).sortWithinPartitions(F.rand(7))))
+    assert a == b
+
+
+def test_dedup_actually_fires_on_corpus(spark, corpus):
+    out = _batch(corpus)
+    trimmed = out.filter(F.col("n_kept") < F.col("n_tokens")).count()
+    assert trimmed > 0  # the synthetic shared spans must collide
+
+
+def test_three_ingests_equal_batch(spark, corpus, tmp_path):
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+    )
+
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    idx = SubstringDedupIndex(str(tmp_path / "sd"), window=W)
+    out1 = idx.update(corpus.filter(F.col("doc_id") <= c1)).collect()
+    assert idx.watermark_id == c1
+    idx.update(corpus.filter(F.col("doc_id") <= c2))
+    idx.update(corpus)
+    assert idx.watermark_id == ids[-1]
+    assert rows_set(idx.output(spark)) == rows_set(_batch(corpus))
+    # ingest-1 rows were final on emission (outputs immutable)
+    out_now = {
+        r["doc_id"]: r["text"]
+        for r in idx.output(spark).filter(F.col("doc_id") <= c1).collect()
+    }
+    assert {r["doc_id"]: r["text"] for r in out1} == out_now
+
+
+def test_update_returns_only_new_docs_and_empty_delta(spark, corpus, tmp_path):
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+    )
+
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    c1 = ids[len(ids) // 2]
+    idx = SubstringDedupIndex(str(tmp_path / "sd2"), window=W)
+    idx.update(corpus.filter(F.col("doc_id") <= c1))
+    got = idx.update(corpus)
+    assert {r["doc_id"] for r in got.collect()} == {i for i in ids if i > c1}
+    again = idx.update(corpus)
+    assert again.count() == 0
+    assert rows_set(idx.output(spark)) == rows_set(_batch(corpus))
+
+
+def test_durable_and_fenced(spark, corpus, tmp_path):
+    from datafusion_query_cache_spark.operators.incremental_dedup import (
+        ConcurrentIndexWriter,
+    )
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+    )
+
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    c1 = ids[len(ids) // 2]
+    path = str(tmp_path / "sd3")
+    a = SubstringDedupIndex(path, window=W)
+    a.update(corpus.filter(F.col("doc_id") <= c1))
+    b = SubstringDedupIndex(path, window=W)
+    assert b.watermark_id == c1
+    b.update(corpus)
+    assert rows_set(b.output(spark)) == rows_set(_batch(corpus))
+    with pytest.raises(ConcurrentIndexWriter):
+        a.update(corpus)
+    # parameter pinning: a different window refuses the existing index
+    with pytest.raises(ValueError):
+        SubstringDedupIndex(path, window=W + 1)
