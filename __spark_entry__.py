@@ -501,6 +501,26 @@ ORDER BY c.doc_id
 """
 
 
+_NESTED_STATIC_SQL = (
+    "SELECT k, n, s FROM (SELECT event_type AS k, count(*) AS n, "
+    "round(sum(value), 2) AS s FROM {v} "
+    "WHERE value > (SELECT max(value) FROM {v}) / 2 "
+    "GROUP BY event_type) t ORDER BY k"
+)
+
+
+def _qc_nested_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-inner nested scalar fold (r16): the derived MIDDLE level is
+    cached even though its WHERE carries a scalar subquery — the inner is
+    volatile-free, so the session folds its plan-time value as a literal
+    and the middle's fingerprint embeds it (state never mixes admission
+    thresholds; a changed inner value opens a fresh entry). max()/2 is
+    bit-exact in both engines (no re-association, power-of-two divide)."""
+    return _qc_two_run(
+        spark, sf_dir, _NESTED_STATIC_SQL.format(v="ev_nst"), "ev_nst"
+    )
+
+
 def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_query_cache_spark.operators.textstats import (
         contamination_scores,
@@ -1951,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_right_using"] = _qc_right_using
     # r15: NATURAL join de-sugared onto the USING cached path
     q["qc_natural_join"] = _qc_natural_join
+    # r16: static-inner nested scalar folds into a CACHED middle level
+    q["qc_nested_static"] = _qc_nested_static
     # r14: grouped correlated-subquery body with HAVING (off-window)
     q["qc_corr_grouped"] = _qc_corr_grouped
     # r14: benchmark decontamination (off-window)
@@ -2083,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_pack_sequences"] = _PACK_ORACLE
     o["op_bigram_rarity"] = _BIGRAM_RARITY_ORACLE
     o["op_redact_pii"] = _PII_ORACLE
+    o["qc_nested_static"] = _NESTED_STATIC_SQL.format(v="events")
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
         "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "

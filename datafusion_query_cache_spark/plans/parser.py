@@ -654,15 +654,16 @@ def _scalar_subquery(node: Dict[str, Any]) -> Expr:
     ):
         raise Unsupported("subquery must be a one-column aggregate")
     for e in [inner.predicate, inner.having]:
-        if e is not None and _contains_scalar_subq(e):
-            # Explicit refusal (r14, considered and rejected): the MIDDLE
-            # level of a nested-subquery chain filters its rows by a
-            # MOVING scalar (the innermost refreshes between runs), so its
-            # accumulated state would mix rows admitted under different
-            # thresholds — unsound on the union-merge seam — while an
-            # UNCACHED middle rescans the source every query, which is
-            # exactly what passthrough already does with zero added
-            # machinery. Only a top-level fold has a sound seam.
+        if e is not None and not _nested_scalars_foldable(e):
+            # Explicit refusal (r14, narrowed r16): the MIDDLE level of a
+            # nested-subquery chain filters its rows by a MOVING scalar
+            # (the innermost refreshes between runs), so its accumulated
+            # state would mix rows admitted under different thresholds —
+            # unsound on the union-merge seam. The STATIC-inner special
+            # case (see _static_scalar) is now admitted: the session
+            # folds the value as a literal, the middle's fingerprint
+            # embeds it, and a changed value opens a fresh entry instead
+            # of mixing. Everything else stays passthrough.
             raise Unsupported("nested subquery in a subquery body")
     if sq_type == "SCALAR":
         if inner.group_by or inner.having is not None:
@@ -696,6 +697,65 @@ def _contains_scalar_subq(e: Expr) -> bool:
         isinstance(n, (ScalarSubquery, InSubquery, ExistsSubquery, CorrScalar))
         for n in e.walk()
     )
+
+
+def _static_scalar(n) -> bool:
+    """True iff ``n`` is an UNCORRELATED ScalarSubquery whose body is
+    volatile-free and subquery-free — the STATIC-inner shape whose value
+    the session may fold into an ENCLOSING CACHED spec (r16).
+
+    Soundness: the fold substitutes the plan-time VALUE as a literal, so
+    the enclosing spec's fingerprint embeds it — state admitted under one
+    threshold can never merge with state admitted under another (a
+    changed value is a new, cold entry). A now()-bearing body stays
+    refused: its value moves EVERY run, so the embedded-literal entry
+    would orphan per query — strictly worse than passthrough. Depth ≥ 3
+    (a subquery inside the static body) stays refused too."""
+    from .ir import (
+        CorrScalar,
+        ExistsSubquery,
+        Func,
+        InSubquery,
+        ScalarSubquery,
+    )
+    from .classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+
+    if not isinstance(n, ScalarSubquery):
+        return False
+    sp = n.spec
+    if sp is None:
+        return False
+    exprs = [i.expr for i in sp.aggregates]
+    exprs.extend(i.expr for i in sp.group_by)
+    if sp.predicate is not None:
+        exprs.append(sp.predicate)
+    if sp.having is not None:
+        exprs.append(sp.having)
+    exprs.extend(js.on for js in sp.join_steps if js.on is not None)
+    for e in exprs:
+        for m in e.walk():
+            if isinstance(m, Func) and m.name.lower() in (
+                VOLATILE_FNS | VOLATILE_TIME_FNS
+            ):
+                return False
+            if isinstance(
+                m, (ScalarSubquery, InSubquery, ExistsSubquery, CorrScalar)
+            ):
+                return False
+    return True
+
+
+def _nested_scalars_foldable(e: Expr) -> bool:
+    """True iff every subquery node in ``e`` is a static scalar the
+    session can literal-fold (no subquery at all counts too)."""
+    from .ir import CorrScalar, ExistsSubquery, InSubquery, ScalarSubquery
+
+    for n in e.walk():
+        if isinstance(n, (InSubquery, ExistsSubquery, CorrScalar)):
+            return False
+        if isinstance(n, ScalarSubquery) and not _static_scalar(n):
+            return False
+    return True
 
 
 def scalar_subqueries(spec) -> list:
@@ -762,6 +822,26 @@ def select_scalar_subqueries(spec) -> list:
             if isinstance(n, (ScalarSubquery, CorrScalar))
         )
     return out
+
+
+def _derived_scalar_fold_ok(spec) -> bool:
+    """A derived-table body may carry subqueries ONLY as static scalars
+    in its WHERE/HAVING (the r16 literal fold); anywhere else — select
+    items, group/order expressions, a nested derived body — refuses."""
+    from .ir import AggSpec
+
+    if not isinstance(spec, AggSpec):
+        return False
+    if select_scalar_subqueries(spec):
+        return False
+    for e in (spec.predicate, spec.having):
+        if e is not None and not _nested_scalars_foldable(e):
+            return False
+    other = [i.expr for i in spec.group_by]
+    other.extend(i.expr for i in spec.aggregates)
+    other.extend(o.expr for o in spec.order_by)
+    other.extend(js.on for js in spec.join_steps if js.on is not None)
+    return not any(_contains_scalar_subq(e) for e in other)
 
 
 def _spec_has_scalar_subq(spec) -> bool:
@@ -3163,8 +3243,10 @@ def _lower_subquery(node: Dict[str, Any]):
     if ft.get("sample"):
         raise Unsupported("TABLESAMPLE")
     inner = _lower_select(ft["subquery"]["node"])
-    if _spec_has_scalar_subq(inner):
-        # the session resolves scalar subqueries only at the top level
+    if _spec_has_scalar_subq(inner) and not _derived_scalar_fold_ok(inner):
+        # the session resolves scalar subqueries at the top level, plus
+        # (r16) STATIC scalars inside a cached derived body's
+        # WHERE/HAVING — those fold to fingerprint-embedded literals
         raise Unsupported("scalar subquery inside a derived table")
     if not isinstance(inner, (AggSpec, _SubquerySpec)):
         # FilterSpec inner stays passthrough: its row-set state is the

@@ -2075,6 +2075,73 @@ class CachedSparkSession(RefreshTiers):
     #: the FULL-OUTER composite's supported vocabulary
     _FULL_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
+    def _fold_static_scalars(self, query: str, spec):
+        """Resolve STATIC nested scalar subqueries in a CACHED spec's
+        WHERE/HAVING to plan-time literals (r16 static-inner fold).
+
+        The parser admits these only when the innermost body is
+        uncorrelated, volatile-free and subquery-free
+        (``parser._static_scalar``), which makes the fold sound: the
+        substituted literal rides into this spec's canonical predicate →
+        the FINGERPRINT embeds the value → state admitted under
+        different inner values lives in different entries and never
+        mixes on the union-merge seam. Each inner scalar itself plans
+        through the full cached pipeline (O(new) refresh + a 1-row
+        collect), the same treatment ``_plan_scalar_outer`` gives
+        top-level scalars — the difference is that HERE the enclosing
+        spec stays cacheable because a static inner changes value only
+        when its source data grows (occasionally → occasional cold
+        entry), never per-run."""
+        import dataclasses
+
+        from .plans.ir import Lit as _Lit
+        from .plans.ir import ScalarSubquery as _SS
+        from .plans.ir import transform as _transform
+
+        def _collect(e):
+            if e is None:
+                return []
+            return [n for n in e.walk() if isinstance(n, _SS)]
+
+        having = getattr(spec, "having", None)
+        subqs = _collect(spec.predicate) + _collect(having)
+        if not subqs:
+            return spec
+
+        _OK = (bool, int, float, str, _dec.Decimal, _dt.date, _dt.datetime)
+        resolved: Dict[object, object] = {}
+        for sq in subqs:
+            if sq in resolved:
+                continue
+            idf, idec = self._plan_cached(query, sq.spec)
+            rows = idf.collect()  # global aggregate: exactly one row
+            val = rows[0][0] if rows else None
+            if val is not None and not isinstance(val, _OK):
+                raise Unsupported(
+                    f"scalar subquery value type {type(val).__name__}"
+                )
+            resolved[sq] = _Lit(val)
+            self.config.log.info(
+                idec.fingerprint or "-",
+                f"static nested scalar folded as literal ({val!r}); "
+                "enclosing fingerprint embeds it",
+            )
+
+        def _sub(n):
+            return resolved.get(n, n) if isinstance(n, _SS) else n
+
+        return dataclasses.replace(
+            spec,
+            predicate=(
+                _transform(spec.predicate, _sub)
+                if spec.predicate is not None
+                else None
+            ),
+            having=(
+                _transform(having, _sub) if having is not None else None
+            ),
+        )
+
     def _plan_full_outer(self, query: str, spec: AggSpec):
         """Pin ONE evaluation instant across the whole FULL composite.
 
@@ -2378,6 +2445,8 @@ class CachedSparkSession(RefreshTiers):
 
         if any(js.how == "full" for js in spec.join_steps):
             return self._plan_full_outer(query, spec)
+
+        spec = self._fold_static_scalars(query, spec)
 
         if spec.having is not None:
             # HAVING sits above the aggregate, so it never affects cached

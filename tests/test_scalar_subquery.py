@@ -78,16 +78,20 @@ def test_parse_scalar_subquery():
             "ORDER BY (SELECT count(*) FROM events)",
             "scalar subquery in ORDER BY",
         ),
-        # nested scalar subqueries
+        # r16: STATIC nested scalars now fold (see test_nested_static.py);
+        # a VOLATILE inner still refuses — its value moves every run, so
+        # the fingerprint-embedded literal would orphan per query
         (
             "SELECT event_id FROM events WHERE value > (SELECT avg(value) "
-            "FROM events WHERE value > (SELECT min(value) FROM events))",
+            "FROM events WHERE value > (SELECT min(value) FROM events "
+            "WHERE ts < now()))",
             "nested subquery",
         ),
-        # inside a derived table: the top-level resolution never sees it
+        # inside a derived table's SELECT items: only WHERE/HAVING fold
         (
-            "SELECT n FROM (SELECT event_type, count(*) AS n FROM events "
-            "WHERE value > (SELECT avg(value) FROM events) GROUP BY 1) t",
+            "SELECT n FROM (SELECT event_type, "
+            "count(*) / (SELECT count(*) FROM events) AS n FROM events "
+            "GROUP BY 1) t",
             "inside a derived table",
         ),
     ],

@@ -204,6 +204,55 @@ def main() -> int:
             f"SELECT segment AS g, {{ag}} FROM events "
             f"NATURAL FULL JOIN rj_seg GROUP BY 1 ORDER BY {q}.segment"
         ),
+        # r16 axes — static-inner nested scalars (the literal fold) and
+        # their mutants: the VALID spelling must value-match (cached);
+        # qualified refs inside/around the nested body, volatile inners
+        # and depth-3 bodies must track Spark exactly (parity)
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events {{A}} WHERE value > "
+            f"(SELECT avg(value) FROM events) GROUP BY event_type) t "
+            f"ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events WHERE {q}.value > "
+            f"(SELECT avg(value) FROM events) GROUP BY event_type) t "
+            f"ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events WHERE value > "
+            f"(SELECT avg({q}.value) FROM events u) GROUP BY event_type) t "
+            f"ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events WHERE value > "
+            f"(SELECT avg(value) FROM events WHERE ts < now()) "
+            f"GROUP BY event_type) t ORDER BY {q}.n"
+        ),
+        lambda q: (
+            f"SELECT count(*) AS n FROM events {{A}} WHERE user_id IN "
+            f"(SELECT user_id FROM events WHERE value > "
+            f"(SELECT avg({q}.value) FROM events z) "
+            f"GROUP BY user_id HAVING count(*) > 1)"
+        ),
+        # FULL OUTER positional ORDER BY (r16 advice): out-of-range
+        # ordinals must surface Spark's ORDER_BY_POS_OUT_OF_RANGE, never
+        # Python negative indexing
+        lambda q: (
+            "SELECT dseg AS g, count(value) AS nq FROM events "
+            "FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 0"
+        ),
+        lambda q: (
+            "SELECT dseg AS g, count(value) AS nq FROM events "
+            "FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 3"
+        ),
+        lambda q: (
+            "SELECT dseg AS g, count(value) AS nq FROM events "
+            "FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 2, 1"
+        ),
     ]
     quals = ["events", "e", "t", "u", "x", "rj_seg"]
     aliases = ["", "e", "t", "u"]
