@@ -573,6 +573,43 @@ def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_full_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over a star (r16): one FULL edge CLOSING an inner-dim
+    spine. The spine (events x customer) folds into the cached fact
+    half; the FULL dim keeps the A/M/anti decomposition. The dim view
+    adds 25 ghost nations so genuinely-anti rows exist at every sf; the
+    oracle inlines the same projection."""
+    _load(spark, sf_dir)
+    spark.sql(
+        "SELECT n_nationkey AS nk, n_name FROM nation UNION ALL "
+        "SELECT n_nationkey + 100 AS nk, concat('GHOST', n_name) AS n_name "
+        "FROM nation"
+    ).createOrReplaceTempView("fo_star_dim")
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT n_name, count(ts) AS nf, count(*) AS n, "
+        "round(sum(value), 2) AS sv FROM events_qc_fs "
+        "JOIN customer ON user_id = c_custkey "
+        "FULL JOIN fo_star_dim ON c_nationkey = nk "
+        "GROUP BY 1 ORDER BY 1",
+        "events_qc_fs",
+    )
+
+
+_FULL_STAR_ORACLE = """
+SELECT n_name, count(ts) AS nf, count(*) AS n,
+       round(sum(value), 2) AS sv
+FROM events JOIN customer ON user_id = c_custkey
+FULL JOIN (SELECT n_nationkey AS nk, n_name FROM nation
+           UNION ALL
+           SELECT n_nationkey + 100 AS nk,
+                  concat('GHOST', n_name) AS n_name FROM nation) d
+ON c_nationkey = nk
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _qc_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL ... USING (r15): the merged key column — the dim's value on
     anti rows (fact side NULL, coalesce semantics) — as a group key,
@@ -1995,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r15: FULL OUTER on the cached path (composite plan)
     q["qc_full_outer"] = _qc_full_outer
     q["qc_full_using"] = _qc_full_using
+    # r16: FULL edge closing an inner-dim star spine
+    q["qc_full_star"] = _qc_full_star
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -2106,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_bigram_rarity"] = _BIGRAM_RARITY_ORACLE
     o["op_redact_pii"] = _PII_ORACLE
     o["qc_nested_static"] = _NESTED_STATIC_SQL.format(v="events")
+    o["qc_full_star"] = _FULL_STAR_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
         "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "

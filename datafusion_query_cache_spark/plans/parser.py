@@ -2323,14 +2323,18 @@ def _lower_select_from(node: Dict[str, Any]):
                 ft = {**ft, "join_type": "LEFT", "left": right, "right": left}
                 jt = "LEFT"
             if jt == "FULL":
-                # FULL OUTER (r15): accepted for the 2-base-table ON shape.
-                # The union-merge seam still cannot maintain it directly
-                # (dim-side NULL-extended rows RETRACT on fresh matches —
-                # the r14 refusal argument stands), so the session plans
-                # it as a COMPOSITE of maintainable pieces instead:
-                # cached state-spelled LEFT part + cached matched-dim-set
-                # (monotone: matches never unmatch under append-only
-                # facts) + an O(dim) anti side recomputed per query.
+                # FULL OUTER (r15; star-generalized r16): the FULL edge's
+                # right side must be a base table and the edge must CLOSE
+                # the spine (the session enforces last-position — a FULL
+                # deeper in the tree surfaces as a non-last full step and
+                # refuses there). The left side may now be a whole
+                # inner/left join spine: the union-merge seam still
+                # cannot maintain FULL directly (dim-side NULL-extended
+                # rows RETRACT on fresh matches — the r14 argument
+                # stands), so the session plans a COMPOSITE: cached
+                # state-spelled LEFT half over the spine + cached
+                # monotone matched-dim-set + an O(dim) anti side
+                # recomputed per query.
                 left = ft.get("left") or {}
                 right0 = ft.get("right") or {}
                 f_using = tuple(
@@ -2338,16 +2342,17 @@ def _lower_select_from(node: Dict[str, Any]):
                 )
                 f_cond = ft.get("condition")
                 if (
-                    left.get("type") != "BASE_TABLE"
-                    or right0.get("type") != "BASE_TABLE"
+                    right0.get("type") != "BASE_TABLE"
                     or (f_cond is None) == (not f_using)  # exactly one form
-                    or join_steps
+                    or join_steps  # left-deep: FULL parses before its spine
                 ):
                     raise Unsupported(
-                        "FULL join (only a single base-table ON/USING "
-                        "join caches)"
+                        "FULL join (only a spine-closing base-table "
+                        "ON/USING edge caches)"
                     )
                 walk_from(left)
+                if any(js.how == "full" for js in join_steps):
+                    raise Unsupported("more than one FULL edge")
                 tables.append(_base_table_name(right0))
                 join_steps.append(
                     JoinStep(

@@ -2196,8 +2196,25 @@ class CachedSparkSession(RefreshTiers):
         from .plans.ir import SelectItem, Star, transform
 
         cfg = self.config
-        if len(spec.join_steps) != 1:
-            raise Unsupported("FULL join composes only as the sole join")
+        # r16 star generalization: ONE FULL edge CLOSING the spine, any
+        # number of inner/left dim edges before it. The inner/left spine
+        # (append-only fact x static dims) is itself append-only, so the
+        # A and M decomposition arguments carry over verbatim; a FULL
+        # edge anywhere but last would have later joins consume the
+        # NULL-extended rows (different semantics) — refused.
+        if not spec.join_steps or any(
+            js.how == "full" for js in spec.join_steps[:-1]
+        ):
+            raise Unsupported("FULL edge must close the join spine")
+        if spec.join_steps[-1].how != "full":
+            raise Unsupported("FULL edge must close the join spine")
+        inner_steps = tuple(spec.join_steps[:-1])
+        for js in inner_steps:
+            if js.how not in ("inner", "left"):
+                raise Unsupported(
+                    "FULL star admits only inner/left dim edges"
+                )
+        full_step = spec.join_steps[-1]
         if spec.grouping_sets or spec.grouping_fn_items:
             raise Unsupported("FULL join with grouping sets")
         if spec.having is not None:
@@ -2214,24 +2231,36 @@ class CachedSparkSession(RefreshTiers):
                     raise Unsupported("volatile function in HAVING")
 
         ts_col = cfg.default_temporal_column
-        if len(spec.tables or ()) != 2:
-            raise Unsupported("FULL join needs exactly two base tables")
-        t0, t1 = spec.tables
-        cols0 = set(self.spark.table(t0).columns)
-        cols1 = set(self.spark.table(t1).columns)
-        if ts_col in cols0 and ts_col in cols1:
-            raise Unsupported("temporal column on both FULL sides")
-        if ts_col in cols0:
-            fact, dim = t0, t1
-        elif ts_col in cols1:
-            # FULL commutes: re-anchor on the temporal side
-            fact, dim = t1, t0
+        if len(spec.tables or ()) != 1 + len(spec.join_steps):
+            raise Unsupported("FULL join table count")
+        if not inner_steps:
+            t0, t1 = spec.tables
+            cols0 = set(self.spark.table(t0).columns)
+            cols1 = set(self.spark.table(t1).columns)
+            if ts_col in cols0 and ts_col in cols1:
+                raise Unsupported("temporal column on both FULL sides")
+            if ts_col in cols0:
+                fact, dim = t0, t1
+            elif ts_col in cols1:
+                # FULL commutes: re-anchor on the temporal side
+                fact, dim = t1, t0
+            else:
+                raise Unsupported(
+                    f"temporal column {ts_col} on neither FULL side"
+                )
         else:
-            raise Unsupported(
-                f"temporal column {ts_col} on neither FULL side"
-            )
-        cond = spec.join_steps[0].on
-        using = spec.join_steps[0].using
+            # star shape: the head anchors the temporal fact; the FULL
+            # dim must not carry the temporal column (no commute across
+            # a multi-join spine)
+            fact, dim = spec.table, full_step.table
+            if ts_col not in set(self.spark.table(fact).columns):
+                raise Unsupported(
+                    "temporal column must anchor the FULL star's head"
+                )
+            if ts_col in set(self.spark.table(dim).columns):
+                raise Unsupported("temporal column on the FULL dim side")
+        cond = full_step.on
+        using = full_step.using
         # USING spelling: the output key is the MERGED column; on anti
         # rows the fact side is NULL, so merged key ≡ the dim's value —
         # the anti frame simply omits the fact-side key columns and the
@@ -2279,14 +2308,18 @@ class CachedSparkSession(RefreshTiers):
 
         g_names = [it.name for it in spec.group_by]
         s_names = [s.name for s in state_items]
+        sub_tables = (
+            (fact,) + tuple(js.table for js in inner_steps) + (dim,)
+        )
         left_spec = _AggSpec(
             table=fact,
             predicate=spec.predicate,
             group_by=spec.group_by,
             aggregates=tuple(state_items),
             select_order=tuple(g_names) + tuple(s_names),
-            tables=(fact, dim),
-            join_steps=(JoinStep(dim, cond, "left", using=using),),
+            tables=sub_tables,
+            join_steps=inner_steps
+            + (JoinStep(dim, cond, "left", using=using),),
         )
         dim_cols = self.spark.table(dim).columns
         matched_spec = _AggSpec(
@@ -2295,8 +2328,9 @@ class CachedSparkSession(RefreshTiers):
             group_by=tuple(SelectItem(c, Col(c)) for c in dim_cols),
             aggregates=(SelectItem("__qcm", AggCall("count", (Star(),))),),
             select_order=tuple(dim_cols) + ("__qcm",),
-            tables=(fact, dim),
-            join_steps=(JoinStep(dim, cond, "inner", using=using),),
+            tables=sub_tables,
+            join_steps=inner_steps
+            + (JoinStep(dim, cond, "inner", using=using),),
         )
 
         dfA, decA = self._plan_cached(f"{query} /*qc:full-left*/", left_spec)
@@ -2317,15 +2351,34 @@ class CachedSparkSession(RefreshTiers):
             ],
         )
         anti = a.join(b, anti_cond, "left_anti")
-        fact_fields = [
+        # NULL-extend the whole SPINE (fact + every inner/left dim): an
+        # anti row has NO spine match, so every spine column is NULL.
+        # USING keys merge: the FULL dim's columns carry the merged name
+        # (spine side is NULL on anti rows, coalesce ≡ dim value); an
+        # inner edge's USING keys collapse into the spine output.
+        fu = {u.lower() for u in (using or ())}
+        spine_fields = [
             f
             for f in self.spark.table(fact).schema.fields
-            # USING keys merge: the dim's columns carry the merged name
-            # (fact side is NULL on anti rows, coalesce ≡ dim value)
-            if f.name.lower() not in set(using)
+            if f.name.lower() not in fu
         ]
+        for js in inner_steps:
+            jk = {u.lower() for u in (js.using or ())}
+            spine_fields.extend(
+                f
+                for f in self.spark.table(js.table).schema.fields
+                if f.name.lower() not in jk and f.name.lower() not in fu
+            )
+        all_names = [f.name.lower() for f in spine_fields] + [
+            c.lower() for c in dim_cols
+        ]
+        if len(set(all_names)) != len(all_names):
+            raise Unsupported("ambiguous column names across the FULL star")
         anti_base = anti.select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fact_fields],
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in spine_fields
+            ],
             *[F.col(c) for c in dim_cols],
         )
         if spec.predicate is not None:

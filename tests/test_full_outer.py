@@ -320,3 +320,88 @@ def test_full_outer_under_derived_and_window(spark, qc, split, fo_dim):
         got = qc.sql(sql)
         assert qc.last_decision.cached, qc.last_decision.reason
         assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+# --- r16: FULL OUTER over a star (inner/left dim edges + one FULL edge) ---
+
+@pytest.fixture()
+def fo_star(spark):
+    # inner dim with partial coverage (so INNER vs LEFT edges differ) and
+    # a FULL dim with never-matched rows
+    spark.sql(
+        "SELECT DISTINCT user_id, concat('s', user_id % 4) AS segment "
+        "FROM events WHERE user_id % 3 != 0"
+    ).createOrReplaceTempView("fo_seg")
+    spark.sql(
+        "SELECT DISTINCT event_type AS et, upper(event_type) AS big "
+        "FROM events UNION ALL "
+        "SELECT concat('ghost', CAST(id AS STRING)), 'G' FROM range(5)"
+    ).createOrReplaceTempView("fo_fdim")
+    yield
+    spark.catalog.dropTempView("fo_seg")
+    spark.catalog.dropTempView("fo_fdim")
+
+
+FO_STAR_SQL = (
+    "SELECT big, segment, count(ts) AS nf, count(*) AS n, "
+    "round(sum(value), 2) AS sv FROM events_fo "
+    "JOIN fo_seg USING (user_id) "
+    "FULL JOIN fo_fdim ON event_type = et "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def test_full_star_two_run_exact(spark, qc, split, fo_star):
+    """One FULL edge closing an inner-dim spine: the spine folds into the
+    cached fact half; the FULL dim keeps the A/M/anti decomposition.
+    Retractions included — a fo_fdim row first matched by second-half
+    facts loses its NULL extension on the warm read."""
+    run1, run2, cut_ns, _cut = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(FO_STAR_SQL).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(FO_STAR_SQL)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(FO_STAR_SQL))
+
+
+def test_full_star_left_dim_edge_and_where(spark, qc, split, fo_star):
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT big, count(ts) AS nf, count(segment) AS ns, count(*) AS n "
+        "FROM events_fo LEFT JOIN fo_seg USING (user_id) "
+        "FULL JOIN fo_fdim ON event_type = et "
+        "WHERE value > 2 GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_star_refusals_passthrough(spark, qc, split, fo_star):
+    """Anything but one spine-CLOSING FULL edge refuses to passthrough
+    (extends the 5b9d271 table-count hardening property to the star)."""
+    run1, _run2, cut_ns, _cut = split
+    run1()
+    qc.config.override_now_ns = cut_ns
+    for sql in [
+        # FULL not last: later edges consume the NULL-extended rows
+        "SELECT count(*) AS n FROM events_fo "
+        "FULL JOIN fo_fdim ON event_type = et JOIN fo_seg USING (user_id)",
+        # two FULL edges
+        "SELECT count(*) AS n FROM events_fo "
+        "FULL JOIN fo_fdim ON event_type = et FULL JOIN fo_seg USING (user_id)",
+    ]:
+        got = rows_set(qc.sql(sql))
+        assert not qc.last_decision.cached, sql
+        assert got == rows_set(spark.sql(sql))

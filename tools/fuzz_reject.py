@@ -204,6 +204,25 @@ def main() -> int:
             f"SELECT segment AS g, {{ag}} FROM events "
             f"NATURAL FULL JOIN rj_seg GROUP BY 1 ORDER BY {q}.segment"
         ),
+        # r16 axes — FULL edge closing a star spine: valid spellings
+        # must value-match (cached, retractions included); qualified
+        # mutations and non-closing FULL edges track Spark exactly
+        lambda q: (
+            f"SELECT dseg AS g, segment, count({q}.value) AS nq FROM "
+            f"events JOIN rj_seg USING (user_id) "
+            f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        lambda q: (
+            f"SELECT dseg AS g, {{ag}} FROM events {{A}} "
+            f"LEFT JOIN rj_seg USING (user_id) "
+            f"FULL JOIN rj_dim ON {q}.user_id = uid "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT segment AS g, count({q}.dseg) AS nq FROM events "
+            f"FULL JOIN rj_dim ON user_id = uid "
+            f"JOIN rj_seg USING (user_id) GROUP BY 1 ORDER BY 1"
+        ),
         # r16 axes — static-inner nested scalars (the literal fold) and
         # their mutants: the VALID spelling must value-match (cached);
         # qualified refs inside/around the nested body, volatile inners
