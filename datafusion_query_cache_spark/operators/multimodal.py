@@ -56,6 +56,23 @@ class DecodeUnavailable(NotImplementedError):
     """Raised where a real codec would be called (no media libs in env)."""
 
 
+def codec_available() -> bool:
+    """Environment probe: True when a real image codec (PIL) is
+    importable. The operators below stay on the deterministic fake while
+    this is False; the exit criterion for their ``partial`` status is
+    exactly this probe flipping — swap ``_fake_decode_features`` /
+    ``_fake_resize`` for the PIL calls sketched in their docstrings and
+    the Spark-side plumbing (schemas, ``mapInPandas`` batch shapes,
+    partitioning) needs no change (pinned by
+    ``tests/test_multimodal.py::test_codec_probe_documents_swap_path``)."""
+    try:  # pragma: no cover - environment-dependent
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fake_decode_features(data: bytes, n: int = 8) -> list:
     """Deterministic fake 'decoded features': byte histogram moments.
 

@@ -71,3 +71,25 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(media(spark), every_n=1)
     assert frames.count() >= spark.table("documents").count()
     assert frames.schema["frame_idx"].dataType.typeName() == "integer"
+
+
+def test_codec_probe_documents_swap_path(spark):
+    """The one-line exit criterion for the multimodal operators'
+    'partial' status: when PIL becomes importable, codec_available()
+    flips True and the real decode path is expected to replace the
+    deterministic fake WITHOUT any Spark-side change (schemas, batch
+    shapes and partitioning are pinned by the other tests in this
+    file). In this container PIL is absent, so the probe must be False
+    and the fake path must stay deterministic."""
+    from datafusion_query_cache_spark.operators.multimodal import (
+        _fake_decode_features,
+        codec_available,
+    )
+
+    if codec_available():
+        import PIL  # noqa: F401  — real codec present: swap-in is live
+
+        return  # nothing to assert: the fake path is no longer the story
+    # env-blocked: the fake decode must be a pure function of the bytes
+    assert _fake_decode_features(b"spark") == _fake_decode_features(b"spark")
+    assert _fake_decode_features(None) == [0.0] * 8
