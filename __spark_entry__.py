@@ -505,6 +505,8 @@ _NESTED_STATIC_SQL = (
     "SELECT k, n, s FROM (SELECT event_type AS k, count(*) AS n, "
     "round(sum(value), 2) AS s FROM {v} "
     "WHERE value > (SELECT max(value) FROM {v}) / 2 "
+    "AND event_type IN (SELECT event_type FROM {v} "
+    "GROUP BY 1 HAVING count(*) > 5) "
     "GROUP BY event_type) t ORDER BY k"
 )
 

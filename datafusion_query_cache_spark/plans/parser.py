@@ -722,7 +722,22 @@ def _static_scalar(n) -> bool:
 
     if not isinstance(n, ScalarSubquery):
         return False
-    sp = n.spec
+    return _static_subq_body_ok(n.spec)
+
+
+def _static_subq_body_ok(sp) -> bool:
+    """Shared body check for the static fold: volatile-free and
+    subquery-free everywhere (aggregates, group keys, WHERE, HAVING,
+    join conditions)."""
+    from .ir import (
+        CorrScalar,
+        ExistsSubquery,
+        Func,
+        InSubquery,
+        ScalarSubquery,
+    )
+    from .classify import VOLATILE_FNS, VOLATILE_TIME_FNS
+
     if sp is None:
         return False
     exprs = [i.expr for i in sp.aggregates]
@@ -746,14 +761,18 @@ def _static_scalar(n) -> bool:
 
 
 def _nested_scalars_foldable(e: Expr) -> bool:
-    """True iff every subquery node in ``e`` is a static scalar the
-    session can literal-fold (no subquery at all counts too)."""
+    """True iff every subquery node in ``e`` is STATIC — an uncorrelated
+    scalar / IN / EXISTS body the session can literal-fold (no subquery
+    at all counts too). Correlated scalars stay refused: their fold is a
+    per-key join, not a literal."""
     from .ir import CorrScalar, ExistsSubquery, InSubquery, ScalarSubquery
 
     for n in e.walk():
-        if isinstance(n, (InSubquery, ExistsSubquery, CorrScalar)):
+        if isinstance(n, CorrScalar):
             return False
-        if isinstance(n, ScalarSubquery) and not _static_scalar(n):
+        if isinstance(
+            n, (ScalarSubquery, InSubquery, ExistsSubquery)
+        ) and not _static_subq_body_ok(n.spec):
             return False
     return True
 

@@ -2094,14 +2094,20 @@ class CachedSparkSession(RefreshTiers):
         entry), never per-run."""
         import dataclasses
 
+        from .plans.ir import BinOp as _BinOp
+        from .plans.ir import ExistsSubquery as _EXQ
+        from .plans.ir import InList as _InList
+        from .plans.ir import InSubquery as _ISQ
         from .plans.ir import Lit as _Lit
         from .plans.ir import ScalarSubquery as _SS
         from .plans.ir import transform as _transform
 
+        _KINDS = (_SS, _ISQ, _EXQ)
+
         def _collect(e):
             if e is None:
                 return []
-            return [n for n in e.walk() if isinstance(n, _SS)]
+            return [n for n in e.walk() if isinstance(n, _KINDS)]
 
         having = getattr(spec, "having", None)
         subqs = _collect(spec.predicate) + _collect(having)
@@ -2114,21 +2120,69 @@ class CachedSparkSession(RefreshTiers):
             if sq in resolved:
                 continue
             idf, idec = self._plan_cached(query, sq.spec)
-            rows = idf.collect()  # global aggregate: exactly one row
-            val = rows[0][0] if rows else None
-            if val is not None and not isinstance(val, _OK):
-                raise Unsupported(
-                    f"scalar subquery value type {type(val).__name__}"
-                )
-            resolved[sq] = _Lit(val)
+            # fold semantics mirror _plan_scalar_outer's top-level folds
+            # exactly (IN three-valued NULL handling, quantified ANY/ALL
+            # OR-chains, EXISTS row probe) — the difference is only WHERE
+            # the literal lands: inside a spec that stays cached, with
+            # the value riding its fingerprint.
+            if isinstance(sq, _ISQ):
+                cap = getattr(self.config, "in_subquery_max_values", 10_000)
+                rows = idf.distinct().limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise Unsupported(
+                        f"IN subquery yields more than {cap} distinct values"
+                    )
+                vals = [r[0] for r in rows]
+                nonnull = [v for v in vals if v is not None]
+                try:
+                    nonnull.sort()  # deterministic literal order
+                except TypeError:
+                    pass
+                for v in nonnull:
+                    if not isinstance(v, _OK):
+                        raise Unsupported(
+                            f"IN subquery value type {type(v).__name__}"
+                        )
+                if getattr(sq, "op", "=") != "=":
+                    comps = [
+                        _BinOp(sq.op, sq.left, _Lit(v)) for v in nonnull
+                    ]
+                    if len(nonnull) != len(vals):
+                        comps.append(_BinOp(sq.op, sq.left, _Lit(None)))
+                    if not comps:
+                        folded: object = _Lit(False)
+                    else:
+                        folded = comps[0]
+                        for c in comps[1:]:
+                            folded = _BinOp("or", folded, c)
+                else:
+                    if not nonnull:
+                        folded = _Lit(False)
+                    else:
+                        folded = _InList(
+                            sq.left, tuple(_Lit(v) for v in nonnull)
+                        )
+                    if len(nonnull) != len(vals):
+                        folded = _BinOp("or", folded, _Lit(None))
+                resolved[sq] = folded
+            elif isinstance(sq, _EXQ):
+                resolved[sq] = _Lit(bool(idf.limit(1).collect()))
+            else:
+                rows = idf.collect()  # global aggregate: exactly one row
+                val = rows[0][0] if rows else None
+                if val is not None and not isinstance(val, _OK):
+                    raise Unsupported(
+                        f"scalar subquery value type {type(val).__name__}"
+                    )
+                resolved[sq] = _Lit(val)
             self.config.log.info(
                 idec.fingerprint or "-",
-                f"static nested scalar folded as literal ({val!r}); "
-                "enclosing fingerprint embeds it",
+                "static nested subquery folded as literal(s); "
+                "enclosing fingerprint embeds the value(s)",
             )
 
         def _sub(n):
-            return resolved.get(n, n) if isinstance(n, _SS) else n
+            return resolved.get(n, n) if isinstance(n, _KINDS) else n
 
         return dataclasses.replace(
             spec,

@@ -112,3 +112,35 @@ def test_non_static_inner_refuses_but_matches(qc, spark, inner):
     got = rows_set(qc.sql(q))
     assert not qc.last_decision.cached  # passthrough
     assert got == rows_set(spark.sql(q))
+
+
+def test_in_and_exists_static_in_middle(qc, spark):
+    """r16 extension: static IN and EXISTS bodies fold too (IN-list /
+    boolean literals with exact SQL NULL semantics, mirroring the
+    top-level folds), keeping the middle cached."""
+    q = (
+        "SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+        "FROM events WHERE event_type IN "
+        "(SELECT event_type FROM events GROUP BY 1 HAVING count(*) > 5) "
+        "AND EXISTS (SELECT event_type FROM events "
+        "GROUP BY 1 HAVING count(*) > 5) "
+        "AND NOT EXISTS (SELECT event_type FROM events "
+        "GROUP BY 1 HAVING count(*) > 1000000) "
+        "GROUP BY event_type) t ORDER BY k"
+    )
+    got = rows_set(qc.sql(q))
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert got == rows_set(spark.sql(q))
+
+
+def test_volatile_in_body_refuses(qc, spark):
+    q = (
+        "SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+        "FROM events WHERE event_type IN "
+        "(SELECT event_type FROM events WHERE ts < now() "
+        "GROUP BY 1 HAVING count(*) > 5) "
+        "GROUP BY event_type) t ORDER BY k"
+    )
+    got = rows_set(qc.sql(q))
+    assert not qc.last_decision.cached
+    assert got == rows_set(spark.sql(q))

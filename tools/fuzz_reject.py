@@ -257,6 +257,20 @@ def main() -> int:
             f"(SELECT avg({q}.value) FROM events z) "
             f"GROUP BY user_id HAVING count(*) > 1)"
         ),
+        # static IN/EXISTS bodies inside a cached derived middle (fold),
+        # with qualified mutations inside the nested body
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events WHERE event_type IN "
+            f"(SELECT {q}.event_type FROM events z GROUP BY 1 "
+            f"HAVING count(*) > 5) GROUP BY event_type) t ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events {{A}} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM events z WHERE z.value > 1e12) "
+            f"GROUP BY {q}.event_type) t ORDER BY 1"
+        ),
         # FULL OUTER positional ORDER BY (r16 advice): out-of-range
         # ordinals must surface Spark's ORDER_BY_POS_OUT_OF_RANGE, never
         # Python negative indexing
