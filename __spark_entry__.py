@@ -523,6 +523,46 @@ def _qc_nested_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture UP-sampling (r16): epoch factors
+    >1 repeat rows (floor copies + a hash-thresholded fractional
+    top-up), <1 degenerate to stratified sampling, 0 drops the stratum.
+    The exact copy count of every row is a pure function of
+    (doc_id, salt) — the oracle replicates the md5-prefix arithmetic."""
+    from datafusion_query_cache_spark.operators.sampling import (
+        mixture_upsample,
+    )
+
+    _load(spark, sf_dir)
+    return (
+        mixture_upsample(
+            spark.table("documents"),
+            "lang",
+            {"en": 2.5, "fr": 0.5, "de": 0.0},
+            "doc_id",
+            default_factor=1.0,
+        )
+        .select("doc_id", "lang", F.col("copy_id").cast("long").alias("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+_MIXTURE_UPSAMPLE_ORACLE = """
+SELECT d.doc_id, d.lang, CAST(u.c AS BIGINT) AS copy_id
+FROM documents d,
+     UNNEST(generate_series(1,
+        CASE WHEN lang = 'en' THEN 2 WHEN lang = 'fr' THEN 0
+             WHEN lang = 'de' THEN 0 ELSE 1 END
+        + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE WHEN lang = 'en' THEN '80000000'
+                 WHEN lang = 'fr' THEN '80000000'
+                 WHEN lang = 'de' THEN '00000000'
+                 ELSE '00000000' END
+          THEN 1 ELSE 0 END)) AS u(c)
+ORDER BY 1, 3
+"""
+
+
 def _op_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_query_cache_spark.operators.textstats import (
         contamination_scores,
@@ -2025,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r16: exact substring dedup at sliding-window grain + its index
     q["op_substr_dedup"] = _op_substr_dedup
     q["op_incr_substr_dedup"] = _op_incr_substr_dedup
+    # r16: deterministic domain-mixture up-sampling (epoch weighting)
+    q["op_mixture_upsample"] = _op_mixture_upsample
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: corpus-context bigram rarity (CCNet-style quality proxy)
@@ -2139,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
     # the incremental index must emit exactly the batch output: same oracle
     o["op_incr_para_dedup"] = _PARA_DEDUP_ORACLE
     o["op_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
+    o["op_mixture_upsample"] = _MIXTURE_UPSAMPLE_ORACLE
     # ascending ingests == batch: same oracle
     o["op_incr_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle

@@ -128,3 +128,60 @@ def stratified_sample(
         else F.lit(_hex_threshold(default_fraction))
     )
     return df.filter(h < thr)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    strata_col: str,
+    factors: Dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_factor: float = 1.0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic domain-mixture UP-sampling (epoch weighting): each
+    stratum's rows are repeated ``factors[stratum]`` times in expectation
+    — the DoReMi / Pile-style mixture step where high-quality domains see
+    >1 epoch while bulk web sees <1.
+
+    A factor ``f`` yields ``floor(f)`` full copies per row plus one more
+    for the rows whose hash prefix falls below the ``f - floor(f)``
+    threshold — so the EXACT copy count of every row is a stable function
+    of ``(id, salt)``: repartition/rerun/append never change it, and the
+    fractional top-up set is NESTED across factors with the same salt
+    (the ``stratified_sample`` property, extended above 1.0). Factors
+    below 1 degenerate to stratified sampling; 0 drops the stratum.
+
+    Returns the input columns plus ``copy_col`` (1..n per source row) so
+    downstream shuffles/dedup can tell copies apart.
+
+    100 TB design: one scan-side projection (CASE thresholds + an
+    ``explode(sequence)``) — no shuffle, no UDF, no driver state; output
+    partitioning follows the input's, and the explode multiplies rows
+    inside the scan stage where a downstream repartition would rebalance
+    anyway.
+    """
+    h = _digest_prefix(F.col(id_col), salt)
+
+    def _cases(fn):
+        out = None
+        for val, frac in factors.items():
+            cond = F.col(strata_col) == F.lit(val)
+            lit = fn(frac)
+            out = F.when(cond, lit) if out is None else out.when(cond, lit)
+        dflt = fn(default_factor)
+        return out.otherwise(dflt) if out is not None else dflt
+
+    base = _cases(lambda f: F.lit(int(f)))
+    thr = _cases(lambda f: F.lit(_hex_threshold(f - int(f))))
+    n = (base + (h < thr).cast("int")).alias("__qc_n")
+    return (
+        df.withColumn("__qc_n", n)
+        .filter(F.col("__qc_n") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(1), F.col("__qc_n"))
+            ).alias(copy_col),
+        )
+    )

@@ -85,3 +85,44 @@ def test_stratified_sample_nested_and_exact(spark):
     assert ids1 <= ids2  # same salt → nested samples
     # default_fraction=0 drops other strata entirely
     assert s1.filter(F.col("lang") != "en").count() == 0
+
+
+def test_mixture_upsample_exact_and_stable(spark):
+    from datafusion_query_cache_spark.operators.sampling import (
+        mixture_upsample,
+    )
+
+    docs = spark.table("documents")
+    fac = {"en": 2.5, "fr": 0.5, "de": 0.0}
+    up = mixture_upsample(docs, "lang", fac, "doc_id", default_factor=1.0)
+    rows = up.select("doc_id", "lang", "copy_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r["doc_id"], r["lang"]), []).append(r["copy_id"])
+    # per-row exact semantics: n = floor(f) + {0,1}; copies numbered 1..n
+    from datafusion_query_cache_spark.operators.sampling import (
+        _PREFIX,
+        _hex_threshold,
+    )
+    import hashlib
+
+    src = docs.select("doc_id", "lang").collect()
+    seen_frac_extra = 0
+    for r in src:
+        f = fac.get(r["lang"], 1.0)
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:_PREFIX]
+        n = int(f) + (1 if h < _hex_threshold(f - int(f)) else 0)
+        got = sorted(by_doc.get((r["doc_id"], r["lang"]), []))
+        assert got == list(range(1, n + 1)), (r["doc_id"], r["lang"], f)
+        if r["lang"] == "en" and n == 3:
+            seen_frac_extra += 1
+    assert seen_frac_extra > 0  # the fractional top-up actually fires
+    # de dropped entirely
+    assert up.filter(F.col("lang") == "de").count() == 0
+    # stability: repartition/rerun changes nothing
+    up2 = mixture_upsample(
+        docs.repartition(13), "lang", fac, "doc_id", default_factor=1.0
+    )
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, up2.select("doc_id", "lang", "copy_id").collect())
+    )
