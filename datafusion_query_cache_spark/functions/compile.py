@@ -96,6 +96,9 @@ _FUNCS: Dict[str, Callable[..., Column]] = {
     "ltrim": _fn_direct("ltrim"),
     "rtrim": _fn_direct("rtrim"),
     "coalesce": _fn_direct("coalesce"),
+    # HLL estimate over a stored sketch state (the FULL composite's
+    # approx_count_distinct finalize rides the scalar compiler)
+    "hll_sketch_estimate": _fn_direct("hll_sketch_estimate"),
     "concat": _fn_direct("concat"),
     "substr": lambda c, s, ln=None: F.substring(c, s, ln) if ln is not None else F.substring(c, s, 2147483647),
     "substring": lambda c, s, ln=None: F.substring(c, s, ln) if ln is not None else F.substring(c, s, 2147483647),

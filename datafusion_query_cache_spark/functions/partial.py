@@ -773,6 +773,17 @@ def decompose_agg(
             py_finalize=_kurt_fin,
         )
 
+    if fn == "hll_sketch_agg":
+        # identity-state spelling (r16, used by the FULL composite): the
+        # sub-plan must OUTPUT the mergeable sketch itself — finalize is
+        # the state column; the composite estimates after its own merge.
+        nm = s("hll")
+        return Decomposition(
+            partial={nm: F.hll_sketch_agg(arg0())},
+            merge={nm: F.hll_union_agg(F.col(nm))},
+            finalize=F.col(nm),
+        )
+
     if fn == "approx_count_distinct":
         # The sketch trick that makes approx-distinct mergeable (SURVEY §4.3):
         # HLL sketch state unions exactly.

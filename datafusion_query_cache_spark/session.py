@@ -2247,6 +2247,7 @@ class CachedSparkSession(RefreshTiers):
         from .functions.compile import to_column
         from .plans.ir import AggCall, BinOp, Col, JoinStep, Lit
         from .plans.ir import AggSpec as _AggSpec
+        from .plans.ir import Func as _Func
         from .plans.ir import SelectItem, Star, transform
 
         cfg = self.config
@@ -2345,6 +2346,13 @@ class CachedSparkSession(RefreshTiers):
                 s = Col(_add_state(AggCall("sum", node.args)))
                 c = Col(_add_state(AggCall("count", node.args)))
                 out = BinOp("/", s, c)
+            elif fn == "approx_count_distinct" and len(node.args) == 1:
+                # r16: HLL sketch state — both halves produce sketches,
+                # the composite unions them register-wise and estimates
+                # AFTER the merge (estimates themselves never add: the
+                # same value can appear on matched and anti dim rows)
+                nm = _add_state(AggCall("hll_sketch_agg", node.args))
+                out = _Func("hll_sketch_estimate", (Col(nm),))
             else:
                 raise Unsupported(f"FULL join with aggregate {fn}")
             state_of[node] = out
@@ -2451,6 +2459,7 @@ class CachedSparkSession(RefreshTiers):
                 "sum": F.sum,
                 "min": F.min,
                 "max": F.max,
+                "hll_sketch_agg": F.hll_sketch_agg,
             }[fn](arg)
 
         anti_states = anti_base.groupBy(
@@ -2460,9 +2469,13 @@ class CachedSparkSession(RefreshTiers):
         merge_exprs = []
         for si in state_items:
             fn = si.expr.fn.lower()
-            m = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}[
-                fn
-            ](F.col(si.name))
+            m = {
+                "count": F.sum,
+                "sum": F.sum,
+                "min": F.min,
+                "max": F.max,
+                "hll_sketch_agg": F.hll_union_agg,
+            }[fn](F.col(si.name))
             if fn == "count":
                 m = F.coalesce(m, F.lit(0)).cast("long")
             merge_exprs.append(m.alias(si.name))

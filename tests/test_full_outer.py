@@ -405,3 +405,26 @@ def test_full_star_refusals_passthrough(spark, qc, split, fo_star):
         got = rows_set(qc.sql(sql))
         assert not qc.last_decision.cached, sql
         assert got == rows_set(spark.sql(sql))
+
+
+def test_full_outer_approx_distinct_two_run(spark, qc, split, fo_dim):
+    """r16: approx_count_distinct on the FULL composite — both halves
+    produce HLL sketches, the composite unions register-wise and
+    estimates AFTER the merge. Register-wise union is deterministic, so
+    the incremental result equals plain Spark BIT-exactly."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, approx_count_distinct(user_id) AS u, "
+        "count(*) AS n FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
