@@ -82,3 +82,30 @@ def maintain_dedup_index(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def maintain_claimed_index(
+    spark: SparkSession,
+    index,
+    corpus_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: Optional[str] = None,
+):
+    """Same maintainer for the claimed-digest dedup indexes
+    (:class:`~..operators.incremental_para_dedup.ParagraphDedupIndex`,
+    :class:`~..operators.incremental_para_dedup.SubstringDedupIndex`):
+    their ``update(corpus)`` is the identical fold-the-delta,
+    advance-the-frontier step, so the file frontier × id watermark
+    composition — and its exactly-once-per-document property — carries
+    over verbatim. The maintained ``index.output()`` converges to the
+    single-shot batch operator after every wave (pinned by
+    ``tests/test_stream_substr_dedup.py``)."""
+    return maintain_dedup_index(
+        spark,
+        index,
+        corpus_path,
+        checkpoint_dir,
+        available_now=available_now,
+        processing_time=processing_time,
+    )
