@@ -2245,7 +2245,7 @@ class CachedSparkSession(RefreshTiers):
         from functools import reduce as _reduce
 
         from .functions.compile import to_column
-        from .plans.ir import AggCall, BinOp, Col, JoinStep, Lit
+        from .plans.ir import AggCall, BinOp, Cast, Col, JoinStep, Lit
         from .plans.ir import AggSpec as _AggSpec
         from .plans.ir import Func as _Func
         from .plans.ir import SelectItem, Star, transform
@@ -2337,9 +2337,29 @@ class CachedSparkSession(RefreshTiers):
                 return node
             if node in state_of:
                 return state_of[node]
-            if node.distinct:
-                raise Unsupported("FULL join with DISTINCT aggregate")
             fn = node.fn.lower()
+            if node.distinct:
+                if fn == "count" and len(node.args) == 1 and not isinstance(
+                    node.args[0], Star
+                ):
+                    # r16: EXACT count(DISTINCT x) — set state on both
+                    # halves, union merge, cardinality after (plain
+                    # counts never add across halves: the same value can
+                    # appear on matched and anti dim rows)
+                    nm = _add_state(AggCall("collect_set", node.args))
+                    out = Cast(
+                        _Func(
+                            "coalesce",
+                            (
+                                _Func("array_size", (Col(nm),)),
+                                Lit(0),
+                            ),
+                        ),
+                        "BIGINT",
+                    )
+                    state_of[node] = out
+                    return out
+                raise Unsupported("FULL join with DISTINCT aggregate")
             if fn in self._FULL_MERGE:
                 out = Col(_add_state(node))
             elif fn == "avg":
@@ -2460,6 +2480,7 @@ class CachedSparkSession(RefreshTiers):
                 "min": F.min,
                 "max": F.max,
                 "hll_sketch_agg": F.hll_sketch_agg,
+                "collect_set": F.collect_set,
             }[fn](arg)
 
         anti_states = anti_base.groupBy(
@@ -2475,6 +2496,9 @@ class CachedSparkSession(RefreshTiers):
                 "min": F.min,
                 "max": F.max,
                 "hll_sketch_agg": F.hll_union_agg,
+                "collect_set": (
+                    lambda c: F.array_distinct(F.flatten(F.collect_list(c)))
+                ),
             }[fn](F.col(si.name))
             if fn == "count":
                 m = F.coalesce(m, F.lit(0)).cast("long")

@@ -43,6 +43,12 @@ OFF_WINDOW_GRADED = {
     "op_incr_para_dedup",
     "op_bigram_rarity",
     "op_redact_pii",
+    # r16 off-window oracle rows (same rationale)
+    "qc_nested_static",
+    "qc_full_star",
+    "op_substr_dedup",
+    "op_incr_substr_dedup",
+    "op_mixture_upsample",
 }
 
 

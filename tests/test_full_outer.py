@@ -163,8 +163,10 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
     run2()
     qc.config.override_now_ns = split[2] + 10**17
     for sql in (
-        # DISTINCT aggregate
-        "SELECT segment, count(DISTINCT user_id) AS n FROM events_fo "
+        # multi-arg DISTINCT aggregate (single-arg count(DISTINCT) caches
+        # via set states since r16)
+        "SELECT segment, count(DISTINCT user_id, event_type) AS n "
+        "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # non-decomposable aggregate
         "SELECT segment, percentile(value, 0.5) AS p FROM events_fo "
@@ -423,6 +425,29 @@ def test_full_outer_approx_distinct_two_run(spark, qc, split, fo_dim):
     qc.sql(sql).collect()
     assert qc.last_decision.cached, qc.last_decision.reason
     assert qc.last_decision.refresh_tier == "full_outer"
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_count_distinct_two_run(spark, qc, split, fo_dim):
+    """r16: exact count(DISTINCT x) on the FULL composite — set states
+    on both halves, union merge, cardinality after (plain counts never
+    add across halves: the same value can appear on matched and anti
+    dim rows). Exact vs plain Spark, retractions included."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, count(DISTINCT user_id) AS du, "
+        "count(DISTINCT event_type) AS de, count(*) AS n "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
     run2()
     qc.config.override_now_ns = cut_ns + 10**17
     got = qc.sql(sql)

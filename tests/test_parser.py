@@ -76,10 +76,10 @@ def test_distinct_flag():
         # left-deep chain (plain two-table RIGHT now swap-normalizes)
         "SELECT count(*) FROM events e JOIN part p ON e.event_id = p.p_partkey "
         "RIGHT JOIN orders o ON true",
-        # FULL caches since r15 (composite plan) — but only as the sole
-        # base-table join; composed FULL still refuses:
-        "SELECT count(*) FROM events e JOIN part p ON e.event_id = p.p_partkey "
-        "FULL JOIN orders o ON true",
+        # FULL caches since r15 (composite plan), spine-closing since
+        # r16 — but TWO FULL edges still refuse at parse:
+        "SELECT count(*) FROM events e FULL JOIN part p "
+        "ON e.event_id = p.p_partkey FULL JOIN orders o ON true",
         "SELECT count(*) FROM events e JOIN events e2 ON true",  # self-join
         "SELECT count(*) FROM (SELECT 1)",  # subquery
         "WITH x AS (SELECT 1) SELECT count(*) FROM x",  # CTE
