@@ -845,10 +845,28 @@ def select_scalar_subqueries(spec) -> list:
 
 def _derived_scalar_fold_ok(spec) -> bool:
     """A derived-table body may carry subqueries ONLY as static scalars
-    in its WHERE/HAVING (the r16 literal fold); anywhere else — select
-    items, group/order expressions, a nested derived body — refuses."""
-    from .ir import AggSpec
+    in the WHERE/HAVING of its (possibly nested-derived) AGGREGATE level
+    (the r16 literal fold); anywhere else — select items, group/order
+    expressions, a replay level's own expressions — refuses."""
+    from .ir import AggSpec, SubquerySpec as _SQ
 
+    if isinstance(spec, _SQ):
+        # replay levels above the cached aggregate must be clean
+        # themselves; the fold happens at the innermost AggSpec
+        own = [i.expr for i in (spec.items or ())]
+        own.extend(i.expr for i in spec.group_by)
+        own.extend(i.expr for i in spec.aggregates)
+        own.extend(o.expr for o in spec.order_by)
+        if spec.predicate is not None:
+            own.append(spec.predicate)
+        if spec.having is not None:
+            own.append(spec.having)
+        if getattr(spec, "qualify", None) is not None:
+            own.append(spec.qualify)
+        own.extend(js.on for js in spec.join_steps if js.on is not None)
+        if any(_contains_scalar_subq(e) for e in own):
+            return False
+        return _derived_scalar_fold_ok(spec.inner)
     if not isinstance(spec, AggSpec):
         return False
     if select_scalar_subqueries(spec):

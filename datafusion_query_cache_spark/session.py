@@ -620,9 +620,32 @@ class CachedSparkSession(RefreshTiers):
             if subqs or (sel_subqs and isinstance(spec, FilterSpec)):
                 # predicate/HAVING subqueries, or select-item scalars on a
                 # non-aggregate outer (the outer runs plain either way)
-                df, decision = self._plan_scalar_outer(
-                    spec, query, subqs + sel_subqs
-                )
+                try:
+                    df, decision = self._plan_scalar_outer(
+                        spec, query, subqs + sel_subqs
+                    )
+                except (Unsupported, NotDecomposable):
+                    # r16: outer shapes _plan_scalar_outer can't assemble
+                    # (star joins, FULL composites) still cache when every
+                    # subquery is STATIC — the literal fold embeds the
+                    # values in the outer's fingerprint (the nested-fold
+                    # soundness argument). Plain-assemblable outers keep
+                    # the plain path above: for those, NOT caching the
+                    # outer is the better design (no entry churn when the
+                    # inner value moves with data growth).
+                    from .plans.parser import _nested_scalars_foldable
+
+                    if (
+                        isinstance(spec, AggSpec)
+                        and not sel_subqs
+                        and all(
+                            e is None or _nested_scalars_foldable(e)
+                            for e in (spec.predicate, spec.having)
+                        )
+                    ):
+                        df, decision = self._plan_cached(query, spec)
+                    else:
+                        raise
             elif sel_subqs:
                 df, decision = self._plan_select_scalars(
                     spec, query, sel_subqs
@@ -2587,10 +2610,12 @@ class CachedSparkSession(RefreshTiers):
         if spec is None:
             spec = parse_agg_query(query)
 
+        # fold BEFORE the FULL dispatch: a static scalar inside a FULL
+        # composite's WHERE must reach the A/anti halves as a literal
+        spec = self._fold_static_scalars(query, spec)
+
         if any(js.how == "full" for js in spec.join_steps):
             return self._plan_full_outer(query, spec)
-
-        spec = self._fold_static_scalars(query, spec)
 
         if spec.having is not None:
             # HAVING sits above the aggregate, so it never affects cached

@@ -144,3 +144,64 @@ def test_volatile_in_body_refuses(qc, spark):
     got = rows_set(qc.sql(q))
     assert not qc.last_decision.cached
     assert got == rows_set(spark.sql(q))
+
+
+@pytest.fixture()
+def nseg(spark):
+    spark.sql(
+        "SELECT DISTINCT user_id, concat('s', user_id % 4) AS segment "
+        "FROM events WHERE user_id % 3 != 0"
+    ).createOrReplaceTempView("ns_seg")
+    spark.sql(
+        "SELECT DISTINCT event_type AS et, upper(event_type) AS big "
+        "FROM events UNION ALL SELECT concat('g', CAST(id AS STRING)), "
+        "concat('G', CAST(id AS STRING)) FROM range(3)"
+    ).createOrReplaceTempView("ns_fdim")
+    yield
+    spark.catalog.dropTempView("ns_seg")
+    spark.catalog.dropTempView("ns_fdim")
+
+
+def test_static_scalar_with_star_join_outer_cached(qc, spark, nseg):
+    """r16 routing fallback: _plan_scalar_outer cannot assemble joined
+    outers, so a star-join outer with ONLY static subqueries falls to
+    the cached fold path instead of passthrough."""
+    q = (
+        "SELECT segment, count(*) AS n FROM events "
+        "JOIN ns_seg USING (user_id) "
+        "WHERE value > (SELECT max(value) FROM events) / 2 "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    got = rows_set(qc.sql(q))
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert got == rows_set(spark.sql(q))
+
+
+def test_static_scalar_under_full_composite_cached(qc, spark, nseg):
+    q = (
+        "SELECT big, count(ts) AS nf, count(*) AS n FROM events "
+        "FULL JOIN ns_fdim ON event_type = et "
+        "WHERE value > (SELECT min(value) FROM events) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    got = rows_set(qc.sql(q))
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    assert got == rows_set(spark.sql(q))
+
+
+def test_in_fold_under_window_replay_cached(qc, spark):
+    """The fold survives a nested-derived replay level (window above the
+    cached aggregate): _derived_scalar_fold_ok recurses through clean
+    SubquerySpec levels down to the folding AggSpec."""
+    q = (
+        "SELECT k, n, rnk FROM (SELECT k, n, "
+        "rank() OVER (ORDER BY n DESC, k) AS rnk FROM ("
+        "SELECT event_type AS k, count(*) AS n FROM events "
+        "WHERE event_type IN (SELECT event_type FROM events "
+        "GROUP BY 1 HAVING count(*) > 2) GROUP BY event_type) a) b "
+        "WHERE rnk <= 4 ORDER BY rnk, k"
+    )
+    got = rows_set(qc.sql(q))
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert got == rows_set(spark.sql(q))
