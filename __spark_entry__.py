@@ -597,6 +597,56 @@ FROM dsh GROUP BY 1 ORDER BY 1
 """
 
 
+def _op_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-grain decontamination (r16): 5-token-gram overlap against the
+    benchmark — the GPT-3/Llama n-gram check at a width the short sf0.01
+    documents actually collide at. Same synthesized shared-span corpus
+    as op_substr_dedup so cross-doc overlaps exist; docs shorter than
+    5 tokens yield no shingles and no row (mirrored by the oracle)."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT d.doc_id, concat(d.text, ' ', r.text) AS text "
+        "FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50"
+    )
+    return contamination_scores(
+        corpus.filter(F.col("doc_id") % 7 != 0),
+        corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"),
+        k=5,
+        unit="word",
+    ).orderBy("doc_id")
+
+
+_TOKEN_CONTAMINATION_ORACLE = r"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text || ' ' || r.text AS text
+  FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ') AS s
+  FROM toks, UNNEST(generate_series(0, len(tk) - 5)) AS g(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0
+), dsh AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0 GROUP BY 1, 2
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       round(CAST(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1
+                      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
+FROM dsh GROUP BY 1 ORDER BY 1
+"""
+
+
 def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER aggregate on the cached path (r15 composite plan):
     cached state-spelled LEFT half + cached monotone matched-dim-set +
@@ -2067,6 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_incr_substr_dedup"] = _op_incr_substr_dedup
     # r16: deterministic domain-mixture up-sampling (epoch weighting)
     q["op_mixture_upsample"] = _op_mixture_upsample
+    # r16: word-grain decontamination (token n-gram overlap)
+    q["op_token_contamination"] = _op_token_contamination
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: corpus-context bigram rarity (CCNet-style quality proxy)
@@ -2182,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_incr_para_dedup"] = _PARA_DEDUP_ORACLE
     o["op_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     o["op_mixture_upsample"] = _MIXTURE_UPSAMPLE_ORACLE
+    o["op_token_contamination"] = _TOKEN_CONTAMINATION_ORACLE
     # ascending ingests == batch: same oracle
     o["op_incr_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle

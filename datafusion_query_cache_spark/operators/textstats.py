@@ -389,6 +389,41 @@ def char_shingles(
     return out
 
 
+def token_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hashed: bool,
+    keep_id: bool,
+) -> DataFrame:
+    """Word (token) ``n``-gram shingles, produced SCAN-SIDE: lowercase
+    whitespace tokens (the ``textstats`` tokenization), shingle = ``n``
+    consecutive tokens joined by one space — the grain the GPT-3/Llama
+    decontamination checks use (13-gram overlap). Docs shorter than
+    ``n`` tokens yield no shingles. Same slice-over-token-array shape as
+    :func:`~..operators.dedup.substring_dedup`'s windows."""
+    cols = [F.col(id_col)] if keep_id else []
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    nt = F.size(toks)
+    starts = F.when(
+        nt >= n, F.sequence(F.lit(0), nt - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        *cols, toks.alias("__tk"), F.explode(starts).alias("__i")
+    ).select(
+        *cols,
+        F.concat_ws(
+            " ", F.slice(F.col("__tk"), F.col("__i") + 1, n)
+        ).alias("sh"),
+    )
+    if hashed:
+        out = out.select(*cols, F.xxhash64("sh").alias("sh"))
+    return out
+
+
 def contamination_scores(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -396,6 +431,7 @@ def contamination_scores(
     id_col: str = "doc_id",
     k: int = 8,
     hashed: bool = False,
+    unit: str = "char",
 ) -> DataFrame:
     """Training-data DECONTAMINATION: per-document overlap of character
     k-shingles against a benchmark corpus — the standard pre-training
@@ -416,8 +452,17 @@ def contamination_scores(
     modulo 64-bit collisions (~1e-9 at 1e5 distinct shingles); the exact
     string join is the default so the DuckDB oracle can replicate values
     bit-for-bit.
+
+    ``unit="word"`` (r16) shingles at TOKEN grain instead — ``k``
+    consecutive lowercase whitespace tokens, the GPT-3/Llama 13-gram
+    overlap check. Same plan shape; only the scan-side shingler differs.
     """
+    if unit not in ("char", "word"):
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+
     def shingles(df: DataFrame, keep_id: bool):
+        if unit == "word":
+            return token_shingles(df, text_col, id_col, k, hashed, keep_id)
         return char_shingles(df, text_col, id_col, k, hashed, keep_id)
 
     bench = shingles(benchmark, keep_id=False).distinct()

@@ -211,3 +211,43 @@ def test_redact_pii_hand_corpus(spark):
         # IS a match; 1.2.3.4x is not (no word boundary before x)
         4: ("edge <PII>. and <PII> and 1.2.3.4x", 1, 1, 0),
     }
+
+
+def test_token_contamination_matches_char_machinery(spark):
+    """unit='word' shares the full plan shape with the char grain; pin
+    the token shingler's semantics directly: 5-gram overlap between two
+    tiny corpora, docs shorter than n yield no row."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one two three four"),       # 4 tokens < 5: no row
+            (3, "The  Quick Brown  Fox Jumps today"),  # case/ws-normalized
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps right now")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination_scores(docs, bench, k=5, unit="word").collect()
+    }
+    # doc1: 5 shingles, exactly 1 matches ("the quick brown fox jumps")
+    assert got[1] == (5, 1)
+    assert 2 not in got
+    # doc3 normalizes to "the quick brown fox jumps today": 2 shingles,
+    # the first matches
+    assert got[3] == (2, 1)
+    # hashed variant agrees at this scale
+    goth = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination_scores(
+            docs, bench, k=5, unit="word", hashed=True
+        ).collect()
+    }
+    assert goth == got
