@@ -275,7 +275,9 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         super().__init__(path)
 
     def _params(self) -> dict:
-        return {"window": self.window}
+        # hkey: the claim-hash function version — changing it would mix
+        # hash spaces with stored claims, so old indexes refuse loudly
+        return {"window": self.window, "hkey": "arr1"}
 
     def _out_schema(self) -> str:
         return (
@@ -320,10 +322,11 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         ).select(
             self.id_col,
             "pos",
+            # token-slice array hash — MUST stay bit-identical to the
+            # batch operator's key (claims live across ingests); the
+            # params "hkey" pin refuses indexes built on the old key
             F.xxhash64(
-                F.concat_ws(
-                    " ", F.slice(F.col("__tk"), F.col("pos") + 1, Wn)
-                )
+                F.slice(F.col("__tk"), F.col("pos") + 1, Wn)
             ).alias("h"),
         )
         seen = self.claimed(spark)

@@ -156,6 +156,60 @@ def gen_join_sql(rng: random.Random) -> str:
     )
 
 
+#: FULL-composite aggregate vocabulary (r16): the state-spelled family
+#: plus avg decomposition, exact count(DISTINCT) set states, and the
+#: HLL sketch path (register-wise union is deterministic, so estimates
+#: are twin-exact)
+FULL_AGGS = [
+    "count(*) AS n",
+    "count(ts) AS nf",
+    "round(sum(value), 2) AS sv",
+    "min(value) AS mn",
+    "max(value) AS mx",
+    "round(avg(value) + 1e-9, 3) AS av",
+    "count(DISTINCT user_id) AS du",
+    "approx_count_distinct(user_id) AS apu",
+]
+
+
+def gen_full_sql(rng: random.Random) -> str:
+    """FULL OUTER composite (r16): two-table ON, USING-merged key, and
+    the star shape (one inner/left edge then the FULL edge). The twin
+    bounds the FACT SOURCE (a WHERE above a FULL join would kill the
+    NULL-extended dim rows), see the fullj surgery in main()."""
+    ags = rng.sample(FULL_AGGS, rng.randint(1, 3))
+    pred = rng.choice([None, None, "value > 5", "value <= 80"])
+    where = f" WHERE {pred}" if pred else ""
+    shape = rng.random()
+    if shape < 0.4:
+        frm = "FROM events FULL JOIN fz_fdim ON event_type = et"
+        g = "big"
+    elif shape < 0.65:
+        frm = "FROM events FULL JOIN fz_dimu USING (user_id)"
+        g = rng.choice(["useg", "user_id % 5"])
+    elif shape < 0.85:
+        frm = (
+            "FROM events JOIN fz_seg ON user_id % 50 = bucket_id "
+            "FULL JOIN fz_fdim ON event_type = et"
+        )
+        g = rng.choice(["big", "segment"])
+    else:
+        frm = (
+            "FROM events LEFT JOIN fz_dimu USING (user_id) "
+            "FULL JOIN fz_fdim ON event_type = et"
+        )
+        g = rng.choice(["big", "useg"])
+    hv = (
+        " HAVING count(*) > 1"
+        if rng.random() < 0.2
+        else ""
+    )
+    return (
+        f"SELECT {g} AS g, {', '.join(ags)} {frm}{where} "
+        f"GROUP BY 1{hv} ORDER BY 1"
+    )
+
+
 def gen_filter_sql(rng: random.Random) -> tuple[str, bool]:
     cols = rng.choice(F_COLS)
     pred = rng.choice(F_PREDS)
@@ -584,6 +638,17 @@ def main() -> int:
             "segment"
         ),
     ).createOrReplaceTempView("fz_seg")
+    # FULL-composite dims (r16): ON-keyed with never-matched ghosts, and
+    # a USING-keyed one with holes on both sides
+    spark.sql(
+        "SELECT DISTINCT event_type AS et, upper(event_type) AS big "
+        "FROM events UNION ALL SELECT concat('ghost', CAST(id AS STRING)), "
+        "concat('G', CAST(id AS STRING)) FROM range(4)"
+    ).createOrReplaceTempView("fz_fdim")
+    spark.range(14).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("useg"),
+    ).createOrReplaceTempView("fz_dimu")
 
     rng = random.Random(SEED)
     from datafusion_query_cache_spark.cache import _ParquetEntry
@@ -606,6 +671,7 @@ def main() -> int:
         selscalar_mode = 0.66 <= mode_p < 0.71
         distinct_mode = 0.71 <= mode_p < 0.75
         corrsel_mode = 0.75 <= mode_p < 0.79
+        fullj_mode = 0.79 <= mode_p < 0.85
         if filter_mode:
             sql, topk = gen_filter_sql(rng)
         elif join_mode:
@@ -622,6 +688,8 @@ def main() -> int:
             sql = gen_corrsel_sql(rng)
         elif dimjoin_mode:
             sql = gen_dimjoin_sql(rng)
+        elif fullj_mode:
+            sql = gen_full_sql(rng)
         elif union_mode:
             # UNION [ALL] of two cacheable branches (r10 UnionSpec): same
             # select shape (positional arity), different predicates. Every
@@ -708,6 +776,7 @@ def main() -> int:
             and not distinct_mode
             and not corrsel_mode
             and not dimjoin_mode
+            and not fullj_mode
         ):
             gb_clause = f"GROUP BY {gb}"
             sel = gs + ags
@@ -757,12 +826,12 @@ def main() -> int:
         # 20% of single-table trials run against the date-partitioned twin
         # with partition pruning configured (results must be identical —
         # same rows, different physical layout)
-        if not join_mode and rng.random() < 0.2 and "FROM events " in sql:
+        if not join_mode and not fullj_mode and rng.random() < 0.2 and "FROM events " in sql:
             sql = sql.replace("FROM events ", "FROM events_part ")
             kw["temporal_partition_columns"] = {"ts": "d"}
         # 10%: catalog-qualified spelling of the same table (r13) — the
         # qualified name must ride the cached path with exact answers
-        elif not join_mode and rng.random() < 0.10 and "FROM events " in sql:
+        elif not join_mode and not fullj_mode and rng.random() < 0.10 and "FROM events " in sql:
             sql = sql.replace("FROM events ", "FROM default.events_fz ")
         # 10%: struct-field spelling (r13) — meta.t ≡ event_type on the
         # struct twin; scope-aware field-path resolution must keep every
@@ -773,6 +842,7 @@ def main() -> int:
         # engine via the outer-scope check, Spark at analysis).
         elif (
             not join_mode
+            and not fullj_mode
             and rng.random() < 0.10
             and "FROM events " in sql
             and "event_type" in sql
@@ -788,6 +858,7 @@ def main() -> int:
         # never start resolving
         elif (
             not join_mode
+            and not fullj_mode
             and rng.random() < 0.10
             and "FROM events " in sql
             and "FROM (" not in sql
@@ -808,6 +879,7 @@ def main() -> int:
         # to the direct spelling; plain Spark runs the same rewritten SQL
         elif (
             not join_mode
+            and not fullj_mode
             and rng.random() < 0.10
             and "FROM events " in sql
             and "FROM (" not in sql
@@ -908,7 +980,17 @@ def main() -> int:
                 # clauses so the as-of bound never lands inside one
                 # (which would leave the table scan unbounded)
                 s = s.replace("FILTER (WHERE ", "FILTER (\x00")
-                if scalar_mode or insubq_mode:
+                if fullj_mode:
+                    # bound the FACT SOURCE, not the joined result — a
+                    # WHERE above a FULL join would kill the
+                    # NULL-extended dim rows (ts IS NULL there)
+                    s = s.replace(
+                        "FROM events ",
+                        f"FROM (SELECT * FROM events WHERE ts < {lit}) "
+                        "__fz_ev ",
+                        1,
+                    )
+                elif scalar_mode or insubq_mode:
                     # only the INNER scalar aggregate is watermark-bounded;
                     # the plain outer scans the live table unbounded (the
                     # reference bounds only the rewritten Aggregate's
