@@ -2349,6 +2349,9 @@ class CachedSparkSession(RefreshTiers):
         # rewrite output aggregates onto state columns
         state_items: List[SelectItem] = []
         state_of: Dict[object, object] = {}
+        #: min_by/max_by val-state name -> its paired key-state name
+        #: (the pair merges together: extreme value AT the extreme key)
+        argpair: Dict[str, str] = {}
 
         def _add_state(call: AggCall) -> str:
             nm = f"__qcfo{len(state_items)}"
@@ -2389,6 +2392,17 @@ class CachedSparkSession(RefreshTiers):
                 s = Col(_add_state(AggCall("sum", node.args)))
                 c = Col(_add_state(AggCall("count", node.args)))
                 out = BinOp("/", s, c)
+            elif fn in ("min_by", "max_by") and len(node.args) == 2:
+                # r16: argmin/argmax pair states — the sub-plan outputs
+                # the extreme value AND its key; the composite re-takes
+                # the extreme across halves via min_by/max_by over the
+                # pair (NULL keys — e.g. all-NULL anti rows — are
+                # skipped by min_by exactly like SQL)
+                vnm = _add_state(node)
+                kfn = "min" if fn == "min_by" else "max"
+                knm = _add_state(AggCall(kfn, (node.args[1],)))
+                argpair[vnm] = knm
+                out = Col(vnm)
             elif fn == "approx_count_distinct" and len(node.args) == 1:
                 # r16: HLL sketch state — both halves produce sketches,
                 # the composite unions them register-wise and estimates
@@ -2496,6 +2510,11 @@ class CachedSparkSession(RefreshTiers):
                 not call.args or isinstance(call.args[0], Star)
             ):
                 return F.count(F.lit(1))
+            if fn in ("min_by", "max_by"):
+                f_by = F.min_by if fn == "min_by" else F.max_by
+                return f_by(
+                    to_column(call.args[0]), to_column(call.args[1])
+                )
             arg = to_column(call.args[0])
             return {
                 "count": F.count,
@@ -2513,6 +2532,14 @@ class CachedSparkSession(RefreshTiers):
         merge_exprs = []
         for si in state_items:
             fn = si.expr.fn.lower()
+            if si.name in argpair:
+                f_by = F.min_by if fn == "min_by" else F.max_by
+                merge_exprs.append(
+                    f_by(F.col(si.name), F.col(argpair[si.name])).alias(
+                        si.name
+                    )
+                )
+                continue
             m = {
                 "count": F.sum,
                 "sum": F.sum,

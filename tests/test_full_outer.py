@@ -453,3 +453,26 @@ def test_full_outer_count_distinct_two_run(spark, qc, split, fo_dim):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_min_by_max_by_two_run(spark, qc, split, fo_dim):
+    """r16: argmin/argmax on the FULL composite — pair states (extreme
+    value + its key) merged by re-taking the extreme across halves;
+    all-NULL anti rows drop out exactly like SQL (min_by skips NULL
+    keys). ts_ns orders totally, so the answers are deterministic."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, min_by(event_id, ts_ns) AS first_ev, "
+        "max_by(event_id, ts_ns) AS last_ev, count(*) AS n "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
