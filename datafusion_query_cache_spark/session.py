@@ -2346,6 +2346,37 @@ class CachedSparkSession(RefreshTiers):
         if using and cond is not None:
             raise Unsupported("FULL join with both ON and USING")
 
+        # first(x)/last(x) — the time-series definition (value at the
+        # extreme temporal timestamp, _plan_cached's _fl rewrite): now
+        # that the composite carries argmin pair states, desugar them
+        # onto min_by/max_by here too (the fact anchors ts_col)
+        def _fo_fl(e):
+            if (
+                isinstance(e, AggCall)
+                and e.fn.lower() in ("first", "last")
+                and not e.distinct
+                and 1 <= len(e.args) <= 2
+            ):
+                fn2 = "min_by" if e.fn.lower() == "first" else "max_by"
+                order = e.args[1] if len(e.args) == 2 else Col(ts_col)
+                return AggCall(fn2, (e.args[0], order))
+            return e
+
+        import dataclasses as _dc
+
+        spec = _dc.replace(
+            spec,
+            aggregates=tuple(
+                SelectItem(it.name, transform(it.expr, _fo_fl))
+                for it in spec.aggregates
+            ),
+            having=(
+                transform(spec.having, _fo_fl)
+                if spec.having is not None
+                else None
+            ),
+        )
+
         # rewrite output aggregates onto state columns
         state_items: List[SelectItem] = []
         state_of: Dict[object, object] = {}

@@ -476,3 +476,30 @@ def test_full_outer_min_by_max_by_two_run(spark, qc, split, fo_dim):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_first_last_two_run(spark, qc, split, fo_dim):
+    """r16: first/last desugar onto the argmin pair states inside the
+    composite (the engine's time-series definition: value at the
+    extreme timestamp — plain Spark's first() is order-arbitrary, so
+    the twin is the min_by/max_by spelling)."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, first(event_id) AS fe, last(event_id) AS le, "
+        "count(*) AS n FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    twin = (
+        "SELECT segment, min_by(event_id, ts) AS fe, "
+        "max_by(event_id, ts) AS le, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(twin))
