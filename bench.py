@@ -584,19 +584,6 @@ def main() -> None:
         ).collect(),
     )
 
-    # exact substring dedup at sliding 12-token-window grain (r16): one
-    # 8-byte-hash key exchange + window min (the single-pass shape), an
-    # (id, ints) span fold, scan-side trim — window TEXT never shuffles
-    from datafusion_query_cache_spark.operators.dedup import substring_dedup
-
-    timed(
-        "op_substr_dedup",
-        lambda: substring_dedup(docs, window=12).agg(
-            F.sum("n_kept")
-        ).collect(),
-        jobs=True,
-    )
-
     minhash_dedup_pairs(docs, threshold=0.8).count()  # untimed JIT warmup
     timed_median(
         "op_dedup_batch_full",
@@ -684,6 +671,47 @@ def main() -> None:
             ct_idx.update(docs=sub).count()
         els.append(time.perf_counter() - t0)
     timings["op_incr_contam_update"] = round(sorted(els)[1], 3)
+
+    # substring dedup pair (r16): the batch operator re-windows the whole
+    # corpus per run (the dominant cost is the O(tokens x window)
+    # scan-side hashing); the standing index re-windows ONLY the ingest's
+    # new docs and anti-joins 8-byte claims. Same steady-state protocol
+    # as the dedup/contam pairs above (standing state at the 0.7 cut,
+    # advancing ingests, median of 3; job counts emitted). COMMITTED
+    # GATE: ingest <= 0.8x batch at sf0.1 — both sides carry the same
+    # per-job floor, but the ingest's scan-side hashing covers ~10% of
+    # the corpus vs the batch's 100%, so the ratio separates on payload
+    # (solo runs ~0.3-0.6x); at scale the story is structural (O(new)
+    # re-windowing vs O(corpus)).
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+    )
+
+    timed_median(
+        "op_substr_batch_full",
+        lambda: substring_dedup(docs, window=12)
+        .agg(F.sum("n_kept"))
+        .collect(),
+    )
+    # (the batch row doubles as the op_substr_dedup headline: one
+    # 8-byte-hash key exchange + window min, an (id, ints) span fold,
+    # scan-side trim — window TEXT never shuffles)
+    sd_idx = SubstringDedupIndex(
+        tempfile.mkdtemp(prefix="qc-bench-sd-"), window=12
+    )
+    sd_idx.update(docs.filter(F.col("doc_id") <= F.lit(cuts[0])))
+    els = []
+    for i, sub in enumerate(steps):
+        t0 = time.perf_counter()
+        if i == len(steps) - 1:
+            _count_jobs(
+                "op_incr_substr_update", lambda: sd_idx.update(sub).count()
+            )
+        else:
+            sd_idx.update(sub).count()
+        els.append(time.perf_counter() - t0)
+    timings["op_incr_substr_update"] = round(sorted(els)[1], 3)
 
     e_cut = int(emb.approxQuantile("vec_id", [0.9], 0.0)[0])
     ivf_idx = IVFIndex(tempfile.mkdtemp(prefix="qc-bench-ivf-"), k_cells=8, train_iters=2)
@@ -1046,6 +1074,9 @@ def main() -> None:
         ),
         "op_incr_contam_update/op_contam_batch": _gate(
             "op_incr_contam_update", "op_contam_batch", 2.5
+        ),
+        "op_incr_substr_update/op_substr_batch_full": _gate(
+            "op_incr_substr_update", "op_substr_batch_full", 0.8
         ),
     }
     print(
