@@ -169,6 +169,10 @@ FULL_AGGS = [
     "round(avg(value) + 1e-9, 3) AS av",
     "count(DISTINCT user_id) AS du",
     "approx_count_distinct(user_id) AS apu",
+    # argmin pair states (r16) — ts_ns is unique, so the extreme is
+    # deterministic and twin-comparable
+    "min_by(event_id, ts_ns) AS fby",
+    "max_by(event_id, ts_ns) AS lby",
 ]
 
 
