@@ -124,6 +124,44 @@ class _ClaimedDigestIndex:
     #: schema of one stored claimed digest (subclasses override)
     _SEEN_SCHEMA = "h binary"
 
+    #: past this many claimed-digest parts, an ingest folds them into ONE
+    #: part (read fan-in stays bounded: a standing pipeline doing one
+    #: ingest per wave would otherwise anti-join against an ever-growing
+    #: union of tiny files — the ContaminationIndex COMPACT_AT precedent).
+    #: Output parts are NOT compacted: they are the immutable product.
+    COMPACT_AT = 16
+
+    def _maybe_compact_seen(self, spark: SparkSession, meta: dict) -> list:
+        """Fold the claimed-digest parts into one when past the cap.
+        Mutates ``meta`` in place (the caller swaps it atomically) and
+        returns the superseded part names — the caller removes their
+        directories only AFTER the swap committed (a crash in between
+        leaves orphan-but-unreferenced dirs, never a dangling meta)."""
+        if len(meta.get("seen_parts", [])) <= self.COMPACT_AT:
+            return []
+        # fold from the LOCAL meta being committed — self._meta is still
+        # the previous swap's view and would drop the current ingest's
+        # just-written claims (caught by the many-waves invariant test)
+        rd = spark.read.schema(self._SEEN_SCHEMA)
+        parts = [
+            os.path.join(self.path, p) for p in meta.get("seen_parts", [])
+        ]
+        folded = rd.parquet(parts[0])
+        for p in parts[1:]:
+            folded = folded.unionByName(rd.parquet(p))
+        folded = folded.distinct()
+        cname = f"seen-{uuid.uuid4().hex[:12]}"
+        folded.write.parquet(os.path.join(self.path, cname))
+        dead = meta.get("seen_parts", [])
+        meta["seen_parts"] = [cname]
+        return dead
+
+    def _drop_parts(self, dead: list) -> None:
+        import shutil
+
+        for p in dead:
+            shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
+
     def _out_schema(self) -> str:  # pragma: no cover - abstract
         raise NotImplementedError
 
@@ -239,7 +277,9 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
         meta["out_parts"] = meta.get("out_parts", []) + [oname]
         meta["seen_parts"] = meta.get("seen_parts", []) + [sname]
         meta["watermark_id"] = int(hi)
+        dead = self._maybe_compact_seen(spark, meta)
         self._swap_meta(meta)
+        self._drop_parts(dead)
         return spark.read.schema(self._out_schema()).parquet(
             os.path.join(self.path, oname)
         )
@@ -369,7 +409,9 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         meta["out_parts"] = meta.get("out_parts", []) + [oname]
         meta["seen_parts"] = meta.get("seen_parts", []) + [sname]
         meta["watermark_id"] = int(hi)
+        dead = self._maybe_compact_seen(spark, meta)
         self._swap_meta(meta)
+        self._drop_parts(dead)
         return spark.read.schema(self._out_schema()).parquet(
             os.path.join(self.path, oname)
         )

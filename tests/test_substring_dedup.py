@@ -130,3 +130,31 @@ def test_durable_and_fenced(spark, corpus, tmp_path):
     # parameter pinning: a different window refuses the existing index
     with pytest.raises(ValueError):
         SubstringDedupIndex(path, window=W + 1)
+
+
+def test_seen_parts_compact_under_many_ingests(spark, corpus, tmp_path, monkeypatch):
+    """Read fan-in stays bounded: past COMPACT_AT claimed-digest parts,
+    an ingest folds them into one (dead dirs removed after the atomic
+    swap) — and the batch invariant still holds across the fold."""
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+        _ClaimedDigestIndex,
+    )
+
+    monkeypatch.setattr(_ClaimedDigestIndex, "COMPACT_AT", 3)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    idx = SubstringDedupIndex(str(tmp_path / "sdc"), window=W)
+    n_waves = 8
+    for i in range(1, n_waves + 1):
+        cut = ids[min(len(ids) - 1, i * len(ids) // n_waves - 1)]
+        idx.update(corpus.filter(F.col("doc_id") <= cut))
+    idx.update(corpus)
+    assert len(idx._meta["seen_parts"]) <= 4  # folded, not 9+
+    assert rows_set(idx.output(spark)) == rows_set(_batch(corpus))
+    # dead part dirs actually removed from disk
+    import os as _os
+
+    on_disk = {
+        d for d in _os.listdir(str(tmp_path / "sdc")) if d.startswith("seen-")
+    }
+    assert on_disk == set(idx._meta["seen_parts"])
