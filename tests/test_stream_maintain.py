@@ -222,3 +222,47 @@ def test_maintainer_compacts_layered_entries(spark, tmp_path, monkeypatch):
             sql.replace("FROM events_m", f"FROM events WHERE ts_ns < {cuts[2]}")
         )
     )
+
+
+def test_maintainer_keeps_full_composite_fresh(spark, tmp_path):
+    """r16: the maintainer needs no special-casing for FULL composites
+    either — each batch folds the A/M halves through qc.sql's own warm
+    path; a reader's hit recomputes only the O(dim) anti side."""
+    from datafusion_query_cache_spark.streaming.maintain import CacheMaintainer
+
+    ev = spark.table("events")
+    mid = int(ev.approxQuantile("ts_ns", [0.5], 0.0)[0])
+    spark.sql(
+        "SELECT DISTINCT event_type AS et, upper(event_type) AS big "
+        "FROM events UNION ALL SELECT concat('ghost', CAST(id AS STRING)), "
+        "concat('G', CAST(id AS STRING)) FROM range(4)"
+    ).createOrReplaceTempView("sm_fdim")
+    cache_dir = str(tmp_path / "focache")
+    sql = (
+        "SELECT big, count(ts) AS nf, count(*) AS n, "
+        "count(DISTINCT user_id) AS du FROM events_sm "
+        "FULL JOIN sm_fdim ON event_type = et GROUP BY 1 ORDER BY 1"
+    )
+    m = CacheMaintainer(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cache_dir), default_temporal_column="ts"
+        ),
+        [sql],
+        "events_sm",
+    )
+    m.process_batch(ev.filter(F.col("ts_ns") <= mid), 1)
+    m.process_batch(ev.filter(F.col("ts_ns") > mid), 2)
+
+    reader = CachedSparkSession(
+        spark,
+        QueryCacheConfig(
+            cache=ParquetQueryCache(cache_dir), default_temporal_column="ts"
+        ),
+    )
+    ev.createOrReplaceTempView("events_sm")  # full history for the twin
+    out = reader.sql(sql)
+    d = reader.last_decision
+    assert d.cached and d.cache_hit and d.refresh_tier == "full_outer"
+    assert rows_set(out) == rows_set(spark.sql(sql))
+    spark.catalog.dropTempView("sm_fdim")
