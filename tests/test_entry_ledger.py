@@ -49,6 +49,7 @@ OFF_WINDOW_GRADED = {
     "op_substr_dedup",
     "op_incr_substr_dedup",
     "op_mixture_upsample",
+    "op_token_contamination",
 }
 
 
