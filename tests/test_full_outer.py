@@ -503,3 +503,42 @@ def test_full_outer_first_last_two_run(spark, qc, split, fo_dim):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(twin))
+
+
+def test_full_outer_dynamic_bound_and_union_branch(spark, qc, split, fo_dim):
+    """r16 composition pins: a dynamic lower bound rides the A half's
+    own dyn ladder (anti side pinned at the composite's shared now), and
+    a FULL composite works as a UNION branch."""
+    run1, run2, cut_ns, _cut = split
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    dyn = (
+        "SELECT segment, count(ts) AS nf, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid "
+        "WHERE ts > now() - INTERVAL 100000 DAYS GROUP BY 1 ORDER BY 1"
+    )
+    got = qc.sql(dyn)
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(dyn))
+    uni = (
+        "SELECT segment AS g, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 UNION ALL "
+        "SELECT event_type AS g, count(*) AS n FROM events_fo GROUP BY 1 "
+        "ORDER BY 1, 2"
+    )
+    got = qc.sql(uni)
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(uni))
+
+
+def test_audit_on_full_a_half_entry(spark, qc, split, fo_dim):
+    run1, run2, cut_ns, _cut = split
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    sql = (
+        "SELECT segment, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1"
+    )
+    qc.sql(sql).collect()
+    rep = qc.audit(qc.last_decision.fingerprint, buckets=4)
+    assert rep.ok
