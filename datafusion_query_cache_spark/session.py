@@ -2293,8 +2293,17 @@ class CachedSparkSession(RefreshTiers):
                     "FULL star admits only inner/left dim edges"
                 )
         full_step = spec.join_steps[-1]
-        if spec.grouping_sets or spec.grouping_fn_items:
-            raise Unsupported("FULL join with grouping sets")
+        if spec.grouping_fn_items and not spec.grouping_sets:
+            raise Unsupported("grouping() without grouping sets")
+        if spec.having is not None and spec.grouping_fn_items:
+            from .plans.ir import Func as _GFunc
+
+            if any(
+                isinstance(n, _GFunc)
+                and n.name.lower() in ("grouping", "grouping_id")
+                for n in spec.having.walk()
+            ):
+                raise Unsupported("grouping() in HAVING over a FULL join")
         if spec.having is not None:
             # HAVING filters the MERGED frame (post-merge, pre-select);
             # its aggregates rewrite onto the same state columns. Only
@@ -2590,6 +2599,72 @@ class CachedSparkSession(RefreshTiers):
         merged = unioned.groupBy(*[F.col(n) for n in g_names]).agg(
             *merge_exprs
         )
+
+        if spec.grouping_sets:
+            # ROLLUP/CUBE/GROUPING SETS over the FULL composite (r16):
+            # the merged frame IS the finest-granularity state, and its
+            # merge vocabulary (sum/min/max/set-union/HLL-union/argmin
+            # pairs) re-aggregates each coarser set — the same
+            # associativity law the normal path's expansion uses. Anti
+            # groups' natural-NULL keys group like values (grouping()=0),
+            # subtotal NULLs are typed literals per part, and the
+            # grouping()/grouping_id() flags are pure functions of WHICH
+            # set a row came from.
+            def fo_flag_cols(st_idx):
+                cols = []
+                for item in spec.grouping_fn_items:
+                    args = item.expr.args or tuple(
+                        g.expr for g in spec.group_by
+                    )
+
+                    def flag(arg) -> int:
+                        for i, g in enumerate(spec.group_by):
+                            if g.expr == arg or (
+                                isinstance(arg, Col) and arg.name == g.name
+                            ):
+                                return 0 if i in st_idx else 1
+                        raise Unsupported(
+                            "grouping() argument not a group key"
+                        )
+
+                    if item.expr.name.lower() == "grouping":
+                        cols.append(
+                            F.lit(flag(args[0]))
+                            .cast("tinyint")
+                            .alias(item.name)
+                        )
+                    else:
+                        gid = 0
+                        for arg in args:
+                            gid = gid * 2 + flag(arg)
+                        cols.append(
+                            F.lit(gid).cast("bigint").alias(item.name)
+                        )
+                return cols
+
+            dt_map = dict(merged.dtypes)
+            parts = []
+            for st_idx in spec.grouping_sets:
+                keys = [g_names[i] for i in st_idx]
+                gagg = merged.groupBy(*[F.col(k) for k in keys]).agg(
+                    *merge_exprs
+                )
+                sel = (
+                    [F.col(k) for k in keys]
+                    + [
+                        F.lit(None).cast(dt_map[n]).alias(n)
+                        for n in g_names
+                        if n not in keys
+                    ]
+                    + [F.col(n) for n in s_names]
+                    + fo_flag_cols(st_idx)
+                )
+                parts.append(gagg.select(*sel))
+            acc = parts[0]
+            for p2 in parts[1:]:
+                acc = acc.unionByName(p2)
+            merged = acc
+
         if having_expr is not None:
             merged = merged.filter(to_column(having_expr))
 

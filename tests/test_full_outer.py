@@ -542,3 +542,31 @@ def test_audit_on_full_a_half_entry(spark, qc, split, fo_dim):
     qc.sql(sql).collect()
     rep = qc.audit(qc.last_decision.fingerprint, buckets=4)
     assert rep.ok
+
+
+def test_full_outer_rollup_two_run(spark, qc, split, fo_dim):
+    """r16: grouping sets over the FULL composite — the merged frame is
+    the finest-granularity state; each coarser set re-aggregates it with
+    the composite's own merge vocabulary (incl. set states and argmin
+    pairs), grouping() flags as per-part literals. Anti groups' natural
+    NULL keys group as values (grouping()=0); subtotal NULLs are typed
+    per-part literals."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, user_id % 3 AS ub, grouping(segment) AS gs, "
+        "count(*) AS n, count(DISTINCT user_id) AS du, "
+        "round(sum(value), 2) AS sv FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY ROLLUP (segment, ub) "
+        "ORDER BY segment NULLS FIRST, ub NULLS FIRST, gs"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
