@@ -702,6 +702,44 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _qc_full_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets over the FULL composite (r16): the merged frame is
+    the finest state; each coarser set re-aggregates it with the
+    composite's merge vocabulary; grouping() flags are per-part typed
+    literals. Same ghost-dim corpus as qc_full_star so anti rows exist."""
+    _load(spark, sf_dir)
+    spark.sql(
+        "SELECT n_nationkey AS nk, n_name FROM nation UNION ALL "
+        "SELECT n_nationkey + 100 AS nk, concat('GHOST', n_name) AS n_name "
+        "FROM nation"
+    ).createOrReplaceTempView("fo_star_dim")
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT n_name, c_mktsegment, grouping(n_name) AS gn, "
+        "count(ts) AS nf, count(*) AS n, round(sum(value), 2) AS sv "
+        "FROM events_qc_fr JOIN customer ON user_id = c_custkey "
+        "FULL JOIN fo_star_dim ON c_nationkey = nk "
+        "GROUP BY ROLLUP (n_name, c_mktsegment) "
+        "ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, gn",
+        "events_qc_fr",
+    )
+
+
+_FULL_ROLLUP_ORACLE = """
+SELECT n_name, c_mktsegment, grouping(n_name) AS gn,
+       count(ts) AS nf, count(*) AS n, round(sum(value), 2) AS sv
+FROM events JOIN customer ON user_id = c_custkey
+FULL JOIN (SELECT n_nationkey AS nk, n_name FROM nation
+           UNION ALL
+           SELECT n_nationkey + 100 AS nk,
+                  concat('GHOST', n_name) AS n_name FROM nation) d
+ON c_nationkey = nk
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, gn
+"""
+
+
 def _qc_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL ... USING (r15): the merged key column — the dim's value on
     anti rows (fact side NULL, coalesce semantics) — as a group key,
@@ -2130,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_full_using"] = _qc_full_using
     # r16: FULL edge closing an inner-dim star spine
     q["qc_full_star"] = _qc_full_star
+    # r16: grouping sets over the FULL composite
+    q["qc_full_rollup"] = _qc_full_rollup
     # r14: word-repetition / boilerplate signals (off-window)
     q["op_repetition"] = _op_repetition
     return q
@@ -2244,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_redact_pii"] = _PII_ORACLE
     o["qc_nested_static"] = _NESTED_STATIC_SQL.format(v="events")
     o["qc_full_star"] = _FULL_STAR_ORACLE
+    o["qc_full_rollup"] = _FULL_ROLLUP_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
         "round(sum(value), 2) AS sv, round(avg(value), 4) AS av "

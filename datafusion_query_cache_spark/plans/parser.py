@@ -86,6 +86,28 @@ class _ScopeSet(set):
         self.cols: Dict[str, set] = {}
 
 
+def _scope_col_membership(name: str):
+    """Is ``name`` a COLUMN of some visible relation? ``True`` when a
+    known relation carries it, ``False`` when EVERY visible relation's
+    column set is known and none carries it, ``None`` when membership is
+    unknowable (unregistered relations, derived tables). Drives Spark's
+    GROUP BY resolution order (real column first, select alias second):
+    duckdb binds the ALIAS first, so blind alias substitution ANSWERED
+    queries Spark refuses with MISSING_AGGREGATION when the alias
+    shadows a real column (r16 probe find, the standing leniency
+    class)."""
+    if not _SCOPE:
+        return None
+    sc = _SCOPE[-1]
+    cols = getattr(sc, "cols", {})
+    low = name.lower()
+    if any(low in cs for cs in cols.values()):
+        return True
+    if sc and all(v in cols for v in sc):
+        return False
+    return None
+
+
 def _visible_names(ft: Dict[str, Any]) -> "_ScopeSet":
     """Lowercased relation names visible in a FROM tree: an alias REPLACES
     the table name it binds (SQL alias hiding; the replaced names are
@@ -2636,24 +2658,51 @@ def _lower_select_from(node: Dict[str, Any]):
             grouped_exprs.append(e)
             continue
         if isinstance(g, Col):
-            # may reference a select alias
+            # may reference a select ALIAS. Spark resolves the REAL
+            # column FIRST and the alias second; duckdb binds the alias
+            # first — substituting blindly answered shadowed spellings
+            # Spark refuses with MISSING_AGGREGATION (r16 find). So:
+            # * membership KNOWN, name is no column (False) → full alias
+            #   substitution (including plain-column aliases);
+            # * membership UNKNOWN (scope-less parse_agg_query callers;
+            #   the session always parses with registered-view scopes) →
+            #   legacy behavior: substitute EXPRESSION aliases only;
+            # * a real column (True) or a dotted struct path → no
+            #   substitution; the rename path below keeps output naming.
+            memb = (
+                _scope_col_membership(g.name)
+                if "." not in g.name
+                else True
+            )
+            sub = None
+            if memb is False:
+                sub = next(
+                    (p for p in raw_items if p[0] == g.name), None
+                )
+            elif memb is None:
+                sub = next(
+                    (
+                        p
+                        for p in raw_items
+                        if p[0] == g.name and not isinstance(p[1], Col)
+                    ),
+                    None,
+                )
+            if sub is not None:
+                group_items.append(SelectItem(sub[0], sub[1]))
+                grouped_exprs.append(sub[1])
+                continue
+            # a select item may ALIAS this grouped column
+            # (``SELECT k AS a … GROUP BY k``): name the group output
+            # by the alias so the finalize's select-by-name resolves
+            # (same naming GROUP BY 1 positional produces)
             for name, e in raw_items:
-                if name == g.name and not isinstance(e, Col):
+                if e == g:
                     group_items.append(SelectItem(name, e))
-                    grouped_exprs.append(e)
                     break
             else:
-                # a select item may ALIAS this grouped column
-                # (``SELECT k AS a … GROUP BY k``): name the group output
-                # by the alias so the finalize's select-by-name resolves
-                # (same naming GROUP BY 1 positional produces)
-                for name, e in raw_items:
-                    if e == g:
-                        group_items.append(SelectItem(name, e))
-                        break
-                else:
-                    group_items.append(SelectItem(g.name, g))
-                grouped_exprs.append(g)
+                group_items.append(SelectItem(g.name, g))
+            grouped_exprs.append(g)
             continue
         # expression group-by: find matching select item for the name
         for name, e in raw_items:
@@ -2699,6 +2748,17 @@ def _lower_select_from(node: Dict[str, Any]):
             agg_items.append(SelectItem(name, e))
         else:
             if name in group_names:
+                ge = next(s.expr for s in group_items if s.name == name)
+                if ge != e:
+                    # NAME collision only: the select item computes
+                    # something ELSE than the grouped key (duckdb bound
+                    # GROUP BY to the select alias; Spark resolves the
+                    # REAL column and refuses with MISSING_AGGREGATION).
+                    # Serving the key's values under this name would
+                    # invent an answer — refuse (r16 leniency find).
+                    raise Unsupported(
+                        f"select item {name} shadows a grouped column"
+                    )
                 continue  # already a group output
             if e in grouped_exprs:
                 # a SECOND alias of an already-named group output

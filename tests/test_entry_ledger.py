@@ -50,6 +50,7 @@ OFF_WINDOW_GRADED = {
     "op_incr_substr_dedup",
     "op_mixture_upsample",
     "op_token_contamination",
+    "qc_full_rollup",
 }
 
 

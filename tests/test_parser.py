@@ -204,3 +204,43 @@ def test_decision_recorded_before_failing_passthrough(spark, qc_mem):
         ).collect()
     d = qc_mem.last_decision
     assert d is not None and not d.cached and "DISTINCT ON" in d.reason
+
+
+def test_group_by_alias_shadowing_real_column_refuses(spark, qc):
+    """r16 leniency find: duckdb binds GROUP BY <name> to the select
+    ALIAS, Spark resolves the REAL column first and refuses with
+    MISSING_AGGREGATION when the select expression is unaggregated.
+    With registered-view scopes membership is decidable: a shadowed
+    alias must refuse (passthrough -> Spark's own error), a pure alias
+    must substitute and cache."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        "SELECT *, user_id % 2 AS ub FROM events"
+    ).createOrReplaceTempView("al_shadow")
+    try:
+        q = (
+            "SELECT user_id % 3 AS ub, count(*) AS n FROM al_shadow "
+            "GROUP BY ub ORDER BY 1"
+        )
+        with _pt.raises(Exception):
+            qc.sql(q).collect()
+        with _pt.raises(Exception):
+            spark.sql(q).collect()
+        # the REAL column under its own name still groups fine
+        q2 = "SELECT ub, count(*) AS n FROM al_shadow GROUP BY ub ORDER BY 1"
+        a = sorted(tuple(r) for r in qc.sql(q2).collect())
+        assert qc.last_decision.cached
+        assert a == sorted(tuple(r) for r in spark.sql(q2).collect())
+        # pure (unshadowed) aliases substitute and cache, plain-col too
+        q3 = (
+            "SELECT event_type AS k2, count(*) AS n FROM events "
+            "GROUP BY k2 ORDER BY 1"
+        )
+        a = sorted(tuple(r) for r in qc.sql(q3).collect())
+        assert qc.last_decision.cached
+        assert a == sorted(tuple(r) for r in spark.sql(q3).collect())
+    finally:
+        spark.catalog.dropTempView("al_shadow")
