@@ -64,6 +64,10 @@ def main() -> int:
         "SELECT DISTINCT user_id + 2 AS uid, concat('d', user_id % 3) "
         "AS dseg FROM events"
     ).createOrReplaceTempView("rj_dim")
+    # a REAL column named like a select alias (the shadowed-alias axis)
+    spark.sql(
+        "SELECT *, user_id % 2 AS sh_col FROM events"
+    ).createOrReplaceTempView("rj_shadow")
 
     rng = random.Random(SEED)
     aggs = ["count(*) AS n", "round(sum(value), 2) AS sv", "min(value) AS mn"]
@@ -270,6 +274,21 @@ def main() -> int:
             f"FROM events {{A}} WHERE NOT EXISTS "
             f"(SELECT 1 FROM events z WHERE z.value > 1e12) "
             f"GROUP BY {q}.event_type) t ORDER BY 1"
+        ),
+        # r16 leniency find: GROUP BY alias resolution order — a select
+        # alias SHADOWING a real column must refuse like Spark
+        # (MISSING_AGGREGATION), pure aliases must answer identically
+        lambda q: (
+            "SELECT user_id % 3 AS sh_col, count(*) AS n FROM rj_shadow "
+            "GROUP BY sh_col ORDER BY 1"
+        ),
+        lambda q: (
+            "SELECT sh_col, count(*) AS n FROM rj_shadow "
+            "GROUP BY sh_col ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT {q}.event_type AS g2, count(*) AS n FROM events {{A}} "
+            "GROUP BY g2 ORDER BY 1"
         ),
         # FULL OUTER positional ORDER BY (r16 advice): out-of-range
         # ordinals must surface Spark's ORDER_BY_POS_OUT_OF_RANGE, never
