@@ -647,6 +647,105 @@ FROM dsh GROUP BY 1 ORDER BY 1
 """
 
 
+def _op_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (r16): whitespace collapse, control
+    strip, URL markers — the pre-dedup step. The testdata is clean, so
+    both sides derive the SAME dirtied corpus (every third doc gains a
+    URL + a control char + ragged whitespace); regexes stay in the
+    Java-regex ∩ RE2 subset so the oracle replicates the normalized
+    TEXT bit-for-bit."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "concat(text, '  see ', char(1), ' https://ex.com/a?b=1#c  end') "
+        "ELSE text END AS text FROM documents"
+    )
+    return normalize_text(corpus, strip_urls=True).orderBy("doc_id")
+
+
+_NORMALIZE_TEXT_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+    text || '  see ' || chr(1) || ' https://ex.com/a?b=1#c  end'
+    ELSE text END AS raw0 FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(raw0,
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '\s+', ' ', 'g')) AS text,
+       CAST(length(raw0) AS BIGINT) AS n_chars_before,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(raw0,
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_after
+FROM corpus ORDER BY doc_id
+"""
+
+
+def _op_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gates (r16, Rae et al. 2021 / Dolma): raw
+    measurements + one boolean per rule + the keep conjunction.
+    Thresholds picked so sf0.01's short docs split both ways."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    _load(spark, sf_dir)
+    return gopher_quality_flags(
+        spark.table("documents"), min_words=30, min_mean_word_len=3.5
+    ).orderBy("doc_id")
+
+
+_GOPHER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> len(x) > 0) AS tk,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(trim(l)) > 0) AS ln,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')
+             ) AS BIGINT) AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CASE WHEN len(tk) > 0 THEN
+           CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+             / len(tk) ELSE 0.0 END AS mean_wl,
+         CASE WHEN len(tk) > 0 THEN
+           CAST(n_sym AS DOUBLE) / len(tk) ELSE 0.0 END AS sym_ratio,
+         CASE WHEN len(ln) > 0 THEN
+           CAST(len(list_filter(ln,
+                l -> regexp_matches(trim(l), '^(\-|\*|•)'))) AS DOUBLE)
+             / len(ln) ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN len(ln) > 0 THEN
+           1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln)
+           ELSE 0.0 END AS dup_ratio
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       round(bullet_ratio, 6) AS bullet_ratio,
+       round(dup_ratio, 6) AS dup_line_ratio,
+       (n_words >= 30 AND n_words <= 100000) AS ok_words,
+       (mean_wl >= 3.5 AND mean_wl <= 10.0) AS ok_word_len,
+       (sym_ratio <= 0.1) AS ok_symbols,
+       (bullet_ratio <= 0.9) AS ok_bullets,
+       (dup_ratio <= 0.3) AS ok_dup_lines,
+       ((n_words >= 30 AND n_words <= 100000)
+        AND (mean_wl >= 3.5 AND mean_wl <= 10.0)
+        AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND dup_ratio <= 0.3) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER aggregate on the cached path (r15 composite plan):
     cached state-spelled LEFT half + cached monotone matched-dim-set +
@@ -2157,6 +2256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_mixture_upsample"] = _op_mixture_upsample
     # r16: word-grain decontamination (token n-gram overlap)
     q["op_token_contamination"] = _op_token_contamination
+    # r16: canonical text normalization + Gopher quality gates
+    q["op_normalize_text"] = _op_normalize_text
+    q["op_gopher_quality"] = _op_gopher_quality
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: corpus-context bigram rarity (CCNet-style quality proxy)
@@ -2275,6 +2377,8 @@ def oracle_sql() -> dict[str, str]:
     o["op_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     o["op_mixture_upsample"] = _MIXTURE_UPSAMPLE_ORACLE
     o["op_token_contamination"] = _TOKEN_CONTAMINATION_ORACLE
+    o["op_normalize_text"] = _NORMALIZE_TEXT_ORACLE
+    o["op_gopher_quality"] = _GOPHER_ORACLE
     # ascending ingests == batch: same oracle
     o["op_incr_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle

@@ -577,3 +577,133 @@ def repetition_features(
             ).alias("dup_ngram_ratio"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+    strip_urls: bool = False,
+) -> DataFrame:
+    """Canonical text normalization (the pre-dedup step every pipeline
+    runs BEFORE hashing): collapse whitespace runs to single spaces,
+    strip ASCII control characters, trim; optionally lowercase and
+    replace URL-shaped spans with a marker token.
+
+    All regexes stay in the Java-regex ∩ RE2 subset (classes, bounded
+    repetition — no lookaround), so the DuckDB oracle replicates the
+    normalized TEXT bit-for-bit. Pure scan-side map stage: zero
+    shuffles, zero UDFs — at 100 TB this fuses into whatever scan feeds
+    the dedup/quality operators downstream (which all tokenize on
+    whitespace, so normalize-then-hash is stable by construction).
+
+    Returns ``(id, text [normalized], n_chars_before, n_chars_after)``.
+    """
+    out = F.col(text_col)
+    if strip_urls:
+        out = F.regexp_replace(
+            out, r"https?://[^\s]+", "<URL>"
+        )
+    out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return df.select(
+        F.col(id_col),
+        out.alias(text_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_before"),
+        F.length(out).cast("long").alias("n_chars_after"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_dup_line_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style heuristic quality gates (Rae et al. 2021; the rule
+    family Dolma/RefinedWeb reuse): per document, the raw measurements
+    and one boolean per rule plus the conjunction ``keep``.
+
+    Rules (all measured on whitespace tokens / newline-split lines):
+
+    * word count within ``[min_words, max_words]``;
+    * mean word length within ``[min_mean_word_len, max_mean_word_len]``;
+    * symbol-to-word ratio (``#`` and ``...`` occurrences / words) at
+      most ``max_symbol_ratio``;
+    * at most ``max_bullet_ratio`` of lines starting with a bullet;
+    * duplicate-line ratio (1 − distinct/total lines) at most
+      ``max_dup_line_ratio``.
+
+    Everything is array-side built-ins over one scan — counts and exact
+    divisions only (oracle-replicable; the single rounding is the
+    ratios' 6-decimal round). At 100 TB this is a map stage; the
+    ``keep`` column is the usual downstream filter.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = F.when(
+        n_words > 0, total_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_sym = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0))
+        .cast("long")
+    )
+    sym_ratio = F.when(
+        n_words > 0, n_sym.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"^(\-|\*|•)"),
+        )
+    ).cast("long")
+    bullet_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_distinct_lines = F.size(F.array_distinct(lines)).cast("long")
+    dup_ratio = F.when(
+        n_lines > 0,
+        F.lit(1.0)
+        - n_distinct_lines.cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_bullet = bullet_ratio <= max_bullet_ratio
+    ok_dup = dup_ratio <= max_dup_line_ratio
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(dup_ratio, 6).alias("dup_line_ratio"),
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_bullet.alias("ok_bullets"),
+        ok_dup.alias("ok_dup_lines"),
+        (ok_words & ok_wl & ok_sym & ok_bullet & ok_dup).alias("keep"),
+    )

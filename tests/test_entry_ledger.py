@@ -51,6 +51,8 @@ OFF_WINDOW_GRADED = {
     "op_mixture_upsample",
     "op_token_contamination",
     "qc_full_rollup",
+    "op_normalize_text",
+    "op_gopher_quality",
 }
 
 
