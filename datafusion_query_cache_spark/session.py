@@ -2392,6 +2392,12 @@ class CachedSparkSession(RefreshTiers):
         #: min_by/max_by val-state name -> its paired key-state name
         #: (the pair merges together: extreme value AT the extreme key)
         argpair: Dict[str, str] = {}
+        #: combined (n, s, m2) struct column name -> its (count, sum,
+        #: var_samp) state-column triple — the var family's pairwise
+        #: central-moment merge (the union holds <= 2 state rows per
+        #: group, so ONE exact Chan combine suffices; collect_list is
+        #: array_sort-pinned for fp determinism)
+        var_pairs: Dict[str, tuple] = {}
 
         def _add_state(call: AggCall) -> str:
             nm = f"__qcfo{len(state_items)}"
@@ -2443,6 +2449,48 @@ class CachedSparkSession(RefreshTiers):
                 knm = _add_state(AggCall(kfn, (node.args[1],)))
                 argpair[vnm] = knm
                 out = Col(vnm)
+            elif fn in (
+                "var_samp", "variance", "var_pop",
+                "stddev", "stddev_samp", "stddev_pop",
+            ) and len(node.args) == 1:
+                # r16: var family via pairwise central-moment (Chan)
+                # merge of the two halves' (count, sum, M2) states —
+                # M2 recovered from the sub-plan's var_samp output
+                cn = _add_state(AggCall("count", node.args))
+                sn = _add_state(AggCall("sum", node.args))
+                vn = _add_state(AggCall("var_samp", node.args))
+                vm = f"__qcfovm{len(var_pairs)}"
+                var_pairs[vm] = (cn, sn, vn)
+                n_f = Col(f"{vm}.n")
+                m2_f = Col(f"{vm}.m2")
+                from .plans.ir import Case as _Case
+
+                if fn in ("var_samp", "variance", "stddev", "stddev_samp"):
+                    core: object = _Case(
+                        (
+                            (
+                                BinOp(">=", n_f, Lit(2)),
+                                BinOp(
+                                    "/", m2_f, BinOp("-", n_f, Lit(1))
+                                ),
+                            ),
+                        ),
+                        None,
+                    )
+                else:  # var_pop / stddev_pop
+                    core = _Case(
+                        (
+                            (
+                                BinOp(">=", n_f, Lit(1)),
+                                BinOp("/", m2_f, n_f),
+                            ),
+                        ),
+                        None,
+                    )
+                if fn in ("stddev", "stddev_samp", "stddev_pop"):
+                    core = _Func("sqrt", (core,))
+                state_of[node] = core
+                return core
             elif fn == "approx_count_distinct" and len(node.args) == 1:
                 # r16: HLL sketch state — both halves produce sketches,
                 # the composite unions them register-wise and estimates
@@ -2563,36 +2611,112 @@ class CachedSparkSession(RefreshTiers):
                 "max": F.max,
                 "hll_sketch_agg": F.hll_sketch_agg,
                 "collect_set": F.collect_set,
+                "var_samp": F.var_samp,
             }[fn](arg)
 
         anti_states = anti_base.groupBy(
             *[to_column(it.expr).alias(it.name) for it in spec.group_by]
         ).agg(*[_agg_col(si.expr).alias(si.name) for si in state_items])
 
-        merge_exprs = []
-        for si in state_items:
-            fn = si.expr.fn.lower()
-            if si.name in argpair:
-                f_by = F.min_by if fn == "min_by" else F.max_by
-                merge_exprs.append(
-                    f_by(F.col(si.name), F.col(argpair[si.name])).alias(
-                        si.name
+        var_inputs = {nm for tpl in var_pairs.values() for nm in tpl}
+
+        def _chan(acc, x):
+            n = acc["n"] + x["n"]
+            srm = acc["s"] + x["s"]
+            m2 = (
+                F.when(acc["n"] == 0, x["m2"])
+                .when(x["n"] == 0, acc["m2"])
+                .otherwise(
+                    acc["m2"]
+                    + x["m2"]
+                    + F.pow(
+                        x["s"] / x["n"].cast("double")
+                        - acc["s"] / acc["n"].cast("double"),
+                        F.lit(2.0),
                     )
+                    * acc["n"].cast("double")
+                    * x["n"].cast("double")
+                    / n.cast("double")
                 )
-                continue
-            m = {
-                "count": F.sum,
-                "sum": F.sum,
-                "min": F.min,
-                "max": F.max,
-                "hll_sketch_agg": F.hll_union_agg,
-                "collect_set": (
-                    lambda c: F.array_distinct(F.flatten(F.collect_list(c)))
+            )
+            return F.struct(n.alias("n"), srm.alias("s"), m2.alias("m2"))
+
+        def _var_fold(elem, vm):
+            return F.aggregate(
+                F.array_sort(F.collect_list(elem)),
+                F.struct(
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(0.0).alias("s"),
+                    F.lit(0.0).alias("m2"),
                 ),
-            }[fn](F.col(si.name))
-            if fn == "count":
-                m = F.coalesce(m, F.lit(0)).cast("long")
-            merge_exprs.append(m.alias(si.name))
+                _chan,
+            ).alias(vm)
+
+        def _merge_cols(first: bool):
+            """Merge-aggregate expressions over a frame carrying the
+            state columns. ``first=True``: the union frame (raw state
+            items; var pairs build their (n, s, m2) struct from the
+            count/sum/var_samp triple). ``first=False``: a
+            re-aggregation over the already-merged frame (var pairs
+            re-fold their existing structs — Chan is associative, the
+            order-pinned fold handles any row count)."""
+            out = []
+            for si in state_items:
+                if si.name in var_inputs:
+                    # consumed by a var-pair struct; var_samp states in
+                    # particular have no per-column merge
+                    continue
+                fn = si.expr.fn.lower()
+                if si.name in argpair:
+                    f_by = F.min_by if fn == "min_by" else F.max_by
+                    out.append(
+                        f_by(
+                            F.col(si.name), F.col(argpair[si.name])
+                        ).alias(si.name)
+                    )
+                    continue
+                m = {
+                    "count": F.sum,
+                    "sum": F.sum,
+                    "min": F.min,
+                    "max": F.max,
+                    "hll_sketch_agg": F.hll_union_agg,
+                    "collect_set": (
+                        lambda c: F.array_distinct(
+                            F.flatten(F.collect_list(c))
+                        )
+                    ),
+                }[fn](F.col(si.name))
+                if fn == "count":
+                    m = F.coalesce(m, F.lit(0)).cast("long")
+                out.append(m.alias(si.name))
+            for vm, (cn, sn, vn) in var_pairs.items():
+                if first:
+                    elem = F.struct(
+                        F.coalesce(F.col(cn), F.lit(0))
+                        .cast("long")
+                        .alias("n"),
+                        F.coalesce(F.col(sn), F.lit(0.0))
+                        .cast("double")
+                        .alias("s"),
+                        F.when(
+                            F.col(cn) >= 2,
+                            F.col(vn)
+                            * (F.col(cn) - F.lit(1)).cast("double"),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .alias("m2"),
+                    )
+                else:
+                    elem = F.struct(
+                        F.col(f"{vm}.n").alias("n"),
+                        F.col(f"{vm}.s").alias("s"),
+                        F.col(f"{vm}.m2").alias("m2"),
+                    )
+                out.append(_var_fold(elem, vm))
+            return out
+
+        merge_exprs = _merge_cols(first=True)
         unioned = dfA.select(*g_names, *s_names).unionByName(
             anti_states.select(*g_names, *s_names)
         )
@@ -2642,12 +2766,18 @@ class CachedSparkSession(RefreshTiers):
                         )
                 return cols
 
+            # re-aggregation over the MERGED frame: per-item merges
+            # re-apply by name; var pairs re-fold their structs
+            reagg_exprs = _merge_cols(first=False)
+            kept_names = [
+                si.name for si in state_items if si.name not in var_inputs
+            ] + list(var_pairs)
             dt_map = dict(merged.dtypes)
             parts = []
             for st_idx in spec.grouping_sets:
                 keys = [g_names[i] for i in st_idx]
                 gagg = merged.groupBy(*[F.col(k) for k in keys]).agg(
-                    *merge_exprs
+                    *reagg_exprs
                 )
                 sel = (
                     [F.col(k) for k in keys]
@@ -2656,7 +2786,7 @@ class CachedSparkSession(RefreshTiers):
                         for n in g_names
                         if n not in keys
                     ]
-                    + [F.col(n) for n in s_names]
+                    + [F.col(n) for n in kept_names]
                     + fo_flag_cols(st_idx)
                 )
                 parts.append(gagg.select(*sel))

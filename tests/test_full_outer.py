@@ -570,3 +570,77 @@ def test_full_outer_rollup_two_run(spark, qc, split, fo_dim):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_var_family_two_run(spark, qc, split, fo_dim):
+    """r16: var/stddev family on the FULL composite — each half's
+    (count, sum, var_samp) triple recovers its central M2; the two
+    halves combine with ONE exact pairwise Chan merge (order pinned by
+    array_sort, so the fold is deterministic). Central moments, not raw
+    power sums — no catastrophic cancellation at large means. Compared
+    with a relative tolerance: any incremental merge re-associates fp
+    (the engine's standing var contract)."""
+    import math
+
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, var_samp(value) AS vs, var_pop(value) AS vp, "
+        "stddev(value) AS sd, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = sorted(tuple(r) for r in qc.sql(sql).collect())
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    want = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert len(got) == len(want)
+    for ga, wa in zip(got, want):
+        for x, y in zip(ga, wa):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert x == y
+
+
+def test_full_outer_var_adversarial_mean(spark, qc):
+    """Large-mean data (mean ~1e9, sigma ~1e3): the pairwise CENTRAL
+    merge must stay accurate where raw power sums would cancel
+    catastrophically."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    spark.range(4000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).alias("k"),
+        (F.lit(1e9) + (F.col("id") % 2000).cast("double")).alias("v"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id")
+        ).alias("ts"),
+    ).createOrReplaceTempView("adv_fact")
+    spark.range(10).select(
+        F.col("id").alias("k2"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("lbl"),
+    ).createOrReplaceTempView("adv_dim")
+    try:
+        sql = (
+            "SELECT lbl, var_samp(v) AS vs, stddev_pop(v) AS sp, "
+            "count(*) AS n FROM adv_fact FULL JOIN adv_dim ON k = k2 "
+            "GROUP BY 1 ORDER BY 1"
+        )
+        got = sorted(tuple(r) for r in qc.sql(sql).collect())
+        assert qc.last_decision.cached, qc.last_decision.reason
+        want = sorted(tuple(r) for r in spark.sql(sql).collect())
+        for ga, wa in zip(got, want):
+            for x, y in zip(ga, wa):
+                if isinstance(x, float) and isinstance(y, float):
+                    assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                else:
+                    assert x == y
+    finally:
+        spark.catalog.dropTempView("adv_fact")
+        spark.catalog.dropTempView("adv_dim")
