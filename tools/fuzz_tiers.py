@@ -173,6 +173,10 @@ FULL_AGGS = [
     # deterministic and twin-comparable
     "min_by(event_id, ts_ns) AS fby",
     "max_by(event_id, ts_ns) AS lby",
+    # var family (r16): pairwise central Chan merge; _close absorbs the
+    # merge's fp re-association (same contract as the normal-path vs row)
+    "var_samp(value) AS fvs",
+    "stddev_pop(value) AS fsp",
 ]
 
 
