@@ -573,6 +573,19 @@ def main() -> None:
         jobs=True,
     )
 
+    # Gopher-rule quality gates (r16): one scan-side map stage over the
+    # token/line arrays — per-rule booleans + keep conjunction
+    from datafusion_query_cache_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    timed(
+        "op_gopher_quality",
+        lambda: gopher_quality_flags(docs, min_words=30)
+        .agg(F.sum(F.col("keep").cast("long")))
+        .collect(),
+    )
+
     # sub-document (paragraph) exact dedup (r15): digest-only shuffles,
     # scan-side reassembly — text never rides a dedup exchange
     from datafusion_query_cache_spark.operators.dedup import paragraph_dedup
