@@ -746,6 +746,51 @@ FROM m ORDER BY doc_id
 """
 
 
+def _op_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain extraction stats (r16): the domain-weighting
+    primitive. The testdata carries no URLs, so both sides derive the
+    SAME synthetic corpus — every second doc gains one or two
+    deterministic URLs."""
+    from datafusion_query_cache_spark.operators.textstats import url_stats
+
+    _load(spark, sf_dir)
+    corpus = spark.sql(
+        "SELECT doc_id, CASE "
+        "WHEN doc_id % 4 = 0 THEN concat(text, ' https://a', "
+        "CAST(doc_id % 7 AS STRING), '.example.com/p?q=1 and ', "
+        "'http://b.org/x#f more') "
+        "WHEN doc_id % 2 = 0 THEN concat('see http://b.org/y: ', text) "
+        "ELSE text END AS text FROM documents"
+    )
+    return url_stats(corpus).orderBy("doc_id")
+
+
+_URL_STATS_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 4 = 0 THEN text || ' https://a' ||
+      CAST(doc_id % 7 AS VARCHAR) || '.example.com/p?q=1 and ' ||
+      'http://b.org/x#f more'
+    WHEN doc_id % 2 = 0 THEN 'see http://b.org/y: ' || text
+    ELSE text END AS raw0 FROM documents
+), u AS (
+  SELECT doc_id,
+         regexp_extract_all(raw0, 'https?://[^\s]+') AS urls
+  FROM corpus
+), d AS (
+  SELECT doc_id, urls,
+         list_distinct(list_transform(urls,
+           x -> regexp_extract(x, 'https?://([^/\s:?#]+)', 1))) AS doms
+  FROM u
+)
+SELECT doc_id,
+       CAST(len(urls) AS BIGINT) AS n_urls,
+       CAST(len(doms) AS BIGINT) AS n_domains,
+       coalesce(array_to_string(list_sort(doms), ','), '') AS domains
+FROM d ORDER BY doc_id
+"""
+
+
 def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER aggregate on the cached path (r15 composite plan):
     cached state-spelled LEFT half + cached monotone matched-dim-set +
@@ -2259,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r16: canonical text normalization + Gopher quality gates
     q["op_normalize_text"] = _op_normalize_text
     q["op_gopher_quality"] = _op_gopher_quality
+    q["op_url_stats"] = _op_url_stats
     # r15: sequence packing (distributed prefix sum)
     q["op_pack_sequences"] = _op_pack_sequences
     # r15: corpus-context bigram rarity (CCNet-style quality proxy)
@@ -2379,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_token_contamination"] = _TOKEN_CONTAMINATION_ORACLE
     o["op_normalize_text"] = _NORMALIZE_TEXT_ORACLE
     o["op_gopher_quality"] = _GOPHER_ORACLE
+    o["op_url_stats"] = _URL_STATS_ORACLE
     # ascending ingests == batch: same oracle
     o["op_incr_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     # the incremental index must end exactly at the batch result: same oracle

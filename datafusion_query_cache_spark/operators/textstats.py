@@ -707,3 +707,55 @@ def gopher_quality_flags(
         ok_dup.alias("ok_dup_lines"),
         (ok_words & ok_wl & ok_sym & ok_bullet & ok_dup).alias("keep"),
     )
+
+
+def url_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document URL extraction stats (the domain-filtering /
+    domain-weighting primitive): URL count, distinct-domain count, and
+    the sorted distinct domain list (comma-joined — a STRING so the
+    cross-engine value hash is order-stable).
+
+    Scan-side regex only (Java ∩ RE2 subset): one map stage at 100 TB.
+    Pair with :func:`domain_frequencies` for the corpus-level table
+    that domain-weight mixtures (e.g. :func:`~..operators.sampling.
+    mixture_upsample` factors) are derived from.
+    """
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0)
+    domains = F.array_distinct(
+        F.transform(
+            urls,
+            lambda u: F.regexp_extract(u, r"https?://([^/\s:?#]+)", 1),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(domains).cast("long").alias("n_domains"),
+        F.array_join(F.array_sort(domains), ",").alias("domains"),
+    )
+
+
+def domain_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level domain frequencies: one (domain, n_docs) row per
+    registrable domain, counting each domain once per document.
+    Shuffle carries short domain strings after map-side combine."""
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0)
+    domains = F.array_distinct(
+        F.transform(
+            urls,
+            lambda u: F.regexp_extract(u, r"https?://([^/\s:?#]+)", 1),
+        )
+    )
+    return (
+        df.select(F.explode(domains).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

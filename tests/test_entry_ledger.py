@@ -53,6 +53,7 @@ OFF_WINDOW_GRADED = {
     "qc_full_rollup",
     "op_normalize_text",
     "op_gopher_quality",
+    "op_url_stats",
 }
 
 
