@@ -523,6 +523,38 @@ def _qc_nested_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (r16): hash-assigned shard
+    + dense within-shard position, a pure function of (id, salt). ONE
+    hash shuffle + per-shard sort — never a global sort. The oracle
+    replicates the md5 arithmetic and the row_number ordering."""
+    from datafusion_query_cache_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    _load(spark, sf_dir)
+    return shuffle_shards(
+        spark.table("documents"), "doc_id", n_shards=8, salt="r16"
+    ).orderBy("shard", "pos")
+
+
+_SHUFFLE_SHARDS_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5('r16' || CAST(doc_id AS VARCHAR)) AS dg
+  FROM documents
+), s AS (
+  SELECT doc_id, dg,
+         CAST(CAST(('0x' || substr(dg, 1, 8)) AS BIGINT) % 8 AS INT)
+           AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id)
+            - 1 AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
 def _op_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture UP-sampling (r16): epoch factors
     >1 repeat rows (floor copies + a hash-thresholded fractional
@@ -2299,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_incr_substr_dedup"] = _op_incr_substr_dedup
     # r16: deterministic domain-mixture up-sampling (epoch weighting)
     q["op_mixture_upsample"] = _op_mixture_upsample
+    q["op_shuffle_shards"] = _op_shuffle_shards
     # r16: word-grain decontamination (token n-gram overlap)
     q["op_token_contamination"] = _op_token_contamination
     # r16: canonical text normalization + Gopher quality gates
@@ -2422,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
     o["op_incr_para_dedup"] = _PARA_DEDUP_ORACLE
     o["op_substr_dedup"] = _SUBSTR_DEDUP_ORACLE
     o["op_mixture_upsample"] = _MIXTURE_UPSAMPLE_ORACLE
+    o["op_shuffle_shards"] = _SHUFFLE_SHARDS_ORACLE
     o["op_token_contamination"] = _TOKEN_CONTAMINATION_ORACLE
     o["op_normalize_text"] = _NORMALIZE_TEXT_ORACLE
     o["op_gopher_quality"] = _GOPHER_ORACLE

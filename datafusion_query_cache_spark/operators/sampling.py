@@ -185,3 +185,44 @@ def mixture_upsample(
             ).alias(copy_col),
         )
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` (hash-assigned) and a dense ``pos`` within its shard
+    (ordered by the same digest) — the final pre-training step that
+    turns a curated corpus into a reproducible read order.
+
+    Keyed on the ``md5`` prefix machinery above, so the assignment is a
+    pure function of ``(id, salt)``: repartition/rerun/append never
+    reorder EXISTING rows' relative positions within a shard (appends
+    interleave by hash — by design, late-arriving docs don't all land
+    at the tail), and a different ``salt`` is a fresh permutation.
+
+    100 TB shape: this is exactly ONE Spark shuffle (hash partition on
+    ``shard``) plus a per-shard sort — never a single global sort; with
+    ``n_shards`` ≈ the cluster's write parallelism the output is ready
+    for ``write.partitionBy("shard")``. Digest ties cannot happen on
+    distinct ids (full 32-hex digest compared; equal digest ⇒ equal
+    salted id string for md5's purposes at any realistic corpus size) —
+    ``pos`` still tie-breaks on the id for total determinism.
+    """
+    from pyspark.sql import Window as _W
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = _W.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col), shard.alias("shard"), h.alias("__h")
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -54,6 +54,7 @@ OFF_WINDOW_GRADED = {
     "op_normalize_text",
     "op_gopher_quality",
     "op_url_stats",
+    "op_shuffle_shards",
 }
 
 

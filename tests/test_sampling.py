@@ -126,3 +126,42 @@ def test_mixture_upsample_exact_and_stable(spark):
     assert sorted(map(tuple, rows)) == sorted(
         map(tuple, up2.select("doc_id", "lang", "copy_id").collect())
     )
+
+
+def test_shuffle_shards_deterministic_and_interleaving(spark):
+    from datafusion_query_cache_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = spark.table("documents")
+    a = shuffle_shards(docs, "doc_id", n_shards=4, salt="s").collect()
+    b = shuffle_shards(
+        docs.repartition(13), "doc_id", n_shards=4, salt="s"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+    by = {}
+    for r in a:
+        by.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense positions
+    # appends interleave: adding docs must not reorder existing rows'
+    # RELATIVE order within a shard
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    half = shuffle_shards(
+        docs.filter(F.col("doc_id") <= ids[len(ids) // 2]),
+        "doc_id", n_shards=4, salt="s",
+    ).collect()
+    full_rank = {
+        (r["shard"], r["doc_id"]): r["pos"] for r in a
+    }
+    for shard in by:
+        sub = sorted(
+            (r["pos"], r["doc_id"]) for r in half if r["shard"] == shard
+        )
+        full_order = sorted(
+            (full_rank[(shard, d)], d) for _p, d in sub
+        )
+        assert [d for _p, d in sub] == [d for _p, d in full_order]
+    # a different salt is a different permutation
+    c = shuffle_shards(docs, "doc_id", n_shards=4, salt="t").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
