@@ -179,6 +179,57 @@ def paragraph_dedup(
     )
 
 
+def _span_trimmed(toks, nt, rm_arr, W):
+    """Tokens surviving the UNION of width-``W`` losing spans, in order.
+
+    O(tokens + spans), never O(tokens x spans): the sorted span starts
+    fold into the complement GAP intervals (int pairs only — with equal
+    widths a sorted start merges into the running covered interval iff
+    ``start <= prev_end``), then the kept array is one ``slice`` of the
+    token array per gap. A boilerplate-heavy doc — most windows
+    duplicated, the common case this operator exists to clean — has its
+    spans merge to O(1) intervals, so the trim is linear where the old
+    per-token ``F.exists`` scan was quadratic in doc length.
+
+    Preserves the span-union removal rule pinned in
+    :func:`substring_dedup`'s docstring bit-exactly (same kept set,
+    same order).
+    """
+    gaps = F.aggregate(
+        F.array_sort(rm_arr),
+        F.struct(
+            F.lit(0).alias("prev"),
+            F.array().cast("array<struct<lo:int,hi:int>>").alias("gaps"),
+        ),
+        lambda acc, s: F.struct(
+            F.greatest(acc["prev"], s + F.lit(W)).alias("prev"),
+            F.when(
+                s > acc["prev"],
+                F.concat(
+                    acc["gaps"],
+                    F.array(F.struct(acc["prev"].alias("lo"), s.alias("hi"))),
+                ),
+            )
+            .otherwise(acc["gaps"])
+            .alias("gaps"),
+        ),
+        lambda acc: F.when(
+            nt > acc["prev"],
+            F.concat(
+                acc["gaps"],
+                F.array(
+                    F.struct(acc["prev"].alias("lo"), nt.alias("hi"))
+                ),
+            ),
+        ).otherwise(acc["gaps"]),
+    )
+    return F.flatten(
+        F.transform(
+            gaps, lambda g: F.slice(toks, g["lo"] + 1, g["hi"] - g["lo"])
+        )
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -209,35 +260,49 @@ def substring_dedup(
 
     Returns ``(id, text [reassembled], n_tokens, n_kept)``.
 
-    Scale shape (100 TB): window TEXT never rides a shuffle. Each
-    occurrence hashes scan-side (``xxhash64`` over the sliced token
-    span → 8 bytes); the winner decision is ``min(struct(id,pos)) OVER
-    (PARTITION BY h)`` — ONE key exchange, no frequency-table branch or
-    join-back (the single-pass window shape of ``bigram_rarity``); loser
-    positions fold to a per-doc int array (an (id, ints) shuffle), and
-    trimming is scan-side ``F.filter`` over the token array. No UDFs.
+    Scale shape (100 TB): window TEXT never rides a shuffle. ALL of a
+    doc's window hashes are computed in ONE scan-side projection
+    (``transform`` over the start positions, ``xxhash64`` over each
+    token-slice array → 8 bytes each) and only the hash array is
+    exploded — an occurrence row is (id, pos, h), 24 bytes, and the
+    token array is never duplicated per occurrence (the pre-r17 shape
+    exploded FIRST and carried the full token array on every occurrence
+    row: O(n_tokens²) string copies per doc, ~40s on a 6k-token
+    boilerplate doc corpus vs ~2s for this shape). The winner decision
+    is ``min(struct(id,pos)) OVER (PARTITION BY h)`` — ONE key
+    exchange, no frequency-table branch or join-back (the single-pass
+    window shape of ``bigram_rarity``); loser positions fold to a
+    per-doc int array (an (id, ints) shuffle), and trimming is a
+    scan-side merged-interval gap slice (:func:`_span_trimmed`,
+    O(tokens + spans)). No UDFs.
     """
     from pyspark.sql import Window as _W
 
     W = int(window)
+    # tokenize ONCE into a materialized column: every reference below
+    # goes through `__tk`, never the raw split expression. Inlining the
+    # split into the transform lambda re-splits the WHOLE text once per
+    # window position — O(n_tokens^2) per doc (observed: 54s vs 2s on a
+    # 60-doc 6k-token boilerplate corpus). CollapseProject keeps the
+    # alias because it is non-cheap and multiply-referenced.
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
     )
-    nt = F.size(toks)
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    tk = F.col("__tk")
+    nt = F.size(tk)
     starts = F.when(
         nt >= W, F.sequence(F.lit(0), nt - F.lit(W))
     ).otherwise(F.array().cast("array<int>"))
-    occ = df.select(
-        F.col(id_col), toks.alias("__tk"), F.explode(starts).alias("pos")
-    ).select(
-        id_col,
-        "pos",
-        # hash the token-slice ARRAY directly: no concat string alloc
-        # (~10% scan-side win at sf0.1), equally injective — windows have
-        # a fixed token count and tokens carry no whitespace
-        F.xxhash64(
-            F.slice(F.col("__tk"), F.col("pos") + 1, W)
-        ).alias("h"),
+    # hash the token-slice ARRAY directly: no concat string alloc,
+    # equally injective — windows have a fixed token count and tokens
+    # carry no whitespace. Hash key is unchanged from the explode-first
+    # shape (same xxhash64 over the same slice).
+    win_h = F.transform(
+        starts, lambda p: F.xxhash64(F.slice(tk, p + 1, W))
+    )
+    occ = base.select(
+        F.col(id_col), F.posexplode(win_h).alias("pos", "h")
     )
     wmin = F.min(F.struct(id_col, "pos")).over(_W.partitionBy("h"))
     losers = occ.withColumn("__w", wmin).filter(
@@ -246,17 +311,26 @@ def substring_dedup(
     )
     rm = losers.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
     rm_arr = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept_arr = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            rm_arr, lambda s: (s <= i) & (i < s + F.lit(W))
-        ),
-    )
-    return df.join(rm, [id_col], "left").select(
-        F.col(id_col),
-        F.array_join(kept_arr, " ").alias(text_col),
-        nt.cast("long").alias("n_tokens"),
-        F.size(kept_arr).cast("long").alias("n_kept"),
+    kept_arr = _span_trimmed(tk, nt, rm_arr, W)
+    # two-step select: the kept array is computed ONCE under a name that
+    # cannot collide with `text_col` — aliasing the rejoined string to
+    # the input column's name in the SAME select lets Spark's
+    # lateral-column-alias resolution capture the `text_col` references
+    # inside the trim's HOF lambdas (observed on 4.1: n_kept re-split
+    # the REJOINED text while n_tokens read the original)
+    return (
+        base.join(rm, [id_col], "left")
+        .select(
+            F.col(id_col),
+            kept_arr.alias("__kept"),
+            nt.cast("long").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.array_join("__kept", " ").alias(text_col),
+            "n_tokens",
+            F.size("__kept").cast("long").alias("n_kept"),
+        )
     )
 
 

@@ -36,6 +36,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import _span_trimmed
 from .incremental_dedup import ConcurrentIndexWriter
 
 
@@ -347,27 +348,29 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
             return self.output(spark).limit(0)  # nothing new
 
         Wn = self.window
+        # tokenize ONCE into a materialized `__tk` column (see
+        # substring_dedup: inlining the split into the transform lambda
+        # re-splits the whole text per window position)
         toks = F.filter(
             F.split(F.col(self.text_col), r"\s+"),
             lambda t: F.length(t) > 0,
         )
-        nt = F.size(toks)
+        fbase = fresh.select(F.col(self.id_col), toks.alias("__tk"))
+        tk = F.col("__tk")
+        nt = F.size(tk)
         starts = F.when(
             nt >= Wn, F.sequence(F.lit(0), nt - F.lit(Wn))
         ).otherwise(F.array().cast("array<int>"))
-        occ = fresh.select(
-            F.col(self.id_col),
-            toks.alias("__tk"),
-            F.explode(starts).alias("pos"),
-        ).select(
-            self.id_col,
-            "pos",
-            # token-slice array hash — MUST stay bit-identical to the
-            # batch operator's key (claims live across ingests); the
-            # params "hkey" pin refuses indexes built on the old key
-            F.xxhash64(
-                F.slice(F.col("__tk"), F.col("pos") + 1, Wn)
-            ).alias("h"),
+        # token-slice array hash — MUST stay bit-identical to the
+        # batch operator's key (claims live across ingests); the
+        # params "hkey" pin refuses indexes built on the old key.
+        # Hash-array-then-posexplode: occurrence rows carry (id,pos,h)
+        # only, never the token array (see substring_dedup's scale note)
+        win_h = F.transform(
+            starts, lambda p: F.xxhash64(F.slice(tk, p + 1, Wn))
+        )
+        occ = fbase.select(
+            F.col(self.id_col), F.posexplode(win_h).alias("pos", "h")
         )
         seen = self.claimed(spark)
         if seen is not None:
@@ -387,17 +390,23 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
             F.collect_set("pos").alias("__rm")
         )
         rm_arr = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-        kept_arr = F.filter(
-            toks,
-            lambda x, i: ~F.exists(
-                rm_arr, lambda s: (s <= i) & (i < s + F.lit(Wn))
-            ),
-        )
-        out_rows = fresh.join(rm, [self.id_col], "left").select(
-            F.col(self.id_col),
-            F.array_join(kept_arr, " ").alias(self.text_col),
-            nt.cast("long").alias("n_tokens"),
-            F.size(kept_arr).cast("long").alias("n_kept"),
+        kept_arr = _span_trimmed(tk, nt, rm_arr, Wn)
+        # two-step select — see substring_dedup: prevents lateral-alias
+        # capture of text_col inside the trim's HOF lambdas, and
+        # computes the kept array once
+        out_rows = (
+            fbase.join(rm, [self.id_col], "left")
+            .select(
+                F.col(self.id_col),
+                kept_arr.alias("__kept"),
+                nt.cast("long").alias("n_tokens"),
+            )
+            .select(
+                self.id_col,
+                F.array_join("__kept", " ").alias(self.text_col),
+                "n_tokens",
+                F.size("__kept").cast("long").alias("n_kept"),
+            )
         )
         # fresh claims: the delta's distinct hashes not already claimed
         claims = tagged.filter(F.col("__cl").isNull()).select("h").distinct()

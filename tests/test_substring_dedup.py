@@ -58,6 +58,57 @@ def test_semantics_handmade(spark):
     assert got[6] == ("", 8, 0)
 
 
+def test_adversarial_boilerplate_docs_exact_and_linear(spark):
+    """Boilerplate-heavy long docs — most windows duplicated, the case
+    this operator exists to clean — must be (a) bit-exact vs a
+    pure-Python span-union oracle and (b) nowhere near the pre-r17
+    quadratic shapes (re-split-per-window + per-occurrence token-array
+    copies + per-token x per-span trim measured ~56s on this corpus;
+    the r17 shape runs it in ~4s — the 60s bound is a loose tripwire,
+    not a benchmark)."""
+    import time
+
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+
+    W4 = 40
+    # 24 docs x ~3000 tokens: shared boilerplate + per-doc unique runs
+    def doc(i):
+        boiler = " ".join(f"b{j % 211}q{j % 17}" for j in range(2400))
+        uniq = " ".join(f"u{i}w{j}" for j in range(600))
+        return boiler + " " + uniq if i % 2 else uniq + " " + boiler
+
+    rows = [(i, doc(i)) for i in range(24)]
+
+    # python oracle: winner per distinct window = min (id, pos); every
+    # losing occurrence removes [p, p+W); survivors rejoin with spaces
+    first = {}
+    toks_by_id = {i: t.split() for i, t in rows}
+    for i in sorted(toks_by_id):
+        tk = toks_by_id[i]
+        for p in range(len(tk) - W4 + 1):
+            key = tuple(tk[p : p + W4])
+            first.setdefault(key, (i, p))
+    expect = {}
+    for i, tk in toks_by_id.items():
+        rm = [False] * len(tk)
+        for p in range(len(tk) - W4 + 1):
+            if first[tuple(tk[p : p + W4])] != (i, p):
+                for q in range(p, p + W4):
+                    rm[q] = True
+        kept = [t for t, r in zip(tk, rm) if not r]
+        expect[i] = (" ".join(kept), len(tk), len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.time()
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(df, window=W4).collect()
+    }
+    wall = time.time() - t0
+    assert got == expect
+    assert wall < 60.0, f"adversarial corpus took {wall:.1f}s (quadratic regression?)"
+
+
 def test_keep_first_is_partitioning_insensitive(spark, corpus):
     a = rows_set(_batch(corpus))
     b = rows_set(_batch(corpus.repartition(17).sortWithinPartitions(F.rand(7))))
