@@ -841,6 +841,64 @@ def _qc_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_full_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/percentile on the FULL composite (r17): both halves
+    emit the RLE histogram state (__qc_hist, finalize ≡ state), the
+    union merge sorted-flattens the multisets, the interpolation walk
+    runs in the output position (partial.histogram_percentile). Two
+    fractions of one column share ONE histogram state. Oracle: DuckDB
+    quantile_cont (the same linear interpolation at rank p*(n-1))."""
+    _load(spark, sf_dir)
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT c_mktsegment AS segment, round(median(value), 4) AS med, "
+        "round(percentile(value, 0.9), 4) AS p90, count(*) AS n "
+        "FROM events_qc_fp FULL JOIN customer "
+        "ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+        "events_qc_fp",
+    )
+
+
+_FULL_PCTL_ORACLE = """
+SELECT c_mktsegment AS segment,
+       round(quantile_cont(value, 0.5), 4) AS med,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       count(*) AS n
+FROM events FULL JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _qc_full_distinct_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg(DISTINCT x) on the FULL composite (r17): the same set
+    state as count(DISTINCT) (union merge — plain sums never add across
+    halves: a value can appear on matched AND anti dim rows), folded to
+    sum/avg in the output position by the scalar compiler's __qc_set_*
+    HOFs; integral input keeps long sums (the normal path's typing)."""
+    _load(spark, sf_dir)
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT c_mktsegment AS segment, sum(DISTINCT user_id) AS su, "
+        "round(avg(DISTINCT user_id), 4) AS au, "
+        "count(DISTINCT user_id) AS du, count(*) AS n "
+        "FROM events_qc_fd FULL JOIN customer "
+        "ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+        "events_qc_fd",
+    )
+
+
+_FULL_DSUM_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(sum(DISTINCT user_id) AS BIGINT) AS su,
+       round(avg(DISTINCT user_id), 4) AS au,
+       count(DISTINCT user_id) AS du, count(*) AS n
+FROM events FULL JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _qc_full_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER over a star (r16): one FULL edge CLOSING an inner-dim
     spine. The spine (events x customer) folds into the cached fact
@@ -2346,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["op_redact_pii"] = _op_redact_pii
     # r15: FULL OUTER on the cached path (composite plan)
     q["qc_full_outer"] = _qc_full_outer
+    q["qc_full_percentile"] = _qc_full_percentile
+    q["qc_full_distinct_sum"] = _qc_full_distinct_sum
     q["qc_full_using"] = _qc_full_using
     # r16: FULL edge closing an inner-dim star spine
     q["qc_full_star"] = _qc_full_star
@@ -2469,6 +2529,8 @@ def oracle_sql() -> dict[str, str]:
     o["op_redact_pii"] = _PII_ORACLE
     o["qc_nested_static"] = _NESTED_STATIC_SQL.format(v="events")
     o["qc_full_star"] = _FULL_STAR_ORACLE
+    o["qc_full_percentile"] = _FULL_PCTL_ORACLE
+    o["qc_full_distinct_sum"] = _FULL_DSUM_ORACLE
     o["qc_full_rollup"] = _FULL_ROLLUP_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "

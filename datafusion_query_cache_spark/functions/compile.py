@@ -343,7 +343,39 @@ def to_column(e: Expr) -> Column:
             raise Unsupported("non-literal LIKE pattern")
         raise Unsupported(f"binop {op}")
     if isinstance(e, Func):
-        builder = _FUNCS.get(e.name.lower())
+        fname = e.name.lower()
+        if fname == "__qc_pctl_fin":
+            # INTERNAL (FULL composite output position): percentile walk
+            # over a merged RLE-histogram column; arg1 is the literal
+            # fraction (see partial.histogram_percentile)
+            from .partial import histogram_percentile
+
+            if len(e.args) != 2 or not isinstance(e.args[1], Lit):
+                raise Unsupported("__qc_pctl_fin arity")
+            return histogram_percentile(
+                to_column(e.args[0]), float(e.args[1].value)
+            )
+        if fname in ("__qc_set_sum", "__qc_set_avg"):
+            # INTERNAL (FULL composite output position): sum/avg over a
+            # merged DISTINCT value-set column; arg1 is the literal
+            # element cast type ("long"/"double" — mirrors the normal
+            # path's sum(DISTINCT) out_t derivation)
+            if len(e.args) != 2 or not isinstance(e.args[1], Lit):
+                raise Unsupported(f"{fname} arity")
+            st = to_column(e.args[0])
+            out_t = str(e.args[1].value)
+            total = F.aggregate(
+                st,
+                F.lit(None).cast(out_t),
+                lambda acc, x: F.coalesce(acc, F.lit(0).cast(out_t))
+                + x.cast(out_t),
+            )
+            if fname == "__qc_set_avg":
+                return F.when(
+                    F.array_size(st) > 0, total / F.array_size(st)
+                )
+            return total
+        builder = _FUNCS.get(fname)
         if builder is None:
             raise Unsupported(f"scalar function {e.name}")
         args = []

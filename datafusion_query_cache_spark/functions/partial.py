@@ -359,6 +359,60 @@ def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
     return None
 
 
+def histogram_percentile(ent: Column, pv: float) -> Column:
+    """Linear-interpolated percentile at fraction ``pv`` over a
+    value-sorted RLE histogram column (``array<struct<v:double,
+    c:long>>``) — Spark's own Percentile semantics (rank ``p*(n-1)``
+    over the expanded multiset; duplicate-``v`` entries are harmless,
+    the walk only needs sorted order).
+
+    Shared by the normal path's percentile finalize and the FULL
+    composite's output position (``session._plan_full_outer_pinned``).
+    HOF constraint honored: lambdas reference only their bound
+    variables; the rank targets ride in the fold's init struct (outer
+    expressions captured in a lambda body are re-evaluated per
+    element — no CSE inside lambdas).
+    """
+    total = F.aggregate(
+        ent, F.lit(0).cast("long"), lambda acc, e: acc + e["c"]
+    )
+    idx = F.lit(pv) * (total - 1).cast("double")
+    lo = F.floor(idx).cast("long")
+    hi = F.ceil(idx).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        lo.alias("tlo"),
+        hi.alias("thi"),
+        F.lit(None).cast("double").alias("vlo"),
+        F.lit(None).cast("double").alias("vhi"),
+    )
+    walk = F.aggregate(
+        ent,
+        init,
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["c"]).alias("cum"),
+            acc["tlo"].alias("tlo"),
+            acc["thi"].alias("thi"),
+            F.when(
+                acc["vlo"].isNull() & ((acc["cum"] + e["c"]) > acc["tlo"]),
+                e["v"],
+            )
+            .otherwise(acc["vlo"])
+            .alias("vlo"),
+            F.when(
+                acc["vhi"].isNull() & ((acc["cum"] + e["c"]) > acc["thi"]),
+                e["v"],
+            )
+            .otherwise(acc["vhi"])
+            .alias("vhi"),
+        ),
+    )
+    return F.when(
+        total > 0,
+        walk["vlo"] + (idx - lo.cast("double")) * (walk["vhi"] - walk["vlo"]),
+    )
+
+
 def decompose_agg(
     agg: AggCall, tag: str, schema=None, approx_eps=None
 ) -> Decomposition:
@@ -1022,6 +1076,36 @@ def decompose_agg(
             singleton={vn: v, kn: k},
         )
 
+    if fn == "__qc_hist":
+        # INTERNAL (FULL composite): the RLE histogram state ITSELF as
+        # the sub-plan's output — "finalize ≡ state", the same contract
+        # count/sum/min/max satisfy, so the composite's A-half emits a
+        # mergeable counted multiset the union merge can flatten with
+        # the anti half's. Same state shape / store-time compaction /
+        # percentile_max_distinct cap as the user-facing percentile.
+        nm = s("hist")
+        a = arg0().cast("double")
+        he = F.when(
+            a.isNotNull(),
+            F.struct(a.alias("v"), F.lit(1).cast("long").alias("c")),
+        )
+        return Decomposition(
+            partial={nm: F.sort_array(F.collect_list(he))},
+            merge={nm: F.sort_array(F.flatten(F.collect_list(F.col(nm))))},
+            finalize=F.col(nm),
+            singleton={
+                nm: F.filter(
+                    F.array(
+                        F.struct(
+                            a.alias("v"), F.lit(1).cast("long").alias("c")
+                        )
+                    ),
+                    lambda e: e["v"].isNotNull(),
+                )
+            },
+            histogram_states=[nm],
+        )
+
     if fn in (
         "median", "percentile", "percentile_cont",
         "approx_percentile", "percentile_approx",
@@ -1101,46 +1185,7 @@ def decompose_agg(
             F.struct(a.alias("v"), F.lit(1).cast("long").alias("c")),
         )  # null value → null struct → collect_list skips it
 
-        ent = F.col(nm)
-        total = F.aggregate(
-            ent, F.lit(0).cast("long"), lambda acc, e: acc + e["c"]
-        )
-        idx = F.lit(pv) * (total - 1).cast("double")
-        lo = F.floor(idx).cast("long")
-        hi = F.ceil(idx).cast("long")
-        # lo/hi ride in the init struct so the lambda never captures them
-        init = F.struct(
-            F.lit(0).cast("long").alias("cum"),
-            lo.alias("tlo"),
-            hi.alias("thi"),
-            F.lit(None).cast("double").alias("vlo"),
-            F.lit(None).cast("double").alias("vhi"),
-        )
-        walk = F.aggregate(
-            ent,
-            init,
-            lambda acc, e: F.struct(
-                (acc["cum"] + e["c"]).alias("cum"),
-                acc["tlo"].alias("tlo"),
-                acc["thi"].alias("thi"),
-                F.when(
-                    acc["vlo"].isNull() & ((acc["cum"] + e["c"]) > acc["tlo"]),
-                    e["v"],
-                )
-                .otherwise(acc["vlo"])
-                .alias("vlo"),
-                F.when(
-                    acc["vhi"].isNull() & ((acc["cum"] + e["c"]) > acc["thi"]),
-                    e["v"],
-                )
-                .otherwise(acc["vhi"])
-                .alias("vhi"),
-            ),
-        )
-        fin = F.when(
-            total > 0,
-            walk["vlo"] + (idx - lo.cast("double")) * (walk["vhi"] - walk["vlo"]),
-        )
+        fin = histogram_percentile(F.col(nm), pv)
         return Decomposition(
             partial={nm: F.sort_array(F.collect_list(one_entry))},
             merge={nm: F.sort_array(F.flatten(F.collect_list(F.col(nm))))},

@@ -2261,9 +2261,12 @@ class CachedSparkSession(RefreshTiers):
         carries no predicate (a dim row whose every joined row the WHERE
         kills contributes nothing from either side, exactly like SQL).
 
-        Unsupported shapes raise (→ passthrough): multiple joins,
-        grouping sets, HAVING, DISTINCT aggregates, non-decomposable
-        aggregate functions.
+        Unsupported shapes raise (→ passthrough): a FULL edge anywhere
+        but closing the spine, multi-arg DISTINCT aggregates,
+        approx_percentile (partial-time quantization), skew/kurt, and
+        non-decomposable aggregate functions. count/sum/avg(DISTINCT)
+        ride set states; median/percentile ride the RLE histogram
+        state (r17).
         """
         from functools import reduce as _reduce
 
@@ -2400,9 +2403,51 @@ class CachedSparkSession(RefreshTiers):
         var_pairs: Dict[str, tuple] = {}
 
         def _add_state(call: AggCall) -> str:
+            # dedup: count(DISTINCT x) and sum(DISTINCT x) share one set
+            # state; two percentiles of one column share one histogram
+            for si in state_items:
+                if si.expr == call:
+                    return si.name
             nm = f"__qcfo{len(state_items)}"
             state_items.append(SelectItem(nm, call))
             return nm
+
+        def _numeric_out_t(arg) -> str:
+            """The normal path's sum(DISTINCT) output typing (integral →
+            long, float → double), resolved across the star's tables;
+            anything else (decimal, expression args) refuses →
+            passthrough, mirroring partial.py's plain-typed-column rule."""
+            from pyspark.sql.types import (
+                ByteType,
+                DoubleType,
+                FloatType,
+                IntegerType,
+                LongType,
+                ShortType,
+            )
+
+            if not isinstance(arg, Col):
+                raise Unsupported(
+                    "FULL join DISTINCT aggregate needs a plain column"
+                )
+            cname = arg.name.split(".")[-1].lower()
+            for t in (fact, *(js.table for js in inner_steps), dim):
+                for f in self.spark.table(t).schema.fields:
+                    if f.name.lower() == cname:
+                        if isinstance(
+                            f.dataType,
+                            (ByteType, ShortType, IntegerType, LongType),
+                        ):
+                            return "long"
+                        if isinstance(f.dataType, (FloatType, DoubleType)):
+                            return "double"
+                        raise Unsupported(
+                            "FULL join sum/avg(DISTINCT) over "
+                            "non-float/integral input"
+                        )
+            raise Unsupported(
+                "FULL join DISTINCT aggregate column not in star schema"
+            )
 
         def _repl(node):
             if not isinstance(node, AggCall):
@@ -2428,6 +2473,20 @@ class CachedSparkSession(RefreshTiers):
                             ),
                         ),
                         "BIGINT",
+                    )
+                    state_of[node] = out
+                    return out
+                if fn in ("sum", "avg", "mean") and len(node.args) == 1:
+                    # r17: sum/avg(DISTINCT x) — the same set state as
+                    # count(DISTINCT) (union merge; plain sums never add
+                    # across halves: a value can appear on matched AND
+                    # anti dim rows), folded to sum/avg in the OUTPUT
+                    # position by the scalar compiler's __qc_set_* HOFs
+                    out_t = _numeric_out_t(node.args[0])
+                    nm = _add_state(AggCall("collect_set", node.args))
+                    out = _Func(
+                        "__qc_set_sum" if fn == "sum" else "__qc_set_avg",
+                        (Col(nm), Lit(out_t)),
                     )
                     state_of[node] = out
                     return out
@@ -2498,6 +2557,41 @@ class CachedSparkSession(RefreshTiers):
                 # same value can appear on matched and anti dim rows)
                 nm = _add_state(AggCall("hll_sketch_agg", node.args))
                 out = _Func("hll_sketch_estimate", (Col(nm),))
+            elif fn in ("median", "percentile", "percentile_cont"):
+                # r17: exact percentile — both halves emit the RLE
+                # histogram state (__qc_hist: "finalize ≡ state"), the
+                # union merge sorted-flattens the two multisets, and the
+                # interpolation walk runs in the OUTPUT position
+                # (partial.histogram_percentile via __qc_pctl_fin).
+                # approx_percentile stays refused: its log-gamma
+                # quantization is partial-time and config-coupled.
+                if fn == "median":
+                    if len(node.args) != 1:
+                        raise Unsupported("median takes one argument")
+                    pv = 0.5
+                else:
+                    if len(node.args) != 2 or not isinstance(
+                        node.args[1], Lit
+                    ):
+                        raise Unsupported(
+                            f"FULL join {fn} fraction must be a literal"
+                        )
+                    import decimal as _decimal
+
+                    fv = node.args[1].value
+                    if isinstance(fv, bool) or not isinstance(
+                        fv, (int, float, _decimal.Decimal)
+                    ):
+                        raise Unsupported(
+                            f"FULL join {fn} fraction must be numeric"
+                        )
+                    pv = float(fv)
+                    if not (0.0 <= pv <= 1.0):
+                        raise Unsupported(
+                            f"FULL join {fn} fraction out of [0,1]"
+                        )
+                nm = _add_state(AggCall("__qc_hist", (node.args[0],)))
+                out = _Func("__qc_pctl_fin", (Col(nm), Lit(pv)))
             else:
                 raise Unsupported(f"FULL join with aggregate {fn}")
             state_of[node] = out
@@ -2603,6 +2697,16 @@ class CachedSparkSession(RefreshTiers):
                 return f_by(
                     to_column(call.args[0]), to_column(call.args[1])
                 )
+            if fn == "__qc_hist":
+                # same entry shape as partial.py's histogram partial
+                a = to_column(call.args[0]).cast("double")
+                he = F.when(
+                    a.isNotNull(),
+                    F.struct(
+                        a.alias("v"), F.lit(1).cast("long").alias("c")
+                    ),
+                )
+                return F.sort_array(F.collect_list(he))
             arg = to_column(call.args[0])
             return {
                 "count": F.count,
@@ -2683,6 +2787,13 @@ class CachedSparkSession(RefreshTiers):
                     "hll_sketch_agg": F.hll_union_agg,
                     "collect_set": (
                         lambda c: F.array_distinct(
+                            F.flatten(F.collect_list(c))
+                        )
+                    ),
+                    # histogram multisets: sorted flatten (associative,
+                    # the same merge the normal path's state uses)
+                    "__qc_hist": (
+                        lambda c: F.sort_array(
                             F.flatten(F.collect_list(c))
                         )
                     ),

@@ -168,8 +168,14 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
         "SELECT segment, count(DISTINCT user_id, event_type) AS n "
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
-        # non-decomposable aggregate
-        "SELECT segment, percentile(value, 0.5) AS p FROM events_fo "
+        # aggregates past the composite's merge vocabulary (exact
+        # percentile caches via histogram states since r17;
+        # approx_percentile stays refused — partial-time quantization;
+        # skewness needs the M3 merge the composite does not carry)
+        "SELECT segment, approx_percentile(value, 0.5) AS p "
+        "FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
+        "SELECT segment, skewness(value) AS sk FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # second join above the FULL
         "SELECT n_name, count(*) AS n FROM events_fo "
@@ -453,6 +459,72 @@ def test_full_outer_count_distinct_two_run(spark, qc, split, fo_dim):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_full_outer_percentile_two_run(spark, qc, split, fo_dim):
+    """r17: exact median/percentile on the FULL composite — both halves
+    emit the RLE histogram state (__qc_hist, finalize ≡ state), the
+    union merge sorted-flattens the multisets, and the interpolation
+    walk runs in the output position. Exact vs plain Spark,
+    retractions included; two fractions of one column share ONE
+    histogram state."""
+    import math
+
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, median(value) AS med, "
+        "percentile(value, 0.9) AS p90, count(*) AS n "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    assert qc.last_decision.refresh_tier == "full_outer"
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = sorted(tuple(r) for r in qc.sql(sql).collect())
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    want = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert len(got) == len(want)
+    for ga, wa in zip(got, want):
+        for x, y in zip(ga, wa):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)
+            else:
+                assert x == y
+
+
+def test_full_outer_distinct_sum_avg_two_run(spark, qc, split, fo_dim):
+    """r17: sum/avg(DISTINCT x) on the FULL composite — the same set
+    state as count(DISTINCT) (union merge), folded to sum/avg in the
+    output position; integral input keeps long sums (the normal path's
+    typing). Exact vs plain Spark, retractions included."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, sum(DISTINCT user_id) AS su, "
+        "avg(DISTINCT user_id) AS au, count(DISTINCT user_id) AS du, "
+        "count(*) AS n FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+    # multi-arg DISTINCT still refuses -> passthrough (parity pin)
+    bad = (
+        "SELECT segment, count(DISTINCT user_id, event_type) AS d2 "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid GROUP BY 1"
+    )
+    got2 = qc.sql(bad)
+    assert not qc.last_decision.cached
+    assert rows_set(got2) == rows_set(spark.sql(bad))
 
 
 def test_full_outer_min_by_max_by_two_run(spark, qc, split, fo_dim):
