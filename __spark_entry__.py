@@ -139,6 +139,16 @@ _QC_SQLS = {
         "round(corr(value, user_id) + 1e-9, 4) AS c, "
         "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
     ),
+    # skew/kurt via central-moment (M3/M4) state with the pairwise Pébay
+    # merge — Spark emits POPULATION g1/g2; DuckDB's skewness is the
+    # bias-corrected SAMPLE statistic and its kurtosis_pop is Spark's g2,
+    # so the oracle converts: g1 = skew_duck·(n-2)/sqrt(n·(n-1)), and
+    # kurtosis_pop is used as-is (verified identities, r17).
+    "qc_skew": (
+        "SELECT event_type, round(skewness(value) + 1e-9, 4) AS sk, "
+        "round(kurtosis(value) + 1e-9, 4) AS ku, "
+        "count(*) AS n FROM {v} GROUP BY 1 ORDER BY 1"
+    ),
     # BETWEEN desugar (reference panics on this — we support it) PLUS
     # scalar-expression group keys (upper/CASE) in one entry — consolidates
     # the former qc_scalar_groupby row (same finest-state machinery; frees
@@ -2295,7 +2305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op_incr_ann": _op_incr_ann,
             "op_stream_maintain": _op_stream_maintain,
             "op_stream_dedup": _op_stream_dedup,
-            "op_tfidf": _op_tfidf,
         }
     )
     # Passthrough rows exercise Spark itself more than this engine, so only
@@ -2365,6 +2374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13: displaced to the off-window tail (see the rotation comment)
     q["op_term_freq"] = _op_term_freq
     q["op_bigram_freq"] = _op_bigram_freq
+    # r17: qc_skew takes the in-window slot; op_tfidf (driver-green since
+    # r8, same machinery as the off-window op_term_freq/op_bigram_freq)
+    # joins its siblings in the check_oracle-verified tail so the ONE pt
+    # rotation slot stays inside the ledger window
+    q["op_tfidf"] = _op_tfidf
     # r13: new off-window graded surfaces (window full; check_oracle runs all)
     q["qc_regr"] = _qc_regr
     q["qc_qualify_direct"] = _qc_qualify_direct
@@ -2445,6 +2459,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) "
         "AS dd, count(*) AS n FROM events GROUP BY 1, 2) t) w "
         "WHERE rnk <= 5 ORDER BY et, rnk, dd"
+    )
+    o["qc_skew"] = (
+        "SELECT event_type, "
+        "round(skewness(value) * (count(*) - 2) "
+        "/ sqrt(count(*) * (count(*) - 1.0)) + 1e-9, 4) AS sk, "
+        "round(kurtosis_pop(value) + 1e-9, 4) AS ku, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     )
     o["qc_percentile"] = (
         "SELECT event_type, round(median(value) + 1e-9, 2) AS med, "

@@ -2401,6 +2401,14 @@ class CachedSparkSession(RefreshTiers):
         #: group, so ONE exact Chan combine suffices; collect_list is
         #: array_sort-pinned for fp determinism)
         var_pairs: Dict[str, tuple] = {}
+        #: combined (n, s, m2, m3, m4) struct column name -> its
+        #: (count, sum, var_pop, skewness, kurtosis) state-column tuple —
+        #: skew/kurt (r17) extend the same pairwise Pébay merge to third
+        #: and fourth central moments; per-half M2..M4 are recovered from
+        #: Spark's OWN builtins exactly like partial.py's normal-path
+        #: decomposition (M2 = vp·n, M3 = skew·vp^1.5·n,
+        #: M4 = (kurt+3)·vp²·n — no raw power sums, no cancellation)
+        mom_pairs: Dict[str, tuple] = {}
 
         def _add_state(call: AggCall) -> str:
             # dedup: count(DISTINCT x) and sum(DISTINCT x) share one set
@@ -2548,6 +2556,69 @@ class CachedSparkSession(RefreshTiers):
                     )
                 if fn in ("stddev", "stddev_samp", "stddev_pop"):
                     core = _Func("sqrt", (core,))
+                state_of[node] = core
+                return core
+            elif fn in ("skewness", "kurtosis") and len(node.args) == 1:
+                # r17: third/fourth central moments. Both fns share ONE
+                # (n, s, m2, m3, m4) struct per column (state dedup), so
+                # skew+kurt of one column cost one moment family.
+                cn = _add_state(AggCall("count", node.args))
+                sn = _add_state(AggCall("sum", node.args))
+                pn = _add_state(AggCall("var_pop", node.args))
+                kn = _add_state(AggCall("skewness", node.args))
+                qn = _add_state(AggCall("kurtosis", node.args))
+                key = (cn, sn, pn, kn, qn)
+                vm = next(
+                    (m for m, t in mom_pairs.items() if t == key), None
+                )
+                if vm is None:
+                    vm = f"__qcfomo{len(mom_pairs)}"
+                    mom_pairs[vm] = key
+                n_f = Col(f"{vm}.n")
+                m2_f = Col(f"{vm}.m2")
+                from .plans.ir import Case as _Case
+
+                if fn == "skewness":
+                    # sqrt(n)·M3/M2^1.5; m2 > 0 implies n >= 2, and the
+                    # guard keeps ANSI mode off DIVIDE_BY_ZERO
+                    core = _Case(
+                        (
+                            (
+                                BinOp(">", m2_f, Lit(0)),
+                                BinOp(
+                                    "/",
+                                    BinOp(
+                                        "*",
+                                        _Func("sqrt", (n_f,)),
+                                        Col(f"{vm}.m3"),
+                                    ),
+                                    _Func("power", (m2_f, Lit(1.5))),
+                                ),
+                            ),
+                        ),
+                        None,
+                    )
+                else:
+                    # n·M4/M2² − 3 (excess kurtosis)
+                    core = _Case(
+                        (
+                            (
+                                BinOp(">", m2_f, Lit(0)),
+                                BinOp(
+                                    "-",
+                                    BinOp(
+                                        "/",
+                                        BinOp(
+                                            "*", n_f, Col(f"{vm}.m4")
+                                        ),
+                                        BinOp("*", m2_f, m2_f),
+                                    ),
+                                    Lit(3.0),
+                                ),
+                            ),
+                        ),
+                        None,
+                    )
                 state_of[node] = core
                 return core
             elif fn == "approx_count_distinct" and len(node.args) == 1:
@@ -2716,6 +2787,9 @@ class CachedSparkSession(RefreshTiers):
                 "hll_sketch_agg": F.hll_sketch_agg,
                 "collect_set": F.collect_set,
                 "var_samp": F.var_samp,
+                "var_pop": F.var_pop,
+                "skewness": F.skewness,
+                "kurtosis": F.kurtosis,
             }[fn](arg)
 
         anti_states = anti_base.groupBy(
@@ -2723,6 +2797,7 @@ class CachedSparkSession(RefreshTiers):
         ).agg(*[_agg_col(si.expr).alias(si.name) for si in state_items])
 
         var_inputs = {nm for tpl in var_pairs.values() for nm in tpl}
+        mom_inputs = {nm for tpl in mom_pairs.values() for nm in tpl}
 
         def _chan(acc, x):
             n = acc["n"] + x["n"]
@@ -2756,19 +2831,86 @@ class CachedSparkSession(RefreshTiers):
                 _chan,
             ).alias(vm)
 
+        def _chan4(acc, x):
+            """Pairwise Pébay combine of (n, s, m2, m3, m4) — the same
+            update Spark's CentralMomentAgg.merge performs, written with
+            sum-based means. CASE evaluates lazily, so the empty-half
+            branches shield the divisions."""
+            n1, n2 = acc["n"], x["n"]
+            n1d, n2d = n1.cast("double"), n2.cast("double")
+            n = n1 + n2
+            nd = n.cast("double")
+            delta = x["s"] / n2d - acc["s"] / n1d
+            dn = delta / nd
+            a2, b2 = acc["m2"], x["m2"]
+            a3, b3 = acc["m3"], x["m3"]
+            m2 = a2 + b2 + delta * dn * n1d * n2d
+            m3 = (
+                a3
+                + b3
+                + dn * dn * delta * n1d * n2d * (n1d - n2d)
+                + F.lit(3.0) * dn * (n1d * b2 - n2d * a2)
+            )
+            m4 = (
+                acc["m4"]
+                + x["m4"]
+                + dn
+                * dn
+                * dn
+                * delta
+                * n1d
+                * n2d
+                * (n1d * n1d - n1d * n2d + n2d * n2d)
+                + F.lit(6.0) * dn * dn * (n1d * n1d * b2 + n2d * n2d * a2)
+                + F.lit(4.0) * dn * (n1d * b3 - n2d * a3)
+            )
+            return (
+                F.when(n1 == 0, x)
+                .when(n2 == 0, acc)
+                .otherwise(
+                    F.struct(
+                        n.alias("n"),
+                        (acc["s"] + x["s"]).alias("s"),
+                        m2.alias("m2"),
+                        m3.alias("m3"),
+                        m4.alias("m4"),
+                    )
+                )
+            )
+
+        def _mom_fold(elem, vm):
+            return F.aggregate(
+                F.array_sort(F.collect_list(elem)),
+                F.struct(
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(0.0).alias("s"),
+                    F.lit(0.0).alias("m2"),
+                    F.lit(0.0).alias("m3"),
+                    F.lit(0.0).alias("m4"),
+                ),
+                _chan4,
+            ).alias(vm)
+
         def _merge_cols(first: bool):
             """Merge-aggregate expressions over a frame carrying the
             state columns. ``first=True``: the union frame (raw state
-            items; var pairs build their (n, s, m2) struct from the
-            count/sum/var_samp triple). ``first=False``: a
-            re-aggregation over the already-merged frame (var pairs
-            re-fold their existing structs — Chan is associative, the
-            order-pinned fold handles any row count)."""
+            items; var/moment pairs build their (n, s, m2[, m3, m4])
+            struct from their state tuples). ``first=False``: a
+            re-aggregation over the already-merged frame (pairs re-fold
+            their existing structs — Chan/Pébay is associative, the
+            order-pinned fold handles any row count).
+
+            A state is OMITTED from per-column merging only when its fn
+            has no independent merge (var_samp/var_pop/skewness/
+            kurtosis — consumed exclusively through pair structs).
+            count/sum states always merge per-column even when a pair
+            also consumes them: _add_state dedups, so a plain count(x)
+            output may share the state a var/moment struct reads."""
             out = []
             for si in state_items:
-                if si.name in var_inputs:
-                    # consumed by a var-pair struct; var_samp states in
-                    # particular have no per-column merge
+                if si.expr.fn.lower() in (
+                    "var_samp", "var_pop", "skewness", "kurtosis",
+                ):
                     continue
                 fn = si.expr.fn.lower()
                 if si.name in argpair:
@@ -2825,6 +2967,46 @@ class CachedSparkSession(RefreshTiers):
                         F.col(f"{vm}.m2").alias("m2"),
                     )
                 out.append(_var_fold(elem, vm))
+            for vm, (cn, sn, pn, kn, qn) in mom_pairs.items():
+                if first:
+                    cd = F.col(cn).cast("double")
+                    # M2..M4 from the half's own builtins — the exact
+                    # inversions partial.py's normal-path states use
+                    # (vp NULL on empty halves -> coalesce 0)
+                    m2e = F.coalesce(F.col(pn) * cd, F.lit(0.0))
+                    m3e = F.coalesce(
+                        F.col(kn)
+                        * F.pow(F.col(pn), F.lit(1.5))
+                        * cd,
+                        F.lit(0.0),
+                    )
+                    m4e = F.coalesce(
+                        (F.col(qn) + F.lit(3.0))
+                        * F.col(pn)
+                        * F.col(pn)
+                        * cd,
+                        F.lit(0.0),
+                    )
+                    elem = F.struct(
+                        F.coalesce(F.col(cn), F.lit(0))
+                        .cast("long")
+                        .alias("n"),
+                        F.coalesce(F.col(sn), F.lit(0.0))
+                        .cast("double")
+                        .alias("s"),
+                        m2e.alias("m2"),
+                        m3e.alias("m3"),
+                        m4e.alias("m4"),
+                    )
+                else:
+                    elem = F.struct(
+                        F.col(f"{vm}.n").alias("n"),
+                        F.col(f"{vm}.s").alias("s"),
+                        F.col(f"{vm}.m2").alias("m2"),
+                        F.col(f"{vm}.m3").alias("m3"),
+                        F.col(f"{vm}.m4").alias("m4"),
+                    )
+                out.append(_mom_fold(elem, vm))
             return out
 
         merge_exprs = _merge_cols(first=True)
@@ -2881,8 +3063,11 @@ class CachedSparkSession(RefreshTiers):
             # re-apply by name; var pairs re-fold their structs
             reagg_exprs = _merge_cols(first=False)
             kept_names = [
-                si.name for si in state_items if si.name not in var_inputs
-            ] + list(var_pairs)
+                si.name
+                for si in state_items
+                if si.expr.fn.lower()
+                not in ("var_samp", "var_pop", "skewness", "kurtosis")
+            ] + list(var_pairs) + list(mom_pairs)
             dt_map = dict(merged.dtypes)
             parts = []
             for st_idx in spec.grouping_sets:

@@ -55,6 +55,11 @@ OFF_WINDOW_GRADED = {
     "op_gopher_quality",
     "op_url_stats",
     "op_shuffle_shards",
+    # r17 off-window oracle rows: qc_skew takes the in-window slot
+    # op_tfidf vacated (driver-green since r8, siblings already here)
+    "op_tfidf",
+    "qc_full_percentile",
+    "qc_full_distinct_sum",
 }
 
 

@@ -169,13 +169,14 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # aggregates past the composite's merge vocabulary (exact
-        # percentile caches via histogram states since r17;
-        # approx_percentile stays refused — partial-time quantization;
-        # skewness needs the M3 merge the composite does not carry)
+        # percentile caches via histogram states and skew/kurt via the
+        # M3/M4 Pébay merge since r17; approx_percentile stays refused —
+        # partial-time quantization; corr needs the co-moment family the
+        # composite does not carry)
         "SELECT segment, approx_percentile(value, 0.5) AS p "
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
-        "SELECT segment, skewness(value) AS sk FROM events_fo "
+        "SELECT segment, corr(value, user_id) AS co FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # second join above the FULL
         "SELECT n_name, count(*) AS n FROM events_fo "
@@ -461,6 +462,80 @@ def test_full_outer_count_distinct_two_run(spark, qc, split, fo_dim):
     assert rows_set(got) == rows_set(spark.sql(sql))
 
 
+def test_full_outer_skew_kurt_two_run(spark, qc, split, fo_dim):
+    """r17: skewness/kurtosis on the FULL composite — each half's
+    (count, sum, var_pop, skewness, kurtosis) states recover central
+    (M2, M3, M4); the halves combine with one exact pairwise Pébay
+    merge. Both fns of one column share ONE moment struct. Relative
+    tolerance: any incremental merge re-associates fp."""
+    import math
+
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, skewness(value) AS sk, kurtosis(value) AS ku, "
+        "var_samp(value) AS vs, count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = sorted(tuple(r) for r in qc.sql(sql).collect())
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    want = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert len(got) == len(want)
+    for ga, wa in zip(got, want):
+        for x, y in zip(ga, wa):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-7, abs_tol=1e-7)
+            else:
+                assert x == y
+
+
+def test_full_outer_skew_adversarial_mean(spark, qc):
+    """Large-mean data (mean ~1e9, sigma ~1e3): M3/M4 recovered from
+    Spark's own builtins per half + the central Pébay merge must stay
+    accurate where raw power sums would cancel catastrophically."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    spark.range(4000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).alias("k"),
+        (F.lit(1e9) + (F.col("id") % 2000).cast("double") ** 1.1).alias(
+            "v"
+        ),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id")
+        ).alias("ts"),
+    ).createOrReplaceTempView("advm_fact")
+    spark.range(10).select(
+        F.col("id").alias("k2"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("lbl"),
+    ).createOrReplaceTempView("advm_dim")
+    try:
+        sql = (
+            "SELECT lbl, skewness(v) AS sk, kurtosis(v) AS ku, "
+            "count(*) AS n FROM advm_fact FULL JOIN advm_dim ON k = k2 "
+            "GROUP BY 1 ORDER BY 1"
+        )
+        got = sorted(tuple(r) for r in qc.sql(sql).collect())
+        assert qc.last_decision.cached, qc.last_decision.reason
+        want = sorted(tuple(r) for r in spark.sql(sql).collect())
+        for ga, wa in zip(got, want):
+            for x, y in zip(ga, wa):
+                if isinstance(x, float) and isinstance(y, float):
+                    assert math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-6)
+                else:
+                    assert x == y
+    finally:
+        spark.catalog.dropTempView("advm_fact")
+        spark.catalog.dropTempView("advm_dim")
+
+
 def test_full_outer_percentile_two_run(spark, qc, split, fo_dim):
     """r17: exact median/percentile on the FULL composite — both halves
     emit the RLE histogram state (__qc_hist, finalize ≡ state), the
@@ -627,7 +702,11 @@ def test_full_outer_rollup_two_run(spark, qc, split, fo_dim):
     sql = (
         "SELECT segment, user_id % 3 AS ub, grouping(segment) AS gs, "
         "count(*) AS n, count(DISTINCT user_id) AS du, "
-        "round(sum(value), 2) AS sv FROM events_fo "
+        "round(sum(value), 2) AS sv, "
+        # skew rides the rollup too (r17): the coarser sets re-FOLD the
+        # (n,s,m2,m3,m4) moment structs — the associativity property of
+        # the Pébay merge, exercised beyond the 2-element union fold
+        "round(skewness(value) + 1e-9, 3) AS sk FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid "
         "GROUP BY ROLLUP (segment, ub) "
         "ORDER BY segment NULLS FIRST, ub NULLS FIRST, gs"
