@@ -109,6 +109,43 @@ def test_adversarial_boilerplate_docs_exact_and_linear(spark):
     assert wall < 60.0, f"adversarial corpus took {wall:.1f}s (quadratic regression?)"
 
 
+def test_multibyte_whitespace_is_not_a_token_boundary(spark, tmp_path):
+    """Tokenization contract pin (r17 fuzz axis): the splitter is Java
+    regex \\s+, which is ASCII-only — U+00A0 (NBSP) / U+2003 (em space)
+    are NOT boundaries, so they stay INSIDE tokens (unlike Python's
+    str.split()). Batch and incremental must agree bit-exactly on such
+    text, and a doc differing only by multi-byte whitespace is NOT a
+    duplicate of its ASCII-spaced twin."""
+    from datafusion_query_cache_spark.operators.dedup import substring_dedup
+    from datafusion_query_cache_spark.operators.incremental_para_dedup import (
+        SubstringDedupIndex,
+    )
+
+    base = " ".join(f"w{i}" for i in range(8))
+    nbsp = base.replace("w3 w4", "w3 w4")  # fuses two tokens
+    em = base.replace("w5 w6", "w5 w6")
+    rows = [(1, base), (2, base), (3, nbsp), (4, em)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in substring_dedup(df, window=8).collect()
+    }
+    # doc 2 is the only exact duplicate; 3/4 have 7 tokens (one fused)
+    assert out[1] == (base, 8, 8)
+    assert out[2] == ("", 8, 0)
+    assert out[3][1] == 7 and out[3][2] == 7
+    assert out[4][1] == 7 and out[4][2] == 7
+    assert " " in out[3][0] and " " in out[4][0]
+    idx = SubstringDedupIndex(str(tmp_path / "mb"), window=8)
+    idx.update(df.filter(F.col("doc_id") <= 2))
+    idx.update(df)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in idx.output(spark).collect()
+    }
+    assert got == out
+
+
 def test_keep_first_is_partitioning_insensitive(spark, corpus):
     a = rows_set(_batch(corpus))
     b = rows_set(_batch(corpus.repartition(17).sortWithinPartitions(F.rand(7))))

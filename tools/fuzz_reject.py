@@ -290,6 +290,47 @@ def main() -> int:
             f"SELECT {q}.event_type AS g2, count(*) AS n FROM events {{A}} "
             "GROUP BY g2 ORDER BY 1"
         ),
+        # r17 axes — FULL composite percentile / DISTINCT folds / moments:
+        # valid spellings must value-match plain Spark (cached,
+        # retractions included); qualified mutations track Spark exactly
+        lambda q: (
+            f"SELECT dseg AS g, round(median({q}.value) + 1e-9, 2) AS md, "
+            f"count(*) AS n FROM events "
+            f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT dseg AS g, round(percentile(value, 0.9) + 1e-9, 2) "
+            f"AS p90, sum(DISTINCT {q}.user_id) AS sd FROM events {{A}} "
+            f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT dseg AS g, round(skewness({q}.value) + 1e-9, 3) "
+            f"AS sk, avg(DISTINCT user_id) AS ad FROM events "
+            f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+        ),
+        # alias SHADOWING a real column inside a FULL composite: the
+        # r16 scope rule must hold on the composite path too
+        lambda q: (
+            "SELECT user_id % 3 AS sh_col, count(*) AS n FROM rj_shadow "
+            "FULL JOIN rj_dim ON user_id = uid "
+            "GROUP BY sh_col ORDER BY 1"
+        ),
+        # moving-scalar nested MIDDLE (r17 pinned-permanent refusal):
+        # a middle level filtered by a now()-bearing scalar must
+        # PASSTHROUGH (never cache) and answer exactly like Spark —
+        # state admitted under per-run thresholds must never be stored
+        lambda q: (
+            f"SELECT k, n FROM (SELECT event_type AS k, count(*) AS n "
+            f"FROM events WHERE value > (SELECT avg({q}.value) "
+            f"FROM events z WHERE z.ts < now()) "
+            f"GROUP BY event_type) t ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT count(*) AS n FROM events {{A}} WHERE user_id IN "
+            f"(SELECT user_id FROM events WHERE value > "
+            f"(SELECT avg(value) + 0 * unix_millis(now()) FROM events) "
+            f"GROUP BY user_id HAVING count({q}.value) > 1)"
+        ),
         # FULL OUTER positional ORDER BY (r16 advice): out-of-range
         # ordinals must surface Spark's ORDER_BY_POS_OUT_OF_RANGE, never
         # Python negative indexing
