@@ -909,6 +909,40 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _qc_full_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar/regr_* on the FULL composite (r17): per-half
+    (n, Σx, Σy, C2, M2x, M2y) recovered from Spark's own builtins with
+    x+0·y pair-validity gating, folded by the pairwise co-moment
+    combine; corr(a,b) and regr_*(b,a) share one struct. Oracle: the
+    identical SQL in DuckDB (corr/covar/regr_* agree across engines)."""
+    _load(spark, sf_dir)
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT c_mktsegment AS segment, "
+        "round(corr(value, user_id) + 1e-9, 6) AS co, "
+        "round(covar_samp(value, user_id) + 1e-9, 2) AS cs, "
+        "round(regr_slope(user_id, value) + 1e-9, 6) AS sl, "
+        "round(regr_r2(user_id, value) + 1e-9, 6) AS r2, "
+        "regr_count(user_id, value) AS rc, count(*) AS n "
+        "FROM events_qc_fc FULL JOIN customer "
+        "ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+        "events_qc_fc",
+    )
+
+
+_FULL_CORR_ORACLE = """
+SELECT c_mktsegment AS segment,
+       round(corr(value, user_id) + 1e-9, 6) AS co,
+       round(covar_samp(value, user_id) + 1e-9, 2) AS cs,
+       round(regr_slope(user_id, value) + 1e-9, 6) AS sl,
+       round(regr_r2(user_id, value) + 1e-9, 6) AS r2,
+       regr_count(user_id, value) AS rc, count(*) AS n
+FROM events FULL JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _qc_full_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER over a star (r16): one FULL edge CLOSING an inner-dim
     spine. The spine (events x customer) folds into the cached fact
@@ -2386,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_right_using"] = _qc_right_using
     # r15: NATURAL join de-sugared onto the USING cached path
     q["qc_natural_join"] = _qc_natural_join
+    # r17: co-moment family on the FULL composite (off-window)
+    q["qc_full_corr"] = _qc_full_corr
     # r16: static-inner nested scalar folds into a CACHED middle level
     q["qc_nested_static"] = _qc_nested_static
     # r14: grouped correlated-subquery body with HAVING (off-window)
@@ -2552,6 +2588,7 @@ def oracle_sql() -> dict[str, str]:
     o["qc_full_star"] = _FULL_STAR_ORACLE
     o["qc_full_percentile"] = _FULL_PCTL_ORACLE
     o["qc_full_distinct_sum"] = _FULL_DSUM_ORACLE
+    o["qc_full_corr"] = _FULL_CORR_ORACLE
     o["qc_full_rollup"] = _FULL_ROLLUP_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "

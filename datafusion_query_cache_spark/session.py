@@ -2409,6 +2409,13 @@ class CachedSparkSession(RefreshTiers):
         #: decomposition (M2 = vp·n, M3 = skew·vp^1.5·n,
         #: M4 = (kurt+3)·vp²·n — no raw power sums, no cancellation)
         mom_pairs: Dict[str, tuple] = {}
+        #: combined (n, sx, sy, c2, m2x, m2y) struct column name -> its
+        #: (count, sum_x, sum_y, covar_pop, var_pop_x, var_pop_y)
+        #: state-column tuple — corr/covar/regr_* (r17) on the two-column
+        #: central co-moment family; pair-validity gating rides the
+        #: x+0·y / y+0·x null-propagation trick so every state input
+        #: counts only both-non-null rows (SQL pair semantics)
+        co_pairs: Dict[str, tuple] = {}
 
         def _add_state(call: AggCall) -> str:
             # dedup: count(DISTINCT x) and sum(DISTINCT x) share one set
@@ -2663,6 +2670,117 @@ class CachedSparkSession(RefreshTiers):
                         )
                 nm = _add_state(AggCall("__qc_hist", (node.args[0],)))
                 out = _Func("__qc_pctl_fin", (Col(nm), Lit(pv)))
+            elif fn in (
+                "corr", "covar_samp", "covar_pop",
+                "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+                "regr_avgx", "regr_avgy",
+                "regr_sxx", "regr_syy", "regr_sxy",
+            ) and len(node.args) == 2:
+                # r17: two-column co-moment family. regr_F(y, x) puts the
+                # DEPENDENT first (Spark ≡ DuckDB), so its x is args[1];
+                # corr/covar keep (x, y) order. corr(a,b) and
+                # regr_*(b,a) share one struct via state dedup.
+                if fn.startswith("regr_"):
+                    ya, xa = node.args
+                else:
+                    xa, ya = node.args
+                # pair-validity gating: NULL propagates through x+0·y,
+                # so count/sum/var_pop see only both-non-null rows
+                xp = BinOp("+", xa, BinOp("*", Lit(0), ya))
+                yp = BinOp("+", ya, BinOp("*", Lit(0), xa))
+                cn = _add_state(AggCall("count", (xp,)))
+                sxn = _add_state(AggCall("sum", (xp,)))
+                syn = _add_state(AggCall("sum", (yp,)))
+                cvn = _add_state(AggCall("covar_pop", (xa, ya)))
+                vxn = _add_state(AggCall("var_pop", (xp,)))
+                vyn = _add_state(AggCall("var_pop", (yp,)))
+                key = (cn, sxn, syn, cvn, vxn, vyn)
+                vm = next(
+                    (m for m, t in co_pairs.items() if t == key), None
+                )
+                if vm is None:
+                    vm = f"__qcfoco{len(co_pairs)}"
+                    co_pairs[vm] = key
+                n_f = Col(f"{vm}.n")
+                c2_f = Col(f"{vm}.c2")
+                m2x_f = Col(f"{vm}.m2x")
+                m2y_f = Col(f"{vm}.m2y")
+                mx_f = BinOp("/", Col(f"{vm}.sx"), n_f)
+                my_f = BinOp("/", Col(f"{vm}.sy"), n_f)
+                from .plans.ir import Case as _Case
+
+                def _c(cond, val):
+                    return _Case(((cond, val),), None)
+
+                gt1 = BinOp(">", n_f, Lit(1))
+                gt0 = BinOp(">", n_f, Lit(0))
+                # n = 0 ⇒ m2x = 0 (fold init), so m2x != 0 alone guards
+                # the slope family — mirrors the normal path's cM2X != 0
+                nz_x = BinOp("!=", m2x_f, Lit(0.0))
+                if fn == "corr":
+                    # IEEE NaN/Inf on constant columns for n > 1 flows
+                    # from the double division, matching Spark
+                    core: object = _c(
+                        gt1,
+                        BinOp(
+                            "/",
+                            c2_f,
+                            BinOp(
+                                "*",
+                                _Func("sqrt", (m2x_f,)),
+                                _Func("sqrt", (m2y_f,)),
+                            ),
+                        ),
+                    )
+                elif fn == "covar_samp":
+                    core = _c(gt1, BinOp("/", c2_f, BinOp("-", n_f, Lit(1))))
+                elif fn == "covar_pop":
+                    core = _c(gt0, BinOp("/", c2_f, n_f))
+                elif fn == "regr_count":
+                    core = Cast(n_f, "BIGINT")
+                elif fn == "regr_avgx":
+                    core = _c(gt0, mx_f)
+                elif fn == "regr_avgy":
+                    core = _c(gt0, my_f)
+                elif fn == "regr_sxx":
+                    core = _c(gt0, m2x_f)
+                elif fn == "regr_syy":
+                    core = _c(gt0, m2y_f)
+                elif fn == "regr_sxy":
+                    core = _c(gt0, c2_f)
+                elif fn == "regr_slope":
+                    core = _c(nz_x, BinOp("/", c2_f, m2x_f))
+                elif fn == "regr_intercept":
+                    core = _c(
+                        nz_x,
+                        BinOp(
+                            "-",
+                            my_f,
+                            BinOp(
+                                "*", BinOp("/", c2_f, m2x_f), mx_f
+                            ),
+                        ),
+                    )
+                else:  # regr_r2 — SQL standard: NULL when M2x=0,
+                    # 1 when M2y=0, else C2²/(M2x·M2y)
+                    core = _c(
+                        nz_x,
+                        _Case(
+                            (
+                                (
+                                    BinOp("=", m2y_f, Lit(0.0)),
+                                    Lit(1.0),
+                                ),
+                            ),
+                            BinOp(
+                                "/",
+                                BinOp("*", c2_f, c2_f),
+                                BinOp("*", m2x_f, m2y_f),
+                            ),
+                        ),
+                    )
+                state_of[node] = core
+                return core
             else:
                 raise Unsupported(f"FULL join with aggregate {fn}")
             state_of[node] = out
@@ -2766,6 +2884,10 @@ class CachedSparkSession(RefreshTiers):
             if fn in ("min_by", "max_by"):
                 f_by = F.min_by if fn == "min_by" else F.max_by
                 return f_by(
+                    to_column(call.args[0]), to_column(call.args[1])
+                )
+            if fn == "covar_pop":
+                return F.covar_pop(
                     to_column(call.args[0]), to_column(call.args[1])
                 )
             if fn == "__qc_hist":
@@ -2891,6 +3013,52 @@ class CachedSparkSession(RefreshTiers):
                 _chan4,
             ).alias(vm)
 
+        def _chan2c(acc, x):
+            """Pairwise co-moment combine of (n, sx, sy, c2, m2x, m2y) —
+            Spark's Covariance.merge update with sum-based means."""
+            n1, n2 = acc["n"], x["n"]
+            n1d, n2d = n1.cast("double"), n2.cast("double")
+            n = n1 + n2
+            nd = n.cast("double")
+            dx = x["sx"] / n2d - acc["sx"] / n1d
+            dy = x["sy"] / n2d - acc["sy"] / n1d
+            dxn = dx / nd
+            dyn_ = dy / nd
+            return (
+                F.when(n1 == 0, x)
+                .when(n2 == 0, acc)
+                .otherwise(
+                    F.struct(
+                        n.alias("n"),
+                        (acc["sx"] + x["sx"]).alias("sx"),
+                        (acc["sy"] + x["sy"]).alias("sy"),
+                        (acc["c2"] + x["c2"] + dx * dyn_ * n1d * n2d).alias(
+                            "c2"
+                        ),
+                        (
+                            acc["m2x"] + x["m2x"] + dx * dxn * n1d * n2d
+                        ).alias("m2x"),
+                        (
+                            acc["m2y"] + x["m2y"] + dy * dyn_ * n1d * n2d
+                        ).alias("m2y"),
+                    )
+                )
+            )
+
+        def _co_fold(elem, vm):
+            return F.aggregate(
+                F.array_sort(F.collect_list(elem)),
+                F.struct(
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(0.0).alias("sx"),
+                    F.lit(0.0).alias("sy"),
+                    F.lit(0.0).alias("c2"),
+                    F.lit(0.0).alias("m2x"),
+                    F.lit(0.0).alias("m2y"),
+                ),
+                _chan2c,
+            ).alias(vm)
+
         def _merge_cols(first: bool):
             """Merge-aggregate expressions over a frame carrying the
             state columns. ``first=True``: the union frame (raw state
@@ -2910,6 +3078,7 @@ class CachedSparkSession(RefreshTiers):
             for si in state_items:
                 if si.expr.fn.lower() in (
                     "var_samp", "var_pop", "skewness", "kurtosis",
+                    "covar_pop",
                 ):
                     continue
                 fn = si.expr.fn.lower()
@@ -3007,6 +3176,39 @@ class CachedSparkSession(RefreshTiers):
                         F.col(f"{vm}.m4").alias("m4"),
                     )
                 out.append(_mom_fold(elem, vm))
+            for vm, (cn, sxn, syn, cvn, vxn, vyn) in co_pairs.items():
+                if first:
+                    cd = F.col(cn).cast("double")
+                    elem = F.struct(
+                        F.coalesce(F.col(cn), F.lit(0))
+                        .cast("long")
+                        .alias("n"),
+                        F.coalesce(F.col(sxn), F.lit(0.0))
+                        .cast("double")
+                        .alias("sx"),
+                        F.coalesce(F.col(syn), F.lit(0.0))
+                        .cast("double")
+                        .alias("sy"),
+                        F.coalesce(F.col(cvn) * cd, F.lit(0.0)).alias(
+                            "c2"
+                        ),
+                        F.coalesce(F.col(vxn) * cd, F.lit(0.0)).alias(
+                            "m2x"
+                        ),
+                        F.coalesce(F.col(vyn) * cd, F.lit(0.0)).alias(
+                            "m2y"
+                        ),
+                    )
+                else:
+                    elem = F.struct(
+                        F.col(f"{vm}.n").alias("n"),
+                        F.col(f"{vm}.sx").alias("sx"),
+                        F.col(f"{vm}.sy").alias("sy"),
+                        F.col(f"{vm}.c2").alias("c2"),
+                        F.col(f"{vm}.m2x").alias("m2x"),
+                        F.col(f"{vm}.m2y").alias("m2y"),
+                    )
+                out.append(_co_fold(elem, vm))
             return out
 
         merge_exprs = _merge_cols(first=True)
@@ -3066,8 +3268,11 @@ class CachedSparkSession(RefreshTiers):
                 si.name
                 for si in state_items
                 if si.expr.fn.lower()
-                not in ("var_samp", "var_pop", "skewness", "kurtosis")
-            ] + list(var_pairs) + list(mom_pairs)
+                not in (
+                    "var_samp", "var_pop", "skewness", "kurtosis",
+                    "covar_pop",
+                )
+            ] + list(var_pairs) + list(mom_pairs) + list(co_pairs)
             dt_map = dict(merged.dtypes)
             parts = []
             for st_idx in spec.grouping_sets:

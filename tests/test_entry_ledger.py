@@ -60,6 +60,7 @@ OFF_WINDOW_GRADED = {
     "op_tfidf",
     "qc_full_percentile",
     "qc_full_distinct_sum",
+    "qc_full_corr",
 }
 
 

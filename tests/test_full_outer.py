@@ -169,14 +169,13 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # aggregates past the composite's merge vocabulary (exact
-        # percentile caches via histogram states and skew/kurt via the
-        # M3/M4 Pébay merge since r17; approx_percentile stays refused —
-        # partial-time quantization; corr needs the co-moment family the
-        # composite does not carry)
+        # percentile, skew/kurt and corr/covar/regr_* cache since r17;
+        # approx_percentile stays refused — partial-time quantization;
+        # mode has no mergeable state here)
         "SELECT segment, approx_percentile(value, 0.5) AS p "
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
-        "SELECT segment, corr(value, user_id) AS co FROM events_fo "
+        "SELECT segment, mode(value) AS mo FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # second join above the FULL
         "SELECT n_name, count(*) AS n FROM events_fo "
@@ -534,6 +533,50 @@ def test_full_outer_skew_adversarial_mean(spark, qc):
     finally:
         spark.catalog.dropTempView("advm_fact")
         spark.catalog.dropTempView("advm_dim")
+
+
+def test_full_outer_corr_covar_regr_two_run(spark, qc, split, fo_dim):
+    """r17: the two-column co-moment family on the FULL composite —
+    per-half (n, Σx, Σy, C2, M2x, M2y) recovered from Spark's own
+    count/sum/covar_pop/var_pop (pair-validity via x+0·y NULL
+    propagation), folded with the pairwise co-moment combine.
+    corr(a,b) and regr_*(b,a) share ONE struct. Relative tolerance:
+    incremental merges re-associate fp."""
+    import math
+
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, corr(value, user_id) AS co, "
+        "covar_samp(value, user_id) AS cs, "
+        "covar_pop(value, user_id) AS cp, "
+        "regr_slope(user_id, value) AS sl, "
+        "regr_intercept(user_id, value) AS ic, "
+        "regr_r2(user_id, value) AS r2, "
+        "regr_count(user_id, value) AS rc, "
+        "regr_avgx(user_id, value) AS ax, "
+        "regr_sxy(user_id, value) AS sxy, "
+        "count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = sorted(tuple(r) for r in qc.sql(sql).collect())
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    want = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert len(got) == len(want)
+    for ga, wa in zip(got, want):
+        for x, y in zip(ga, wa):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) or math.isnan(y):
+                    assert math.isnan(x) and math.isnan(y)
+                else:
+                    assert math.isclose(x, y, rel_tol=1e-7, abs_tol=1e-7)
+            else:
+                assert x == y
 
 
 def test_full_outer_percentile_two_run(spark, qc, split, fo_dim):
