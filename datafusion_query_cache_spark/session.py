@@ -2096,7 +2096,18 @@ class CachedSparkSession(RefreshTiers):
     #: aggregate functions whose finalized value IS a mergeable state
     #: (count/sum/min/max), or decomposes into such (avg → sum+count) —
     #: the FULL-OUTER composite's supported vocabulary
-    _FULL_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    #: FULL-composite aggregates whose output state merges with ONE
+    #: aggregate over the union frame (finalize ≡ state). product and the
+    #: bool/bit family (r17) are self-merging: each half's state is the
+    #: fold of its own rows, and the same fold over the two states IS the
+    #: fold over the union (associative + commutative; NULL states — an
+    #: all-NULL half — are skipped, matching SQL's null-ignoring rule).
+    _FULL_MERGE = {
+        "count": "sum", "sum": "sum", "min": "min", "max": "max",
+        "product": "product",
+        "bool_and": "bool_and", "bool_or": "bool_or",
+        "bit_and": "bit_and", "bit_or": "bit_or", "bit_xor": "bit_xor",
+    }
 
     def _fold_static_scalars(self, query: str, spec):
         """Resolve STATIC nested scalar subqueries in a CACHED spec's
@@ -2906,6 +2917,12 @@ class CachedSparkSession(RefreshTiers):
                 "sum": F.sum,
                 "min": F.min,
                 "max": F.max,
+                "product": F.product,
+                "bool_and": F.bool_and,
+                "bool_or": F.bool_or,
+                "bit_and": F.bit_and,
+                "bit_or": F.bit_or,
+                "bit_xor": F.bit_xor,
                 "hll_sketch_agg": F.hll_sketch_agg,
                 "collect_set": F.collect_set,
                 "var_samp": F.var_samp,
@@ -3095,6 +3112,12 @@ class CachedSparkSession(RefreshTiers):
                     "sum": F.sum,
                     "min": F.min,
                     "max": F.max,
+                    "product": F.product,
+                    "bool_and": F.bool_and,
+                    "bool_or": F.bool_or,
+                    "bit_and": F.bit_and,
+                    "bit_or": F.bit_or,
+                    "bit_xor": F.bit_xor,
                     "hll_sketch_agg": F.hll_union_agg,
                     "collect_set": (
                         lambda c: F.array_distinct(

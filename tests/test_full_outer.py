@@ -535,6 +535,42 @@ def test_full_outer_skew_adversarial_mean(spark, qc):
         spark.catalog.dropTempView("advm_dim")
 
 
+def test_full_outer_selfmerge_family_two_run(spark, qc, split, fo_dim):
+    """r17: product and the bool/bit families on the FULL composite —
+    self-merging states (each half's fold re-folds over the union;
+    NULL states from all-NULL halves are skipped like SQL null rules).
+    Exact vs plain Spark, retractions included."""
+    import math
+
+    run1, run2, cut_ns, _cut = split
+    # (product() is in the vocabulary too but has no Spark SQL spelling
+    # — DataFrame-API / DuckDB-oracle surface only, so no plain twin)
+    sql = (
+        "SELECT segment, bool_and(value > 0) AS ba, "
+        "bool_or(value > 1000) AS bo, "
+        "bit_and(user_id) AS band, bit_or(user_id) AS bor, "
+        "bit_xor(user_id) AS bxor, "
+        "count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = sorted(tuple(r) for r in qc.sql(sql).collect())
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    want = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert len(got) == len(want)
+    for ga, wa in zip(got, want):
+        for x, y in zip(ga, wa):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+            else:
+                assert x == y
+
+
 def test_full_outer_corr_covar_regr_two_run(spark, qc, split, fo_dim):
     """r17: the two-column co-moment family on the FULL composite —
     per-half (n, Σx, Σy, C2, M2x, M2y) recovered from Spark's own
