@@ -177,6 +177,22 @@ FULL_AGGS = [
     # merge's fp re-association (same contract as the normal-path vs row)
     "var_samp(value) AS fvs",
     "stddev_pop(value) AS fsp",
+    # r17: histogram states (exact percentile), set folds
+    # (sum/avg DISTINCT), M3/M4 moment structs, co-moment structs, and
+    # the self-merging bool/bit family
+    "round(median(value) + 1e-9, 2) AS fmed",
+    "round(percentile(value, 0.9) + 1e-9, 2) AS fp90",
+    "sum(DISTINCT user_id) AS fsd",
+    "round(avg(DISTINCT value) + 1e-9, 3) AS fad",
+    "round(skewness(value) + 1e-9, 3) AS fsk",
+    "round(kurtosis(value) + 1e-9, 3) AS fku",
+    "round(corr(value, user_id) + 1e-9, 5) AS fco",
+    "round(covar_samp(value, user_id) + 1e-9, 2) AS fcs",
+    "round(regr_slope(user_id, value) + 1e-9, 5) AS fsl",
+    "regr_count(user_id, value) AS frc",
+    "bool_and(value > 0) AS fba",
+    "bool_or(value > 500) AS fbo",
+    "bit_xor(user_id) AS fbx",
 ]
 
 
