@@ -355,6 +355,18 @@ def to_column(e: Expr) -> Column:
             return histogram_percentile(
                 to_column(e.args[0]), float(e.args[1].value)
             )
+        if fname == "__qc_ddq":
+            # INTERNAL (FULL composite pre-state transform): DDSketch
+            # log-gamma quantization; arg1 is the literal eps. Both
+            # halves and the anti side compile THIS same expression, so
+            # merged histograms share one bin layout.
+            from .partial import ddsketch_quantize
+
+            if len(e.args) != 2 or not isinstance(e.args[1], Lit):
+                raise Unsupported("__qc_ddq arity")
+            return ddsketch_quantize(
+                to_column(e.args[0]).cast("double"), float(e.args[1].value)
+            )
         if fname in ("__qc_set_sum", "__qc_set_avg"):
             # INTERNAL (FULL composite output position): sum/avg over a
             # merged DISTINCT value-set column; arg1 is the literal

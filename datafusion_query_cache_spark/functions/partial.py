@@ -359,6 +359,28 @@ def _resolve_decimal(expr: Expr, schema) -> Optional[Tuple[int, int]]:
     return None
 
 
+def ddsketch_quantize(a: Column, eps: float) -> Column:
+    """DDSketch-style log-gamma quantization (public algorithm — Masson
+    et al., VLDB'19): bin i = ceil(log_gamma |v|), representative =
+    geometric bin midpoint gamma^(i-1/2) → |rep - v| / |v| <= eps for
+    |v| >= 1e-12; smaller magnitudes collapse to 0; NULL propagates.
+    Shared by the normal path's approx-percentile partial and the FULL
+    composite's pre-state transform (__qc_ddq in the scalar compiler) —
+    both sides MUST bin identically or merged histograms would mix bin
+    layouts."""
+    import math as _math
+
+    lng = _math.log((1.0 + eps) / (1.0 - eps))
+    mag = F.abs(a)
+    bin_i = F.ceil(F.log(mag) / F.lit(lng)).cast("double")
+    rep = F.exp((bin_i - F.lit(0.5)) * F.lit(lng))
+    return (
+        F.when(mag < F.lit(1e-12), F.lit(0.0))
+        .when(a > F.lit(0.0), rep)
+        .otherwise(-rep)
+    )  # NULL propagates: mag NULL -> both whens NULL -> -rep is NULL
+
+
 def histogram_percentile(ent: Column, pv: float) -> Column:
     """Linear-interpolated percentile at fraction ``pv`` over a
     value-sorted RLE histogram column (``array<struct<v:double,
@@ -1157,28 +1179,15 @@ def decompose_agg(
         nm = s("hist")
         a = arg0().cast("double")
         if approx:
-            # DDSketch-style log-gamma quantization (public algorithm —
-            # Masson et al., VLDB'19): bin i = ceil(log_gamma |v|),
-            # representative = geometric bin midpoint gamma^(i-1/2) →
-            # |rep - v| / |v| ≤ eps for |v| ≥ 1e-12; smaller magnitudes
-            # collapse to 0. The quantized values then ride the SAME
-            # RLE-histogram state as exact percentiles, but the store-time
-            # compaction collapses every bin to one entry — state is
-            # O(bins) per group, bounded regardless of value cardinality.
-            import math as _math
-
+            # The quantized values ride the SAME RLE-histogram state as
+            # exact percentiles, but the store-time compaction collapses
+            # every bin to one entry — state is O(bins) per group,
+            # bounded regardless of value cardinality. Binning lives in
+            # ddsketch_quantize (shared with the FULL composite).
             eps = float(approx_eps)
             if not (0.0 < eps < 0.5):
                 raise NotDecomposable("approx_percentile_eps out of (0, 0.5)")
-            lng = _math.log((1.0 + eps) / (1.0 - eps))
-            mag = F.abs(a)
-            bin_i = F.ceil(F.log(mag) / F.lit(lng)).cast("double")
-            rep = F.exp((bin_i - F.lit(0.5)) * F.lit(lng))
-            a = (
-                F.when(mag < F.lit(1e-12), F.lit(0.0))
-                .when(a > F.lit(0.0), rep)
-                .otherwise(-rep)
-            )  # NULL propagates: mag NULL → both whens NULL → -rep is NULL
+            a = ddsketch_quantize(a, eps)
 
         one_entry = F.when(
             a.isNotNull(),

@@ -2646,20 +2646,42 @@ class CachedSparkSession(RefreshTiers):
                 # same value can appear on matched and anti dim rows)
                 nm = _add_state(AggCall("hll_sketch_agg", node.args))
                 out = _Func("hll_sketch_estimate", (Col(nm),))
-            elif fn in ("median", "percentile", "percentile_cont"):
+            elif fn in (
+                "median", "percentile", "percentile_cont",
+                "approx_percentile", "percentile_approx",
+            ):
                 # r17: exact percentile — both halves emit the RLE
                 # histogram state (__qc_hist: "finalize ≡ state"), the
                 # union merge sorted-flattens the two multisets, and the
                 # interpolation walk runs in the OUTPUT position
                 # (partial.histogram_percentile via __qc_pctl_fin).
-                # approx_percentile stays refused: its log-gamma
-                # quantization is partial-time and config-coupled.
+                # approx forms ride the SAME state over a __qc_ddq
+                # pre-quantized argument (shared ddsketch_quantize
+                # binning); eps travels as a literal, so the entry's
+                # fingerprint embeds the bin layout — a config eps
+                # change is a new cold entry, never a mixed histogram.
+                approx = fn in ("approx_percentile", "percentile_approx")
+                if approx:
+                    if not getattr(
+                        cfg, "approx_percentile_sketch", False
+                    ):
+                        raise Unsupported(
+                            "approx percentile sketch disabled"
+                        )
+                    eps = float(
+                        getattr(cfg, "approx_percentile_eps", 0.01)
+                    )
+                    if not (0.0 < eps < 0.5):
+                        raise Unsupported(
+                            "approx_percentile_eps out of (0, 0.5)"
+                        )
                 if fn == "median":
                     if len(node.args) != 1:
                         raise Unsupported("median takes one argument")
                     pv = 0.5
                 else:
-                    if len(node.args) != 2 or not isinstance(
+                    nargs = (2, 3) if approx else (2,)
+                    if len(node.args) not in nargs or not isinstance(
                         node.args[1], Lit
                     ):
                         raise Unsupported(
@@ -2679,7 +2701,16 @@ class CachedSparkSession(RefreshTiers):
                         raise Unsupported(
                             f"FULL join {fn} fraction out of [0,1]"
                         )
-                nm = _add_state(AggCall("__qc_hist", (node.args[0],)))
+                    if len(node.args) == 3 and not isinstance(
+                        node.args[2], Lit
+                    ):
+                        raise Unsupported(
+                            f"FULL join {fn} accuracy must be a literal"
+                        )
+                argx = node.args[0]
+                if approx:
+                    argx = _Func("__qc_ddq", (argx, Lit(eps)))
+                nm = _add_state(AggCall("__qc_hist", (argx,)))
                 out = _Func("__qc_pctl_fin", (Col(nm), Lit(pv)))
             elif fn in (
                 "corr", "covar_samp", "covar_pop",

@@ -168,13 +168,9 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
         "SELECT segment, count(DISTINCT user_id, event_type) AS n "
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
-        # aggregates past the composite's merge vocabulary (exact
-        # percentile, skew/kurt and corr/covar/regr_* cache since r17;
-        # approx_percentile stays refused — partial-time quantization;
-        # mode has no mergeable state here)
-        "SELECT segment, approx_percentile(value, 0.5) AS p "
-        "FROM events_fo "
-        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
+        # aggregates past the composite's merge vocabulary (the whole
+        # percentile family incl. approx, skew/kurt and corr/covar/
+        # regr_* cache since r17; mode has no mergeable state here)
         "SELECT segment, mode(value) AS mo FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # second join above the FULL
@@ -569,6 +565,80 @@ def test_full_outer_selfmerge_family_two_run(spark, qc, split, fo_dim):
                 assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
             else:
                 assert x == y
+
+
+def test_full_outer_approx_percentile_band_and_determinism(
+    spark, qc, split, fo_dim
+):
+    """r17: approx_percentile on the FULL composite rides the SAME
+    histogram state over a __qc_ddq pre-quantized argument (shared
+    ddsketch_quantize binning, eps riding the fingerprint as a
+    literal). Sketch estimates differ from plain Spark's, so the
+    contract is (a) band: within ~3·eps of the EXACT quantile,
+    (b) determinism: two-run incremental ≡ single-shot EXACTLY (bin
+    multisets are split-invariant), (c) sketch off → refused,
+    passthrough parity."""
+    import math
+    import tempfile as _tf
+
+    from datafusion_query_cache_spark import (
+        CachedSparkSession,
+        ParquetQueryCache,
+        QueryCacheConfig,
+    )
+
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, approx_percentile(value, 0.9) AS p90, "
+        "percentile_approx(value, 0.5) AS med, count(*) AS n "
+        "FROM events_fo FULL JOIN fo_dim ON user_id = uid "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+    def _mk(**kw):
+        return CachedSparkSession(
+            spark,
+            QueryCacheConfig(
+                cache=ParquetQueryCache(_tf.mkdtemp(prefix="qc-fap-")),
+                default_temporal_column="ts",
+                **kw,
+            ),
+        )
+
+    qca = _mk(override_now_ns=cut_ns)
+    run1()
+    qca.sql(sql).collect()
+    assert qca.last_decision.cached, qca.last_decision.reason
+    run2()
+    qca.config.override_now_ns = cut_ns + 10**17
+    got = {r[0]: r for r in qca.sql(sql).collect()}
+    assert qca.last_decision.cache_hit, qca.last_decision.reason
+    exact = {
+        r[0]: r
+        for r in spark.sql(
+            "SELECT segment, percentile(value, 0.9) AS p90, "
+            "median(value) AS med, count(*) AS n FROM events_fo "
+            "FULL JOIN fo_dim ON user_id = uid GROUP BY 1"
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        for i in (1, 2):
+            if exact[k][i] is None:
+                assert got[k][i] is None
+            else:
+                assert math.isclose(
+                    got[k][i], exact[k][i], rel_tol=0.03, abs_tol=1e-9
+                ), (k, i, got[k][i], exact[k][i])
+        assert got[k][3] == exact[k][3]
+    single = {r[0]: r for r in _mk().sql(sql).collect()}
+    for k in got:
+        assert got[k][1] == single[k][1] and got[k][2] == single[k][2], k
+    # sketch off -> the composite refuses, passthrough parity
+    qoff = _mk(approx_percentile_sketch=False)
+    goff = qoff.sql(sql)
+    assert not qoff.last_decision.cached
+    assert rows_set(goff) == rows_set(spark.sql(sql))
 
 
 def test_full_outer_corr_covar_regr_two_run(spark, qc, split, fo_dim):

@@ -222,9 +222,8 @@ def main() -> int:
     )
     # --- refusal parity on the new seams (passthrough must match) -------
     two_run(
-        "full_approx_pctl_passthrough",
-        "SELECT seg, round(approx_percentile(value, 0.5), 0) AS p, "
-        "count(*) AS n FROM events_p "
+        "full_mode_passthrough",
+        "SELECT seg, mode(value) AS mo, count(*) AS n FROM events_p "
         "FULL JOIN p17_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         expect_cached=False,
     )
