@@ -1086,6 +1086,47 @@ FROM corpus ORDER BY doc_id
 """
 
 
+def _op_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (r17): mean -ln p(token) under the
+    corpus's own smoothed unigram distribution, min-frequency vocab cut
+    (fully distributed, no global top-K total-order), OOV = rare
+    tokens. The smoothing denominator separates, so the global (T, V)
+    scalars fold into the final projection as literals; the heavy part
+    is one token-count aggregate + one occurrence join (hashed=True
+    keys both on xxhash64 for the 8-byte 100 TB shuffle)."""
+    from datafusion_query_cache_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    _load(spark, sf_dir)
+    return unigram_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+_UNIGRAM_LP_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            t -> len(t) > 0)) AS t
+  FROM documents
+), counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+sc AS (SELECT sum(c) AS T,
+              sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS V FROM counts),
+pd AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         avg(ln((CASE WHEN c >= 2 THEN c ELSE 0 END) + 0.5)) AS mlc
+  FROM tok JOIN counts USING (t) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+       coalesce(pd.n_oov, 0) AS n_oov,
+       CASE WHEN coalesce(pd.n_tokens, 0) > 0
+            THEN round(ln(T + 0.5 * (V + 1)) - mlc + 1e-9, 6)
+            ELSE 0.0 END AS nll
+FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN sc
+ORDER BY d.doc_id
+"""
+
+
 def _op_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-context rarity signal (r15): fraction of each doc's bigrams
     that are corpus-hapax — CCNet-style quality scoring without an
@@ -2422,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_natural_join"] = _qc_natural_join
     # r17: co-moment family on the FULL composite (off-window)
     q["qc_full_corr"] = _qc_full_corr
+    # r17: unigram-LM quality proxy (off-window)
+    q["op_unigram_logprob"] = _op_unigram_logprob
     # r16: static-inner nested scalar folds into a CACHED middle level
     q["qc_nested_static"] = _qc_nested_static
     # r14: grouped correlated-subquery body with HAVING (off-window)
@@ -2589,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
     o["qc_full_percentile"] = _FULL_PCTL_ORACLE
     o["qc_full_distinct_sum"] = _FULL_DSUM_ORACLE
     o["qc_full_corr"] = _FULL_CORR_ORACLE
+    o["op_unigram_logprob"] = _UNIGRAM_LP_ORACLE
     o["qc_full_rollup"] = _FULL_ROLLUP_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "

@@ -759,3 +759,92 @@ def domain_frequencies(
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    alpha: float = 0.5,
+    hashed: bool = False,
+) -> DataFrame:
+    """Unigram-LM quality proxy (the CCNet perplexity-filter idea with
+    the corpus ITSELF as the language model — no external LM): per
+    document, the mean negative log probability of its tokens under the
+    corpus unigram distribution with additive (Lidstone) smoothing.
+
+    ``p(t) = (c_t + alpha) / (T + alpha·(V+1))`` where ``c_t`` is the
+    corpus count when ``c_t >= min_count`` else 0 (rare tokens score as
+    OOV — the min-frequency vocabulary cut real pipelines use, fully
+    distributed and deterministic, unlike a global top-K which needs a
+    total-order cut), ``T`` is the total token count and ``V`` the
+    vocabulary size. Low nll = predictable/common text; gibberish and
+    alphabet-soup score high. Complements ``bigram_rarity`` (integer
+    rarity at bigram grain) with a calibrated probability at unigram
+    grain.
+
+    Returns ``(id, n_tokens, n_oov, nll)`` with
+    ``nll = mean(-ln p(token))`` rounded to 6 (``+1e-9`` nudge, ledger
+    convention), 0.0 for empty docs.
+
+    Scale shape (100 TB): the smoothing denominator SEPARATES —
+    ``-ln p = ln(T + alpha·(V+1)) - ln(c_eff + alpha)`` — so the global
+    scalars fold into the final projection as literals (one tiny
+    O(distinct)-row aggregate, the bounded 1-row driver pattern) and
+    the distributed part is: one token-keyed count aggregate (map-side
+    combined), one occurrence-stream join against it (AQE
+    broadcast-decides; ``hashed=True`` keys both on ``xxhash64(token)``
+    — 8-byte shuffle keys, the ``bigram_rarity`` trick, identical
+    modulo ~1e-9 64-bit collisions), one 8-byte doc-id fold. The
+    corpus text itself never rides a shuffle wider than its tokens.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    key = (
+        F.xxhash64(F.col("__qc_t")) if hashed else F.col("__qc_t")
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.explode(toks).alias("__qc_t")
+    ).select(id_col, key.alias("__qc_k"))
+    counts = tok_rows.groupBy("__qc_k").agg(
+        F.count(F.lit(1)).alias("__qc_c")
+    )
+    sc = counts.agg(
+        F.sum("__qc_c").alias("T"),
+        F.sum((F.col("__qc_c") >= F.lit(min_count)).cast("long")).alias(
+            "V"
+        ),
+    ).collect()[0]
+    T = int(sc["T"] or 0)
+    V = int(sc["V"] or 0)
+    import math as _math
+
+    ln_denom = _math.log(T + alpha * (V + 1)) if T > 0 else 0.0
+    vocab = counts.filter(F.col("__qc_c") >= F.lit(min_count))
+    scored = tok_rows.join(vocab, ["__qc_k"], "left")
+    c_eff = F.coalesce(F.col("__qc_c"), F.lit(0)).cast("double")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("__qc_c").isNull().cast("long"))
+        .cast("long")
+        .alias("n_oov"),
+        F.avg(F.log(c_eff + F.lit(float(alpha)))).alias("__qc_mlc"),
+    )
+    return df.select(id_col).join(per_doc, [id_col], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.round(
+                F.lit(ln_denom) - F.col("__qc_mlc") + F.lit(1e-9), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("nll"),
+    )
