@@ -171,11 +171,24 @@ def paragraph_dedup(
         )
     else:
         kept_arr = F.filter(arr, lambda x, i: F.array_contains(kp, i))
-    return df.join(keep_pos, [id_col], "left").select(
-        did,
-        F.array_join(kept_arr, sep).alias(text_col),
-        F.size(arr).cast("long").alias("n_paras"),
-        F.size(kept_arr).cast("long").alias("n_kept"),
+    # two-step select (r17 hardening, see substring_dedup): aliasing
+    # the rejoined string to the input column's name in the SAME select
+    # as expressions whose HOF lambdas reference that name risks
+    # lateral-column-alias capture; compute the kept array once under a
+    # non-colliding name, rename after
+    return (
+        df.join(keep_pos, [id_col], "left")
+        .select(
+            did,
+            kept_arr.alias("__kept"),
+            F.size(arr).cast("long").alias("n_paras"),
+        )
+        .select(
+            id_col,
+            F.array_join("__kept", sep).alias(text_col),
+            "n_paras",
+            F.size("__kept").cast("long").alias("n_kept"),
+        )
     )
 
 

@@ -213,6 +213,9 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
         watermark. Returns the NEW docs' output rows."""
         import re as _re
 
+        from pyspark.sql import Observation
+        from pyspark.storagelevel import StorageLevel
+
         spark = corpus.sparkSession
         self._fence()
         meta = dict(self._meta or {})
@@ -222,9 +225,6 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
             if wm is None
             else corpus.filter(F.col(self.id_col) > F.lit(wm))
         )
-        hi = fresh.agg(F.max(self.id_col).alias("hi")).collect()[0]["hi"]
-        if hi is None:
-            return self.output(spark).limit(0)  # nothing new
 
         pat = _re.escape(self.sep)
         did = F.col(self.id_col)
@@ -237,44 +237,87 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
             if self.min_chars <= 0
             else paras.filter(F.length("para") >= self.min_chars)
         )
-        # batch winner rule within the delta …
-        winners = (
-            eligible.select(
-                F.unhex(F.md5("para")).alias("h"),
-                F.struct(self.id_col, "pos").alias("w"),
-            )
-            .groupBy("h")
-            .agg(F.min("w").alias("w"))
+        # batch winner rule within the delta, with the claimed set riding
+        # the SAME exchange as sentinel rows that always win (__src=0
+        # sorts below every delta row) — ascending ids ⇒ the stored claim
+        # is the global first occurrence; no anti-join, one fewer
+        # shuffle-map job (r17, the SubstringDedupIndex shape)
+        delta = eligible.select(
+            F.lit(1).alias("__src"),
+            F.unhex(F.md5("para")).alias("h"),
+            F.struct(self.id_col, "pos").alias("w"),
         )
-        # … minus digests claimed by EARLIER ingests (ascending ids ⇒ the
-        # stored claim is the global first occurrence) — a 16-byte
-        # anti-join, no text
         seen = self.claimed(spark)
         if seen is not None:
-            winners = winners.join(seen, ["h"], "left_anti")
-        keep_pos = winners.groupBy(
-            F.col(f"w.{self.id_col}").alias(self.id_col)
-        ).agg(F.collect_set(F.col("w.pos")).alias("__keep_pos"))
-        kp = F.coalesce(F.col("__keep_pos"), F.array().cast("array<int>"))
-        if self.min_chars > 0:
-            kept_arr = F.filter(
-                arr,
-                lambda x, i: F.array_contains(kp, i)
-                | (F.length(x) < F.lit(self.min_chars)),
+            delta = delta.unionByName(
+                seen.select(
+                    F.lit(0).alias("__src"),
+                    "h",
+                    F.struct(
+                        F.lit(-1).cast("long").alias(self.id_col),
+                        F.lit(-1).alias("pos"),
+                    ).alias("w"),
+                )
             )
-        else:
-            kept_arr = F.filter(arr, lambda x, i: F.array_contains(kp, i))
-        out_rows = fresh.join(keep_pos, [self.id_col], "left").select(
-            did,
-            F.array_join(kept_arr, self.sep).alias(self.text_col),
-            F.size(arr).cast("long").alias("n_paras"),
-            F.size(kept_arr).cast("long").alias("n_kept"),
+        folded = delta.groupBy("h").agg(
+            F.min(F.struct("__src", "w")).alias("m")
         )
-
+        winners = (
+            folded.filter(F.col("m.__src") == 1)
+            .select("h", F.col("m.w").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         oname = f"out-{uuid.uuid4().hex[:12]}"
-        out_rows.write.parquet(os.path.join(self.path, oname))
         sname = f"seen-{uuid.uuid4().hex[:12]}"
-        winners.select("h").write.parquet(os.path.join(self.path, sname))
+        try:
+            # claims FIRST: materializes the persisted winner fold that
+            # the output write then reuses
+            winners.select("h").write.parquet(
+                os.path.join(self.path, sname)
+            )
+            keep_pos = winners.groupBy(
+                F.col(f"w.{self.id_col}").alias(self.id_col)
+            ).agg(F.collect_set(F.col("w.pos")).alias("__keep_pos"))
+            kp = F.coalesce(
+                F.col("__keep_pos"), F.array().cast("array<int>")
+            )
+            if self.min_chars > 0:
+                kept_arr = F.filter(
+                    arr,
+                    lambda x, i: F.array_contains(kp, i)
+                    | (F.length(x) < F.lit(self.min_chars)),
+                )
+            else:
+                kept_arr = F.filter(
+                    arr, lambda x, i: F.array_contains(kp, i)
+                )
+            obs = Observation()
+            # two-step select (r17 hardening) — see paragraph_dedup
+            out_rows = (
+                fresh.join(keep_pos, [self.id_col], "left")
+                .select(
+                    did,
+                    kept_arr.alias("__kept"),
+                    F.size(arr).cast("long").alias("n_paras"),
+                )
+                .select(
+                    self.id_col,
+                    F.array_join("__kept", self.sep).alias(self.text_col),
+                    "n_paras",
+                    F.size("__kept").cast("long").alias("n_kept"),
+                )
+                # the new watermark rides the write — no separate job
+                .observe(obs, F.max(F.col(self.id_col)).alias("hi"))
+            )
+            out_rows.write.parquet(os.path.join(self.path, oname))
+            hi = obs.get["hi"]
+        finally:
+            winners.unpersist()
+        if hi is None:
+            # empty delta: drop the two just-written empty parts instead
+            # of growing the part lists; watermark unchanged
+            self._drop_parts([oname, sname])
+            return self.output(spark).limit(0)
         meta["out_parts"] = meta.get("out_parts", []) + [oname]
         meta["seen_parts"] = meta.get("seen_parts", []) + [sname]
         meta["watermark_id"] = int(hi)
