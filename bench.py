@@ -573,6 +573,23 @@ def main() -> None:
         jobs=True,
     )
 
+    # unigram-LM quality proxy (r17): one token-count aggregate + one
+    # occurrence join (AQE-broadcast-decided) + an 8-byte doc fold; the
+    # smoothing denominator's global scalars fold in as literals from a
+    # tiny O(distinct) aggregate. hashed=True keys the occurrence
+    # shuffle on xxhash64(token) — the 100 TB shuffle-bytes path.
+    from datafusion_query_cache_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    timed(
+        "op_unigram_logprob",
+        lambda: unigram_logprob(docs, hashed=True)
+        .agg(F.sum("nll"))
+        .collect(),
+        jobs=True,
+    )
+
     # Gopher-rule quality gates (r16): one scan-side map stage over the
     # token/line arrays — per-rule booleans + keep conjunction
     from datafusion_query_cache_spark.operators.textstats import (
