@@ -943,6 +943,39 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _qc_full_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew/kurt + the self-merging bool/bit family on the FULL
+    composite (r17): per-half M2..M4 recovered from Spark's own
+    builtins, pairwise Pebay merge; bool/bit states re-fold over the
+    union. Oracle converts the variants exactly like qc_skew
+    (g1 = skew_duck*(n-2)/sqrt(n*(n-1)); kurtosis_pop == Spark g2)."""
+    _load(spark, sf_dir)
+    return _qc_two_run(
+        spark,
+        sf_dir,
+        "SELECT c_mktsegment AS segment, "
+        "round(skewness(value) + 1e-9, 4) AS sk, "
+        "round(kurtosis(value) + 1e-9, 4) AS ku, "
+        "bool_and(value > 0) AS ba, bool_or(value > 1000) AS bo, "
+        "bit_xor(user_id) AS bx, count(*) AS n "
+        "FROM events_qc_fm FULL JOIN customer "
+        "ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+        "events_qc_fm",
+    )
+
+
+_FULL_MOM_ORACLE = """
+SELECT c_mktsegment AS segment,
+       round(skewness(value) * (count(value) - 2)
+             / sqrt(count(value) * (count(value) - 1.0)) + 1e-9, 4) AS sk,
+       round(kurtosis_pop(value) + 1e-9, 4) AS ku,
+       bool_and(value > 0) AS ba, bool_or(value > 1000) AS bo,
+       bit_xor(user_id) AS bx, count(*) AS n
+FROM events FULL JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _qc_full_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER over a star (r16): one FULL edge CLOSING an inner-dim
     spine. The spine (events x customer) folds into the cached fact
@@ -2465,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["qc_full_corr"] = _qc_full_corr
     # r17: unigram-LM quality proxy (off-window)
     q["op_unigram_logprob"] = _op_unigram_logprob
+    q["qc_full_moments"] = _qc_full_moments
     # r16: static-inner nested scalar folds into a CACHED middle level
     q["qc_nested_static"] = _qc_nested_static
     # r14: grouped correlated-subquery body with HAVING (off-window)
@@ -2633,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
     o["qc_full_distinct_sum"] = _FULL_DSUM_ORACLE
     o["qc_full_corr"] = _FULL_CORR_ORACLE
     o["op_unigram_logprob"] = _UNIGRAM_LP_ORACLE
+    o["qc_full_moments"] = _FULL_MOM_ORACLE
     o["qc_full_rollup"] = _FULL_ROLLUP_ORACLE
     o["qc_full_outer"] = (
         "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "

@@ -62,6 +62,7 @@ OFF_WINDOW_GRADED = {
     "qc_full_distinct_sum",
     "qc_full_corr",
     "op_unigram_logprob",
+    "qc_full_moments",
 }
 
 
