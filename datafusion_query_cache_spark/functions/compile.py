@@ -355,6 +355,18 @@ def to_column(e: Expr) -> Column:
             return histogram_percentile(
                 to_column(e.args[0]), float(e.args[1].value)
             )
+        if fname == "__qc_struct":
+            # INTERNAL (FULL composite multi-arg DISTINCT): tuple
+            # construction with deterministic f{i} field names — the
+            # A-half's stored state schema and the anti side compile the
+            # SAME expression, and the names match the normal path's
+            # count(DISTINCT a, b) tuple state
+            return F.struct(
+                *[
+                    to_column(a).alias(f"f{i}")
+                    for i, a in enumerate(e.args)
+                ]
+            )
         if fname == "__qc_ddq":
             # INTERNAL (FULL composite pre-state transform): DDSketch
             # log-gamma quantization; arg1 is the literal eps. Both

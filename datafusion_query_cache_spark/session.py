@@ -2502,6 +2502,40 @@ class CachedSparkSession(RefreshTiers):
                     )
                     state_of[node] = out
                     return out
+                if (
+                    fn == "count"
+                    and len(node.args) > 1
+                    and not any(isinstance(a, Star) for a in node.args)
+                ):
+                    # r17: count(DISTINCT a, b, ...) — distinct TUPLES.
+                    # Set state over __qc_struct tuples (deterministic
+                    # f{i} field names, same as the normal path's tuple
+                    # state); rows with ANY NULL component are excluded
+                    # (SQL semantics) via an AND-gated CASE. Union merge
+                    # + cardinality after, exactly the single-arg shape.
+                    from .plans.ir import Case as _Case
+                    from .plans.ir import IsNull as _IsNull
+                    from .plans.ir import Not as _Not
+
+                    valid: object = _Not(_IsNull(node.args[0]))
+                    for a in node.args[1:]:
+                        valid = BinOp("and", valid, _Not(_IsNull(a)))
+                    gated = _Case(
+                        ((valid, _Func("__qc_struct", node.args)),), None
+                    )
+                    nm = _add_state(AggCall("collect_set", (gated,)))
+                    out = Cast(
+                        _Func(
+                            "coalesce",
+                            (
+                                _Func("array_size", (Col(nm),)),
+                                Lit(0),
+                            ),
+                        ),
+                        "BIGINT",
+                    )
+                    state_of[node] = out
+                    return out
                 if fn in ("sum", "avg", "mean") and len(node.args) == 1:
                     # r17: sum/avg(DISTINCT x) — the same set state as
                     # count(DISTINCT) (union merge; plain sums never add

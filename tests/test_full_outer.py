@@ -163,9 +163,9 @@ def test_full_outer_unsupported_shapes_passthrough(spark, qc, split, fo_dim):
     run2()
     qc.config.override_now_ns = split[2] + 10**17
     for sql in (
-        # multi-arg DISTINCT aggregate (single-arg count(DISTINCT) caches
-        # via set states since r16)
-        "SELECT segment, count(DISTINCT user_id, event_type) AS n "
+        # DISTINCT over an EXPRESSION argument (plain-column DISTINCT
+        # sums and multi-arg count(DISTINCT) tuples cache since r17)
+        "SELECT segment, sum(DISTINCT user_id + 1) AS n "
         "FROM events_fo "
         "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         # aggregates past the composite's merge vocabulary (the whole
@@ -531,6 +531,29 @@ def test_full_outer_skew_adversarial_mean(spark, qc):
         spark.catalog.dropTempView("advm_dim")
 
 
+def test_full_outer_multiarg_count_distinct_two_run(spark, qc, split, fo_dim):
+    """r17: count(DISTINCT a, b) — distinct TUPLES via a set state over
+    __qc_struct tuples (rows with ANY NULL component excluded, SQL
+    semantics); union merge + cardinality after, exactly the single-arg
+    shape. Exact vs plain Spark, retractions included."""
+    run1, run2, cut_ns, _cut = split
+    sql = (
+        "SELECT segment, count(DISTINCT user_id, event_type) AS d2, "
+        "count(DISTINCT event_type, value > 50) AS dm, "
+        "count(*) AS n FROM events_fo "
+        "FULL JOIN fo_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+    )
+    run1()
+    qc.config.override_now_ns = cut_ns
+    qc.sql(sql).collect()
+    assert qc.last_decision.cached, qc.last_decision.reason
+    run2()
+    qc.config.override_now_ns = cut_ns + 10**17
+    got = qc.sql(sql)
+    assert qc.last_decision.cache_hit, qc.last_decision.reason
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
 def test_full_outer_selfmerge_family_two_run(spark, qc, split, fo_dim):
     """r17: product and the bool/bit families on the FULL composite —
     self-merging states (each half's fold re-folds over the union;
@@ -741,9 +764,9 @@ def test_full_outer_distinct_sum_avg_two_run(spark, qc, split, fo_dim):
     got = qc.sql(sql)
     assert qc.last_decision.cache_hit, qc.last_decision.reason
     assert rows_set(got) == rows_set(spark.sql(sql))
-    # multi-arg DISTINCT still refuses -> passthrough (parity pin)
+    # DISTINCT over an expression still refuses -> passthrough parity
     bad = (
-        "SELECT segment, count(DISTINCT user_id, event_type) AS d2 "
+        "SELECT segment, sum(DISTINCT user_id + 1) AS sx "
         "FROM events_fo FULL JOIN fo_dim ON user_id = uid GROUP BY 1"
     )
     got2 = qc.sql(bad)

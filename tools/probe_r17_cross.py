@@ -228,10 +228,15 @@ def main() -> int:
         expect_cached=False,
     )
     two_run(
-        "full_multiarg_distinct_passthrough",
-        "SELECT seg, count(DISTINCT user_id, event_type) AS d2 "
-        "FROM events_p FULL JOIN p17_dim ON user_id = uid "
+        "full_multiarg_distinct_two_run",
+        "SELECT seg, count(DISTINCT user_id, event_type) AS d2, "
+        "count(*) AS n FROM events_p FULL JOIN p17_dim ON user_id = uid "
         "GROUP BY 1 ORDER BY 1",
+    )
+    two_run(
+        "full_expr_distinct_passthrough",
+        "SELECT seg, sum(DISTINCT user_id + 1) AS sx FROM events_p "
+        "FULL JOIN p17_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
         expect_cached=False,
     )
     two_run(
