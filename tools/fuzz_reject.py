@@ -308,6 +308,18 @@ def main() -> int:
             f"AS sk, avg(DISTINCT user_id) AS ad FROM events "
             f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
         ),
+        # tuple count(DISTINCT a, b) on the composite (r17) + qualified
+        # mutations; DISTINCT over an expression must stay passthrough
+        lambda q: (
+            f"SELECT dseg AS g, count(DISTINCT {q}.user_id, event_type) "
+            f"AS d2, count(*) AS n FROM events {{A}} "
+            f"FULL JOIN rj_dim ON user_id = uid GROUP BY 1 ORDER BY 1"
+        ),
+        lambda q: (
+            f"SELECT dseg AS g, sum(DISTINCT {q}.user_id + 1) AS sx "
+            f"FROM events FULL JOIN rj_dim ON user_id = uid "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
         # alias SHADOWING a real column inside a FULL composite: the
         # r16 scope rule must hold on the composite path too
         lambda q: (
