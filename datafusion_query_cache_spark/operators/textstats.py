@@ -229,8 +229,16 @@ def redact_pii(
             .alias(f"n_{name}")
         )
         out = F.regexp_replace(out, pat, token)
+    # two-step select (r17 hardening, the dedup lateral-alias class):
+    # the counts reference text_col, which must never resolve laterally
+    # to the just-redacted output — compute both against the input, then
+    # rename
     return df.select(
-        F.col(id_col), out.alias(text_col), *counts
+        F.col(id_col), out.alias("__redacted"), *counts
+    ).select(
+        id_col,
+        F.col("__redacted").alias(text_col),
+        *[f"n_{name}" for name in PII_PATTERNS],
     )
 
 
@@ -610,11 +618,18 @@ def normalize_text(
     out = F.trim(out)
     if lowercase:
         out = F.lower(out)
+    # two-step select (r17 hardening, the dedup lateral-alias class):
+    # n_chars_before must measure the INPUT text, never a laterally
+    # captured normalized output
     return df.select(
         F.col(id_col),
-        out.alias(text_col),
+        out.alias("__normalized"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_before"),
-        F.length(out).cast("long").alias("n_chars_after"),
+    ).select(
+        id_col,
+        F.col("__normalized").alias(text_col),
+        "n_chars_before",
+        F.length("__normalized").cast("long").alias("n_chars_after"),
     )
 
 
