@@ -220,6 +220,25 @@ def main() -> int:
         "FROM events_p FULL JOIN p17_dim ON user_id = uid "
         "GROUP BY 1 ORDER BY 1",
     )
+    two_run(
+        "full_aggregate_arithmetic_over_finalizes",
+        # arbitrary expression trees OVER the new finalizes: the output
+        # compiler rewrites every nested AggCall onto its state
+        "SELECT seg, round(percentile(value, 0.9) - median(value) "
+        "+ 1e-9, 2) AS spread, "
+        "round(sum(DISTINCT user_id) / count(DISTINCT user_id) "
+        "+ 1e-9, 3) AS davg, "
+        "round(skewness(value) * 2 + 1 + 1e-9, 3) AS sk2, "
+        "count(*) AS n FROM events_p "
+        "FULL JOIN p17_dim ON user_id = uid GROUP BY 1 ORDER BY 1",
+    )
+    two_run(
+        "full_order_by_percentile_output",
+        "SELECT seg, round(median(value) + 1e-9, 2) AS med, "
+        "count(*) AS n FROM events_p "
+        "FULL JOIN p17_dim ON user_id = uid GROUP BY 1 "
+        "ORDER BY 2 DESC NULLS LAST, 1",
+    )
     # --- refusal parity on the new seams (passthrough must match) -------
     two_run(
         "full_mode_passthrough",
