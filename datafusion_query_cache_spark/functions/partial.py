@@ -78,6 +78,13 @@ class Decomposition:
     #: time (kept uncompacted through partial/merge, like Spark's own
     #: exact-percentile buffer)
     histogram_states: List[str] = field(default_factory=list)
+    #: histogram state column -> its (cast/quantized) VALUE column. Powers
+    #: the big-scan two-phase partial (r17): phase 1 groups by
+    #: (keys + value), phase 2 builds the RLE array from O(distinct)
+    #: subgroup counts — the expression-level collect_list partial buffers
+    #: O(rows-per-group) in flight (Spark's own Percentile keeps an
+    #: O(distinct) counts map), which OOMs hot groups at ~10M+ rows/group
+    histogram_values: Dict[str, Column] = field(default_factory=dict)
     #: state columns holding an exact count(DISTINCT) value set — capped at
     #: store time by config.distinct_max_values (cache._check_set_*)
     set_states: List[str] = field(default_factory=list)
@@ -1115,17 +1122,14 @@ def decompose_agg(
             partial={nm: F.sort_array(F.collect_list(he))},
             merge={nm: F.sort_array(F.flatten(F.collect_list(F.col(nm))))},
             finalize=F.col(nm),
-            singleton={
-                nm: F.filter(
-                    F.array(
-                        F.struct(
-                            a.alias("v"), F.lit(1).cast("long").alias("c")
-                        )
-                    ),
-                    lambda e: e["v"].isNotNull(),
-                )
-            },
+            # NO singleton form (r17, the var/corr precedent): a
+            # singleton plan would make the merge input one 1-entry
+            # array per fresh ROW — O(tail) in-flight arrays on hot
+            # groups. Without it the refresh runs the two-aggregation
+            # program whose phase-1 partial is the O(distinct)
+            # two-phase (see session.partial_agg).
             histogram_states=[nm],
+            histogram_values={nm: a},
         )
 
     if fn in (
@@ -1199,17 +1203,11 @@ def decompose_agg(
             partial={nm: F.sort_array(F.collect_list(one_entry))},
             merge={nm: F.sort_array(F.flatten(F.collect_list(F.col(nm))))},
             finalize=fin,
-            # one raw row → [{v,1}]; nulls mirror collect_list's skip
-            singleton={
-                nm: F.filter(
-                    F.array(
-                        F.struct(
-                            a.alias("v"), F.lit(1).cast("long").alias("c")
-                        )
-                    ),
-                    lambda e: e["v"].isNotNull(),
-                )
-            },
+            # NO singleton form (r17, the var/corr precedent): per-row
+            # 1-entry arrays made the warm merge O(tail) in flight on
+            # hot groups (measured 54s vs 21s plain at 100M rows); the
+            # two-aggregation refresh runs the O(distinct) two-phase
+            # partial over the tail instead (session.partial_agg).
             # the sketch's log-gamma bins are O(log range / eps) by
             # construction — bounded regardless of value cardinality — so
             # the percentile_max_distinct cap applies only to EXACT
@@ -1217,6 +1215,7 @@ def decompose_agg(
             # state; arming it for the sketch re-created the passthrough
             # degradation the sketch exists to avoid)
             histogram_states=[] if approx else [nm],
+            histogram_values={nm: a},
         )
 
     if fn == "product":
@@ -1264,6 +1263,8 @@ class ItemPlan:
     singleton: Optional[Dict[str, Column]] = field(default_factory=dict)
     #: histogram-typed state columns needing store-time compaction
     histogram_states: List[str] = field(default_factory=list)
+    #: histogram state column -> value column (see Decomposition)
+    histogram_values: Dict[str, Column] = field(default_factory=dict)
     #: count(DISTINCT) set-state columns, capped at store time
     set_states: List[str] = field(default_factory=list)
     #: the item's IR expression and its (AggCall, Decomposition) pairs —
@@ -1558,6 +1559,7 @@ def plan_items(
                 plan.partial.update(dec.partial)
                 plan.merge.update(dec.merge)
                 plan.histogram_states.extend(dec.histogram_states)
+                plan.histogram_values.update(dec.histogram_values)
                 plan.set_states.extend(dec.set_states)
                 if dec.singleton is None:
                     plan.singleton = None

@@ -3841,7 +3841,12 @@ class CachedSparkSession(RefreshTiers):
             sql=query, cached=True, fingerprint=fingerprint, now_ns=now_ns
         )
 
+        hist_values: Dict[str, Column] = {}
+        for p in plans:
+            hist_values.update(getattr(p, "histogram_values", {}) or {})
+
         def partial_agg(df: DataFrame) -> DataFrame:
+            extra_keys = []
             if cfg.salt_buckets > 0:
                 # skew guard (config.salt_buckets): phase 1 shuffles on
                 # (keys, salt) so a hot key fans out over salt_buckets
@@ -3851,16 +3856,66 @@ class CachedSparkSession(RefreshTiers):
                 # map-side combine already bounds reducer input to one row
                 # per key per map task.)
                 salt = (F.rand(seed=42) * cfg.salt_buckets).cast("int")
-                p1 = (
-                    df.withColumn("__qc_salt", salt)
-                    .groupBy(*group_partial, F.col("__qc_salt"))
-                    .agg(*[c.alias(n) for n, c in partial_aggs.items()])
+                extra_keys.append(salt.alias("__qc_salt"))
+            hv_names = []
+            if hist_values:
+                # histogram big-scan guard (r17): the expression-level
+                # collect_list partial buffers O(rows-per-group) in
+                # flight — a 100M-row hot group OOMs the executor even
+                # though the STORED state compacts to O(distinct)
+                # (Spark's own Percentile keeps an O(distinct) counts
+                # map). Phase 1 therefore also groups by each histogram
+                # VALUE column (subgroup count = the RLE entry count)
+                # and phase 2 builds the arrays from O(distinct
+                # value-combinations) rows; every other aggregate's
+                # phase-1 partial re-combines with its own MERGE — the
+                # same associativity the refresh itself relies on.
+                # Duplicate-v entries from multi-histogram cross terms
+                # are legal (the percentile walk is a multiset fold).
+                for i, (nm, hv) in enumerate(sorted(hist_values.items())):
+                    hvn = f"__qc_hv{i}"
+                    hv_names.append((nm, hvn))
+                    extra_keys.append(hv.alias(hvn))
+            if not extra_keys:
+                return df.groupBy(*group_partial).agg(
+                    *[c.alias(n) for n, c in partial_aggs.items()]
                 )
-                return p1.groupBy(*[F.col(n) for n in group_names]).agg(
-                    *[c.alias(n) for n, c in merge_aggs.items()]
-                )
-            return df.groupBy(*group_partial).agg(
-                *[c.alias(n) for n, c in partial_aggs.items()]
+            hist_names = {nm for nm, _ in hv_names}
+            p1_aggs = [
+                c.alias(n)
+                for n, c in partial_aggs.items()
+                if n not in hist_names
+            ] + [
+                # count over the VALUE EXPRESSION, not the grouping
+                # alias — an alias reference inside an aggregate is a
+                # lateral-alias error; the expression is functionally
+                # equal within the subgroup (it IS the group key)
+                F.count(hist_values[nm]).alias(f"__qc_hc{i}")
+                for i, (nm, _hvn) in enumerate(hv_names)
+            ]
+            p1 = df.groupBy(*group_partial, *extra_keys).agg(*p1_aggs)
+            p2_aggs = [
+                c.alias(n)
+                for n, c in merge_aggs.items()
+                if n not in hist_names
+            ] + [
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col(f"__qc_hc{i}") > 0,
+                            F.struct(
+                                F.col(hvn).alias("v"),
+                                F.col(f"__qc_hc{i}")
+                                .cast("long")
+                                .alias("c"),
+                            ),
+                        )
+                    )
+                ).alias(nm)
+                for i, (nm, hvn) in enumerate(hv_names)
+            ]
+            return p1.groupBy(*[F.col(n) for n in group_names]).agg(
+                *p2_aggs
             )
 
         shadow = f"{ts_col}_ns"
