@@ -4512,9 +4512,11 @@ class CachedSparkSession(RefreshTiers):
                 # At 100 TB state this is the difference between shuffling
                 # the whole standing state per warm query and shuffling one
                 # bucket.
-                boundary_state = braw.groupBy(*group_partial).agg(
-                    *[c.alias(n) for n, c in partial_aggs.items()]
-                )
+                # partial_agg (not an inline groupBy) so the histogram
+                # two-phase and salt guards apply to the boundary bucket
+                # too — a hot day at extreme scale is the same O(rows)
+                # collect_list hazard the big scan had (r17)
+                boundary_state = partial_agg(braw)
                 stored = full.unionByName(boundary_state)
                 cfg.log.info(
                     fingerprint,
