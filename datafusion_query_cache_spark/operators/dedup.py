@@ -25,6 +25,8 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_input
+
 #: per-pipeline persisted frames, released generationally (see
 #: :func:`_persist_generational`)
 _PERSISTED: Dict[str, List[DataFrame]] = {}
@@ -98,6 +100,7 @@ def exact_dedup(
     body — at 100 TB this is the difference between shuffling 100 TB and
     shuffling ~32 GB of digests.
     """
+    df = spread_input(df)
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(
@@ -141,6 +144,7 @@ def paragraph_dedup(
     """
     import re as _re
 
+    df = spread_input(df)
     pat = _re.escape(sep)
     did = F.col(id_col)
     arr = F.split(F.col(text_col), pat)
@@ -291,6 +295,7 @@ def substring_dedup(
     """
     from pyspark.sql import Window as _W
 
+    df = spread_input(df)
     W = int(window)
     # tokenize ONCE into a materialized column: every reference below
     # goes through `__tk`, never the raw split expression. Inlining the
@@ -353,6 +358,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    spread: bool = True,
 ) -> DataFrame:
     """MinHash signatures: ``sig[i] = min over shingles of xxhash64(sh, i)``.
 
@@ -376,7 +382,14 @@ def minhash_signatures(
         b = state % p
         coeffs.append((a, b))
     # explode positions then substr — no per-doc array materialization, and
-    # duplicate shingles are harmless (min over a multiset == min over set)
+    # duplicate shingles are harmless (min over a multiset == min over set).
+    # ``spread=False`` lets O(new)-delta callers (incremental ingests whose
+    # inputs are small BY DESIGN and whose job counts are gate-committed)
+    # skip the small-input repartition: on a tiny delta the extra AQE stage
+    # job costs more than the single-task scan it parallelizes, and at
+    # cluster scale spread_input is a no-op for them anyway.
+    if spread:
+        df = spread_input(df)
     exploded = df.select(
         F.col(id_col),
         F.col(text_col),
@@ -529,7 +542,7 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
+    sh = spread_input(df).select(
         F.col(id_col),
         F.explode(_shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -700,6 +713,7 @@ def simhash(
     # map-side combine. bit_vector[b] = Σ ±1 by bit b of the shingle hash.
     # (SimHash classically weights by shingle frequency, so the multiset —
     # no distinct — is the right semantics here.)
+    df = spread_input(df)
     exploded = df.select(
         F.col(id_col),
         F.col(text_col),

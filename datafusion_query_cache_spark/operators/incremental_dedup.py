@@ -519,7 +519,8 @@ class MinHashIndex:
         path)."""
         rows = self.rows
         sig_band = minhash_signatures(
-            new, self.text_col, self.id_col, self.num_hashes, self.shingle_k
+            new, self.text_col, self.id_col, self.num_hashes,
+            self.shingle_k, spread=False,
         ).select(
             F.col(self.id_col),
             F.col("minhash"),
@@ -740,7 +741,8 @@ class MinHashIndex:
         """Fully distributed ingest (large batches/indexes, compaction,
         and pre-band-part migration)."""
         new_sigs = minhash_signatures(
-            new, self.text_col, self.id_col, self.num_hashes, self.shingle_k
+            new, self.text_col, self.id_col, self.num_hashes,
+            self.shingle_k, spread=False,
         ).persist()
 
         # O(new) banding: stored docs' keys come from the persisted band

@@ -13,6 +13,8 @@ from typing import Dict, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_input
+
 
 def token_count(text: Column) -> Column:
     """Whitespace tokens = count of maximal ``\\S+`` runs."""
@@ -62,6 +64,7 @@ def quality_features(
     punctuation ratio, uppercase ratio, digit ratio, en-stopword density."""
     t = F.col(text_col)
     n_tok = token_count(t)
+    df = spread_input(df)
     return df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
@@ -128,6 +131,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         ]
     )
     best = F.array_max(pairs)
+    df = spread_input(df)
     return df.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
@@ -147,7 +151,7 @@ def doc_fingerprint(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.xxhash64(F.substring(t, i, F.lit(k))),
     )
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col),
         F.xxhash64(t).alias("full_hash"),
         F.array_min(sh).alias("min_shingle_hash"),
@@ -164,7 +168,7 @@ def term_frequencies(
     Plan: split is scan-side, explode emits one short string per token, and
     the single shuffle is the groupBy on the term — at 100 TB the shuffle
     carries (term, partial count) after map-side combine, not documents."""
-    tok = df.select(
+    tok = spread_input(df).select(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
     ).filter(F.length("term") >= min_len)
     return tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
@@ -186,7 +190,7 @@ def bigram_frequencies(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
     )
-    bg = df.select(F.explode(pairs).alias("p")).select(
+    bg = spread_input(df).select(F.explode(pairs).alias("p")).select(
         F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram")
     )
     return bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
@@ -233,7 +237,7 @@ def redact_pii(
     # the counts reference text_col, which must never resolve laterally
     # to the just-redacted output — compute both against the input, then
     # rename
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col), out.alias("__redacted"), *counts
     ).select(
         id_col,
@@ -289,7 +293,7 @@ def bigram_rarity(
     )
     bigram = F.concat_ws(" ", F.col("p.a"), F.col("p.b"))
     key = F.xxhash64(bigram) if hashed else bigram
-    doc_bg = df.select(
+    doc_bg = spread_input(df).select(
         F.col(id_col), F.explode(pairs).alias("p")
     ).select(id_col, key.alias("__qc_bg"))
     tagged = doc_bg.withColumn(
@@ -338,7 +342,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     n_docs = df.count()
-    tok = df.select(
+    tok = spread_input(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
@@ -377,7 +381,7 @@ def char_shingles(
     incremental :class:`~..operators.incremental_contamination.
     ContaminationIndex` so both sides use bit-identical arithmetic."""
     cols = [F.col(id_col)] if keep_id else []
-    out = df.select(
+    out = spread_input(df).select(
         *cols,
         F.col(text_col),
         F.explode(
@@ -419,7 +423,7 @@ def token_shingles(
     starts = F.when(
         nt >= n, F.sequence(F.lit(0), nt - F.lit(n))
     ).otherwise(F.array().cast("array<int>"))
-    out = df.select(
+    out = spread_input(df).select(
         *cols, toks.alias("__tk"), F.explode(starts).alias("__i")
     ).select(
         *cols,
@@ -521,7 +525,7 @@ def repetition_features(
     groupBy per grain. Ties in the top gram don't matter — the metric is
     the COUNT, not the gram."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(
+    base = spread_input(df).select(
         F.col(id_col),
         words.alias("__w"),
     ).select(
@@ -621,7 +625,7 @@ def normalize_text(
     # two-step select (r17 hardening, the dedup lateral-alias class):
     # n_chars_before must measure the INPUT text, never a laterally
     # captured normalized output
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col),
         out.alias("__normalized"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_before"),
@@ -708,7 +712,7 @@ def gopher_quality_flags(
     ok_sym = sym_ratio <= max_symbol_ratio
     ok_bullet = bullet_ratio <= max_bullet_ratio
     ok_dup = dup_ratio <= max_dup_line_ratio
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -747,7 +751,7 @@ def url_stats(
             lambda u: F.regexp_extract(u, r"https?://([^/\s:?#]+)", 1),
         )
     )
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col),
         F.size(urls).cast("long").alias("n_urls"),
         F.size(domains).cast("long").alias("n_domains"),
@@ -770,7 +774,7 @@ def domain_frequencies(
         )
     )
     return (
-        df.select(F.explode(domains).alias("domain"))
+        spread_input(df).select(F.explode(domains).alias("domain"))
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

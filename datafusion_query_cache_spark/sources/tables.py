@@ -145,6 +145,19 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # r17 OPT (guide §3.1/§9): let the planner pick a shuffled hash
+        # join when its size conditions hold instead of always preferring
+        # sort-merge — a FULL OUTER of a 100M-row fact with a small dim
+        # then skips sorting the fact side entirely (measured 7.0s -> 3.4s
+        # on the bench's qc_fo_x1000_plain; plan: SortMergeJoin FullOuter
+        # -> ShuffledHashJoin FullOuter BuildRight). The planner still
+        # falls back to sort-merge whenever the build side might not fit
+        # a per-partition hash map, so this is safe at cluster scale (it
+        # is the optimization guide's own baseline, §9). Env-overridable.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("QC_PREFER_SORT_MERGE_JOIN", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("QC_DRIVER_MEMORY", "8g"))
     )
