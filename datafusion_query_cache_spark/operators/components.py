@@ -56,8 +56,16 @@ def connected_components(
     which come back as singleton components (``component = id``).
     ``nodes_cover_edges=True`` asserts ``nodes`` is a DISTINCT superset of
     every edge endpoint (true whenever edges come from pairing rows of the
-    node table itself, the dedup case) — the label seed is then a straight
-    projection of ``nodes``, skipping a union + two distinct shuffles.
+    node table itself, the dedup case).
+
+    r17 opt (guide §2.3 — don't move bytes the computation never needs):
+    the label-propagation loop iterates over EDGE ENDPOINTS ONLY. Isolated
+    nodes are by definition their own singleton component, so carrying
+    them through every round's three joins (the pre-r17 shape seeded the
+    loop with ALL of ``nodes``) multiplied each round's shuffles by
+    |corpus| / |near-dup docs| — at 100 TB that ratio is enormous (dedup
+    graphs are overwhelmingly singletons). They are now attached with ONE
+    anti-join after convergence.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -70,19 +78,46 @@ def connected_components(
         eager=True
     )
 
-    if nodes is not None and nodes_cover_edges:
-        nc = node_col or nodes.columns[0]
-        labels = nodes.select(F.col(nc).alias("id"))
-    else:
-        labels = sym.select(F.col("u").alias("id")).distinct()
-        if nodes is not None:
-            nc = node_col or nodes.columns[0]
-            labels = labels.unionByName(
-                nodes.select(F.col(nc).alias("id"))
-            ).distinct()
+    labels = sym.select(F.col("u").alias("id")).distinct()
     labels = labels.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
+    # r17 opt: with AQE on, EVERY exchange of every round's three joins is
+    # materialized as its own Spark stage-job (~7 jobs/round measured) —
+    # pure scheduling overhead when the label/edge frames are small, which
+    # dedup graphs almost always are (each job carried <1k rows here).
+    # Scope AQE off for the loop when the SYMMETRIZED edge count (one
+    # cheap count over the just-checkpointed RDD) is small; big graphs
+    # keep AQE's skew-join splitting, where it earns its stage jobs.
+    spark = edges.sparkSession
+    small_graph = sym.count() <= 10_000_000
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_was = spark.conf.get(aqe_key, "true")
+    if small_graph:
+        spark.conf.set(aqe_key, "false")
+    try:
+        labels = _propagate(sym, labels, max_iter)
+    finally:
+        if small_graph:
+            spark.conf.set(aqe_key, aqe_was)
+    if nodes is not None:
+        # isolated nodes: one anti-join, never iterated (see the r17 opt
+        # note above). ``nodes_cover_edges`` nodes are a superset of the
+        # endpoints, so the union below is exactly the old full label set;
+        # without the flag, endpoints missing from ``nodes`` still label
+        # themselves through the loop, as before.
+        nc = node_col or nodes.columns[0]
+        singles = (
+            nodes.select(F.col(nc).alias("id"))
+            .join(labels.select("id"), "id", "left_anti")
+            .select("id", F.col("id").alias("component"))
+        )
+        labels = labels.unionByName(singles)
+    return labels
+
+
+def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    """The min-label + pointer-jump rounds over the endpoint label set."""
     for _ in range(max_iter):
         # neighbor min: min label over Γ(u)  (map-side combinable)
         nbr = (
@@ -114,7 +149,11 @@ def connected_components(
                 ).alias("new_component"),
             )
         )
-        new = new.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below materializes the
+        # checkpointed RDD and computes `changed` in ONE job — eager=True
+        # spent a separate job per round on materialization alone (r17
+        # opt: one fewer Spark job per round, same truncation semantics)
+        new = new.localCheckpoint(eager=False)
         changed = new.agg(
             F.sum((F.col("new_component") != F.col("component")).cast("long"))
         ).collect()[0][0]

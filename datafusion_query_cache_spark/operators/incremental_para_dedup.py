@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _span_trimmed
 from .incremental_dedup import ConcurrentIndexWriter
+from .spread import aqe_off_scope, is_small_input
 
 
 class _ClaimedDigestIndex:
@@ -226,6 +227,9 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
             else corpus.filter(F.col(self.id_col) > F.lit(wm))
         )
 
+        # small-delta gate: AQE off over the commits — see
+        # SubstringDedupIndex.update
+        small = is_small_input(fresh)
         pat = _re.escape(self.sep)
         did = F.col(self.id_col)
         arr = F.split(F.col(self.text_col), pat)
@@ -269,48 +273,56 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
         )
         oname = f"out-{uuid.uuid4().hex[:12]}"
         sname = f"seen-{uuid.uuid4().hex[:12]}"
+        # small-delta ingests commit with AQE scoped OFF and one claims
+        # file per part (see SubstringDedupIndex.update / spread.py):
+        # stage-job scheduling and tiny-file fan-in dominate a small
+        # delta's ingest cost; big deltas keep AQE + natural partitioning
         try:
-            # claims FIRST: materializes the persisted winner fold that
-            # the output write then reuses
-            winners.select("h").write.parquet(
-                os.path.join(self.path, sname)
-            )
-            keep_pos = winners.groupBy(
-                F.col(f"w.{self.id_col}").alias(self.id_col)
-            ).agg(F.collect_set(F.col("w.pos")).alias("__keep_pos"))
-            kp = F.coalesce(
-                F.col("__keep_pos"), F.array().cast("array<int>")
-            )
-            if self.min_chars > 0:
-                kept_arr = F.filter(
-                    arr,
-                    lambda x, i: F.array_contains(kp, i)
-                    | (F.length(x) < F.lit(self.min_chars)),
+            with aqe_off_scope(spark, small):
+                # claims FIRST: materializes the persisted winner fold
+                # that the output write then reuses
+                cl = winners.select("h")
+                (cl.coalesce(1) if small else cl).write.parquet(
+                    os.path.join(self.path, sname)
                 )
-            else:
-                kept_arr = F.filter(
-                    arr, lambda x, i: F.array_contains(kp, i)
+                keep_pos = winners.groupBy(
+                    F.col(f"w.{self.id_col}").alias(self.id_col)
+                ).agg(F.collect_set(F.col("w.pos")).alias("__keep_pos"))
+                kp = F.coalesce(
+                    F.col("__keep_pos"), F.array().cast("array<int>")
                 )
-            obs = Observation()
-            # two-step select (r17 hardening) — see paragraph_dedup
-            out_rows = (
-                fresh.join(keep_pos, [self.id_col], "left")
-                .select(
-                    did,
-                    kept_arr.alias("__kept"),
-                    F.size(arr).cast("long").alias("n_paras"),
+                if self.min_chars > 0:
+                    kept_arr = F.filter(
+                        arr,
+                        lambda x, i: F.array_contains(kp, i)
+                        | (F.length(x) < F.lit(self.min_chars)),
+                    )
+                else:
+                    kept_arr = F.filter(
+                        arr, lambda x, i: F.array_contains(kp, i)
+                    )
+                obs = Observation()
+                # two-step select (r17 hardening) — see paragraph_dedup
+                out_rows = (
+                    fresh.join(keep_pos, [self.id_col], "left")
+                    .select(
+                        did,
+                        kept_arr.alias("__kept"),
+                        F.size(arr).cast("long").alias("n_paras"),
+                    )
+                    .select(
+                        self.id_col,
+                        F.array_join("__kept", self.sep).alias(
+                            self.text_col
+                        ),
+                        "n_paras",
+                        F.size("__kept").cast("long").alias("n_kept"),
+                    )
+                    # the new watermark rides the write — no extra job
+                    .observe(obs, F.max(F.col(self.id_col)).alias("hi"))
                 )
-                .select(
-                    self.id_col,
-                    F.array_join("__kept", self.sep).alias(self.text_col),
-                    "n_paras",
-                    F.size("__kept").cast("long").alias("n_kept"),
-                )
-                # the new watermark rides the write — no separate job
-                .observe(obs, F.max(F.col(self.id_col)).alias("hi"))
-            )
-            out_rows.write.parquet(os.path.join(self.path, oname))
-            hi = obs.get["hi"]
+                out_rows.write.parquet(os.path.join(self.path, oname))
+                hi = obs.get["hi"]
         finally:
             winners.unpersist()
         if hi is None:
@@ -400,6 +412,11 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         )
 
         Wn = self.window
+        # small-delta gate decided ONCE: scopes AQE off over the two
+        # commits below — stage-job scheduling dominates a small ingest
+        # (measured: spreading the delta itself does NOT pay here; the
+        # compute is sub-0.1s, the overhead is jobs)
+        small = is_small_input(fresh)
         # tokenize ONCE into a materialized `__tk` column (see
         # substring_dedup: inlining the split into the transform lambda
         # re-splits the whole text per window position)
@@ -407,11 +424,8 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
             F.split(F.col(self.text_col), r"\s+"),
             lambda t: F.length(t) > 0,
         )
-        # persist the tokenized delta: BOTH commits (claims + output)
-        # read `fbase` — uncached, the second action re-tokenizes and
-        # re-window-hashes the whole delta (r17 opt: measured ~0.2-0.4s
-        # of duplicated scan-side work per ingest at sf0.1). O(delta)
-        # token arrays, spills to disk, unpersisted before return.
+        # `fbase` is read by the output commit only (the claims commit
+        # reads the cached window pass) — see the OUTPUT-first note below
         fbase = fresh.select(F.col(self.id_col), toks.alias("__tk"))
         tk = F.col("__tk")
         nt = F.size(tk)
@@ -456,62 +470,80 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         )
         oname = f"out-{uuid.uuid4().hex[:12]}"
         sname = f"seen-{uuid.uuid4().hex[:12]}"
+        # small-delta ingests commit with AQE scoped OFF (see
+        # small_input_aqe_off): every exchange otherwise materializes as
+        # its own stage-job — measured 8 jobs x ~0.15s scheduling for a
+        # few hundred new docs. Big deltas (many scan partitions) keep AQE.
         try:
-            # OUTPUT first (r17 opt): this action computes the tokenized
-            # delta exactly ONCE — it both materializes the persisted
-            # window pass (through `occ`) and feeds the trim's token
-            # arrays. The pre-r17 claims-first order paid the delta's
-            # tokenize + window-hash scan in BOTH commits (the output
-            # action re-derived `fbase` from the raw text because only
-            # post-window `tagged` is cached): measured ~0.3-0.5s of
-            # duplicated scan-side work per sf0.1 ingest. The claims
-            # commit below then reads nothing but the `tagged` cache.
-            losers = tagged.filter(
-                (F.col("__w.__src") == 0)
-                | (F.col(self.id_col) != F.col(f"__w.{self.id_col}"))
-                | (F.col("pos") != F.col("__w.pos"))
-            )
-            rm = losers.groupBy(self.id_col).agg(
-                F.collect_set("pos").alias("__rm")
-            )
-            rm_arr = F.coalesce(
-                F.col("__rm"), F.array().cast("array<int>")
-            )
-            kept_arr = _span_trimmed(tk, nt, rm_arr, Wn)
-            # two-step select — see substring_dedup: prevents
-            # lateral-alias capture of text_col inside the trim's HOF
-            # lambdas, and computes the kept array once
-            obs = Observation()
-            out_rows = (
-                fbase.join(rm, [self.id_col], "left")
-                .select(
-                    F.col(self.id_col),
-                    kept_arr.alias("__kept"),
-                    nt.cast("long").alias("n_tokens"),
+            with aqe_off_scope(spark, small):
+                # OUTPUT first (r17 opt): this action computes the
+                # tokenized delta exactly ONCE — it both materializes the
+                # persisted window pass (through `occ`) and feeds the
+                # trim's token arrays. The pre-r17 claims-first order paid
+                # the delta's tokenize + window-hash scan in BOTH commits
+                # (the output action re-derived `fbase` from the raw text
+                # because only post-window `tagged` is cached): measured
+                # ~0.3-0.5s of duplicated scan-side work per sf0.1 ingest.
+                # The claims commit below then reads only the cache.
+                losers = tagged.filter(
+                    (F.col("__w.__src") == 0)
+                    | (F.col(self.id_col) != F.col(f"__w.{self.id_col}"))
+                    | (F.col("pos") != F.col("__w.pos"))
                 )
-                .select(
-                    self.id_col,
-                    F.array_join("__kept", " ").alias(self.text_col),
-                    "n_tokens",
-                    F.size("__kept").cast("long").alias("n_kept"),
+                rm = losers.groupBy(self.id_col).agg(
+                    F.collect_set("pos").alias("__rm")
                 )
-                # the new watermark rides the write — no separate job
-                .observe(obs, F.max(F.col(self.id_col)).alias("hi"))
-            )
-            out_rows.write.parquet(os.path.join(self.path, oname))
-            hi = obs.get["hi"]
+                rm_arr = F.coalesce(
+                    F.col("__rm"), F.array().cast("array<int>")
+                )
+                kept_arr = _span_trimmed(tk, nt, rm_arr, Wn)
+                # two-step select — see substring_dedup: prevents
+                # lateral-alias capture of text_col inside the trim's HOF
+                # lambdas, and computes the kept array once
+                obs = Observation()
+                # small scope: hint the span fold to a SHUFFLED hash join
+                # — a broadcast build materializes as its OWN Spark job
+                # (the dominant remaining ingest overhead); the shuffled
+                # join runs inside the write job. Big deltas keep the
+                # planner's (broadcast) choice.
+                rm_side = rm.hint("shuffle_hash") if small else rm
+                out_rows = (
+                    fbase.join(rm_side, [self.id_col], "left")
+                    .select(
+                        F.col(self.id_col),
+                        kept_arr.alias("__kept"),
+                        nt.cast("long").alias("n_tokens"),
+                    )
+                    .select(
+                        self.id_col,
+                        F.array_join("__kept", " ").alias(self.text_col),
+                        "n_tokens",
+                        F.size("__kept").cast("long").alias("n_kept"),
+                    )
+                    # the new watermark rides the write — no separate job
+                    .observe(obs, F.max(F.col(self.id_col)).alias("hi"))
+                )
+                out_rows.write.parquet(os.path.join(self.path, oname))
+                hi = obs.get["hi"]
 
-            # claims SECOND, from the cache alone. A fresh-won hash's
-            # WINNER ROW is unique per h by construction (min over the
-            # h-partition), so selecting the winner occurrence itself
-            # replaces the old `.distinct()` — same claimed set, one
-            # fewer exchange per ingest (r17 opt).
-            claims = tagged.filter(
-                (F.col("__w.__src") == 1)
-                & (F.col(self.id_col) == F.col(f"__w.{self.id_col}"))
-                & (F.col("pos") == F.col("__w.pos"))
-            ).select("h")
-            claims.write.parquet(os.path.join(self.path, sname))
+                # claims SECOND, from the cache alone. A fresh-won hash's
+                # WINNER ROW is unique per h by construction (min over the
+                # h-partition), so selecting the winner occurrence itself
+                # replaces the old `.distinct()` — same claimed set, one
+                # fewer exchange per ingest (r17 opt).
+                claims = tagged.filter(
+                    (F.col("__w.__src") == 1)
+                    & (F.col(self.id_col) == F.col(f"__w.{self.id_col}"))
+                    & (F.col("pos") == F.col("__w.pos"))
+                ).select("h")
+                if small:
+                    # a small delta's claims are a few MB: one file per
+                    # part instead of shuffle.partitions tiny ones — every
+                    # LATER ingest unions all claim parts into its window
+                    # exchange, so part file count is a standing read tax
+                    # (guide §6 small-files). Narrow coalesce, no shuffle.
+                    claims = claims.coalesce(1)
+                claims.write.parquet(os.path.join(self.path, sname))
         finally:
             tagged.unpersist()
         if hi is None:

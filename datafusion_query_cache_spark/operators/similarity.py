@@ -18,6 +18,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_input
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (vectorized JVM evaluation)."""
@@ -55,7 +57,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
-        df.select(F.col(id_col), sim.alias("cosine"))
+        spread_input(df).select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -81,7 +83,7 @@ def cosine_topk_join(
     )
     sim = cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec"))
     scored = (
-        df.crossJoin(F.broadcast(q))
+        spread_input(df).crossJoin(F.broadcast(q))
         .select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -139,7 +141,7 @@ def cosine_topk_lsh(
     v = F.col(vec_col).cast("array<double>")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.withColumn("__bucket", lsh_bucket(v, planes))
+        spread_input(df).withColumn("__bucket", lsh_bucket(v, planes))
         .filter(F.col("__bucket") == qb)
         .select(F.col(id_col), cosine(v, q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -187,7 +189,8 @@ def cosine_topk_banded(
     qarr = F.array(*[F.lit(x).cast("long") for x in qkeys])
     keys = banded_keys(v, planes, bands, rows_per_band)
     return (
-        df.select(F.col(id_col), v.alias("__v"), keys.alias("__k"))
+        spread_input(df)
+        .select(F.col(id_col), v.alias("__v"), keys.alias("__k"))
         .filter(
             F.exists(
                 F.zip_with(F.col("__k"), qarr, lambda a, b: a == b),
@@ -218,7 +221,7 @@ def cosine_neardup_pairs(
     so recall stays high for few planes while pruning ~2^planes).
     """
     v = F.col(vec_col).cast("array<double>")
-    norm_df = df.select(
+    norm_df = spread_input(df).select(
         F.col(id_col), v.alias("__v"), norm(v).alias("__n")
     )
     if n_planes > 0:
@@ -452,8 +455,14 @@ def cosine_neardup_pairs_banded(
     oracle on the fixtures."""
     est_bits = 512
     est_slack = 0.3
-    dim = len(df.select(vec_col).first()[0])
-    if df.count() * dim * 8 <= bucket_bcast_max_bytes:
+    # ONE job for the tier gate (r17 opt): row count and an example vector
+    # (for dim) ride the same aggregate — the old first() + count() pair
+    # cost two scheduling round-trips per call
+    n_rows, probe_vec = df.agg(
+        F.count(F.lit(1)), F.first(F.col(vec_col), ignorenulls=True)
+    ).collect()[0]
+    dim = len(probe_vec)
+    if n_rows * dim * 8 <= bucket_bcast_max_bytes:
         return _neardup_bucket_verify(
             df, threshold, vec_col, id_col, bands, rows_per_band, seed, dim
         )
@@ -623,4 +632,4 @@ def ivf_assign(
         ),
     )
     cell = F.array_position(dists, F.array_min(dists)) - 1
-    return df.withColumn("ivf_cell", cell.cast("int"))
+    return spread_input(df).withColumn("ivf_cell", cell.cast("int"))

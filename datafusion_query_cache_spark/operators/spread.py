@@ -10,40 +10,105 @@ the optimization guide (§2.5): the fix is one cheap round-robin repartition
 of the raw rows immediately after the read, which unlocks full-width scan
 stages for everything downstream.
 
-At scale this is a NO-OP by construction: any input already carrying at
-least ``min_ratio x defaultParallelism`` partitions is returned unchanged,
-so a 100 TB table (thousands of splits) never pays the extra exchange. The
-check costs one plan analysis (``df.rdd.getNumPartitions()``), no Spark job.
+At scale this is a NO-OP by construction: any input whose optimizer size
+estimate exceeds the smallness threshold (default 256 MB, i.e. at most a
+couple of scan splits) is returned unchanged, so a 100 TB table never pays
+the extra exchange. The gate reads ``optimizedPlan().stats().sizeInBytes``
+— driver-side metadata, ~10 ms, no Spark job and (unlike a ``df.rdd``
+partition probe) no per-plan deserializer codegen, which measured
+0.3-0.6 s per fresh plan.
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 #: set to "0" to disable everywhere (e.g. to A/B the effect)
 _ENV_FLAG = "QC_SPREAD_SMALL_INPUTS"
 
+#: inputs whose optimizer size estimate is at or below this are "small":
+#: their scan runs on a handful of tasks at the default 128 MB split size,
+#: so per-row-heavy work deserves a spread (and standing-ingest commits
+#: deserve the AQE-off scope). Estimates propagate conservatively — a
+#: filtered slice of a huge table keeps the table's size, which errs
+#: toward NOT treating big-table derivatives as small.
+_SMALL_BYTES = int(
+    os.environ.get("QC_SPREAD_MAX_BYTES", str(256 << 20))
+)
 
-def spread_input(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (driver metadata, no job)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def is_small_input(df: DataFrame) -> bool:
+    """True when ``df`` is estimated at or under the smallness threshold
+    (see module doc). False for streaming inputs, estimate failures, or
+    when QC_SPREAD_SMALL_INPUTS=0."""
+    if os.environ.get(_ENV_FLAG, "1").lower() in ("0", "false"):
+        return False
+    try:
+        if df.sparkSession.sparkContext.defaultParallelism <= 1:
+            return False
+        return _plan_size_bytes(df) <= _SMALL_BYTES
+    except Exception:
+        return False
+
+
+def spread_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` to the session's default parallelism
-    when its scan would otherwise run on fewer than
-    ``min_ratio * defaultParallelism`` tasks.
+    when its scan would otherwise run on too few tasks (see module doc).
 
     Row-preserving and deterministic under retries (Spark's
     ``sortBeforeRepartition`` applies); per-row ORDER within a partition is
     the source order of that row's slice, and every operator this guards is
     either per-row or a grouped aggregation, so results are unchanged.
-    Streaming inputs (no ``.rdd``) fall through untouched.
+    Streaming inputs fall through untouched.
     """
-    if os.environ.get(_ENV_FLAG, "1").lower() in ("0", "false"):
+    if not is_small_input(df):
         return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+@contextmanager
+def aqe_off_scope(spark, off: bool):
+    """Scope ``spark.sql.adaptive.enabled=false`` when ``off`` — the
+    caller has already decided smallness (see :func:`is_small_input`).
+
+    Why: AQE materializes every exchange as its own Spark stage-job. For a
+    standing-index ingest whose delta is small BY DESIGN, those stage jobs
+    are pure scheduler overhead — measured ~0.15s each on jobs that carry a
+    few hundred rows, several per commit. With AQE off the same program
+    runs as ONE job per action (fixed ``spark.sql.shuffle.partitions``
+    reducers, fine for a small delta). Big deltas keep AQE — and its
+    skew/coalescing value — untouched. The conf is restored on exit.
+    """
+    key = "spark.sql.adaptive.enabled"
+    was = None
+    if off:
+        try:
+            was = spark.conf.get(key, "true")
+            spark.conf.set(key, "false")
+        except Exception:
+            was = None
     try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        nparts = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if target <= 1 or nparts >= max(1, int(target * min_ratio)):
-        return df
-    return df.repartition(target)
+        yield
+    finally:
+        if was is not None:
+            spark.conf.set(key, was)
+
+
+@contextmanager
+def small_input_aqe_off(df: DataFrame):
+    """:func:`aqe_off_scope` gated by :func:`is_small_input` on ``df``.
+    Yields whether the small gate fired, so the block can make other
+    small-only choices (e.g. single-file commits)."""
+    small = is_small_input(df)
+    with aqe_off_scope(df.sparkSession if small else None, small):
+        yield small
