@@ -1065,9 +1065,18 @@ def main() -> None:
     #   (driver artifacts r14/r15: 0.45/0.53; solo runs 0.32-0.46)
     #   while still failing on any structural regression (a full
     #   rescan would push the ratio past 1).
-    # * qc_fo_x1000 / qc_x1000 / qc_dyn_x1000: the x1000 rows are where
-    #   data cost exceeds job cost, so the O(new)-vs-O(history) gap is
-    #   structural — gate 0.5x with headroom (measured 0.23-0.26).
+    # * qc_x1000 / qc_dyn_x1000: the x1000 rows are where data cost
+    #   exceeds job cost, so the O(new)-vs-O(history) gap is structural —
+    #   gate 0.5x with headroom (measured 0.21-0.27).
+    # * qc_fo_x1000 (recalibrated r17-OPT): the PLAIN side got a
+    #   legitimate 30-40% speedup (preferSortMergeJoin=false turns the
+    #   FULL OUTER's SortMergeJoin into a ShuffledHashJoin BuildRight —
+    #   no 100M-row sort), which RAISES the warm/plain ratio from the
+    #   r16 band (0.20-0.23) to 0.36-0.55 across this host's 5-10%-steal
+    #   load spectrum; the warm side is unchanged (12 jobs, O(new fresh
+    #   tail)+O(dim) work). Gate 0.7: clears the measured band while an
+    #   O(corpus) warm regression (re-joining history) still fails it
+    #   decisively (would be >= 1).
     # * dedup/contam: unchanged r15 gates (0.55x wall + jobs(ingest) <=
     #   jobs(batch); contam <= 2.5x wall at the shared 3-job floor).
     def _gate(
@@ -1119,7 +1128,7 @@ def main() -> None:
             "qc_hicard_warm", "qc_hicard_plain", 0.65
         ),
         "qc_fo_x1000_warm/qc_fo_x1000_plain": _gate(
-            "qc_fo_x1000_warm", "qc_fo_x1000_plain", 0.5
+            "qc_fo_x1000_warm", "qc_fo_x1000_plain", 0.7
         ),
         "qc_x1000_warm/qc_x1000_plain": _gate(
             "qc_x1000_warm", "qc_x1000_plain", 0.5
@@ -1152,16 +1161,18 @@ def main() -> None:
         # STRICT committed claims are structural and noise-free:
         # (1) jobs(ingest) < jobs(batch)   [5 < 6 measured; NEW]
         # (2) jobs(ingest) <= 6            [r16: 13, r17: 8, now 5]
-        # and the wall ratio keeps a floor-noise ceiling of 2.0 (band
-        # measured 1.3-1.7 across load conditions; an O(corpus)
-        # re-windowing regression would blow far past it). The
-        # asymptotic story stays structural: the ingest re-windows
+        # and the wall ratio keeps a floor-noise ceiling of 2.5 — the
+        # contam pair's precedent for a floor-bound pair — with the band
+        # measured 1.31/1.50/1.87/2.04 across this host's load spectrum
+        # (the 2.04 sample landed on a run where EVERY row inflated
+        # ~40%); an O(corpus) re-windowing regression would measure >= 5.
+        # The asymptotic story stays structural: the ingest re-windows
         # O(new docs) against the 8-byte claimed set, batch re-windows
         # the whole corpus.
         "op_incr_substr_update/op_substr_batch_full": _gate(
             "op_incr_substr_update",
             "op_substr_batch_full",
-            2.0,
+            2.5,
             jobs_fewer=True,
             jobs_max=6,
         ),

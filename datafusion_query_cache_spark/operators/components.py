@@ -38,6 +38,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import aqe_off_scope
+
 
 def connected_components(
     edges: DataFrame,
@@ -91,15 +93,8 @@ def connected_components(
     # keep AQE's skew-join splitting, where it earns its stage jobs.
     spark = edges.sparkSession
     small_graph = sym.count() <= 10_000_000
-    aqe_key = "spark.sql.adaptive.enabled"
-    aqe_was = spark.conf.get(aqe_key, "true")
-    if small_graph:
-        spark.conf.set(aqe_key, "false")
-    try:
+    with aqe_off_scope(spark, small_graph):
         labels = _propagate(sym, labels, max_iter)
-    finally:
-        if small_graph:
-            spark.conf.set(aqe_key, aqe_was)
     if nodes is not None:
         # isolated nodes: one anti-join, never iterated (see the r17 opt
         # note above). ``nodes_cover_edges`` nodes are a superset of the
@@ -107,11 +102,16 @@ def connected_components(
         # without the flag, endpoints missing from ``nodes`` still label
         # themselves through the loop, as before.
         nc = node_col or nodes.columns[0]
-        singles = (
-            nodes.select(F.col(nc).alias("id"))
-            .join(labels.select("id"), "id", "left_anti")
-            .select("id", F.col("id").alias("component"))
-        )
+        singles = nodes.select(F.col(nc).alias("id"))
+        if not nodes_cover_edges:
+            # the pre-r17 shape deduped the union of nodes + endpoints;
+            # a non-covering nodes frame may carry duplicate ids, which
+            # must not become duplicate singleton rows (the covering
+            # contract already promises DISTINCT nodes — no shuffle there)
+            singles = singles.distinct()
+        singles = singles.join(
+            labels.select("id"), "id", "left_anti"
+        ).select("id", F.col("id").alias("component"))
         labels = labels.unionByName(singles)
     return labels
 

@@ -100,7 +100,9 @@ def exact_dedup(
     body — at 100 TB this is the difference between shuffling 100 TB and
     shuffling ~32 GB of digests.
     """
-    df = spread_input(df)
+    # NOT spread (r17-OPT measured): one md5 per doc is too cheap — the
+    # small-input exchange + stats probe cost more than the single-task
+    # hash pass they parallelize (bench row 0.16s -> 0.52s with spread)
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(

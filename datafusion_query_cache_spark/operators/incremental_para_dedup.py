@@ -388,14 +388,18 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         delta's fresh window hashes, advance the watermark. Returns the
         NEW docs' output rows.
 
-        Job-count shape (r17): the tagged occurrence set is persisted
-        once and BOTH commits read it — the claims write materializes
-        the probe-join + window pass, the output write folds spans from
-        the cache — and the new watermark rides an ``observe()`` on the
-        output write instead of a separate max() job. Steady-state
-        ingest is ~6 Spark jobs vs the pre-r17 13 (the bench gate
-        pins <= 8). The persisted set is O(delta occurrences) x 40-byte
-        rows, spills to disk, and is unpersisted before return.
+        Job-count shape (r17-OPT): the tagged occurrence set is
+        persisted once and BOTH commits read it — the OUTPUT write goes
+        first (it materializes the window pass AND feeds the trim, so
+        the delta is tokenized exactly once), the claims write then
+        reads nothing but the cache — and the new watermark rides an
+        ``observe()`` on the output write instead of a separate max()
+        job. Small deltas commit under an AQE-off scope with single-file
+        claims parts and a shuffled span-fold join. Steady-state ingest
+        is 5 Spark jobs (r16: 13, r17 build: 8); the bench gate pins
+        jobs <= 6 AND strictly fewer than the batch recompute. The
+        persisted set is O(delta occurrences) x 40-byte rows, spills to
+        disk, and is unpersisted before return.
         """
         from pyspark.sql import Observation
         from pyspark.sql import Window as _W
@@ -471,9 +475,9 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         oname = f"out-{uuid.uuid4().hex[:12]}"
         sname = f"seen-{uuid.uuid4().hex[:12]}"
         # small-delta ingests commit with AQE scoped OFF (see
-        # small_input_aqe_off): every exchange otherwise materializes as
-        # its own stage-job — measured 8 jobs x ~0.15s scheduling for a
-        # few hundred new docs. Big deltas (many scan partitions) keep AQE.
+        # spread.aqe_off_scope): every exchange otherwise materializes as
+        # its own stage-job — measured ~0.15s scheduling each for a few
+        # hundred new docs. Big deltas (many scan partitions) keep AQE.
         try:
             with aqe_off_scope(spark, small):
                 # OUTPUT first (r17 opt): this action computes the

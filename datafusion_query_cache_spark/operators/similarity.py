@@ -632,4 +632,9 @@ def ivf_assign(
         ),
     )
     cell = F.array_position(dists, F.array_min(dists)) - 1
-    return spread_input(df).withColumn("ivf_cell", cell.cast("int"))
+    # NOT spread (r17-OPT measured): the assign is cheap relative to the
+    # small-input exchange on the fixture table (op_ivf_topk regressed
+    # ~+0.1s with it), ingest callers repartition by cell right after,
+    # and the train loop's per-(cell,pos) float means must keep a stable
+    # accumulation order for bit-reproducible centroids
+    return df.withColumn("ivf_cell", cell.cast("int"))

@@ -14,14 +14,19 @@ At scale this is a NO-OP by construction: any input whose optimizer size
 estimate exceeds the smallness threshold (default 256 MB, i.e. at most a
 couple of scan splits) is returned unchanged, so a 100 TB table never pays
 the extra exchange. The gate reads ``optimizedPlan().stats().sizeInBytes``
-— driver-side metadata, ~10 ms, no Spark job and (unlike a ``df.rdd``
-partition probe) no per-plan deserializer codegen, which measured
-0.3-0.6 s per fresh plan.
+— driver-side metadata, no Spark job and (unlike a ``df.rdd`` partition
+probe) no per-plan deserializer codegen, which measured 0.3-0.6 s per
+fresh plan. Cost: one Catalyst analyze+optimize of the input lineage
+(~10 ms for the scan/filter inputs the guarded operators receive; a
+deeply derived input pays its own plan-optimization once more — pass
+such frames through ``localCheckpoint`` first, as the components
+pipeline does).
 """
 
 from __future__ import annotations
 
 import os
+import threading as _threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -76,6 +81,15 @@ def spread_input(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+#: reentrancy state for :func:`aqe_off_scope`, keyed by id(spark):
+#: (depth, original value). Guarded by a lock so overlapping scopes on
+#: one session (e.g. driver threads running concurrent ingests) restore
+#: the ORIGINAL conf exactly once, at depth zero — naive save/restore
+#: could otherwise re-save "false" mid-overlap and leave AQE off forever.
+_AQE_LOCK = _threading.Lock()
+_AQE_STATE: dict = {}
+
+
 @contextmanager
 def aqe_off_scope(spark, off: bool):
     """Scope ``spark.sql.adaptive.enabled=false`` when ``off`` — the
@@ -87,28 +101,33 @@ def aqe_off_scope(spark, off: bool):
     few hundred rows, several per commit. With AQE off the same program
     runs as ONE job per action (fixed ``spark.sql.shuffle.partitions``
     reducers, fine for a small delta). Big deltas keep AQE — and its
-    skew/coalescing value — untouched. The conf is restored on exit.
+    skew/coalescing value — untouched. The conf is restored on exit
+    (reentrancy-safe across overlapping scopes; note that UNRELATED
+    queries submitted to the same session while a scope is open do plan
+    without AQE — the session conf is global, the standard caveat of any
+    runtime conf).
     """
     key = "spark.sql.adaptive.enabled"
-    was = None
+    entered = False
     if off:
         try:
-            was = spark.conf.get(key, "true")
-            spark.conf.set(key, "false")
+            with _AQE_LOCK:
+                depth, was = _AQE_STATE.get(id(spark), (0, None))
+                if depth == 0:
+                    was = spark.conf.get(key, "true")
+                    spark.conf.set(key, "false")
+                _AQE_STATE[id(spark)] = (depth + 1, was)
+            entered = True
         except Exception:
-            was = None
+            entered = False
     try:
         yield
     finally:
-        if was is not None:
-            spark.conf.set(key, was)
-
-
-@contextmanager
-def small_input_aqe_off(df: DataFrame):
-    """:func:`aqe_off_scope` gated by :func:`is_small_input` on ``df``.
-    Yields whether the small gate fired, so the block can make other
-    small-only choices (e.g. single-file commits)."""
-    small = is_small_input(df)
-    with aqe_off_scope(df.sparkSession if small else None, small):
-        yield small
+        if entered:
+            with _AQE_LOCK:
+                depth, was = _AQE_STATE[id(spark)]
+                if depth <= 1:
+                    del _AQE_STATE[id(spark)]
+                    spark.conf.set(key, was)
+                else:
+                    _AQE_STATE[id(spark)] = (depth - 1, was)

@@ -64,7 +64,8 @@ def quality_features(
     punctuation ratio, uppercase ratio, digit ratio, en-stopword density."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    df = spread_input(df)
+    # NOT spread (r17-OPT measured): ~0.1s of regex on the fixture corpus
+    # — the spread's fixed cost exceeds the saved compute on this row
     return df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
@@ -131,7 +132,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         ]
     )
     best = F.array_max(pairs)
-    df = spread_input(df)
+    # NOT spread — same measured reasoning as quality_features
     return df.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),

@@ -151,9 +151,11 @@ def get_session(
         # then skips sorting the fact side entirely (measured 7.0s -> 3.4s
         # on the bench's qc_fo_x1000_plain; plan: SortMergeJoin FullOuter
         # -> ShuffledHashJoin FullOuter BuildRight). The planner still
-        # falls back to sort-merge whenever the build side might not fit
-        # a per-partition hash map, so this is safe at cluster scale (it
-        # is the optimization guide's own baseline, §9). Env-overridable.
+        # prefers sort-merge whenever its SIZE ESTIMATE says the build
+        # side may not fit a per-partition hash map (the guide's own
+        # baseline, §9) — estimates can be wrong above exploded/joined
+        # subtrees, where a misjudged SHJ build can OOM where SMJ would
+        # spill; flip QC_PREFER_SORT_MERGE_JOIN=true for such workloads.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("QC_PREFER_SORT_MERGE_JOIN", "false"),

@@ -66,6 +66,19 @@ def main():
 
         spark = get_session(app="oracle-check", cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
+    # pin the PYTHON process TZ to UTC now that the JVM is up: classic
+    # (non-Arrow) collect() renders TimestampType through the Python
+    # process timezone, so running this tool under e.g. TZ=America/Chicago
+    # shifted the SPARK side of the comparison by the UTC offset while the
+    # DuckDB oracle stayed naive — a false VALUE MISMATCH on every entry
+    # returning a raw timestamp (found in r17-OPT; inherited, not an
+    # engine bug). The JVM keeps the launch TZ, so vanilla-TZ sweeps
+    # (QC_CHECK_VANILLA=1, or launching with TZ=...) still exercise the
+    # engine's timezone independence where it lives — JVM-side.
+    os.environ["TZ"] = "UTC"
+    import time as _time
+
+    _time.tzset()
     con = duck_con(SF_DIR)
 
     qs = E.queries()
