@@ -38,7 +38,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .spread import aqe_off_scope
+from .spread import aqe_off_scope, exec_session, is_small_input, on_session
 
 
 def connected_components(
@@ -88,13 +88,35 @@ def connected_components(
     # materialized as its own Spark stage-job (~7 jobs/round measured) —
     # pure scheduling overhead when the label/edge frames are small, which
     # dedup graphs almost always are (each job carried <1k rows here).
-    # Scope AQE off for the loop when the SYMMETRIZED edge count (one
-    # cheap count over the just-checkpointed RDD) is small; big graphs
-    # keep AQE's skew-join splitting, where it earns its stage jobs.
+    # Run the loop with AQE off when the symmetrized edge list is small;
+    # big graphs keep AQE's skew-join splitting, where it earns its jobs.
+    #
+    # r18: the smallness gate reads the checkpointed plan's SIZE ESTIMATE
+    # (LogicalRDD carries the origin plan's stats — driver metadata, no
+    # job) instead of the r17 ``sym.count()``, which paid a dedicated
+    # O(edges) Spark job on EVERY call just to pick the scope — and a
+    # byte threshold respects row width where the old 10M-row one did
+    # not. And the AQE-off loop now runs on the per-parent CLONE session
+    # (spread.exec_session) rather than flipping the caller's session
+    # conf, which leaked AQE-off into concurrent unrelated queries (r17
+    # advice). The returned label frame is rebound to the CALLER's
+    # session, so downstream plans keep the caller's configuration.
     spark = edges.sparkSession
-    small_graph = sym.count() <= 10_000_000
-    with aqe_off_scope(spark, small_graph):
+    small_graph = is_small_input(sym)
+    run = spark
+    if small_graph:
+        try:
+            clone = exec_session(spark)
+            if clone is not None:
+                sym = on_session(sym, clone)
+                labels = on_session(labels, clone)
+                run = clone
+        except Exception:
+            run = spark
+    with aqe_off_scope(spark, small_graph and run is spark):
         labels = _propagate(sym, labels, max_iter)
+    if run is not spark:
+        labels = on_session(labels, spark)
     if nodes is not None:
         # isolated nodes: one anti-join, never iterated (see the r17 opt
         # note above). ``nodes_cover_edges`` nodes are a superset of the

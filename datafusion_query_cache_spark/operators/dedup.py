@@ -198,7 +198,7 @@ def paragraph_dedup(
     )
 
 
-def _span_trimmed(toks, nt, rm_arr, W):
+def _span_trimmed(toks_sql: str, nt_sql: str, rm_sql: str, W: int):
     """Tokens surviving the UNION of width-``W`` losing spans, in order.
 
     O(tokens + spans), never O(tokens x spans): the sorted span starts
@@ -213,40 +213,32 @@ def _span_trimmed(toks, nt, rm_arr, W):
     Preserves the span-union removal rule pinned in
     :func:`substring_dedup`'s docstring bit-exactly (same kept set,
     same order).
+
+    r18: built as ONE ``F.expr`` string instead of ~40 Column-API py4j
+    round-trips (each ``F.struct``/``F.when``/lambda call crosses the
+    py4j socket while constructing the tree) — the same driver-residue
+    fix the minhash aggregates took in r16. The expression Catalyst
+    sees is identical (``if`` IS ``CASE WHEN``); every standing-ingest
+    commit rebuilds this tree, so construction cost is a per-ingest
+    driver tax. Inputs are SQL fragments (column references resolved in
+    the caller's select), not Columns.
     """
-    gaps = F.aggregate(
-        F.array_sort(rm_arr),
-        F.struct(
-            F.lit(0).alias("prev"),
-            F.array().cast("array<struct<lo:int,hi:int>>").alias("gaps"),
-        ),
-        lambda acc, s: F.struct(
-            F.greatest(acc["prev"], s + F.lit(W)).alias("prev"),
-            F.when(
-                s > acc["prev"],
-                F.concat(
-                    acc["gaps"],
-                    F.array(F.struct(acc["prev"].alias("lo"), s.alias("hi"))),
-                ),
-            )
-            .otherwise(acc["gaps"])
-            .alias("gaps"),
-        ),
-        lambda acc: F.when(
-            nt > acc["prev"],
-            F.concat(
-                acc["gaps"],
-                F.array(
-                    F.struct(acc["prev"].alias("lo"), nt.alias("hi"))
-                ),
-            ),
-        ).otherwise(acc["gaps"]),
+    sql = (
+        "flatten(transform(aggregate("
+        f"array_sort({rm_sql}), "
+        "struct(0 AS prev, "
+        "cast(array() AS array<struct<lo:int,hi:int>>) AS gaps), "
+        "(acc, s) -> struct("
+        f"greatest(acc.prev, s + {int(W)}) AS prev, "
+        "if(s > acc.prev, "
+        "concat(acc.gaps, array(struct(acc.prev AS lo, s AS hi))), "
+        "acc.gaps) AS gaps), "
+        f"acc -> if({nt_sql} > acc.prev, "
+        f"concat(acc.gaps, array(struct(acc.prev AS lo, {nt_sql} AS hi))), "
+        "acc.gaps)), "
+        f"g -> slice({toks_sql}, g.lo + 1, g.hi - g.lo)))"
     )
-    return F.flatten(
-        F.transform(
-            gaps, lambda g: F.slice(toks, g["lo"] + 1, g["hi"] - g["lo"])
-        )
-    )
+    return F.expr(sql)
 
 
 def substring_dedup(
@@ -330,8 +322,12 @@ def substring_dedup(
         | (F.col("pos") != F.col("__w.pos"))
     )
     rm = losers.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
-    rm_arr = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept_arr = _span_trimmed(tk, nt, rm_arr, W)
+    kept_arr = _span_trimmed(
+        "__tk",
+        "size(__tk)",
+        "coalesce(__rm, cast(array() AS array<int>))",
+        W,
+    )
     # two-step select: the kept array is computed ONCE under a name that
     # cannot collide with `text_col` — aliasing the rejoined string to
     # the input column's name in the SAME select lets Spark's

@@ -317,8 +317,14 @@ class ContaminationIndex:
         return name
 
     def _shingles(self, df: DataFrame, id_col: str, keep_id: bool) -> DataFrame:
+        # spread=False: ingest deltas are small BY DESIGN — the spread's
+        # fixed exchange is pure overhead here (the same protective
+        # guard minhash_signatures(spread=False) carries for the MinHash
+        # ingest; r18 extends it to the contamination ingest alongside
+        # the batch-side revert in contamination_scores)
         return char_shingles(
-            df, self.text_col, id_col, self.k, self.hashed, keep_id
+            df, self.text_col, id_col, self.k, self.hashed, keep_id,
+            spread=False,
         )
 
     # ----------------------------------------------------------- ingest

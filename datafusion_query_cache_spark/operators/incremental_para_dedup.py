@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _span_trimmed
 from .incremental_dedup import ConcurrentIndexWriter
-from .spread import aqe_off_scope, is_small_input
+from .spread import aqe_off_scope, exec_session, is_small_input, on_session
 
 
 class _ClaimedDigestIndex:
@@ -228,8 +228,18 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
         )
 
         # small-delta gate: AQE off over the commits — see
-        # SubstringDedupIndex.update
+        # SubstringDedupIndex.update (r18: on the clone session, so the
+        # flip can't leak into concurrent queries on the caller's session)
         small = is_small_input(fresh)
+        run = spark
+        if small:
+            try:
+                clone = exec_session(spark)
+                if clone is not None:
+                    fresh = on_session(fresh, clone)
+                    run = clone
+            except Exception:
+                run = spark
         pat = _re.escape(self.sep)
         did = F.col(self.id_col)
         arr = F.split(F.col(self.text_col), pat)
@@ -251,7 +261,7 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
             F.unhex(F.md5("para")).alias("h"),
             F.struct(self.id_col, "pos").alias("w"),
         )
-        seen = self.claimed(spark)
+        seen = self.claimed(run)
         if seen is not None:
             delta = delta.unionByName(
                 seen.select(
@@ -273,12 +283,13 @@ class ParagraphDedupIndex(_ClaimedDigestIndex):
         )
         oname = f"out-{uuid.uuid4().hex[:12]}"
         sname = f"seen-{uuid.uuid4().hex[:12]}"
-        # small-delta ingests commit with AQE scoped OFF and one claims
-        # file per part (see SubstringDedupIndex.update / spread.py):
-        # stage-job scheduling and tiny-file fan-in dominate a small
-        # delta's ingest cost; big deltas keep AQE + natural partitioning
+        # small-delta ingests commit with AQE off (clone session; conf-
+        # scope fallback) and one claims file per part (see
+        # SubstringDedupIndex.update / spread.py): stage-job scheduling
+        # and tiny-file fan-in dominate a small delta's ingest cost; big
+        # deltas keep AQE + natural partitioning
         try:
-            with aqe_off_scope(spark, small):
+            with aqe_off_scope(spark, small and run is spark):
                 # claims FIRST: materializes the persisted winner fold
                 # that the output write then reuses
                 cl = winners.select("h")
@@ -416,11 +427,26 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         )
 
         Wn = self.window
-        # small-delta gate decided ONCE: scopes AQE off over the two
-        # commits below — stage-job scheduling dominates a small ingest
+        # small-delta gate decided ONCE: the two commits below run with
+        # AQE off — stage-job scheduling dominates a small ingest
         # (measured: spreading the delta itself does NOT pay here; the
         # compute is sub-0.1s, the overhead is jobs)
         small = is_small_input(fresh)
+        # r18: small commits run on the per-parent AQE-off CLONE session
+        # (spread.exec_session) instead of flipping the parent's runtime
+        # conf — the flip leaked AQE-off into any unrelated query planned
+        # concurrently on the shared session (r17 advice). The delta's
+        # plan is rebound onto the clone (driver-side transfer, no data
+        # moves); the returned output frame stays on the CALLER's session.
+        run = spark
+        if small:
+            try:
+                clone = exec_session(spark)
+                if clone is not None:
+                    fresh = on_session(fresh, clone)
+                    run = clone
+            except Exception:
+                run = spark  # fall back to the conf-scope path below
         # tokenize ONCE into a materialized `__tk` column (see
         # substring_dedup: inlining the split into the transform lambda
         # re-splits the whole text per window position)
@@ -454,7 +480,7 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         # that sorts BELOW every delta occurrence, so one window-min
         # decides probe (claimed iff winner.__src=0) AND within-delta
         # keep-first — no probe join, one fewer shuffle-map job
-        seen = self.claimed(spark)
+        seen = self.claimed(run)
         if seen is not None:
             occ = occ.unionByName(
                 seen.select(
@@ -474,12 +500,13 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
         )
         oname = f"out-{uuid.uuid4().hex[:12]}"
         sname = f"seen-{uuid.uuid4().hex[:12]}"
-        # small-delta ingests commit with AQE scoped OFF (see
-        # spread.aqe_off_scope): every exchange otherwise materializes as
-        # its own stage-job — measured ~0.15s scheduling each for a few
-        # hundred new docs. Big deltas (many scan partitions) keep AQE.
+        # small-delta ingests commit with AQE OFF (on the clone session;
+        # conf-scope fallback if cloning failed): every exchange otherwise
+        # materializes as its own stage-job — measured ~0.15s scheduling
+        # each for a few hundred new docs. Big deltas (many scan
+        # partitions) keep AQE.
         try:
-            with aqe_off_scope(spark, small):
+            with aqe_off_scope(spark, small and run is spark):
                 # OUTPUT first (r17 opt): this action computes the
                 # tokenized delta exactly ONCE — it both materializes the
                 # persisted window pass (through `occ`) and feeds the
@@ -497,10 +524,12 @@ class SubstringDedupIndex(_ClaimedDigestIndex):
                 rm = losers.groupBy(self.id_col).agg(
                     F.collect_set("pos").alias("__rm")
                 )
-                rm_arr = F.coalesce(
-                    F.col("__rm"), F.array().cast("array<int>")
+                kept_arr = _span_trimmed(
+                    "__tk",
+                    "size(__tk)",
+                    "coalesce(__rm, cast(array() AS array<int>))",
+                    Wn,
                 )
-                kept_arr = _span_trimmed(tk, nt, rm_arr, Wn)
                 # two-step select — see substring_dedup: prevents
                 # lateral-alias capture of text_col inside the trim's HOF
                 # lambdas, and computes the kept array once

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import threading as _threading
+import weakref as _weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -79,6 +80,87 @@ def spread_input(df: DataFrame) -> DataFrame:
     if not is_small_input(df):
         return df
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+#: per-parent-session AQE-off execution clones (see :func:`exec_session`).
+#: WeakKeyDictionary — a GC'd parent drops its clone entry, so a reused
+#: id() can never alias a dead session's clone (the id()-keyed hazard the
+#: r17 advice flagged for the scope state below).
+_CLONE_LOCK = _threading.Lock()
+_EXEC_CLONES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+#: runtime confs re-pinned from the parent at clone creation.
+#: ``newSession()`` already inherits every conf set at BUILDER time (the
+#: engine session's whole configuration, ``sources.tables.get_session``);
+#: this list covers runtime drift on the confs that bear on results or on
+#: the small-commit plan shape.
+_CLONE_PIN_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.join.preferSortMergeJoin",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.parquet.compression.codec",
+)
+
+
+def exec_session(spark):
+    """The per-parent AQE-OFF execution session for small-delta commits
+    and tiny-graph loops.
+
+    Why a CLONE and not a runtime-conf flip: ``spark.conf`` is session-
+    global, so the r17 ``aqe_off_scope`` silently disabled AQE (skew
+    splitting, partition coalescing) for any UNRELATED query planned on
+    the same session while an ingest commit was open — a real hazard on
+    a shared 100 TB session with concurrent driver threads
+    (``ConcurrentIndexWriter`` is a supported pattern). A
+    ``spark.newSession()`` clone shares the SparkContext, cached data
+    and external catalog but has its OWN SQLConf, so pinning
+    ``spark.sql.adaptive.enabled=false`` there can never leak into the
+    caller's plans. Small-delta programs are rebound onto the clone via
+    :func:`on_session` (a logical-plan transfer — no data moves) and
+    their actions run with AQE off; everything else about the parent
+    session is untouched.
+
+    Returns ``None`` when cloning is unavailable (callers fall back to
+    :func:`aqe_off_scope` on the parent — the pre-r18 behavior).
+    """
+    try:
+        with _CLONE_LOCK:
+            clone = _EXEC_CLONES.get(spark)
+            if clone is None:
+                clone = spark.newSession()
+                for k in _CLONE_PIN_CONFS:
+                    try:
+                        v = spark.conf.get(k, None)
+                        if v is not None:
+                            clone.conf.set(k, v)
+                    except Exception:
+                        pass
+                clone.conf.set("spark.sql.adaptive.enabled", "false")
+                _EXEC_CLONES[spark] = clone
+        return clone
+    except Exception:
+        return None
+
+
+def on_session(df: DataFrame, target) -> DataFrame:
+    """Rebind ``df``'s logical plan onto ``target`` (a session of the
+    SAME SparkContext, e.g. an :func:`exec_session` clone).
+
+    A pure driver-side transfer: ``Dataset.ofRows(target, df.logical)``
+    re-analyzes the same tree under the target's SQLConf — no data
+    moves, persisted/cached children still hit the shared cache (the
+    CacheManager lives in the shared state). Raises on failure so the
+    caller can fall back wholesale to the parent session."""
+    if target is None or df.sparkSession is target:
+        return df
+    sess = df.sparkSession
+    jdf = sess._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        target._jsparkSession, df._jdf.queryExecution().logical()
+    )
+    return DataFrame(jdf, target)
 
 
 #: reentrancy state for :func:`aqe_off_scope`, keyed by id(spark):

@@ -375,14 +375,21 @@ def char_shingles(
     k: int,
     hashed: bool,
     keep_id: bool,
+    spread: bool = True,
 ) -> DataFrame:
     """Character ``k``-shingles, produced SCAN-SIDE (explode(sequence) +
     substring — the minhash shingler): one ``sh`` column, plus ``id_col``
     when ``keep_id``. Shared by the batch decontamination op and the
     incremental :class:`~..operators.incremental_contamination.
-    ContaminationIndex` so both sides use bit-identical arithmetic."""
+    ContaminationIndex` so both sides use bit-identical arithmetic.
+
+    ``spread=False`` skips the small-input round-robin spread: the batch
+    decontamination pipeline measured the spread's fixed exchange as a
+    net LOSS on its actual bench shape (driver row 0.205 -> 0.484 s,
+    jobs 3 -> 4 — r17 verdict), the same sub-0.5 s class where spread
+    was reverted for exact_dedup/lang_id/quality."""
     cols = [F.col(id_col)] if keep_id else []
-    out = spread_input(df).select(
+    out = (spread_input(df) if spread else df).select(
         *cols,
         F.col(text_col),
         F.explode(
@@ -409,13 +416,17 @@ def token_shingles(
     n: int,
     hashed: bool,
     keep_id: bool,
+    spread: bool = True,
 ) -> DataFrame:
     """Word (token) ``n``-gram shingles, produced SCAN-SIDE: lowercase
     whitespace tokens (the ``textstats`` tokenization), shingle = ``n``
     consecutive tokens joined by one space — the grain the GPT-3/Llama
     decontamination checks use (13-gram overlap). Docs shorter than
     ``n`` tokens yield no shingles. Same slice-over-token-array shape as
-    :func:`~..operators.dedup.substring_dedup`'s windows."""
+    :func:`~..operators.dedup.substring_dedup`'s windows.
+
+    ``spread=False``: see :func:`char_shingles` (the batch
+    decontamination caller's measured revert)."""
     cols = [F.col(id_col)] if keep_id else []
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
@@ -424,7 +435,7 @@ def token_shingles(
     starts = F.when(
         nt >= n, F.sequence(F.lit(0), nt - F.lit(n))
     ).otherwise(F.array().cast("array<int>"))
-    out = spread_input(df).select(
+    out = (spread_input(df) if spread else df).select(
         *cols, toks.alias("__tk"), F.explode(starts).alias("__i")
     ).select(
         *cols,
@@ -474,9 +485,20 @@ def contamination_scores(
         raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
 
     def shingles(df: DataFrame, keep_id: bool):
+        # spread=False (r18, verdict-directed revert): the batch check's
+        # driver bench row DOUBLED with the spread exchange (0.205 ->
+        # 0.484 s, jobs 3 -> 4) — the per-side fixed exchange never
+        # amortizes on this sub-0.5 s row, exactly the class measured
+        # and reverted for exact_dedup/lang_id/quality in r17. The
+        # heavier solo A/B that had motivated it used a different
+        # protocol than the bench row actually runs.
         if unit == "word":
-            return token_shingles(df, text_col, id_col, k, hashed, keep_id)
-        return char_shingles(df, text_col, id_col, k, hashed, keep_id)
+            return token_shingles(
+                df, text_col, id_col, k, hashed, keep_id, spread=False
+            )
+        return char_shingles(
+            df, text_col, id_col, k, hashed, keep_id, spread=False
+        )
 
     bench = shingles(benchmark, keep_id=False).distinct()
     dsh = shingles(docs, keep_id=True).groupBy(id_col, "sh").agg(
