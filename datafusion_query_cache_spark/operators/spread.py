@@ -149,16 +149,21 @@ def on_session(df: DataFrame, target) -> DataFrame:
     """Rebind ``df``'s logical plan onto ``target`` (a session of the
     SAME SparkContext, e.g. an :func:`exec_session` clone).
 
-    A pure driver-side transfer: ``Dataset.ofRows(target, df.logical)``
-    re-analyzes the same tree under the target's SQLConf — no data
-    moves, persisted/cached children still hit the shared cache (the
-    CacheManager lives in the shared state). Raises on failure so the
-    caller can fall back wholesale to the parent session."""
+    A pure driver-side transfer: ``Dataset.ofRows(target, df.analyzed)``
+    re-runs analysis on the ALREADY-RESOLVED tree under the target's
+    SQLConf (idempotent) — no data moves, and persisted/cached children
+    still hit the shared cache (the CacheManager lives in the shared
+    state). The analyzed plan is used rather than the raw logical one
+    because temp views are NOT shared across sessions: an unresolved
+    view reference would fail to re-resolve on the clone, while the
+    analyzed tree carries the resolved relations inline. Raises on
+    failure so the caller can fall back wholesale to the parent
+    session."""
     if target is None or df.sparkSession is target:
         return df
     sess = df.sparkSession
     jdf = sess._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        target._jsparkSession, df._jdf.queryExecution().logical()
+        target._jsparkSession, df._jdf.queryExecution().analyzed()
     )
     return DataFrame(jdf, target)
 

@@ -3398,10 +3398,10 @@ class CachedSparkSession(RefreshTiers):
                 out_cols.append(F.col(name))
         df = merged.select(*out_cols)
 
+        sort_cols: List[Column] = []
         if spec.order_by:
             by_expr = {it.expr: it.name for it in spec.group_by}
             by_expr.update({it.expr: it.name for it in spec.aggregates})
-            cols = []
             for o in spec.order_by:
                 e = o.expr
                 if isinstance(e, Lit) and isinstance(e.value, int):
@@ -3434,12 +3434,27 @@ class CachedSparkSession(RefreshTiers):
                         if o.nulls_first is not None
                         else c.asc()
                     )
-                cols.append(c)
-            df = df.orderBy(*cols)
-        if spec.offset is not None:
-            df = df.offset(spec.offset)
-        if spec.limit is not None:
-            df = df.limit(spec.limit)
+                sort_cols.append(c)
+
+        # r18 (guide §1.2 job shape): when the merge is provably SMALL,
+        # evaluate it EAGERLY — single-partition sort (no range-sampling
+        # pass), one Arrow collect on the AQE-off clone session — and
+        # hand back a LocalRelation, exactly what the normal warm path's
+        # fused finalize returns. Lazily executing the same merge at the
+        # user's action materialized ~6 AQE stage-jobs (~0.15 s
+        # scheduling each) over frames of a few hundred rows. Big states
+        # or a big dim fall through to the lazy plan below, where AQE
+        # earns its stages. Disable with QC_FO_EAGER_MERGE=0 (A/B hook).
+        eager = self._fo_eager_merge(df, sort_cols, spec)
+        if eager is not None:
+            df = eager
+        else:
+            if sort_cols:
+                df = df.orderBy(*sort_cols)
+            if spec.offset is not None:
+                df = df.offset(spec.offset)
+            if spec.limit is not None:
+                df = df.limit(spec.limit)
 
         decision = Decision(
             sql=query,
@@ -3456,6 +3471,48 @@ class CachedSparkSession(RefreshTiers):
             "set + O(dim) anti side",
         )
         return df, decision
+
+    def _fo_eager_merge(
+        self, df: DataFrame, sort_cols, spec: AggSpec
+    ) -> Optional[DataFrame]:
+        """Collect a small FULL-composite merge once via Arrow (on the
+        AQE-off execution clone when available) and re-enter it as a
+        LocalRelation with the lazy plan's exact schema. The ORDER BY is
+        applied as a single-partition sort — the frame is provably small,
+        so a global range sort would only add its sampling pass — and
+        OFFSET/LIMIT apply to the sorted single partition, preserving the
+        lazy plan's semantics exactly. Returns None when the merge is not
+        provably small or anything fails (caller keeps the lazy plan)."""
+        import os as _os
+
+        if _os.environ.get("QC_FO_EAGER_MERGE", "1").lower() in (
+            "0",
+            "false",
+        ):
+            return None
+        try:
+            from .operators.spread import (
+                exec_session,
+                is_small_input,
+                on_session,
+            )
+
+            if not is_small_input(df):
+                return None
+            schema = df.schema
+            ldf = df
+            if sort_cols:
+                ldf = ldf.coalesce(1).sortWithinPartitions(*sort_cols)
+            if spec.offset is not None:
+                ldf = ldf.offset(spec.offset)
+            if spec.limit is not None:
+                ldf = ldf.limit(spec.limit)
+            clone = exec_session(self.spark)
+            rdf = on_session(ldf, clone) if clone is not None else ldf
+            tbl = rdf.toArrow()
+            return arrow_to_spark(self.spark, tbl, schema=schema)
+        except Exception:
+            return None
 
     def _plan_cached(self, query: str, spec: Optional[AggSpec] = None):
         cfg = self.config

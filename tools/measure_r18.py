@@ -168,6 +168,62 @@ def main() -> None:
             f"all={[round(e,3) for e in els]} jobs={jobcounts.get('op_incr_para_update')}"
         )
 
+    if "fo" in rows:
+        import datetime as dt
+
+        from datafusion_query_cache_spark import (
+            CachedSparkSession,
+            ParquetQueryCache,
+            QueryCacheConfig,
+        )
+        from datafusion_query_cache_spark.sources.tables import with_ns_shadow
+
+        big = f"/tmp/qc-bench-events-x1000p2-{os.path.basename(SF_DIR.rstrip('/'))}"
+        if not os.path.exists(os.path.join(big, "_SUCCESS")):
+            raise SystemExit("run bench.py once first to build the x1000 table")
+        bz = with_ns_shadow(spark.read.parquet(big), "ts")
+        bz.createOrReplaceTempView("events_x1000")
+        DAY_NS = 24 * 3600 * 10**9
+        hi_ns = bz.agg(F.max("ts_ns")).collect()[0][0]
+        cut_ns = hi_ns - 2 * DAY_NS
+        FO_XK_SQL = (
+            "SELECT c_mktsegment AS segment, count(ts) AS nf, count(*) AS n, "
+            "round(sum(value), 2) AS sv FROM events_x1000 "
+            "FULL JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"
+        )
+
+        def fo_flow(timed_run: bool):
+            qf = CachedSparkSession(
+                spark,
+                QueryCacheConfig(
+                    cache=ParquetQueryCache(tempfile.mkdtemp(prefix="qc-m-fo-")),
+                    default_temporal_column="ts",
+                    temporal_partition_columns={"ts": "d"},
+                    override_now_ns=cut_ns,
+                ),
+            )
+            qf.sql(FO_XK_SQL).collect()
+            nows = [hi_ns - DAY_NS, hi_ns + 1]
+            best = None
+            for i, now_ns in enumerate(nows):
+                qf.config.override_now_ns = now_ns
+                call = lambda: qf.sql(FO_XK_SQL).collect()
+                t0 = time.perf_counter()
+                if timed_run and i == len(nows) - 1:
+                    count_jobs("qc_fo_x1000_warm", call)
+                else:
+                    call()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            if timed_run:
+                print(
+                    f"qc_fo_x1000_warm: best={best:.3f} "
+                    f"jobs={jobcounts.get('qc_fo_x1000_warm')}"
+                )
+
+        fo_flow(timed_run=False)
+        fo_flow(timed_run=True)
+
     if "components" in rows:
         from datafusion_query_cache_spark.operators.components import near_dedup_keep
         from datafusion_query_cache_spark.operators.dedup import minhash_dedup_pairs
