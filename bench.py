@@ -474,12 +474,13 @@ def main() -> None:
         return big
 
     docs_x4 = spark.read.parquet(make_docs_x4())
+    # (no jobs= here: _count_jobs is defined further down in main; the
+    # row's evidence is wall time and the c8/c32 scaling ratio)
     timed(
         "op_minhash_x4",
         lambda: minhash_lsh_pairs(
             docs_x4, num_hashes=64, bands=16, threshold=0.6
         ).count(),
-        jobs=True,
     )
     qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
     timed("op_cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect())

@@ -754,9 +754,13 @@ class CachedSparkSession(RefreshTiers):
 
     def _eval_bound_value(self, rhs_expr, now_ns: int):
         """Evaluate ``f(now())`` once at plan time with now pinned.
-        Returns a python datetime/date."""
+        Returns a python datetime/date.
+
+        All the one-row scalar evals here use ``range(0, 1, 1, 1)``: a
+        bare ``range(1)`` defaults to ``defaultParallelism`` partitions,
+        so each per-refresh scalar eval paid a 32-empty-task job."""
         col = to_column(self._pin_now(rhs_expr, now_ns))
-        v = self.spark.range(1).select(col.alias("v")).collect()[0]["v"]
+        v = self.spark.range(0, 1, 1, 1).select(col.alias("v")).collect()[0]["v"]
         if v is None:
             raise Unsupported("dynamic bound evaluated to NULL")
         return v
@@ -765,7 +769,7 @@ class CachedSparkSession(RefreshTiers):
         """date_trunc the evaluated bound — via Spark so week/month/calendar
         semantics match the engine exactly."""
         return (
-            self.spark.range(1)
+            self.spark.range(0, 1, 1, 1)
             .select(F.date_trunc(granularity, F.lit(lower)).alias("b"))
             .collect()[0]["b"]
         )
@@ -810,7 +814,7 @@ class CachedSparkSession(RefreshTiers):
             cols.append(
                 F.unix_micros((b + F.expr(iv)).cast("timestamp")).alias("be_us")
             )
-        row = self.spark.range(1).select(*cols).collect()[0]
+        row = self.spark.range(0, 1, 1, 1).select(*cols).collect()[0]
         if row["v"] is None:
             raise Unsupported("dynamic bound evaluated to NULL")
         be_us = row["be_us"] if iv is not None else None
@@ -4413,7 +4417,7 @@ class CachedSparkSession(RefreshTiers):
                     # (session-timezone calendar semantics, matching how
                     # the state buckets themselves were computed)
                     lo_val = (
-                        self.spark.range(1)
+                        self.spark.range(0, 1, 1, 1)
                         .select(
                             F.date_trunc(
                                 bucket_gran,

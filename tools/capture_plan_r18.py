@@ -48,15 +48,15 @@ def main() -> None:
             from datafusion_query_cache_spark.operators.dedup import minhash_lsh_pairs
 
             return minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.6)
-        if row == "op_minhash_pairs_x4":
+        if row == "op_minhash_x4":
             from datafusion_query_cache_spark.operators.dedup import minhash_lsh_pairs
 
-            big = docs.withColumn(
-                "__r", F.explode(F.expr("sequence(0, 3)"))
-            ).withColumn(
-                "doc_id", F.col("doc_id") + F.col("__r").cast("long") * F.lit(100_000_000)
-            ).drop("__r")
-            return minhash_lsh_pairs(big, num_hashes=64, bands=16, threshold=0.6)
+            big = os.path.join(
+                "/tmp",
+                f"qc-bench-docs-x4-{os.path.basename(SF_DIR.rstrip('/'))}",
+            )
+            dx4 = spark.read.parquet(big)
+            return minhash_lsh_pairs(dx4, num_hashes=64, bands=16, threshold=0.6)
         if row == "op_dedup_cluster_keep":
             from datafusion_query_cache_spark.operators.components import near_dedup_keep
             from datafusion_query_cache_spark.operators.dedup import minhash_dedup_pairs
