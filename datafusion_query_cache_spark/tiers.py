@@ -549,7 +549,7 @@ class RefreshTiers:
         with refreshes on other threads can set
         ``refresh_narrow_max_bytes=0`` to opt out entirely."""
         if not self._narrow_refresh_ok(spec):
-            yield
+            yield False
             return
         want = {
             "spark.sql.adaptive.enabled": "false",
@@ -567,7 +567,7 @@ class RefreshTiers:
                         pass
                 self._conf_saved = saved
         try:
-            yield
+            yield True
         finally:
             with self._conf_lock:
                 self._conf_depth -= 1
@@ -578,6 +578,39 @@ class RefreshTiers:
                         except Exception:
                             pass
                     self._conf_saved = {}
+
+    def _refresh_to_arrow(self, ldf: DataFrame, narrowed: bool):
+        """Collect a refresh frame via Arrow, with AQE stage-jobs elided
+        when the PLAN is provably small.
+
+        ``_narrow_refresh_ok`` gates on whole-SOURCE bytes, so a refresh
+        over a big table keeps AQE even though its watermark-pruned fresh
+        window is tiny: the optimizer's PruneFileSourcePartitions has
+        already shrunk the scan to the tail partitions, and AQE then
+        materializes every exchange of that small plan as its own Spark
+        stage-job (~0.15 s scheduling each — 3 jobs per refresh collect
+        on the x1000 FULL-composite halves). When the narrow scope did
+        NOT engage but the optimized plan's size estimate is small
+        (``is_small_input`` — pruned-partition bytes, driver metadata,
+        no job), run the collect on the AQE-off execution clone: one job,
+        identical rows. Big pruned windows — the 100 TB case — keep the
+        session's AQE untouched. Falls back to a plain collect on any
+        clone/transfer failure."""
+        if not narrowed:
+            try:
+                from .operators.spread import (
+                    exec_session,
+                    is_small_input,
+                    on_session,
+                )
+
+                if is_small_input(ldf):
+                    clone = exec_session(ldf.sparkSession)
+                    if clone is not None:
+                        return on_session(ldf, clone).toArrow()
+            except Exception:
+                pass
+        return ldf.toArrow()
 
     def _run_warm_template(
         self,
@@ -640,11 +673,13 @@ class RefreshTiers:
             # and the observe-under-limit argument from ``cache.put``
             # doesn't even arise (the rider rides the rows themselves).
             cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
-            with self._refresh_confs(spec):
+            with self._refresh_confs(spec) as narrowed:
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 aug_fields = list(df.schema.fields)
-                tbl = df.limit(cap + 1).toArrow()  # the ONE job
+                tbl = self._refresh_to_arrow(
+                    df.limit(cap + 1), narrowed
+                )  # the ONE job
         except Exception as e:
             # poison this template (wrong render, unregistered function,
             # ...) and fall back to the classic DataFrame program
@@ -1175,11 +1210,13 @@ class RefreshTiers:
             # (bounded store, distributed spill), never materializes
             # driver-side first
             cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
-            with self._refresh_confs(spec):
+            with self._refresh_confs(spec) as narrowed:
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 aug_fields = list(df.schema.fields)
-                tbl = df.limit(cap + 1).toArrow()  # the ONE job
+                tbl = self._refresh_to_arrow(
+                    df.limit(cap + 1), narrowed
+                )  # the ONE job
         except Exception as e:
             self._tpl_cache[tpl["key"]] = None
             self.config.log.warn(
@@ -1481,13 +1518,15 @@ class RefreshTiers:
             decision.dynamic_lower = rhs_sql
             sql = tpl["sql"].replace("__QC_RHS__", rhs_sql)
             sql = self._sub_time_tokens(sql, "F", wm_ns, now_ns)
-            with self._refresh_confs(spec):
+            with self._refresh_confs(spec) as narrowed:
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 # burst bound (same contract as the template tiers):
                 # overflow falls through to the next tier, no poisoning
                 cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
-                scan_tbl = df.limit(cap + 1).toArrow()
+                scan_tbl = self._refresh_to_arrow(
+                    df.limit(cap + 1), narrowed
+                )
             if scan_tbl.num_rows > cap:
                 self.config.log.warn(
                     decision.fingerprint or "",
@@ -2008,13 +2047,15 @@ class RefreshTiers:
         the fresh window, driver merge, finalize over the whole state."""
         try:
             sql = self._sub_time_tokens(tpl["sql"], "F", wm_ns, now_ns)
-            with self._refresh_confs(spec):
+            with self._refresh_confs(spec) as narrowed:
                 df = self.spark.sql(sql)
                 self.last_refresh_df = df
                 # burst bound (same contract as the template tiers):
                 # overflow falls through to the next tier, no poisoning
                 cap = getattr(entry, "DRIVER_COLLECT_MAX_ROWS", 500_000)
-                scan_tbl = df.limit(cap + 1).toArrow()
+                scan_tbl = self._refresh_to_arrow(
+                    df.limit(cap + 1), narrowed
+                )
             if scan_tbl.num_rows > cap:
                 self.config.log.warn(
                     decision.fingerprint or "",

@@ -88,3 +88,45 @@ def test_concurrent_ingest_keeps_parent_aqe(spark, tmp_path):
     assert seen_adaptive and all(seen_adaptive)
     # and the parent session conf was never flipped
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def _group_job_stats(spark, tag, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try:
+        out = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    st = sc.statusTracker()
+    return out, sorted(st.getJobIdsForGroup(tag))
+
+
+def test_refresh_to_arrow_small_plan_one_nonadaptive_job(qc, spark):
+    """A refresh collect whose PLAN is provably small must run as ONE
+    Spark job (AQE-off clone), not one stage-job per exchange — and
+    return exactly the rows the parent-session collect returns."""
+    df = (
+        spark.table("events")
+        .groupBy("event_type")
+        .count()
+        .limit(1001)
+    )
+    expect = sorted(map(tuple, df.collect()))
+    tbl, jobs = _group_job_stats(
+        spark, "rta-small", lambda: qc._refresh_to_arrow(df, narrowed=False)
+    )
+    assert sorted(tuple(r.values()) for r in tbl.to_pylist()) == expect
+    assert len(jobs) == 1
+
+
+def test_refresh_to_arrow_big_plan_keeps_session_aqe(qc, spark, monkeypatch):
+    """When the plan is NOT provably small the collect stays on the
+    caller's session (AQE and all) — the 100 TB fallthrough."""
+    monkeypatch.setenv("QC_SPREAD_SMALL_INPUTS", "0")  # force not-small
+    df = spark.table("events").groupBy("event_type").count().limit(1001)
+    expect = sorted(map(tuple, df.collect()))
+    tbl = qc._refresh_to_arrow(df, narrowed=False)
+    assert sorted(tuple(r.values()) for r in tbl.to_pylist()) == expect
+    # execution stayed on the caller's session: the plan keeps AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
